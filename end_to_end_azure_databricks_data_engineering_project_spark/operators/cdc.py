@@ -1,0 +1,164 @@
+"""SCD Type-1 / Type-2 CDC apply-changes (the gold layer's engine).
+
+Re-expresses DLT's ``create_auto_cdc_flow`` (reference
+``src/gold/dlt/transformations/DimUser.py:20-29`` — keys, sequence_by,
+stored_as_scd_type ∈ {1,2}; FactStream.py:12-21 for SCD1) as pure
+DataFrame→DataFrame transforms plus a ManagedTable sink. Semantics
+implemented (SURVEY.md §7.3's hard parts):
+
+ - **last-write-wins by sequence** with deterministic tie-breaks;
+ - **multiple changes per key in one batch** — SCD2 chains validity
+   intervals within the batch (change_i.__END_AT = change_{i+1}.seq);
+ - **out-of-order / replayed input** — batch rows with sequence ≤ the
+   current open version are stale and ignored (this also makes replay
+   after a crashed-but-uncommitted run idempotent);
+ - **no-op change suppression** — a change identical to its predecessor
+   version (all attributes except the sequence column) creates no new
+   SCD2 version;
+ - SCD2 system columns ``__START_AT``/``__END_AT`` typed as the
+   sequence column's type (timestamp or date — DimDate sequences by a
+   DATE, reference DimDate.py:18).
+
+Physical shape: everything is ONE hash shuffle on the business keys
+(union → window over keys) plus the sink write — no per-row Python, no
+driver loops. On Delta the same transform feeds MERGE; here the
+ManagedTable snapshot swap provides the atomic commit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import ManagedTable
+
+START_AT = "__START_AT"
+END_AT = "__END_AT"
+_ORD = "__ord"
+_EXISTING = "__is_existing"
+
+
+def _dedup_key_seq(batch: DataFrame, keys: Sequence[str], seq: str) -> DataFrame:
+    """Collapse exact (key, sequence) collisions deterministically."""
+    others = [c for c in batch.columns if c not in keys and c != seq]
+    w = Window.partitionBy(*keys, seq).orderBy(*[F.col(c).desc_nulls_last() for c in others] or [F.lit(1)])
+    return batch.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+
+
+def scd1_merge(current: DataFrame, batch: DataFrame, keys: Sequence[str], seq: str) -> DataFrame:
+    """Upsert: one row per key, highest sequence wins; batch wins ties.
+
+    ≙ Delta ``MERGE ... whenMatchedUpdateAll whenNotMatchedInsertAll``
+    guarded by ``s.seq >= t.seq`` (reference FactStream.py:12-21).
+    """
+    cols = current.columns
+    unioned = current.withColumn(_EXISTING, F.lit(1)).unionByName(
+        batch.select(*cols).withColumn(_EXISTING, F.lit(0))
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col(seq).desc(), F.col(_EXISTING).asc())
+    return (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .select(*cols)
+    )
+
+
+def scd2_apply(
+    target: DataFrame | None,
+    batch: DataFrame,
+    keys: Sequence[str],
+    seq: str,
+) -> DataFrame:
+    """Apply a change batch to an SCD2 history table; returns the new
+    full history (closed versions + re-derived open/chained versions).
+
+    ``target`` carries ``__START_AT``/``__END_AT``; None means first load.
+    """
+    data_cols = [c for c in batch.columns]
+    attr_cols = [c for c in data_cols if c not in keys and c != seq]
+    seq_type = dict(batch.dtypes)[seq]
+
+    batch = _dedup_key_seq(batch, keys, seq)
+    b = (
+        batch.withColumn(_ORD, F.col(seq).cast(seq_type))
+        .withColumn(_EXISTING, F.lit(0))
+        .withColumn(START_AT, F.col(seq))
+    )
+
+    if target is not None and START_AT in target.columns:
+        hist = target.filter(F.col(END_AT).isNotNull())
+        cur = (
+            target.filter(F.col(END_AT).isNull())
+            .select(*data_cols, START_AT)
+            .withColumn(_ORD, F.col(START_AT).cast(seq_type))
+            .withColumn(_EXISTING, F.lit(1))
+        )
+        combined = cur.unionByName(b)
+    else:
+        hist = None
+        combined = b
+
+    key_part = Window.partitionBy(*[F.col(k) for k in keys])
+    # Drop batch rows at-or-before the current open version (stale/replay).
+    cur_ord = F.max(F.when(F.col(_EXISTING) == 1, F.col(_ORD))).over(key_part)
+    live = combined.withColumn("__cur_ord", cur_ord).filter(
+        (F.col(_EXISTING) == 1)
+        | F.col("__cur_ord").isNull()
+        | (F.col(_ORD) > F.col("__cur_ord"))
+    )
+
+    # No-op suppression: change identical to its predecessor version.
+    w_seq = key_part.orderBy(F.col(_ORD).asc())
+    attrs = F.struct(*[F.col(c) for c in attr_cols]) if attr_cols else F.lit(None)
+    live = (
+        live.withColumn("__prev_attrs", F.lag(attrs).over(w_seq))
+        .filter(
+            # null-safe: no predecessor (lag NULL) never equals attrs
+            (F.col(_EXISTING) == 1) | ~F.col("__prev_attrs").eqNullSafe(attrs)
+        )
+        .drop("__prev_attrs")
+    )
+
+    # Chain validity intervals: END_AT = next change's sequence (NULL = open).
+    w_seq2 = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(_ORD).asc())
+    versions = (
+        live.withColumn(END_AT, F.lead(F.col(seq)).over(w_seq2))
+        .select(*data_cols, START_AT, END_AT)
+    )
+    if hist is not None:
+        versions = hist.select(*data_cols, START_AT, END_AT).unionByName(versions)
+    return versions
+
+
+def apply_changes(
+    table: ManagedTable,
+    batch: DataFrame,
+    keys: Sequence[str],
+    sequence_by: str,
+    scd_type: int = 2,
+) -> None:
+    """≙ dlt.create_auto_cdc_flow: merge ``batch`` into ``table``.
+
+    Pure-transform + atomic snapshot swap; callable directly on a batch
+    DataFrame or from ``foreachBatch`` on a stream.
+    """
+    if scd_type == 1:
+        dedup = _dedup_key_seq(batch, keys, sequence_by)
+        latest = dedup  # scd1_merge handles per-key last-write-wins
+        if table.exists():
+            merged = scd1_merge(table.read(), latest, keys, sequence_by)
+        else:
+            w = Window.partitionBy(*keys).orderBy(F.col(sequence_by).desc())
+            merged = (
+                latest.withColumn("__rn", F.row_number().over(w))
+                .filter("__rn = 1")
+                .drop("__rn")
+            )
+        table.overwrite(merged)
+    elif scd_type == 2:
+        target = table.read() if table.exists() else None
+        table.overwrite(scd2_apply(target, batch, keys, sequence_by))
+    else:
+        raise ValueError(f"unsupported scd_type {scd_type}")

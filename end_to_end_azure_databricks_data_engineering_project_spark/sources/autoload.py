@@ -1,0 +1,125 @@
+"""Autoloader-style incremental file ingestion with schema tracking and
+a rescue column.
+
+Re-expresses the reference's ``cloudFiles`` readers (reference
+``silver_Dimensions.py:25-29``: ``format("cloudFiles")``,
+``cloudFiles.schemaLocation``, ``cloudFiles.schemaEvolutionMode =
+rescue``) on public Spark. Two pieces:
+
+1. **Incremental, exactly-once file discovery** — for the streaming
+   path we use Spark's built-in file stream source (checkpointed file
+   index). For the batch-drain path (the reference always runs
+   ``trigger(once=True)``) ``FileLedger`` tracks ingested files in a
+   JSON ledger, mirroring Autoloader's file-notification bookkeeping.
+
+2. **Rescue-mode schema handling** — files are read permissively
+   (schema merged across files); columns *not* in the declared schema
+   are packed into a ``_rescued_data`` JSON string column instead of
+   failing the stream; declared-but-missing columns come back as NULLs.
+   This is the *intended* semantics of all five reference readers (three
+   of them misspell the option — see SURVEY.md §1.2 — we implement the
+   intent uniformly).
+
+Scale posture: discovery state is per-file metadata (KBs per thousand
+files), kept driver-side exactly like Autoloader's RocksDB ledger; data
+never flows through the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+RESCUE_COL = "_rescued_data"
+
+
+def with_rescue(df: DataFrame, declared: T.StructType) -> DataFrame:
+    """Project ``df`` onto ``declared`` + pack extra columns into
+    ``_rescued_data`` (JSON string, NULL when nothing was rescued)."""
+    declared_names = [f.name for f in declared.fields]
+    extras = [c for c in df.columns if c not in declared_names and c != RESCUE_COL]
+    cols = [
+        (F.col(c).cast(declared[c].dataType) if c in df.columns
+         else F.lit(None).cast(declared[c].dataType)).alias(c)
+        for c in declared_names
+    ]
+    if extras:
+        rescued = F.to_json(F.struct(*[F.col(c) for c in extras]))
+    else:
+        rescued = F.lit(None).cast(T.StringType())
+    return df.select(*cols, rescued.alias(RESCUE_COL))
+
+
+class FileLedger:
+    """Checkpointed set of already-ingested files (≙ Autoloader's ledger)."""
+
+    def __init__(self, schema_location: str | os.PathLike[str]):
+        self.dir = Path(schema_location)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.path = self.dir / "ingested_files.json"
+
+    def seen(self) -> set[str]:
+        if not self.path.exists():
+            return set()
+        return set(json.loads(self.path.read_text()))
+
+    def commit(self, files: set[str]) -> None:
+        merged = sorted(self.seen() | files)
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, self.path)
+
+
+def _list_parquet_files(root: Path) -> list[str]:
+    return sorted(str(p) for p in root.rglob("*.parquet") if p.is_file())
+
+
+def read_new_files(
+    spark: SparkSession,
+    source_dir: str,
+    declared_schema: T.StructType,
+    schema_location: str,
+) -> tuple[DataFrame | None, set[str]]:
+    """Batch-drain read of files not yet in the ledger, rescue applied.
+
+    Returns ``(df, new_files)``; caller commits the ledger only after a
+    successful downstream write (exactly-once: crash before commit →
+    files re-read next run → idempotent sink dedups by key/sequence).
+    """
+    new = set(_list_parquet_files(Path(source_dir))) - FileLedger(schema_location).seen()
+    if not new:
+        return None, set()
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*sorted(new))
+    )
+    return with_rescue(df, declared_schema), new
+
+
+def stream_source(
+    spark: SparkSession,
+    source_dir: str,
+    declared_schema: T.StructType,
+    include_rescue: bool = True,
+) -> DataFrame:
+    """True Structured-Streaming file source (checkpointed discovery via
+    the query's checkpointLocation). The declared schema is enforced;
+    rescue for a *streaming* source is limited to declared-schema
+    projection (Spark streams require a fixed schema up front — extra
+    columns are captured by the batch-drain path above)."""
+    df = (
+        spark.readStream.format("parquet")
+        .schema(declared_schema)
+        .option("maxFilesPerTrigger", 64)
+        .load(source_dir)
+    )
+    if include_rescue:
+        df = df.withColumn(RESCUE_COL, F.lit(None).cast(T.StringType()))
+    return df

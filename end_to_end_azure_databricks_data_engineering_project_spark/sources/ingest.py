@@ -1,0 +1,101 @@
+"""Metadata-driven incremental (high-watermark) ingestion → bronze parquet.
+
+Re-expresses the reference's ADF ``incremental_loop`` pipeline
+(``Azure ADF/adf/pipeline/incremental_loop.json``): per table —
+lookup watermark → pull rows with ``cdc_col > watermark`` → land one
+snappy-parquet folder per run under ``bronze/{table}/`` → if rows moved,
+refresh the watermark to the batch MAX; if not, write nothing
+(≙ the delete-empty-file branch, ``incremental_loop.json:167-203``).
+
+Spark-first design notes:
+ - The watermark predicate is a DataFrame ``filter``; Catalyst pushes it
+   into the parquet scan (row-group stats skip old files) — the same
+   effect as ADF string-building the WHERE into the source SQL
+   (``incremental_loop.json:45``). For a JDBC source the predicate is
+   pushed via ``.option("query", ...)`` just like ADF.
+ - MAX(cdc) is computed on the *pulled batch*, not by a second source
+   scan (ADF re-queries the source, ``incremental_loop.json:206-233``);
+   one pass instead of two, and immune to source rows arriving between
+   the copy and the max.
+ - Types are coerced to the declared schema on the way in
+   (≙ TabularTranslator typeConversion, ``incremental_loop.json:61-68``).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.config import TableConfig
+from end_to_end_azure_databricks_data_engineering_project_spark.sources.watermark import WatermarkStore
+
+
+@dataclass
+class IngestResult:
+    table: str
+    rows: int
+    watermark_before: str
+    watermark_after: str
+    landed_path: str | None
+
+
+def coerce_schema(df: DataFrame, cfg: TableConfig) -> DataFrame:
+    """Cast incoming columns to the declared schema, preserving any extra
+    columns (they flow on to the rescue logic in autoload)."""
+    declared = {f.name: f.dataType for f in cfg.spark_schema.fields}
+    cols = [
+        F.col(c).cast(declared[c]).alias(c) if c in declared else F.col(c)
+        for c in df.columns
+    ]
+    return df.select(*cols)
+
+
+def ingest_table(
+    spark: SparkSession,
+    cfg: TableConfig,
+    source_df: DataFrame,
+    bronze_root: str,
+    store: WatermarkStore,
+    run_ts: str | None = None,
+) -> IngestResult:
+    """One incremental pull for one table (≙ one ForEach iteration)."""
+    wm = store.effective_watermark(cfg.table, cfg.from_date)
+    cdc_type = cfg.spark_schema[cfg.cdc_col].dataType
+    batch = coerce_schema(source_df, cfg).filter(
+        F.col(cfg.cdc_col) > F.lit(wm).cast(cdc_type)
+    )
+    # One action computes both the row count and the new max watermark.
+    stats = batch.agg(
+        F.count(F.lit(1)).alias("n"), F.max(cfg.cdc_col).alias("mx")
+    ).first()
+    n, mx = stats["n"], stats["mx"]
+    if n == 0:
+        # ≙ IfCondition false branch: skip the write entirely (the
+        # reference writes then deletes the empty file, readme.md:35).
+        return IngestResult(cfg.table, 0, wm, wm, None)
+
+    run_ts = run_ts or _dt.datetime.now(_dt.timezone.utc).strftime("%Y%m%dT%H%M%S%f")
+    out = str(Path(bronze_root) / cfg.table / f"run={run_ts}")
+    batch.write.mode("overwrite").option("compression", "snappy").parquet(out)
+    new_wm = mx.isoformat(sep=" ") if hasattr(mx, "isoformat") else str(mx)
+    store.write(cfg.table, new_wm)
+    return IngestResult(cfg.table, n, wm, new_wm, out)
+
+
+def ingest_all(
+    spark: SparkSession,
+    configs: list[TableConfig],
+    sources: dict[str, DataFrame],
+    bronze_root: str,
+    store: WatermarkStore,
+) -> list[IngestResult]:
+    """≙ the ForEach loop over loop_input.json records."""
+    return [
+        ingest_table(spark, cfg, sources[cfg.table], bronze_root, store)
+        for cfg in configs
+        if cfg.table in sources
+    ]

@@ -1,0 +1,136 @@
+"""SCD1/SCD2 apply-changes semantics — mirrors the reference's two-phase
+fixture protocol (FIXTURES.md): initial load, then an incremental batch
+with updates, new keys, in-batch duplicate keys, out-of-order sequences,
+and no-op changes."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.cdc import (
+    END_AT,
+    START_AT,
+    apply_changes,
+    scd1_merge,
+    scd2_apply,
+)
+from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import ManagedTable
+
+T0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+T1 = dt.datetime(2025, 2, 1, 0, 0, 0)
+T2 = dt.datetime(2025, 3, 1, 0, 0, 0)
+
+
+def _users(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id int, name string, plan string, updated_at timestamp"
+    )
+
+
+@pytest.fixture()
+def initial(spark):
+    return _users(
+        spark,
+        [
+            (1, "ann", "Free", T0),
+            (2, "bob", "Free", T0),
+            (3, "cat", "Premium", T0),
+        ],
+    )
+
+
+def test_scd2_initial_load_all_open(spark, initial, tmp_path):
+    t = ManagedTable(spark, tmp_path, "dim_user")
+    apply_changes(t, initial, keys=["user_id"], sequence_by="updated_at", scd_type=2)
+    out = t.read()
+    assert out.count() == 3
+    assert out.filter(F.col(END_AT).isNotNull()).count() == 0
+    assert out.filter(F.col(START_AT) == F.col("updated_at")).count() == 3
+
+
+def test_scd2_update_closes_and_opens(spark, initial, tmp_path):
+    t = ManagedTable(spark, tmp_path, "dim_user")
+    apply_changes(t, initial, ["user_id"], "updated_at", 2)
+    batch = _users(spark, [(1, "ann", "Premium", T1), (4, "dan", "Free", T1)])
+    apply_changes(t, batch, ["user_id"], "updated_at", 2)
+    out = t.read().orderBy("user_id", START_AT).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.user_id, []).append(r)
+    # updated key: 2 versions, old closed at T1, new open
+    assert len(by_key[1]) == 2
+    old, new = by_key[1]
+    assert old.plan == "Free" and old[END_AT] == T1
+    assert new.plan == "Premium" and new[START_AT] == T1 and new[END_AT] is None
+    # untouched keys: 1 open version
+    assert len(by_key[2]) == 1 and by_key[2][0][END_AT] is None
+    # new key: 1 open version
+    assert len(by_key[4]) == 1 and by_key[4][0][END_AT] is None
+
+
+def test_scd2_multiple_changes_in_one_batch_chain(spark, initial, tmp_path):
+    t = ManagedTable(spark, tmp_path, "dim_user")
+    apply_changes(t, initial, ["user_id"], "updated_at", 2)
+    batch = _users(spark, [(1, "ann", "Family", T1), (1, "ann", "Premium", T2)])
+    apply_changes(t, batch, ["user_id"], "updated_at", 2)
+    rows = t.read().filter("user_id = 1").orderBy(START_AT).collect()
+    assert [r.plan for r in rows] == ["Free", "Family", "Premium"]
+    assert rows[0][END_AT] == T1 and rows[1][END_AT] == T2 and rows[2][END_AT] is None
+
+
+def test_scd2_out_of_order_and_replay_ignored(spark, initial, tmp_path):
+    t = ManagedTable(spark, tmp_path, "dim_user")
+    apply_changes(t, initial, ["user_id"], "updated_at", 2)
+    apply_changes(t, _users(spark, [(1, "ann", "Premium", T2)]), ["user_id"], "updated_at", 2)
+    before = sorted(t.read().collect())
+    # older-than-current change and an exact replay must both be no-ops
+    stale = _users(spark, [(1, "ann", "Family", T1), (1, "ann", "Premium", T2)])
+    apply_changes(t, stale, ["user_id"], "updated_at", 2)
+    assert sorted(t.read().collect()) == before
+
+
+def test_scd2_noop_change_suppressed(spark, initial, tmp_path):
+    t = ManagedTable(spark, tmp_path, "dim_user")
+    apply_changes(t, initial, ["user_id"], "updated_at", 2)
+    noop = _users(spark, [(2, "bob", "Free", T1)])  # same attrs, newer seq
+    apply_changes(t, noop, ["user_id"], "updated_at", 2)
+    assert t.read().filter("user_id = 2").count() == 1
+
+
+def test_scd1_last_write_wins(spark, tmp_path):
+    t = ManagedTable(spark, tmp_path, "fact")
+    first = _users(spark, [(1, "a", "x", T0), (2, "b", "x", T0)])
+    apply_changes(t, first, ["user_id"], "updated_at", 1)
+    batch = _users(
+        spark,
+        [(1, "a", "y", T2), (1, "a", "z", T1), (3, "c", "x", T1)],  # out of order in batch
+    )
+    apply_changes(t, batch, ["user_id"], "updated_at", 1)
+    out = {r.user_id: r for r in t.read().collect()}
+    assert len(out) == 3
+    assert out[1].plan == "y" and out[1].updated_at == T2  # latest wins
+    assert out[2].plan == "x"
+    # stale arrival after the fact is ignored
+    apply_changes(t, _users(spark, [(1, "a", "old", T0)]), ["user_id"], "updated_at", 1)
+    assert {r.plan for r in t.read().filter("user_id = 1").collect()} == {"y"}
+
+
+def test_scd1_merge_pure_transform(spark):
+    cur = _users(spark, [(1, "a", "x", T0)])
+    batch = _users(spark, [(1, "a", "y", T1), (2, "b", "x", T0)])
+    out = {r.user_id: r for r in scd1_merge(cur, batch, ["user_id"], "updated_at").collect()}
+    assert out[1].plan == "y" and len(out) == 2
+
+
+def test_scd2_date_sequence_column(spark, tmp_path):
+    """DimDate sequences by a DATE column (reference DimDate.py:18)."""
+    df = spark.createDataFrame(
+        [(20250101, dt.date(2025, 1, 1), "Wednesday")], "date_key int, date date, weekday string"
+    )
+    t = ManagedTable(spark, tmp_path, "dim_date")
+    apply_changes(t, df, ["date_key"], "date", 2)
+    row = t.read().first()
+    assert row[START_AT] == dt.date(2025, 1, 1) and row[END_AT] is None
