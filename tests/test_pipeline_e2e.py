@@ -1,0 +1,145 @@
+"""End-to-end medallion run of the reference's two-phase CDC scenario
+(FIXTURES.md): initial load → full pipeline → incremental batch → full
+pipeline → assert SCD2 history / SCD1 upsert / quality-gate shapes."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.config import TABLE_BY_NAME
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.cdc import END_AT, START_AT
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.transforms import (
+    bucketize,
+    dedup_keep_latest,
+    normalize_case,
+    regexp_clean,
+)
+from end_to_end_azure_databricks_data_engineering_project_spark.sources.ingest import ingest_all
+from end_to_end_azure_databricks_data_engineering_project_spark.sources.watermark import WatermarkStore
+from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import (
+    build_medallion_pipeline,
+)
+
+T0 = dt.datetime(2025, 1, 1)
+T1 = dt.datetime(2025, 6, 1)
+
+
+def _cleansers():
+    """≙ the silver notebook's per-table cleanses (silver_Dimensions.py)."""
+    return {
+        "dim_user": lambda df: dedup_keep_latest(
+            normalize_case(df, "user_name"), ["user_id"], "updated_at"
+        ),
+        "dim_artist": lambda df: dedup_keep_latest(df, ["artist_id"], "updated_at"),
+        "dim_track": lambda df: regexp_clean(
+            bucketize(df, "duration_sec", "duration_flag", [150, 300], ["low", "medium", "high"]),
+            "track_name", "-", " ",
+        ),
+    }
+
+
+@pytest.fixture()
+def sources_phase1(spark):
+    users = spark.createDataFrame(
+        [(i, f"user {i}", "US", "Free", None, None, T0) for i in range(1, 11)],
+        "user_id int, user_name string, country string, subscription_type string,"
+        " start_date date, end_date date, updated_at timestamp",
+    )
+    tracks = spark.createDataFrame(
+        [(i, f"track-{i}", i % 3 + 1, "alb", 100 + i * 40, None, T0) for i in range(1, 6)],
+        "track_id int, track_name string, artist_id int, album_name string,"
+        " duration_sec int, release_date date, updated_at timestamp",
+    )
+    facts = spark.createDataFrame(
+        [(i, i % 10 + 1, i % 5 + 1, 20250101, 60, "Mobile", T0) for i in range(1, 21)],
+        "stream_id long, user_id int, track_id int, date_key int,"
+        " listen_duration int, device_type string, stream_timestamp timestamp",
+    )
+    return {"dim_user": users, "dim_track": tracks, "fact_stream": facts}
+
+
+def _run_pipeline(spark, sources, tmp_path):
+    cfgs = [TABLE_BY_NAME[t] for t in sources]
+    store = WatermarkStore(tmp_path / "state")
+    ingest_all(spark, cfgs, sources, str(tmp_path / "bronze"), store)
+    pipe, catalog = build_medallion_pipeline(
+        spark, cfgs, str(tmp_path / "bronze"), str(tmp_path / "warehouse"),
+        str(tmp_path / "state"), _cleansers(),
+    )
+    pipe.run_all()
+    return catalog
+
+
+def test_two_phase_medallion(spark, tmp_path, sources_phase1):
+    catalog = _run_pipeline(spark, sources_phase1, tmp_path)
+
+    gold_user = catalog.table("gold_dim_user").read()
+    assert gold_user.count() == 10
+    assert gold_user.filter(F.col(END_AT).isNotNull()).count() == 0
+    # silver cleanse applied before gold: names uppercased
+    assert gold_user.filter(F.col("user_name").startswith("USER")).count() == 10
+
+    # ---- phase 2: updates + new keys + a NULL-key row (quality gate) ----
+    users2 = sources_phase1["dim_user"].union(
+        spark.createDataFrame(
+            [
+                (1, "user 1", "US", "Premium", None, None, T1),   # update
+                (2, "user 2", "US", "Family", None, None, T1),    # update
+                (11, "user 11", "DE", "Free", None, None, T1),    # new key
+                (None, "ghost", "XX", "Free", None, None, T1),    # dropped by gate
+            ],
+            sources_phase1["dim_user"].schema,
+        )
+    )
+    facts2 = sources_phase1["fact_stream"].union(
+        spark.createDataFrame(
+            [(1, 1, 1, 20250601, 120, "Desktop", T1), (21, 2, 2, 20250601, 30, "Mobile", T1)],
+            sources_phase1["fact_stream"].schema,
+        )
+    )
+    sources2 = {"dim_user": users2, "dim_track": sources_phase1["dim_track"], "fact_stream": facts2}
+    catalog = _run_pipeline(spark, sources2, tmp_path)
+
+    gold_user = catalog.table("gold_dim_user").read()
+    # updated keys → 2 versions (closed + open); new key → 1; ghost dropped
+    v = gold_user.groupBy("user_id").count().collect()
+    counts = {r.user_id: r["count"] for r in v}
+    assert counts[1] == 2 and counts[2] == 2 and counts[11] == 1
+    assert None not in counts
+    closed = {r.user_id for r in gold_user.filter(F.col(END_AT).isNotNull()).collect()}
+    assert closed == {1, 2}
+    open_1 = gold_user.filter((F.col("user_id") == 1) & F.col(END_AT).isNull()).first()
+    assert open_1.subscription_type == "Premium" and open_1[START_AT] == T1
+
+    # SCD1 fact: upsert — 21 unique stream_ids, stream 1 last-write-wins
+    gold_fact = catalog.table("gold_fact_stream").read()
+    assert gold_fact.count() == 21
+    s1 = gold_fact.filter("stream_id = 1").first()
+    assert s1.listen_duration == 120 and s1.device_type == "Desktop"
+
+    # idempotent re-run: nothing new → no change
+    before = gold_user.count()
+    catalog = _run_pipeline(spark, sources2, tmp_path)
+    assert catalog.table("gold_dim_user").read().count() == before
+
+
+def test_streaming_silver_variant(spark, tmp_path, sources_phase1):
+    """True Structured-Streaming silver (availableNow trigger + foreachBatch)."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import silver_stream
+
+    cfg = TABLE_BY_NAME["dim_user"]
+    store = WatermarkStore(tmp_path / "state")
+    ingest_all(spark, [cfg], sources_phase1, str(tmp_path / "bronze"), store)
+    catalog = Catalog(spark, str(tmp_path / "warehouse"))
+    q = silver_stream(
+        spark, cfg, str(tmp_path / "bronze"), catalog, str(tmp_path / "ckpt"),
+        cleanse=lambda df: normalize_case(df, "user_name"),
+    )
+    q.awaitTermination(120)
+    out = catalog.table("silver_dim_user").read()
+    assert out.count() == 10
+    assert out.filter(F.col("user_name").startswith("USER")).count() == 10
