@@ -1,0 +1,273 @@
+"""Deduplication family for LLM training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+ - Everything is expressed as shuffle-on-key DataFrame ops — NO pairwise
+   cross joins over the corpus. Candidate generation is always
+   bucket-first (LSH band buckets / simhash prefix buckets), so the
+   quadratic step only happens *within* buckets.
+ - Hashing is md5-based and **portable** (same values computable in
+   DuckDB/any SQL engine — see functions/scalars.portable_hash64), which
+   makes every step oracle-checkable, and also makes results stable
+   across Spark versions (F.hash is not guaranteed stable across
+   releases).
+ - All expressions are built-in `pyspark.sql.functions` arrays/lambdas —
+   codegen'd JVM execution, no Python UDF in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.functions.scalars import fingerprint
+
+
+# ---------------------------------------------------------------- exact --
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One survivor per identical (normalized) text: the smallest id.
+
+    Hash-groupBy under the hood: fingerprint (md5 of normalized text) →
+    min(id) per fingerprint → semi-join back. Two shuffles on the
+    fingerprint/id — no full-row shuffle of the corpus text."""
+    fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("__fp"))
+    survivors = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return df.join(survivors.select(id_col), id_col, "left_semi")
+
+
+# ------------------------------------------------------------- shingles --
+def tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles. Short docs (< n tokens) get their
+    whole token string as the single shingle."""
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def _hash_shingle(s: Column, seed: int) -> Column:
+    """Portable 60-bit positive hash of (seed, shingle)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), s)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+# -------------------------------------------------------------- minhash --
+def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """Array of ``num_hashes`` minhash components (min over shingle hashes
+    per seeded hash function)."""
+    sh = shingles(text, shingle_n)
+
+    def min_hash_for(seed: int) -> Column:
+        # closure capture — HOF lambdas must be single-Column-arity
+        def h(s: Column) -> Column:
+            return _hash_shingle(s, seed)
+
+        return F.array_min(F.transform(sh, h))
+
+    return F.array(*[min_hash_for(k) for k in range(num_hashes)])
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + LSH banding.
+
+    signature → split into ``bands`` bands of ``num_hashes/bands`` rows →
+    explode (band_idx, band_key) → self-join *within* band buckets →
+    distinct pairs with their estimated Jaccard (fraction of matching
+    signature components). Returns columns: id_a, id_b, est_jaccard.
+
+    Scale: the only join key is (band_idx, band_key); hot buckets (many
+    identical docs) are bounded by banding; AQE skew-join handles the
+    rest. No corpus-wide cross join ever happens."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col), minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig")
+    )
+    banded = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.concat_ws(
+                        "_", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "sig", "band.band_idx", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(float(num_hashes))
+    ).alias("est_jaccard")
+    return pairs.select("id_a", "id_b", est)
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **kw,
+) -> DataFrame:
+    """Drop near-duplicates: keep the smallest id of each detected pair
+    component (single-link via pair list; exact transitive closure is an
+    iterative connected-components job — see docstring note).
+
+    Note: greedy id-ordered suppression (drop id_b of every qualifying
+    pair) approximates connected components in one pass and is the
+    standard first-cut at corpus scale; a full CC (alternating large-star
+    /small-star) belongs in a follow-up round."""
+    pairs = minhash_near_dup_pairs(df, text_col, id_col, **kw)
+    losers = pairs.filter(F.col("est_jaccard") >= threshold).select(
+        F.col("id_b").alias(id_col)
+    ).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ------------------------------------------------------ n-gram jaccard --
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Exact n-gram Jaccard for LSH candidate pairs: candidates from
+    MinHash banding, then exact |∩|/|∪| over distinct shingle sets.
+    Columns: id_a, id_b, jaccard."""
+    cand = minhash_near_dup_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
+    j = (
+        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter").cast("double") / F.col("uni")).alias("jaccard"),
+        )
+    )
+    return j
+
+
+# -------------------------------------------------------------- simhash --
+def simhash64(text: Column, shingle_n: int = 2) -> Column:
+    """64-bit SimHash over word shingles, returned as bigint (bit 63 kept
+    zero to stay in positive range; 63 effective bits).
+
+    Per shingle: portable hash → ±1 per bit → elementwise sum across
+    shingles → sign → bits. Pure array expressions (aggregate/zip_with);
+    one pass, no UDF."""
+    sh = shingles(text, shingle_n)
+    hashed = F.transform(sh, lambda s: _hash_shingle(s, 0))
+    zeros = F.array_repeat(F.lit(0), 63)
+    # shift amounts must be Python ints (shiftright takes no Column numBits)
+    # → unroll the 63 bit positions at plan-build time
+    sums = F.aggregate(
+        hashed,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                    for j in range(63)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    bits = F.transform(sums, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
+    total = F.lit(0).cast("bigint")
+    for j in range(63):
+        total = total + F.element_at(bits, j + 1).cast("bigint") * F.lit(1 << j).cast("bigint")
+    return total
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Candidate generation: 4 rotated prefix-blocks of the hash as bucket
+    keys (two docs within hamming 3 of each other share at least one of
+    4 16-bit blocks untouched → standard Charikar blocking); exact
+    hamming check within buckets. Columns: id_a, id_b, hamming."""
+    h = df.select(F.col(id_col), simhash64(F.col(text_col), shingle_n).alias("sh"))
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_idx"),
+                F.shiftright("sh", i * prefix_bits)
+                .bitwiseAND(F.lit((1 << prefix_bits) - 1))
+                .alias("block_key"),
+            )
+            for i in range(64 // prefix_bits)
+        ]
+    )
+    bucketed = h.select(id_col, "sh", F.explode(blocks).alias("b")).select(
+        id_col, "sh", "b.block_idx", "b.block_key"
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    hamming = F.bit_count(xor)
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

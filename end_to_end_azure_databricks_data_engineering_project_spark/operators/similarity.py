@@ -1,0 +1,192 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two paths:
+ - **Brute-force cosine top-k** — the exact baseline. Dot products via
+   `F.zip_with` + `F.aggregate` (sequential left-to-right fold →
+   bit-deterministic, oracle-reproducible). The pairwise join is
+   broadcast-on-the-query-side: fine for query batches up to ~10⁵ rows
+   against any corpus size (corpus never shuffles; one scan).
+ - **LSH-bucketed ANN (random hyperplane / SRP)** — the scale path:
+   sign-of-projection bits bucket the corpus; candidates only within
+   matching buckets (multi-probe via multiple tables). Hyperplanes are
+   generated from a seeded md5 stream → fully deterministic, no
+   Math.random, reproducible across engines.
+
+At 100 TB: brute force is O(Q·N) dot products but only O(N) I/O with no
+shuffle (query side broadcast); SRP reduces compute by the bucket
+selectivity. An IVF-style coarse quantizer needs k-means (iterative) —
+noted for a later round.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic sequential dot product (double accumulate)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query row.
+
+    Returns: query_id, neighbor_id, cos_sim, rank (1-based). Self-matches
+    (same id) excluded when query ids share the corpus id space.
+    Physical plan: broadcast(queries) ⋈ corpus scan → per-query top-k via
+    window. Corpus is scanned once, never shuffled; only (Q×k) rows
+    shuffle for the final ranking."""
+    qid = query_id_col or id_col
+    q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _seeded_hyperplanes(dim: int, n_planes: int, seed: str = "srp") -> list[list[float]]:
+    """Deterministic pseudo-gaussian hyperplanes from an md5 counter
+    stream (sum of 3 uniforms − 1.5 ≈ gaussian enough for SRP signs)."""
+    planes: list[list[float]] = []
+    for p in range(n_planes):
+        row: list[float] = []
+        for d in range(dim):
+            u = []
+            for r in range(3):
+                h = hashlib.md5(f"{seed}|{p}|{d}|{r}".encode()).hexdigest()
+                u.append(int(h[:15], 16) / float(1 << 60))
+            row.append(sum(u) - 1.5)
+        planes.append(row)
+    return planes
+
+
+def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-projection bit bucket: int key from n_planes sign bits."""
+    key = F.lit(0)
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(w) for w in plane]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        key = key + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return key
+
+
+def srp_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus rows sharing an SRP bucket
+    with the query in ANY of ``n_tables`` hash tables; exact cosine +
+    top-k within candidates. Returns query_id, neighbor_id, cos_sim, rank.
+
+    Scale: corpus is bucketed once per table (narrow projection-only
+    pass), the join key is (table_idx, bucket) — selectivity ~2^-n_planes
+    per table — so the candidate set is ~n_tables/2^n_planes of N per
+    query instead of N."""
+    tables = [
+        _seeded_hyperplanes(dim, n_planes, seed=f"srp{t}") for t in range(n_tables)
+    ]
+
+    def bucketed(df: DataFrame, idc: str, vc: str, out_id: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table_idx"),
+                    srp_bucket(F.col(vc), tables[t]).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(idc).alias(out_id), F.col(vc).alias(f"{out_id}_vec"),
+            F.explode(buckets).alias("b"),
+        ).select(out_id, f"{out_id}_vec", "b.table_idx", "b.bucket")
+
+    cb = bucketed(corpus, id_col, vec_col, "neighbor_id")
+    qb = bucketed(queries, id_col, vec_col, "query_id")
+    cand = (
+        cb.join(qb, ["table_idx", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cos_sim", cosine(F.col("query_id_vec"), F.col("neighbor_id_vec")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def near_dup_by_cosine(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold)
+    via SRP buckets — the embedding analogue of minhash_near_dup_pairs."""
+    pairs = srp_ann_topk(
+        df, df, k=50, id_col=id_col, vec_col=vec_col,
+        dim=dim, n_planes=n_planes, n_tables=n_tables,
+    )
+    return (
+        pairs.filter((F.col("cos_sim") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            F.col("cos_sim"),
+        )
+    )

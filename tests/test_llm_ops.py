@@ -1,0 +1,193 @@
+"""LLM-data operators: text metrics, dedup family, similarity search,
+multimodal plumbing — on the driver's documents/embeddings tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dup_pairs,
+)
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    resize_images,
+    sample_frames,
+    synthetic_media,
+)
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import (
+    brute_force_topk,
+    near_dup_by_cosine,
+    srp_ann_topk,
+)
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.text import (
+    detect_language,
+    quality_score,
+    token_count,
+    with_text_metrics,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_text_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog"), (2, ""), (3, "!!! ??? ...")],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in with_text_metrics(df).collect()}
+    assert rows[1].n_tokens == 8
+    assert rows[1].lang_pred == "en"
+    assert rows[2].n_tokens == 0 and rows[2].quality < 1.0
+    assert rows[3].punct_ratio > 0.5
+
+
+def test_detect_language_on_fixture_sentences(spark):
+    """The synthetic corpus's `lang` labels don't reflect its (English
+    word-soup) content, so lang-id is exercised on real sentences."""
+    df = spark.createDataFrame(
+        [
+            ("en", "the cat and the dog is a friend of the house"),
+            ("es", "el perro y la casa de los amigos que viven"),
+            ("fr", "le chien et la maison des amis une belle vie"),
+            ("de", "der hund und die katze das ist ein haus nicht"),
+            ("zh", "我 有 的 是 在 一个 房子"),
+        ],
+        "lang string, text string",
+    )
+    assert df.filter(detect_language(F.col("text")) == F.col("lang")).count() == 5
+
+
+def test_exact_dedup_removes_clones(spark):
+    df = spark.createDataFrame(
+        [(1, "same  text"), (2, "same text"), (3, "other")], "doc_id int, text string"
+    )
+    out = exact_dedup(df)
+    assert {r.doc_id for r in out.collect()} == {1, 3}  # min-id survivor
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    base = docs.limit(50)
+    clones = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    corpus = base.select("doc_id", "text").unionByName(clones)
+    pairs = minhash_near_dup_pairs(corpus).filter("est_jaccard >= 0.5")
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(i, i + 100000) for i in [r.doc_id for r in base.collect()]}
+    assert len(found & planted) >= 40  # high recall on near-identical docs
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f g")], "doc_id int, text string"
+    )
+    out = ngram_jaccard_pairs(df, shingle_n=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    # shingles(1) = {abc,bcd,cde,def} ⊂ shingles(2) += {efg}: J = 4/5
+    assert abs(r.jaccard - 0.8) < 1e-9
+
+
+def test_simhash_hamming_near_dups(spark, docs):
+    base = docs.limit(30).select("doc_id", "text")
+    clones = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.col("text")
+    )  # identical text → hamming 0
+    pairs = simhash_near_dup_pairs(base.unionByName(clones), max_hamming=0)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(r.doc_id, r.doc_id + 100000) for r in base.collect()}
+    assert planted <= found
+
+
+def test_simhash_is_deterministic(spark):
+    df = spark.createDataFrame([(1, "hello world foo bar")], "doc_id int, text string")
+    a = df.select(simhash64(F.col("text")).alias("h")).first().h
+    b = df.select(simhash64(F.col("text")).alias("h")).first().h
+    assert a == b and a > 0
+
+
+def test_brute_force_topk_self_retrieval(spark, emb):
+    """Nearest neighbor of a vector's exact clone must be that vector."""
+    q = emb.limit(5).select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    out = brute_force_topk(emb, q, k=1)
+    rows = {r.query_id: r for r in out.collect()}
+    assert len(rows) == 5
+    for qid, r in rows.items():
+        assert r.neighbor_id == qid - 10000
+        assert abs(r.cos_sim - 1.0) < 1e-9
+
+
+def test_srp_ann_recall_vs_exact(spark, emb):
+    q = emb.limit(20)
+    exact = brute_force_topk(emb, q, k=5)
+    approx = srp_ann_topk(emb, q, k=5, dim=64)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.5  # approximate, but far above chance (5/500)
+
+
+def test_near_dup_by_cosine_finds_clones(spark, emb):
+    base = emb.limit(20)
+    clones = base.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label")
+    pairs = near_dup_by_cosine(base.unionByName(clones), threshold=0.999)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(r.vec_id, r.vec_id + 10000) for r in base.collect()}
+    assert len(found & planted) >= 15  # ANN recall, near-perfect on clones
+
+
+def test_multimodal_feature_extraction(spark):
+    media = synthetic_media(spark, 30)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.feature) == FEATURE_DIM for r in rows)
+    assert all(r.n_bytes > 0 for r in rows)
+    # deterministic: same payload → same features
+    again = {r.media_id: r.feature for r in extract_features(media).collect()}
+    assert all(again[r.media_id] == r.feature for r in rows)
+
+
+def test_multimodal_resize_and_frames(spark):
+    media = synthetic_media(spark, 12)
+    resized = resize_images(media, 32, 32)
+    imgs = resized.filter("media_type = 'image'").collect()
+    assert all(r.width == 32 and r.height == 32 for r in imgs)
+    frames = sample_frames(media, every_ms=1000)
+    vids = frames.filter("media_type = 'video'")
+    # one frame per second of duration
+    per = vids.groupBy("media_id").count().collect()
+    durs = {r.media_id: r.duration_ms for r in media.filter("media_type='video'").collect()}
+    assert all(r["count"] == durs[r.media_id] // 1000 for r in per)
+
+
+def test_quality_score_separates_junk(spark, docs):
+    junk = spark.createDataFrame([(9001, "!!! ,,, ;;; :::")], "doc_id long, text string")
+    scored = with_text_metrics(docs.select("doc_id", "text").unionByName(junk))
+    good_avg = scored.filter("doc_id < 9000").agg(F.avg("quality")).first()[0]
+    junk_q = scored.filter("doc_id = 9001").first().quality
+    assert junk_q < good_avg
+
+
+def test_token_count_matches_manual(spark, docs):
+    sample = docs.limit(20).select("doc_id", "text", token_count(F.col("text")).alias("n"))
+    for r in sample.collect():
+        assert r.n == len(r.text.split())
