@@ -1,0 +1,993 @@
+"""Query catalog: every SURVEY.md §2 operator (plus the LLM-data
+extensions) expressed as a (PySpark builder, ANSI-SQL oracle) pair over
+the driver's TPC-H-ish tables (TESTDATA.md).
+
+Cross-engine exactness rules (so the DuckDB value-hash matches bit-for-
+bit — see tests/test_oracle_parity.py which enforces this):
+ - Money/measure columns are clean 2-decimals in the data → cast to
+   DECIMAL(18,2) BEFORE arithmetic; sums/products stay exact; cast the
+   final aggregate to DOUBLE (exact, same IEEE value both engines).
+   Never cast a *computed* double to decimal (rounding rules differ).
+ - Averages = CAST(exact decimal sum AS DOUBLE) / count — one IEEE
+   division, identical both engines.
+ - Dot products / ratios: sequential left-to-right double folds in both
+   engines (F.aggregate ↔ list_reduce) — identical operation order →
+   identical doubles.
+ - Hashes: md5-based (portable_hash64 ↔ ('0x'||substr(md5,1,15))::BIGINT
+   — verified identical).
+ - Timestamps rendered as-is (both engines naive UTC); weekday names via
+   date_format('EEEE') ↔ dayname() (verified identical).
+ - Every computed column aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.functions.scalars import (
+    calendar_decomposition,
+    fingerprint,
+)
+from end_to_end_azure_databricks_data_engineering_project_spark.operators import text as tx
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+    minhash_signature,
+    simhash64,
+    tokens,
+)
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import cosine
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.transforms import bucketize
+
+DEC = "decimal(18,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) (illegal for Spark's
+        # reader); read the raw int64 and convert to a µs timestamp.
+        # DuckDB reads the same file at ns precision; every oracle that
+        # compares derived values truncates to µs to match.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c: str):
+    return F.col(c).cast(DEC)
+
+
+@dataclass(frozen=True)
+class CatalogQuery:
+    name: str
+    description: str
+    survey_ref: str  # SURVEY.md §2 operator ids / extension tag
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+
+
+_CATALOG: list[CatalogQuery] = []
+
+
+def _q(name, description, survey_ref, oracle):
+    def deco(fn):
+        _CATALOG.append(CatalogQuery(name, description, survey_ref, fn, oracle))
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# Reference surface: scans, filters, predicates (S1, P1-P5)
+# =====================================================================
+
+@_q(
+    "watermark_filter",
+    "Incremental high-watermark pull: rows with cdc_col > stored watermark",
+    "S1/P3 (incremental_loop.json:42-50)",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def q_watermark_filter(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .filter(F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+@_q(
+    "in_predicate",
+    "IN-list predicate",
+    "P5 (silver_Dimensions.py:213-215)",
+    "SELECT p_partkey, p_name, p_size FROM part WHERE p_size IN (1, 5, 9)",
+)
+def q_in_predicate(spark, sf):
+    return (
+        _t(spark, sf, "part")
+        .filter(F.col("p_size").isin(1, 5, 9))
+        .select("p_partkey", "p_name", "p_size")
+    )
+
+
+@_q(
+    "null_predicate",
+    "IS NOT NULL predicate + conjunction",
+    "P4 (silver_Dimensions.py:206-209)",
+    """
+    SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+    WHERE o_orderpriority IS NOT NULL AND o_orderstatus = 'F'
+    """,
+)
+def q_null_predicate(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority").isNotNull() & (F.col("o_orderstatus") == "F"))
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@_q(
+    "project_drop",
+    "Column drop / projection pushdown (ReadSchema pruned at the scan)",
+    "P2 (utils/transformations.py:1-5)",
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
+)
+def q_project_drop(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.drop(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_tax",
+        "l_linestatus", "l_shipdate",
+    )
+
+
+# =====================================================================
+# Scalar functions (F1-F9)
+# =====================================================================
+
+@_q(
+    "upper_trim",
+    "Case normalization cleanse",
+    "F1/F2 (silver_Dimensions.py:41; readme.md:91)",
+    "SELECT c_custkey, upper(trim(c_name)) AS c_name_clean FROM customer",
+)
+def q_upper_trim(spark, sf):
+    return _t(spark, sf, "customer").select(
+        "c_custkey", F.upper(F.trim(F.col("c_name"))).alias("c_name_clean")
+    )
+
+
+@_q(
+    "regexp_clean",
+    "regexp_replace cleanse",
+    "F3 (silver_Dimensions.py:154)",
+    "SELECT p_partkey, regexp_replace(p_name, ' ', '_', 'g') AS p_name_clean FROM part",
+)
+def q_regexp_clean(spark, sf):
+    return _t(spark, sf, "part").select(
+        "p_partkey", F.regexp_replace("p_name", " ", "_").alias("p_name_clean")
+    )
+
+
+@_q(
+    "bucketize",
+    "when/otherwise conditional bucketing + group count",
+    "F4 (silver_Dimensions.py:151-153)",
+    """
+    SELECT CASE WHEN p_retailprice < 930 THEN 'low'
+                WHEN p_retailprice < 970 THEN 'medium'
+                ELSE 'high' END AS price_band,
+           count(*) AS n
+    FROM part GROUP BY 1
+    """,
+)
+def q_bucketize(spark, sf):
+    df = bucketize(
+        _t(spark, sf, "part"), "p_retailprice", "price_band", [930, 970],
+        ["low", "medium", "high"],
+    )
+    return df.groupBy("price_band").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "calendar",
+    "Calendar decomposition (DimDate derivation)",
+    "F9 (initial_load.sql:36-43)",
+    """
+    SELECT o_orderkey,
+           CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS INT) AS date_key,
+           CAST(dayofmonth(CAST(o_orderdate AS DATE)) AS INT) AS day,
+           CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS month,
+           CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS year,
+           dayname(CAST(o_orderdate AS DATE)) AS weekday
+    FROM orders
+    """,
+)
+def q_calendar(spark, sf):
+    d = F.to_date("o_orderdate")
+    parts = calendar_decomposition(d)
+    return _t(spark, sf, "orders").select(
+        "o_orderkey", *[parts[k].alias(k) for k in ["date_key", "day", "month", "year", "weekday"]]
+    )
+
+
+@_q(
+    "concat_naming",
+    "String concat (run-file naming pattern)",
+    "F6/F7 (incremental_loop.json:87,134-148)",
+    """
+    SELECT event_id,
+           concat(event_type, ' ', strftime(ts, '%Y-%m-%d %H:%M:%S')) AS run_name
+    FROM events
+    """,
+)
+def q_concat_naming(spark, sf):
+    return _t(spark, sf, "events").select(
+        "event_id",
+        F.concat_ws(
+            " ", F.col("event_type"), F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+        ).alias("run_name"),
+    )
+
+
+@_q(
+    "coalesce_nullif",
+    "Null/empty coalesce conditional (backfill override semantics)",
+    "F8 (incremental_loop.json:45)",
+    """
+    SELECT coalesce(nullif(event_type, 'error'), 'recovered') AS label,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_coalesce_nullif(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .select(
+            F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("recovered")).alias("label")
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# =====================================================================
+# Aggregations (A1-A3 + the implied group-by surface)
+# =====================================================================
+
+@_q(
+    "max_watermark",
+    "Scalar MAX(cdc) watermark refresh",
+    "A1 (incremental_loop.json:223-231)",
+    "SELECT max(ts) AS cdc FROM events",
+)
+def q_max_watermark(spark, sf):
+    return _t(spark, sf, "events").agg(F.max("ts").alias("cdc"))
+
+
+@_q(
+    "rowcount_gate",
+    "Row-count > 0 gate",
+    "A2 (incremental_loop.json:162-166)",
+    "SELECT count(*) AS rows_copied FROM events WHERE ts > TIMESTAMP '2024-01-25 00:00:00'",
+)
+def q_rowcount_gate(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .filter(F.col("ts") > F.lit("2024-01-25 00:00:00").cast("timestamp"))
+        .agg(F.count(F.lit(1)).alias("rows_copied"))
+    )
+
+
+@_q(
+    "pricing_summary",
+    "TPC-H Q1-style pricing summary (flagship agg): exact decimal sums",
+    "implied agg surface (SURVEY §2.4) over fact table",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark, sf):
+    one = F.lit(1).cast(DEC)
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    charge = disc_price * (one + _dec("l_tax"))
+    return (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "dedup_distinct",
+    "Exact distinct (hash aggregate dedup)",
+    "A3 (silver_Dimensions.py:50,86)",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_dedup_distinct(spark, sf):
+    return _t(spark, sf, "events").select("user_id", "event_type").distinct()
+
+
+@_q(
+    "latest_per_key",
+    "Deterministic latest-row-per-key (dropDuplicates done right)",
+    "A3/§2.6 window (sequence_by semantics, DimUser.py:24)",
+    """
+    SELECT user_id, event_id, event_type, ts, value FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_per_key(spark, sf):
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        _t(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_id", "event_type", "ts", "value")
+    )
+
+
+@_q(
+    "pivot_manual",
+    "Pivoted conditional aggregation (event counts per type)",
+    "implied agg surface; pivot",
+    """
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_manual(spark, sf):
+    e = _t(spark, sf, "events")
+
+    def cnt(t):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+
+    return e.groupBy("user_id").agg(
+        cnt("click").alias("clicks"),
+        cnt("view").alias("views"),
+        cnt("purchase").alias("purchases"),
+        cnt("error").alias("errors"),
+    )
+
+
+@_q(
+    "rollup_hierarchy",
+    "ROLLUP over region/nation hierarchy",
+    "implied agg surface; grouping sets",
+    """
+    SELECT r_name, n_name, count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup_hierarchy(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# =====================================================================
+# Joins (J1-J3 shapes)
+# =====================================================================
+
+@_q(
+    "star_join_revenue",
+    "FLAGSHIP: star-schema multi-join revenue rollup (fact ⋈ 4 dims)",
+    "J3 (initial_load.sql:26-53 FK graph) + implied agg",
+    """
+    SELECT r_name, CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           count(DISTINCT o_orderkey) AS n_orders
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, order_year
+    """,
+)
+def q_star_join_revenue(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    one = F.lit(1).cast(DEC)
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", F.year(F.to_date("o_orderdate")).alias("order_year"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@_q(
+    "broadcast_dim_join",
+    "Broadcast small-dim join + agg",
+    "J3 (dims ≤ broadcast threshold → hash-broadcast, SURVEY §4)",
+    """
+    SELECT p_brand, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_broadcast_dim_join(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+    )
+
+
+@_q(
+    "semi_join",
+    "Left-semi join (EXISTS)",
+    "join surface (MERGE subsumes semi/anti, SURVEY §2.5)",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_semi_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@_q(
+    "anti_join",
+    "Left-anti join (NOT EXISTS) — the MERGE insert branch",
+    "J1/J2 internals (SURVEY §2.5 note)",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_anti_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# =====================================================================
+# Windows, sort/limit (§2.6)
+# =====================================================================
+
+@_q(
+    "topk_customers",
+    "Top-K by aggregate with deterministic tiebreak (ORDER BY + LIMIT)",
+    "§2.6 sort/limit",
+    """
+    SELECT c_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 10
+    """,
+)
+def q_topk_customers(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+@_q(
+    "window_running_sum",
+    "Running sum per key (window frame) — exact decimal then double",
+    "§2.6 window",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    """,
+)
+def q_window_running_sum(spark, sf):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@_q(
+    "sessionize",
+    "Sessionization: 30-min-gap session ids via lag + cumulative sum",
+    "streaming-analog (OLAP pattern; guide §patterns)",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN (epoch_ns(ts) // 1000)
+                       - (epoch_ns(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000)
+                       > 1800000000 OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    )
+    SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+    FROM g GROUP BY user_id
+    """,
+)
+def q_sessionize(spark, sf):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.unix_micros("ts") - F.unix_micros(prev) > 1800000000), 1
+    ).otherwise(0)
+    return (
+        _t(spark, sf, "events")
+        .withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").cast("bigint").alias("n_sessions"))
+    )
+
+
+# =====================================================================
+# Expectations / quality gates (P6)
+# =====================================================================
+
+@_q(
+    "quality_gate",
+    "expect_all_or_drop gate: violating rows dropped before aggregation",
+    "P6 (DimUser.py:3-8,16)",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE user_id IS NOT NULL AND value > 0
+    GROUP BY event_type
+    """,
+)
+def q_quality_gate(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.expectations import (
+        expect_all_or_drop,
+    )
+
+    gated = expect_all_or_drop(
+        _t(spark, sf, "events"),
+        {"has_user": "user_id IS NOT NULL", "positive_value": "value > 0"},
+        observe=False,
+    ).df
+    return gated.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# =====================================================================
+# SCD semantics as SQL-checkable queries (J1/J2/T6)
+# =====================================================================
+
+@_q(
+    "scd1_latest_state",
+    "SCD1 upsert semantics: last-write-wins state per key over a change stream",
+    "J1/T6 (FactStream.py:12-21)",
+    """
+    SELECT user_id, event_type AS last_event, ts AS last_ts FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_scd1_latest_state(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.transforms import (
+        dedup_keep_latest,
+    )
+
+    e = _t(spark, sf, "events")
+    return dedup_keep_latest(e, ["user_id"], "ts", "event_id").select(
+        "user_id",
+        F.col("event_type").alias("last_event"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+@_q(
+    "scd2_history",
+    "SCD2 apply-changes on a change batch: chained validity intervals, "
+    "(key,seq) dedup + no-op suppression — full history shape",
+    "J2/T6 (DimUser.py:20-29)",
+    """
+    WITH dedup AS (
+      SELECT user_id, event_type, ts FROM (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_type DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), suppressed AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_type
+        FROM dedup
+      ) WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, ts,
+           ts AS __START_AT,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS __END_AT
+    FROM suppressed
+    """,
+)
+def q_scd2_history(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.cdc import scd2_apply
+
+    batch = _t(spark, sf, "events").select("user_id", "event_type", "ts")
+    return scd2_apply(None, batch, keys=["user_id"], seq="ts")
+
+
+# =====================================================================
+# LLM-data extensions: text analysis
+# =====================================================================
+
+@_q(
+    "doc_token_stats",
+    "Token counting + char stats per document",
+    "ext:text-analysis",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS norm, n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(string_split(norm, ' ')) AS INT) AS n_tokens,
+           n_chars,
+           CAST(length(norm) - len(string_split(norm, ' ')) + 1 AS DOUBLE)
+             / len(string_split(norm, ' ')) AS mean_word_len
+    FROM t
+    """,
+)
+def q_doc_token_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        tx.token_count(t).alias("n_tokens"),
+        "n_chars",
+        tx.mean_word_length(t).alias("mean_word_len"),
+    )
+
+
+@_q(
+    "doc_quality",
+    "Heuristic quality scoring (length/punct/word-length bands)",
+    "ext:text-analysis (C4/Gopher-style filters)",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok,
+             CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+               / length(text) AS pr,
+             CAST(length(regexp_replace(trim(text), '\s+', ' ', 'g'))
+                  - len(string_split_regex(trim(text), '\s+')) + 1 AS DOUBLE)
+               / len(string_split_regex(trim(text), '\s+')) AS mwl
+      FROM documents
+    )
+    SELECT doc_id,
+           (CASE WHEN n_tok >= 5 AND n_tok <= 5000 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END) / 3.0
+             AS quality
+    FROM m
+    """,
+)
+def q_doc_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
+
+
+@_q(
+    "doc_langid",
+    "Language identification (stopword-marker argmax + CJK fallback)",
+    "ext:text-analysis",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks,
+             length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
+      FROM documents
+    ), sc AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> x IN ('der','die','und','das','ein','nicht'))) AS s_de,
+        len(list_filter(toks, x -> x IN ('the','and','of','to','a','is'))) AS s_en,
+        len(list_filter(toks, x -> x IN ('el','la','de','que','y','los'))) AS s_es,
+        len(list_filter(toks, x -> x IN ('le','la','les','et','des','une'))) AS s_fr,
+        len(list_filter(toks, x -> x IN ('的','是','了','在','我','有'))) + cjk AS s_zh
+      FROM s
+    )
+    SELECT lang_pred, count(*) AS n FROM (
+      SELECT CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                  WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                  ELSE 'zh' END AS lang_pred
+      FROM sc
+    ) GROUP BY lang_pred
+    """,
+)
+def q_doc_langid(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(tx.detect_language(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "doc_fingerprint_dedup",
+    "Exact dedup by md5 fingerprint of normalized text (hash-groupBy)",
+    "ext:dedup-exact",
+    r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_doc_fingerprint_dedup(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# =====================================================================
+# LLM-data extensions: near-dup dedup (MinHash / Jaccard / SimHash)
+# =====================================================================
+
+@_q(
+    "minhash_signatures",
+    "MinHash signature components (portable md5 hashing, min over shingles)",
+    "ext:dedup-minhash",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 1) + 1),
+               i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+                    string_split_regex(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                    string_split_regex(lower(trim(text)), '\s+')[i+2]
+             )) AS sh
+      FROM documents
+    )
+    SELECT doc_id,
+           list_aggregate(list_transform(sh, x -> ('0x' || substr(md5('0|' || x), 1, 15))::BIGINT), 'min') AS h0,
+           list_aggregate(list_transform(sh, x -> ('0x' || substr(md5('1|' || x), 1, 15))::BIGINT), 'min') AS h1,
+           list_aggregate(list_transform(sh, x -> ('0x' || substr(md5('2|' || x), 1, 15))::BIGINT), 'min') AS h2,
+           list_aggregate(list_transform(sh, x -> ('0x' || substr(md5('3|' || x), 1, 15))::BIGINT), 'min') AS h3
+    FROM s
+    """,
+)
+def q_minhash_signatures(spark, sf):
+    d = _t(spark, sf, "documents")
+    sig = minhash_signature(F.col("text"), num_hashes=4, shingle_n=3)
+    return d.select(
+        "doc_id",
+        *[F.element_at(sig, i + 1).alias(f"h{i}") for i in range(4)],
+    )
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    "Exact unigram-set Jaccard for small-id doc pairs (set ops on arrays)",
+    "ext:dedup-jaccard",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS sh
+      FROM documents WHERE doc_id < 30
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    """,
+)
+def q_ngram_jaccard_pairs(spark, sf):
+    d = _t(spark, sf, "documents").filter("doc_id < 30")
+    sh = d.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+    )
+
+
+@_q(
+    "simhash_fingerprints",
+    "63-bit SimHash fingerprints (bit-vote over shingle hashes)",
+    "ext:dedup-simhash",
+    None,  # bit-vote fold is replayable but disproportionate in SQL; rows-only
+)
+def q_simhash_fingerprints(spark, sf):
+    d = _t(spark, sf, "documents").filter("doc_id < 100")
+    return d.select("doc_id", simhash64(F.col("text"), shingle_n=2).alias("simhash"))
+
+
+# =====================================================================
+# LLM-data extensions: similarity search
+# =====================================================================
+
+@_q(
+    "cosine_topk",
+    "Exact brute-force cosine top-5 neighbors for 10 query vectors "
+    "(sequential double fold → bit-identical both engines)",
+    "ext:similarity-bruteforce",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, len(q.embedding) + 1),
+               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a,b) -> a + b)
+             / (sqrt(list_reduce(list_transform(range(1, len(q.embedding) + 1),
+                  i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (a,b) -> a + b))
+                * sqrt(list_reduce(list_transform(range(1, len(c.embedding) + 1),
+                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a,b) -> a + b)))
+               AS cos_sim
+      FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM pairs
+    ) WHERE rank <= 5
+    """,
+)
+def q_cosine_topk(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    return brute_force_topk(emb, emb.filter("vec_id < 10"), k=5)
+
+
+@_q(
+    "embedding_near_dup",
+    "Embedding-cosine near-duplicate pairs above threshold (brute force "
+    "over small-id slice; LSH path covered by ann_topk_srp)",
+    "ext:dedup-embedding",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_reduce(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x + y)
+           / (sqrt(list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x,y) -> x + y))
+              * sqrt(list_reduce(list_transform(range(1, len(b.embedding) + 1),
+                i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x + y)))
+             AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_reduce(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x + y)
+          / (sqrt(list_reduce(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x,y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, len(b.embedding) + 1),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x + y)))
+          >= 0.30
+    """,
+)
+def q_embedding_near_dup(spark, sf):
+    e = _t(spark, sf, "embeddings").filter("vec_id < 200")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.30)
+    )
+
+
+@_q(
+    "ann_topk_srp",
+    "Approximate NN via SRP-LSH buckets (plans are python-seeded → "
+    "rows-only check; recall vs exact asserted in tests/test_llm_ops.py)",
+    "ext:similarity-ann",
+    None,
+)
+def q_ann_topk_srp(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import (
+        srp_ann_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    return srp_ann_topk(emb, emb.filter("vec_id < 10"), k=5)
+
+
+@_q(
+    "media_features",
+    "Multimodal plumbing: binary payloads → Arrow-batched feature "
+    "extraction via mapInPandas (deterministic fake decode backend)",
+    "ext:multimodal",
+    None,
+)
+def q_media_features(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 100)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "media_type", "n_bytes", F.element_at("feature", 1).alias("f0")
+    )
+
+
+# ---------------------------------------------------------------------
+
+CATALOG: dict[str, CatalogQuery] = {q.name: q for q in _CATALOG}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.spark for name, q in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle.strip() for name, q in CATALOG.items() if q.oracle}

@@ -1,0 +1,100 @@
+"""Replicates the driver's correctness gate: for every catalog query
+with an oracle, run the PySpark build AND the DuckDB SQL on the same
+parquet, then compare row count, column names, and the full
+order-insensitive multiset of values — EXACTLY (no float tolerance:
+the catalog is engineered for bit-identical results).
+
+Runs at sf0.001 for speed; scripts/parity_check.py runs the same at
+sf0.01 (the driver's scale)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision — bit-exactness required
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    try:  # decimals → exact string
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return repr(float(v))
+    except Exception:
+        pass
+    return v
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    spark_cols = sorted(sdf.columns)
+    spark_rows = sdf.collect()
+
+    res = duck.execute(ORACLES[name])
+    duck_cols = sorted(d[0] for d in res.description)
+    duck_rows = res.fetchall()
+    duck_names = [d[0] for d in res.description]
+
+    assert spark_cols == duck_cols, f"{name}: schema mismatch {spark_cols} vs {duck_cols}"
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: rowcount {len(spark_rows)} vs {len(duck_rows)}"
+    )
+
+    s_set = sorted(
+        tuple(str(_norm(r[c])) for c in spark_cols) for r in spark_rows
+    )
+    d_set = sorted(
+        tuple(str(_norm(v)) for _, v in sorted(zip(duck_names, r)))
+        for r in duck_rows
+    )
+    mism = [i for i, (a, b) in enumerate(zip(s_set, d_set)) if a != b]
+    assert not mism, (
+        f"{name}: {len(mism)} value mismatches; first: "
+        f"spark={s_set[mism[0]]} duck={d_set[mism[0]]}"
+    )
+
+
+def test_rows_only_queries_run(spark):
+    """Queries without an oracle must still execute and return rows."""
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        df = QUERIES[name](spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
