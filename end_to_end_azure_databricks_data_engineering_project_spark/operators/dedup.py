@@ -59,19 +59,58 @@ def _hash_shingle(s: Column, seed: int) -> Column:
 
 
 # -------------------------------------------------------------- minhash --
-def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """Array of ``num_hashes`` minhash components (min over shingle hashes
-    per seeded hash function)."""
-    sh = shingles(text, shingle_n)
+MINHASH_P = 2_147_483_647  # Mersenne prime 2^31-1: products fit in int64
 
-    def min_hash_for(seed: int) -> Column:
-        # closure capture — HOF lambdas must be single-Column-arity
-        def h(s: Column) -> Column:
-            return _hash_shingle(s, seed)
 
-        return F.array_min(F.transform(sh, h))
+def minhash_constants(k: int) -> tuple[int, int]:
+    """Deterministic affine universal-hash constants for component k
+    (md5-derived; identical constants reproducible in any engine)."""
+    import hashlib
 
-    return F.array(*[min_hash_for(k) for k in range(num_hashes)])
+    a = int(hashlib.md5(f"A{k}".encode()).hexdigest()[:8], 16) % (MINHASH_P - 1) + 1
+    b = int(hashlib.md5(f"B{k}".encode()).hexdigest()[:8], 16) % MINHASH_P
+    return a, b
+
+
+def minhash_components(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}) minhash signature columns.
+
+    ONE md5 per shingle (the expensive part), then ``num_hashes`` cheap
+    affine transforms h_k = (a_k·h + b_k) mod P minimized per doc.
+    Physical shape: explode shingles → project md5 → hash-agg min per
+    doc (partial map-side combine → one narrow shuffle on the id).
+    Docs with no shingles (empty text) produce no row."""
+    base = (
+        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"))
+        .select(id_col, (_hash_shingle(F.col("__sh"), 0) % MINHASH_P).alias("__h"))
+    )
+    aggs = []
+    for k in range(num_hashes):
+        a, b = minhash_constants(k)
+        aggs.append(
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MINHASH_P).alias(f"mh_{k}")
+        )
+    return base.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signature_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — the array form of minhash_components."""
+    wide = minhash_components(df, text_col, id_col, num_hashes, shingle_n)
+    return wide.select(
+        id_col, F.array(*[F.col(f"mh_{k}") for k in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_near_dup_pairs(
@@ -93,9 +132,7 @@ def minhash_near_dup_pairs(
     identical docs) are bounded by banding; AQE skew-join handles the
     rest. No corpus-wide cross join ever happens."""
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col), minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig")
-    )
+    sig = minhash_signature_df(df, text_col, id_col, num_hashes, shingle_n)
     banded = sig.select(
         id_col,
         "sig",

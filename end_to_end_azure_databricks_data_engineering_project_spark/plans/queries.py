@@ -34,7 +34,9 @@ from end_to_end_azure_databricks_data_engineering_project_spark.functions.scalar
 )
 from end_to_end_azure_databricks_data_engineering_project_spark.operators import text as tx
 from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
-    minhash_signature,
+    MINHASH_P,
+    minhash_components,
+    minhash_constants,
     simhash64,
     tokens,
 )
@@ -94,9 +96,15 @@ def _q(name, description, survey_ref, oracle):
     """,
 )
 def q_watermark_filter(spark, sf):
+    # Filter on the RAW int64 nanos so the predicate pushes into the
+    # parquet scan (row-group stats skip old files — the point of a
+    # high-watermark pull at 100 TB); convert to timestamp after.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    wm_ns = 1_705_276_800 * 1_000_000_000  # 2024-01-15T00:00:00Z in ns
     return (
-        _t(spark, sf, "events")
-        .filter(F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        spark.read.parquet(f"{sf}/events.parquet")
+        .filter(F.col("ts") > F.lit(wm_ns))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
 
@@ -790,11 +798,14 @@ def q_doc_fingerprint_dedup(spark, sf):
 # LLM-data extensions: near-dup dedup (MinHash / Jaccard / SimHash)
 # =====================================================================
 
-@_q(
-    "minhash_signatures",
-    "MinHash signature components (portable md5 hashing, min over shingles)",
-    "ext:dedup-minhash",
-    r"""
+def _minhash_oracle(num_hashes: int = 4) -> str:
+    comps = ",\n           ".join(
+        "list_aggregate(list_transform(sh, "
+        f"x -> ({a} * (('0x' || substr(md5('0|' || x), 1, 15))::BIGINT % {MINHASH_P}) + {b}) % {MINHASH_P}"
+        f"), 'min') AS mh_{k}"
+        for k, (a, b) in ((k, minhash_constants(k)) for k in range(num_hashes))
+    )
+    return rf"""
     WITH s AS (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -806,20 +817,21 @@ def q_doc_fingerprint_dedup(spark, sf):
       FROM documents
     )
     SELECT doc_id,
-           list_aggregate(list_transform(sh, x -> ('0x' || substr(md5('0|' || x), 1, 15))::BIGINT), 'min') AS h0,
-           list_aggregate(list_transform(sh, x -> ('0x' || substr(md5('1|' || x), 1, 15))::BIGINT), 'min') AS h1,
-           list_aggregate(list_transform(sh, x -> ('0x' || substr(md5('2|' || x), 1, 15))::BIGINT), 'min') AS h2,
-           list_aggregate(list_transform(sh, x -> ('0x' || substr(md5('3|' || x), 1, 15))::BIGINT), 'min') AS h3
+           {comps}
     FROM s
-    """,
+    """
+
+
+@_q(
+    "minhash_signatures",
+    "MinHash signature components: one portable md5 per shingle + k "
+    "affine universal hashes (a_k·h+b_k mod 2^31-1), min per doc",
+    "ext:dedup-minhash",
+    _minhash_oracle(4),
 )
 def q_minhash_signatures(spark, sf):
     d = _t(spark, sf, "documents")
-    sig = minhash_signature(F.col("text"), num_hashes=4, shingle_n=3)
-    return d.select(
-        "doc_id",
-        *[F.element_at(sig, i + 1).alias(f"h{i}") for i in range(4)],
-    )
+    return minhash_components(d, "text", "doc_id", num_hashes=4, shingle_n=3)
 
 
 @_q(
