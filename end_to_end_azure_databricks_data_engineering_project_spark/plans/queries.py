@@ -992,6 +992,381 @@ def q_media_features(spark, sf):
     )
 
 
+
+# =====================================================================
+# Batch 2: set ops, subqueries, JSON, as-of/range joins, window family
+# =====================================================================
+
+@_q(
+    "set_ops_union",
+    "UNION (distinct) of two key sets",
+    "set-op surface",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_set_ops_union(spark, sf):
+    a = _t(spark, sf, "customer").filter("c_mktsegment = 'BUILDING'").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = _t(spark, sf, "orders").filter("o_orderpriority = '1-URGENT'").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.union(b).distinct()
+
+
+@_q(
+    "set_ops_intersect",
+    "INTERSECT of two key sets",
+    "set-op surface",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_set_ops_intersect(spark, sf):
+    a = _t(spark, sf, "customer").filter("c_mktsegment = 'BUILDING'").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = _t(spark, sf, "orders").filter("o_orderpriority = '1-URGENT'").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+@_q(
+    "set_ops_except",
+    "EXCEPT (distinct) of two key sets",
+    "set-op surface",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_set_ops_except(spark, sf):
+    a = _t(spark, sf, "customer").filter("c_mktsegment = 'BUILDING'").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = _t(spark, sf, "orders").filter("o_orderpriority = '1-URGENT'").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.exceptAll(b).distinct()
+
+
+@_q(
+    "like_filter",
+    "LIKE pattern filter + substring",
+    "string function surface",
+    """
+    SELECT p_partkey, p_type, substr(p_brand, 7) AS brand_num
+    FROM part WHERE p_type LIKE '%%AND%%'
+    """,
+)
+def q_like_filter(spark, sf):
+    return (
+        _t(spark, sf, "part")
+        .filter(F.col("p_type").like("%AND%"))
+        .select("p_partkey", "p_type", F.substring("p_brand", 7, 2147483647).alias("brand_num"))
+    )
+
+
+@_q(
+    "date_arithmetic",
+    "Date difference / truncation arithmetic",
+    "date function surface (F7/F9 family)",
+    """
+    SELECT o_orderstatus,
+           CAST(avg(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS DOUBLE)
+             AS avg_ship_days,
+           min(date_trunc('month', CAST(o_orderdate AS DATE))) AS first_month
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q_date_arithmetic(spark, sf):
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    dd = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            (F.sum(dd).cast("double") / F.count(F.lit(1))).alias("avg_ship_days"),
+            F.min(F.trunc(F.to_date("o_orderdate"), "month")).alias("first_month"),
+        )
+    )
+
+
+@_q(
+    "having_filter",
+    "GROUP BY ... HAVING post-aggregation predicate",
+    "agg surface",
+    """
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+    """,
+)
+def q_having_filter(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@_q(
+    "scalar_subquery",
+    "Scalar subquery threshold (orders above global average price)",
+    "subquery surface",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM orders
+    ) * 1.5
+    """,
+)
+def q_scalar_subquery(spark, sf):
+    o = _t(spark, sf, "orders")
+    avg_df = o.agg(
+        (F.sum(_dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("__avg")
+    )
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("__avg") * 1.5)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@_q(
+    "json_extract",
+    "JSON field extraction from a string column",
+    "semi-structured surface (events.props)",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+)
+def q_json_extract(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .filter(F.col("k").isNotNull())
+    )
+
+
+@_q(
+    "topk_per_group",
+    "Top-3 parts by revenue within each brand (windowed rank)",
+    "window surface (top-k per group pattern)",
+    """
+    SELECT p_brand, p_partkey, revenue, rnk FROM (
+      SELECT p_brand, p_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             row_number() OVER (
+               PARTITION BY p_brand
+               ORDER BY CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) DESC,
+                        p_partkey ASC) AS rnk
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand, p_partkey
+    ) WHERE rnk <= 3
+    """,
+)
+def q_topk_per_group(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    per_part = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("revenue").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        per_part.withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 3")
+        .select("p_brand", "p_partkey", "revenue", "rnk")
+    )
+
+
+@_q(
+    "rank_dense_ntile",
+    "rank / dense_rank / ntile window family",
+    "window surface",
+    """
+    SELECT c_custkey,
+           rank() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk,
+           dense_rank() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS drnk,
+           ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+    FROM customer
+    """,
+)
+def q_rank_dense_ntile(spark, sf):
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@_q(
+    "moving_average",
+    "Moving average over a row frame (7 preceding rows)",
+    "window surface",
+    """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS moving_avg
+    FROM orders
+    """,
+)
+def q_moving_average(spark, sf):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        (F.sum(_dec("o_totalprice")).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "moving_avg"
+        ),
+    )
+
+
+@_q(
+    "asof_join",
+    "As-of join: each purchase matched to the user's most recent prior "
+    "click (carry-forward window — Spark's as-of composition)",
+    "ext:asof-join (OLAP pattern; Spark lacks native as-of)",
+    """
+    SELECT event_id, user_id, ts, asof_click_ts FROM (
+      SELECT event_id, user_id, ts, event_type,
+             max(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_click_ts
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ) WHERE event_type = 'purchase'
+    """,
+)
+def q_asof_join(spark, sf):
+    e = _t(spark, sf, "events").filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    asof = F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
+    return (
+        e.withColumn("asof_click_ts", asof)
+        .filter("event_type = 'purchase'")
+        .select("event_id", "user_id", "ts", "asof_click_ts")
+    )
+
+
+@_q(
+    "range_join",
+    "Range join: order pairs of the same customer within 30 days "
+    "(equi-key co-partition + range predicate — the scale-safe shape)",
+    "ext:range-join",
+    """
+    SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(date_diff('day', CAST(a.o_orderdate AS DATE), CAST(b.o_orderdate AS DATE))) <= 30
+    """,
+)
+def q_range_join(spark, sf):
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    a, b = o.alias("a"), o.alias("b")
+    dd = F.abs(F.datediff(F.to_date("a.o_orderdate"), F.to_date("b.o_orderdate")))
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (dd <= 30),
+        )
+        .select(F.col("a.o_orderkey").alias("key_a"), F.col("b.o_orderkey").alias("key_b"))
+    )
+
+
+@_q(
+    "exact_median",
+    "Exact percentiles (interpolated median / p90)",
+    "agg surface (quantiles)",
+    """
+    SELECT l_returnflag,
+           CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty,
+           CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_exact_median(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        )
+    )
+
+
+@_q(
+    "cube_agg",
+    "CUBE over two dimensions",
+    "agg surface (grouping sets)",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_agg(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "count_distinct_groups",
+    "Multiple exact COUNT(DISTINCT) per group",
+    "agg surface",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q_count_distinct_groups(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 
 CATALOG: dict[str, CatalogQuery] = {q.name: q for q in _CATALOG}
