@@ -81,7 +81,12 @@ def ingest_table(
     run_ts = run_ts or _dt.datetime.now(_dt.timezone.utc).strftime("%Y%m%dT%H%M%S%f")
     out = str(Path(bronze_root) / cfg.table / f"run={run_ts}")
     batch.write.mode("overwrite").option("compression", "snappy").parquet(out)
-    new_wm = mx.isoformat(sep=" ") if hasattr(mx, "isoformat") else str(mx)
+    if isinstance(mx, _dt.datetime):
+        new_wm = mx.isoformat(sep=" ")
+    elif isinstance(mx, _dt.date):
+        new_wm = mx.isoformat()
+    else:
+        new_wm = str(mx)
     store.write(cfg.table, new_wm)
     return IngestResult(cfg.table, n, wm, new_wm, out)
 

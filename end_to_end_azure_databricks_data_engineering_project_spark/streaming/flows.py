@@ -147,7 +147,14 @@ def gold_flow(
             keys=list(cfg.keys), sequence_by=cfg.cdc_col, scd_type=cfg.scd_type,
         )
         mx = gated.agg(F.max(cfg.cdc_col)).first()[0]
-        marker.write_text(mx.isoformat(sep=" ") if hasattr(mx, "isoformat") else str(mx))
+        import datetime as _dt
+
+        if isinstance(mx, _dt.datetime):
+            marker.write_text(mx.isoformat(sep=" "))
+        elif isinstance(mx, _dt.date):
+            marker.write_text(mx.isoformat())
+        else:
+            marker.write_text(str(mx))
         return n
 
     return run
