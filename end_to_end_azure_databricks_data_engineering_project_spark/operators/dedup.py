@@ -40,9 +40,25 @@ def tokens(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingles from an ALREADY-MATERIALIZED token-array
+    column. O(1) ``element_at`` lookups (no per-gram array copies);
+    ``concat_ws`` skips NULLs past the end, so short docs yield their
+    truncated gram. IMPORTANT: ``toks`` must be a real column, not an
+    inline split expression — expressions inside HOF lambdas are not
+    CSE'd, so an inline split would re-run the regex per element."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles. Short docs (< n tokens) get their
-    whole token string as the single shingle."""
+    """Column-API shingles (single-expression form; fine for small/
+    mid-size inputs — the corpus-scale path is ``minhash_components``,
+    which materializes tokens first and uses ``shingles_from_tokens``)."""
     toks = tokens(text)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
@@ -83,11 +99,16 @@ def minhash_components(
 
     ONE md5 per shingle (the expensive part), then ``num_hashes`` cheap
     affine transforms h_k = (a_k·h + b_k) mod P minimized per doc.
-    Physical shape: explode shingles → project md5 → hash-agg min per
-    doc (partial map-side combine → one narrow shuffle on the id).
-    Docs with no shingles (empty text) produce no row."""
+    Physical shape: materialize tokens → explode shingles → project md5
+    → hash-agg min per doc (partial map-side combine → one narrow
+    shuffle on the id). Docs with no shingles (empty text) produce no
+    row."""
     base = (
-        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"))
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            id_col,
+            F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias("__sh"),
+        )
         .select(id_col, (_hash_shingle(F.col("__sh"), 0) % MINHASH_P).alias("__h"))
     )
     aggs = []
