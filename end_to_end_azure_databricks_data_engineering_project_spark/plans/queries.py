@@ -869,9 +869,31 @@ def q_ngram_jaccard_pairs(spark, sf):
 
 @_q(
     "simhash_fingerprints",
-    "63-bit SimHash fingerprints (bit-vote over shingle hashes)",
+    "63-bit SimHash fingerprints (bit-vote over portable shingle hashes)",
     "ext:dedup-simhash",
-    None,  # bit-vote fold is replayable but disproportionate in SQL; rows-only
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 1, 1) + 1),
+               i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+                    string_split_regex(lower(trim(text)), '\s+')[i+1]
+             )) AS sh
+      FROM documents WHERE doc_id < 100
+    ), h AS (
+      SELECT doc_id, unnest(sh) AS shingle FROM s
+    ), hh AS (
+      SELECT doc_id, ('0x' || substr(md5('0|' || shingle), 1, 15))::BIGINT AS hv FROM h
+    ), bits AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM hh CROSS JOIN (SELECT unnest(range(0, 63)) AS j) js
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+    FROM bits GROUP BY doc_id
+    """,
 )
 def q_simhash_fingerprints(spark, sf):
     d = _t(spark, sf, "documents").filter("doc_id < 100")
