@@ -1,0 +1,92 @@
+"""Skew- and layout-aware physical helpers.
+
+At 100 TB the engine's enemies are (a) hot keys that serialize one
+reducer and (b) repeated shuffles of the same fact table. Tools here:
+
+ - ``salted_latest_per_key``: two-phase latest-row-per-key for heavily
+   skewed keys — local (salted) top-1 per partition-slice, then global
+   top-1 over the tiny survivor set. Same result as
+   ``transforms.dedup_keep_latest`` but the hot key's rows split across
+   ``n_salt`` reducers first.
+ - ``salted_count_distinct``: two-phase exact count-distinct
+   (key,value)-dedup then count — avoids the single-reducer expand of a
+   global COUNT(DISTINCT) on a hot group.
+ - ``write_bucketed`` / ``bucketed_join_ready``: persist a table
+   bucketed by its join key so later equi-joins on that key are
+   shuffle-free on both sides (co-located scan). This is the batch
+   answer to "reuse a partitioning across stages".
+
+AQE's skew-join splitting (enabled in session.py) covers the join case;
+these helpers cover aggregation/window skew, which AQE does not split.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def salted_latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    sequence_col: str,
+    *tiebreakers: str,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Deterministic latest-per-key that survives hot keys.
+
+    Phase 1: row_number within (keys, salt) — the hot key's rows are
+    spread over ``n_salt`` reducers; each slice keeps 1 row.
+    Phase 2: row_number within (keys) over ≤ n_salt survivors."""
+    order = [F.col(sequence_col).desc()] + [F.col(c).desc() for c in tiebreakers]
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt))
+    )
+    w1 = Window.partitionBy(*keys, "__salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("__rn", F.row_number().over(w1)).filter("__rn = 1").drop("__rn")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        survivors.withColumn("__rn", F.row_number().over(w2))
+        .filter("__rn = 1")
+        .drop("__rn", "__salt")
+    )
+
+
+def salted_count_distinct(
+    df: DataFrame, group_cols: Sequence[str], distinct_col: str
+) -> DataFrame:
+    """Exact count(distinct x) per group as dedup-then-count — two
+    ordinary hash aggregations (both with map-side partial combine)
+    instead of one expand-based distinct aggregate."""
+    return (
+        df.select(*group_cols, distinct_col)
+        .dropDuplicates([*group_cols, distinct_col])
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias(f"n_distinct_{distinct_col}"))
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Persist bucketed (and optionally sorted) by the join key.
+
+    Later equi-joins between two tables bucketed on the same key with
+    the same bucket count run WITHOUT a shuffle on either side."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_join_ready(spark: SparkSession, left: str, right: str, on: str) -> DataFrame:
+    """Join two pre-bucketed saved tables on their bucket key."""
+    return spark.table(left).join(spark.table(right), on)
