@@ -995,6 +995,27 @@ def q_ann_topk_srp(spark, sf):
 
 
 @_q(
+    "ann_topk_ivf",
+    "IVF approximate NN: deterministic k-means coarse quantizer + "
+    "n_probe inverted-list search (centroids are fit python-side → "
+    "rows-only check; recall vs exact asserted in tests/test_ivf.py)",
+    "ext:similarity-ivf",
+    None,
+)
+def q_ann_topk_ivf(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.ivf import (
+        ivf_assign,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    centroids = kmeans_fit(emb, k=8, n_iter=3)
+    indexed = ivf_assign(emb, centroids)
+    return ivf_topk(indexed, emb.filter("vec_id < 10"), centroids, k=5, n_probe=3)
+
+
+@_q(
     "media_features",
     "Multimodal plumbing: binary payloads → Arrow-batched feature "
     "extraction via mapInPandas (deterministic fake decode backend)",
