@@ -1410,6 +1410,86 @@ def q_count_distinct_groups(spark, sf):
     )
 
 
+
+# =====================================================================
+# Batch 3: array analytics, ordered aggregation, text repetition
+# =====================================================================
+
+@_q(
+    "embedding_stats",
+    "Array-column analytics: per-label vector count and norm extremes "
+    "(sequential double folds — order-free comparisons only)",
+    "ext:array-analytics",
+    """
+    SELECT label,
+           count(*) AS n_vectors,
+           min(sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a,b) -> a + b))) AS min_norm,
+           max(sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a,b) -> a + b))) AS max_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_embedding_stats(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import norm
+
+    return (
+        _t(spark, sf, "embeddings")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min(norm(F.col("embedding"))).alias("min_norm"),
+            F.max(norm(F.col("embedding"))).alias("max_norm"),
+        )
+    )
+
+
+@_q(
+    "ordered_string_agg",
+    "Deterministic ordered string aggregation per group",
+    "agg surface (collect + order)",
+    """
+    SELECT n_name, string_agg(c_name, '|' ORDER BY c_name) AS members
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 9000
+    GROUP BY n_name
+    """,
+)
+def q_ordered_string_agg(spark, sf):
+    c = _t(spark, sf, "customer").filter("c_acctbal > 9000")
+    n = _t(spark, sf, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("members"))
+    )
+
+
+@_q(
+    "doc_repetition_ratio",
+    "Token repetition ratio per document (Gopher-style repetition filter)",
+    "ext:text-analysis",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS DOUBLE)
+             AS repetition_ratio
+    FROM t
+    """,
+)
+def q_doc_repetition_ratio(spark, sf):
+    toks = tokens(F.col("text"))
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        (F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "repetition_ratio"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------
 
 CATALOG: dict[str, CatalogQuery] = {q.name: q for q in _CATALOG}
