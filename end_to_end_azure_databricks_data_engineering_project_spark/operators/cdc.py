@@ -47,20 +47,35 @@ def _dedup_key_seq(batch: DataFrame, keys: Sequence[str], seq: str) -> DataFrame
     return batch.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
 
 
-def scd1_merge(current: DataFrame, batch: DataFrame, keys: Sequence[str], seq: str) -> DataFrame:
+def scd1_merge(
+    current: DataFrame,
+    batch: DataFrame,
+    keys: Sequence[str],
+    seq: str,
+    delete_expr: str | None = None,
+) -> DataFrame:
     """Upsert: one row per key, highest sequence wins; batch wins ties.
 
     ≙ Delta ``MERGE ... whenMatchedUpdateAll whenNotMatchedInsertAll``
     guarded by ``s.seq >= t.seq`` (reference FactStream.py:12-21).
-    """
+    ``delete_expr`` ≙ apply_as_deletes: if the winning change for a key
+    is a delete, the key is removed."""
     cols = current.columns
-    unioned = current.withColumn(_EXISTING, F.lit(1)).unionByName(
-        batch.select(*cols).withColumn(_EXISTING, F.lit(0))
+    is_del = F.expr(delete_expr) if delete_expr else F.lit(False)
+    unioned = (
+        current.withColumn(_EXISTING, F.lit(1)).withColumn("__del", F.lit(False))
+    ).unionByName(
+        # __del computed BEFORE the projection so delete_expr may
+        # reference batch-only columns (e.g. a CDC `op` column)
+        batch.withColumn("__del", F.coalesce(is_del, F.lit(False)))
+        .select(*cols, "__del")
+        .withColumn(_EXISTING, F.lit(0))
     )
     w = Window.partitionBy(*keys).orderBy(F.col(seq).desc(), F.col(_EXISTING).asc())
     return (
         unioned.withColumn("__rn", F.row_number().over(w))
         .filter("__rn = 1")
+        .filter(~F.col("__del"))
         .select(*cols)
     )
 
@@ -70,20 +85,34 @@ def scd2_apply(
     batch: DataFrame,
     keys: Sequence[str],
     seq: str,
+    track_history_except: Sequence[str] = (),
+    delete_expr: str | None = None,
 ) -> DataFrame:
     """Apply a change batch to an SCD2 history table; returns the new
     full history (closed versions + re-derived open/chained versions).
 
     ``target`` carries ``__START_AT``/``__END_AT``; None means first load.
+
+    ``track_history_except`` ≙ DLT's ``track_history_except_column_list``
+    (create_auto_cdc_flow signature, reference DimUser.py:20-29): changes
+    confined to those columns do NOT open a new version (suppressed like
+    no-ops; the current version keeps its recorded values).
+
+    ``delete_expr`` ≙ DLT's ``apply_as_deletes``: batch rows satisfying
+    the predicate close the key's open version at their sequence without
+    opening a new one (history retained; later changes re-open the key).
     """
     data_cols = [c for c in batch.columns]
     attr_cols = [c for c in data_cols if c not in keys and c != seq]
+    tracked_cols = [c for c in attr_cols if c not in set(track_history_except)]
     seq_type = dict(batch.dtypes)[seq]
 
     batch = _dedup_key_seq(batch, keys, seq)
+    is_del = F.expr(delete_expr) if delete_expr else F.lit(False)
     b = (
         batch.withColumn(_ORD, F.col(seq).cast(seq_type))
         .withColumn(_EXISTING, F.lit(0))
+        .withColumn("__is_delete", F.coalesce(is_del, F.lit(False)))
         .withColumn(START_AT, F.col(seq))
     )
 
@@ -94,6 +123,7 @@ def scd2_apply(
             .select(*data_cols, START_AT)
             .withColumn(_ORD, F.col(START_AT).cast(seq_type))
             .withColumn(_EXISTING, F.lit(1))
+            .withColumn("__is_delete", F.lit(False))
         )
         combined = cur.unionByName(b)
     else:
@@ -109,9 +139,13 @@ def scd2_apply(
         | (F.col(_ORD) > F.col("__cur_ord"))
     )
 
-    # No-op suppression: change identical to its predecessor version.
+    # No-op suppression on TRACKED attrs only; the delete flag is part of
+    # the identity so a change after a delete always re-opens, and
+    # back-to-back deletes collapse to one.
     w_seq = key_part.orderBy(F.col(_ORD).asc())
-    attrs = F.struct(*[F.col(c) for c in attr_cols]) if attr_cols else F.lit(None)
+    attrs = F.struct(
+        *[F.col(c) for c in tracked_cols], F.col("__is_delete")
+    )
     live = (
         live.withColumn("__prev_attrs", F.lag(attrs).over(w_seq))
         .filter(
@@ -121,10 +155,12 @@ def scd2_apply(
         .drop("__prev_attrs")
     )
 
-    # Chain validity intervals: END_AT = next change's sequence (NULL = open).
+    # Chain validity intervals: END_AT = next change's sequence (NULL =
+    # open). Delete rows close their predecessor via lead(), then vanish.
     w_seq2 = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(_ORD).asc())
     versions = (
         live.withColumn(END_AT, F.lead(F.col(seq)).over(w_seq2))
+        .filter(~F.col("__is_delete"))
         .select(*data_cols, START_AT, END_AT)
     )
     if hist is not None:
@@ -138,27 +174,28 @@ def apply_changes(
     keys: Sequence[str],
     sequence_by: str,
     scd_type: int = 2,
+    track_history_except: Sequence[str] = (),
+    delete_expr: str | None = None,
 ) -> None:
     """≙ dlt.create_auto_cdc_flow: merge ``batch`` into ``table``.
 
     Pure-transform + atomic snapshot swap; callable directly on a batch
-    DataFrame or from ``foreachBatch`` on a stream.
+    DataFrame or from ``foreachBatch`` on a stream. Optional
+    ``track_history_except`` (≙ track_history_except_column_list) and
+    ``delete_expr`` (≙ apply_as_deletes) mirror the DLT signature.
     """
     if scd_type == 1:
         dedup = _dedup_key_seq(batch, keys, sequence_by)
-        latest = dedup  # scd1_merge handles per-key last-write-wins
-        if table.exists():
-            merged = scd1_merge(table.read(), latest, keys, sequence_by)
-        else:
-            w = Window.partitionBy(*keys).orderBy(F.col(sequence_by).desc())
-            merged = (
-                latest.withColumn("__rn", F.row_number().over(w))
-                .filter("__rn = 1")
-                .drop("__rn")
-            )
-        table.overwrite(merged)
+        current = (
+            table.read()
+            if table.exists()
+            else table.spark.createDataFrame([], dedup.schema)
+        )
+        table.overwrite(scd1_merge(current, dedup, keys, sequence_by, delete_expr))
     elif scd_type == 2:
         target = table.read() if table.exists() else None
-        table.overwrite(scd2_apply(target, batch, keys, sequence_by))
+        table.overwrite(
+            scd2_apply(target, batch, keys, sequence_by, track_history_except, delete_expr)
+        )
     else:
         raise ValueError(f"unsupported scd_type {scd_type}")

@@ -134,3 +134,46 @@ def test_scd2_date_sequence_column(spark, tmp_path):
     apply_changes(t, df, ["date_key"], "date", 2)
     row = t.read().first()
     assert row[START_AT] == dt.date(2025, 1, 1) and row[END_AT] is None
+
+
+def test_scd2_delete_closes_without_reopen(spark, initial, tmp_path):
+    t = ManagedTable(spark, tmp_path, "dim_user")
+    apply_changes(t, initial, ["user_id"], "updated_at", 2)
+    batch = _users(spark, [(1, "ann", "__DELETE__", T1)])
+    apply_changes(t, batch, ["user_id"], "updated_at", 2,
+                  delete_expr="plan = '__DELETE__'")
+    rows = t.read().filter("user_id = 1").collect()
+    assert len(rows) == 1
+    assert rows[0].plan == "Free" and rows[0][END_AT] == T1  # closed, no open row
+    # later change re-opens the key
+    apply_changes(t, _users(spark, [(1, "ann", "Premium", T2)]), ["user_id"], "updated_at", 2)
+    open_rows = t.read().filter(f"user_id = 1 AND {END_AT} IS NULL").collect()
+    assert len(open_rows) == 1 and open_rows[0].plan == "Premium"
+
+
+def test_scd2_track_history_except(spark, tmp_path):
+    t = ManagedTable(spark, tmp_path, "d")
+    first = _users(spark, [(1, "ann", "Free", T0)])
+    apply_changes(t, first, ["user_id"], "updated_at", 2,
+                  track_history_except=["name"])
+    # change ONLY the untracked column → no new version
+    apply_changes(t, _users(spark, [(1, "ANN!", "Free", T1)]), ["user_id"], "updated_at", 2,
+                  track_history_except=["name"])
+    assert t.read().count() == 1
+    # change a tracked column → new version
+    apply_changes(t, _users(spark, [(1, "ANN!", "Premium", T2)]), ["user_id"], "updated_at", 2,
+                  track_history_except=["name"])
+    assert t.read().count() == 2
+
+
+def test_scd1_delete_removes_key(spark, tmp_path):
+    t = ManagedTable(spark, tmp_path, "f")
+    apply_changes(t, _users(spark, [(1, "a", "x", T0), (2, "b", "x", T0)]),
+                  ["user_id"], "updated_at", 1)
+    apply_changes(t, _users(spark, [(1, "a", "__DELETE__", T1)]),
+                  ["user_id"], "updated_at", 1, delete_expr="plan = '__DELETE__'")
+    assert {r.user_id for r in t.read().collect()} == {2}
+    # stale delete (older than current) is ignored
+    apply_changes(t, _users(spark, [(2, "b", "__DELETE__", T0 - dt.timedelta(days=1))]),
+                  ["user_id"], "updated_at", 1, delete_expr="plan = '__DELETE__'")
+    assert {r.user_id for r in t.read().collect()} == {2}
