@@ -1490,6 +1490,47 @@ def q_doc_repetition_ratio(spark, sf):
     )
 
 
+
+@_q(
+    "pandas_grouped_rank",
+    "Grouped-map Pandas UDF (applyInPandas): per-brand part ranking by "
+    "price — Arrow batch path, oracle = row_number window",
+    "ext:pandas-udf (§2.8 surface)",
+    """
+    SELECT p_brand, p_partkey, CAST(rnk AS INT) AS rnk FROM (
+      SELECT p_brand, p_partkey,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+      FROM part
+    )
+    """,
+)
+def q_pandas_grouped_rank(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.pandas_ops import (
+        rank_within_group,
+    )
+
+    return rank_within_group(
+        _t(spark, sf, "part"), "p_brand", "p_retailprice", "p_partkey"
+    )
+
+
+@_q(
+    "approx_analytics",
+    "Approximate aggregates (HLL distinct + t-digest quantile) — "
+    "engine-specific sketches, rows-only check; exact twins are "
+    "count_distinct_groups / exact_median",
+    "agg surface (approximate)",
+    None,
+)
+def q_approx_analytics(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median_value"),
+    )
+
+
 # ---------------------------------------------------------------------
 
 CATALOG: dict[str, CatalogQuery] = {q.name: q for q in _CATALOG}

@@ -97,10 +97,25 @@ def ingest_all(
     sources: dict[str, DataFrame],
     bronze_root: str,
     store: WatermarkStore,
+    parallel: int = 1,
 ) -> list[IngestResult]:
-    """≙ the ForEach loop over loop_input.json records."""
-    return [
-        ingest_table(spark, cfg, sources[cfg.table], bronze_root, store)
-        for cfg in configs
-        if cfg.table in sources
-    ]
+    """≙ the ForEach loop over loop_input.json records.
+
+    ``parallel > 1`` runs per-table pulls on concurrent driver threads
+    (≙ ADF ForEach's parallel fan-out; Spark schedules the jobs FIFO
+    across the shared executor pool — safe because each table touches
+    disjoint bronze paths and watermark docs)."""
+    todo = [cfg for cfg in configs if cfg.table in sources]
+    if parallel <= 1:
+        return [
+            ingest_table(spark, cfg, sources[cfg.table], bronze_root, store)
+            for cfg in todo
+        ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=parallel) as pool:
+        futs = [
+            pool.submit(ingest_table, spark, cfg, sources[cfg.table], bronze_root, store)
+            for cfg in todo
+        ]
+        return [f.result() for f in futs]

@@ -112,6 +112,16 @@ class ManagedTable:
         self._commit(new_v)
         return new_v
 
+    def compact(self, target_partitions: int | None = None) -> int:
+        """Rewrite the current snapshot with bin-packed files (small-file
+        compaction — appends accumulate one file set per batch; compaction
+        restores scan efficiency). New snapshot version, atomic swap."""
+        df = self.read()
+        if target_partitions is None:
+            n_files = len(list(self._version_dir(self.current_version()).glob("*.parquet")))
+            target_partitions = max(1, n_files // 8)
+        return self.overwrite(df.coalesce(target_partitions))
+
     def vacuum(self, keep: int = 2) -> None:
         """Drop snapshot dirs older than the newest ``keep`` versions."""
         cur = self.current_version()

@@ -86,3 +86,39 @@ def test_managed_table_atomic_pointer(spark, tmp_path):
     t.overwrite(spark.createDataFrame([(99,)], "id int"))
     assert old_df.count() == 10  # still the old snapshot
     assert t.read().count() == 1
+
+
+def test_managed_table_compact(spark, tmp_path):
+    t = ManagedTable(spark, tmp_path, "cmp")
+    for i in range(4):
+        batch = spark.createDataFrame([(i * 10 + j,) for j in range(10)], "id int")
+        t.append(batch) if t.exists() else t.overwrite(batch)
+    files_before = len(list(t._version_dir(t.current_version()).glob("*.parquet")))
+    t.compact(target_partitions=1)
+    files_after = len(list(t._version_dir(t.current_version()).glob("*.parquet")))
+    assert files_after < files_before
+    assert t.read().count() == 40
+
+
+def test_parallel_ingest_matches_serial(spark, tmp_path):
+    import datetime as dt
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.config import TABLE_BY_NAME
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.ingest import ingest_all
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.watermark import WatermarkStore
+
+    t0 = dt.datetime(2025, 1, 1)
+    users = spark.createDataFrame(
+        [(i, f"u{i}", "US", "Free", None, None, t0) for i in range(5)],
+        TABLE_BY_NAME["dim_user"].spark_schema,
+    )
+    artists = spark.createDataFrame(
+        [(i, f"a{i}", "Pop", "US", t0) for i in range(7)],
+        TABLE_BY_NAME["dim_artist"].spark_schema,
+    )
+    cfgs = [TABLE_BY_NAME["dim_user"], TABLE_BY_NAME["dim_artist"]]
+    res = ingest_all(
+        spark, cfgs, {"dim_user": users, "dim_artist": artists},
+        str(tmp_path / "bronze"), WatermarkStore(tmp_path / "state"), parallel=2,
+    )
+    assert {r.table: r.rows for r in res} == {"dim_user": 5, "dim_artist": 7}
