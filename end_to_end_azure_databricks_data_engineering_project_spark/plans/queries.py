@@ -91,7 +91,7 @@ def _q(name, description, survey_ref, oracle):
     "Incremental high-watermark pull: rows with cdc_col > stored watermark",
     "S1/P3 (incremental_loop.json:42-50)",
     """
-    SELECT event_id, ts, user_id, event_type, value
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
     FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
     """,
 )
@@ -272,7 +272,7 @@ def q_coalesce_nullif(spark, sf):
     "max_watermark",
     "Scalar MAX(cdc) watermark refresh",
     "A1 (incremental_loop.json:223-231)",
-    "SELECT max(ts) AS cdc FROM events",
+    "SELECT CAST(max(ts) AS TIMESTAMP) AS cdc FROM events",
 )
 def q_max_watermark(spark, sf):
     return _t(spark, sf, "events").agg(F.max("ts").alias("cdc"))
@@ -343,7 +343,7 @@ def q_dedup_distinct(spark, sf):
     "Deterministic latest-row-per-key (dropDuplicates done right)",
     "A3/§2.6 window (sequence_by semantics, DimUser.py:24)",
     """
-    SELECT user_id, event_id, event_type, ts, value FROM (
+    SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM (
       SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
       FROM events
     ) WHERE rn = 1
@@ -365,10 +365,10 @@ def q_latest_per_key(spark, sf):
     "implied agg surface; pivot",
     """
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
     FROM events GROUP BY user_id
     """,
 )
@@ -623,7 +623,7 @@ def q_quality_gate(spark, sf):
     "SCD1 upsert semantics: last-write-wins state per key over a change stream",
     "J1/T6 (FactStream.py:12-21)",
     """
-    SELECT user_id, event_type AS last_event, ts AS last_ts FROM (
+    SELECT user_id, event_type AS last_event, CAST(ts AS TIMESTAMP) AS last_ts FROM (
       SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
       FROM events
     ) WHERE rn = 1
@@ -661,9 +661,9 @@ def q_scd1_latest_state(spark, sf):
         FROM dedup
       ) WHERE prev_type IS NULL OR prev_type <> event_type
     )
-    SELECT user_id, event_type, ts,
-           ts AS __START_AT,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS __END_AT
+    SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(ts AS TIMESTAMP) AS __START_AT,
+           CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS TIMESTAMP) AS __END_AT
     FROM suppressed
     """,
 )
@@ -922,7 +922,7 @@ def q_simhash_fingerprints(spark, sf):
                AS cos_sim
       FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
     )
-    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
       FROM pairs
     ) WHERE rank <= 5
@@ -1210,7 +1210,7 @@ def q_json_extract(spark, sf):
     "Top-3 parts by revenue within each brand (windowed rank)",
     "window surface (top-k per group pattern)",
     """
-    SELECT p_brand, p_partkey, revenue, rnk FROM (
+    SELECT p_brand, p_partkey, revenue, CAST(rnk AS INT) AS rnk FROM (
       SELECT p_brand, p_partkey,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
              row_number() OVER (
@@ -1246,9 +1246,9 @@ def q_topk_per_group(spark, sf):
     "window surface",
     """
     SELECT c_custkey,
-           rank() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk,
-           dense_rank() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS drnk,
-           ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+           CAST(rank() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rnk,
+           CAST(dense_rank() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS drnk,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS quartile
     FROM customer
     """,
 )
@@ -1297,7 +1297,7 @@ def q_moving_average(spark, sf):
     "click (carry-forward window — Spark's as-of composition)",
     "ext:asof-join (OLAP pattern; Spark lacks native as-of)",
     """
-    SELECT event_id, user_id, ts, asof_click_ts FROM (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, CAST(asof_click_ts AS TIMESTAMP) AS asof_click_ts FROM (
       SELECT event_id, user_id, ts, event_type,
              max(CASE WHEN event_type = 'click' THEN ts END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -70,6 +70,28 @@ def test_query_matches_oracle(spark, duck, name):
     duck_names = [d[0] for d in res.description]
 
     assert spark_cols == duck_cols, f"{name}: schema mismatch {spark_cols} vs {duck_cols}"
+
+    # canonical type comparison (catches e.g. BIGINT-vs-INT, HUGEINT,
+    # TIMESTAMP_NS drift that a type-strict driver would flag).
+    # DESCRIBE gives DuckDB's real column types (DB-API description
+    # only exposes generic NUMBER/DATETIME codes).
+    canon = {
+        "int": "i32", "INTEGER": "i32", "bigint": "i64", "BIGINT": "i64",
+        "double": "f64", "DOUBLE": "f64", "float": "f32", "FLOAT": "f32",
+        "string": "str", "VARCHAR": "str",
+        "date": "date", "DATE": "date", "timestamp": "ts", "TIMESTAMP": "ts",
+        "timestamp_ntz": "ts", "boolean": "bool", "BOOLEAN": "bool",
+    }
+    stypes = {f.name: canon.get(f.dataType.simpleString(), f.dataType.simpleString())
+              for f in sdf.schema.fields}
+    dtypes = {
+        r[0]: canon.get(r[1], r[1])
+        for r in duck.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+    }
+    mismatched_types = {
+        c: (stypes[c], dtypes[c]) for c in stypes if stypes[c] != dtypes.get(c)
+    }
+    assert not mismatched_types, f"{name}: type mismatches {mismatched_types}"
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: rowcount {len(spark_rows)} vs {len(duck_rows)}"
     )
