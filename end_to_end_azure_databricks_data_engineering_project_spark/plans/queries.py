@@ -46,6 +46,14 @@ from end_to_end_azure_databricks_data_engineering_project_spark.operators.transf
 DEC = "decimal(18,2)"
 
 
+def _ntz_micros(ns_col) -> "F.Column":
+    # timestamp_micros yields TIMESTAMP_LTZ; cast to NTZ under a pinned
+    # UTC session so the value is frozen timezone-independent (matches
+    # the other tables' NTZ columns and DuckDB's naive timestamps even
+    # if the caller's session uses a different zone later).
+    return F.timestamp_micros(ns_col).cast("timestamp_ntz")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS) (illegal for Spark's
@@ -53,8 +61,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # DuckDB reads the same file at ns precision; every oracle that
         # compares derived values truncates to µs to match.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", _ntz_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -100,11 +109,12 @@ def q_watermark_filter(spark, sf):
     # parquet scan (row-group stats skip old files — the point of a
     # high-watermark pull at 100 TB); convert to timestamp after.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     wm_ns = 1_705_276_800 * 1_000_000_000  # 2024-01-15T00:00:00Z in ns
     return (
         spark.read.parquet(f"{sf}/events.parquet")
         .filter(F.col("ts") > F.lit(wm_ns))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", _ntz_micros(F.expr("ts div 1000")))
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
 
@@ -430,6 +440,9 @@ def q_rollup_hierarchy(spark, sf):
     """,
 )
 def q_star_join_revenue(spark, sf):
+    # Join order: dims broadcast onto orders first (narrow build side),
+    # then one join against the fact; Catalyst plans the single-column
+    # COUNT(DISTINCT) as a two-phase partial aggregation (no expand).
     li = _t(spark, sf, "lineitem")
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
@@ -437,12 +450,18 @@ def q_star_join_revenue(spark, sf):
     r = _t(spark, sf, "region")
     one = F.lit(1).cast(DEC)
     rev = _dec("l_extendedprice") * (one - _dec("l_discount"))
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    o_dim = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name", F.year(F.to_date("o_orderdate")).alias("order_year"))
+        .select(
+            "o_orderkey", "r_name",
+            F.year(F.to_date("o_orderdate")).alias("order_year"),
+        )
+    )
+    return (
+        li.join(o_dim, li.l_orderkey == o_dim.o_orderkey)
+        .groupBy("r_name", "order_year")
         .agg(
             F.sum(rev).cast("double").alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
@@ -575,8 +594,14 @@ def q_window_running_sum(spark, sf):
 def q_sessionize(spark, sf):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
+
+    def us(c):
+        # NTZ → µs epoch; the UTC session pinned in _t makes the
+        # NTZ→LTZ cast a pure reinterpretation
+        return F.unix_micros(c.cast("timestamp"))
+
     new_sess = F.when(
-        prev.isNull() | (F.unix_micros("ts") - F.unix_micros(prev) > 1800000000), 1
+        prev.isNull() | (us(F.col("ts")) - us(prev) > 1800000000), 1
     ).otherwise(0)
     return (
         _t(spark, sf, "events")
