@@ -56,6 +56,30 @@ def with_rescue(df: DataFrame, declared: T.StructType) -> DataFrame:
     return df.select(*cols, rescued.alias(RESCUE_COL))
 
 
+def promote_rescued(
+    df: DataFrame, field: str, data_type: T.DataType, column: str | None = None
+) -> DataFrame:
+    """Schema-evolution promotion: lift a field out of ``_rescued_data``
+    into a first-class typed column (the manual half of Autoloader's
+    addNewColumns mode — operator reviews rescued extras, then promotes).
+
+    Rows without the rescued field get NULL; the field is removed from
+    the remaining rescue JSON (NULL when nothing else was rescued)."""
+    column = column or field
+    extracted = F.get_json_object(F.col(RESCUE_COL), f"$.{field}").cast(data_type)
+    # remove the promoted field from the rescue doc
+    remaining = F.to_json(
+        F.map_filter(
+            F.from_json(F.col(RESCUE_COL), T.MapType(T.StringType(), T.StringType())),
+            lambda k, _v: k != F.lit(field),
+        )
+    )
+    cleaned = F.when(
+        F.col(RESCUE_COL).isNull() | (remaining == "{}"), F.lit(None).cast(T.StringType())
+    ).otherwise(remaining)
+    return df.withColumn(column, extracted).withColumn(RESCUE_COL, cleaned)
+
+
 class FileLedger:
     """Checkpointed set of already-ingested files (≙ Autoloader's ledger)."""
 

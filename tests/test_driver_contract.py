@@ -1,0 +1,60 @@
+"""Exercises __spark_entry__ the way the driver will: a plain session
+(no engine-tuned confs), including a NON-UTC session timezone — results
+must still match the DuckDB oracle exactly."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_entry_returns_rows_with_stable_schema(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"r_name", "order_year", "revenue", "n_orders"}
+
+
+def test_queries_and_oracles_cover_each_other(spark):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # the vast majority of the surface must be oracle-checked
+    assert len(oracles) >= 0.85 * len(qs)
+
+
+@pytest.mark.parametrize("tz", ["America/Los_Angeles", "Asia/Tokyo"])
+def test_timestamp_queries_survive_non_utc_session(spark, tz):
+    """The driver's session may run in any timezone; event-time results
+    must still hash-match the (timezone-naive) DuckDB oracle."""
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        qs = entrymod.queries()
+        oracles = entrymod.oracle_sql()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+        )
+        for name in ["max_watermark", "watermark_filter", "latest_per_key"]:
+            sdf = qs[name](spark, SF_DIR)
+            srows = sorted(
+                tuple(str(v) for v in r) for r in sdf.collect()
+            )
+            drows = sorted(
+                tuple(str(v) for v in r) for r in con.execute(oracles[name]).fetchall()
+            )
+            # align column order: both sorted by name
+            scols = sdf.columns
+            perm = sorted(range(len(scols)), key=lambda i: scols[i])
+            dnames = [d[0] for d in con.execute(oracles[name]).description]
+            dperm = sorted(range(len(dnames)), key=lambda i: dnames[i])
+            srows = sorted(tuple(t[i] for i in perm) for t in srows)
+            drows = sorted(tuple(t[i] for i in dperm) for t in drows)
+            assert srows == drows, name
+        con.close()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)

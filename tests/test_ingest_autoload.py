@@ -125,3 +125,23 @@ def test_exactly_once_replay_before_commit(spark, tmp_path):
     _, new1 = read_new_files(spark, str(src), cfg.spark_schema, loc)
     _, new2 = read_new_files(spark, str(src), cfg.spark_schema, loc)  # no commit in between
     assert new1 == new2
+
+
+def test_promote_rescued_field(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.autoload import promote_rescued
+    from pyspark.sql import types as TT
+
+    cfg = TABLE_BY_NAME["dim_artist"]
+    df = spark.createDataFrame(
+        [(1, "x", "Pop", "US", T0, "42", "keep"), (2, "y", "Rock", "DE", T0, None, None)],
+        "artist_id int, artist_name string, genre string, country string,"
+        " updated_at timestamp, listeners string, other string",
+    )
+    rescued = with_rescue(df, cfg.spark_schema)
+    out = promote_rescued(rescued, "listeners", TT.IntegerType())
+    rows = {r.artist_id: r for r in out.collect()}
+    assert rows[1].listeners == 42
+    assert rows[2].listeners is None
+    # promoted field removed from rescue doc; other extras retained
+    assert json.loads(rows[1]._rescued_data) == {"other": "keep"}
+    assert rows[2]._rescued_data is None

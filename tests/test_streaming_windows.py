@@ -66,3 +66,52 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.sql("SELECT * FROM dedup_out").collect()
     assert sorted(r.event_id for r in out) == [1, 2]
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join: purchases joined to the same user's
+    clicks within the preceding 30 minutes (watermarks bound both join
+    states) — verified against the equivalent batch join."""
+    src = str(tmp_path / "ss_events")
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(4):
+        for i in range(10):
+            rows.append((u * 100 + i, base + dt.timedelta(minutes=3 * i), u, "click", 1.0))
+        rows.append((u * 100 + 50, base + dt.timedelta(minutes=14), u, "purchase", 9.0))
+    batch = spark.createDataFrame(rows, SCHEMA)
+    batch.write.mode("overwrite").parquet(src)
+
+    def join_streams(clicks, purchases):
+        c = clicks.select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+        ).withWatermark("click_ts", "1 hour")
+        p = purchases.select(
+            "user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id")
+        ).withWatermark("purchase_ts", "1 hour")
+        cond = (
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+        )
+        return p.join(c, cond).select("purchase_id", "user_id", "click_ts")
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = join_streams(
+        stream.filter("event_type = 'click'"), stream.filter("event_type = 'purchase'")
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ss_join")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.purchase_id, r.user_id, r.click_ts)
+           for r in spark.sql("SELECT * FROM ss_join").collect()}
+    expected = {
+        (r.purchase_id, r.user_id, r.click_ts)
+        for r in join_streams(
+            batch.filter("event_type = 'click'"), batch.filter("event_type = 'purchase'")
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
