@@ -61,8 +61,14 @@ def ingest_table(
     bronze_root: str,
     store: WatermarkStore,
     run_ts: str | None = None,
+    partition_by_cdc_date: bool = False,
 ) -> IngestResult:
-    """One incremental pull for one table (≙ one ForEach iteration)."""
+    """One incremental pull for one table (≙ one ForEach iteration).
+
+    ``partition_by_cdc_date=True`` lays bronze out as
+    ``{table}/run={ts}/cdc_date=YYYY-MM-DD/`` — at 100 TB, downstream
+    readers filtering on the CDC column then get static partition
+    pruning on top of row-group skipping."""
     wm = store.effective_watermark(cfg.table, cfg.from_date)
     cdc_type = cfg.spark_schema[cfg.cdc_col].dataType
     batch = coerce_schema(source_df, cfg).filter(
@@ -80,7 +86,13 @@ def ingest_table(
 
     run_ts = run_ts or _dt.datetime.now(_dt.timezone.utc).strftime("%Y%m%dT%H%M%S%f")
     out = str(Path(bronze_root) / cfg.table / f"run={run_ts}")
-    batch.write.mode("overwrite").option("compression", "snappy").parquet(out)
+    writer = batch.write.mode("overwrite").option("compression", "snappy")
+    if partition_by_cdc_date:
+        batch = batch.withColumn("cdc_date", F.to_date(F.col(cfg.cdc_col)))
+        writer = batch.write.mode("overwrite").option("compression", "snappy").partitionBy(
+            "cdc_date"
+        )
+    writer.parquet(out)
     if isinstance(mx, _dt.datetime):
         new_wm = mx.isoformat(sep=" ")
     elif isinstance(mx, _dt.date):

@@ -145,3 +145,18 @@ def test_promote_rescued_field(spark):
     # promoted field removed from rescue doc; other extras retained
     assert json.loads(rows[1]._rescued_data) == {"other": "keep"}
     assert rows[2]._rescued_data is None
+
+
+def test_partitioned_bronze_layout(spark, tmp_path):
+    cfg = TABLE_BY_NAME["dim_user"]
+    store = WatermarkStore(tmp_path / "state")
+    df = _src(spark, [(1, "a", "US", "Free", None, None, T0),
+                      (2, "b", "DE", "Free", None, None, T1)])
+    r = ingest_table(spark, cfg, df, str(tmp_path / "bronze"), store,
+                     run_ts="r1", partition_by_cdc_date=True)
+    assert r.rows == 2
+    parts = sorted(p.name for p in (tmp_path / "bronze" / "dim_user" / "run=r1").iterdir()
+                   if p.name.startswith("cdc_date="))
+    assert parts == ["cdc_date=2025-01-01", "cdc_date=2025-02-01"]
+    back = spark.read.parquet(r.landed_path)
+    assert back.count() == 2 and "cdc_date" in back.columns
