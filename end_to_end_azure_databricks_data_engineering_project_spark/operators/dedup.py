@@ -17,7 +17,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from end_to_end_azure_databricks_data_engineering_project_spark.functions.scalars import fingerprint

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import cosine, dot
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import cosine
 
 
 def _sq_dist(vec: Column, centroid: list[float]) -> Column:

@@ -15,7 +15,6 @@ from end_to_end_azure_databricks_data_engineering_project_spark.operators.cdc im
     START_AT,
     apply_changes,
     scd1_merge,
-    scd2_apply,
 )
 from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import ManagedTable
 

@@ -9,7 +9,6 @@ from pyspark.sql import functions as F
 from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
     exact_dedup,
     minhash_near_dup_pairs,
-    minhash_signature_df,
     ngram_jaccard_pairs,
     simhash64,
     simhash_near_dup_pairs,

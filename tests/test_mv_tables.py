@@ -5,7 +5,6 @@ from __future__ import annotations
 
 import datetime as dt
 
-import pytest
 from pyspark.sql import functions as F
 
 from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog, ManagedTable
