@@ -1556,6 +1556,137 @@ def q_approx_analytics(spark, sf):
     )
 
 
+
+# =====================================================================
+# Batch 5: outer joins, union-all, grouping sets, range frames
+# =====================================================================
+
+@_q(
+    "left_outer_join",
+    "LEFT OUTER join with NULL-extension and null-guarded aggregation",
+    "join surface (outer)",
+    """
+    SELECT c_custkey,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(coalesce(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_left_outer_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast("decimal(28,2)"))
+            .cast("double")
+            .alias("spend"),
+        )
+    )
+
+
+@_q(
+    "full_outer_join",
+    "FULL OUTER join of two aggregate sides",
+    "join surface (outer)",
+    """
+    WITH buyers AS (
+      SELECT o_custkey AS custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+    ), spenders AS (
+      SELECT o_custkey AS custkey, count(*) AS n_urgent FROM orders
+      WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+    )
+    SELECT coalesce(b.custkey, s.custkey) AS custkey,
+           b.n_orders, s.n_urgent
+    FROM buyers b FULL OUTER JOIN spenders s ON b.custkey = s.custkey
+    """,
+)
+def q_full_outer_join(spark, sf):
+    o = _t(spark, sf, "orders")
+    buyers = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    spenders = (
+        o.filter("o_orderpriority = '1-URGENT'")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    b, sdf = buyers.alias("b"), spenders.alias("s")
+    return b.join(sdf, F.col("b.custkey") == F.col("s.custkey"), "full").select(
+        F.coalesce(F.col("b.custkey"), F.col("s.custkey")).alias("custkey"),
+        F.col("b.n_orders"),
+        F.col("s.n_urgent"),
+    )
+
+
+@_q(
+    "union_all_counts",
+    "UNION ALL (bag semantics) preserved through aggregation",
+    "set-op surface",
+    """
+    SELECT src, count(*) AS n FROM (
+      SELECT 'li' AS src FROM lineitem WHERE l_returnflag = 'R'
+      UNION ALL
+      SELECT 'ord' AS src FROM orders WHERE o_orderstatus = 'F'
+    ) GROUP BY src
+    """,
+)
+def q_union_all_counts(spark, sf):
+    li = _t(spark, sf, "lineitem").filter("l_returnflag = 'R'").select(F.lit("li").alias("src"))
+    o = _t(spark, sf, "orders").filter("o_orderstatus = 'F'").select(F.lit("ord").alias("src"))
+    return li.unionAll(o).groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "grouping_sets",
+    "Explicit GROUPING SETS (finer than rollup/cube)",
+    "agg surface (grouping sets)",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def q_grouping_sets(spark, sf):
+    _t(spark, sf, "lineitem").createOrReplaceTempView("__li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@_q(
+    "range_frame_window",
+    "RANGE-framed window: orders within the prior 7 date_keys (value "
+    "range, not row count)",
+    "window surface (range frames)",
+    """
+    SELECT o_orderkey,
+           CAST(count(*) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS BIGINT)
+             RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_recent
+    FROM orders
+    """,
+)
+def q_range_frame_window(spark, sf):
+    dk = F.date_format(F.to_date("o_orderdate"), "yyyyMMdd").cast("bigint")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(dk)
+        .rangeBetween(-7, Window.currentRow)
+    )
+    return _t(spark, sf, "orders").select(
+        "o_orderkey", F.count(F.lit(1)).over(w).alias("n_recent")
+    )
+
+
 # ---------------------------------------------------------------------
 
 CATALOG: dict[str, CatalogQuery] = {q.name: q for q in _CATALOG}
