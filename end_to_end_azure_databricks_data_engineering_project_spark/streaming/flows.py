@@ -191,6 +191,45 @@ def build_medallion_pipeline(
     return pipe, catalog
 
 
+def cdc_stream(
+    spark: SparkSession,
+    cfg: TableConfig,
+    bronze_root: str,
+    catalog: Catalog,
+    checkpoint_root: str,
+    cleanse: Transform | None = None,
+):
+    """TRUE streaming CDC: bronze file stream → cleanse → expectations →
+    SCD apply_changes per micro-batch (foreachBatch). This is exactly
+    DLT's auto-CDC execution shape (a managed streaming query whose sink
+    is the keyed merge, reference DimUser.py:20-29) — checkpointed,
+    exactly-once through the merge's stale-drop idempotence.
+
+    Returns the StreamingQuery; caller awaits termination."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.autoload import stream_source
+
+    src = str(Path(bronze_root) / cfg.table)
+    df = stream_source(spark, src, cfg.spark_schema)
+    if cleanse is not None:
+        df = cleanse(df)
+    df = df.drop(RESCUE_COL)
+    table = catalog.table(f"gold_{cfg.table}")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        gated = expect_all_or_drop(batch_df, cfg.expectations, observe=False).df
+        apply_changes(
+            table, gated, keys=list(cfg.keys),
+            sequence_by=cfg.cdc_col, scd_type=cfg.scd_type,
+        )
+
+    return (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(Path(checkpoint_root) / f"cdc_{cfg.table}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def silver_stream(
     spark: SparkSession,
     cfg: TableConfig,
