@@ -37,7 +37,7 @@ DEC = "decimal(28,2)"
 class Measure:
     name: str  # output column
     source_col: str
-    kind: str  # sum | count | min | max
+    kind: str  # sum | count | min | max | approx_distinct
 
     def partial(self):
         c = F.col(self.source_col)
@@ -49,6 +49,11 @@ class Measure:
             return F.min(c).alias(self.name)
         if self.kind == "max":
             return F.max(c).alias(self.name)
+        if self.kind == "approx_distinct":
+            # mergeable Datasketches HLL — the MV stores the sketch
+            # binary, so per-batch partials union exactly (estimate is
+            # identical to a from-scratch sketch of the same rows)
+            return F.hll_sketch_agg(c).alias(self.name)
         raise ValueError(self.kind)
 
     def merge(self):
@@ -59,7 +64,16 @@ class Measure:
             return F.min(c).alias(self.name)
         if self.kind == "max":
             return F.max(c).alias(self.name)
+        if self.kind == "approx_distinct":
+            return F.hll_union_agg(c).alias(self.name)
         raise ValueError(self.kind)
+
+    def finalize(self):
+        """Reader-side rendering (sketch → estimate)."""
+        c = F.col(self.name)
+        if self.kind == "approx_distinct":
+            return F.hll_sketch_estimate(c).alias(self.name)
+        return c.alias(self.name)
 
 
 class IncrementalAgg:
@@ -122,4 +136,8 @@ class IncrementalAgg:
         return stats["n"]
 
     def read(self) -> DataFrame:
-        return self.catalog.table(f"mv_{self.name}").read()
+        """MV contents with sketch measures rendered as estimates."""
+        df = self.catalog.table(f"mv_{self.name}").read()
+        return df.select(
+            *self.keys, *[m.finalize() for m in self.measures]
+        )

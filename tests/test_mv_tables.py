@@ -121,3 +121,38 @@ def test_parallel_ingest_matches_serial(spark, tmp_path):
         str(tmp_path / "bronze"), WatermarkStore(tmp_path / "state"), parallel=2,
     )
     assert {r.table: r.rows for r in res} == {"dim_user": 5, "dim_artist": 7}
+
+
+def test_incremental_mv_hll_distinct(spark, tmp_path):
+    """Mergeable HLL distinct: incremental sketch-union equals the
+    from-scratch sketch estimate exactly, and is close to truth."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2025, 1, 1)
+    catalog = Catalog(spark, tmp_path / "wh")
+    fact = catalog.table("fact")
+    mv = IncrementalAgg(
+        catalog, "users_by_grp", "fact", ["grp"],
+        [Measure("n_users", "id", "approx_distinct")],
+        cursor_col="ts", state_root=str(tmp_path / "state"),
+    )
+    for start, n in [(0, 150), (150, 250)]:
+        batch = _facts(spark, start, n, t0).withColumn("id", F.col("id") % 97)
+        fact.append(batch) if fact.exists() else fact.overwrite(batch)
+        mv.refresh()
+    got = {r.grp: r.n_users for r in mv.read().collect()}
+    scratch = {
+        r.grp: r.est for r in fact.read()
+        .groupBy("grp")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("id")).alias("est"))
+        .collect()
+    }
+    assert got == scratch  # sketch union is exact w.r.t. recompute
+    exact = {
+        r.grp: r.n for r in fact.read()
+        .groupBy("grp").agg(F.countDistinct("id").alias("n")).collect()
+    }
+    for g, est in got.items():
+        assert abs(est - exact[g]) / exact[g] < 0.05

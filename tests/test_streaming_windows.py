@@ -115,3 +115,41 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
         ).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_native_session_window(spark, tmp_path):
+    """Spark-native session_window (gap-based) in streaming — verified
+    against the batch session_window aggregation."""
+    src = str(tmp_path / "sess_events")
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(3):
+        for burst in range(3):  # 3 bursts separated by > 30 min
+            for i in range(4):
+                rows.append((eid, base + dt.timedelta(hours=burst, minutes=i), u, "click", 1.0))
+                eid += 1
+    batch = spark.createDataFrame(rows, SCHEMA)
+    batch.write.mode("overwrite").parquet(src)
+
+    def sess(df):
+        return (
+            df.withWatermark("ts", "2 hours")
+            .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("user_id", F.col("sw.start").alias("sess_start"), "n")
+        )
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        sess(stream).writeStream.format("memory").queryName("sess_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.user_id, r.sess_start, r.n)
+           for r in spark.sql("SELECT * FROM sess_out").collect()}
+    expected = {(r.user_id, r.sess_start, r.n) for r in sess(batch).collect()}
+    assert got == expected
+    assert len(got) == 9  # 3 users × 3 bursts
