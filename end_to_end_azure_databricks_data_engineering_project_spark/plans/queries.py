@@ -1687,6 +1687,195 @@ def q_range_frame_window(spark, sf):
     )
 
 
+# =====================================================================
+# Catalog batch 6: statistical moments, lag/lead, distribution windows,
+# explode/unnest, unpivot — remaining standard analytics surface
+# =====================================================================
+
+@_q(
+    "stats_moments",
+    "Statistical aggregates (variance/stddev/covariance/correlation) via "
+    "exact decimal partial sums — bit-identical across engines and "
+    "partitionings (plain corr()/stddev() over doubles is summation-order "
+    "dependent; this decomposes into exact Σx/Σx²/Σxy then one double "
+    "formula on the driver side of the agg)",
+    "implied agg surface (SURVEY §2.4); extension: ML-feature profiling",
+    """
+    SELECT l_returnflag,
+           round((sxx - sx*sx/n) / (n-1), 9) AS var_qty,
+           round(sqrt((sxx - sx*sx/n) / (n-1)), 9) AS stddev_qty,
+           round((sxy - sx*sy/n) / (n-1), 9) AS covar_qty_price,
+           round((sxy - sx*sy/n)
+             / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)), 9) AS corr_qty_price
+    FROM (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+)
+def q_stats_moments(spark, sf):
+    x, y = _dec("l_quantity"), _dec("l_extendedprice")
+    sums = (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(y * y).cast("double").alias("syy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+        )
+    )
+    # round(…, 9): the decimal partial sums are engine-exact, but the
+    # final double formula can differ by 1 ulp across engines (FMA /
+    # libm codegen); 9 dp is far above ulp noise at these magnitudes.
+    return sums.selectExpr(
+        "l_returnflag",
+        "round((sxx - sx*sx/n) / (n-1), 9) AS var_qty",
+        "round(sqrt((sxx - sx*sx/n) / (n-1)), 9) AS stddev_qty",
+        "round((sxy - sx*sy/n) / (n-1), 9) AS covar_qty_price",
+        "round((sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)), 9)"
+        "  AS corr_qty_price",
+    )
+
+
+@_q(
+    "lag_lead_delta",
+    "lag/lead: per-customer order-to-order day gaps (sequential diff in "
+    "one window pass — no self-join)",
+    "SURVEY §2.6 implied windowing; extension: funnel/retention analytics",
+    """
+    SELECT o_orderkey,
+           CAST(date_diff('day',
+                lag(CAST(o_orderdate AS DATE)) OVER w,
+                CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev,
+           CAST(date_diff('day',
+                CAST(o_orderdate AS DATE),
+                lead(CAST(o_orderdate AS DATE)) OVER w) AS INTEGER) AS days_until_next
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+    """,
+)
+def q_lag_lead_delta(spark, sf):
+    d = F.to_date("o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy(d, "o_orderkey")
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.datediff(d, F.lag(d).over(w)).alias("days_since_prev"),
+        F.datediff(F.lead(d).over(w), d).alias("days_until_next"),
+    )
+
+
+@_q(
+    "percent_rank_cume",
+    "Distribution windows: percent_rank + cume_dist of supplier balance "
+    "within nation (exact rationals — deterministic doubles)",
+    "SURVEY §2.6 implied windowing",
+    """
+    SELECT s_suppkey,
+           percent_rank() OVER w AS bal_pct_rank,
+           cume_dist() OVER w AS bal_cume_dist
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def q_percent_rank_cume(spark, sf):
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return _t(spark, sf, "supplier").select(
+        "s_suppkey",
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )
+
+
+@_q(
+    "explode_unnest",
+    "Array explode with ordinality: embedding vectors → (vec_id, pos, val) "
+    "rows (posexplode ≙ unnest + generate_subscripts)",
+    "extension: embedding-column preprocessing (BASELINE.json north star)",
+    """
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def q_explode_unnest(spark, sf):
+    return (
+        _t(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 50)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("int").alias("pos"),
+            F.col("val").cast("double").alias("val"),
+        )
+    )
+
+
+@_q(
+    "unpivot_measures",
+    "Unpivot (wide → long): lineitem measures as (measure, value) rows — "
+    "Spark stack(); oracle as UNION ALL",
+    "extension: metric normalization for feature stores",
+    """
+    SELECT l_orderkey, l_linenumber, 'qty' AS measure, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    """,
+)
+def q_unpivot_measures(spark, sf):
+    return _t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'qty', l_quantity, 'price', l_extendedprice,"
+            " 'discount', l_discount) AS (measure, value)"
+        ),
+    )
+
+
+@_q(
+    "first_last_in_group",
+    "first_value/last_value over an unbounded frame: each order tagged "
+    "with its customer's first and latest order price",
+    "SURVEY §2.6 implied windowing (SCD 'current version' shape)",
+    """
+    SELECT o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS latest_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_first_last_in_group(spark, sf):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.to_date("o_orderdate"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("latest_price"),
+    )
+
+
 # ---------------------------------------------------------------------
 
 CATALOG: dict[str, CatalogQuery] = {q.name: q for q in _CATALOG}
