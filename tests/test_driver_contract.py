@@ -58,3 +58,28 @@ def test_timestamp_queries_survive_non_utc_session(spark, tz):
         con.close()
     finally:
         spark.conf.set("spark.sql.session.timeZone", original)
+
+
+def test_stats_moments_partitioning_independent(spark):
+    """The statistical-moments query folds exact decimal partial sums, so
+    its double outputs must be bit-identical under any partitioning —
+    the property that makes it safe on a 1000-executor cluster."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.plans.queries import CATALOG
+
+    q = CATALOG["stats_moments"].spark
+    base = {tuple(map(str, r)) for r in q(spark, SF_DIR).collect()}
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    for n_parts in (1, 7, 64):
+        view = lineitem.repartition(n_parts)
+        view.createOrReplaceTempView("__li_repart")
+        import end_to_end_azure_databricks_data_engineering_project_spark.plans.queries as qmod
+
+        orig = qmod._t
+        try:
+            qmod._t = lambda s, sf, name, _o=orig: (
+                s.table("__li_repart") if name == "lineitem" else _o(s, sf, name)
+            )
+            got = {tuple(map(str, r)) for r in q(spark, SF_DIR).collect()}
+        finally:
+            qmod._t = orig
+        assert got == base, n_parts
