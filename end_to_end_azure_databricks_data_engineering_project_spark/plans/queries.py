@@ -1876,6 +1876,99 @@ def q_first_last_in_group(spark, sf):
     )
 
 
+@_q(
+    "levenshtein_match",
+    "Fuzzy string match: edit distance against a probe name, nearest "
+    "candidates first (entity-resolution primitive)",
+    "extension: record linkage / dedup candidate scoring",
+    """
+    SELECT c_custkey,
+           CAST(levenshtein(c_name, 'Customer#000000042') AS INTEGER) AS edit_dist
+    FROM customer
+    WHERE levenshtein(c_name, 'Customer#000000042') <= 2
+    """,
+)
+def q_levenshtein_match(spark, sf):
+    d = F.levenshtein(F.col("c_name"), F.lit("Customer#000000042"))
+    return (
+        _t(spark, sf, "customer")
+        .filter(d <= 2)
+        .select("c_custkey", d.cast("int").alias("edit_dist"))
+    )
+
+
+@_q(
+    "filtered_agg",
+    "Conditional aggregation (FILTER clause): per-nation totals with "
+    "segment-scoped sub-aggregates in ONE pass (no self-join)",
+    "implied agg surface (SURVEY §2.4)",
+    """
+    SELECT c_nationkey,
+           count(*) AS n_all,
+           count(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS n_auto,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                FILTER (WHERE c_acctbal > 0) AS DOUBLE) AS pos_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q_filtered_agg(spark, sf):
+    return (
+        _t(spark, sf, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count(F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1)).alias("n_auto"),
+            F.sum(F.when(F.col("c_acctbal") > 0, _dec("c_acctbal")))
+            .cast("double")
+            .alias("pos_bal"),
+        )
+    )
+
+
+@_q(
+    "regexp_extract_groups",
+    "Regexp group extraction: pull the numeric id out of the formatted "
+    "customer name (parse-don't-split)",
+    "F3 family (silver_Dimensions.py:154 regexp surface)",
+    """
+    SELECT c_custkey,
+           CAST(nullif(regexp_extract(c_name, 'Customer#(\\d+)', 1), '') AS BIGINT)
+             AS name_id
+    FROM customer
+    """,
+)
+def q_regexp_extract_groups(spark, sf):
+    # nullif('') → no-match rows become NULL instead of an ANSI cast
+    # error ('' is regexp_extract's no-match result in both engines)
+    return _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.nullif(F.regexp_extract(F.col("c_name"), r"Customer#(\d+)", 1), F.lit(""))
+        .cast("bigint")
+        .alias("name_id"),
+    )
+
+
+@_q(
+    "histogram_bins",
+    "Fixed-width histogram: order totals bucketed into 500-unit bins "
+    "(single scan + group-by; bin math stays in codegen)",
+    "F4 family (bucketing) + implied agg surface",
+    """
+    SELECT CAST(floor(o_totalprice / 500) * 500 AS BIGINT) AS bin_lo,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def q_histogram_bins(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy(
+            (F.floor(F.col("o_totalprice") / 500) * 500).cast("bigint").alias("bin_lo")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------
 
 CATALOG: dict[str, CatalogQuery] = {q.name: q for q in _CATALOG}
