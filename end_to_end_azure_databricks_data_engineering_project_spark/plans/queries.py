@@ -1969,6 +1969,79 @@ def q_histogram_bins(spark, sf):
     )
 
 
+@_q(
+    "deterministic_sample",
+    "Reproducible hash-based sampling: keep ~10% of documents by a "
+    "portable md5 hash of the id — same rows selected on ANY engine, "
+    "ANY partitioning, ANY run (unlike df.sample, whose row set depends "
+    "on partition layout). The curation primitive for training-data "
+    "subsets at 100 TB: a pure map-side filter, no shuffle, no state.",
+    "extension: training-data curation (BASELINE.json north star)",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 100 < 10
+    """,
+)
+def q_deterministic_sample(spark, sf):
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("smp|"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        _t(spark, sf, "documents")
+        .filter(h % 100 < 10)
+        .select("doc_id", "lang")
+    )
+
+
+@_q(
+    "dataset_split",
+    "Deterministic train/val/test split assignment (80/10/10) by portable "
+    "id hash — stable across engines and reruns; counts per split+lang "
+    "verify the assignment, label distribution stays per-stratum fair",
+    "extension: training-data curation (BASELINE.json north star)",
+    """
+    SELECT CASE
+             WHEN b < 80 THEN 'train'
+             WHEN b < 90 THEN 'val'
+             ELSE 'test'
+           END AS split,
+           lang,
+           count(*) AS n_docs
+    FROM (
+      SELECT lang,
+             CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 100 AS b
+      FROM documents
+    )
+    GROUP BY split, lang
+    """,
+)
+def q_dataset_split(spark, sf):
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split")
+    )
+    return (
+        _t(spark, sf, "documents")
+        .select(split, "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 # ---------------------------------------------------------------------
 
 CATALOG: dict[str, CatalogQuery] = {q.name: q for q in _CATALOG}
