@@ -83,3 +83,41 @@ def test_stats_moments_partitioning_independent(spark):
         finally:
             qmod._t = orig
         assert got == base, n_parts
+
+
+def test_deterministic_sample_partitioning_independent(spark):
+    """Hash-based sampling must select the SAME rows under any partition
+    layout (df.sample does not) — the property that makes subsets
+    reproducible on a 1000-executor cluster."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("smp|"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    base = {r.doc_id for r in docs.filter(h % 100 < 10).select("doc_id").collect()}
+    for n_parts in (1, 13):
+        got = {
+            r.doc_id
+            for r in docs.repartition(n_parts)
+            .filter(h % 100 < 10)
+            .select("doc_id")
+            .collect()
+        }
+        assert got == base, n_parts
+    assert 0 < len(base) < docs.count()
+
+
+def test_dataset_split_disjoint_exhaustive(spark):
+    """Every document lands in exactly one of train/val/test."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.plans.queries import CATALOG
+
+    rows = CATALOG["dataset_split"].spark(spark, SF_DIR).collect()
+    total = sum(r.n_docs for r in rows)
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert total == n_docs
+    assert {r.split for r in rows} == {"train", "val", "test"}
