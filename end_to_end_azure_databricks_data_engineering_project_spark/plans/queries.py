@@ -2044,7 +2044,75 @@ def q_dataset_split(spark, sf):
 
 # ---------------------------------------------------------------------
 
-CATALOG: dict[str, CatalogQuery] = {q.name: q for q in _CATALOG}
+# The driver verifies queries() in insertion order and caps its run (r1
+# covered the first 50 of 77). Entries that still lack a driver-green
+# CORRECTNESS row — r1 positions 51-77, the formerly rows-only ANN/media
+# entries (now oracled), and everything new this round — are promoted to
+# the front of the window; the 47 entries already green in
+# CORRECTNESS_r01.json keep their standing evidence at the back.
+_VERIFY_FIRST: list[str] = [
+    # r1 batches 5-7: locally parity-checked 77/77 but not in the
+    # driver's 50-entry window last round.
+    "asof_join",
+    "range_join",
+    "exact_median",
+    "cube_agg",
+    "count_distinct_groups",
+    "embedding_stats",
+    "ordered_string_agg",
+    "doc_repetition_ratio",
+    "pandas_grouped_rank",
+    "approx_analytics",
+    "left_outer_join",
+    "full_outer_join",
+    "union_all_counts",
+    "grouping_sets",
+    "range_frame_window",
+    "stats_moments",
+    "lag_lead_delta",
+    "percent_rank_cume",
+    "explode_unnest",
+    "unpivot_measures",
+    "first_last_in_group",
+    "levenshtein_match",
+    "filtered_agg",
+    "regexp_extract_groups",
+    "histogram_bins",
+    "deterministic_sample",
+    "dataset_split",
+    # rows-only in r1 — now carrying full DuckDB oracles.
+    "ann_topk_srp",
+    "ann_topk_ivf",
+    "media_features",
+]
+
+
+def _ordered_catalog() -> dict[str, CatalogQuery]:
+    by_name = {q.name: q for q in _CATALOG}
+    front = [n for n in _VERIFY_FIRST if n in by_name]
+    # New round-2 registrations (anything not in _VERIFY_FIRST and not
+    # green in r1) slot in right after, before the standing-green tail.
+    _R1_GREEN = {
+        "watermark_filter", "in_predicate", "null_predicate", "project_drop",
+        "upper_trim", "regexp_clean", "bucketize", "calendar", "concat_naming",
+        "coalesce_nullif", "max_watermark", "rowcount_gate", "pricing_summary",
+        "dedup_distinct", "latest_per_key", "pivot_manual", "rollup_hierarchy",
+        "star_join_revenue", "broadcast_dim_join", "semi_join", "anti_join",
+        "topk_customers", "window_running_sum", "sessionize", "quality_gate",
+        "scd1_latest_state", "scd2_history", "doc_token_stats", "doc_quality",
+        "doc_langid", "doc_fingerprint_dedup", "minhash_signatures",
+        "ngram_jaccard_pairs", "simhash_fingerprints", "cosine_topk",
+        "embedding_near_dup", "set_ops_union", "set_ops_intersect",
+        "set_ops_except", "like_filter", "date_arithmetic", "having_filter",
+        "scalar_subquery", "json_extract", "topk_per_group", "rank_dense_ntile",
+        "moving_average",
+    }
+    mid = [q.name for q in _CATALOG if q.name not in set(front) and q.name not in _R1_GREEN]
+    tail = [q.name for q in _CATALOG if q.name in _R1_GREEN]
+    return {n: by_name[n] for n in front + mid + tail}
+
+
+CATALOG: dict[str, CatalogQuery] = _ordered_catalog()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
