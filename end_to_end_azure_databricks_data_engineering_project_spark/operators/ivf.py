@@ -65,12 +65,23 @@ def kmeans_fit(
     centroids = [list(map(float, r[vec_col])) for r in seeds]
     for _ in range(n_iter):
         assigned = data.select(
+            F.col(id_col).alias("_mid"),
             nearest_centroid(F.col(vec_col), centroids).alias("cluster"),
             F.posexplode(vec_col).alias("pos", "x"),
         )
+        # Mean = sequential fold over members ordered by id, / count —
+        # the exact IEEE result is independent of partitioning AND
+        # reproducible by the DuckDB oracle (list(x ORDER BY id) fold),
+        # unlike F.avg whose partial-agg order is engine-defined. The
+        # collect_list per (cluster, pos) is bounded by the fit sample.
+        ordered_sum = F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("_mid"), F.col("x")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["x"].cast("double"),
+        )
         means = (
             assigned.groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg((ordered_sum / F.count(F.lit(1))).alias("m"))
             .groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .collect()

@@ -72,11 +72,18 @@ class LibraryDecodeBackend(DecodeBackend):
 
 
 class FakeDecodeBackend(DecodeBackend):
-    """Deterministic md5-derived features — real plumbing, fake pixels."""
+    """Deterministic md5-derived features — real plumbing, fake pixels.
+
+    Hashes the *hex* rendering of the payload (not raw bytes) so the
+    exact same digest is reproducible in engines whose md5 only accepts
+    strings (the DuckDB oracle for ``media_features`` replays this)."""
 
     def decode_features(self, media_type: str, payload: bytes) -> list[float]:
-        h = hashlib.md5((media_type or "").encode() + (payload or b"")).digest()
-        # FEATURE_DIM floats in [0,1), 1 byte each (deterministic)
+        h = hashlib.md5(
+            f"{media_type or ''}|{(payload or b'').hex()}".encode()
+        ).digest()
+        # FEATURE_DIM floats in [0,1), 1 byte each (deterministic; k/256
+        # is exact in float32 so casts never lose bits)
         return [h[i % 16] / 256.0 for i in range(FEATURE_DIM)]
 
 

@@ -1003,12 +1003,163 @@ def q_embedding_near_dup(spark, sf):
     )
 
 
+def _sql_dot(a: str, b: str, dim: int = 64) -> str:
+    """Sequential left-to-right double dot product over FLOAT[] columns —
+    the DuckDB twin of operators.similarity.dot (F.aggregate fold)."""
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+
+
+def _sql_cosine(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"{_sql_dot(a, b, dim)} / (sqrt({_sql_dot(a, a, dim)}) * sqrt({_sql_dot(b, b, dim)}))"
+    )
+
+
+def _srp_oracle_sql(n_tables=8, n_planes=4, dim=64, k=5, max_qid=10) -> str:
+    """DuckDB replay of srp_ann_topk: the hyperplanes are re-generated
+    from the same md5 counter stream as _seeded_hyperplanes (verified
+    bit-identical: int(md5hex[:15],16)/2^60 ↔ ('0x'||substr(md5,1,15))
+    ::BIGINT/2^60), so buckets, candidates and cosines all match."""
+    u = " + ".join(
+        f"('0x' || substr(md5('srp' || t || '|' || p || '|' || d || '|{r}'), 1, 15))::BIGINT"
+        f" / 1152921504606846976.0"
+        for r in range(3)
+    )
+    return f"""
+    WITH planes AS (
+      SELECT t, p, list(w ORDER BY d) AS wv
+      FROM (
+        SELECT t, p, d, ({u}) - 1.5 AS w
+        FROM range({n_tables}) rt(t), range({n_planes}) rp(p), range({dim}) rd(d)
+      )
+      GROUP BY t, p
+    ),
+    projs AS (
+      SELECT e.vec_id, pl.t, pl.p,
+             list_reduce(list_transform(range(1, {dim + 1}),
+               i -> CAST(e.embedding[i] AS DOUBLE) * pl.wv[i]), (a, b) -> a + b) AS proj
+      FROM embeddings e, planes pl
+    ),
+    buckets AS (
+      SELECT vec_id, t, SUM(CASE WHEN proj >= 0 THEN 1 << p ELSE 0 END) AS bucket
+      FROM projs GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+      WHERE q.vec_id < {max_qid} AND q.vec_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {_sql_cosine("a", "b", dim)} AS cos_sim
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.query_id
+      JOIN embeddings b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {k}
+    """
+
+
+def _ivf_oracle_sql(k=8, n_iter=3, n_probe=3, topk=5, dim=64, max_qid=10) -> str:
+    """DuckDB replay of kmeans_fit + ivf_assign + ivf_topk. Possible only
+    because every float op in the Spark path is a sequential fold with a
+    deterministic order (see kmeans_fit's ordered-fold mean): the {n_iter}
+    Lloyd iterations are unrolled as CTE pairs (assign → ordered mean),
+    bit-identical to the literals Spark embeds, then probing and scoring
+    replay _probe_clusters / ivf_topk."""
+    sq = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        "i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])), (a, b) -> a + b)"
+    )
+    parts = [f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+      FROM emb ORDER BY vec_id LIMIT {k}
+    )"""]
+    for n in range(1, n_iter + 1):
+        parts.append(f""",
+    d{n} AS (
+      SELECT e.vec_id, c.cluster, {sq} AS dist
+      FROM emb e, c{n - 1} c
+    ),
+    a{n} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        FROM d{n}
+      ) WHERE rn = 1
+    ),
+    m{n} AS (
+      SELECT a.cluster, p.pos,
+             list_reduce(list(e.v[p.pos] ORDER BY e.vec_id), (x, y) -> x + y)
+               / count(*) AS m
+      FROM a{n} a JOIN emb e USING (vec_id), range(1, {dim + 1}) p(pos)
+      GROUP BY a.cluster, p.pos
+    ),
+    c{n} AS (
+      SELECT pc.cluster, coalesce(nc.c, pc.c) AS c
+      FROM c{n - 1} pc LEFT JOIN (
+        SELECT cluster, list(m ORDER BY pos) AS c FROM m{n} GROUP BY cluster
+      ) nc USING (cluster)
+    )""")
+    parts.append(f""",
+    dfin AS (
+      SELECT e.vec_id, c.cluster, {sq} AS dist
+      FROM emb e, c{n_iter} c
+    ),
+    assigned AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        FROM dfin
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        FROM dfin WHERE vec_id < {max_qid}
+      ) WHERE rn <= {n_probe}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probe p JOIN assigned a USING (cluster)
+      WHERE p.query_id <> a.vec_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {_sql_cosine("a", "b", dim)} AS cos_sim
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.query_id
+      JOIN embeddings b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {topk}
+    """)
+    return "".join(parts)
+
+
 @_q(
     "ann_topk_srp",
-    "Approximate NN via SRP-LSH buckets (plans are python-seeded → "
-    "rows-only check; recall vs exact asserted in tests/test_llm_ops.py)",
+    "Approximate NN via SRP-LSH buckets — hyperplanes derived from a "
+    "seeded md5 stream, replayed verbatim by the DuckDB oracle",
     "ext:similarity-ann",
-    None,
+    _srp_oracle_sql(),
 )
 def q_ann_topk_srp(spark, sf):
     from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import (
@@ -1022,10 +1173,10 @@ def q_ann_topk_srp(spark, sf):
 @_q(
     "ann_topk_ivf",
     "IVF approximate NN: deterministic k-means coarse quantizer + "
-    "n_probe inverted-list search (centroids are fit python-side → "
-    "rows-only check; recall vs exact asserted in tests/test_ivf.py)",
+    "n_probe inverted-list search; the oracle unrolls the Lloyd "
+    "iterations in SQL (ordered-fold means → bit-identical centroids)",
     "ext:similarity-ivf",
-    None,
+    _ivf_oracle_sql(),
 )
 def q_ann_topk_ivf(spark, sf):
     from end_to_end_azure_databricks_data_engineering_project_spark.operators.ivf import (
@@ -1043,9 +1194,23 @@ def q_ann_topk_ivf(spark, sf):
 @_q(
     "media_features",
     "Multimodal plumbing: binary payloads → Arrow-batched feature "
-    "extraction via mapInPandas (deterministic fake decode backend)",
+    "extraction via mapInPandas; the fake decode backend hashes the "
+    "payload hex so DuckDB reproduces features in string-space",
     "ext:multimodal",
-    None,
+    """
+    WITH m AS (
+      SELECT i AS media_id,
+             CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             repeat(md5('media' || i), CAST(i % 7 AS INT) + 1) AS payload_hex
+      FROM range(100) r(i)
+    )
+    SELECT media_id, media_type,
+           CAST(length(payload_hex) // 2 AS INT) AS n_bytes,
+           ('0x' || substr(md5(media_type || '|' || payload_hex), 1, 2))::INT
+             / 256.0 AS f0
+    FROM m
+    """,
 )
 def q_media_features(spark, sf):
     from end_to_end_azure_databricks_data_engineering_project_spark.operators.multimodal import (
@@ -1056,7 +1221,10 @@ def q_media_features(spark, sf):
     media = synthetic_media(spark, 100)
     feats = extract_features(media)
     return feats.select(
-        "media_id", "media_type", "n_bytes", F.element_at("feature", 1).alias("f0")
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.element_at("feature", 1).cast("double").alias("f0"),
     )
 
 
