@@ -193,6 +193,81 @@ def minhash_near_dup_pairs(
     return pairs.select("id_a", "id_b", est)
 
 
+# ------------------------------------------------- connected components --
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every neighbor v > u re-attaches to
+    m = min(Γ(u) ∪ {u}). Input/output: directed (u, v) edge frames."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round over max→min directed edges: u and all its
+    smaller neighbors re-attach to m = min(Γ(u) ∪ {u})."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = e.join(mins, "u")
+    return (
+        nbrs.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components over an undirected pair list via alternating
+    large-star / small-star rounds (Kiveris et al., "Connected Components
+    in MapReduce and Beyond") — pure DataFrame ops, no driver-side graph.
+
+    Returns (node, component) for every node in ``pairs``, component =
+    the smallest node id of its component. Convergence in O(log n)
+    alternations; each round is two hash-shuffles on node id, so the
+    cost at 100 TB is bounded by the pair list (already bucket-pruned by
+    LSH), not the corpus. Lineage is truncated per round with
+    localCheckpoint — swap for ``checkpoint()`` with a checkpoint dir on
+    a real cluster. Fixpoint detection: count + md5-sum edge digest (a
+    false-positive stop needs a 60-bit hash-sum collision)."""
+    e = (
+        pairs.select(F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
+    prev: tuple | None = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                # 60-bit hashes summed in decimal(38,0): no ANSI int64
+                # overflow even at billions of edges
+                F.sum(_hash_shingle(F.concat_ws("_", "u", "v"), 0).cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("digest"),
+        ).collect()[0]
+        cur = (row["n"], row["digest"])
+        if cur == prev:
+            break
+        prev = cur
+    comp = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return comp.unionByName(roots).distinct()
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -200,18 +275,16 @@ def minhash_dedup(
     threshold: float = 0.8,
     **kw,
 ) -> DataFrame:
-    """Drop near-duplicates: keep the smallest id of each detected pair
-    component (single-link via pair list; exact transitive closure is an
-    iterative connected-components job — see docstring note).
-
-    Note: greedy id-ordered suppression (drop id_b of every qualifying
-    pair) approximates connected components in one pass and is the
-    standard first-cut at corpus scale; a full CC (alternating large-star
-    /small-star) belongs in a follow-up round."""
+    """Drop near-duplicates with exact transitive closure: qualifying
+    LSH pairs → connected components → keep each component's smallest
+    id. A chain A~B~C with A≁C collapses to the single survivor A
+    (greedy id-ordered pair suppression could leave two)."""
     pairs = minhash_near_dup_pairs(df, text_col, id_col, **kw)
-    losers = pairs.filter(F.col("est_jaccard") >= threshold).select(
-        F.col("id_b").alias(id_col)
-    ).distinct()
+    qual = pairs.filter(F.col("est_jaccard") >= threshold)
+    comp = connected_components(qual, "id_a", "id_b")
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
     return df.join(losers, id_col, "left_anti")
 
 

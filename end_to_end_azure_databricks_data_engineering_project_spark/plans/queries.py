@@ -925,6 +925,78 @@ def q_simhash_fingerprints(spark, sf):
     return d.select("doc_id", simhash64(F.col("text"), shingle_n=2).alias("simhash"))
 
 
+def _minhash_cc_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+    """Full DuckDB replay of minhash_dedup: signatures → band-bucket
+    candidate pairs → estimated-Jaccard gate → transitive closure via a
+    recursive min-label CTE → survivors (component minima)."""
+    rpb = num_hashes // bands
+    comps = ",\n             ".join(
+        "list_aggregate(list_transform(sh, "
+        f"x -> ({a} * (('0x' || substr(md5('0|' || x), 1, 15))::BIGINT % {MINHASH_P}) + {b}) % {MINHASH_P}"
+        f"), 'min') AS mh_{k}"
+        for k, (a, b) in ((k, minhash_constants(k)) for k in range(num_hashes))
+    )
+    bandjoin = " OR ".join(
+        "(" + " AND ".join(f"a.mh_{bb * rpb + j} = b.mh_{bb * rpb + j}" for j in range(rpb)) + ")"
+        for bb in range(bands)
+    )
+    est = (
+        "("
+        + " + ".join(f"CASE WHEN a.mh_{k} = b.mh_{k} THEN 1 ELSE 0 END" for k in range(num_hashes))
+        + f") / {float(num_hashes)}"
+    )
+    return rf"""
+    WITH RECURSIVE sig AS (
+      SELECT doc_id, {comps}
+      FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 1) + 1),
+                 i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+                      string_split_regex(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                      string_split_regex(lower(trim(text)), '\s+')[i+2]
+               )) AS sh
+        FROM documents
+      )
+    ),
+    pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({bandjoin})
+      WHERE {est} >= {threshold}
+    ),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    r(node, m) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.m FROM edges e JOIN r ON e.v = r.node
+    ),
+    losers AS (
+      SELECT node AS doc_id FROM r GROUP BY node HAVING min(m) < node
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """
+
+
+@_q(
+    "minhash_dedup_cc",
+    "Transitive-closure near-dup dedup: MinHash-LSH pairs → alternating "
+    "large-star/small-star connected components → keep each component's "
+    "minimum id (oracle replays the closure with a recursive CTE)",
+    "ext:dedup-minhash-cc",
+    _minhash_cc_oracle(num_hashes=8, bands=4, threshold=0.5),
+)
+def q_minhash_dedup_cc(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+        minhash_dedup,
+    )
+
+    d = _t(spark, sf, "documents")
+    return minhash_dedup(
+        d, threshold=0.5, num_hashes=8, bands=4, shingle_n=3
+    ).select("doc_id")
+
+
 # =====================================================================
 # LLM-data extensions: similarity search
 # =====================================================================

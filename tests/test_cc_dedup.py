@@ -1,0 +1,103 @@
+"""Connected-components dedup: transitive closure over near-dup pairs.
+
+The reference pipeline has no near-dup operator (its dedup surface is
+key-level — silver_Transactions.py dropDuplicates); CC dedup is part of
+the LLM-training-data extension set. The planted-chain test is the
+acceptance criterion from round 1: A~B and B~C with A≁C must leave
+exactly ONE survivor, which greedy pair-suppression cannot guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+    connected_components,
+    minhash_dedup,
+    minhash_near_dup_pairs,
+)
+
+
+def _comp_map(df):
+    return {r.node: r.component for r in df.collect()}
+
+
+def test_cc_chain_collapses_to_min(spark):
+    pairs = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3), (5, 4)], ["id_a", "id_b"]
+    )
+    assert _comp_map(connected_components(pairs)) == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1
+    }
+
+
+def test_cc_multiple_components_and_orientation(spark):
+    # mixed edge orientation, duplicate edges, self-loop
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 3), (10, 11), (12, 11), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = _comp_map(connected_components(pairs))
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # self-loop-only node 3 has no real pair → no row
+    assert 3 not in got
+
+
+def test_cc_star_and_long_chain_converge(spark):
+    star = [(100, i) for i in range(90, 100)]
+    chain = [(i, i + 1) for i in range(200, 230)]
+    pairs = spark.createDataFrame(star + chain, ["id_a", "id_b"])
+    got = _comp_map(connected_components(pairs))
+    assert all(got[i] == 90 for i in range(90, 101))
+    assert all(got[i] == 200 for i in range(200, 231))
+
+
+def test_cc_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert connected_components(pairs).count() == 0
+
+
+def _chain_docs(spark):
+    """A/B/C where B = A's words + C's words (so J(A,B) ≈ J(B,C) ≈ 0.47)
+    but A and C share NO words at all: a true chain A~B~C with A≁C."""
+    w = [f"w{i:02d}" for i in range(50)]
+    a = " ".join(w[0:20])
+    c = " ".join(w[30:50])
+    b = a + " " + c
+    filler = [(100 + i, " ".join(f"x{i}_{j}" for j in range(20))) for i in range(5)]
+    return spark.createDataFrame(
+        [(1, a), (2, b), (3, c)] + filler, ["doc_id", "text"]
+    )
+
+
+def test_planted_chain_keeps_exactly_one_survivor(spark):
+    docs = _chain_docs(spark)
+    # single-component bands: ANY matching signature component makes a
+    # candidate pair (maximal recall at moderate Jaccard ≈ 0.47)
+    kw = dict(num_hashes=16, bands=16, shingle_n=3)
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_near_dup_pairs(docs, **kw).collect()
+    }
+    # precondition: the chain is planted as intended — A~B and B~C are
+    # clearly similar, A~C shares nothing (deterministic minhash → these
+    # are fixed values, not a flaky sample)
+    chain_strength = min(pairs.get((1, 2), 0.0), pairs.get((2, 3), 0.0))
+    assert chain_strength > 0.2
+    assert pairs.get((1, 3), 0.0) < chain_strength
+    thr = chain_strength  # inclusive: both chain links qualify, A~C not
+    kept = sorted(
+        r.doc_id
+        for r in minhash_dedup(docs, threshold=thr, **kw).collect()
+    )
+    # transitive closure: {1,2,3} is ONE component → only doc 1 survives
+    assert kept == [1] + [100 + i for i in range(5)]
+
+
+def test_cc_partitioning_independence(spark):
+    pairs = [(i, i + 1) for i in range(0, 40)] + [(60, 50), (55, 50)]
+    one = spark.createDataFrame(pairs, ["id_a", "id_b"]).repartition(1)
+    many = spark.createDataFrame(pairs, ["id_a", "id_b"]).repartition(7, "id_a")
+    assert _comp_map(connected_components(one)) == _comp_map(
+        connected_components(many)
+    )
