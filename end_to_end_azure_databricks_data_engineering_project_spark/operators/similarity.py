@@ -177,16 +177,44 @@ def near_dup_by_cosine(
     n_tables: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold)
-    via SRP buckets — the embedding analogue of minhash_near_dup_pairs."""
-    pairs = srp_ann_topk(
-        df, df, k=50, id_col=id_col, vec_col=vec_col,
-        dim=dim, n_planes=n_planes, n_tables=n_tables,
+    via the SRP band-bucket pair join — the embedding analogue of
+    minhash_near_dup_pairs. NO top-k cap: a vector with thousands of
+    near-dups keeps every qualifying pair (an earlier route through
+    srp_ann_topk(k=50) silently dropped pairs past the cap). Join key is
+    (table_idx, bucket) only; hot buckets fall to AQE skew handling."""
+    tables = [
+        _seeded_hyperplanes(dim, n_planes, seed=f"srp{t}") for t in range(n_tables)
+    ]
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_idx"),
+                srp_bucket(F.col(vec_col), tables[t]).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
     )
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(buckets).alias("b"),
+    ).select("id", "vec", "b.table_idx", "b.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
     return (
-        pairs.filter((F.col("cos_sim") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
-        .select(
-            F.col("query_id").alias("id_a"),
-            F.col("neighbor_id").alias("id_b"),
-            F.col("cos_sim"),
+        a.join(
+            b,
+            (F.col("a.table_idx") == F.col("b.table_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
         )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
     )

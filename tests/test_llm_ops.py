@@ -153,6 +153,24 @@ def test_near_dup_by_cosine_finds_clones(spark, emb):
     assert len(found & planted) >= 15  # ANN recall, near-perfect on clones
 
 
+def test_near_dup_by_cosine_uncapped_cluster(spark, emb):
+    """A 60-clone cluster has C(60,2)=1770 qualifying pairs — far past
+    the old k=50 top-k cap. The bucket pair-join must keep them ALL
+    (identical vectors share every bucket → zero LSH misses)."""
+    one = emb.limit(1).select("embedding")
+    cluster = (
+        spark.range(60)
+        .withColumnRenamed("id", "vec_id")
+        .crossJoin(F.broadcast(one))
+    )
+    others = emb.filter("vec_id >= 100").limit(40).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    pairs = near_dup_by_cosine(cluster.unionByName(others), threshold=0.999)
+    in_cluster = pairs.filter("id_a < 60 AND id_b < 60")
+    assert in_cluster.count() == 60 * 59 // 2
+
+
 def test_multimodal_feature_extraction(spark):
     media = synthetic_media(spark, 30)
     feats = extract_features(media)
