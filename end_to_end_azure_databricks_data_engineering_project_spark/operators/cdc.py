@@ -183,19 +183,32 @@ def apply_changes(
     DataFrame or from ``foreachBatch`` on a stream. Optional
     ``track_history_except`` (≙ track_history_except_column_list) and
     ``delete_expr`` (≙ apply_as_deletes) mirror the DLT signature.
-    """
+
+    Sink path: ``ManagedTable.merge_keyed`` — both SCD merges are
+    key-local (a key's outcome depends only on its own rows), so the
+    sink rewrites ONLY the data files containing a batch key and
+    hardlinks the rest, exactly like a file-pruned Delta MERGE. An
+    incremental batch against a huge table no longer rewrites the
+    table."""
     if scd_type == 1:
         dedup = _dedup_key_seq(batch, keys, sequence_by)
-        current = (
-            table.read()
-            if table.exists()
-            else table.spark.createDataFrame([], dedup.schema)
+        table.merge_keyed(
+            dedup,
+            keys,
+            lambda cur, b: scd1_merge(cur, b, keys, sequence_by, delete_expr),
         )
-        table.overwrite(scd1_merge(current, dedup, keys, sequence_by, delete_expr))
     elif scd_type == 2:
-        target = table.read() if table.exists() else None
-        table.overwrite(
-            scd2_apply(target, batch, keys, sequence_by, track_history_except, delete_expr)
+        table.merge_keyed(
+            batch,
+            keys,
+            lambda cur, b: scd2_apply(
+                cur if START_AT in cur.columns else None,
+                b,
+                keys,
+                sequence_by,
+                track_history_except,
+                delete_expr,
+            ),
         )
     else:
         raise ValueError(f"unsupported scd_type {scd_type}")

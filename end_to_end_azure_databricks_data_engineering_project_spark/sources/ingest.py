@@ -27,7 +27,7 @@ import datetime as _dt
 from dataclasses import dataclass
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from end_to_end_azure_databricks_data_engineering_project_spark.config import TableConfig
@@ -74,16 +74,15 @@ def ingest_table(
     batch = coerce_schema(source_df, cfg).filter(
         F.col(cfg.cdc_col) > F.lit(wm).cast(cdc_type)
     )
-    # One action computes both the row count and the new max watermark.
-    stats = batch.agg(
-        F.count(F.lit(1)).alias("n"), F.max(cfg.cdc_col).alias("mx")
-    ).first()
-    n, mx = stats["n"], stats["mx"]
-    if n == 0:
-        # ≙ IfCondition false branch: skip the write entirely (the
-        # reference writes then deletes the empty file, readme.md:35).
-        return IngestResult(cfg.table, 0, wm, wm, None)
-
+    # Row count + new max watermark ride the write action as observed
+    # metrics: the source is scanned exactly ONCE per pull (a separate
+    # agg-then-write would scan twice). The empty-pull branch becomes
+    # write → see 0 rows → remove the landed dir, which is literally the
+    # reference's delete-empty-file behavior (readme.md:35).
+    obs = Observation()
+    batch = batch.observe(
+        obs, F.count(F.lit(1)).alias("n"), F.max(cfg.cdc_col).alias("mx")
+    )
     run_ts = run_ts or _dt.datetime.now(_dt.timezone.utc).strftime("%Y%m%dT%H%M%S%f")
     out = str(Path(bronze_root) / cfg.table / f"run={run_ts}")
     writer = batch.write.mode("overwrite").option("compression", "snappy")
@@ -93,6 +92,14 @@ def ingest_table(
             "cdc_date"
         )
     writer.parquet(out)
+    n, mx = obs.get["n"], obs.get["mx"]
+    if n == 0:
+        # ≙ IfCondition false branch (delete-empty-file,
+        # incremental_loop.json:167-203): no watermark move, no bronze dir.
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        return IngestResult(cfg.table, 0, wm, wm, None)
     if isinstance(mx, _dt.datetime):
         new_wm = mx.isoformat(sep=" ")
     elif isinstance(mx, _dt.date):

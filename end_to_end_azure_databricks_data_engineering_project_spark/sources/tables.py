@@ -10,12 +10,15 @@ snapshots plus a ``_latest`` pointer file that is swapped atomically
 (``os.replace``). Readers always see a complete snapshot; a crashed
 writer leaves an orphaned version directory, never a torn table.
 
-Scale posture: full-snapshot rewrite is how Delta MERGE behaves in the
-worst case (all files touched). For 100 TB tables the deployment answer
-is Delta/Iceberg (file-level pruning of untouched files); the engine's
-merge logic in ``operators/cdc.py`` is already expressed as a pure
-DataFrame→DataFrame transform so swapping the sink for Delta MERGE is a
-one-line change in ``write_merged``.
+Scale posture: ``merge_keyed`` gives Delta-MERGE-style file pruning on
+plain parquet — an incremental batch rewrites ONLY the data files that
+contain a touched key and hardlinks every other file into the new
+snapshot unchanged. A daily 300-row CDC batch against a 100 TB fact
+touches the few files holding those keys, not the table. Writer safety:
+each version directory is claimed with an exclusive mkdir, so a losing
+concurrent writer fails loudly instead of corrupting the snapshot, and
+commits carry an optional (epoch_key, epoch) watermark making
+at-least-once foreachBatch replays idempotent.
 """
 
 from __future__ import annotations
@@ -24,9 +27,11 @@ import json
 import os
 import shutil
 import time
+from collections.abc import Callable, Sequence
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 try:  # Delta OSS if its jars are ever present; else versioned parquet.
     from delta.tables import DeltaTable  # type: ignore
@@ -35,6 +40,12 @@ try:  # Delta OSS if its jars are ever present; else versioned parquet.
 except Exception:  # pragma: no cover - image has no delta jars
     DeltaTable = None
     HAVE_DELTA = False
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer claimed the version this writer was about to
+    commit. The table is NOT corrupted — the losing writer's snapshot
+    directory is an uncommitted orphan (remove with vacuum())."""
 
 
 class ManagedTable:
@@ -56,11 +67,26 @@ class ManagedTable:
     def _pointer(self) -> Path:
         return self.dir / "_latest"
 
-    def current_version(self) -> int:
+    def _pointer_state(self) -> dict:
         p = self._pointer()
         if not p.exists():
-            return -1
-        return json.loads(p.read_text())["version"]
+            return {"version": -1, "epochs": {}}
+        state = json.loads(p.read_text())
+        state.setdefault("epochs", {})
+        return state
+
+    def current_version(self) -> int:
+        return self._pointer_state()["version"]
+
+    def applied_epoch(self, epoch_key: str):
+        """Last (epoch_key, epoch) recorded by a committed write, or None."""
+        return self._pointer_state()["epochs"].get(epoch_key)
+
+    def _epoch_already_applied(self, epoch, epoch_key) -> bool:
+        if epoch is None or epoch_key is None:
+            return False
+        stored = self.applied_epoch(epoch_key)
+        return stored is not None and epoch <= stored
 
     def exists(self) -> bool:
         return self.current_version() >= 0
@@ -68,9 +94,35 @@ class ManagedTable:
     def _version_dir(self, v: int) -> Path:
         return self.dir / f"v{v:06d}"
 
-    def _commit(self, v: int) -> None:
+    def _claim_next_version(self) -> int:
+        """Allocate + exclusively claim the next version directory.
+
+        Candidate = max(committed pointer, any existing version dir) + 1,
+        so an orphan left by a crashed writer never blocks progress; the
+        atomic mkdir guarantees exactly one writer owns each version —
+        a concurrent loser raises instead of clobbering files mid-write."""
+        existing = [int(d.name[1:]) for d in self.dir.glob("v*") if d.name[1:].isdigit()]
+        v = max([self.current_version(), *existing, -1]) + 1
+        try:
+            self._version_dir(v).mkdir(parents=False, exist_ok=False)
+        except FileExistsError as exc:  # pragma: no cover - race window
+            raise ConcurrentWriteError(
+                f"table {self.name}: version {v} already claimed by another writer"
+            ) from exc
+        return v
+
+    def _commit(self, v: int, epoch=None, epoch_key=None) -> None:
+        state = self._pointer_state()
+        if state["version"] >= v:
+            raise ConcurrentWriteError(
+                f"table {self.name}: pointer already at v{state['version']} "
+                f">= v{v}; refusing to move the table backwards"
+            )
+        if epoch is not None and epoch_key is not None:
+            state["epochs"][epoch_key] = epoch
+        state["version"] = v
         tmp = self.dir / f"_latest.tmp.{os.getpid()}.{time.monotonic_ns()}"
-        tmp.write_text(json.dumps({"version": v}))
+        tmp.write_text(json.dumps(state))
         os.replace(tmp, self._pointer())
 
     # -- read/write ----------------------------------------------------------
@@ -86,30 +138,98 @@ class ManagedTable:
             return self.read()
         return self.spark.createDataFrame([], like.schema)
 
-    def overwrite(self, df: DataFrame) -> int:
-        """Write a full new snapshot and atomically repoint ``_latest``."""
-        v = self.current_version() + 1
+    def _link_prior(self, src_dir: Path, new_dir: Path, skip: set[str] | None = None) -> None:
+        """Hardlink prior snapshot files into the new version (no data
+        rewrite; copy fallback for filesystems without hardlinks)."""
+        for f in src_dir.glob("*.parquet"):
+            if skip and f.name in skip:
+                continue
+            target = new_dir / f"prior_{f.name}"
+            try:
+                os.link(f, target)
+            except OSError:
+                shutil.copy2(f, target)
+
+    def overwrite(self, df: DataFrame, epoch=None, epoch_key=None) -> int:
+        """Write a full new snapshot and atomically repoint ``_latest``.
+
+        ``(epoch, epoch_key)``: optional idempotence watermark — if a
+        committed write already recorded epoch >= this one under the
+        same key (an at-least-once foreachBatch replay after a crash
+        between sink write and checkpoint), the write is skipped."""
+        if self._epoch_already_applied(epoch, epoch_key):
+            return self.current_version()
+        v = self._claim_next_version()
         df.write.mode("overwrite").parquet(str(self._version_dir(v)))
-        self._commit(v)
+        self._commit(v, epoch, epoch_key)
         return v
 
-    def append(self, df: DataFrame) -> int:
-        """Append = new snapshot directory reusing prior files is not
-        possible with plain parquet dirs, so append writes into a fresh
-        version dir via union-free file copy: new files land next to
-        hardlinked prior files (cheap, no data rewrite)."""
+    def append(self, df: DataFrame, epoch=None, epoch_key=None) -> int:
+        """Append = new snapshot directory: new files land next to
+        hardlinked prior files (cheap, no data rewrite). Epoch watermark
+        as in ``overwrite`` — replaying the same micro-batch is a no-op,
+        making checkpoint + append genuinely exactly-once."""
+        if self._epoch_already_applied(epoch, epoch_key):
+            return self.current_version()
         v = self.current_version()
-        new_v = v + 1
+        new_v = self._claim_next_version()
         new_dir = self._version_dir(new_v)
         df.write.mode("overwrite").parquet(str(new_dir))
         if v >= 0:
-            for f in self._version_dir(v).glob("*.parquet"):
-                target = new_dir / f"prior_{f.name}"
-                try:
-                    os.link(f, target)
-                except OSError:
-                    shutil.copy2(f, target)
-        self._commit(new_v)
+            self._link_prior(self._version_dir(v), new_dir)
+        self._commit(new_v, epoch, epoch_key)
+        return new_v
+
+    def merge_keyed(
+        self,
+        batch: DataFrame,
+        keys: Sequence[str],
+        merge_fn: Callable[[DataFrame, DataFrame], DataFrame],
+        epoch=None,
+        epoch_key=None,
+    ) -> int:
+        """File-pruned keyed merge (Delta-MERGE-style on plain parquet).
+
+        ``merge_fn(current_subset, batch) -> merged`` must be key-local
+        (the result for key k depends only on rows of key k — true for
+        scd1_merge / scd2_apply). Only data files containing a batch key
+        are read back and rewritten; every untouched file is hardlinked
+        into the new snapshot byte-identical. Untouched keys co-located
+        in touched files flow through ``merge_fn`` unchanged.
+
+        Physical shape: one semi-join of the current snapshot against
+        the (broadcast) distinct batch keys to find touched files, then
+        the merge itself over just those files' rows. At 100 TB with the
+        table clustered by key this touches a handful of files per
+        incremental batch instead of the whole table."""
+        if self._epoch_already_applied(epoch, epoch_key):
+            return self.current_version()
+        if not self.exists():
+            empty = self.spark.createDataFrame([], batch.schema)
+            return self.overwrite(merge_fn(empty, batch), epoch, epoch_key)
+        v = self.current_version()
+        vdir = self._version_dir(v)
+        cur = self.spark.read.parquet(str(vdir))
+        bkeys = batch.select(*keys).distinct()
+        touched = (
+            cur.withColumn("__file", F.input_file_name())
+            .join(F.broadcast(bkeys), list(keys), "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        touched_files = {os.path.basename(r["__file"]) for r in touched}
+        new_v = self._claim_next_version()
+        new_dir = self._version_dir(new_v)
+        if touched_files:
+            subset = self.spark.read.parquet(
+                *[str(vdir / f) for f in sorted(touched_files)]
+            )
+        else:
+            subset = self.spark.createDataFrame([], cur.schema)
+        merge_fn(subset, batch).write.mode("overwrite").parquet(str(new_dir))
+        self._link_prior(vdir, new_dir, skip=touched_files)
+        self._commit(new_v, epoch, epoch_key)
         return new_v
 
     def compact(self, target_partitions: int | None = None) -> int:
@@ -128,6 +248,15 @@ class ManagedTable:
         for d in sorted(self.dir.glob("v*")):
             v = int(d.name[1:])
             if v <= cur - keep:
+                shutil.rmtree(d, ignore_errors=True)
+
+    def vacuum_uncommitted(self) -> None:
+        """Remove orphan version dirs left by crashed or losing writers
+        (claimed-but-never-committed dirs above the pointer). Only call
+        when no writer is active on this table."""
+        cur = self.current_version()
+        for d in sorted(self.dir.glob("v*")):
+            if int(d.name[1:]) > cur:
                 shutil.rmtree(d, ignore_errors=True)
 
 

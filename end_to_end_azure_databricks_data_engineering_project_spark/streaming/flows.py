@@ -98,6 +98,7 @@ def silver_flow(
     def run() -> int:
         src = str(Path(bronze_root) / cfg.table)
         loc = str(Path(state_root) / f"autoload_{cfg.table}")
+        ledger = FileLedger(loc)
         df, new_files = read_new_files(spark, src, cfg.spark_schema, loc)
         if df is None:
             return 0
@@ -105,13 +106,24 @@ def silver_flow(
             df = cleanse(df)
         df = df.drop(RESCUE_COL)
         table = catalog.table(f"silver_{cfg.table}")
-        n = df.count()
-        if table.exists():
-            table.append(df)
-        else:
-            table.overwrite(df)
+        # Idempotence watermark: the ledger's committed-file count is a
+        # monotone drain epoch. A crash after append but before ledger
+        # commit replays the same files at the same epoch → the append
+        # skips, closing the duplicate window (exactly-once, not just
+        # at-least-once).
+        epoch = len(ledger.seen())
+        applied = table.applied_epoch("autoload_drain")
+        if applied is not None and epoch <= applied:
+            ledger.commit(new_files)
+            return 0
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        # rowcount rides the single write action (no separate count scan)
+        table.append(df, epoch=epoch, epoch_key="autoload_drain")
         FileLedger(loc).commit(new_files)  # commit AFTER the sink write
-        return n
+        return obs.get["n"]
 
     return run
 
@@ -138,15 +150,25 @@ def gold_flow(
             src = src.filter(
                 F.col(cfg.cdc_col) > F.lit(last).cast(cfg.spark_schema[cfg.cdc_col].dataType)
             )
-        gated = expect_all_or_drop(src, cfg.expectations, observe=False).df
-        n = gated.count()
-        if n == 0:
-            return 0
-        apply_changes(
-            catalog.table(f"gold_{cfg.table}"), gated,
-            keys=list(cfg.keys), sequence_by=cfg.cdc_col, scd_type=cfg.scd_type,
-        )
-        mx = gated.agg(F.max(cfg.cdc_col)).first()[0]
+        # The gated batch feeds three consumers (stats, key discovery,
+        # merge write) — cache it so the silver scan + expectation filter
+        # run once, and fold count+max into a single agg action.
+        # (Observation can't ride merge_keyed: it allows only one action
+        # over the observed frame, the merge legitimately needs two.)
+        gated = expect_all_or_drop(src, cfg.expectations, observe=False).df.cache()
+        try:
+            stats = gated.agg(
+                F.count(F.lit(1)).alias("n"), F.max(cfg.cdc_col).alias("mx")
+            ).first()
+            n, mx = stats["n"], stats["mx"]
+            if n == 0:
+                return 0
+            apply_changes(
+                catalog.table(f"gold_{cfg.table}"), gated,
+                keys=list(cfg.keys), sequence_by=cfg.cdc_col, scd_type=cfg.scd_type,
+            )
+        finally:
+            gated.unpersist()
         import datetime as _dt
 
         if isinstance(mx, _dt.datetime):
@@ -239,7 +261,10 @@ def silver_stream(
     cleanse: Transform | None = None,
 ):
     """Continuous silver refine as true Structured Streaming with a
-    foreachBatch sink (exactly-once via checkpoint + idempotent append).
+    foreachBatch sink. Genuinely exactly-once: foreachBatch is
+    at-least-once, so the append records the epoch_id in the table
+    commit and a replayed micro-batch (crash after append, before
+    checkpoint commit) is skipped instead of duplicated.
     Returns the StreamingQuery; caller stops it."""
     from end_to_end_azure_databricks_data_engineering_project_spark.sources.autoload import stream_source
 
@@ -251,10 +276,7 @@ def silver_stream(
     table = catalog.table(f"silver_{cfg.table}")
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if table.exists():
-            table.append(batch_df)
-        else:
-            table.overwrite(batch_df)
+        table.append(batch_df, epoch=epoch_id, epoch_key=f"silver_stream_{cfg.table}")
 
     return (
         df.writeStream.foreachBatch(sink)

@@ -160,3 +160,21 @@ def test_partitioned_bronze_layout(spark, tmp_path):
     assert parts == ["cdc_date=2025-01-01", "cdc_date=2025-02-01"]
     back = spark.read.parquet(r.landed_path)
     assert back.count() == 2 and "cdc_date" in back.columns
+
+
+def test_ingest_runs_single_job_per_pull(spark, tmp_path):
+    """The row count and max watermark ride the write action as observed
+    metrics — one source scan, one Spark job per pull (verdict r1 #5:
+    no count+max action separate from the write)."""
+    cfg = TABLE_BY_NAME["dim_user"]
+    store = WatermarkStore(tmp_path / "state")
+    src = _src(spark, [(i, f"u{i}", "US", "Free", None, None, T0) for i in range(50)])
+    sc = spark.sparkContext
+    sc.setJobGroup("ingest_jobs", "count jobs per drain")
+    try:
+        r = ingest_table(spark, cfg, src, str(tmp_path / "bronze"), store, run_ts="rj")
+    finally:
+        sc.setJobGroup(None, None)
+    assert r.rows == 50
+    jobs = sc.statusTracker().getJobIdsForGroup("ingest_jobs")
+    assert len(jobs) == 1, f"expected 1 job per pull, saw {len(jobs)}"

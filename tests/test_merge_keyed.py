@@ -1,0 +1,142 @@
+"""ManagedTable incremental commit machinery: file-pruned keyed merge,
+epoch-idempotent appends, exclusive version claims.
+
+Acceptance (round-1 verdict item 3): an incremental batch touching k
+keys must leave every untouched data file physically identical
+(hardlink / same inode) across versions, with reference CDC semantics
+unchanged (tests/test_cdc*.py stay green on the same apply_changes).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.cdc import (
+    apply_changes,
+    scd1_merge,
+)
+from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import (
+    Catalog,
+    ConcurrentWriteError,
+    ManagedTable,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return Catalog(spark, tmp_path / "wh").table("t")
+
+
+def _files(d):
+    return {f.name: os.stat(f).st_ino for f in d.glob("*.parquet")}
+
+
+def test_merge_keyed_rewrites_only_touched_files(spark, table):
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit("old").alias("val"), F.lit(1).alias("seq")
+    )
+    table.overwrite(base.repartition(8, "k"))
+    v0_files = _files(table._version_dir(table.current_version()))
+    assert len(v0_files) == 8
+
+    batch = spark.createDataFrame([(3, "new", 2)], ["k", "val", "seq"])
+    table.merge_keyed(
+        batch, ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq")
+    )
+    v1_dir = table._version_dir(table.current_version())
+    prior = {
+        name[len("prior_"):]: ino
+        for name, ino in _files(v1_dir).items()
+        if name.startswith("prior_")
+    }
+    # 7 of 8 files carried over as hardlinks — byte-identical, same inode
+    assert len(prior) == 7
+    assert all(v0_files[name] == ino for name, ino in prior.items())
+    # semantics: merged row updated, everything else untouched
+    got = {r.k: r.val for r in table.read().collect()}
+    assert got[3] == "new"
+    assert got[4] == "old"
+    assert len(got) == 1000
+
+
+def test_merge_keyed_all_new_keys_links_everything(spark, table):
+    base = spark.range(100).select(
+        F.col("id").alias("k"), F.lit("old").alias("val"), F.lit(1).alias("seq")
+    )
+    table.overwrite(base.repartition(4, "k"))
+    v0_files = _files(table._version_dir(table.current_version()))
+    batch = spark.createDataFrame([(5000, "ins", 2)], ["k", "val", "seq"])
+    table.merge_keyed(batch, ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq"))
+    v1_dir = table._version_dir(table.current_version())
+    prior = {n[len("prior_"):] for n in _files(v1_dir) if n.startswith("prior_")}
+    assert prior == set(v0_files)  # nothing existing was touched
+    assert table.read().count() == 101
+
+
+def test_apply_changes_scd2_prunes_files(spark, table):
+    base = spark.createDataFrame(
+        [(k, f"v{k}", 1) for k in range(200)], ["k", "val", "seq"]
+    )
+    apply_changes(table, base.repartition(1), keys=["k"], sequence_by="seq", scd_type=2)
+    # spread history over several files so pruning is observable
+    table.overwrite(table.read().repartition(6, "k"))
+    v_before = table.current_version()
+    before = _files(table._version_dir(v_before))
+
+    upd = spark.createDataFrame([(7, "v7b", 2)], ["k", "val", "seq"])
+    apply_changes(table, upd, keys=["k"], sequence_by="seq", scd_type=2)
+    after_dir = table._version_dir(table.current_version())
+    prior = {
+        n[len("prior_"):]: ino
+        for n, ino in _files(after_dir).items()
+        if n.startswith("prior_")
+    }
+    assert len(prior) == 5  # one of six files rewritten
+    assert all(before[n] == ino for n, ino in prior.items())
+    hist = table.read().filter("k = 7").orderBy("seq").collect()
+    assert [r.val for r in hist] == ["v7", "v7b"]
+    assert hist[0]["__END_AT"] == 2 and hist[1]["__END_AT"] is None
+    # untouched key in full
+    assert table.read().filter("k = 8").count() == 1
+
+
+def test_append_epoch_idempotent(spark, table):
+    df = spark.range(10).select(F.col("id").alias("k"))
+    v1 = table.append(df, epoch=0, epoch_key="stream")
+    v2 = table.append(df, epoch=0, epoch_key="stream")  # replayed batch
+    assert v1 == v2
+    assert table.read().count() == 10
+    v3 = table.append(df, epoch=1, epoch_key="stream")
+    assert v3 == v1 + 1
+    assert table.read().count() == 20
+    assert table.applied_epoch("stream") == 1
+    assert table.applied_epoch("other") is None
+
+
+def test_commit_refuses_pointer_regression(spark, table):
+    df = spark.range(5)
+    table.overwrite(df)
+    table.overwrite(df)
+    with pytest.raises(ConcurrentWriteError):
+        table._commit(table.current_version())  # stale writer, same or older v
+
+
+def test_orphan_claim_never_blocks_and_vacuums(spark, table):
+    df = spark.range(5).select(F.col("id").alias("k"))
+    table.overwrite(df)
+    orphan = table._claim_next_version()  # crashed writer leaves this
+    # an uncommitted orphan above the pointer is vacuumable...
+    table.vacuum_uncommitted()
+    assert not table._version_dir(orphan).exists()
+    # ...and even when present, never blocks the next writer
+    orphan2 = table._claim_next_version()
+    v = table.overwrite(df)
+    assert v > orphan2
+    assert table.read().count() == 5
+    # a skipped-over orphan below the new pointer ages out via vacuum()
+    table.vacuum(keep=1)
+    assert not table._version_dir(orphan2).exists()
+    assert table._version_dir(v).exists()

@@ -143,3 +143,33 @@ def test_streaming_silver_variant(spark, tmp_path, sources_phase1):
     out = catalog.table("silver_dim_user").read()
     assert out.count() == 10
     assert out.filter(F.col("user_name").startswith("USER")).count() == 10
+
+
+def test_silver_replay_after_crash_is_exactly_once(spark, tmp_path, sources_phase1):
+    """Crash window between silver append and ledger commit (ADVICE r1):
+    replaying the same drain must NOT duplicate rows — the table commit
+    records the drain epoch and skips the already-applied batch."""
+    import json as _json
+    from pathlib import Path
+
+    store = WatermarkStore(tmp_path / "state")
+    cfgs = [TABLE_BY_NAME["dim_user"]]
+    ingest_all(spark, cfgs, sources_phase1, str(tmp_path / "bronze"), store)
+    pipe, catalog = build_medallion_pipeline(
+        spark, cfgs, str(tmp_path / "bronze"), str(tmp_path / "wh"),
+        str(tmp_path / "state"), _cleansers(),
+    )
+    pipe.run_all()
+    silver = catalog.table("silver_dim_user")
+    n0, v0 = silver.read().count(), silver.current_version()
+    assert n0 == 10
+
+    # simulate the crash: the sink write committed, the ledger did not
+    ledger_path = Path(tmp_path / "state" / "autoload_dim_user" / "ingested_files.json")
+    committed = _json.loads(ledger_path.read_text())
+    ledger_path.unlink()
+
+    pipe.run_all()  # replay drains the same files at the same epoch
+    assert silver.read().count() == n0  # no duplicates
+    assert silver.current_version() == v0  # append skipped entirely
+    assert set(_json.loads(ledger_path.read_text())) == set(committed)
