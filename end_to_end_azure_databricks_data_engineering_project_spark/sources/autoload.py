@@ -127,23 +127,64 @@ def read_new_files(
     return with_rescue(df, declared_schema), new
 
 
+def _merged_stream_schema(
+    spark: SparkSession,
+    source_dir: str,
+    declared_schema: T.StructType,
+    schema_location: str | None,
+) -> T.StructType:
+    """Superset schema pinned at stream start: declared fields + extra
+    columns observed in files already present + extras recorded by a
+    previous run at ``schema_location`` (≙ Autoloader's schemaLocation
+    tracking — restarts keep rescuing columns even if the original files
+    are gone)."""
+    fields: dict[str, T.StructField] = {f.name: f for f in declared_schema.fields}
+    extras: dict[str, T.StructField] = {}
+    if schema_location:
+        stored = Path(schema_location) / "stream_schema.json"
+        if stored.exists():
+            for f in T.StructType.fromJson(json.loads(stored.read_text())).fields:
+                if f.name not in fields:
+                    extras[f.name] = f
+    try:
+        observed = spark.read.option("mergeSchema", "true").parquet(source_dir).schema
+    except Exception:  # no files yet → declared (+stored extras) only
+        observed = T.StructType([])
+    for f in observed.fields:
+        if f.name not in fields and f.name != RESCUE_COL:
+            extras[f.name] = f
+    merged = T.StructType(list(fields.values()) + list(extras.values()))
+    if schema_location:
+        Path(schema_location).mkdir(parents=True, exist_ok=True)
+        tmp = Path(schema_location) / f".stream_schema.tmp.{os.getpid()}"
+        tmp.write_text(json.dumps(merged.jsonValue()))
+        os.replace(tmp, Path(schema_location) / "stream_schema.json")
+    return merged
+
+
 def stream_source(
     spark: SparkSession,
     source_dir: str,
     declared_schema: T.StructType,
     include_rescue: bool = True,
+    schema_location: str | None = None,
 ) -> DataFrame:
     """True Structured-Streaming file source (checkpointed discovery via
-    the query's checkpointLocation). The declared schema is enforced;
-    rescue for a *streaming* source is limited to declared-schema
-    projection (Spark streams require a fixed schema up front — extra
-    columns are captured by the batch-drain path above)."""
+    the query's checkpointLocation) with REAL rescue parity: the
+    physical read is pinned to the merged superset of (declared schema,
+    files present at start, schema ledger), and undeclared columns are
+    packed into ``_rescued_data`` exactly like the batch drain
+    (reference intent: silver_Dimensions.py:27-28 rescue mode on a
+    streaming read). Columns that first appear AFTER the stream starts
+    need a restart to be rescued — file streams require a fixed schema,
+    the same restart contract as Autoloader's schema evolution."""
+    superset = _merged_stream_schema(spark, source_dir, declared_schema, schema_location)
     df = (
         spark.readStream.format("parquet")
-        .schema(declared_schema)
+        .schema(superset)
         .option("maxFilesPerTrigger", 64)
         .load(source_dir)
     )
     if include_rescue:
-        df = df.withColumn(RESCUE_COL, F.lit(None).cast(T.StringType()))
+        df = with_rescue(df, declared_schema)
     return df

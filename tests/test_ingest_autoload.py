@@ -178,3 +178,48 @@ def test_ingest_runs_single_job_per_pull(spark, tmp_path):
     assert r.rows == 50
     jobs = sc.statusTracker().getJobIdsForGroup("ingest_jobs")
     assert len(jobs) == 1, f"expected 1 job per pull, saw {len(jobs)}"
+
+
+def test_stream_source_rescues_extras(spark, tmp_path):
+    """Streaming twin of test_rescue_column_packs_extras (verdict r1 #6):
+    the stream reads the merged superset schema and packs undeclared
+    columns into _rescued_data, like the batch drain."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.autoload import (
+        _merged_stream_schema,
+        stream_source,
+    )
+
+    cfg = TABLE_BY_NAME["dim_artist"]
+    src = str(tmp_path / "bronze" / "dim_artist")
+    spark.createDataFrame(
+        [(1, "x", "Pop", "US", T0, "surprise")],
+        "artist_id int, artist_name string, genre string, country string,"
+        " updated_at timestamp, unexpected_col string",
+    ).write.parquet(src)
+
+    out = stream_source(
+        spark, src, cfg.spark_schema, schema_location=str(tmp_path / "schema")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rescue_twin")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM rescue_twin").collect()
+    assert len(rows) == 1
+    assert json.loads(rows[0]._rescued_data) == {"unexpected_col": "surprise"}
+    declared = [f.name for f in cfg.spark_schema.fields]
+    assert [c for c in rows[0].asDict()] == declared + ["_rescued_data"]
+
+    # restart parity: the schema ledger remembers the extra column even
+    # after the original files are gone
+    import shutil as _sh
+
+    _sh.rmtree(src)
+    merged = _merged_stream_schema(
+        spark, src, cfg.spark_schema, str(tmp_path / "schema")
+    )
+    assert "unexpected_col" in [f.name for f in merged.fields]
