@@ -28,22 +28,33 @@ def windowed_counts(
     window_len: str = "1 hour",
     slide: str | None = None,
     late_threshold: str = "30 minutes",
+    measures: list | None = None,
 ) -> DataFrame:
-    """Tumbling (or sliding) event-time counts per key with watermark."""
+    """Tumbling (or sliding) event-time aggregates per key with watermark.
+
+    ``measures``: extra aggregate Columns beyond the count (each must
+    carry an alias). Default: ``sum(value) AS total_value`` when the
+    stream has a ``value`` column, count-only otherwise — the generic
+    signature no longer throws on streams without ``value``."""
     win = (
         F.window(ts_col, window_len, slide) if slide else F.window(ts_col, window_len)
     )
-    return (
+    if measures is None:
+        measures = (
+            [F.sum("value").alias("total_value")] if "value" in stream.columns else []
+        )
+    aggs = [F.count(F.lit(1)).alias("n"), *measures]
+    out = (
         stream.withWatermark(ts_col, late_threshold)
         .groupBy(win.alias("win"), F.col(key_col))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
-        .select(
-            F.col("win.start").alias("window_start"),
-            F.col("win.end").alias("window_end"),
-            key_col,
-            "n",
-            "total_value",
-        )
+        .agg(*aggs)
+    )
+    agg_cols = [c for c in out.columns if c not in ("win", key_col)]
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        key_col,
+        *agg_cols,
     )
 
 

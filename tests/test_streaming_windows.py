@@ -153,3 +153,58 @@ def test_native_session_window(spark, tmp_path):
     expected = {(r.user_id, r.sess_start, r.n) for r in sess(batch).collect()}
     assert got == expected
     assert len(got) == 9  # 3 users × 3 bursts
+
+
+def test_windowed_counts_without_value_column(spark, tmp_path):
+    """Streams lacking a 'value' column aggregate count-only instead of
+    throwing AnalysisException (round-1 ADVICE #5)."""
+    import datetime as dt
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.windows import (
+        run_available_now,
+        windowed_counts,
+    )
+
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2025, 1, 1)
+    spark.createDataFrame(
+        [(t0 + dt.timedelta(minutes=i), "click") for i in range(10)],
+        "ts timestamp, event_type string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, event_type string").parquet(src)
+    agg = windowed_counts(stream, window_len="1 hour")
+    assert "total_value" not in agg.columns
+    q = run_available_now(agg, "novalue_win", str(tmp_path / "ck"), "complete")
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM novalue_win").collect()
+    assert len(rows) == 1 and rows[0].n == 10
+
+
+def test_windowed_counts_custom_measures(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.windows import (
+        run_available_now,
+        windowed_counts,
+    )
+
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2025, 1, 1)
+    spark.createDataFrame(
+        [(t0 + dt.timedelta(minutes=i), "click", float(i)) for i in range(10)],
+        "ts timestamp, event_type string, amount double",
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, amount double"
+    ).parquet(src)
+    agg = windowed_counts(
+        stream,
+        window_len="1 hour",
+        measures=[F.max("amount").alias("mx"), F.avg("amount").alias("avg_amt")],
+    )
+    q = run_available_now(agg, "custom_win", str(tmp_path / "ck"), "complete")
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM custom_win").collect()
+    assert rows[0].mx == 9.0 and rows[0].avg_amt == 4.5 and rows[0].n == 10
