@@ -134,49 +134,47 @@ def gold_flow(
     catalog: Catalog,
     state_root: str,
 ) -> Callable[[], int]:
-    """Gold CDC: drain new silver rows (tracked by a row-version ledger)
-    → expectations gate → SCD apply_changes (≙ dimuser_stg + auto-CDC
-    flow, DimUser.py:7-29)."""
+    """Gold CDC: drain new silver rows → expectations gate → SCD
+    apply_changes (≙ dimuser_stg + auto-CDC flow, DimUser.py:7-29).
+
+    The drain cursor is the silver TABLE VERSION, not a data-column
+    watermark: ``appended_since(last_v)`` yields exactly the rows of
+    append commits after the cursor, so rows whose cdc value ties the
+    previous max are never lost (the strict-'>' boundary bug a value
+    watermark has at second-granularity timestamps). A crash between
+    apply_changes and the cursor write replays the delta — safe, because
+    SCD merges drop stale/duplicate sequence rows (idempotent)."""
 
     def run() -> int:
         silver = catalog.table(f"silver_{cfg.table}")
         if not silver.exists():
             return 0
-        src = silver.read()
-        # staged-version ledger: only rows with cdc > last applied flow
-        marker = Path(state_root) / f"gold_{cfg.table}.applied"
-        last = marker.read_text().strip() if marker.exists() else ""
-        if last:
-            src = src.filter(
-                F.col(cfg.cdc_col) > F.lit(last).cast(cfg.spark_schema[cfg.cdc_col].dataType)
-            )
-        # The gated batch feeds three consumers (stats, key discovery,
+        marker = Path(state_root) / f"gold_{cfg.table}.applied_v"
+        last_v = int(marker.read_text()) if marker.exists() else None
+        cur_v = silver.current_version()
+        src = silver.appended_since(last_v)
+        if src is None:
+            # No cursor yet, or a non-append commit (compaction /
+            # overwrite / merge) broke the append chain: fall back to a
+            # full read. Replaying already-applied rows is a no-op under
+            # the SCD merges' stale-drop + no-op suppression.
+            src = silver.read()
+        # The gated batch feeds three consumers (count, key discovery,
         # merge write) — cache it so the silver scan + expectation filter
-        # run once, and fold count+max into a single agg action.
-        # (Observation can't ride merge_keyed: it allows only one action
-        # over the observed frame, the merge legitimately needs two.)
+        # run once. (Observation can't ride merge_keyed: it allows only
+        # one action over the observed frame, the merge needs two.)
         gated = expect_all_or_drop(src, cfg.expectations, observe=False).df.cache()
         try:
-            stats = gated.agg(
-                F.count(F.lit(1)).alias("n"), F.max(cfg.cdc_col).alias("mx")
-            ).first()
-            n, mx = stats["n"], stats["mx"]
-            if n == 0:
-                return 0
-            apply_changes(
-                catalog.table(f"gold_{cfg.table}"), gated,
-                keys=list(cfg.keys), sequence_by=cfg.cdc_col, scd_type=cfg.scd_type,
-            )
+            n = gated.count()
+            if n > 0:
+                apply_changes(
+                    catalog.table(f"gold_{cfg.table}"), gated,
+                    keys=list(cfg.keys), sequence_by=cfg.cdc_col, scd_type=cfg.scd_type,
+                )
         finally:
             gated.unpersist()
-        import datetime as _dt
-
-        if isinstance(mx, _dt.datetime):
-            marker.write_text(mx.isoformat(sep=" "))
-        elif isinstance(mx, _dt.date):
-            marker.write_text(mx.isoformat())
-        else:
-            marker.write_text(str(mx))
+        # Advance the cursor even on an empty delta (skip re-scans).
+        marker.write_text(str(cur_v))
         return n
 
     return run

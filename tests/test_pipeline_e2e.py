@@ -173,3 +173,37 @@ def test_silver_replay_after_crash_is_exactly_once(spark, tmp_path, sources_phas
     assert silver.read().count() == n0  # no duplicates
     assert silver.current_version() == v0  # append skipped entirely
     assert set(_json.loads(ledger_path.read_text())) == set(committed)
+
+
+def test_gold_cursor_survives_equal_cdc_timestamp(spark, tmp_path, sources_phase1):
+    """Gold drains by silver TABLE VERSION, not a value watermark
+    (ADVICE r1, flows.py strict-'>' boundary): a row appended to silver
+    later but with a cdc value EQUAL to the previously drained max must
+    still be applied to gold."""
+    store = WatermarkStore(tmp_path / "state")
+    cfgs = [TABLE_BY_NAME["dim_user"]]
+    ingest_all(spark, cfgs, sources_phase1, str(tmp_path / "bronze"), store)
+    pipe, catalog = build_medallion_pipeline(
+        spark, cfgs, str(tmp_path / "bronze"), str(tmp_path / "wh"),
+        str(tmp_path / "state"), _cleansers(),
+    )
+    pipe.run_all()
+    gold = catalog.table("gold_dim_user")
+    assert gold.read().count() == 10
+
+    # Late-arriving silver row whose updated_at TIES the drained max (T0)
+    silver = catalog.table("silver_dim_user")
+    late = spark.createDataFrame(
+        [(999, "USER 999", "US", "Free", None, None, T0)],
+        silver.read().schema,
+    )
+    silver.append(late)
+
+    pipe.run_all()
+    got = gold.read().filter(F.col("user_id") == 999)
+    assert got.count() == 1  # a value watermark would have dropped it
+
+    # re-draining with no new silver commits is a no-op
+    pipe.run_all()
+    assert gold.read().filter(F.col("user_id") == 999).count() == 1
+    assert gold.read().count() == 11
