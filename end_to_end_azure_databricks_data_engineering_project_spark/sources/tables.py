@@ -48,6 +48,27 @@ class ConcurrentWriteError(RuntimeError):
     directory is an uncommitted orphan (remove with vacuum())."""
 
 
+def _stat_value(v):
+    """Normalize a parquet-footer statistic (or a query bound) to a
+    JSON-safe, totally-ordered value. Returns None for types where
+    pruning on stored stats would be unsafe (decimal — float rounding
+    could move a min upward past a real value — bytes, bool, nested):
+    those columns simply never prune, which is always correct."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        return v
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return None
+
+
 class ManagedTable:
     """A named table backed by immutable parquet snapshot versions.
 
@@ -141,6 +162,117 @@ class ManagedTable:
     def _write_op_marker(self, v: int, op: str) -> None:
         (self._version_dir(v) / "_op").write_text(op)
 
+    # -- file statistics / data skipping ------------------------------------
+    def _collect_stats(self, vdir: Path, prior_stats: dict | None = None) -> dict:
+        """Record per-file min/max column stats in ``_stats.json``.
+
+        Metadata-only: stats come from parquet FOOTERS (pyarrow), no data
+        scan — the same information Delta keeps in its transaction log.
+        Hardlinked ``prior_*`` files inherit the previous version's entry
+        (zero IO); only freshly written files read a footer. A column
+        with any stats-less row group (or an unsafe type, see
+        ``_stat_value``) gets no entry and therefore never prunes."""
+        import pyarrow.parquet as pq
+
+        stats: dict[str, dict] = {}
+        for f in sorted(vdir.glob("*.parquet")):
+            if prior_stats is not None and f.name.startswith("prior_"):
+                src = prior_stats.get(f.name[len("prior_"):])
+                if src is not None:
+                    stats[f.name] = src
+                    continue
+            try:
+                md = pq.ParquetFile(str(f)).metadata
+            except Exception:  # unreadable footer → file never prunes
+                continue
+            cols: dict[str, dict | None] = {}
+            for rg_i in range(md.num_row_groups):
+                rg = md.row_group(rg_i)
+                for c_i in range(rg.num_columns):
+                    col = rg.column(c_i)
+                    name = col.path_in_schema
+                    if "." in name or (name in cols and cols[name] is None):
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        cols[name] = None
+                        continue
+                    mn, mx = _stat_value(st.min), _stat_value(st.max)
+                    if mn is None or mx is None:
+                        cols[name] = None
+                        continue
+                    if name not in cols:
+                        cols[name] = {"min": mn, "max": mx}
+                    else:
+                        e = cols[name]
+                        e["min"] = min(e["min"], mn)
+                        e["max"] = max(e["max"], mx)
+            stats[f.name] = {
+                "rows": md.num_rows,
+                "cols": {k: v for k, v in cols.items() if v is not None},
+            }
+        (vdir / "_stats.json").write_text(json.dumps(stats))
+        return stats
+
+    def file_stats(self, v: int | None = None) -> dict | None:
+        """The committed per-file stats map for version ``v`` (default
+        current), or None when the version predates stats collection."""
+        if v is None:
+            v = self.current_version()
+        p = self._version_dir(v) / "_stats.json"
+        if not p.exists():
+            return None
+        return json.loads(p.read_text())
+
+    def pruned_files(self, predicates: dict) -> list[Path]:
+        """Data skipping: the subset of current-snapshot files that can
+        contain a row satisfying ``{col: (lo, hi)}`` range predicates
+        (either bound may be None). Files without usable stats are kept
+        — pruning is always a superset of the true answer."""
+        vdir = self._version_dir(self.current_version())
+        stats = self.file_stats()
+        norm = {
+            c: (_stat_value(lo), _stat_value(hi)) for c, (lo, hi) in predicates.items()
+        }
+        keep: list[Path] = []
+        for f in sorted(vdir.glob("*.parquet")):
+            entry = stats.get(f.name) if stats else None
+            if entry is None:
+                keep.append(f)
+                continue
+            drop = False
+            for c, (lo, hi) in norm.items():
+                ci = entry["cols"].get(c)
+                if ci is None:
+                    continue
+                if (lo is not None and ci["max"] < lo) or (
+                    hi is not None and ci["min"] > hi
+                ):
+                    drop = True
+                    break
+            if not drop:
+                keep.append(f)
+        return keep
+
+    def read_pruned(self, predicates: dict) -> DataFrame:
+        """Range-predicate read through the file-stats index: opens only
+        files whose [min, max] overlaps every bound, then applies the
+        exact predicate. At 100 TB / millions of files this is the
+        difference between a manifest lookup and opening every footer;
+        cluster the table (``compact(cluster_by=...)``) to make the
+        ranges disjoint and the skipping sharp."""
+        files = self.pruned_files(predicates)
+        if not files:
+            df = self.spark.createDataFrame([], self.read().schema)
+        else:
+            df = self.spark.read.parquet(*[str(f) for f in files])
+        for c, (lo, hi) in predicates.items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
+        return df
+
     def _op(self, v: int) -> str:
         p = self._version_dir(v) / "_op"
         return p.read_text() if p.exists() else "unknown"
@@ -199,6 +331,7 @@ class ManagedTable:
         v = self._claim_next_version()
         df.write.mode("overwrite").parquet(str(self._version_dir(v)))
         self._write_op_marker(v, "snapshot")
+        self._collect_stats(self._version_dir(v))
         self._commit(v, epoch, epoch_key)
         return v
 
@@ -216,6 +349,7 @@ class ManagedTable:
         if v >= 0:
             self._link_prior(self._version_dir(v), new_dir)
         self._write_op_marker(new_v, "append")
+        self._collect_stats(new_dir, self.file_stats(v) if v >= 0 else None)
         self._commit(new_v, epoch, epoch_key)
         return new_v
 
@@ -269,18 +403,35 @@ class ManagedTable:
         merge_fn(subset, batch).write.mode("overwrite").parquet(str(new_dir))
         self._link_prior(vdir, new_dir, skip=touched_files)
         self._write_op_marker(new_v, "merge")
+        self._collect_stats(new_dir, self.file_stats(v))
         self._commit(new_v, epoch, epoch_key)
         return new_v
 
-    def compact(self, target_partitions: int | None = None) -> int:
+    def compact(
+        self,
+        target_partitions: int | None = None,
+        cluster_by: Sequence[str] | None = None,
+    ) -> int:
         """Rewrite the current snapshot with bin-packed files (small-file
         compaction — appends accumulate one file set per batch; compaction
-        restores scan efficiency). New snapshot version, atomic swap."""
+        restores scan efficiency). New snapshot version, atomic swap.
+
+        ``cluster_by``: range-cluster the rewrite on these columns
+        (``repartitionByRange`` + in-file sort) so per-file min/max
+        ranges become disjoint — this is what turns the ``_stats.json``
+        index into sharp data skipping (``read_pruned``) and keeps
+        ``merge_keyed`` touching few files per incremental batch."""
         df = self.read()
         if target_partitions is None:
             n_files = len(list(self._version_dir(self.current_version()).glob("*.parquet")))
             target_partitions = max(1, n_files // 8)
-        return self.overwrite(df.coalesce(target_partitions))
+        if cluster_by:
+            df = df.repartitionByRange(target_partitions, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
+        else:
+            df = df.coalesce(target_partitions)
+        return self.overwrite(df)
 
     def vacuum(self, keep: int = 2) -> None:
         """Drop snapshot dirs older than the newest ``keep`` versions."""

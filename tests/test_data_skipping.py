@@ -1,0 +1,147 @@
+"""File-level data skipping on ManagedTable: per-file min/max stats
+recorded from parquet footers at commit time (_stats.json — the same
+information Delta keeps in its log), a pruned read path, and
+cluster-by compaction that makes the skipping sharp.
+
+Scale rationale: at 100 TB / millions of files, answering a range
+predicate from a manifest instead of opening every file's footer is the
+difference between a driver-side dict lookup and a full file listing
+scan. Correctness is never at stake — files without usable stats are
+always kept (pruning yields a superset).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+
+from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return Catalog(spark, tmp_path / "wh").table("t")
+
+
+def _batch(spark, lo, hi, day):
+    return spark.createDataFrame(
+        [(i, f"k{i:04d}", float(i) / 2, dt.date(2024, 1, day)) for i in range(lo, hi)],
+        "id long, name string, score double, d date",
+    ).coalesce(1)
+
+
+def test_append_collects_stats_and_prunes(spark, table):
+    for b, day in [((0, 100), 1), ((100, 200), 2), ((200, 300), 3), ((300, 400), 4)]:
+        table.append(_batch(spark, *b, day))
+
+    stats = table.file_stats()
+    assert stats is not None
+    data_files = [k for k in stats if k.endswith(".parquet")]
+    assert len(data_files) == 4
+    # prior_-linked files inherited entries (no footer re-read needed)
+    assert sum(k.startswith("prior_") for k in data_files) == 3
+
+    # id range hitting one batch → exactly one file survives pruning
+    pruned = table.pruned_files({"id": (150, 160)})
+    assert len(pruned) == 1
+    got = table.read_pruned({"id": (150, 160)})
+    want = table.read().filter("id >= 150 and id <= 160")
+    assert sorted(r.id for r in got.collect()) == sorted(r.id for r in want.collect())
+
+
+def test_pruning_matches_full_scan_on_every_type(spark, table):
+    for b, day in [((0, 100), 1), ((100, 200), 5), ((200, 300), 9)]:
+        table.append(_batch(spark, *b, day))
+    cases = [
+        {"id": (None, 42)},
+        {"id": (250, None)},
+        {"name": ("k0100", "k0199")},
+        {"score": (50.0, 75.0)},
+        {"d": (dt.date(2024, 1, 4), dt.date(2024, 1, 6))},
+        {"id": (90, 210), "d": (dt.date(2024, 1, 5), None)},
+    ]
+    full = table.read()
+    for preds in cases:
+        got = {tuple(r) for r in table.read_pruned(preds).collect()}
+        f = full
+        for c, (lo, hi) in preds.items():
+            if lo is not None:
+                f = f.filter(f[c] >= lo)
+            if hi is not None:
+                f = f.filter(f[c] <= hi)
+        want = {tuple(r) for r in f.collect()}
+        assert got == want, preds
+
+
+def test_cluster_by_compaction_sharpens_skipping(spark, table):
+    # interleaved ids across appends → every file overlaps every range
+    rows = [(i, f"k{i:04d}", float(i), dt.date(2024, 1, 1)) for i in range(0, 400)]
+    import random
+
+    rng = random.Random(7)
+    rng.shuffle(rows)
+    for j in range(4):
+        table.append(
+            spark.createDataFrame(
+                rows[j * 100 : (j + 1) * 100],
+                "id long, name string, score double, d date",
+            ).coalesce(1)
+        )
+    assert len(table.pruned_files({"id": (10, 20)})) == 4  # no skipping possible
+
+    table.compact(target_partitions=4, cluster_by=["id"])
+    pruned = table.pruned_files({"id": (10, 20)})
+    assert len(pruned) == 1  # disjoint ranges → single file
+    got = sorted(r.id for r in table.read_pruned({"id": (10, 20)}).collect())
+    assert got == list(range(10, 21))
+
+
+def test_merge_preserves_stats_for_untouched_files(spark, table):
+    for b in [(0, 100), (100, 200)]:
+        table.append(_batch(spark, *b, 1))
+    batch = spark.createDataFrame(
+        [(5, "k0005x", 99.0, dt.date(2024, 2, 1))],
+        "id long, name string, score double, d date",
+    )
+    table.merge_keyed(
+        batch,
+        ["id"],
+        lambda cur, b: cur.join(b.select("id"), "id", "left_anti").unionByName(b),
+    )
+    stats = table.file_stats()
+    assert stats is not None
+    # the untouched 100-199 file kept its (inherited) stats entry
+    assert len(table.pruned_files({"id": (150, 160)})) == 1
+    got = {r.id for r in table.read_pruned({"id": (0, 10)}).collect()}
+    assert got == set(range(0, 11))
+    assert table.read_pruned({"id": (5, 5)}).first().name == "k0005x"
+
+
+def test_missing_stats_keeps_all_files(spark, table):
+    table.append(_batch(spark, 0, 100, 1))
+    vdir = table._version_dir(table.current_version())
+    (vdir / "_stats.json").unlink()
+    assert len(table.pruned_files({"id": (0, 1)})) == len(list(vdir.glob("*.parquet")))
+    assert table.read_pruned({"id": (0, 1)}).count() == 2
+
+
+def test_unsafe_column_types_never_prune_but_stay_correct(spark, table):
+    df = spark.createDataFrame(
+        [(i, bool(i % 2), bytes([i])) for i in range(50)],
+        "id long, flag boolean, payload binary",
+    ).coalesce(1)
+    table.overwrite(df)
+    stats = table.file_stats()
+    (entry,) = stats.values()
+    assert "id" in entry["cols"]
+    assert "flag" not in entry["cols"] and "payload" not in entry["cols"]
+    assert table.read_pruned({"id": (10, 12)}).count() == 3
+
+
+def test_stats_json_is_invisible_to_plain_reads(spark, table):
+    table.append(_batch(spark, 0, 10, 1))
+    assert table.read().count() == 10
+    vdir = table._version_dir(table.current_version())
+    assert json.loads((vdir / "_stats.json").read_text())
