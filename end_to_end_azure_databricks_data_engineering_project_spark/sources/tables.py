@@ -48,6 +48,13 @@ class ConcurrentWriteError(RuntimeError):
     directory is an uncommitted orphan (remove with vacuum())."""
 
 
+class SchemaMismatchError(ValueError):
+    """An incoming batch's schema is incompatible with the table's
+    committed schema (Delta-style schema ENFORCEMENT). Raised for type
+    changes, for missing non-nullable columns, and for new columns
+    unless the write opts into evolution (``evolve=True``)."""
+
+
 def _stat_value(v):
     """Normalize a parquet-footer statistic (or a query bound) to a
     JSON-safe, totally-ordered value. Returns None for types where
@@ -146,12 +153,69 @@ class ManagedTable:
         tmp.write_text(json.dumps(state))
         os.replace(tmp, self._pointer())
 
+    # -- schema enforcement / evolution -------------------------------------
+    def _write_schema(self, vdir: Path, schema) -> None:
+        (vdir / "_schema.json").write_text(schema.json())
+
+    def table_schema(self, v: int | None = None):
+        """The committed canonical schema for version ``v`` (default
+        current), or None for versions predating schema tracking."""
+        from pyspark.sql.types import StructType
+
+        if v is None:
+            v = self.current_version()
+        p = self._version_dir(v) / "_schema.json"
+        if not p.exists():
+            return None
+        return StructType.fromJson(json.loads(p.read_text()))
+
+    def _align(self, df: DataFrame, evolve: bool):
+        """Enforce the committed schema on an incoming batch (Delta-style).
+
+        Returns ``(aligned_df, schema_to_commit)``. Same-name columns
+        must match types exactly; missing nullable columns are
+        null-filled; missing non-nullable columns raise; NEW columns
+        raise unless ``evolve=True``, which widens the canonical schema
+        (old files need no rewrite — ``read()`` pins the stored schema,
+        so the parquet reader null-fills them per file)."""
+        stored = self.table_schema()
+        if stored is None:
+            return df, df.schema
+        by_name = {f.name: f for f in df.schema.fields}
+        stored_names = {f.name for f in stored.fields}
+        extras = [f for f in df.schema.fields if f.name not in stored_names]
+        for f in stored.fields:
+            got = by_name.get(f.name)
+            if got is not None and got.dataType != f.dataType:
+                raise SchemaMismatchError(
+                    f"table {self.name}: column {f.name} is {f.dataType.simpleString()}, "
+                    f"batch has {got.dataType.simpleString()} (cast before writing)"
+                )
+            if got is None and not f.nullable:
+                raise SchemaMismatchError(
+                    f"table {self.name}: batch is missing non-nullable column {f.name}"
+                )
+        if extras and not evolve:
+            raise SchemaMismatchError(
+                f"table {self.name}: batch adds column(s) "
+                f"{[f.name for f in extras]} not in the table schema; "
+                f"pass evolve=True to widen it"
+            )
+        cols = [
+            (F.col(f.name) if f.name in by_name else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in stored.fields
+        ] + [F.col(f.name) for f in extras]
+        out = df.select(*cols)
+        return out, out.schema
+
     # -- read/write ----------------------------------------------------------
     def read(self) -> DataFrame:
         v = self.current_version()
         if v < 0:
             raise FileNotFoundError(f"table {self.name} has no committed version")
-        return self.spark.read.parquet(str(self._version_dir(v)))
+        schema = self.table_schema(v)
+        reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
+        return reader.parquet(str(self._version_dir(v)))
 
     def read_or_empty(self, like: DataFrame) -> DataFrame:
         """Current snapshot, or an empty frame with ``like``'s schema."""
@@ -305,7 +369,9 @@ class ManagedTable:
             )
         if not files:
             return self.spark.createDataFrame([], self.read().schema)
-        return self.spark.read.parquet(*sorted(files))
+        schema = self.table_schema(cur)
+        reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
+        return reader.parquet(*sorted(files))
 
     def _link_prior(self, src_dir: Path, new_dir: Path, skip: set[str] | None = None) -> None:
         """Hardlink prior snapshot files into the new version (no data
@@ -331,24 +397,32 @@ class ManagedTable:
         v = self._claim_next_version()
         df.write.mode("overwrite").parquet(str(self._version_dir(v)))
         self._write_op_marker(v, "snapshot")
+        self._write_schema(self._version_dir(v), df.schema)
         self._collect_stats(self._version_dir(v))
         self._commit(v, epoch, epoch_key)
         return v
 
-    def append(self, df: DataFrame, epoch=None, epoch_key=None) -> int:
+    def append(self, df: DataFrame, epoch=None, epoch_key=None, evolve: bool = False) -> int:
         """Append = new snapshot directory: new files land next to
         hardlinked prior files (cheap, no data rewrite). Epoch watermark
         as in ``overwrite`` — replaying the same micro-batch is a no-op,
-        making checkpoint + append genuinely exactly-once."""
+        making checkpoint + append genuinely exactly-once.
+
+        Schema is ENFORCED against the committed one (aligned order,
+        null-filled missing nullable columns, exact types); new columns
+        require ``evolve=True``, which widens the canonical schema
+        without rewriting old files."""
         if self._epoch_already_applied(epoch, epoch_key):
             return self.current_version()
         v = self.current_version()
+        df, schema = self._align(df, evolve)
         new_v = self._claim_next_version()
         new_dir = self._version_dir(new_v)
         df.write.mode("overwrite").parquet(str(new_dir))
         if v >= 0:
             self._link_prior(self._version_dir(v), new_dir)
         self._write_op_marker(new_v, "append")
+        self._write_schema(new_dir, schema)
         self._collect_stats(new_dir, self.file_stats(v) if v >= 0 else None)
         self._commit(new_v, epoch, epoch_key)
         return new_v
@@ -382,7 +456,7 @@ class ManagedTable:
             return self.overwrite(merge_fn(empty, batch), epoch, epoch_key)
         v = self.current_version()
         vdir = self._version_dir(v)
-        cur = self.spark.read.parquet(str(vdir))
+        cur = self.read()
         bkeys = batch.select(*keys).distinct()
         touched = (
             cur.withColumn("__file", F.input_file_name())
@@ -395,14 +469,19 @@ class ManagedTable:
         new_v = self._claim_next_version()
         new_dir = self._version_dir(new_v)
         if touched_files:
-            subset = self.spark.read.parquet(
-                *[str(vdir / f) for f in sorted(touched_files)]
-            )
+            stored = self.table_schema(v)
+            reader = self.spark.read.schema(stored) if stored is not None else self.spark.read
+            subset = reader.parquet(*[str(vdir / f) for f in sorted(touched_files)])
         else:
             subset = self.spark.createDataFrame([], cur.schema)
-        merge_fn(subset, batch).write.mode("overwrite").parquet(str(new_dir))
+        # Schema is enforced on the merge OUTPUT (the batch legitimately
+        # differs — e.g. CDC batches lack the SCD bookkeeping columns
+        # that merge_fn itself adds).
+        merged, schema = self._align(merge_fn(subset, batch), evolve=False)
+        merged.write.mode("overwrite").parquet(str(new_dir))
         self._link_prior(vdir, new_dir, skip=touched_files)
         self._write_op_marker(new_v, "merge")
+        self._write_schema(new_dir, schema)
         self._collect_stats(new_dir, self.file_stats(v))
         self._commit(new_v, epoch, epoch_key)
         return new_v

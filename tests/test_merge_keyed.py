@@ -42,7 +42,7 @@ def test_merge_keyed_rewrites_only_touched_files(spark, table):
     v0_files = _files(table._version_dir(table.current_version()))
     assert len(v0_files) == 8
 
-    batch = spark.createDataFrame([(3, "new", 2)], ["k", "val", "seq"])
+    batch = spark.createDataFrame([(3, "new", 2)], "k long, val string, seq int")
     table.merge_keyed(
         batch, ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq")
     )
@@ -68,7 +68,7 @@ def test_merge_keyed_all_new_keys_links_everything(spark, table):
     )
     table.overwrite(base.repartition(4, "k"))
     v0_files = _files(table._version_dir(table.current_version()))
-    batch = spark.createDataFrame([(5000, "ins", 2)], ["k", "val", "seq"])
+    batch = spark.createDataFrame([(5000, "ins", 2)], "k long, val string, seq int")
     table.merge_keyed(batch, ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq"))
     v1_dir = table._version_dir(table.current_version())
     prior = {n[len("prior_"):] for n in _files(v1_dir) if n.startswith("prior_")}
