@@ -373,6 +373,84 @@ class ManagedTable:
         reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
         return reader.parquet(*sorted(files))
 
+    def changes_since(self, v: int | None, keys: Sequence[str] | None = None) -> DataFrame | None:
+        """Delta-CDF-style change feed: the row-level changes committed
+        strictly after version ``v``, as the table's columns plus
+        ``_change_type`` ('insert' / 'delete', or 'update_pre' /
+        'update_post' when ``keys`` lets a delete+insert of the same key
+        be recognized as an update).
+
+        Where ``appended_since`` gives up on any non-append commit, this
+        feed also spans MERGE commits — computed by diffing only the
+        files the merge touched (small, thanks to file-pruned merges),
+        never the whole table. Returns None when the delta is not
+        derivable (no cursor, or a full-snapshot rewrite/compaction in
+        the range — those are rewrites of everything, so a diff would
+        cost a full table comparison anyway; rebuild instead).
+
+        Exactly-once consumption: fold the result, then store ``v`` =
+        ``current_version()`` read BEFORE calling (same cursor contract
+        as ``appended_since``)."""
+        cur = self.current_version()
+        if v is None:
+            return None
+        schema = self.table_schema(cur)
+
+        def _read(paths):
+            if not paths:
+                return self.spark.createDataFrame([], schema or self.read().schema)
+            reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
+            return reader.parquet(*sorted(paths))
+
+        if v >= cur:
+            return _read([]).withColumn("_change_type", F.lit("insert")).limit(0)
+        inserts: list[DataFrame] = []
+        deletes: list[DataFrame] = []
+        for vv in range(v + 1, cur + 1):
+            op = self._op(vv)
+            vdir = self._version_dir(vv)
+            new_files = [str(f) for f in vdir.glob("*.parquet") if not f.name.startswith("prior_")]
+            if op == "append":
+                inserts.append(_read(new_files))
+            elif op == "merge":
+                # touched files = prior-version data files NOT hardlinked in
+                linked = {
+                    f.name[len("prior_"):] for f in vdir.glob("prior_*.parquet")
+                }
+                prev_dir = self._version_dir(vv - 1)
+                touched_old = [
+                    str(f) for f in prev_dir.glob("*.parquet") if f.name not in linked
+                ]
+                old_rows, new_rows = _read(touched_old), _read(new_files)
+                deletes.append(old_rows.exceptAll(new_rows))
+                inserts.append(new_rows.exceptAll(old_rows))
+            else:  # snapshot rewrite / compaction / unknown → not derivable
+                return None
+        import functools
+
+        empty = _read([])
+        ins = functools.reduce(DataFrame.unionAll, inserts, empty)
+        dels = functools.reduce(DataFrame.unionAll, deletes, empty)
+        ins = ins.withColumn("_change_type", F.lit("insert"))
+        dels = dels.withColumn("_change_type", F.lit("delete"))
+        if not keys:
+            return ins.unionAll(dels)
+        # pair delete+insert on the same key into update_pre/update_post
+        key_cols = list(keys)
+        upd_keys = (
+            ins.select(*key_cols).intersect(dels.select(*key_cols))
+        )
+        b = F.broadcast(upd_keys)
+        upd_post = ins.join(b, key_cols, "left_semi").withColumn(
+            "_change_type", F.lit("update_post")
+        )
+        upd_pre = dels.join(b, key_cols, "left_semi").withColumn(
+            "_change_type", F.lit("update_pre")
+        )
+        pure_ins = ins.join(b, key_cols, "left_anti")
+        pure_del = dels.join(b, key_cols, "left_anti")
+        return pure_ins.unionAll(pure_del).unionAll(upd_pre).unionAll(upd_post)
+
     def _link_prior(self, src_dir: Path, new_dir: Path, skip: set[str] | None = None) -> None:
         """Hardlink prior snapshot files into the new version (no data
         rewrite; copy fallback for filesystems without hardlinks)."""
