@@ -88,6 +88,27 @@ class Measure:
             return F.hll_sketch_estimate(c).alias(self.name)
         return c.alias(self.name)
 
+    @property
+    def invertible(self) -> bool:
+        """Whether a deletion can be retracted from the aggregate
+        (sum/count: yes; min/max/sketches: no — a removed minimum may
+        unmask a value the aggregate no longer remembers)."""
+        return self.kind in ("sum", "count")
+
+    def signed_partial(self):
+        """Partial over a CHANGE FEED batch: inserts/update_posts add,
+        deletes/update_pres retract. Output types match ``partial()``
+        exactly, so signed and plain increments share one log."""
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_post"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        c = F.col(self.source_col)
+        if self.kind == "sum":
+            return F.sum(c.cast(DEC) * sign).alias(self.name)
+        if self.kind == "count":
+            return F.sum(sign.cast("long")).alias(self.name)
+        raise ValueError(f"measure {self.name} ({self.kind}) is not invertible")
+
 
 class IncrementalAgg:
     """Standing aggregate over an append-only source ManagedTable.
@@ -134,18 +155,33 @@ class IncrementalAgg:
         if last is not None and src_v <= last:
             self._fold()  # catch up stage 2 after a stage-1-only crash
             return 0
+        signed = False
         delta = src.appended_since(last)
         if delta is None:
             if last is None:
                 delta = src.read()  # first fold: full snapshot
             else:
-                raise RuntimeError(
-                    f"mv_{self.name}: source {self.source_table} had a "
-                    "non-append commit since the last refresh; the "
-                    "incremental delta is not derivable — rebuild the MV"
-                )
+                # Source had merge commits: fold the CHANGE FEED instead
+                # (inserts add, deletes retract) — keeps an MV over an
+                # SCD1-merged gold table incremental. Only invertible
+                # measures can retract.
+                non_inv = [m.name for m in self.measures if not m.invertible]
+                delta = None if non_inv else src.changes_since(last)
+                if delta is None:
+                    why = (
+                        f"non-invertible measures {non_inv}" if non_inv
+                        else "a snapshot rewrite in the version range"
+                    )
+                    raise RuntimeError(
+                        f"mv_{self.name}: source {self.source_table} had "
+                        f"non-append commits and the change-feed fold is "
+                        f"unavailable ({why}) — rebuild the MV"
+                    )
+                signed = True
         n = delta.count()
-        partial = delta.groupBy(*self.keys).agg(*[m.partial() for m in self.measures])
+        partial = delta.groupBy(*self.keys).agg(
+            *[(m.signed_partial() if signed else m.partial()) for m in self.measures]
+        )
         self.log.append(partial, epoch=src_v, epoch_key="src_version")
         self._fold()
         return n
@@ -182,6 +218,11 @@ def fold_increments(mv, log, last, log_v, keys, measures, derive=None) -> None:
         .groupBy(*keys)
         .agg(*[m.merge() for m in measures])
     )
+    # A group fully retracted by change-feed deletes folds to count 0 —
+    # drop it, matching a from-scratch recompute (which never sees it).
+    counts = [m for m in measures if m.kind == "count"]
+    if counts:
+        merged = merged.filter(F.col(counts[0].name) != 0)
     mv.overwrite(merged, epoch=log_v, epoch_key="log_version")
 
 
