@@ -2282,6 +2282,125 @@ def q_dataset_split(spark, sf):
     )
 
 
+@_q(
+    "mode_per_group",
+    "Deterministic per-group mode (most frequent event type per user; "
+    "ties break to the lexicographically smallest — unlike engine mode() "
+    "kernels, reproducible on any engine/partitioning)",
+    "agg surface (mode); extension: majority-category curation "
+    "(e.g. dominant language per domain)",
+    """
+    SELECT user_id, event_type AS modal_event, n_events
+    FROM (
+      SELECT user_id, event_type, count(*) AS n_events,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type ASC) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+)
+def q_mode_per_group(spark, sf):
+    counts = (
+        _t(spark, sf, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", F.col("event_type").alias("modal_event"), "n_events")
+    )
+
+
+@_q(
+    "date_spine_gapfill",
+    "Gap-filled daily time series: generate the continuous day spine "
+    "between min and max event dates and zero-fill days with no events "
+    "(sequence + explode ⋈ left join)",
+    "extension: time-series analytics (gap filling); SURVEY §2.3 calendar",
+    """
+    WITH bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events
+    ),
+    days AS (
+      SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    counts AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_events FROM events GROUP BY 1
+    )
+    SELECT d.day AS day, COALESCE(c.n_events, 0) AS n_events
+    FROM days d LEFT JOIN counts c USING (day)
+    """,
+)
+def q_date_spine_gapfill(spark, sf):
+    ev = _t(spark, sf, "events").select(F.to_date("ts").alias("day"))
+    counts = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n_events"))
+    spine = (
+        ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    return spine.join(counts, "day", "left").select(
+        "day", F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events")
+    )
+
+
+@_q(
+    "funnel_conversion",
+    "Two-step temporal funnel: of users whose first 'view' exists, how "
+    "many later 'purchase' (strictly after that first view) — conditional "
+    "temporal aggregation, no engine-specific funnel kernel",
+    "extension: behavioral/funnel analytics over the events stream",
+    """
+    WITH fv AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT DISTINCT f.user_id
+      FROM fv f JOIN events e
+        ON e.user_id = f.user_id AND e.event_type = 'purchase'
+       AND e.ts > f.first_view
+    )
+    SELECT (SELECT count(*) FROM fv) AS n_viewers,
+           (SELECT count(*) FROM conv) AS n_converted,
+           round(CAST((SELECT count(*) FROM conv) AS DOUBLE)
+                 / (SELECT count(*) FROM fv), 9) AS conversion_rate
+    """,
+)
+def q_funnel_conversion(spark, sf):
+    ev = _t(spark, sf, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    conv = (
+        fv.join(
+            purchases,
+            (fv.user_id == purchases.user_id) & (purchases.ts > fv.first_view),
+            "inner",
+        )
+        .select(fv.user_id)
+        .distinct()
+    )
+    n_v = fv.agg(F.count(F.lit(1)).alias("n_viewers"))
+    n_c = conv.agg(F.count(F.lit(1)).alias("n_converted"))
+    return n_v.crossJoin(n_c).select(
+        "n_viewers",
+        "n_converted",
+        F.round(F.col("n_converted").cast("double") / F.col("n_viewers"), 9).alias(
+            "conversion_rate"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run (r1
