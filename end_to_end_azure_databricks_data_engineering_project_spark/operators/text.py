@@ -112,6 +112,76 @@ def detect_language(text: Column) -> Column:
     return best_lang
 
 
+# Default PII patterns: phone-like digit groups, email addresses, IPv4.
+# Java regex (Spark) and RE2-ish (DuckDB) agree on this subset — keep
+# patterns free of lookarounds/backrefs so both engines match identically.
+PII_PATTERNS: dict[str, str] = {
+    "PHONE": r"\b\d{3}-\d{3}-\d{4}\b",
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IP": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact(text: Column, patterns: dict[str, str] = PII_PATTERNS) -> Column:
+    """Replace every match of each pattern with its [TAG]. Pure
+    regexp_replace chain — codegen'd, zero shuffles, scan-stage work at
+    100 TB. Patterns apply in sorted-tag order for determinism."""
+    out = text
+    for tag in sorted(patterns):
+        out = F.regexp_replace(out, patterns[tag], f"[{tag}]")
+    return out
+
+
+def redaction_count(text: Column, patterns: dict[str, str] = PII_PATTERNS) -> Column:
+    """Total matches across patterns (pre-redaction, per pattern
+    independently — overlapping tags count once per pattern)."""
+    total = F.lit(0)
+    for tag in sorted(patterns):
+        total = total + F.size(F.regexp_extract_all(text, F.lit(patterns[tag]), 0))
+    return total.cast("int")
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 40,
+    stride: int = 30,
+) -> DataFrame:
+    """Split each document into overlapping whitespace-token windows
+    (training-sample chunking). Emits (id, chunk_idx, n_tokens,
+    chunk_text). Pure array ops: split → sequence of window starts →
+    explode → slice → array_join; no Python UDF, chunking runs in the
+    scan stage and only the (much smaller) chunk rows ever shuffle.
+
+    Stride < chunk_size gives overlap; the final window is the last
+    start position < token count (short tail windows are kept, matching
+    common LLM pack-and-truncate loaders)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride)
+    )
+    out = (
+        df.select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n"))
+        .select(
+            id_col,
+            "_toks",
+            F.explode(F.filter(starts, lambda s: s < F.col("_n"))).alias("_start"),
+        )
+        .select(
+            id_col,
+            (F.col("_start") / stride).cast("int").alias("chunk_idx"),
+            F.slice(F.col("_toks"), F.col("_start") + 1, chunk_size).alias("_chunk"),
+        )
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.size("_chunk").cast("int").alias("n_tokens"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
+    )
+
+
 def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the full metric set."""
     t = F.col(text_col)

@@ -37,6 +37,7 @@ from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup 
     MINHASH_P,
     minhash_components,
     minhash_constants,
+    shingles_from_tokens,
     simhash64,
     tokens,
 )
@@ -2398,6 +2399,349 @@ def q_funnel_conversion(spark, sf):
         F.round(F.col("n_converted").cast("double") / F.col("n_viewers"), 9).alias(
             "conversion_rate"
         ),
+    )
+
+
+@_q(
+    "pii_redaction",
+    "PII scrub: regex redaction of phone/email/IP patterns with per-row "
+    "match counts (pure regexp_replace chain, scan-stage at 100 TB). "
+    "Contact strings are derived deterministically from customer fields "
+    "(the synthetic corpus carries no natural PII)",
+    "extension: training-data curation (PII removal)",
+    r"""
+    WITH c AS (
+      SELECT c_custkey,
+             'Contact ' || c_name || ' at '
+               || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+               || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+               || lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0')
+               || ' or ' || lower(replace(c_name, '#', '')) || '@example.com'
+               || ' seg ' || c_mktsegment AS contact
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(contact,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(contact,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(contact, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+              + len(regexp_extract_all(contact, '\b\d{3}-\d{3}-\d{4}\b'))
+              AS INT) AS n_redacted
+    FROM c
+    """,
+)
+def q_pii_redaction(spark, sf):
+    c = _t(spark, sf, "customer")
+    phone = F.concat_ws(
+        "-",
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lpad((F.col("c_custkey") * 7 % 1000).cast("string"), 3, "0"),
+        F.lpad((F.col("c_custkey") * 13 % 10000).cast("string"), 4, "0"),
+    )
+    email = F.concat(
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit(""))),
+        F.lit("@example.com"),
+    )
+    contact = F.concat(
+        F.lit("Contact "), F.col("c_name"), F.lit(" at "), phone,
+        F.lit(" or "), email, F.lit(" seg "), F.col("c_mktsegment"),
+    )
+    return c.select(
+        "c_custkey",
+        tx.redact(contact).alias("scrubbed"),
+        tx.redaction_count(contact).alias("n_redacted"),
+    )
+
+
+@_q(
+    "doc_chunking",
+    "Training-sample chunking: overlapping token windows (size 40, stride "
+    "30) per document via split → start-sequence → explode → slice; only "
+    "chunk rows ever shuffle, never the full text twice",
+    "extension: training-data curation (context-window packing)",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), 30)) AS start FROM t
+    )
+    SELECT doc_id,
+           CAST(start / 30 AS INT) AS chunk_idx,
+           CAST(len(toks[start + 1 : start + 40]) AS INT) AS n_tokens,
+           array_to_string(toks[start + 1 : start + 40], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def q_doc_chunking(spark, sf):
+    return tx.chunk_tokens(
+        _t(spark, sf, "documents"), chunk_size=40, stride=30
+    )
+
+
+@_q(
+    "contamination_check",
+    "Train/eval contamination: 5-gram shingle overlap between the "
+    "deterministic train (80%) and test (10%) hash-splits — eval docs "
+    "sharing any shingle with the train set, with shared-shingle counts "
+    "(shingle equi-join; no all-pairs, text never shuffles)",
+    "extension: training-data curation (benchmark decontamination)",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 100 AS b,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, b, shingle FROM (
+        SELECT doc_id, b,
+               unnest(list_transform(
+                 range(1, greatest(len(toks) - 4, 1) + 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      || ' ' || toks[i+3] || ' ' || toks[i+4]
+               )) AS shingle
+        FROM t
+      )
+    ), tr AS (
+      SELECT DISTINCT shingle FROM sh WHERE b < 80
+    )
+    SELECT sh.doc_id AS doc_id, count(*) AS n_shared_shingles
+    FROM sh JOIN tr USING (shingle)
+    WHERE sh.b >= 90
+    GROUP BY sh.doc_id
+    """,
+)
+def q_contamination_check(spark, sf):
+    d = _t(spark, sf, "documents")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    toks = tokens(F.col("text"))
+    sh = d.select(
+        "doc_id",
+        b.alias("b"),
+        F.explode(shingles_from_tokens(toks, 5)).alias("shingle"),
+    )
+    train = sh.filter("b < 80").select("shingle").distinct()
+    ev = sh.filter("b >= 90")
+    return (
+        ev.join(train, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+@_q(
+    "embedding_normalize",
+    "L2 normalization of the embedding column: vector norm and first "
+    "normalized component (sequential double folds — identical operation "
+    "order both engines; 9 dp rounding absorbs libm ulp drift)",
+    "extension: embedding ops (unit-norm preprocessing for cosine ANN)",
+    """
+    SELECT vec_id,
+           round(sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+             (a, b) -> a + b)), 9) AS l2_norm,
+           round(CAST(embedding[1] AS DOUBLE)
+             / sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                 (a, b) -> a + b)), 9) AS nrm_c0
+    FROM embeddings
+    """,
+)
+def q_embedding_normalize(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import norm
+
+    nrm = norm(F.col("embedding"))
+    c0 = F.element_at(F.col("embedding"), 1).cast("double")
+    return _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.round(nrm, 9).alias("l2_norm"),
+        F.round(c0 / nrm, 9).alias("nrm_c0"),
+    )
+
+
+@_q(
+    "local_supplier_volume",
+    "TPC-H Q5 shape: revenue by nation where customer and supplier are "
+    "co-national, ASIA, one order year (6-table join; dims broadcast, "
+    "facts join on their natural keys)",
+    "J3 + implied multi-join agg surface",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey
+      AND r_name = 'ASIA'
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_local_supplier_volume(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01"))
+    )
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter("r_name = 'ASIA'")
+    one = F.lit(1).cast(DEC)
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    # Suppliers restricted to ASIA via broadcast dims; the only wide
+    # shuffle is lineitem ⋈ orders on the order key.
+    s_asia = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
+    return (
+        li.join(F.broadcast(s_asia), li.l_suppkey == s_asia.s_suppkey)
+        .join(oc, li.l_orderkey == oc.o_orderkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@_q(
+    "shipping_priority",
+    "TPC-H Q3 shape: top-10 unshipped orders by revenue for one market "
+    "segment (deterministic tie-break on order key)",
+    "J3 + top-k surface",
+    """
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+      AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+    GROUP BY o_orderkey, order_date, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1998-06-01")
+    )
+    o = _t(spark, sf, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1998-06-01")
+    )
+    c = _t(spark, sf, "customer").filter("c_mktsegment = 'BUILDING'")
+    one = F.lit(1).cast(DEC)
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    return (
+        li.join(
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+                "o_orderkey",
+                F.to_date("o_orderdate").alias("order_date"),
+                "o_orderpriority",
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "order_date", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@_q(
+    "top_ngrams",
+    "Corpus vocabulary mining: top-20 trigrams by document frequency "
+    "(distinct-per-doc explode → count; fully deterministic ordering)",
+    "extension: text analysis (vocab/boilerplate mining)",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, ngram FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(toks) - 2, 1) + 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               )) AS ngram
+        FROM t
+      )
+    )
+    SELECT ngram, count(*) AS n_docs
+    FROM sh GROUP BY ngram
+    ORDER BY n_docs DESC, ngram ASC
+    LIMIT 20
+    """,
+)
+def q_top_ngrams(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = tokens(F.col("text"))
+    return (
+        d.select(
+            "doc_id", F.explode(shingles_from_tokens(toks, 3)).alias("ngram")
+        )
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("ngram").asc())
+        .limit(20)
+    )
+
+
+@_q(
+    "above_avg_orders",
+    "Correlated-subquery semantics: orders strictly above their own "
+    "customer's average order value (decorrelated to a window aggregate "
+    "in Spark — one scan, one shuffle; DuckDB oracle keeps the "
+    "decorrelated group-join form)",
+    "SQL surface: correlated scalar subquery / decorrelation",
+    """
+    WITH a AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS cust_avg
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_orderkey, o.o_custkey AS o_custkey, o_totalprice, cust_avg
+    FROM orders o JOIN a ON o.o_custkey = a.o_custkey
+    WHERE o_totalprice > cust_avg
+    """,
+)
+def q_above_avg_orders(spark, sf):
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(_dec("o_totalprice")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("cust_avg", cust_avg)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
     )
 
 
