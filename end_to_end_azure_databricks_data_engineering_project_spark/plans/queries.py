@@ -2784,6 +2784,113 @@ def q_above_avg_orders(spark, sf):
     )
 
 
+@_q(
+    "stratified_sample",
+    "Deterministic stratified sampling: a fixed 20% quota per stratum "
+    "(language), members chosen by md5-hash order so the draw is "
+    "reproducible across runs and engines. One hash-shuffle on the "
+    "stratum key; per-stratum rank via window — the exact-quota shape "
+    "that survives 100 TB (a fraction-based sample() can't hit exact "
+    "per-class quotas for training-set class balance)",
+    "extension: training-data curation (per-class sampling)",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank,
+             count(*) OVER (PARTITION BY lang) AS stratum_n
+      FROM documents
+    )
+    SELECT doc_id, lang, sample_rank, stratum_n
+    FROM r WHERE sample_rank <= ceil(stratum_n * 0.2)
+    """,
+)
+def q_stratified_sample(spark, sf):
+    d = _t(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    cw = Window.partitionBy("lang")
+    return (
+        d.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("stratum_n", F.count(F.lit(1)).over(cw))
+        .filter(F.col("sample_rank") <= F.ceil(F.col("stratum_n") * F.lit(0.2)))
+        .select("doc_id", "lang", "sample_rank", "stratum_n")
+    )
+
+
+@_q(
+    "tfidf_top_terms",
+    "Per-document top-3 salient terms by tf-idf with a LINEAR idf "
+    "(score = tf * N / df). Linear rather than log idf is deliberate: "
+    "tf*N is an exact int64 product and /df a single IEEE division, so "
+    "the score is bit-identical across engines (ln() differs in the "
+    "last ulp between JVM Math.log and libm, which would flip "
+    "near-tie rankings). Shape at 100 TB: token explode stays in the "
+    "scan stage, tf and df are map-side-combined aggs, the tf⋈df join "
+    "shuffles on the term key (vocabulary-sized, not corpus-sized), "
+    "and N is a 1-row broadcast",
+    "extension: text analysis (term salience / keyword extraction)",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ), tok2 AS (
+      SELECT doc_id, term FROM tok WHERE term <> ''
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf AS tf, df.df AS df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC
+      ) AS term_rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, term_rank
+    FROM r WHERE term_rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark, sf):
+    d = _t(spark, sf, "documents")
+    tok = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        tok.select("doc_id", "term").distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "term_rank")
+    )
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at

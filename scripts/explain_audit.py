@@ -25,10 +25,10 @@ from end_to_end_azure_databricks_data_engineering_project_spark.session import g
 ALLOW_CARTESIAN = {
     "ngram_jaccard_pairs", "embedding_near_dup", "cosine_topk",
     "scalar_subquery", "ann_topk_srp",
-    # 1-row × 1-row scalar combine (two global aggregates cross-joined
-    # into one result row) — a broadcast of a single row, not a scan
-    # cross product.
+    # 1-row scalar broadcasts (a global aggregate cross-joined onto the
+    # plan as a single row), not scan cross products.
     "funnel_conversion",
+    "tfidf_top_terms",
 }
 EXPECT_PUSHDOWN = {
     "watermark_filter", "in_predicate", "null_predicate", "pricing_summary",
