@@ -42,6 +42,9 @@ from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup 
     tokens,
 )
 from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import cosine
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.skew import (
+    salted_latest_per_key,
+)
 from end_to_end_azure_databricks_data_engineering_project_spark.operators.transforms import bucketize
 
 DEC = "decimal(18,2)"
@@ -2889,6 +2892,34 @@ def q_tfidf_top_terms(spark, sf):
         .filter(F.col("term_rank") <= 3)
         .select("doc_id", "term", "tf", "df", "score", "term_rank")
     )
+
+
+@_q(
+    "skew_salted_latest",
+    "Latest-event-per-user via the two-phase SALTED reducer "
+    "(operators/skew.py::salted_latest_per_key): phase 1 keeps the "
+    "newest row within each (key, salt) slice so a hot key's rows are "
+    "spread across n_salt reducers; phase 2 picks the global newest "
+    "from the <= n_salt survivors. Byte-identical result to the plain "
+    "window dedup (the oracle), which is the point: the skew-safe "
+    "physical shape is a drop-in for the single-reducer-per-key window "
+    "that dies on a hot key at 100 TB",
+    "A3/§2.6 (skew-aware variant of latest-per-key)",
+    """
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_skew_salted_latest(spark, sf):
+    e = _t(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return salted_latest_per_key(e, ["user_id"], "ts", "event_id", n_salt=8)
 
 
 # ---------------------------------------------------------------------
