@@ -36,15 +36,21 @@ def _sq_dist(vec: Column, centroid: list[float]) -> Column:
 
 
 def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
-    """Argmin cluster id over broadcast centroid literals (pure expr)."""
-    best_id = F.lit(0)
-    best_d = _sq_dist(vec, centroids[0])
-    for i, c in enumerate(centroids[1:], start=1):
-        d = _sq_dist(vec, c)
-        better = d < best_d
-        best_id = F.when(better, F.lit(i)).otherwise(best_id)
-        best_d = F.when(better, d).otherwise(best_d)
-    return best_id
+    """Argmin cluster id over broadcast centroid literals (pure expr).
+
+    Implemented as array_position(ds, array_min(ds)) over the plain
+    distance array — first occurrence of the minimum, i.e. min
+    distance with ties broken by the smallest index (matching the SQL
+    oracle's ORDER BY dist, cluster). Two deliberate non-choices:
+    the obvious when(d < best_d, ...) running-argmin chain references
+    its accumulator twice per step, doubling the expression tree per
+    centroid (2^k nodes — k=8 × dim=64 made plan analysis + codegen
+    the dominant cost of the whole IVF pipeline); and (d, i)-struct
+    extraction by field name breaks when the caller's select also
+    contains a generator (posexplode rewrites strip the struct
+    aliases to col1/col2)."""
+    ds = F.array(*[_sq_dist(vec, c) for c in centroids])
+    return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
 
 
 def kmeans_fit(
