@@ -101,15 +101,19 @@ def detect_language(text: Column) -> Column:
     cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
     scores = dict(scores)
     scores["zh"] = scores["zh"] + cjk
-    # deterministic argmax: iterate langs alphabetically, keep strictly-greater
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang in sorted(scores):
-        s = scores[lang]
-        is_better = s > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, s).otherwise(best_score)
-    return best_lang
+    # Deterministic argmax via array_position(ss, array_max(ss)) —
+    # first occurrence = alphabetically-first language on ties, 'und'
+    # unless some score is strictly positive. Linear expression size:
+    # a when(s > best, ...) running-argmax chain doubles the tree per
+    # language (the accumulator appears in both branches), 2^L copies
+    # of every marker-hit subexpression.
+    langs = sorted(scores)
+    ss = F.array(*[scores[lang] for lang in langs])
+    mx = F.array_max(ss)
+    pick = F.element_at(
+        F.array(*[F.lit(lang) for lang in langs]), F.array_position(ss, mx).cast("int")
+    )
+    return F.when(mx > 0, pick).otherwise(F.lit("und"))
 
 
 # Default PII patterns: phone-like digit groups, email addresses, IPv4.
