@@ -134,6 +134,75 @@ def minhash_signature_df(
     )
 
 
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The LSH band index: (id, sig, band_idx, band_key), one row per
+    (doc, band). This is the PERSISTED index shape for incremental
+    dedup — store it partitioned/bucketed by (band_idx, band_key) and
+    new batches probe it with an equi-join (see
+    ``incremental_near_dup_pairs``)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature_df(df, text_col, id_col, num_hashes, shingle_n)
+    return sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.concat_ws(
+                        "_", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "sig", "band.band_idx", "band.band_key")
+
+
+def _banded_pairs(
+    a: DataFrame, b: DataFrame, id_col: str, num_hashes: int,
+    symmetric: bool = True,
+) -> DataFrame:
+    """Distinct canonical (id_a < id_b) pairs sharing a band bucket,
+    with estimated Jaccard (matching signature fraction).
+
+    ``symmetric=True`` (self-join: a and b are the same set) joins on
+    ``<`` so each unordered pair is built once. ``symmetric=False``
+    (probe ≠ target, e.g. incremental batch vs stored index) joins on
+    ``!=`` and canonicalizes with least/greatest, since the new doc
+    may be on either side of the ordering."""
+    a, b = a.alias("a"), b.alias("b")
+    ida, idb = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    on_band = (F.col("a.band_idx") == F.col("b.band_idx")) & (
+        F.col("a.band_key") == F.col("b.band_key")
+    )
+    if symmetric:
+        joined = a.join(b, on_band & (ida < idb)).select(
+            ida.alias("id_a"), idb.alias("id_b"),
+            F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"),
+        )
+    else:
+        joined = a.join(b, on_band & (ida != idb)).select(
+            F.least(ida, idb).alias("id_a"),
+            F.greatest(ida, idb).alias("id_b"),
+            F.when(ida < idb, F.col("a.sig")).otherwise(F.col("b.sig")).alias("sig_a"),
+            F.when(ida < idb, F.col("b.sig")).otherwise(F.col("a.sig")).alias("sig_b"),
+        )
+    pairs = joined.dropDuplicates(["id_a", "id_b"])
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(float(num_hashes))
+    ).alias("est_jaccard")
+    return pairs.select("id_a", "id_b", est)
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -152,45 +221,46 @@ def minhash_near_dup_pairs(
     Scale: the only join key is (band_idx, band_key); hot buckets (many
     identical docs) are bounded by banding; AQE skew-join handles the
     rest. No corpus-wide cross join ever happens."""
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature_df(df, text_col, id_col, num_hashes, shingle_n)
-    banded = sig.select(
-        id_col,
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.concat_ws(
-                        "_", F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                    ).alias("band_key"),
-                ),
-            )
-        ).alias("band"),
-    ).select(id_col, "sig", "band.band_idx", "band.band_key")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    banded = minhash_band_index(df, text_col, id_col, num_hashes, bands, shingle_n)
+    return _banded_pairs(banded, banded, id_col, num_hashes)
+
+
+def incremental_near_dup_pairs(
+    index: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental LSH dedup: probe an EXISTING band index with a new
+    document batch instead of re-running the all-corpus self-join.
+
+    Returns ``(pairs, new_index_rows)``: every candidate pair touching
+    at least one new doc (new×old and new×new, canonical id_a < id_b,
+    same schema as ``minhash_near_dup_pairs``), and the new batch's
+    index rows for the caller to append to the stored index.
+
+    Invariant (tested): running batches through this incrementally and
+    unioning the pair sets yields EXACTLY the pairs a full rebuild over
+    the union corpus produces — pair generation is per-pair local, so
+    batching order cannot change the result.
+
+    Scale: this is the production shape at 100 TB — the daily batch is
+    signature-hashed (one scan of the batch only), then ONE equi-join
+    on (band_idx, band_key) against an index that never rescans old
+    text. With the index stored bucketed by the band key the join is
+    shuffle-free on the index side; the old corpus' text is never
+    touched again."""
+    new_rows = minhash_band_index(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_n
     )
-    est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
-        / F.lit(float(num_hashes))
-    ).alias("est_jaccard")
-    return pairs.select("id_a", "id_b", est)
+    probe_target = index.select(id_col, "sig", "band_idx", "band_key").unionByName(
+        new_rows
+    )
+    pairs = _banded_pairs(new_rows, probe_target, id_col, num_hashes, symmetric=False)
+    return pairs, new_rows
 
 
 # ------------------------------------------------- connected components --

@@ -101,3 +101,47 @@ def test_cc_partitioning_independence(spark):
     assert _comp_map(connected_components(one)) == _comp_map(
         connected_components(many)
     )
+
+
+def test_incremental_index_equals_full_rebuild(spark):
+    """Batched incremental LSH (probe stored index with each new batch,
+    union the pair sets) must produce EXACTLY the pairs of a full
+    rebuild over the whole corpus — pair generation is per-pair local,
+    so arrival order can't change the result."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+        incremental_near_dup_pairs,
+        minhash_band_index,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    kw = dict(num_hashes=16, bands=8, shingle_n=3)
+
+    full = {
+        (r.id_a, r.id_b, round(r.est_jaccard, 9))
+        for r in minhash_near_dup_pairs(docs, **kw).collect()
+    }
+
+    b1 = docs.filter(F.col("doc_id") % 3 == 0)
+    b2 = docs.filter(F.col("doc_id") % 3 == 1)
+    b3 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    index = minhash_band_index(b1, **kw)
+    got = {
+        (r.id_a, r.id_b, round(r.est_jaccard, 9))
+        for r in minhash_near_dup_pairs(b1, **kw).collect()
+    }
+    for batch in (b2, b3):
+        pairs, new_rows = incremental_near_dup_pairs(index, batch, **kw)
+        got |= {
+            (r.id_a, r.id_b, round(r.est_jaccard, 9)) for r in pairs.collect()
+        }
+        index = index.unionByName(new_rows)
+
+    assert got == full, (
+        f"incremental != full rebuild: missing={sorted(full - got)[:5]} "
+        f"extra={sorted(got - full)[:5]}"
+    )
+    assert len(full) > 0  # the fixture must actually contain near-dups
