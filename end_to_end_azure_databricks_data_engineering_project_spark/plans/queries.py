@@ -1158,13 +1158,13 @@ def _srp_oracle_sql(n_tables=8, n_planes=4, dim=64, k=5, max_qid=10) -> str:
     """
 
 
-def _ivf_oracle_sql(k=8, n_iter=3, n_probe=3, topk=5, dim=64, max_qid=10) -> str:
-    """DuckDB replay of kmeans_fit + ivf_assign + ivf_topk. Possible only
-    because every float op in the Spark path is a sequential fold with a
-    deterministic order (see kmeans_fit's ordered-fold mean): the {n_iter}
+def _kmeans_assigned_cte(k=8, n_iter=3, dim=64) -> str:
+    """Shared CTE prefix replaying kmeans_fit + ivf_assign in DuckDB,
+    through the ``assigned (vec_id, cluster)`` relation. Possible only
+    because every float op in the Spark path is a sequential fold with
+    a deterministic order (see kmeans_fit's ordered-fold mean): the
     Lloyd iterations are unrolled as CTE pairs (assign → ordered mean),
-    bit-identical to the literals Spark embeds, then probing and scoring
-    replay _probe_clusters / ivf_topk."""
+    bit-identical to the literals Spark embeds."""
     sq = (
         f"list_reduce(list_transform(range(1, {dim + 1}), "
         "i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])), (a, b) -> a + b)"
@@ -1215,7 +1215,16 @@ def _ivf_oracle_sql(k=8, n_iter=3, n_probe=3, topk=5, dim=64, max_qid=10) -> str
                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
         FROM dfin
       ) WHERE rn = 1
-    ),
+    )""")
+    return "".join(parts)
+
+
+def _ivf_oracle_sql(k=8, n_iter=3, n_probe=3, topk=5, dim=64, max_qid=10) -> str:
+    """DuckDB replay of kmeans_fit + ivf_assign + ivf_topk (see
+    _kmeans_assigned_cte), then probing and scoring replay
+    _probe_clusters / ivf_topk."""
+    parts = [_kmeans_assigned_cte(k, n_iter, dim)]
+    parts.append(f""",
     probe AS (
       SELECT vec_id AS query_id, cluster FROM (
         SELECT vec_id, cluster,
@@ -1279,6 +1288,64 @@ def q_ann_topk_ivf(spark, sf):
     centroids = kmeans_fit(emb, k=8, n_iter=3)
     indexed = ivf_assign(emb, centroids)
     return ivf_topk(indexed, emb.filter("vec_id < 10"), centroids, k=5, n_probe=3)
+
+
+def _semantic_dedup_oracle_sql(k=8, n_iter=2, dim=64, thr="0.30") -> str:
+    cos = _sql_cosine("a", "b", dim)
+    return (
+        _kmeans_assigned_cte(k, n_iter, dim)
+        + f""",
+    pairs AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM assigned x JOIN assigned y
+        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT pairs.id_a, pairs.id_b, {cos} AS cos_sim
+      FROM pairs
+      JOIN embeddings a ON a.vec_id = pairs.id_a
+      JOIN embeddings b ON b.vec_id = pairs.id_b
+    ) WHERE cos_sim >= {thr}
+    """
+    )
+
+
+@_q(
+    "semantic_dedup_pairs",
+    "SemDeDup-style semantic near-duplicate pairs over the FULL corpus: "
+    "a coarse k-means quantizer buckets embeddings, then cosine pairs "
+    "are scored only WITHIN each cluster — the all-pairs join never "
+    "happens (contrast embedding_near_dup, which brute-forces a bounded "
+    "id slice). At 100 TB: pair space shrinks ~k-fold per cluster, the "
+    "self-join shuffles once on the cluster key, and cluster becomes a "
+    "partition column so each reducer sees one cluster's vectors",
+    "extension: curation (semantic dedup over embeddings)",
+    _semantic_dedup_oracle_sql(),
+)
+def q_semantic_dedup_pairs(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.ivf import (
+        ivf_assign,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    centroids = kmeans_fit(emb, k=8, n_iter=2)
+    clustered = ivf_assign(emb, centroids).select("vec_id", "embedding", "cluster")
+    a, b = clustered.alias("a"), clustered.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.30)
+    )
 
 
 @_q(
