@@ -68,7 +68,11 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
+        # Make a degraded artifact unmistakable: "value" sums only the
+        # survivors, so flag partial coverage rather than letting a
+        # broken round read as a speedup in round-over-round diffs.
         out["errors"] = errors
+        out["partial"] = True
     print(json.dumps(out))
 
 

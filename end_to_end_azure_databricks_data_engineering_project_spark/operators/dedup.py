@@ -256,6 +256,11 @@ def incremental_near_dup_pairs(
     new_rows = minhash_band_index(
         new_docs, text_col, id_col, num_hashes, bands, shingle_n
     )
+    # The batch's index rows feed three consumers (probe side, union
+    # side, and the caller's index append) — cache so the md5-per-
+    # shingle signature hashing runs once, not 2-3×. Caller may
+    # unpersist after appending to the stored index.
+    new_rows = new_rows.cache()
     probe_target = index.select(id_col, "sig", "band_idx", "band_key").unionByName(
         new_rows
     )

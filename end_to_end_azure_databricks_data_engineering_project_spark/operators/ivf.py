@@ -50,7 +50,12 @@ def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     contains a generator (posexplode rewrites strip the struct
     aliases to col1/col2)."""
     ds = F.array(*[_sq_dist(vec, c) for c in centroids])
-    return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+    # NULL vector → all distances NULL → array_position NULL; coalesce
+    # to cluster 0 (the pre-rewrite when-chain behavior, and what the
+    # SQL oracle's row_number-over-NULLS-LAST assignment produces).
+    return F.coalesce(
+        (F.array_position(ds, F.array_min(ds)) - 1).cast("int"), F.lit(0)
+    )
 
 
 def kmeans_fit(

@@ -58,22 +58,35 @@ def _ntz_micros(ns_col) -> "F.Column":
     return F.timestamp_micros(ns_col).cast("timestamp_ntz")
 
 
+def _read_events_raw(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
+    """Load events.parquet WITHOUT normalizing ts; returns (df, ts_dtype).
+
+    events.parquet has shipped with two ts encodings over time:
+    TIMESTAMP(NANOS) (readable only as raw int64 via the nanosAsLong
+    legacy flag) and plain timestamp[us]. This is the single place
+    that probes the loaded dtype — _t() and any query that needs the
+    raw column (pushdown-sensitive filters) branch on the returned
+    dtype. tests/test_testdata_contract.py names the drifted column if
+    the driver ships a third encoding."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df, dict(df.dtypes).get("ts", "")
+
+
+def _events_ts_ntz(df: DataFrame, ts_type: str) -> DataFrame:
+    """Normalize the raw events ts column to TIMESTAMP_NTZ µs under the
+    pinned UTC session, so values are frozen timezone-independent and
+    match DuckDB's naive timestamps — whatever the physical encoding."""
+    if ts_type == "bigint":  # legacy int64 nanos
+        return df.withColumn("ts", _ntz_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet has shipped with two ts encodings over time:
-        # TIMESTAMP(NANOS) (readable only as raw int64 via the
-        # nanosAsLong legacy flag) and plain timestamp[us]. Branch on
-        # the loaded dtype so both work; either way the column is
-        # normalized to TIMESTAMP_NTZ at µs precision under a pinned
-        # UTC session so values are frozen timezone-independent and
-        # match DuckDB's naive timestamps.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        ts_type = dict(df.dtypes).get("ts", "")
-        if ts_type == "bigint":  # legacy int64 nanos
-            return df.withColumn("ts", _ntz_micros(F.expr("ts div 1000")))
-        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        df, ts_type = _read_events_raw(spark, sf_dir)
+        return _events_ts_ntz(df, ts_type)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -115,26 +128,21 @@ def _q(name, description, survey_ref, oracle):
     """,
 )
 def q_watermark_filter(spark, sf):
-    # Filter on the PHYSICAL ts representation so the predicate pushes
-    # into the parquet scan (row-group stats skip old files — the point
-    # of a high-watermark pull at 100 TB); normalize to NTZ µs after.
-    # Branch on the loaded dtype: int64-nanos (legacy encoding) gets a
-    # raw-int comparison, timestamp[us] gets a timestamp literal — both
-    # push down (timestamp predicates reach row-group stats too).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":  # legacy int64 nanos
-        wm_ns = 1_705_276_800 * 1_000_000_000  # 2024-01-15T00:00:00Z
-        df = df.filter(F.col("ts") > F.lit(wm_ns)).withColumn(
-            "ts", _ntz_micros(F.expr("ts div 1000"))
-        )
-    else:
-        wm = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
-        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz")).filter(
-            F.col("ts") > wm
-        )
-    return df.select("event_id", "ts", "user_id", "event_type", "value")
+    # Filter on the RAW ts column, with the literal cast to the
+    # column's OWN loaded type, so the predicate pushes into the
+    # parquet scan (row-group stats skip old files — the point of a
+    # high-watermark pull at 100 TB); normalize to NTZ µs only after
+    # the filter. Casting the column before filtering would wrap it in
+    # a Cast that blocks parquet filter translation for any encoding
+    # whose loaded type differs from the cast target (e.g. LTZ files).
+    df, ts_type = _read_events_raw(spark, sf)
+    if ts_type == "bigint":  # legacy int64 nanos
+        wm = F.lit(1_705_276_800 * 1_000_000_000)  # 2024-01-15T00:00:00Z
+    else:  # timestamp/timestamp_ntz: UTC session → same instant either way
+        wm = F.lit("2024-01-15 00:00:00").cast(ts_type)
+    return _events_ts_ntz(df.filter(F.col("ts") > wm), ts_type).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
 
 
 @_q(

@@ -7,7 +7,8 @@ query and check scale invariants mechanically:
  - scans read pruned schemas (no full-width reads when the query
    projects a subset);
  - no CartesianProduct except where the query is intentionally pairwise
-   (ngram_jaccard_pairs / embedding_near_dup / cosine_topk / scalar_subquery).
+   or a 1-row scalar broadcast — the ALLOW_CARTESIAN set below is the
+   authoritative list.
 
 Usage: python scripts/explain_audit.py [sf_dir]  (writes PLANS.md)
 """

@@ -75,6 +75,12 @@ _EXPECTED: dict[str, dict[str, set[str]]] = {
 def test_loaded_dtypes_match_contract(spark, table):
     if not os.path.exists(f"{SF_DIR}/{table}.parquet"):
         pytest.skip(f"{SF_DIR}/{table}.parquet not present")
+    # The legacy TIMESTAMP(NANOS) encoding this contract allows
+    # ('bigint' for events.ts) only loads with the nanosAsLong flag —
+    # set it here so that encoding reaches the friendly assertion below
+    # instead of throwing at schema load (don't rely on another test
+    # having leaked the conf into the shared session).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     dtypes = dict(spark.read.parquet(f"{SF_DIR}/{table}.parquet").dtypes)
     for col, allowed in _EXPECTED[table].items():
         assert col in dtypes, (
