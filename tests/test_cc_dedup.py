@@ -145,3 +145,23 @@ def test_incremental_index_equals_full_rebuild(spark):
         f"extra={sorted(got - full)[:5]}"
     )
     assert len(full) > 0  # the fixture must actually contain near-dups
+
+
+def test_incremental_empty_batch_yields_no_pairs(spark):
+    """An empty incoming batch must produce zero pairs and zero new
+    index rows (and not error on the empty self/probe join)."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+        incremental_near_dup_pairs,
+        minhash_band_index,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    kw = dict(num_hashes=16, bands=8, shingle_n=3)
+    index = minhash_band_index(docs, **kw)
+    empty = docs.filter(F.lit(False))
+    pairs, new_rows = incremental_near_dup_pairs(index, empty, **kw)
+    assert pairs.count() == 0
+    assert new_rows.count() == 0
