@@ -226,7 +226,7 @@ def minhash_near_dup_pairs(
 
 
 def incremental_near_dup_pairs(
-    index: DataFrame,
+    index: DataFrame | None,
     new_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -261,6 +261,8 @@ def incremental_near_dup_pairs(
     # shingle signature hashing runs once, not 2-3×. Caller may
     # unpersist after appending to the stored index.
     new_rows = new_rows.cache()
+    if index is None:  # first drain: no stored index yet → pure self-join
+        return _banded_pairs(new_rows, new_rows, id_col, num_hashes), new_rows
     probe_target = index.select(id_col, "sig", "band_idx", "band_key").unionByName(
         new_rows
     )

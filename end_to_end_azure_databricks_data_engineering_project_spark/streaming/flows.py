@@ -211,6 +211,55 @@ def build_medallion_pipeline(
     return pipe, catalog
 
 
+def run_neardup_drain(
+    catalog: Catalog,
+    batch: DataFrame,
+    epoch: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> tuple[int, int]:
+    """One exactly-once drain of the incremental near-dup pipeline:
+    probe the persistent LSH index table with a new document batch,
+    append the discovered pairs to ``neardup_pairs`` and the batch's
+    index rows to ``neardup_index``.
+
+    Exactly-once: both appends carry the caller's drain ``epoch`` (same
+    key, per-table applied-epoch tracking) — a crash between the two
+    appends replays the epoch, the already-applied append is skipped,
+    and the missing one lands. Recomputing the pairs against the
+    not-yet-updated index yields the identical frame (pair generation
+    is per-pair local), so the skip is safe.
+
+    Scale: the batch's text is scanned once (signatures cached); the
+    stored index is probed with one equi-join on the band key and its
+    text is never rescanned — the 100 TB daily-drain shape.
+
+    Returns (pairs appended, index rows appended)."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+        incremental_near_dup_pairs,
+    )
+
+    idx_table = catalog.table("neardup_index")
+    pairs_table = catalog.table("neardup_pairs")
+    existing = idx_table.read() if idx_table.exists() else None
+    pairs, new_rows = incremental_near_dup_pairs(
+        existing, batch, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    try:
+        n_pairs = pairs.count()
+        if n_pairs:
+            pairs_table.append(pairs, epoch=epoch, epoch_key="neardup_drain")
+        n_new = new_rows.count()
+        if n_new:
+            idx_table.append(new_rows, epoch=epoch, epoch_key="neardup_drain")
+    finally:
+        new_rows.unpersist()
+    return n_pairs, n_new
+
+
 def cdc_stream(
     spark: SparkSession,
     cfg: TableConfig,

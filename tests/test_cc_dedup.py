@@ -165,3 +165,43 @@ def test_incremental_empty_batch_yields_no_pairs(spark):
     pairs, new_rows = incremental_near_dup_pairs(index, empty, **kw)
     assert pairs.count() == 0
     assert new_rows.count() == 0
+
+
+def test_neardup_drain_flow_matches_rebuild_and_is_idempotent(spark, tmp_path):
+    """The table-backed incremental drain (run_neardup_drain): after
+    draining the corpus in three batches, the persistent pairs table
+    holds exactly the full-rebuild pair set — and replaying the last
+    epoch (crash-recovery path) appends nothing new."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import (
+        run_neardup_drain,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    kw = dict(num_hashes=16, bands=8, shingle_n=3)
+    catalog = Catalog(spark, tmp_path / "warehouse")
+
+    for epoch, m in enumerate(range(3)):
+        batch = docs.filter(F.col("doc_id") % 3 == m)
+        run_neardup_drain(catalog, batch, epoch=epoch, **kw)
+
+    stored = {
+        (r.id_a, r.id_b, round(r.est_jaccard, 9))
+        for r in catalog.table("neardup_pairs").read().collect()
+    }
+    full = {
+        (r.id_a, r.id_b, round(r.est_jaccard, 9))
+        for r in minhash_near_dup_pairs(docs, **kw).collect()
+    }
+    assert stored == full and len(full) > 0
+
+    # replay the final epoch: the epoch guard must skip both appends
+    last = docs.filter(F.col("doc_id") % 3 == 2)
+    run_neardup_drain(catalog, last, epoch=2, **kw)
+    assert catalog.table("neardup_pairs").read().count() == len(full)
+    n_index = catalog.table("neardup_index").read().count()
+    run_neardup_drain(catalog, last, epoch=2, **kw)
+    assert catalog.table("neardup_index").read().count() == n_index
