@@ -146,3 +146,28 @@ def test_verification_window_covers_unproven_entries():
     )
     # the regressed-then-fixed entries lead the window outright
     assert order[: len(_VERIFY_FIRST)] == _VERIFY_FIRST
+
+
+def test_stratified_sample_partitioning_independent(spark):
+    """The stratified draw is md5-ordered, so the selected rows must be
+    identical regardless of the input's physical partitioning."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.plans.queries import CATALOG
+
+    q = CATALOG["stratified_sample"].spark
+    base = sorted(tuple(r) for r in q(spark, SF_DIR).collect())
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for n in (1, 16):
+        shuffled = d.repartition(n)
+        shuffled.createOrReplaceTempView("_strat_probe")
+        w = (
+            shuffled.selectExpr(
+                "doc_id", "lang",
+                "row_number() OVER (PARTITION BY lang"
+                " ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS sample_rank",
+                "count(*) OVER (PARTITION BY lang) AS stratum_n",
+            )
+            .where("sample_rank <= ceil(stratum_n * 0.2)")
+        )
+        got = sorted(tuple(r) for r in w.collect())
+        assert got == base, f"stratified draw changed under repartition({n})"
