@@ -74,12 +74,29 @@ def _read_events_raw(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     return df, dict(df.dtypes).get("ts", "")
 
 
+#: ts encodings the driver has actually shipped; anything else must fail
+#: loudly (a silent cast of e.g. string or int32-epoch-seconds would
+#: produce NULLs/garbage downstream). Mirrors test_testdata_contract.py.
+_KNOWN_EVENTS_TS_TYPES = frozenset({"bigint", "timestamp", "timestamp_ntz"})
+
+
 def _events_ts_ntz(df: DataFrame, ts_type: str) -> DataFrame:
     """Normalize the raw events ts column to TIMESTAMP_NTZ µs under the
     pinned UTC session, so values are frozen timezone-independent and
-    match DuckDB's naive timestamps — whatever the physical encoding."""
+    match DuckDB's naive timestamps — whatever the physical encoding.
+
+    Only the encodings the driver has shipped are accepted
+    (int64-nanos read as bigint; timestamp[us] as LTZ/NTZ); a new
+    encoding raises a named error instead of silently casting."""
     if ts_type == "bigint":  # legacy int64 nanos
         return df.withColumn("ts", _ntz_micros(F.expr("ts div 1000")))
+    if ts_type not in _KNOWN_EVENTS_TS_TYPES:
+        raise TypeError(
+            f"events.ts has unrecognized dtype {ts_type!r}; known encodings: "
+            f"{sorted(_KNOWN_EVENTS_TS_TYPES)}. The driver's testdata encoding "
+            "drifted — extend _events_ts_ntz/_KNOWN_EVENTS_TS_TYPES and "
+            "tests/test_testdata_contract.py for the new encoding."
+        )
     return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 

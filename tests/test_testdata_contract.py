@@ -97,3 +97,13 @@ def test_loaded_dtypes_match_contract(spark, table):
 def test_events_ts_normalizes_to_ntz(spark):
     # Whatever the physical encoding, `_t` must serve TIMESTAMP_NTZ.
     assert dict(_t(spark, SF_DIR, "events").dtypes)["ts"] == "timestamp_ntz"
+
+
+def test_unknown_events_ts_encoding_fails_loudly(spark):
+    # A driver encoding we've never seen (e.g. string, int32 epoch
+    # seconds) must raise a named error, not silently cast to NULLs.
+    from end_to_end_azure_databricks_data_engineering_project_spark.plans.queries import _events_ts_ntz
+
+    df = spark.createDataFrame([("2024-01-01 00:00:00",)], ["ts"])
+    with pytest.raises(TypeError, match="unrecognized dtype 'string'"):
+        _events_ts_ntz(df, "string")
