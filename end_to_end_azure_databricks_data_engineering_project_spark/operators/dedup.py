@@ -247,27 +247,43 @@ def incremental_near_dup_pairs(
     the union corpus produces — pair generation is per-pair local, so
     batching order cannot change the result.
 
+    Re-ingestion: a batch doc whose ``id_col`` is already in the stored
+    index is DROPPED before hashing (first write wins) — a replayed or
+    re-crawled document neither duplicates index rows nor re-emits its
+    pairs. Treat changed-text-under-same-id as a new id upstream if the
+    update matters.
+
     Scale: this is the production shape at 100 TB — the daily batch is
     signature-hashed (one scan of the batch only), then ONE equi-join
     on (band_idx, band_key) against an index that never rescans old
-    text. With the index stored bucketed by the band key the join is
-    shuffle-free on the index side; the old corpus' text is never
-    touched again."""
+    text. The index side of the probe join is referenced alone (never
+    unioned with the batch), so a stored index bucketed by the band key
+    joins without shuffling; the batch-internal pairs come from a
+    separate tiny self-join. The re-ingestion guard's anti-join touches
+    only the index's id column (column-pruned scan); at extreme scale
+    keep an ids-only sidecar bucketed by id to make it shuffle-free
+    too."""
+    if index is not None:
+        # First write wins: ids already indexed are skipped entirely —
+        # this also makes the caller's index append idempotent at the
+        # row level (a replayed batch filters to empty).
+        new_docs = new_docs.join(index.select(id_col), on=id_col, how="left_anti")
     new_rows = minhash_band_index(
         new_docs, text_col, id_col, num_hashes, bands, shingle_n
     )
-    # The batch's index rows feed three consumers (probe side, union
+    # The batch's index rows feed three consumers (probe side, self-join
     # side, and the caller's index append) — cache so the md5-per-
     # shingle signature hashing runs once, not 2-3×. Caller may
     # unpersist after appending to the stored index.
     new_rows = new_rows.cache()
     if index is None:  # first drain: no stored index yet → pure self-join
         return _banded_pairs(new_rows, new_rows, id_col, num_hashes), new_rows
-    probe_target = index.select(id_col, "sig", "band_idx", "band_key").unionByName(
-        new_rows
-    )
-    pairs = _banded_pairs(new_rows, probe_target, id_col, num_hashes, symmetric=False)
-    return pairs, new_rows
+    old = index.select(id_col, "sig", "band_idx", "band_key")
+    # new×old and new×new are disjoint pair sets (the anti-join above
+    # guarantees no id is on both sides), so a plain union is exact.
+    cross = _banded_pairs(new_rows, old, id_col, num_hashes, symmetric=False)
+    within = _banded_pairs(new_rows, new_rows, id_col, num_hashes)
+    return cross.unionByName(within), new_rows
 
 
 # ------------------------------------------------- connected components --

@@ -228,33 +228,128 @@ def run_neardup_drain(
 
     Exactly-once: both appends carry the caller's drain ``epoch`` (same
     key, per-table applied-epoch tracking) — a crash between the two
-    appends replays the epoch, the already-applied append is skipped,
-    and the missing one lands. Recomputing the pairs against the
-    not-yet-updated index yields the identical frame (pair generation
-    is per-pair local), so the skip is safe.
+    appends replays the epoch, the already-applied append is skipped
+    BEFORE any compute (the guard is a pointer-file read), and the
+    missing one lands. Recomputing the pairs against the not-yet-
+    updated index yields the identical frame (pair generation is
+    per-pair local, and re-ingested ids are anti-joined away), so the
+    skip is safe.
+
+    Single-action drains: each append executes its plan exactly once —
+    the row count rides the write via ``observe()`` instead of a
+    separate ``count()`` action, so the index⋈batch probe join is never
+    computed twice (a fully-replayed epoch computes it zero times).
 
     Scale: the batch's text is scanned once (signatures cached); the
     stored index is probed with one equi-join on the band key and its
     text is never rescanned — the 100 TB daily-drain shape.
 
-    Returns (pairs appended, index rows appended)."""
+    Returns (pairs appended, index rows appended); (0, 0) when the
+    epoch was already fully applied."""
+    from pyspark.sql import Observation
+
     from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
         incremental_near_dup_pairs,
     )
 
     idx_table = catalog.table("neardup_index")
     pairs_table = catalog.table("neardup_pairs")
+
+    def _applied(table) -> bool:
+        stored = table.applied_epoch("neardup_drain")
+        return stored is not None and epoch <= stored
+
+    pairs_done, index_done = _applied(pairs_table), _applied(idx_table)
+    if pairs_done and index_done:
+        return 0, 0
     existing = idx_table.read() if idx_table.exists() else None
     pairs, new_rows = incremental_near_dup_pairs(
         existing, batch, text_col, id_col, num_hashes, bands, shingle_n
     )
+    n_pairs = n_new = 0
     try:
-        n_pairs = pairs.count()
-        if n_pairs:
-            pairs_table.append(pairs, epoch=epoch, epoch_key="neardup_drain")
-        n_new = new_rows.count()
-        if n_new:
-            idx_table.append(new_rows, epoch=epoch, epoch_key="neardup_drain")
+        if not pairs_done:
+            obs = Observation()
+            pairs_table.append(
+                pairs.observe(obs, F.count(F.lit(1)).alias("n")),
+                epoch=epoch, epoch_key="neardup_drain",
+            )
+            n_pairs = obs.get["n"]
+        if not index_done:
+            obs = Observation()
+            idx_table.append(
+                new_rows.observe(obs, F.count(F.lit(1)).alias("n")),
+                epoch=epoch, epoch_key="neardup_drain",
+            )
+            n_new = obs.get["n"]
+    finally:
+        new_rows.unpersist()
+    return n_pairs, n_new
+
+
+def run_neardup_drain_bucketed(
+    spark: SparkSession,
+    catalog: Catalog,
+    batch: DataFrame,
+    epoch: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    index_table: str = "neardup_index_bucketed",
+    n_buckets: int = 32,
+) -> tuple[int, int]:
+    """`run_neardup_drain` with the stored LSH index kept as a Spark
+    BUCKETED table on the probe key — the 100 TB layout.
+
+    The index is bucketed+sorted by ``(band_idx, band_key)``, exactly
+    the probe join's equi-keys, so the daily batch⋈index join reads the
+    index with NO Exchange and NO Sort on the index side, every drain
+    (plan-asserted in tests). Only the small batch shuffles (or, when
+    it fits the broadcast threshold, nothing shuffles at all — AQE
+    picks a broadcast of the batch onto the index scan). The index
+    grows by appended bucket files; old files are never rewritten.
+
+    Exactly-once without a transaction log on the index: re-ingested /
+    replayed ids are anti-joined away inside
+    ``incremental_near_dup_pairs`` (first write wins), so a replayed
+    epoch appends zero index rows; the pairs table keeps the
+    ManagedTable epoch guard. Crash between the two appends replays to
+    the identical pair frame and the already-applied side skips.
+
+    Returns (pairs appended, index rows appended)."""
+    from pyspark.sql import Observation
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+        incremental_near_dup_pairs,
+    )
+
+    pairs_table = catalog.table("neardup_pairs")
+    existing = spark.table(index_table) if spark.catalog.tableExists(index_table) else None
+    pairs, new_rows = incremental_near_dup_pairs(
+        existing, batch, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    try:
+        stored = pairs_table.applied_epoch("neardup_drain_bucketed")
+        n_pairs = 0
+        if stored is None or epoch > stored:
+            obs = Observation()
+            pairs_table.append(
+                pairs.observe(obs, F.count(F.lit(1)).alias("n")),
+                epoch=epoch, epoch_key="neardup_drain_bucketed",
+            )
+            n_pairs = obs.get["n"]
+        obs2 = Observation()
+        (
+            new_rows.observe(obs2, F.count(F.lit(1)).alias("n"))
+            .write.mode("append")
+            .bucketBy(n_buckets, "band_idx", "band_key")
+            .sortBy("band_idx", "band_key")
+            .format("parquet")
+            .saveAsTable(index_table)
+        )
+        n_new = obs2.get["n"]
     finally:
         new_rows.unpersist()
     return n_pairs, n_new
