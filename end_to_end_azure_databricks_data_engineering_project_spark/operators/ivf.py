@@ -3,10 +3,11 @@ quantizer scale path for similarity search.
 
 Pipeline:
  1. ``kmeans_fit`` — Lloyd iterations expressed as DataFrame ops:
-    assignment is an argmin over broadcast centroid literals (codegen'd
-    fold, no UDF); the update step is a (cluster, position) average via
-    posexplode + two hash aggregations. Centroids (k×dim floats) are the
-    only driver-side state. Deterministic: seeds are the k smallest ids,
+    assignment is an argmin over a BROADCAST centroid relation (one-row
+    cross join, no shuffle — centroids never enter the expression tree);
+    the update step is a (cluster, position) average via posexplode +
+    two hash aggregations. Centroids (k×dim floats) are the only
+    driver-side state. Deterministic: seeds are the k smallest ids,
     iteration count fixed — same clusters every run.
  2. ``ivf_assign`` — one pass tagging each corpus row with its nearest
     centroid (the inverted list key). Persist this next to the corpus:
@@ -15,6 +16,15 @@ Pipeline:
     score ONLY rows in those inverted lists: candidate fraction ≈
     n_probe/k of the corpus, one equi-join on the list key — no corpus
     broadcast, no cross join.
+
+Why a broadcast relation and not centroid literals: PySpark's
+``F.lit``/``F.array`` expand k×dim floats into k×dim expression nodes,
+so every Lloyd iteration (fresh centroids → fresh plan) re-analyzes and
+Janino-recompiles a codegen source that grows with k·dim — at k=64,
+dim=64 that compile dominated the whole fit (~45 s/iteration for 2 000
+rows). With the centroids riding a one-row broadcast DataFrame the
+codegen source is constant-size in k and dim; k=1024 × dim=768 is a
+6 MB broadcast value, not a megabyte-scale expression tree.
 
 At 100 TB: fit on a sample (``fit_fraction``), assign in one scan,
 store `cluster` as a partition column so probes prune files. Recall
@@ -28,34 +38,80 @@ from pyspark.sql import functions as F
 
 from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import cosine
 
-
-def _sq_dist(vec: Column, centroid: list[float]) -> Column:
-    c = F.array(*[F.lit(float(x)) for x in centroid])
-    diff = F.zip_with(vec, c, lambda a, b: a.cast("double") - b)
-    return F.aggregate(diff, F.lit(0.0), lambda acc, d: acc + d * d)
+_CENTS = "__ivf_cents"
 
 
-def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
-    """Argmin cluster id over broadcast centroid literals (pure expr).
+def _with_centroids(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Attach all k centroids as one ``array<array<double>>`` column via
+    a one-row broadcast cross join (BroadcastNestedLoopJoin — no
+    shuffle, no literals in the plan). Callers drop the column after
+    deriving what they need."""
+    cdf = df.sparkSession.createDataFrame(
+        [([[float(x) for x in c] for c in centroids],)],
+        f"{_CENTS}: array<array<double>>",
+    )
+    return df.crossJoin(F.broadcast(cdf))
 
-    Implemented as array_position(ds, array_min(ds)) over the plain
-    distance array — first occurrence of the minimum, i.e. min
-    distance with ties broken by the smallest index (matching the SQL
-    oracle's ORDER BY dist, cluster). Two deliberate non-choices:
-    the obvious when(d < best_d, ...) running-argmin chain references
-    its accumulator twice per step, doubling the expression tree per
-    centroid (2^k nodes — k=8 × dim=64 made plan analysis + codegen
-    the dominant cost of the whole IVF pipeline); and (d, i)-struct
-    extraction by field name breaks when the caller's select also
-    contains a generator (posexplode rewrites strip the struct
-    aliases to col1/col2)."""
-    ds = F.array(*[_sq_dist(vec, c) for c in centroids])
-    # NULL vector → all distances NULL → array_position NULL; coalesce
-    # to cluster 0 (the pre-rewrite when-chain behavior, and what the
-    # SQL oracle's row_number-over-NULLS-LAST assignment produces).
+
+def _sq_dists_col(vec: Column, cents: Column) -> Column:
+    """Array of squared distances to every centroid: a ``transform``
+    over the centroid-array column. Per-element arithmetic (zip_with
+    diff, sequential left-to-right fold) is bit-deterministic and
+    replayed exactly by the DuckDB oracle."""
+    return F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda a, b: a.cast("double") - b),
+            F.lit(0.0),
+            lambda acc, d: acc + d * d,
+        ),
+    )
+
+
+def _argmin_cluster(ds: Column) -> Column:
+    """Argmin cluster id from a distance array.
+
+    array_position(ds, array_min(ds)) — first occurrence of the
+    minimum, i.e. min distance with ties broken by the smallest index
+    (matching the SQL oracle's ORDER BY dist, cluster). The obvious
+    when(d < best_d, ...) running-argmin chain references its
+    accumulator twice per step, doubling the expression tree per
+    centroid (2^k nodes) — deliberately avoided.
+
+    NULL vector → all distances NULL → array_position NULL; coalesce
+    to cluster 0 (what the SQL oracle's row_number-over-NULLS-LAST
+    assignment produces)."""
     return F.coalesce(
         (F.array_position(ds, F.array_min(ds)) - 1).cast("int"), F.lit(0)
     )
+
+
+def _probe_pairs(ds: Column, cents: Column) -> Column:
+    """(dist, idx) structs for every centroid; array_sort orders by dist
+    then idx — same tie-break as the oracle's ORDER BY dist, cluster."""
+    return F.zip_with(
+        ds,
+        F.transform(cents, lambda _, i: i),
+        lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+    )
+
+
+def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Expression-only argmin over centroid literals — compat shim for
+    small k (tests, ad-hoc use). The DataFrame paths (`kmeans_fit`,
+    `ivf_assign`, `ivf_topk`) use the broadcast-relation form instead:
+    F.lit expands k×dim literal nodes, which is fine at k≤16 but
+    recompile-dominated beyond (see module docstring)."""
+    ds = _sq_dists_col(vec, F.lit([[float(x) for x in c] for c in centroids]))
+    return _argmin_cluster(ds)
+
+
+def _probe_clusters(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
+    """Expression-only n_probe nearest cluster ids — compat shim for
+    small k (same caveat as `nearest_centroid`)."""
+    cents = F.lit([[float(x) for x in c] for c in centroids])
+    pairs = _probe_pairs(_sq_dists_col(vec, cents), cents)
+    return F.slice(F.transform(F.array_sort(pairs), lambda p: p["i"]), 1, n_probe)
 
 
 def kmeans_fit(
@@ -75,10 +131,21 @@ def kmeans_fit(
     seeds = data.orderBy(F.col(id_col).asc()).limit(k).collect()
     centroids = [list(map(float, r[vec_col])) for r in seeds]
     for _ in range(n_iter):
-        assigned = data.select(
+        # Two selects, deliberately: a generator in the SAME select as
+        # the argmin would re-evaluate the O(k·dim) distance expression
+        # once per exploded row (dim× per vector — the dominant cost at
+        # k=64: ~45 s/iter for 2 000 rows). Projecting cluster below the
+        # Generate evaluates it once per vector; Catalyst keeps the
+        # projection under Generate (Generate only appends columns).
+        pre = _with_centroids(data, centroids).select(
             F.col(id_col).alias("_mid"),
-            nearest_centroid(F.col(vec_col), centroids).alias("cluster"),
-            F.posexplode(vec_col).alias("pos", "x"),
+            _argmin_cluster(
+                _sq_dists_col(F.col(vec_col), F.col(_CENTS))
+            ).alias("cluster"),
+            F.col(vec_col).alias("_v"),
+        )
+        assigned = pre.select(
+            "_mid", "cluster", F.posexplode("_v").alias("pos", "x")
         )
         # Mean = sequential fold over members ordered by id, / count —
         # the exact IEEE result is independent of partitioning AND
@@ -109,19 +176,11 @@ def ivf_assign(
     centroids: list[list[float]],
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Tag every row with its inverted-list key (one scan, no shuffle)."""
-    return df.withColumn("cluster", nearest_centroid(F.col(vec_col), centroids))
-
-
-def _probe_clusters(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
-    """Array of the n_probe nearest cluster ids (expression-only)."""
-    pairs = F.array(
-        *[
-            F.struct(_sq_dist(vec, c).alias("d"), F.lit(i).alias("i"))
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return F.slice(F.transform(F.array_sort(pairs), lambda p: p["i"]), 1, n_probe)
+    """Tag every row with its inverted-list key (one scan, no shuffle —
+    the centroid side is a one-row broadcast)."""
+    j = _with_centroids(df, centroids)
+    cluster = _argmin_cluster(_sq_dists_col(F.col(vec_col), F.col(_CENTS)))
+    return j.withColumn("cluster", cluster).drop(_CENTS)
 
 
 def ivf_topk(
@@ -137,11 +196,18 @@ def ivf_topk(
 
     ``indexed_corpus`` must carry the ``cluster`` column from
     ``ivf_assign`` (at scale: a partition column → file pruning)."""
-    q = queries.select(
+    jq = _with_centroids(queries, centroids)
+    pairs = _probe_pairs(
+        _sq_dists_col(F.col(vec_col), F.col(_CENTS)), F.col(_CENTS)
+    )
+    probe = F.slice(F.transform(F.array_sort(pairs), lambda p: p["i"]), 1, n_probe)
+    # probe projected below the explode so the O(k·dim) distance sort
+    # runs once per query, not once per probed cluster (see kmeans_fit).
+    q = jq.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.explode(_probe_clusters(F.col(vec_col), centroids, n_probe)).alias("cluster"),
-    )
+        probe.alias("_probe"),
+    ).select("query_id", "qv", F.explode("_probe").alias("cluster"))
     c = indexed_corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cluster"
     )

@@ -59,11 +59,23 @@ def brute_force_topk(
     window. Corpus is scanned once, never shuffled; only (Q×k) rows
     shuffle for the final ranking."""
     qid = query_id_col or id_col
-    q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # Norms below the join: one sqrt-fold per ROW per side instead of
+    # two per PAIR — same sequential fold, bit-identical cosine.
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
     )
     from pyspark.sql import Window
 
@@ -110,6 +122,37 @@ def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return key
 
 
+def _srp_banded(
+    df: DataFrame,
+    tables: list[list[list[float]]],
+    idc: str,
+    vc: str,
+    out_id: str,
+) -> DataFrame:
+    """(id, vec, nrm, table_idx, bucket) — one output row per hash
+    table. The bucket array AND the norm are projected BELOW the
+    explode, so the O(n_tables·n_planes·dim) projection work and the
+    sqrt-fold run once per input row, not once per exploded row."""
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_idx"),
+                srp_bucket(F.col(vc), tables[t]).alias("bucket"),
+            )
+            for t in range(len(tables))
+        ]
+    )
+    pre = df.select(
+        F.col(idc).alias(out_id),
+        F.col(vc).alias(f"{out_id}_vec"),
+        norm(F.col(vc)).alias(f"{out_id}_nrm"),
+        buckets.alias("_bk"),
+    )
+    return pre.select(
+        out_id, f"{out_id}_vec", f"{out_id}_nrm", F.explode("_bk").alias("b")
+    ).select(out_id, f"{out_id}_vec", f"{out_id}_nrm", "b.table_idx", "b.bucket")
+
+
 def srp_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -132,28 +175,17 @@ def srp_ann_topk(
         _seeded_hyperplanes(dim, n_planes, seed=f"srp{t}") for t in range(n_tables)
     ]
 
-    def bucketed(df: DataFrame, idc: str, vc: str, out_id: str) -> DataFrame:
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table_idx"),
-                    srp_bucket(F.col(vc), tables[t]).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
-        )
-        return df.select(
-            F.col(idc).alias(out_id), F.col(vc).alias(f"{out_id}_vec"),
-            F.explode(buckets).alias("b"),
-        ).select(out_id, f"{out_id}_vec", "b.table_idx", "b.bucket")
-
-    cb = bucketed(corpus, id_col, vec_col, "neighbor_id")
-    qb = bucketed(queries, id_col, vec_col, "query_id")
+    cb = _srp_banded(corpus, tables, id_col, vec_col, "neighbor_id")
+    qb = _srp_banded(queries, tables, id_col, vec_col, "query_id")
     cand = (
         cb.join(qb, ["table_idx", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cos_sim", cosine(F.col("query_id_vec"), F.col("neighbor_id_vec")))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("query_id_vec"), F.col("neighbor_id_vec"))
+            / (F.col("query_id_nrm") * F.col("neighbor_id_nrm")),
+        )
     )
     from pyspark.sql import Window
 
@@ -185,20 +217,7 @@ def near_dup_by_cosine(
     tables = [
         _seeded_hyperplanes(dim, n_planes, seed=f"srp{t}") for t in range(n_tables)
     ]
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table_idx"),
-                srp_bucket(F.col(vec_col), tables[t]).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    banded = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.explode(buckets).alias("b"),
-    ).select("id", "vec", "b.table_idx", "b.bucket")
+    banded = _srp_banded(df, tables, id_col, vec_col, "id")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -210,11 +229,15 @@ def near_dup_by_cosine(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.vec").alias("va"),
-            F.col("b.vec").alias("vb"),
+            F.col("a.id_vec").alias("va"),
+            F.col("b.id_vec").alias("vb"),
+            F.col("a.id_nrm").alias("na"),
+            F.col("b.id_nrm").alias("nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cos_sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
