@@ -1134,11 +1134,13 @@ def _sql_cosine(a: str, b: str, dim: int = 64) -> str:
     )
 
 
-def _srp_oracle_sql(n_tables=8, n_planes=4, dim=64, k=5, max_qid=10) -> str:
-    """DuckDB replay of srp_ann_topk: the hyperplanes are re-generated
-    from the same md5 counter stream as _seeded_hyperplanes (verified
-    bit-identical: int(md5hex[:15],16)/2^60 ↔ ('0x'||substr(md5,1,15))
-    ::BIGINT/2^60), so buckets, candidates and cosines all match."""
+def _srp_buckets_cte(n_tables=8, n_planes=4, dim=64) -> str:
+    """Shared CTE prefix replaying _seeded_hyperplanes + srp_bucket in
+    DuckDB, through the ``buckets (vec_id, t, bucket)`` relation. The
+    hyperplanes are re-generated from the same md5 counter stream
+    (verified bit-identical: int(md5hex[:15],16)/2^60 ↔
+    ('0x'||substr(md5,1,15))::BIGINT/2^60), so buckets, candidates and
+    cosines all match."""
     u = " + ".join(
         f"('0x' || substr(md5('srp' || t || '|' || p || '|' || d || '|{r}'), 1, 15))::BIGINT"
         f" / 1152921504606846976.0"
@@ -1162,7 +1164,12 @@ def _srp_oracle_sql(n_tables=8, n_planes=4, dim=64, k=5, max_qid=10) -> str:
     buckets AS (
       SELECT vec_id, t, SUM(CASE WHEN proj >= 0 THEN 1 << p ELSE 0 END) AS bucket
       FROM projs GROUP BY vec_id, t
-    ),
+    )"""
+
+
+def _srp_oracle_sql(n_tables=8, n_planes=4, dim=64, k=5, max_qid=10) -> str:
+    """DuckDB replay of srp_ann_topk (see _srp_buckets_cte)."""
+    return _srp_buckets_cte(n_tables, n_planes, dim) + f""",
     cand AS (
       SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
       FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
@@ -1292,6 +1299,47 @@ def q_ann_topk_srp(spark, sf):
 
     emb = _t(spark, sf, "embeddings")
     return srp_ann_topk(emb, emb.filter("vec_id < 10"), k=5)
+
+
+def _srp_neardup_oracle_sql(n_tables=8, n_planes=4, dim=64, thr="0.30") -> str:
+    """DuckDB replay of near_dup_by_cosine: SRP band-bucket candidate
+    pairs (any shared table bucket, id_a < id_b, distinct), then exact
+    cosine ≥ threshold — same bit-exact hyperplane stream as
+    _srp_buckets_cte, NO top-k cap."""
+    return _srp_buckets_cte(n_tables, n_planes, dim) + f""",
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM buckets x JOIN buckets y
+        ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    scored AS (
+      SELECT cand.id_a, cand.id_b, {_sql_cosine("a", "b", dim)} AS cos_sim
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.id_a
+      JOIN embeddings b ON b.vec_id = cand.id_b
+    )
+    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {thr}
+    """
+
+
+@_q(
+    "embedding_near_dup_srp",
+    "Embedding-cosine near-duplicate pairs over the FULL corpus via the "
+    "uncapped SRP band-bucket pair join (similarity.near_dup_by_cosine): "
+    "candidates only within shared LSH buckets — no all-pairs join, no "
+    "top-k recall cap; the oracle replays the seeded hyperplane stream "
+    "bit-exactly. Contrast embedding_near_dup, which brute-forces a "
+    "bounded id slice as the exact baseline",
+    "ext:dedup-embedding-srp",
+    _srp_neardup_oracle_sql(),
+)
+def q_embedding_near_dup_srp(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import (
+        near_dup_by_cosine,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    return near_dup_by_cosine(emb, threshold=0.30)
 
 
 @_q(
@@ -3028,38 +3076,13 @@ def q_skew_salted_latest(spark, sf):
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at
-# 50 entries per round. Round-4 priority: (a) the 19 entries broken by
-# the r3 events-timestamp regression (now fixed — they need fresh green
-# rows, approx_analytics among them with its first-ever oracle), then
-# (b) entries whose last driver-green run predates the regenerated
-# timestamp[us] testdata (green in r1/r2 only — stale evidence), with
-# the 43 entries green in CORRECTNESS_r03 (new testdata) at the back.
-_VERIFY_FIRST: list[str] = [
-    # (a) r3 events-timestamp casualties — fixed this round.
-    "watermark_filter",
-    "concat_naming",
-    "coalesce_nullif",
-    "max_watermark",
-    "rowcount_gate",
-    "dedup_distinct",
-    "latest_per_key",
-    "pivot_manual",
-    "sessionize",
-    "quality_gate",
-    "scd1_latest_state",
-    "scd2_history",
-    "json_extract",
-    "asof_join",
-    "count_distinct_groups",
-    "mode_per_group",
-    "date_spine_gapfill",
-    "funnel_conversion",
-    "approx_analytics",
-]
+# 50 entries per round. Ordering policy: entries with NO green driver
+# row against the current testdata (i.e. newly registered) come first,
+# then proven entries by staleness of evidence — r3-green-only before
+# r4-green — so the 50-entry window always covers every unproven entry
+# and re-freshens the least recently checked ones.
 
-# Entries with a green row in CORRECTNESS_r03.json — verified against
-# the current (timestamp[us]) testdata; they keep standing evidence at
-# the back of the window.
+# Entries with a green row in CORRECTNESS_r03.json (current testdata).
 _R3_GREEN = {
     "range_join", "exact_median", "cube_agg", "embedding_stats",
     "ordered_string_agg", "doc_repetition_ratio", "pandas_grouped_rank",
@@ -3077,19 +3100,36 @@ _R3_GREEN = {
     "calendar",
 }
 
+# Entries with a green row in CORRECTNESS_r04.json (the round-4
+# 50-entry driver window — all passed rows+schema+hash).
+_R4_GREEN = {
+    "watermark_filter", "concat_naming", "coalesce_nullif",
+    "max_watermark", "rowcount_gate", "dedup_distinct", "latest_per_key",
+    "pivot_manual", "sessionize", "quality_gate", "scd1_latest_state",
+    "scd2_history", "json_extract", "asof_join", "count_distinct_groups",
+    "mode_per_group", "date_spine_gapfill", "funnel_conversion",
+    "approx_analytics", "pricing_summary", "rollup_hierarchy",
+    "star_join_revenue", "broadcast_dim_join", "semi_join", "anti_join",
+    "topk_customers", "window_running_sum", "doc_token_stats",
+    "doc_quality", "doc_langid", "doc_fingerprint_dedup",
+    "minhash_signatures", "ngram_jaccard_pairs", "simhash_fingerprints",
+    "cosine_topk", "embedding_near_dup", "semantic_dedup_pairs",
+    "set_ops_union", "set_ops_intersect", "set_ops_except",
+    "like_filter", "date_arithmetic", "having_filter", "scalar_subquery",
+    "topk_per_group", "rank_dense_ntile", "moving_average",
+    "stratified_sample", "tfidf_top_terms", "skew_salted_latest",
+}
+
 
 def _ordered_catalog() -> dict[str, CatalogQuery]:
     by_name = {q.name: q for q in _CATALOG}
-    front = [n for n in _VERIFY_FIRST if n in by_name]
-    # Entries green only against the pre-r3 (nanos) testdata, plus
-    # anything newly registered, slot in before the r3-green tail.
-    mid = [
-        q.name
-        for q in _CATALOG
-        if q.name not in set(front) and q.name not in _R3_GREEN
-    ]
-    tail = [q.name for q in _CATALOG if q.name in _R3_GREEN]
-    return {n: by_name[n] for n in front + mid + tail}
+    proven = _R3_GREEN | _R4_GREEN
+    new = [q.name for q in _CATALOG if q.name not in proven]
+    # Stalest standing evidence first: r3-green entries not re-checked
+    # in r4 precede the r4-green tail.
+    r3_only = [q.name for q in _CATALOG if q.name in _R3_GREEN - _R4_GREEN]
+    r4 = [q.name for q in _CATALOG if q.name in _R4_GREEN]
+    return {n: by_name[n] for n in new + r3_only + r4}
 
 
 CATALOG: dict[str, CatalogQuery] = _ordered_catalog()

@@ -125,27 +125,30 @@ def test_dataset_split_disjoint_exhaustive(spark):
 
 def test_verification_window_covers_unproven_entries():
     """The driver verifies queries() in insertion order, capped at 50
-    entries per round. Contract: every entry WITHOUT standing green
-    evidence against the current testdata (the r3-regressed events
-    queries, plus anything newly registered) must sit inside the first
-    50, ahead of the r3-green tail — otherwise its recovery/first run
-    never gets driver-checked."""
+    entries per round. Contract: every entry WITHOUT a green driver row
+    against the current testdata (i.e. newly registered this round)
+    must sit inside the first 50 — otherwise its first run never gets
+    driver-checked — and stalest-evidence entries (r3-green-only) come
+    before the r4-green tail so the window refreshes them."""
     from end_to_end_azure_databricks_data_engineering_project_spark.plans.queries import (
         _R3_GREEN,
-        _VERIFY_FIRST,
+        _R4_GREEN,
         CATALOG,
     )
 
     order = list(CATALOG)
     window = set(order[:50])
-    unproven = [n for n in order if n not in _R3_GREEN]
+    proven = _R3_GREEN | _R4_GREEN
+    unproven = [n for n in order if n not in proven]
     missing = [n for n in unproven if n not in window]
     assert not missing, (
         f"entries lacking current-testdata evidence fall outside the "
         f"driver's 50-entry window: {missing}"
     )
-    # the regressed-then-fixed entries lead the window outright
-    assert order[: len(_VERIFY_FIRST)] == _VERIFY_FIRST
+    # new entries lead the window outright, stalest evidence next
+    assert order[: len(unproven)] == unproven
+    r3_only = [n for n in order if n in _R3_GREEN - _R4_GREEN]
+    assert order[len(unproven) : len(unproven) + len(r3_only)] == r3_only
 
 
 def test_stratified_sample_partitioning_independent(spark):
