@@ -85,6 +85,11 @@ class ManagedTable:
         <root>/<name>/v00000N/         # parquet snapshot for version N
     """
 
+    # merge_keyed falls back to a full rewrite (no driver-side file
+    # manifest, no hardlinks) once a batch touches more than this
+    # fraction of the snapshot's files.
+    merge_full_rewrite_fraction = 0.8
+
     def __init__(self, spark: SparkSession, root: str | os.PathLike[str], name: str):
         self.spark = spark
         self.dir = Path(root) / name
@@ -526,7 +531,15 @@ class ManagedTable:
         the (broadcast) distinct batch keys to find touched files, then
         the merge itself over just those files' rows. At 100 TB with the
         table clustered by key this touches a handful of files per
-        incremental batch instead of the whole table."""
+        incremental batch instead of the whole table.
+
+        The driver-side touched-file manifest is BOUNDED: it is
+        collected through a ``limit(cap + 1)`` where cap =
+        ``merge_full_rewrite_fraction`` × the snapshot's file count, so
+        driver memory never grows with the table. A batch touching more
+        than that fraction of files has no pruning value left — the
+        merge falls back to a full rewrite (subset = whole snapshot,
+        nothing hardlinked) without ever materializing the manifest."""
         if self._epoch_already_applied(epoch, epoch_key):
             return self.current_version()
         if not self.exists():
@@ -536,17 +549,26 @@ class ManagedTable:
         vdir = self._version_dir(v)
         cur = self.read()
         bkeys = batch.select(*keys).distinct()
+        n_files = sum(1 for _ in vdir.glob("*.parquet"))
+        cap = max(1, int(self.merge_full_rewrite_fraction * n_files))
         touched = (
             cur.withColumn("__file", F.input_file_name())
             .join(F.broadcast(bkeys), list(keys), "left_semi")
             .select("__file")
             .distinct()
+            .limit(cap + 1)
             .collect()
         )
-        touched_files = {os.path.basename(r["__file"]) for r in touched}
+        full_rewrite = len(touched) > cap
+        touched_files = (
+            set() if full_rewrite
+            else {os.path.basename(r["__file"]) for r in touched}
+        )
         new_v = self._claim_next_version()
         new_dir = self._version_dir(new_v)
-        if touched_files:
+        if full_rewrite:
+            subset = cur
+        elif touched_files:
             stored = self.table_schema(v)
             reader = self.spark.read.schema(stored) if stored is not None else self.spark.read
             subset = reader.parquet(*[str(vdir / f) for f in sorted(touched_files)])
@@ -557,10 +579,11 @@ class ManagedTable:
         # that merge_fn itself adds).
         merged, schema = self._align(merge_fn(subset, batch), evolve=False)
         merged.write.mode("overwrite").parquet(str(new_dir))
-        self._link_prior(vdir, new_dir, skip=touched_files)
+        if not full_rewrite:
+            self._link_prior(vdir, new_dir, skip=touched_files)
         self._write_op_marker(new_v, "merge")
         self._write_schema(new_dir, schema)
-        self._collect_stats(new_dir, self.file_stats(v))
+        self._collect_stats(new_dir, self.file_stats(v) if not full_rewrite else None)
         self._commit(new_v, epoch, epoch_key)
         return new_v
 

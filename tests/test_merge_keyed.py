@@ -76,6 +76,39 @@ def test_merge_keyed_all_new_keys_links_everything(spark, table):
     assert table.read().count() == 101
 
 
+def test_merge_keyed_full_table_batch_falls_back_to_rewrite(spark, table):
+    """A batch touching (almost) every key exceeds the touched-file
+    fraction cap: merge_keyed must NOT collect a table-sized manifest —
+    it rewrites the whole snapshot, links nothing, and stays correct."""
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit("old").alias("val"), F.lit(1).alias("seq")
+    )
+    table.overwrite(base.repartition(8, "k"))
+    batch = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit("new").alias("val"), F.lit(2).alias("seq")
+    )
+    table.merge_keyed(batch, ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq"))
+    v1_dir = table._version_dir(table.current_version())
+    # full rewrite: no hardlinked prior_ files at all
+    assert not any(n.startswith("prior_") for n in _files(v1_dir))
+    got = {r.k: r.val for r in table.read().collect()}
+    assert len(got) == 1000 and set(got.values()) == {"new"}
+
+
+def test_merge_keyed_fraction_boundary_still_prunes(spark, table):
+    """Touching one of 8 files stays far below the default 0.8 cap —
+    the pruned path (manifest + hardlinks) must still engage."""
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit("old").alias("val"), F.lit(1).alias("seq")
+    )
+    table.overwrite(base.repartition(8, "k"))
+    batch = spark.createDataFrame([(7, "new", 2)], "k long, val string, seq int")
+    table.merge_keyed(batch, ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq"))
+    v1_dir = table._version_dir(table.current_version())
+    prior = [n for n in _files(v1_dir) if n.startswith("prior_")]
+    assert len(prior) == 7
+
+
 def test_apply_changes_scd2_prunes_files(spark, table):
     base = spark.createDataFrame(
         [(k, f"v{k}", 1) for k in range(200)], ["k", "val", "seq"]
