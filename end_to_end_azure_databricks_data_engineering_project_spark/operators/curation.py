@@ -1,0 +1,205 @@
+"""Corpus-curation operators for training-data pipelines at scale:
+sequence packing, per-source quota sampling, global token-budget
+selection, and bigram language-model scoring.
+
+Shared design rules (same as the rest of the engine):
+ - Every ordering/selection decision keys off a PORTABLE md5 hash
+   (`functions.scalars.portable_hash64` shape) so the result is
+   identical on any engine, any partitioning, any rerun — and
+   replayable by the DuckDB oracles.
+ - Integer arithmetic everywhere a sum crosses partitions (token
+   counts, pack sums) — exact regardless of combine order. The one
+   float reduction (bigram score) is an ordered sequential fold.
+ - No driver-side data: the heaviest driver state here is nothing at
+   all — even the global prefix sum keeps its shard offsets in a
+   broadcast-joined n_shards-row DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.text import token_count
+
+
+def _phash(prefix: str, col: Column) -> Column:
+    """63-bit positive int from md5 over a salted id — DuckDB twin:
+    CAST(('0x' || substr(md5('<prefix>' || id), 1, 15)) AS BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), col.cast("string"))), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def sequence_packing(
+    docs: DataFrame,
+    budget: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in a
+    deterministic pseudo-random order (md5 hash, ties by id) and cut
+    into packs of ``budget`` tokens; a document belongs to the pack
+    where it STARTS (greedy concatenation — the standard pretraining
+    layout). Returns one row per pack: (shard, pack_id, n_docs,
+    pack_tokens).
+
+    Scale shape: the running token sum is a window partitioned by an
+    md5 shard — each of the ``n_shards`` streams packs independently,
+    so no global sort and no single-partition window; parallelism =
+    n_shards (size it to the cluster). All sums are integer → exact
+    under any partial-agg order."""
+    h = _phash("pack|", F.col(id_col))
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        (h % n_shards).cast("int").alias("shard"),
+        h.alias("_h"),
+        token_count(F.col(text_col)).alias("_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col("_id").asc())
+    packed = base.withColumn(
+        "pack_id",
+        F.floor((F.sum("_tok").over(w) - F.col("_tok")) / F.lit(budget)).cast("bigint"),
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tok").cast("bigint").alias("pack_tokens"),
+    )
+
+
+def quota_per_group(
+    docs: DataFrame,
+    group_col: str = "source",
+    quota: int = 15,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-mix rebalancing: cap each group (source/domain/language)
+    at ``quota`` documents, selected by portable md5 order — the
+    deterministic analogue of "sample n per domain". Returns
+    (doc_id, <group_col>, pick_rank).
+
+    Scale shape: one hash-shuffle on the group key + window row_number
+    — map-side nothing to combine, but the per-group state is a single
+    counter. Skewed groups cost one fat partition; salt upstream if a
+    single domain dominates (see skew.py)."""
+    h = _phash("quota|", F.col(id_col))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.select(id_col, group_col)
+        .withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= quota)
+    )
+
+
+def token_budget_head(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic corpus subset under a GLOBAL token budget: lay all
+    documents on one virtual line ordered by (shard, hash, id) and keep
+    every document whose running total stays ≤ budget. Returns
+    (doc_id, cum_tokens).
+
+    Distributed prefix sum, no global sort: per-shard running sums via
+    a shard-partitioned window, shard base offsets via an exclusive
+    prefix sum over the n_shards-row totals (a window over a relation
+    of n_shards rows — trivially tiny), broadcast-joined back. The
+    driver never holds anything; the heaviest sequential structure is
+    the n_shards-row offsets relation. All integer arithmetic → exact
+    and partitioning-independent."""
+    h = _phash("budget|", F.col(id_col))
+    base = docs.select(
+        F.col(id_col),
+        (h % n_shards).cast("int").alias("shard"),
+        h.alias("_h"),
+        token_count(F.col(text_col)).cast("bigint").alias("_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    local = base.withColumn("_cum_in", F.sum("_tok").over(w))
+    totals = base.groupBy("shard").agg(F.sum("_tok").alias("_stot"))
+    woff = (
+        Window.orderBy(F.col("shard").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "shard", F.coalesce(F.sum("_stot").over(woff), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "shard")
+        .withColumn("cum_tokens", (F.col("_off") + F.col("_cum_in")).cast("bigint"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, "cum_tokens")
+    )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    classic LM-based quality signal (high score ≈ text that looks like
+    the corpus). The model is add-one-smoothed conditional probability
+    p(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V) with counts trained on the
+    WHOLE corpus in the same pass; a document's score is the mean of
+    its bigram probabilities. Probability space (not log) on purpose:
+    every value is a ratio of exact integers evaluated in IEEE double —
+    bit-identical across engines, where ln() implementations differ.
+    Returns (doc_id, n_bigrams, lm_score); documents with fewer than
+    two tokens have no bigrams and are absent.
+
+    Scale shape: one explode to bigram occurrences, two count
+    aggregations (map-side partial), two equi-joins back on the bigram/
+    prefix keys, one 1-row vocabulary broadcast, and a per-document
+    ordered fold (collect_list bounded by tokens-per-doc). No all-pairs
+    anything; hot bigrams ride AQE skew splitting."""
+    ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = docs.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("_id"), ws.alias("_ws")
+    )
+    # (pos, w1, bigram) structs; guard size<2 (Spark's sequence() runs
+    # DESCENDING when start > stop — an unguarded sequence(1, size-1)
+    # would fabricate bigrams for 1-token docs).
+    pairs = F.when(
+        F.size("_ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_ws") - 1),
+            lambda i: F.struct(
+                F.element_at("_ws", i).alias("w1"),
+                F.concat(
+                    F.element_at("_ws", i), F.lit(" "), F.element_at("_ws", i + 1)
+                ).alias("bg"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,bg:string>>"))
+    bg = toks.select("_id", pairs.alias("_ps")).select(
+        "_id", F.posexplode("_ps").alias("pos", "p")
+    ).select("_id", (F.col("pos") + 1).alias("pos"), "p.w1", "p.bg")
+    c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("_c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab = (
+        toks.select(F.explode("_ws").alias("w"))
+        .agg(F.countDistinct("w").alias("_v"))
+    )
+    scored = (
+        bg.join(c2, "bg")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "_p",
+            (F.col("_c2") + 1).cast("double") / (F.col("_c1") + F.col("_v")).cast("double"),
+        )
+    )
+    ordered_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("_p")))),
+        F.lit(0.0),
+        lambda acc, s: acc + s["_p"],
+    )
+    return scored.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        (ordered_sum / F.count(F.lit(1))).alias("lm_score"),
+    ).withColumnRenamed("_id", id_col)

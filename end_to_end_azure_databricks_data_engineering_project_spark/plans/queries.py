@@ -3073,6 +3073,142 @@ def q_skew_salted_latest(spark, sf):
     return salted_latest_per_key(e, ["user_id"], "ts", "event_id", n_salt=8)
 
 
+# =====================================================================
+# LLM-data extensions: corpus curation (packing / quotas / budgets / LM)
+# =====================================================================
+
+@_q(
+    "sequence_packing",
+    "Concat-and-chunk sequence packing: documents in deterministic md5 "
+    "order are cut into 256-token packs, one independent stream per md5 "
+    "shard (no global sort — the window partitions by shard, so "
+    "parallelism is n_shards and all sums are exact integers)",
+    "extension: training-data curation (sequence packing)",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT CAST(h % 8 AS INT) AS shard, tok,
+             SUM(tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM base
+    )
+    SELECT shard, CAST(floor((cum - tok) / 256) AS BIGINT) AS pack_id,
+           count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY shard, pack_id
+    """,
+)
+def q_sequence_packing(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.curation import (
+        sequence_packing,
+    )
+
+    return sequence_packing(_t(spark, sf, "documents"), budget=256, n_shards=8)
+
+
+@_q(
+    "quota_per_source",
+    "Domain-mix rebalancing: cap every source at 15 documents picked in "
+    "portable md5 order — deterministic 'n per domain' sampling, stable "
+    "across engines/partitionings/reruns",
+    "extension: training-data curation (domain quotas)",
+    """
+    SELECT doc_id, source, CAST(rn AS INT) AS pick_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substr(md5('quota|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                        doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 15
+    """,
+)
+def q_quota_per_source(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.curation import (
+        quota_per_group,
+    )
+
+    return quota_per_group(_t(spark, sf, "documents"), "source", quota=15)
+
+
+@_q(
+    "token_budget_head",
+    "Deterministic corpus subset under a GLOBAL 5000-token budget via a "
+    "distributed prefix sum: per-shard running sums + an exclusive "
+    "prefix over the n_shards-row totals broadcast back — no global "
+    "sort, no driver state; the oracle replays it as one global window",
+    "extension: training-data curation (token budgets)",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('budget|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS tok
+      FROM documents
+    )
+    SELECT doc_id, CAST(cum AS BIGINT) AS cum_tokens FROM (
+      SELECT doc_id,
+             SUM(tok) OVER (ORDER BY CAST(h % 16 AS INT), h, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM base
+    ) WHERE cum <= 5000
+    """,
+)
+def q_token_budget_head(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.curation import (
+        token_budget_head,
+    )
+
+    return token_budget_head(_t(spark, sf, "documents"), budget=5000, n_shards=16)
+
+
+@_q(
+    "bigram_lm_score",
+    "Corpus-trained add-one-smoothed bigram LM score per document (mean "
+    "of p(w2|w1) = (c12+1)/(c1+V)) — the classic LM quality signal, "
+    "kept in probability space so every value is a ratio of exact "
+    "integers (ln() implementations differ across engines); per-doc "
+    "mean is an ordered sequential fold",
+    "extension: training-data curation (LM quality scoring)",
+    r"""
+    WITH ww AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      FROM documents WHERE trim(text) <> ''
+    ),
+    bg0 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+               i -> struct_pack(pos := i, w1 := ws[i],
+                                bg := ws[i] || ' ' || ws[i + 1]))) AS s
+      FROM ww
+    ),
+    bg AS (SELECT doc_id, s.pos AS pos, s.w1 AS w1, s.bg AS bg FROM bg0),
+    c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(ws) AS w FROM ww)),
+    p AS (
+      SELECT b.doc_id, b.pos,
+             CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE) AS p
+      FROM bg b JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+           list_reduce(list(p ORDER BY pos), (a, b) -> a + b) / count(*) AS lm_score
+    FROM p GROUP BY doc_id
+    """,
+)
+def q_bigram_lm_score(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.curation import (
+        bigram_lm_score,
+    )
+
+    return bigram_lm_score(_t(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at

@@ -1,0 +1,119 @@
+"""Corpus-curation operators: sequence packing, per-group quotas,
+global token budgets (distributed prefix sum), bigram LM scoring.
+Every operator must be deterministic under repartitioning — selection/
+ordering keys off portable md5 hashes, never physical layout."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.curation import (
+    bigram_lm_score,
+    quota_per_group,
+    sequence_packing,
+    token_budget_head,
+)
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.text import token_count
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_sequence_packing_conserves_docs_and_tokens(spark, docs):
+    packs = sequence_packing(docs, budget=64, n_shards=4).collect()
+    total_tok = docs.select(F.sum(token_count(F.col("text")))).first()[0]
+    assert sum(p.n_docs for p in packs) == docs.count()
+    assert sum(p.pack_tokens for p in packs) == total_tok
+    assert all(p.pack_id >= 0 for p in packs)
+    # pack ids may have gaps (a doc longer than the budget spans whole
+    # budget windows no later doc starts in), but every shard starts at
+    # pack 0
+    shards = {p.shard for p in packs}
+    assert {p.shard for p in packs if p.pack_id == 0} == shards
+    # with an effectively unlimited budget everything packs into pack 0
+    huge = sequence_packing(docs, budget=10**9, n_shards=4).collect()
+    assert {(p.shard, p.pack_id) for p in huge} == {(s, 0) for s in shards}
+
+
+def test_sequence_packing_partitioning_independent(spark, docs):
+    base = {(r.shard, r.pack_id, r.n_docs, r.pack_tokens)
+            for r in sequence_packing(docs, budget=64, n_shards=4).collect()}
+    for n in (1, 7):
+        again = {(r.shard, r.pack_id, r.n_docs, r.pack_tokens)
+                 for r in sequence_packing(docs.repartition(n), budget=64, n_shards=4).collect()}
+        assert again == base, n
+
+
+def test_quota_per_group_caps_every_group(spark, docs):
+    quota = 2
+    rows = quota_per_group(docs, "lang", quota=quota).collect()
+    sizes = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    picked: dict[str, int] = {}
+    for r in rows:
+        picked[r.lang] = picked.get(r.lang, 0) + 1
+        assert 1 <= r.pick_rank <= quota
+    for lang, n in sizes.items():
+        assert picked.get(lang, 0) == min(quota, n)
+    # deterministic under repartitioning
+    again = {(r.doc_id, r.lang) for r in
+             quota_per_group(docs.repartition(5), "lang", quota=quota).collect()}
+    assert again == {(r.doc_id, r.lang) for r in rows}
+
+
+def test_token_budget_head_matches_global_window(spark, docs):
+    """The two-phase (shard-local cumsum + broadcast offsets) prefix sum
+    must equal the single global window it replaces."""
+    budget = 600
+    got = {(r.doc_id, r.cum_tokens)
+           for r in token_budget_head(docs, budget=budget, n_shards=4).collect()}
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("budget|"), F.col("doc_id").cast("string"))), 1, 15),
+        16, 10,
+    ).cast("bigint")
+    from pyspark.sql import Window
+
+    ref = (
+        docs.select(
+            "doc_id", (h % 4).cast("int").alias("shard"), h.alias("h"),
+            token_count(F.col("text")).cast("bigint").alias("tok"),
+        )
+        .withColumn(
+            "cum",
+            F.sum("tok").over(
+                Window.orderBy("shard", "h", "doc_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter(F.col("cum") <= budget)
+    )
+    expect = {(r.doc_id, r.cum) for r in ref.collect()}
+    assert got == expect
+    assert got  # budget actually selects something
+    assert max(c for _, c in got) <= budget
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    """Tiny corpus scored by hand: c('a b')=3, c('b a')=1, c1(a)=3,
+    c1(b)=1, V=2 → p(a b)=4/5, p(b a)=2/3."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_bigrams, r.lm_score)
+           for r in bigram_lm_score(docs).collect()}
+    p_ab = 4.0 / 5.0
+    p_ba = 2.0 / 3.0
+    assert got[1] == (3, (((0.0 + p_ab) + p_ba) + p_ab) / 3)
+    assert got[2] == (1, (0.0 + p_ab) / 1)
+
+
+def test_bigram_lm_score_drops_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "  "), (3, "two tokens")], "doc_id long, text string"
+    )
+    got = {r.doc_id for r in bigram_lm_score(docs).collect()}
+    assert got == {3}
