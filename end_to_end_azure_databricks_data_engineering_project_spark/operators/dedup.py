@@ -495,3 +495,75 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ------------------------------------------------- duplicated spans --
+def duplicated_span_dedup(
+    docs: DataFrame,
+    window: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): find every ``window``-token span
+    that occurs ≥ ``min_count`` times ANYWHERE in the corpus, and strip
+    the covered tokens from each document. Returns (doc_id, n_tokens,
+    n_dup_tokens, clean_text) — clean_text is the document with every
+    duplicated span removed, '' if nothing survives.
+
+    Distributed shape: one explode to (doc, start, md5-of-span)
+    occurrences, one count aggregation on the span fingerprint
+    (map-side partial), one equi-join back to flag duplicated starts,
+    then a per-document coverage pass done entirely in array
+    expressions (the duplicated-start list per doc is bounded by
+    tokens-per-doc). No pairwise joins, nothing quadratic in the
+    corpus; the fingerprint shuffle is the only wide exchange.
+
+    Determinism: md5 fingerprints, integer counts, position arithmetic
+    — no floats anywhere, replayable exactly by the SQL oracle."""
+    ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("_id"), ws.alias("_ws"), F.size(ws).alias("_n")
+    )
+    empty_wins = F.array().cast("array<struct<s:int,fp:string>>")
+    wins = F.when(
+        F.col("_n") >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.col("_n") - window + 1),
+            lambda s: F.struct(
+                s.cast("int").alias("s"),
+                F.md5(F.concat_ws(" ", F.slice("_ws", s, window))).alias("fp"),
+            ),
+        ),
+    ).otherwise(empty_wins)
+    occ = (
+        base.select("_id", wins.alias("_wn"))
+        .select("_id", F.explode("_wn").alias("w"))
+        .select("_id", "w.s", "w.fp")
+    )
+    cnt = occ.groupBy("fp").agg(F.count(F.lit(1)).alias("_c"))
+    dup_starts = (
+        occ.join(cnt.filter(F.col("_c") >= min_count), "fp")
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("_starts"))
+    )
+    j = base.join(dup_starts, "_id", "left").withColumn(
+        "_starts", F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    )
+
+    def covered(t):
+        return F.exists(
+            F.col("_starts"), lambda s: (s <= t) & (t <= s + window - 1)
+        )
+
+    positions = F.sequence(F.lit(1), F.col("_n"))
+    kept = F.filter(positions, lambda t: ~covered(t))
+    return j.select(
+        F.col("_id").alias(id_col),
+        F.col("_n").cast("int").alias("n_tokens"),
+        (F.col("_n") - F.size(kept)).cast("int").alias("n_dup_tokens"),
+        F.array_join(
+            F.transform(kept, lambda t: F.element_at("_ws", t)), " "
+        ).alias("clean_text"),
+    )

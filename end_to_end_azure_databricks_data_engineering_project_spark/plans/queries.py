@@ -3209,6 +3209,59 @@ def q_bigram_lm_score(spark, sf):
     return bigram_lm_score(_t(spark, sf, "documents"))
 
 
+@_q(
+    "duplicated_span_dedup",
+    "Substring-level dedup (Lee et al. 2022): every 5-token span "
+    "occurring >= 2 times anywhere in the corpus is stripped from each "
+    "document — one md5-span explode + one count shuffle + one "
+    "flag-join; the per-doc coverage pass is pure array expressions "
+    "(nothing quadratic in the corpus). Output: per-doc token counts "
+    "and the cleaned text",
+    "extension: dedup (duplicated token spans)",
+    r"""
+    WITH ww AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      FROM documents WHERE trim(text) <> ''
+    ),
+    base AS (SELECT doc_id, ws, len(ws) AS n FROM ww),
+    win AS (
+      SELECT doc_id, i AS s, md5(array_to_string(ws[i:i+4], ' ')) AS fp
+      FROM base, unnest(range(1, n - 5 + 2)) r(i)
+      WHERE n >= 5
+    ),
+    cnt AS (SELECT fp, count(*) AS c FROM win GROUP BY fp),
+    dup AS (
+      SELECT w.doc_id, w.s FROM win w JOIN cnt USING (fp) WHERE cnt.c >= 2
+    ),
+    toks AS (
+      SELECT doc_id, i AS t, ws[i] AS w
+      FROM base, unnest(range(1, n + 1)) r(i)
+    ),
+    cov AS (
+      SELECT DISTINCT t.doc_id, t.t
+      FROM toks t JOIN dup d
+        ON d.doc_id = t.doc_id AND t.t BETWEEN d.s AND d.s + 4
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS INT) AS n_tokens,
+           CAST(sum(CASE WHEN c.t IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+             AS n_dup_tokens,
+           coalesce(string_agg(CASE WHEN c.t IS NULL THEN t.w END, ' '
+                               ORDER BY t.t), '') AS clean_text
+    FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.t = t.t
+    GROUP BY t.doc_id
+    """,
+)
+def q_duplicated_span_dedup(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+        duplicated_span_dedup,
+    )
+
+    return duplicated_span_dedup(
+        _t(spark, sf, "documents"), window=5, min_count=2
+    )
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at

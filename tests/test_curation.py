@@ -111,6 +111,49 @@ def test_bigram_lm_score_hand_computed(spark):
     assert got[2] == (1, (0.0 + p_ab) / 1)
 
 
+def test_duplicated_span_dedup_strips_planted_span(spark):
+    """A 5-token span planted in two documents is stripped from both;
+    unique text and sub-window docs survive untouched."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+        duplicated_span_dedup,
+    )
+
+    span = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique one two {span} tail1 tail2 tail3 tail4"),
+            (2, f"{span} other words here entirely"),
+            (3, "completely fresh text with no repeats at all"),
+            (4, "tiny doc"),  # shorter than the window
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in duplicated_span_dedup(docs, window=5).collect()}
+    assert got[1].n_dup_tokens == 5
+    assert got[2].n_dup_tokens == 5
+    assert "alpha" not in got[1].clean_text and "epsilon" not in got[2].clean_text
+    assert got[1].clean_text == "unique one two tail1 tail2 tail3 tail4"
+    assert got[2].clean_text == "other words here entirely"
+    assert got[3].n_dup_tokens == 0 and got[3].clean_text.startswith("completely")
+    assert got[4].n_dup_tokens == 0 and got[4].clean_text == "tiny doc"
+
+
+def test_duplicated_span_dedup_overlapping_spans_merge(spark):
+    """Two overlapping duplicated windows cover their union, not 2x."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+        duplicated_span_dedup,
+    )
+
+    # 6-token run duplicated -> two overlapping 5-windows in each doc
+    run = "a b c d e f"
+    docs = spark.createDataFrame(
+        [(1, f"x {run} y"), (2, f"p q {run} r")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in duplicated_span_dedup(docs, window=5).collect()}
+    assert got[1].n_dup_tokens == 6 and got[1].clean_text == "x y"
+    assert got[2].n_dup_tokens == 6 and got[2].clean_text == "p q r"
+
+
 def test_bigram_lm_score_drops_short_docs(spark):
     docs = spark.createDataFrame(
         [(1, "solo"), (2, "  "), (3, "two tokens")], "doc_id long, text string"
