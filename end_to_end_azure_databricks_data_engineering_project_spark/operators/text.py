@@ -198,3 +198,53 @@ def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", detect_language(t))
         .withColumn("fingerprint", fingerprint(t))
     )
+
+
+def rule_filter_report(docs: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Gopher/CCNet-style filter report: ONE aggregate pass over the
+    corpus computing, for each named rule, how many documents it would
+    drop, plus ``kept`` = documents failing no rule. Rules are boolean
+    fail-Columns; rows come back as (rule, n_docs).
+
+    Scale shape: a single scan with map-side partial aggregation into
+    one driver row (k rule counters), then a stack() unpivot — the
+    per-rule bookkeeping costs nothing extra at 100 TB because every
+    rule rides the same pass."""
+    names = list(rules)
+    aggs = [
+        F.sum(F.when(rules[n], 1).otherwise(0)).cast("bigint").alias(n)
+        for n in names
+    ]
+    fail_any = None
+    for c in rules.values():
+        fail_any = c if fail_any is None else (fail_any | c)
+    aggs.append(
+        F.sum(F.when(~fail_any, 1).otherwise(0)).cast("bigint").alias("kept")
+    )
+    wide = docs.agg(*aggs)
+    stack = ", ".join(f"'{n}', {n}" for n in [*names, "kept"])
+    return wide.selectExpr(
+        f"stack({len(names) + 1}, {stack}) AS (rule, n_docs)"
+    )
+
+
+def gopher_rules(
+    text: Column, lang: Column, min_tokens: int = 25,
+    mwl_lo: float = 4.0, mwl_hi: float = 5.0,
+) -> dict[str, Column]:
+    """Three corpus-adapted Gopher-style drop rules: token-count floor,
+    mean-word-length band, and a language-consistency check (the text
+    must contain at least one marker token of its TAGGED language —
+    the lang-aware variant of Gopher's 'must contain a stop word')."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    marker_hit = None
+    for lg, markers in LANG_MARKERS.items():
+        hit = F.exists(toks, lambda t: t.isin(*markers))
+        branch = (lang == lg) & hit
+        marker_hit = branch if marker_hit is None else (marker_hit | branch)
+    mwl = mean_word_length(text)
+    return {
+        "too_few_tokens": token_count(text) < min_tokens,
+        "mean_word_len_out_of_band": (mwl < mwl_lo) | (mwl > mwl_hi),
+        "missing_lang_marker": ~marker_hit,
+    }

@@ -3262,6 +3262,56 @@ def q_duplicated_span_dedup(spark, sf):
     )
 
 
+@_q(
+    "gopher_rule_report",
+    "Gopher/CCNet-style filter report: per-rule drop counts (token "
+    "floor, mean-word-length band, tagged-language marker check) plus "
+    "kept — all counters ride ONE corpus scan with map-side partial "
+    "aggregation; adding rules costs nothing at 100 TB",
+    "extension: training-data curation (quality-rule filtering)",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+             CASE WHEN trim(text) = '' THEN 0.0
+                  ELSE CAST(length(regexp_replace(trim(text), '\s+', ' ', 'g'))
+                            - len(string_split_regex(trim(text), '\s+')) + 1 AS DOUBLE)
+                       / len(string_split_regex(trim(text), '\s+')) END AS mwl,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ),
+    f AS (
+      SELECT (n_tok < 25) AS r_tok,
+             (mwl < 4.0 OR mwl > 5.0) AS r_mwl,
+             NOT (CASE lang
+               WHEN 'en' THEN list_has_any(toks, ['the','and','of','to','a','is'])
+               WHEN 'es' THEN list_has_any(toks, ['el','la','de','que','y','los'])
+               WHEN 'fr' THEN list_has_any(toks, ['le','la','les','et','des','une'])
+               WHEN 'de' THEN list_has_any(toks, ['der','die','und','das','ein','nicht'])
+               WHEN 'zh' THEN list_has_any(toks, ['的','是','了','在','我','有'])
+               ELSE FALSE END) AS r_lang
+      FROM t
+    )
+    SELECT 'too_few_tokens' AS rule, CAST(sum(CASE WHEN r_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_docs FROM f
+    UNION ALL
+    SELECT 'mean_word_len_out_of_band', CAST(sum(CASE WHEN r_mwl THEN 1 ELSE 0 END) AS BIGINT) FROM f
+    UNION ALL
+    SELECT 'missing_lang_marker', CAST(sum(CASE WHEN r_lang THEN 1 ELSE 0 END) AS BIGINT) FROM f
+    UNION ALL
+    SELECT 'kept', CAST(sum(CASE WHEN NOT (r_tok OR r_mwl OR r_lang) THEN 1 ELSE 0 END) AS BIGINT) FROM f
+    """,
+)
+def q_gopher_rule_report(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.text import (
+        gopher_rules,
+        rule_filter_report,
+    )
+
+    d = _t(spark, sf, "documents")
+    return rule_filter_report(d, gopher_rules(F.col("text"), F.col("lang")))
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at

@@ -154,6 +154,23 @@ def test_duplicated_span_dedup_overlapping_spans_merge(spark):
     assert got[2].n_dup_tokens == 6 and got[2].clean_text == "p q r"
 
 
+def test_rule_filter_report_counts_and_kept(spark):
+    """Rule counters are independent (a doc can fail several) and kept
+    counts docs failing none."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.text import (
+        rule_filter_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5, "x"), (2, 50, "x"), (3, 5, "y"), (4, 50, "y")],
+        "id long, n long, tag string",
+    )
+    got = {r.rule: r.n_docs for r in rule_filter_report(
+        df, {"small": F.col("n") < 10, "tag_y": F.col("tag") == "y"}
+    ).collect()}
+    assert got == {"small": 2, "tag_y": 2, "kept": 1}
+
+
 def test_bigram_lm_score_drops_short_docs(spark):
     docs = spark.createDataFrame(
         [(1, "solo"), (2, "  "), (3, "two tokens")], "doc_id long, text string"
