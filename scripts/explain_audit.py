@@ -30,6 +30,12 @@ ALLOW_CARTESIAN = {
     # plan as a single row), not scan cross products.
     "funnel_conversion",
     "tfidf_top_terms",
+    # 1-row broadcast relations carrying model state: the k-means
+    # centroid array (kept out of the expression tree on purpose — see
+    # operators/ivf.py module docstring) and the bigram vocabulary size.
+    "ann_topk_ivf",
+    "semantic_dedup_pairs",
+    "bigram_lm_score",
 }
 EXPECT_PUSHDOWN = {
     "watermark_filter", "in_predicate", "null_predicate", "pricing_summary",
