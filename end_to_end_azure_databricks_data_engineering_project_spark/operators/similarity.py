@@ -129,10 +129,13 @@ def _srp_banded(
     vc: str,
     out_id: str,
 ) -> DataFrame:
-    """(id, vec, nrm, table_idx, bucket) — one output row per hash
-    table. The bucket array AND the norm are projected BELOW the
-    explode, so the O(n_tables·n_planes·dim) projection work and the
-    sqrt-fold run once per input row, not once per exploded row."""
+    """(id, table_idx, bucket) — one output row per hash table, IDS
+    ONLY: the n_tables-way explode must not duplicate the embedding
+    (n_tables x dim floats per row through every downstream shuffle is
+    the dominant volume at scale); vectors are re-joined by id AFTER
+    candidate dedup (see _with_vectors). The bucket array is projected
+    BELOW the explode, so the O(n_tables·n_planes·dim) projection work
+    runs once per input row, not once per exploded row."""
     buckets = F.array(
         *[
             F.struct(
@@ -142,15 +145,38 @@ def _srp_banded(
             for t in range(len(tables))
         ]
     )
-    pre = df.select(
-        F.col(idc).alias(out_id),
-        F.col(vc).alias(f"{out_id}_vec"),
-        norm(F.col(vc)).alias(f"{out_id}_nrm"),
-        buckets.alias("_bk"),
+    pre = df.select(F.col(idc).alias(out_id), buckets.alias("_bk"))
+    return pre.select(out_id, F.explode("_bk").alias("b")).select(
+        out_id, "b.table_idx", "b.bucket"
     )
-    return pre.select(
-        out_id, f"{out_id}_vec", f"{out_id}_nrm", F.explode("_bk").alias("b")
-    ).select(out_id, f"{out_id}_vec", f"{out_id}_nrm", "b.table_idx", "b.bucket")
+
+
+def _with_vectors(
+    pairs: DataFrame,
+    df: DataFrame,
+    idc: str,
+    vc: str,
+    sides: tuple[str, str],
+) -> DataFrame:
+    """Join the (vec, norm) of both pair sides back by id. Norms are
+    computed once per corpus ROW below the joins — same sequential
+    fold, bit-identical cosine downstream."""
+    vecs = df.select(
+        F.col(idc).alias("_vid"),
+        F.col(vc).alias("_v"),
+        norm(F.col(vc)).alias("_n"),
+    )
+    out = pairs
+    for side, tag in zip(sides, ("a", "b")):
+        out = out.join(
+            vecs.select(
+                F.col("_vid").alias(side),
+                F.col("_v").alias(f"v{tag}"),
+                F.col("_n").alias(f"n{tag}"),
+            ),
+            side,
+        )
+    return out
 
 
 def srp_ann_topk(
@@ -177,14 +203,28 @@ def srp_ann_topk(
 
     cb = _srp_banded(corpus, tables, id_col, vec_col, "neighbor_id")
     qb = _srp_banded(queries, tables, id_col, vec_col, "query_id")
-    cand = (
+    cand_ids = (
         cb.join(qb, ["table_idx", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
+    cand = (
+        cand_ids.join(qvecs, "query_id")
+        .join(cvecs, "neighbor_id")
         .withColumn(
             "cos_sim",
-            dot(F.col("query_id_vec"), F.col("neighbor_id_vec"))
-            / (F.col("query_id_nrm") * F.col("neighbor_id_nrm")),
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
         )
     )
     from pyspark.sql import Window
@@ -219,22 +259,18 @@ def near_dup_by_cosine(
     ]
     banded = _srp_banded(df, tables, id_col, vec_col, "id")
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    pair_ids = (
         a.join(
             b,
             (F.col("a.table_idx") == F.col("b.table_idx"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.id_vec").alias("va"),
-            F.col("b.id_vec").alias("vb"),
-            F.col("a.id_nrm").alias("na"),
-            F.col("b.id_nrm").alias("nb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        _with_vectors(pair_ids, df, id_col, vec_col, ("id_a", "id_b"))
         .withColumn(
             "cos_sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         )
