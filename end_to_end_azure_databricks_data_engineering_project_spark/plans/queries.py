@@ -3312,6 +3312,41 @@ def q_gopher_rule_report(spark, sf):
     return rule_filter_report(d, gopher_rules(F.col("text"), F.col("lang")))
 
 
+@_q(
+    "vocab_build",
+    "Tokenizer vocabulary construction: corpus token frequencies → "
+    "frequency-ranked contiguous ids (ties by token text), top 1000. "
+    "The global ranking runs over the VOCAB relation (Heaps-law "
+    "sublinear in corpus size), never the token stream — the corpus "
+    "pass is one map-side-combined count",
+    "extension: training-data curation (tokenizer vocab)",
+    r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ),
+    freq AS (SELECT token, count(*) AS n FROM tok GROUP BY token)
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT) AS token_id,
+           token, CAST(n AS BIGINT) AS freq
+    FROM freq
+    ORDER BY token_id
+    LIMIT 1000
+    """,
+)
+def q_vocab_build(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = d.filter(F.trim("text") != "").select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    return (
+        freq.withColumn("token_id", F.row_number().over(w))
+        .filter(F.col("token_id") <= 1000)
+        .select("token_id", "token", "freq")
+    )
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at

@@ -426,3 +426,93 @@ def silver_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_exact_dedup_drain(
+    catalog: Catalog,
+    batch: DataFrame,
+    epoch: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[int, int]:
+    """One exactly-once drain of incremental EXACT dedup — the
+    fingerprint complement of ``run_neardup_drain``: md5-fingerprint
+    the new batch (normalized text), keep one canonical doc per
+    fingerprint (first write wins — stored index beats batch, smallest
+    id wins within the batch), append the survivors' (fp, doc_id) to
+    the persistent ``exact_index`` table and every dropped duplicate to
+    ``exact_dups`` as (doc_id, dup_of).
+
+    Exactly-once: both appends carry the drain epoch; the duplicate
+    decision for a replayed epoch is identical because re-ingested
+    fingerprints resolve against the index the same way (first write
+    wins), so a crash between the appends replays safely.
+
+    Scale: the batch text is fingerprinted in one scan (cached as two
+    id+hash columns); the stored index joins on the fingerprint only —
+    its text was never stored, nothing rescans the corpus. The index
+    grows one row per UNIQUE document, not per ingested row.
+
+    Returns (index rows appended, duplicates appended)."""
+    from pyspark.sql import Observation, Window as W
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.functions.scalars import fingerprint
+
+    idx_table = catalog.table("exact_index")
+    dups_table = catalog.table("exact_dups")
+
+    def _applied(table) -> bool:
+        stored = table.applied_epoch("exact_dedup_drain")
+        return stored is not None and epoch <= stored
+
+    idx_done, dups_done = _applied(idx_table), _applied(dups_table)
+    if idx_done and dups_done:
+        return 0, 0
+
+    fp_batch = batch.select(
+        F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp")
+    ).persist()
+    w = W.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    ranked = fp_batch.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_winner", F.first("doc_id").over(w)
+    )
+    existing = (
+        idx_table.read().select("fp", F.col("doc_id").alias("_stored"))
+        if idx_table.exists()
+        else None
+    )
+    if existing is not None:
+        joined = ranked.join(existing, "fp", "left")
+    else:
+        joined = ranked.withColumn("_stored", F.lit(None).cast("long"))
+    new_rows = (
+        joined.filter((F.col("_rn") == 1) & F.col("_stored").isNull())
+        .select("fp", "doc_id")
+    )
+    dups = (
+        joined.filter(F.col("_stored").isNotNull() | (F.col("_rn") > 1))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_stored"), F.col("_winner")).alias("dup_of"),
+        )
+        .filter(F.col("doc_id") != F.col("dup_of"))
+    )
+    n_idx = n_dups = 0
+    try:
+        if not idx_done:
+            obs = Observation()
+            idx_table.append(
+                new_rows.observe(obs, F.count(F.lit(1)).alias("n")),
+                epoch=epoch, epoch_key="exact_dedup_drain",
+            )
+            n_idx = obs.get["n"]
+        if not dups_done:
+            obs2 = Observation()
+            dups_table.append(
+                dups.observe(obs2, F.count(F.lit(1)).alias("n")),
+                epoch=epoch, epoch_key="exact_dedup_drain",
+            )
+            n_dups = obs2.get["n"]
+    finally:
+        fp_batch.unpersist()
+    return n_idx, n_dups

@@ -352,3 +352,49 @@ def test_bucketed_drain_matches_rebuild_and_index_side_is_shuffle_free(spark, tm
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS neardup_index_bucketed")
+
+
+def test_exact_dedup_drain_incremental(spark, tmp_path):
+    """Incremental exact dedup: stored-corpus dups, within-batch dups,
+    fresh docs, and epoch replay."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import (
+        run_exact_dedup_drain,
+    )
+
+    catalog = Catalog(spark, tmp_path / "warehouse")
+    day1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    n_idx, n_dups = run_exact_dedup_drain(catalog, day1, epoch=1)
+    assert (n_idx, n_dups) == (2, 0)
+
+    day2 = spark.createDataFrame(
+        [
+            (10, "ALPHA   beta gamma"),   # dup of stored 1 (normalized)
+            (11, "eta theta iota"),       # fresh
+            (12, "eta theta iota"),       # within-batch dup of 11
+            (13, "kappa lambda mu"),      # fresh
+        ],
+        "doc_id long, text string",
+    )
+    n_idx, n_dups = run_exact_dedup_drain(catalog, day2, epoch=2)
+    assert (n_idx, n_dups) == (2, 2)
+    dups = {(r.doc_id, r.dup_of)
+            for r in catalog.table("exact_dups").read().collect()}
+    assert dups == {(10, 1), (12, 11)}
+    idx_ids = {r.doc_id for r in catalog.table("exact_index").read().collect()}
+    assert idx_ids == {1, 2, 11, 13}
+
+    # replayed epoch: no-op before any compute
+    assert run_exact_dedup_drain(catalog, day2, epoch=2) == (0, 0)
+    assert catalog.table("exact_index").read().count() == 4
+    assert catalog.table("exact_dups").read().count() == 2
+
+    # day3: same text as 11 under a new id -> dup of the stored winner
+    day3 = spark.createDataFrame([(20, "eta theta iota")], "doc_id long, text string")
+    assert run_exact_dedup_drain(catalog, day3, epoch=3) == (0, 1)
+    dups = {(r.doc_id, r.dup_of)
+            for r in catalog.table("exact_dups").read().collect()}
+    assert (20, 11) in dups
