@@ -1,0 +1,79 @@
+"""Graph algorithms over pair relations (near-dup graphs, similarity
+graphs): PageRank. Connected components live in operators/dedup.py
+(large-star/small-star); this module holds the rank-style iterative
+algorithms.
+
+Determinism contract (same as the rest of the engine): every float
+reduction is an ordered sequential fold (per-target contributions
+folded in neighbor-id order), constants are plain IEEE doubles emitted
+with repr() into the SQL oracle — a fixed iteration count therefore
+produces bit-identical ranks on Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Undirected pair list → symmetric distinct edge list (src, dst)."""
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    return fwd.union(rev).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a SYMMETRIC distinct edge list.
+    Returns (node, rank) for every node with at least one edge.
+
+    r_{i+1}(v) = (1-d)/N + d · Σ_{u→v} r_i(u)/deg(u), with the Σ folded
+    in ascending-u order (array_sort + sequential fold) so the double
+    arithmetic is partition-independent and replayable by the oracle.
+
+    Scale shape per iteration: one equi-join of the (src, dst, deg)
+    edge relation against the rank relation on src, one hash
+    aggregation on dst (collect_list bounded by max degree), one left
+    join back to the node set; `localCheckpoint` truncates lineage so
+    n_iter stays O(1) plan depth — same pattern as the connected-
+    components loop. Driver holds nothing but the loop counter."""
+    nodes = edges.select(F.col(src).alias("node")).distinct()
+    deg = (
+        edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed(src, "_dnode")
+    )
+    e = edges.join(deg, F.col(src) == F.col("_dnode")).select(src, dst, "deg")
+    n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
+    base = nodes.crossJoin(F.broadcast(n_row))
+    ranks = base.select("node", (F.lit(1.0) / F.col("n")).alias("r"))
+    teleport = 1.0 - damping  # python-side IEEE subtract; oracle emits repr()
+    for _ in range(n_iter):
+        contrib = e.join(ranks, F.col(src) == F.col("node")).select(
+            F.col(dst).alias("_to"),
+            F.col(src).alias("_from"),
+            (F.col("r") / F.col("deg")).alias("_c"),
+        )
+        ordered_sum = F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("_from"), F.col("_c")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["_c"],
+        )
+        summed = contrib.groupBy("_to").agg(ordered_sum.alias("_s"))
+        ranks = (
+            base.join(summed, F.col("node") == F.col("_to"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport) / F.col("n")
+                    + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("r").alias("rank"))

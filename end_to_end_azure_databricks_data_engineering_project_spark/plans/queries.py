@@ -968,10 +968,14 @@ def q_simhash_fingerprints(spark, sf):
     return d.select("doc_id", simhash64(F.col("text"), shingle_n=2).alias("simhash"))
 
 
-def _minhash_cc_oracle(num_hashes: int, bands: int, threshold: float) -> str:
-    """Full DuckDB replay of minhash_dedup: signatures → band-bucket
-    candidate pairs → estimated-Jaccard gate → transitive closure via a
-    recursive min-label CTE → survivors (component minima)."""
+def _minhash_edges_cte(
+    num_hashes: int, bands: int, threshold: float, recursive: bool = False
+) -> str:
+    """Shared DuckDB CTE prefix: minhash signatures → band-bucket
+    candidate pairs → estimated-Jaccard gate → symmetric ``edges
+    (u, v)`` relation. Used by the CC dedup oracle (recursive=True adds
+    the RECURSIVE keyword for the closure CTE that follows) and the
+    near-dup-graph PageRank oracle."""
     rpb = num_hashes // bands
     comps = ",\n             ".join(
         "list_aggregate(list_transform(sh, "
@@ -988,8 +992,9 @@ def _minhash_cc_oracle(num_hashes: int, bands: int, threshold: float) -> str:
         + " + ".join(f"CASE WHEN a.mh_{k} = b.mh_{k} THEN 1 ELSE 0 END" for k in range(num_hashes))
         + f") / {float(num_hashes)}"
     )
+    kw = "WITH RECURSIVE" if recursive else "WITH"
     return rf"""
-    WITH RECURSIVE sig AS (
+    {kw} sig AS (
       SELECT doc_id, {comps}
       FROM (
         SELECT doc_id,
@@ -1007,7 +1012,14 @@ def _minhash_cc_oracle(num_hashes: int, bands: int, threshold: float) -> str:
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({bandjoin})
       WHERE {est} >= {threshold}
     ),
-    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs)"""
+
+
+def _minhash_cc_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+    """Full DuckDB replay of minhash_dedup: edges (see
+    _minhash_edges_cte) → transitive closure via a recursive min-label
+    CTE → survivors (component minima)."""
+    return _minhash_edges_cte(num_hashes, bands, threshold, recursive=True) + rf""",
     r(node, m) AS (
       SELECT u, u FROM (SELECT DISTINCT u FROM edges)
       UNION
@@ -3344,6 +3356,69 @@ def q_vocab_build(spark, sf):
         freq.withColumn("token_id", F.row_number().over(w))
         .filter(F.col("token_id") <= 1000)
         .select("token_id", "token", "freq")
+    )
+
+
+def _pagerank_oracle(
+    num_hashes=8, bands=4, threshold=0.5, damping=0.85, n_iter=5
+) -> str:
+    """DuckDB replay of graph.pagerank over the minhash near-dup graph:
+    unrolled iterations, per-target contributions folded in ascending
+    neighbor order (list ORDER BY u) — bit-identical to Spark's
+    array_sort + sequential fold. Constants emitted with repr() so both
+    engines use the same IEEE doubles."""
+    tp = repr(1.0 - damping)
+    dp = repr(damping)
+    parts = [_minhash_edges_cte(num_hashes, bands, threshold), f""",
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    deg AS (SELECT u AS node, count(*) AS deg FROM edges GROUP BY u),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0::DOUBLE / nn.n AS r FROM nodes, nn)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+    c{i} AS (
+      SELECT e.v AS node,
+             list_reduce(list(p.r / d.deg ORDER BY e.u), (a, b) -> a + b) AS s
+      FROM edges e JOIN r{i - 1} p ON p.node = e.u JOIN deg d ON d.node = e.u
+      GROUP BY e.v
+    ),
+    r{i} AS (
+      SELECT n.node,
+             {tp}::DOUBLE / nn.n + {dp}::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS r
+      FROM nodes n CROSS JOIN nn LEFT JOIN c{i} c ON c.node = n.node
+    )""")
+    parts.append(f"""
+    SELECT node, r AS pagerank FROM r{n_iter}
+    """)
+    return "".join(parts)
+
+
+@_q(
+    "neardup_graph_pagerank",
+    "PageRank over the MinHash near-duplicate graph (5 unrolled "
+    "iterations, damping 0.85): ranks expose hub documents inside "
+    "duplicate clusters — the iterative-algorithm pattern beyond "
+    "connected components. Per-target rank sums fold in ascending "
+    "neighbor order, so every double is bit-identical to the oracle's "
+    "unrolled replay",
+    "extension: dedup analytics (graph ranking)",
+    _pagerank_oracle(),
+)
+def q_neardup_graph_pagerank(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.graph import (
+        pagerank,
+        symmetrize,
+    )
+
+    d = _t(spark, sf, "documents")
+    pairs = minhash_near_dup_pairs(
+        d, num_hashes=8, bands=4, shingle_n=3
+    ).filter(F.col("est_jaccard") >= 0.5)
+    return pagerank(symmetrize(pairs), damping=0.85, n_iter=5).select(
+        F.col("node"), F.col("rank").alias("pagerank")
     )
 
 
