@@ -36,6 +36,8 @@ ALLOW_CARTESIAN = {
     "ann_topk_ivf",
     "semantic_dedup_pairs",
     "bigram_lm_score",
+    # nodes x 1-row node-count relation in the PageRank teleport term.
+    "neardup_graph_pagerank",
 }
 EXPECT_PUSHDOWN = {
     "watermark_filter", "in_predicate", "null_predicate", "pricing_summary",
