@@ -3422,6 +3422,43 @@ def q_neardup_graph_pagerank(spark, sf):
     )
 
 
+@_q(
+    "cluster_balanced_sample",
+    "Cluster-balanced corpus sampling: k-means-bucket the embeddings "
+    "(same deterministic quantizer as IVF/SemDeDup) and cap every "
+    "cluster at 40 vectors picked in portable md5 order — the "
+    "embedding-space analogue of domain quotas, used to flatten "
+    "semantic mode collapse in training mixes",
+    "extension: training-data curation (cluster-balanced sampling)",
+    _kmeans_assigned_cte(k=8, n_iter=2)
+    + """
+    SELECT vec_id, CAST(cluster AS INT) AS cluster,
+           CAST(rn AS INT) AS pick_rank
+    FROM (
+      SELECT vec_id, cluster,
+             row_number() OVER (
+               PARTITION BY cluster
+               ORDER BY CAST(('0x' || substr(md5('quota|' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                        vec_id) AS rn
+      FROM assigned
+    ) WHERE rn <= 40
+    """,
+)
+def q_cluster_balanced_sample(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.curation import (
+        quota_per_group,
+    )
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.ivf import (
+        ivf_assign,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    centroids = kmeans_fit(emb, k=8, n_iter=2)
+    clustered = ivf_assign(emb, centroids).select("vec_id", "cluster")
+    return quota_per_group(clustered, "cluster", quota=40, id_col="vec_id")
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at
