@@ -38,6 +38,8 @@ ALLOW_CARTESIAN = {
     "bigram_lm_score",
     # nodes x 1-row node-count relation in the PageRank teleport term.
     "neardup_graph_pagerank",
+    # k-means centroid 1-row broadcast feeding the cluster quota.
+    "cluster_balanced_sample",
 }
 EXPECT_PUSHDOWN = {
     "watermark_filter", "in_predicate", "null_predicate", "pricing_summary",
