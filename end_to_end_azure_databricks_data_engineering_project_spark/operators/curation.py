@@ -20,15 +20,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from end_to_end_azure_databricks_data_engineering_project_spark.functions.scalars import portable_hash64
 from end_to_end_azure_databricks_data_engineering_project_spark.operators.text import token_count
 
 
 def _phash(prefix: str, col: Column) -> Column:
-    """63-bit positive int from md5 over a salted id — DuckDB twin:
+    """63-bit positive int from a salted id via scalars.portable_hash64
+    — DuckDB twin:
     CAST(('0x' || substr(md5('<prefix>' || id), 1, 15)) AS BIGINT)."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(prefix), col.cast("string"))), 1, 15), 16, 10
-    ).cast("bigint")
+    return portable_hash64(F.concat(F.lit(prefix), col.cast("string")))
 
 
 def sequence_packing(

@@ -48,9 +48,18 @@ def pagerank(
         edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
         .withColumnRenamed(src, "_dnode")
     )
-    e = edges.join(deg, F.col(src) == F.col("_dnode")).select(src, dst, "deg")
+    # Materialize the (src, dst, deg) relation and the node base ONCE:
+    # without this every eager iteration job re-runs the caller's whole
+    # edge lineage (for the near-dup graph that is the LSH pair join)
+    # several times over — localCheckpoint pins both to their computed
+    # rows, so iterations touch only rank-sized data.
+    e = (
+        edges.join(deg, F.col(src) == F.col("_dnode"))
+        .select(src, dst, "deg")
+        .localCheckpoint()
+    )
     n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
-    base = nodes.crossJoin(F.broadcast(n_row))
+    base = nodes.crossJoin(F.broadcast(n_row)).localCheckpoint()
     ranks = base.select("node", (F.lit(1.0) / F.col("n")).alias("r"))
     teleport = 1.0 - damping  # python-side IEEE subtract; oracle emits repr()
     for _ in range(n_iter):

@@ -211,6 +211,14 @@ def rule_filter_report(docs: DataFrame, rules: dict[str, Column]) -> DataFrame:
     per-rule bookkeeping costs nothing extra at 100 TB because every
     rule rides the same pass."""
     names = list(rules)
+    if not names:
+        raise ValueError("rule_filter_report needs at least one rule")
+    for n in names:
+        if n == "kept" or not n.isidentifier():
+            raise ValueError(
+                f"rule name {n!r} must be a bare identifier and not the "
+                "reserved name 'kept' (names are spliced into stack())"
+            )
     aggs = [
         F.sum(F.when(rules[n], 1).otherwise(0)).cast("bigint").alias(n)
         for n in names
@@ -246,5 +254,8 @@ def gopher_rules(
     return {
         "too_few_tokens": token_count(text) < min_tokens,
         "mean_word_len_out_of_band": (mwl < mwl_lo) | (mwl > mwl_hi),
-        "missing_lang_marker": ~marker_hit,
+        # coalesce: an unknown/NULL lang makes every branch NULL — the
+        # rule must FAIL it (matching the oracle's CASE ... ELSE FALSE),
+        # not let three-valued logic drop it from both counters.
+        "missing_lang_marker": ~F.coalesce(marker_hit, F.lit(False)),
     }

@@ -87,8 +87,12 @@ class ManagedTable:
 
     # merge_keyed falls back to a full rewrite (no driver-side file
     # manifest, no hardlinks) once a batch touches more than this
-    # fraction of the snapshot's files.
+    # fraction of the snapshot's files — or more than the absolute
+    # manifest cap, which is what actually bounds driver memory on
+    # million-file tables (the fraction alone would still collect
+    # O(table) rows).
     merge_full_rewrite_fraction = 0.8
+    merge_manifest_max_files = 100_000
 
     def __init__(self, spark: SparkSession, root: str | os.PathLike[str], name: str):
         self.spark = spark
@@ -535,9 +539,10 @@ class ManagedTable:
 
         The driver-side touched-file manifest is BOUNDED: it is
         collected through a ``limit(cap + 1)`` where cap =
-        ``merge_full_rewrite_fraction`` × the snapshot's file count, so
-        driver memory never grows with the table. A batch touching more
-        than that fraction of files has no pruning value left — the
+        min(``merge_full_rewrite_fraction`` × the snapshot's file
+        count, ``merge_manifest_max_files``) — the absolute term keeps
+        driver memory constant even on million-file tables. A batch
+        touching more than the cap has no pruning value left — the
         merge falls back to a full rewrite (subset = whole snapshot,
         nothing hardlinked) without ever materializing the manifest."""
         if self._epoch_already_applied(epoch, epoch_key):
@@ -550,7 +555,13 @@ class ManagedTable:
         cur = self.read()
         bkeys = batch.select(*keys).distinct()
         n_files = sum(1 for _ in vdir.glob("*.parquet"))
-        cap = max(1, int(self.merge_full_rewrite_fraction * n_files))
+        cap = max(
+            1,
+            min(
+                int(self.merge_full_rewrite_fraction * n_files),
+                self.merge_manifest_max_files,
+            ),
+        )
         touched = (
             cur.withColumn("__file", F.input_file_name())
             .join(F.broadcast(bkeys), list(keys), "left_semi")

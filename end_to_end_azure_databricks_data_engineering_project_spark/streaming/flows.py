@@ -469,8 +469,13 @@ def run_exact_dedup_drain(
     if idx_done and dups_done:
         return 0, 0
 
+    # NULL text is fingerprinted like empty text (coalesce before the
+    # hash): a NULL fp would group inside the batch window but never
+    # match the stored-index equi-join, so cross-batch null-text docs
+    # would never dedup while within-batch ones did.
     fp_batch = batch.select(
-        F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp")
+        F.col(id_col).alias("doc_id"),
+        fingerprint(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
     ).persist()
     w = W.partitionBy("fp").orderBy(F.col("doc_id").asc())
     ranked = fp_batch.withColumn("_rn", F.row_number().over(w)).withColumn(
@@ -484,7 +489,8 @@ def run_exact_dedup_drain(
     if existing is not None:
         joined = ranked.join(existing, "fp", "left")
     else:
-        joined = ranked.withColumn("_stored", F.lit(None).cast("long"))
+        id_type = batch.schema[id_col].dataType
+        joined = ranked.withColumn("_stored", F.lit(None).cast(id_type))
     new_rows = (
         joined.filter((F.col("_rn") == 1) & F.col("_stored").isNull())
         .select("fp", "doc_id")

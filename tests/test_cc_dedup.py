@@ -398,3 +398,22 @@ def test_exact_dedup_drain_incremental(spark, tmp_path):
     dups = {(r.doc_id, r.dup_of)
             for r in catalog.table("exact_dups").read().collect()}
     assert (20, 11) in dups
+
+
+def test_exact_dedup_drain_null_text(spark, tmp_path):
+    """NULL text fingerprints like empty text: dedups within AND across
+    batches instead of accumulating unmatched NULL index rows."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import (
+        run_exact_dedup_drain,
+    )
+
+    catalog = Catalog(spark, tmp_path / "warehouse")
+    b1 = spark.createDataFrame([(1, None), (2, None)], "doc_id long, text string")
+    assert run_exact_dedup_drain(catalog, b1, epoch=1) == (1, 1)
+    b2 = spark.createDataFrame([(3, None), (4, "")], "doc_id long, text string")
+    n_idx, n_dups = run_exact_dedup_drain(catalog, b2, epoch=2)
+    assert (n_idx, n_dups) == (0, 2)  # both dedup against stored doc 1
+    dups = {(r.doc_id, r.dup_of)
+            for r in catalog.table("exact_dups").read().collect()}
+    assert dups == {(2, 1), (3, 1), (4, 1)}

@@ -177,3 +177,18 @@ def test_bigram_lm_score_drops_short_docs(spark):
     )
     got = {r.doc_id for r in bigram_lm_score(docs).collect()}
     assert got == {3}
+
+
+def test_rule_filter_report_rejects_bad_names(spark):
+    import pytest as _pytest
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.text import (
+        rule_filter_report,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError):
+        rule_filter_report(df, {})
+    with _pytest.raises(ValueError):
+        rule_filter_report(df, {"kept": F.col("id") > 0})
+    with _pytest.raises(ValueError):
+        rule_filter_report(df, {"has-url": F.col("id") > 0})
