@@ -410,14 +410,15 @@ def ngram_jaccard_pairs(
 
 
 # -------------------------------------------------------------- simhash --
-def simhash64(text: Column, shingle_n: int = 2) -> Column:
-    """64-bit SimHash over word shingles, returned as bigint (bit 63 kept
-    zero to stay in positive range; 63 effective bits).
+def simhash64_from_shingles(sh: Column) -> Column:
+    """64-bit SimHash from an ALREADY-MATERIALIZED shingle-array column
+    (bit 63 kept zero to stay in positive range; 63 effective bits).
 
     Per shingle: portable hash → ±1 per bit → elementwise sum across
     shingles → sign → bits. Pure array expressions (aggregate/zip_with);
-    one pass, no UDF."""
-    sh = shingles(text, shingle_n)
+    one pass, no UDF. Use ``with_simhash`` for the DataFrame-level form
+    — passing an inline ``shingles(text)`` expression here re-runs the
+    token split per gram (O(tokens²) regex work per row)."""
     hashed = F.transform(sh, lambda s: _hash_shingle(s, 0))
     zeros = F.array_repeat(F.lit(0), 63)
     # shift amounts must be Python ints (shiftright takes no Column numBits)
@@ -443,6 +444,36 @@ def simhash64(text: Column, shingle_n: int = 2) -> Column:
     return total
 
 
+def simhash64(text: Column, shingle_n: int = 2) -> Column:
+    """Column-API SimHash over word shingles — single-expression form.
+    The inline shingles() re-splits the text per gram, so prefer
+    ``with_simhash`` (materialized tokens/shingles) anywhere the input
+    is more than a handful of rows."""
+    return simhash64_from_shingles(shingles(text, shingle_n))
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    out_col: str = "sh",
+) -> DataFrame:
+    """(id, simhash) with tokens and shingles materialized as real
+    columns in projections below the hash — one regex split per row,
+    one shingle array per row (vs O(tokens²) splits for the inline
+    expression form)."""
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    sh = toks.select(
+        id_col, shingles_from_tokens(F.col("__toks"), shingle_n).alias("__sh")
+    )
+    return sh.select(
+        id_col, simhash64_from_shingles(F.col("__sh")).alias(out_col)
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -457,7 +488,7 @@ def simhash_near_dup_pairs(
     keys (two docs within hamming 3 of each other share at least one of
     4 16-bit blocks untouched → standard Charikar blocking); exact
     hamming check within buckets. Columns: id_a, id_b, hamming."""
-    h = df.select(F.col(id_col), simhash64(F.col(text_col), shingle_n).alias("sh"))
+    h = with_simhash(df, text_col, id_col, shingle_n, out_col="sh")
     blocks = F.array(
         *[
             F.struct(

@@ -965,7 +965,11 @@ def q_ngram_jaccard_pairs(spark, sf):
 )
 def q_simhash_fingerprints(spark, sf):
     d = _t(spark, sf, "documents").filter("doc_id < 100")
-    return d.select("doc_id", simhash64(F.col("text"), shingle_n=2).alias("simhash"))
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+        with_simhash,
+    )
+
+    return with_simhash(d, "text", "doc_id", shingle_n=2, out_col="simhash")
 
 
 def _minhash_edges_cte(
@@ -2732,11 +2736,16 @@ def q_contamination_check(spark, sf):
         ).cast("bigint")
         % 100
     )
-    toks = tokens(F.col("text"))
-    sh = d.select(
+    # Tokens materialized as a real column BELOW the explode (an inline
+    # tokens() expression re-runs the regex split per element inside the
+    # shingle lambda — O(tokens^2) splits per doc), and the md5 split
+    # bucket is projected there too so it is computed once per document,
+    # not once per exploded shingle.
+    pre = d.select("doc_id", b.alias("b"), tokens(F.col("text")).alias("_toks"))
+    sh = pre.select(
         "doc_id",
-        b.alias("b"),
-        F.explode(shingles_from_tokens(toks, 5)).alias("shingle"),
+        "b",
+        F.explode(shingles_from_tokens(F.col("_toks"), 5)).alias("shingle"),
     )
     train = sh.filter("b < 80").select("shingle").distinct()
     ev = sh.filter("b >= 90")
@@ -2906,10 +2915,11 @@ def q_shipping_priority(spark, sf):
 )
 def q_top_ngrams(spark, sf):
     d = _t(spark, sf, "documents")
-    toks = tokens(F.col("text"))
+    # tokens materialized below the explode — see contamination_check.
     return (
-        d.select(
-            "doc_id", F.explode(shingles_from_tokens(toks, 3)).alias("ngram")
+        d.select("doc_id", tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id", F.explode(shingles_from_tokens(F.col("_toks"), 3)).alias("ngram")
         )
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_docs"))
