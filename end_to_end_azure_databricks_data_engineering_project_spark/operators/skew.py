@@ -90,3 +90,50 @@ def write_bucketed(
 def bucketed_join_ready(spark: SparkSession, left: str, right: str, on: str) -> DataFrame:
     """Join two pre-bucketed saved tables on their bucket key."""
     return spark.table(left).join(spark.table(right), on)
+
+
+def zorder_key(x: Column, y: Column, bits: int = 10) -> Column:
+    """Morton (Z-order) interleave of two non-negative bucket ids.
+
+    Multi-dimensional clustering for data layout: sorting by a Z-value
+    keeps rows close in BOTH dimensions physically adjacent, so parquet
+    row-group min/max stats prune scans filtered on EITHER column —
+    single-column sort keys only prune the leading column. This is the
+    open equivalent of Delta's OPTIMIZE ZORDER BY.
+
+    Pure integer arithmetic (``(x // 2^i) % 2``, no engine bit
+    intrinsics) so the exact value is replayable in any SQL engine —
+    the ``zorder_cluster`` catalog oracle recomputes it in DuckDB.
+    Inputs must already be reduced to ``bits``-wide buckets (use
+    ``pmod``); 2*bits ≤ 62 keeps everything in int64.
+    """
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        xbit = (x.cast("bigint") / F.lit(2**i)).cast("bigint") % 2
+        ybit = (y.cast("bigint") / F.lit(2**i)).cast("bigint") % 2
+        z = z + xbit * F.lit(2 ** (2 * i)) + ybit * F.lit(2 ** (2 * i + 1))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    *,
+    bits: int = 10,
+    n_files: int = 32,
+) -> None:
+    """Write parquet range-partitioned and sorted by the Z-value of
+    (x_col, y_col): each output file covers a tight rectangle in both
+    dimensions, so min/max footer stats prune on either predicate.
+    The Z column itself is dropped — it is a layout key, not data."""
+    z = zorder_key(F.col(x_col), F.col(y_col), bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

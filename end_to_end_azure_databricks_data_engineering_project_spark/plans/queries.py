@@ -3469,6 +3469,233 @@ def q_cluster_balanced_sample(spark, sf):
     return quota_per_group(clustered, "cluster", quota=40, id_col="vec_id")
 
 
+@_q(
+    "bloom_decontaminate",
+    "Benchmark decontamination via a broadcast Bloom prefilter: bloom "
+    "built over the small eval-split shingle set, the big train side "
+    "filtered MAP-SIDE at the scan (k bit-probes, no shuffle for the "
+    ">99% that miss), tiny survivor set exact-confirmed — bit-identical "
+    "to the plain exact join (no false negatives), which is what this "
+    "oracle is",
+    "extension: training-data curation (sketch-accelerated decontamination)",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 100 AS b,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, b, shingle FROM (
+        SELECT doc_id, b,
+               unnest(list_transform(
+                 range(1, greatest(len(toks) - 4, 1) + 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      || ' ' || toks[i+3] || ' ' || toks[i+4]
+               )) AS shingle
+        FROM t
+      )
+    ), tr AS (
+      SELECT DISTINCT shingle FROM sh WHERE b < 80
+    )
+    SELECT sh.doc_id AS doc_id, count(*) AS n_shared_shingles
+    FROM sh JOIN tr USING (shingle)
+    WHERE sh.b >= 90
+    GROUP BY sh.doc_id
+    """,
+)
+def q_bloom_decontaminate(spark, sf):
+    """Same answer as `contamination_check`, different physics: there
+    the train side's distinct() shuffles every train shingle; here the
+    Bloom pass drops non-matching train shingles at the scan stage, so
+    only the survivor sliver (≈ eval∩train + ~0.24% false positives)
+    ever shuffles. At 100 TB the train side is the corpus — this is the
+    difference between shuffling terabytes and megabytes."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.bloomfilter import (
+        bloom_build,
+        bloom_member,
+        bloom_relation,
+    )
+
+    d = _t(spark, sf, "documents")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    pre = d.select("doc_id", b.alias("b"), tokens(F.col("text")).alias("_toks"))
+    sh = pre.select(
+        "doc_id",
+        "b",
+        F.explode(shingles_from_tokens(F.col("_toks"), 5)).alias("shingle"),
+    )  # shingles_from_tokens is per-doc distinct already — no dedup shuffle
+    ev = sh.filter("b >= 90")
+    bloom = bloom_build(ev, "shingle")
+    rel = bloom_relation(spark, bloom)
+    train_surv = (
+        sh.filter("b < 80")
+        .join(F.broadcast(rel))
+        .where(bloom_member(F.col("shingle"), bloom, F.col("_bloom_words")))
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        ev.join(train_surv, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+@_q(
+    "ewma_smoothing",
+    "Exponentially weighted moving average (α=0.5) of event values per "
+    "user over a 20-row frame: list-collect over the ordered frame, "
+    "sequential left fold acc*0.5 + x*0.5 — identical operation order "
+    "both engines, so doubles match bit-for-bit",
+    "extension: time-series smoothing (§2.6 window surface)",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+      FROM events
+    )
+    SELECT event_id, user_id,
+           list_reduce(vals, (a, b) -> a * 0.5 + b * 0.5) AS ewma
+    FROM w
+    """,
+)
+def q_ewma_smoothing(spark, sf):
+    """EWMA is a sequential recurrence, but over a bounded frame it is
+    a per-row fold of the frame's value list — no iteration, no UDF,
+    one window shuffle on user_id. The fold seeds with the frame's
+    first element (DuckDB list_reduce semantics) so both engines run
+    the exact same IEEE op sequence."""
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    vals = F.collect_list("value").over(w)
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+    )
+    # No rounding: the fold is only IEEE * and + on identical operands
+    # in identical order, so both engines produce bit-identical doubles
+    # — and with α=0.5 every result is a dyadic rational, where
+    # round(x, 9) hits half-way ties that Spark (HALF_EVEN-behaving on
+    # doubles) and DuckDB (half-away) resolve differently.
+    return e.select("event_id", "user_id", ewma.alias("ewma"))
+
+
+@_q(
+    "zorder_cluster",
+    "Z-order (Morton) layout key over (custkey, order-day) buckets and "
+    "the per-range clustering profile it yields: each of 32 Z-ranges "
+    "covers a tight rectangle in BOTH dimensions — the layout that lets "
+    "parquet min/max stats prune scans on either column",
+    "extension: data layout (multi-dimensional clustering, OPTIMIZE "
+    "ZORDER equivalent)",
+    """
+    WITH z AS (
+      SELECT o_orderkey,
+             o_custkey % 1024 AS xb,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 1024 AS yb
+      FROM orders
+    ), zv AS (
+      SELECT o_orderkey, xb, yb,
+             (SELECT SUM(((xb // CAST(POW(2, i) AS BIGINT)) % 2) * CAST(POW(4, i) AS BIGINT)
+                       + ((yb // CAST(POW(2, i) AS BIGINT)) % 2) * 2 * CAST(POW(4, i) AS BIGINT))
+                FROM range(10) r(i)) AS zval
+      FROM z
+    ), buckets AS (
+      SELECT xb, yb, ntile(32) OVER (ORDER BY zval, o_orderkey) AS zbucket
+      FROM zv
+    )
+    SELECT zbucket, count(*) AS n,
+           min(xb) AS min_x, max(xb) AS max_x,
+           min(yb) AS min_y, max(yb) AS max_y
+    FROM buckets
+    GROUP BY zbucket
+    """,
+)
+def q_zorder_cluster(spark, sf):
+    """The profile a `skew.write_zordered` layout produces: rows range-
+    partitioned by Z-value; per-partition min/max of BOTH source
+    columns stay narrow (vs a single-column sort, where the second
+    column's range per file is the full domain). Pure integer
+    arithmetic — the oracle recomputes the interleave exactly."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.skew import zorder_key
+
+    o = _t(spark, sf, "orders")
+    xb = F.col("o_custkey") % 1024
+    yb = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")) % 1024
+    zv = o.select(
+        "o_orderkey", xb.alias("xb"), yb.cast("bigint").alias("yb")
+    ).withColumn("zval", zorder_key(F.col("xb"), F.col("yb"), bits=10))
+    zbucket = F.ntile(32).over(Window.orderBy("zval", "o_orderkey"))
+    return (
+        zv.select("xb", "yb", zbucket.alias("zbucket"))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("xb").alias("min_x"),
+            F.max("xb").alias("max_x"),
+            F.min("yb").alias("min_y"),
+            F.max("yb").alias("max_y"),
+        )
+    )
+
+
+@_q(
+    "embedding_quantize_int8",
+    "Symmetric int8 quantization of the embedding column: per-vector "
+    "scale = max|v|/127, q_i = floor(v_i/scale + 0.5) — 4x less ANN "
+    "candidate-generation I/O, float kept only for re-ranking. Integer "
+    "checksums are exact; floor(x+0.5) sidesteps round() tie rules",
+    "extension: embedding ops (quantized ANN storage)",
+    """
+    SELECT vec_id,
+           round(greatest(list_aggregate(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))), 'max'), 1e-30) / 127.0, 9) AS scale9,
+           CAST(list_aggregate(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)
+                        / (greatest(list_aggregate(list_transform(embedding,
+                             y -> abs(CAST(y AS DOUBLE))), 'max'), 1e-30) / 127.0)
+                        + 0.5) AS BIGINT)), 'sum') AS BIGINT) AS q_sum,
+           CAST(floor(CAST(embedding[1] AS DOUBLE)
+                / (greatest(list_aggregate(list_transform(embedding,
+                     y -> abs(CAST(y AS DOUBLE))), 'max'), 1e-30) / 127.0)
+                + 0.5) AS INT) AS q_c0
+    FROM embeddings
+    """,
+)
+def q_embedding_quantize_int8(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    scale, q = quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(scale, 9).alias("scale9"),
+        F.aggregate(
+            q, F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
+        ).alias("q_sum"),
+        F.element_at(q, 1).alias("q_c0"),
+    )
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at
