@@ -3696,6 +3696,207 @@ def q_embedding_quantize_int8(spark, sf):
     )
 
 
+@_q(
+    "weighted_sample",
+    "Length-proportional Bernoulli sampling of documents (p ∝ n_chars): "
+    "per-row portable-md5 uniform vs weight ratio — pure map-side "
+    "filter, zero shuffles, identical draw on any partitioning/rerun; "
+    "the single global max rides a 1-row broadcast",
+    "extension: training-data curation (weighted sampling / "
+    "length-debiasing a training mix)",
+    """
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE CAST(CAST(('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+            / 1152921504606846976.0
+          < CAST(n_chars AS DOUBLE)
+            / CAST((SELECT max(n_chars) FROM documents) AS DOUBLE)
+    """,
+)
+def q_weighted_sample(spark, sf):
+    """Weighted Bernoulli: keep doc with probability n_chars/max(n_chars).
+    The uniform is the 60-bit md5 hash scaled to [0,1) — one division;
+    the threshold is one division — both IEEE-exact-rounded on identical
+    operands, so the kept set is bit-identical across engines (no RNG,
+    no partitioning dependence)."""
+    d = _t(spark, sf, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsample|"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    maxn = d.agg(F.max("n_chars").alias("_maxn"))
+    return (
+        d.join(F.broadcast(maxn))
+        .where(
+            h.cast("double") / F.lit(float(1 << 60))
+            < F.col("n_chars").cast("double") / F.col("_maxn").cast("double")
+        )
+        .select("doc_id", "n_chars")
+    )
+
+
+@_q(
+    "winsorized_stats",
+    "Robust per-group stats: discrete P05/P95 via cume_dist (exact rank "
+    "arithmetic, no interpolation), values clamped to the band, "
+    "decimal-exact winsorized mean — outlier-resistant aggregates for "
+    "quality dashboards",
+    "extension: robust aggregation (implied §2.4 surface)",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+             cume_dist() OVER (PARTITION BY o_orderpriority
+                               ORDER BY CAST(o_totalprice AS DECIMAL(18,2))) AS c
+      FROM orders
+    ), b AS (
+      SELECT o_orderpriority,
+             min(CASE WHEN c >= 0.05 THEN v END) AS p05d,
+             min(CASE WHEN c >= 0.95 THEN v END) AS p95d
+      FROM r GROUP BY o_orderpriority
+    )
+    SELECT r.o_orderpriority AS o_orderpriority,
+           count(*) AS n,
+           CAST(min(b.p05d) AS DOUBLE) AS p05,
+           CAST(min(b.p95d) AS DOUBLE) AS p95,
+           -- CASE, not least/greatest: DuckDB's least/greatest on
+           -- decimals returns DOUBLE, losing the exact-sum property
+           CAST(SUM(CASE WHEN r.v < b.p05d THEN b.p05d
+                         WHEN r.v > b.p95d THEN b.p95d
+                         ELSE r.v END) AS DOUBLE) / count(*)
+             AS winsor_mean
+    FROM r JOIN b USING (o_orderpriority)
+    GROUP BY r.o_orderpriority
+    """,
+)
+def q_winsorized_stats(spark, sf):
+    """Discrete quantile = smallest value whose cume_dist ≥ p — pure
+    rank arithmetic (rank/n comparison), so both engines pick the same
+    row with no interpolation-rule drift. Clamping and the mean run in
+    DECIMAL(18,2): exact regardless of combine order. Per-group bounds
+    are a groups-sized relation, broadcast back onto the facts."""
+    o = _t(spark, sf, "orders")
+    v = _dec("o_totalprice")
+    r = o.select(
+        "o_orderpriority",
+        v.alias("v"),
+        F.cume_dist()
+        .over(Window.partitionBy("o_orderpriority").orderBy(v))
+        .alias("c"),
+    )
+    b = r.groupBy("o_orderpriority").agg(
+        F.min(F.when(F.col("c") >= 0.05, F.col("v"))).alias("p05d"),
+        F.min(F.when(F.col("c") >= 0.95, F.col("v"))).alias("p95d"),
+    )
+    clamped = F.least(F.greatest(F.col("v"), F.col("p05d")), F.col("p95d"))
+    return (
+        r.join(F.broadcast(b), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("p05d").cast("double").alias("p05"),
+            F.min("p95d").cast("double").alias("p95"),
+            (F.sum(clamped).cast("double") / F.count(F.lit(1))).alias("winsor_mean"),
+        )
+    )
+
+
+@_q(
+    "knn_label_predict",
+    "kNN classification over the embedding corpus: exact top-5 cosine "
+    "neighbors per query (broadcast queries, corpus scans once), "
+    "majority vote on neighbor labels, ties to the smaller label",
+    "extension: similarity search (kNN labeling / auto-annotation)",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, len(q.embedding) + 1),
+               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a,b) -> a + b)
+             / (sqrt(list_reduce(list_transform(range(1, len(q.embedding) + 1),
+                  i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (a,b) -> a + b))
+                * sqrt(list_reduce(list_transform(range(1, len(c.embedding) + 1),
+                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a,b) -> a + b)))
+               AS cos_sim
+      FROM q JOIN embeddings c ON c.vec_id % 97 <> 0
+    ), topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM pairs
+      ) WHERE rank <= 5
+    ), votes AS (
+      SELECT t.query_id, e.label, count(*) AS votes
+      FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+      GROUP BY t.query_id, e.label
+    )
+    SELECT query_id, label AS predicted_label, votes FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY votes DESC, label ASC) AS rn
+      FROM votes
+    ) WHERE rn = 1
+    """,
+)
+def q_knn_label_predict(spark, sf):
+    """The labeling path a training pipeline uses to propagate labels
+    from a seed set to unlabeled data. Reuses brute_force_topk's plan
+    (queries broadcast, corpus never shuffles); the vote is a Q×k-row
+    aggregation — negligible. Label lookup joins the k-row-per-query
+    survivor set back to the corpus by id (broadcast: Q×k rows)."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    corpus = emb.filter(F.col("vec_id") % 97 != 0)
+    topk = brute_force_topk(corpus, queries, k=5)
+    votes = (
+        topk.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label").asc())
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+    )
+
+
+@_q(
+    "rolling_distinct_users",
+    "Sliding-window distinct-user count per event type (50-event frame) "
+    "— rolling reach/active-user metric; frame-local distinct, one "
+    "window shuffle on the type key",
+    "extension: time-series analytics (§2.6 window surface)",
+    """
+    SELECT event_id,
+           count(DISTINCT user_id) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS n_active
+    FROM events
+    """,
+)
+def q_rolling_distinct_users(spark, sf):
+    """Spark has no DISTINCT window aggregate — the equivalent exact
+    form is size(array_distinct(collect_list)) over the frame: the
+    frame is bounded (50 rows), so the per-row array is O(frame), not
+    O(partition). Integer result, no float drift."""
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-49, Window.currentRow)
+    )
+    n = F.size(F.array_distinct(F.collect_list("user_id").over(w)))
+    return e.select("event_id", n.cast("bigint").alias("n_active"))
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at

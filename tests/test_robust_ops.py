@@ -1,0 +1,120 @@
+"""Batch-2 round-5 catalog operators: weighted sampling, winsorized
+stats, kNN label prediction, rolling distinct counts.
+
+These drive the catalog callables on real testdata (sf0.001) and check
+operator-level properties the DuckDB oracle can't express directly:
+partitioning-independence of the weighted draw, the clamp invariant,
+vote correctness on a planted neighborhood, frame-bounded distinct.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.plans import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _entry(name):
+    return Q.CATALOG[name].spark
+
+
+def test_weighted_sample_is_partitioning_independent(spark):
+    base = set(
+        r.doc_id for r in _entry("weighted_sample")(spark, SF).collect()
+    )
+    # Same draw after an adversarial repartition of the input: rebuild
+    # the pipeline on a repartitioned documents view via a temp table.
+    d = spark.read.parquet(f"{SF}/documents.parquet").repartition(13, "lang")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("wsample|"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    maxn = d.agg(F.max("n_chars").alias("_maxn"))
+    again = set(
+        r.doc_id
+        for r in d.join(F.broadcast(maxn))
+        .where(h.cast("double") / F.lit(float(1 << 60))
+               < F.col("n_chars").cast("double") / F.col("_maxn").cast("double"))
+        .select("doc_id")
+        .collect()
+    )
+    assert base == again and len(base) > 0
+
+
+def test_weighted_sample_prefers_long_docs(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    med = d.approxQuantile("n_chars", [0.5], 0.0)[0]
+    sampled = _entry("weighted_sample")(spark, SF)
+    joined = sampled.join(d.select("doc_id", F.col("n_chars").alias("nc")), "doc_id")
+    n_long = joined.filter(F.col("nc") > med).count()
+    n_short = joined.filter(F.col("nc") <= med).count()
+    assert n_long > n_short  # inclusion probability ∝ length
+
+
+def test_winsorized_stats_clamp_invariants(spark):
+    rows = _entry("winsorized_stats")(spark, SF).collect()
+    assert len(rows) == 5  # five order priorities
+    for r in rows:
+        assert r.p05 <= r.p95
+        # winsorized mean lies inside the clamp band by construction
+        assert r.p05 <= r.winsor_mean <= r.p95
+        assert r.n > 0
+
+
+def test_knn_label_predict_planted_cluster(spark):
+    # 10 corpus vectors: 6 near +e1 labeled 7, 4 near -e1 labeled 3.
+    # A query at e1 must get label 7 with >= 3 of 5 votes.
+    corpus = [(i, [1.0, 0.01 * i], 7) for i in range(6)] + [
+        (10 + i, [-1.0, 0.01 * i], 3) for i in range(4)
+    ]
+    emb = spark.createDataFrame(
+        corpus, "vec_id: long, embedding: array<float>, label: int"
+    )
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0], 0)], "vec_id: long, embedding: array<float>, label: int"
+    )
+    topk = brute_force_topk(emb, queries, k=5)
+    votes = (
+        topk.join(emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .collect()
+    )
+    by_label = {r.label: r.votes for r in votes}
+    assert by_label.get(7, 0) >= 3
+
+
+def test_rolling_distinct_bounded_by_frame(spark):
+    out = _entry("rolling_distinct_users")(spark, SF)
+    stats = out.agg(F.max("n_active"), F.min("n_active")).collect()[0]
+    assert 1 <= stats[1] and stats[0] <= 50  # frame is 50 rows
+
+
+def test_rolling_distinct_exact_small_case(spark):
+    rows = [(i, f"2024-01-01 00:00:{i:02d}", 100 + (i % 2), "click") for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "event_id: long, ts: string, user_id: long, event_type: string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-49, Window.currentRow)
+    )
+    got = {
+        r.event_id: r.n
+        for r in df.select(
+            "event_id",
+            F.size(F.array_distinct(F.collect_list("user_id").over(w))).alias("n"),
+        ).collect()
+    }
+    assert got == {0: 1, 1: 2, 2: 2, 3: 2}
