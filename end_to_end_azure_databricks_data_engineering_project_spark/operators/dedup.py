@@ -17,7 +17,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from end_to_end_azure_databricks_data_engineering_project_spark.functions.scalars import fingerprint
@@ -598,3 +598,76 @@ def duplicated_span_dedup(
             F.transform(kept, lambda t: F.element_at("_ws", t)), " "
         ).alias("clean_text"),
     )
+
+
+def exact_jaccard_join(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT shingle-Jaccard similarity self-join via prefix filtering
+    (Bayardo et al., WWW'07; Xiao et al., WWW'08 — "PPJoin" family).
+
+    Complete AND exact — every pair with J ≥ threshold is returned with
+    its true Jaccard, unlike MinHash-LSH (`minhash_near_dup_pairs`),
+    which trades recall for speed. The trick that keeps it off the
+    all-pairs cliff: order each doc's shingles by ascending document
+    frequency and only the first ``|d| - ceil(t*|d|) + 1`` (the
+    "prefix") generate join candidates. Correctness: a pair with
+    J ≥ t shares ≥ ceil(t*|d|) shingles, more than fit entirely in
+    either suffix, so some shared shingle lies in both prefixes.
+
+    Scale shape: candidate volume is Σ df² over PREFIX occurrences
+    only — and df-ascending ordering pushes exactly the hot shingles
+    (stop-phrase trigrams, boilerplate) out of prefixes, so the worst
+    keys generate ZERO candidates. Verification joins are bounded by
+    |candidates| × doc size. Shuffles: shingle-df agg, per-doc rank
+    window, candidate equi-join, two verify joins — all on keys with
+    controlled cardinality; raw text never shuffles.
+    """
+    t = float(threshold)
+    sh = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
+        .select("doc_id", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + F.lit(1)
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("_shb")),
+            ["id_b"],
+        )
+        .filter(F.col("shingle") == F.col("_shb"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jacc",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jacc") >= t)
+        .select("id_a", "id_b", "inter", "jacc")
+    )
+    return out

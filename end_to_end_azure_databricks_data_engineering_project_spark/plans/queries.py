@@ -3897,6 +3897,96 @@ def q_rolling_distinct_users(spark, sf):
     return e.select("event_id", n.cast("bigint").alias("n_active"))
 
 
+@_q(
+    "exact_jaccard_pairs",
+    "EXACT corpus-wide trigram-Jaccard self-join (threshold 0.75) via "
+    "prefix filtering (PPJoin family): rare-shingle prefixes generate "
+    "candidates, hot shingles never do; complete recall with true "
+    "Jaccard — the exact counterpart of MinHash-LSH's estimate",
+    "extension: dedup (exact set-similarity join, Bayardo WWW'07 / "
+    "Xiao WWW'08)",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(
+          range(1, greatest(len(toks) - 2, 1) + 1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM t)
+    ), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    co AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, inter,
+           CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jacc
+    FROM co JOIN sz x ON x.doc_id = co.id_a JOIN sz y ON y.doc_id = co.id_b
+    WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.75
+    """,
+)
+def q_exact_jaccard_pairs(spark, sf):
+    """The oracle brute-forces every co-occurring pair; the engine path
+    proves the prefix filter is lossless — identical pair set, exact
+    Jaccard values (one IEEE division per pair, identical operands both
+    engines)."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+        exact_jaccard_join,
+    )
+
+    return exact_jaccard_join(_t(spark, sf, "documents"), threshold=0.75, n=3)
+
+
+@_q(
+    "table_checksum",
+    "Order-independent table checksum: XOR of portable per-row md5 "
+    "hashes + row count — cross-replica / cross-engine verification "
+    "that two copies of a table hold identical rows, in one scan with "
+    "map-side partial aggregation and a 1-row result",
+    "extension: operational integrity (replication / migration "
+    "verification)",
+    """
+    SELECT count(*) AS n_rows,
+           bit_xor(CAST(('0x' || substr(md5(
+             CAST(l_orderkey AS VARCHAR) || '|' ||
+             CAST(l_linenumber AS VARCHAR) || '|' ||
+             l_returnflag || '|' || l_linestatus), 1, 15)) AS BIGINT))
+             AS checksum
+    FROM lineitem
+    """,
+)
+def q_table_checksum(spark, sf):
+    """XOR is commutative+associative, so the checksum is independent
+    of partitioning, row order, and combine order — the property that
+    makes it valid for comparing a table across engines/replicas. The
+    key serialization sticks to int/string columns (float formatting
+    is not portable across engines)."""
+    li = _t(spark, sf, "lineitem")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                    F.col("l_returnflag"),
+                    F.col("l_linestatus"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return li.select(h.alias("_h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(_h)").alias("checksum"),
+    )
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at

@@ -118,3 +118,64 @@ def test_rolling_distinct_exact_small_case(spark):
         ).collect()
     }
     assert got == {0: 1, 1: 2, 2: 2, 3: 2}
+
+
+def test_exact_jaccard_finds_planted_pair(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import exact_jaccard_join
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " lambda"),  # near-identical: high trigram overlap
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "cats dogs birds fish mice lions tigers bears wolves foxes"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    pairs = exact_jaccard_join(docs, threshold=0.5).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found
+    assert all(p == (1, 2) for p in found)  # no unrelated pair sneaks in
+    j = [r.jacc for r in pairs if (r.id_a, r.id_b) == (1, 2)][0]
+    assert 0.5 <= j <= 1.0
+
+
+def test_exact_jaccard_prefix_prunes_candidates(spark):
+    # 30 docs sharing one ubiquitous phrase + unique content: the
+    # shared hot shingles must not generate candidate pairs (they sit
+    # in every doc's suffix under df-ascending prefix ordering).
+    rows = [
+        (i, f"unique{i} token{i} word{i} stuff{i} common phrase here")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import exact_jaccard_join
+
+    out = exact_jaccard_join(docs, threshold=0.8)
+    assert out.count() == 0  # shared boilerplate alone is below 0.8
+
+
+def test_table_checksum_partition_invariant_and_sensitive(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.plans import queries as QQ
+
+    a = QQ.CATALOG["table_checksum"].spark(spark, SF).collect()[0]
+    # Same rows through an adversarial repartition → identical checksum
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").repartition(17, "l_partkey")
+    li.createOrReplaceTempView("_ck_li")
+    h = """CAST(conv(substring(md5(concat_ws('|',
+           CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING),
+           l_returnflag, l_linestatus)), 1, 15), 16, 10) AS BIGINT)"""
+    b = spark.sql(
+        f"SELECT count(*) AS n_rows, bit_xor({h}) AS checksum FROM _ck_li"
+    ).collect()[0]
+    assert (a.n_rows, a.checksum) == (b.n_rows, b.checksum)
+    # Sensitivity: mutate one value in a table of DISTINCT keys (XOR is
+    # blind to even-multiplicity changes by construction, so the probe
+    # uses unique rows) → checksum must move.
+    rows = [(1, 1, "A", "F"), (2, 1, "N", "O"), (3, 2, "R", "F")]
+    schema = "l_orderkey: long, l_linenumber: long, l_returnflag: string, l_linestatus: string"
+    spark.createDataFrame(rows, schema).createOrReplaceTempView("_ck_s1")
+    rows[2] = (3, 2, "A", "F")
+    spark.createDataFrame(rows, schema).createOrReplaceTempView("_ck_s2")
+    c1 = spark.sql(f"SELECT bit_xor({h}) AS c FROM _ck_s1").collect()[0].c
+    c2 = spark.sql(f"SELECT bit_xor({h}) AS c FROM _ck_s2").collect()[0].c
+    assert c1 != c2
