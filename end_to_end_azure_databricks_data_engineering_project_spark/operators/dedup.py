@@ -671,3 +671,47 @@ def exact_jaccard_join(
         .select("id_a", "id_b", "inter", "jacc")
     )
     return out
+
+
+# ----------------------------------------------------- quality-priority --
+def minhash_dedup_keep_best(
+    df: DataFrame,
+    quality_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **kw,
+) -> DataFrame:
+    """Near-dup dedup that keeps the BEST document per duplicate cluster
+    (``quality_col`` descending, ``id_col`` ascending tiebreak) instead
+    of the minimum id — the curation policy real training-data pipelines
+    want: when a page was crawled five times, keep the longest/cleanest
+    capture, not the one with the smallest crawl id.
+
+    Pipeline: LSH candidate pairs → estimated-Jaccard gate → alternating
+    large-star/small-star connected components → one row_number window
+    per component. Docs in no cluster are their own singleton component
+    (coalesce to own id), so the window pass sees every doc exactly
+    once. Scale shape: the window partitions by component id — duplicate
+    clusters are small (bounded by crawl multiplicity), so no partition
+    skew; everything upstream is the bucket-first LSH path (no corpus
+    cross join). Reference analogy: the silver-layer keep-latest dedup
+    (silver_Transactions.py dropDuplicates) generalized to
+    quality-ranked transitive closure.
+    """
+    pairs = minhash_near_dup_pairs(df, text_col, id_col, **kw)
+    qual = pairs.filter(F.col("est_jaccard") >= threshold)
+    comp = connected_components(qual, "id_a", "id_b")
+    labeled = (
+        df.join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("_comp", F.coalesce("component", F.col(id_col)))
+        .drop("component")
+    )
+    w = Window.partitionBy("_comp").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        labeled.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_comp")
+    )

@@ -86,3 +86,62 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("node", F.col("r").alias("rank"))
+
+
+def triangle_count(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Global triangle count over an undirected pair list — one row
+    ``(n_triangles BIGINT)``. Triangle density over the near-dup graph
+    is the standard "is my duplicate graph clustered or chained?"
+    diagnostic before committing to a transitive-closure dedup policy.
+
+    Degree-oriented algorithm (Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW'11): orient every
+    edge from the lower-ranked endpoint under the total order
+    (degree, id); each triangle x≺y≺z is then counted exactly once as
+    the wedge (x→y, x→z) closed by the oriented edge y→z. Wedge
+    fan-out is bounded by max OUT-degree ≈ √m instead of max raw degree
+    — a celebrity node with 10⁶ neighbors produces no 10¹²-wedge
+    explosion because its edges all point INTO it. Scale shape: two
+    hash joins (wedge build on src, closure probe on (t1, t2)) and one
+    count — no driver-side graph state.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).cast("bigint").alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).cast("bigint").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    both = e.join(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v")), "v")
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = both.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_t"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    t1_first = (F.col("e1.deg_t") < F.col("e2.deg_t")) | (
+        (F.col("e1.deg_t") == F.col("e2.deg_t")) & (F.col("e1.t") < F.col("e2.t"))
+    )
+    wedges = e1.join(e2, F.col("e1.s") == F.col("e2.s")).filter(t1_first).select(
+        F.col("e1.t").alias("t1"), F.col("e2.t").alias("t2")
+    )
+    closed = wedges.join(
+        oriented.select(F.col("s").alias("t1"), F.col("t").alias("t2")),
+        ["t1", "t2"],
+        "left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -259,3 +259,58 @@ def gopher_rules(
         # not let three-valued logic drop it from both counters.
         "missing_lang_marker": ~F.coalesce(marker_hit, F.lit(False)),
     }
+
+
+def cooccurrence_lift(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 30,
+    min_co: int = 5,
+) -> DataFrame:
+    """PMI-style token co-occurrence over the corpus, restricted to the
+    ``top_n`` tokens by document frequency. Columns: ``token_a``,
+    ``token_b``, ``n_co``, ``lift`` where lift = N·c_ab / (c_a·c_b)
+    (the PMI ratio without the log — a single multiply + divide, so the
+    double is bit-identical across engines; take log() downstream if
+    you want nats).
+
+    Scale posture: the heavy-hitter prefilter IS the design — the
+    doc×token explode is pruned to ``top_n`` tokens by a broadcast
+    semi-join before any pairing, so the per-doc pair fan-out is
+    ≤ C(top_n, 2), independent of vocabulary size, and the pair count
+    aggregation is one shuffle on (token_a, token_b). The corpus-wide
+    doc count rides a 1-row broadcast (same idiom as tf-idf), never a
+    driver collect.
+    """
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import tokens
+
+    dt = (
+        docs.select(F.col(id_col).alias("_doc"), tokens(F.col(text_col)).alias("_toks"))
+        .select("_doc", F.explode(F.array_distinct("_toks")).alias("token"))
+    )
+    dfreq = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    top = dfreq.orderBy(F.col("df").desc(), F.col("token").asc()).limit(top_n)
+    ft = dt.join(F.broadcast(top), "token")
+    a, b = ft.alias("a"), ft.alias("b")
+    co = (
+        a.join(b, F.col("a._doc") == F.col("b._doc"))
+        .filter(F.col("a.token") < F.col("b.token"))
+        .groupBy(
+            F.col("a.token").alias("token_a"),
+            F.col("b.token").alias("token_b"),
+            F.col("a.df").alias("df_a"),
+            F.col("b.df").alias("df_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= min_co)
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    return co.crossJoin(F.broadcast(n_docs)).select(
+        "token_a",
+        "token_b",
+        "n_co",
+        (F.col("_n").cast("double") * F.col("n_co") / (F.col("df_a") * F.col("df_b"))).alias(
+            "lift"
+        ),
+    )

@@ -86,3 +86,49 @@ def cast_to_schema(df: DataFrame, schema) -> DataFrame:
     return df.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
+
+
+def mad_outlier_stats(
+    df: DataFrame, value_col: str, group_col: str, k: float = 3.0
+) -> DataFrame:
+    """Per-group robust outlier report via median absolute deviation:
+    columns ``(group_col, n, med, mad, n_outliers)`` with
+    outlier ⇔ |x − med| > k·mad.
+
+    Medians are DISCRETE lower medians (the value at sorted rank
+    ⌊(n+1)/2⌋, selected by row_number — no interpolation), so the stat
+    is an actual data value and bit-identical across engines. Two
+    window passes (value rank, then deviation rank) partitioned by the
+    group key + one broadcast-sized per-group median join — groups are
+    enum-like (event types, priorities), so the per-group sort is the
+    skew concern; for a dominant group, pre-aggregate to (group, value,
+    count) first or fall back to approx_percentile.
+    """
+    v = df.select(F.col(group_col).alias("_g"), F.col(value_col).alias("_v"))
+    wg = Window.partitionBy("_g")
+
+    def _lower_median(d: DataFrame, col: str, out: str) -> DataFrame:
+        ranked = d.withColumn(
+            "_rn", F.row_number().over(wg.orderBy(col))
+        ).withColumn("_n", F.count(F.lit(1)).over(wg))
+        return (
+            ranked.filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+            .select("_g", F.col(col).alias(out))
+        )
+
+    med = _lower_median(v, "_v", "med")
+    dev = v.join(F.broadcast(med), "_g").withColumn("dev", F.abs(F.col("_v") - F.col("med")))
+    mad = _lower_median(dev.select("_g", F.col("dev").alias("_v")), "_v", "mad")
+    return (
+        dev.join(F.broadcast(mad), "_g")
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > F.lit(k) * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .withColumnRenamed("_g", group_col)
+    )

@@ -3618,7 +3618,7 @@ def q_ewma_smoothing(spark, sf):
                 FROM range(10) r(i)) AS zval
       FROM z
     ), buckets AS (
-      SELECT xb, yb, ntile(32) OVER (ORDER BY zval, o_orderkey) AS zbucket
+      SELECT xb, yb, CAST(ntile(32) OVER (ORDER BY zval, o_orderkey) AS INT) AS zbucket
       FROM zv
     )
     SELECT zbucket, count(*) AS n,
@@ -3985,6 +3985,192 @@ def q_table_checksum(spark, sf):
         F.count(F.lit(1)).alias("n_rows"),
         F.expr("bit_xor(_h)").alias("checksum"),
     )
+
+
+@_q(
+    "dedup_keep_best",
+    "Quality-priority near-dup dedup: MinHash-LSH pairs → connected "
+    "components → keep the BEST doc per duplicate cluster (n_chars "
+    "desc, doc_id asc tiebreak) — the curation policy training "
+    "pipelines actually want (keep the longest capture, not the "
+    "smallest crawl id)",
+    "ext:dedup-minhash-keep-best",
+    _minhash_edges_cte(8, 4, 0.5, recursive=True)
+    + """,
+    r(node, m) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.m FROM edges e JOIN r ON e.v = r.node
+    ),
+    comp AS (SELECT node, min(m) AS component FROM r GROUP BY node),
+    lab AS (
+      SELECT d.doc_id, d.n_chars, coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id FROM (
+      SELECT doc_id, row_number() OVER (
+        PARTITION BY component ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM lab
+    ) WHERE rk = 1
+    """,
+)
+def q_dedup_keep_best(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+        minhash_dedup_keep_best,
+    )
+
+    d = _t(spark, sf, "documents")
+    return minhash_dedup_keep_best(
+        d, "n_chars", threshold=0.5, num_hashes=8, bands=4, shingle_n=3
+    ).select("doc_id")
+
+
+@_q(
+    "mad_outliers",
+    "Per-event-type robust outlier report: discrete lower-median MAD "
+    "(row_number selection, no interpolation — the stat is an actual "
+    "data value, bit-identical both engines), outlier ⇔ |x−med| > 3·mad",
+    "extension: robust aggregation / anomaly detection",
+    """
+    WITH r AS (
+      SELECT event_type, value AS v,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    m AS (SELECT event_type, v AS med FROM r WHERE rn = (n + 1) // 2),
+    d AS (
+      SELECT r.event_type, r.v, m.med, abs(r.v - m.med) AS dev
+      FROM r JOIN m USING (event_type)
+    ),
+    r2 AS (
+      SELECT event_type, med, dev,
+             row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM d
+    ),
+    m2 AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+    SELECT d.event_type AS event_type, count(*) AS n,
+           min(d.med) AS med, min(m2.mad) AS mad,
+           CAST(SUM(CASE WHEN d.dev > 3.0 * m2.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM d JOIN m2 USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q_mad_outliers(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.transforms import (
+        mad_outlier_stats,
+    )
+
+    e = _t(spark, sf, "events")
+    return mad_outlier_stats(e, "value", "event_type", k=3.0)
+
+
+@_q(
+    "hopping_window_counts",
+    "Overlapping (hopping) time windows via the native F.window "
+    "slide-duration form: 15-minute windows every 5 minutes over the "
+    "event stream — each event lands in exactly 3 windows (map-side "
+    "3× expand, ONE shuffle on window start); the batch twin of the "
+    "Structured Streaming windowed aggregation",
+    "extension: §2.6 windows (hopping/sliding time windows)",
+    """
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+      FROM events
+    ),
+    x AS (
+      SELECT user_id, 300 * k AS ws
+      FROM e, unnest(range((sec - 900) // 300 + 1, sec // 300 + 1)) AS t(k)
+    )
+    SELECT make_timestamp(ws * 1000000) AS window_start,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM x GROUP BY ws
+    """,
+)
+def q_hopping_window_counts(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "15 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_users")
+    )
+
+
+@_q(
+    "token_cooccurrence_lift",
+    "PMI-style co-occurrence lift over the top-30 tokens by document "
+    "frequency: lift = N·c_ab/(c_a·c_b) (the PMI ratio without the log "
+    "— one multiply + one divide, bit-identical doubles). The "
+    "heavy-hitter prefilter bounds per-doc pair fan-out at C(30,2) "
+    "regardless of vocabulary size",
+    "extension: text analysis (collocation mining)",
+    r"""
+    WITH dt AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS token
+      FROM documents
+    ),
+    dfreq AS (SELECT token, count(*) AS df FROM dt GROUP BY token),
+    top AS (SELECT token, df FROM dfreq ORDER BY df DESC, token ASC LIMIT 30),
+    ft AS (SELECT dt.doc_id, dt.token, top.df FROM dt JOIN top USING (token)),
+    co AS (
+      SELECT a.token AS token_a, b.token AS token_b,
+             a.df AS df_a, b.df AS df_b, count(*) AS n_co
+      FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2, 3, 4
+      HAVING count(*) >= 5
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT token_a, token_b, n_co,
+           CAST(n_docs AS DOUBLE) * n_co / (df_a * df_b) AS lift
+    FROM co, n
+    """,
+)
+def q_token_cooccurrence_lift(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.text import (
+        cooccurrence_lift,
+    )
+
+    return cooccurrence_lift(_t(spark, sf, "documents"), top_n=30, min_co=5)
+
+
+@_q(
+    "neardup_triangles",
+    "Triangle count over the MinHash near-dup graph (degree-oriented "
+    "wedge algorithm — wedge fan-out bounded by max OUT-degree ≈ √m, "
+    "no celebrity-node explosion): the clustered-vs-chained diagnostic "
+    "run before committing to transitive-closure dedup. The oracle "
+    "counts the same triangles by naive canonical triple join",
+    "ext:graph-triangles",
+    _minhash_edges_cte(8, 4, 0.25)
+    + """,
+    c AS (SELECT u, v FROM edges WHERE u < v)
+    SELECT count(*) AS n_triangles
+    FROM c e1
+    JOIN c e2 ON e1.v = e2.u
+    JOIN c e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def q_neardup_triangles(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.graph import (
+        triangle_count,
+    )
+
+    d = _t(spark, sf, "documents")
+    pairs = minhash_near_dup_pairs(
+        d, num_hashes=8, bands=4, shingle_n=3
+    ).filter(F.col("est_jaccard") >= 0.25)
+    return triangle_count(pairs)
 
 
 # ---------------------------------------------------------------------

@@ -40,6 +40,15 @@ ALLOW_CARTESIAN = {
     "neardup_graph_pagerank",
     # k-means centroid 1-row broadcast feeding the cluster quota.
     "cluster_balanced_sample",
+    # corpus doc-count 1-row broadcast in the lift denominator.
+    "token_cooccurrence_lift",
+    # 1-row bloom-bitmap relation broadcast onto the corpus scan.
+    "bloom_decontaminate",
+    # broadcast-queries pattern (tiny labeled query slice, same shape
+    # as cosine_topk) — the corpus side never shuffles.
+    "knn_label_predict",
+    # 1-row max-weight scalar broadcast feeding the Bernoulli draw.
+    "weighted_sample",
 }
 EXPECT_PUSHDOWN = {
     "watermark_filter", "in_predicate", "null_predicate", "pricing_summary",

@@ -1,0 +1,132 @@
+"""Round-5 operator units: quality-priority near-dup dedup, degree-
+oriented triangle counting, MAD outlier stats, co-occurrence lift."""
+
+from __future__ import annotations
+
+
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+    minhash_dedup_keep_best,
+)
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.graph import triangle_count
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.text import (
+    cooccurrence_lift,
+)
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.transforms import (
+    mad_outlier_stats,
+)
+
+
+# ------------------------------------------------------- triangle count --
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    return triangle_count(df).collect()[0]["n_triangles"]
+
+
+def test_triangle_count_k4(spark):
+    # complete graph on 4 nodes: C(4,3) = 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _tri(spark, k4) == 4
+
+
+def test_triangle_count_path_and_star(spark):
+    assert _tri(spark, [(1, 2), (2, 3), (3, 4)]) == 0  # chain
+    assert _tri(spark, [(0, i) for i in range(1, 8)]) == 0  # star hub
+
+
+def test_triangle_count_direction_and_dupes_ignored(spark):
+    # one triangle reported once despite reversed/duplicate input pairs
+    e = [(1, 2), (2, 1), (2, 3), (1, 3), (3, 1)]
+    assert _tri(spark, e) == 1
+
+
+def test_triangle_count_two_shared_edge(spark):
+    # two triangles sharing edge (1,2)
+    e = [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)]
+    assert _tri(spark, e) == 2
+
+
+# ------------------------------------------------------ MAD outlier stats --
+def test_mad_outlier_stats_basic(spark):
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 100]] + [
+        ("b", float(v)) for v in [10, 10, 10]
+    ]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = {r["grp"]: r for r in mad_outlier_stats(df, "v", "grp").collect()}
+    # group a: sorted [1,2,3,4,100], lower median rank (5+1)//2=3 → 3
+    # deviations |x-3| sorted [0,1,1,2,97] → mad = 1; outlier ⇔ dev > 3
+    a = out["a"]
+    assert (a["n"], a["med"], a["mad"], a["n_outliers"]) == (5, 3.0, 1.0, 1)
+    # group b: constant → mad 0, every dev == 0, no outliers
+    b = out["b"]
+    assert (b["med"], b["mad"], b["n_outliers"]) == (10.0, 0.0, 0)
+
+
+def test_mad_outlier_stats_even_count_lower_median(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0)], ["grp", "v"]
+    )
+    r = mad_outlier_stats(df, "v", "grp").collect()[0]
+    assert r["med"] == 2.0  # rank (4+1)//2 = 2 → lower median, no interpolation
+
+
+# -------------------------------------------------- quality-priority dedup --
+def test_dedup_keep_best_prefers_quality_not_min_id(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " one", 10),
+            (2, base + " one", 99),  # same text, higher quality → survivor
+            (7, "completely different text with no overlap at all", 5),
+        ],
+        ["doc_id", "text", "quality"],
+    )
+    kept = {
+        r["doc_id"]
+        for r in minhash_dedup_keep_best(
+            docs, "quality", threshold=0.5, num_hashes=8, bands=4, shingle_n=3
+        ).collect()
+    }
+    assert kept == {2, 7}
+
+
+def test_dedup_keep_best_singletons_survive(spark):
+    docs = spark.createDataFrame(
+        [(i, f"unique document number {i} " + "x" * i, i) for i in range(1, 6)],
+        ["doc_id", "text", "quality"],
+    )
+    out = minhash_dedup_keep_best(
+        docs, "quality", threshold=0.9, num_hashes=8, bands=4, shingle_n=3
+    )
+    assert out.count() == 5
+    assert set(out.columns) == {"doc_id", "text", "quality"}
+
+
+# ---------------------------------------------------- co-occurrence lift --
+def test_cooccurrence_lift_values(spark):
+    # 4 docs; "a b" co-occur in 2 of 4 docs; df_a=3, df_b=3
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "b c")],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["token_a"], r["token_b"]): r
+        for r in cooccurrence_lift(docs, top_n=3, min_co=1).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["n_co"] == 2
+    assert ab["lift"] == 4.0 * 2 / (3 * 3)
+    # independence baseline: lift < 1 here (co-occur less than random)
+    assert ("a", "c") in out and out[("a", "c")]["n_co"] == 1
+
+
+def test_cooccurrence_lift_top_n_prefilter(spark):
+    # rare tokens outside top_n never pair
+    docs = spark.createDataFrame(
+        [(1, "x x common1 common2"), (2, "common1 common2"), (3, "common1 common2 rare")],
+        ["doc_id", "text"],
+    )
+    out = cooccurrence_lift(docs, top_n=2, min_co=1)
+    toks = {r["token_a"] for r in out.collect()} | {
+        r["token_b"] for r in out.collect()
+    }
+    assert toks <= {"common1", "common2"}
