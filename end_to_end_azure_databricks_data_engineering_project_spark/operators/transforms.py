@@ -132,3 +132,66 @@ def mad_outlier_stats(
         )
         .withColumnRenamed("_g", group_col)
     )
+
+
+def pareto_frontier_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Rows on the 2-D Pareto frontier MAXIMIZING (x, y): no other row
+    is ≥ in both dimensions and > in at least one. The multi-criteria
+    selection primitive (e.g. docs maximizing quality AND recency)
+    without the naive O(n²) dominance join.
+
+    Shape: groupBy x → per-x max y (one shuffle), then a running max
+    over the DISTINCT-x relation ordered x desc (global window over the
+    already-aggregated relation — |distinct x| rows, not |df|), then an
+    equi-join back on x. A row survives iff y equals its x-group max
+    AND beats every y at strictly larger x. Duplicate (x, y) rows all
+    survive (neither strictly dominates the other), matching the
+    NOT EXISTS dominance definition the oracle uses."""
+    gmax = df.groupBy(F.col(x_col).alias("_x")).agg(F.max(y_col).alias("_gmax"))
+    w = Window.orderBy(F.col("_x").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier_x = (
+        gmax.withColumn("_prev", F.max("_gmax").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_gmax") > F.col("_prev")))
+        .select("_x", "_gmax")
+    )
+    return (
+        df.join(frontier_x, df[x_col] == F.col("_x"))
+        .filter(F.col(y_col) == F.col("_gmax"))
+        .drop("_x", "_gmax")
+    )
+
+
+def table_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Single-scan column profile: one row per column with null count,
+    distinct count, and min/max (cast to string AFTER aggregating, so
+    numeric ordering is preserved). The data-quality primer run before
+    ingesting an unknown feed.
+
+    One aggregation job; the multiple count-distincts share a single
+    Expand (×|cols| row multiplier map-side — at 100 TB swap
+    countDistinct for approx_count_distinct to drop the Expand
+    entirely). The 1×(4·|cols|) result row is unpivoted driver-free
+    with stack()."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        for c in cols
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )

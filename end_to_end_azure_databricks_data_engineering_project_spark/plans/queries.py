@@ -4173,6 +4173,234 @@ def q_neardup_triangles(spark, sf):
     return triangle_count(pairs)
 
 
+@_q(
+    "pareto_frontier",
+    "2-D Pareto frontier maximizing (order value, recency): groupBy-x "
+    "max + one running-max window over the DISTINCT-x relation + an "
+    "equi-join back — the multi-criteria selection primitive without "
+    "the naive O(n²) dominance join (which the oracle happily runs as "
+    "NOT EXISTS at sf0.01)",
+    "extension: multi-criteria selection (skyline operator)",
+    """
+    WITH t AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             CAST(o_orderdate AS DATE) AS odate
+      FROM orders
+    )
+    SELECT o_orderkey, CAST(price AS DOUBLE) AS price, odate
+    FROM t p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM t q
+      WHERE q.price >= p.price AND q.odate >= p.odate
+        AND (q.price > p.price OR q.odate > p.odate)
+    )
+    """,
+)
+def q_pareto_frontier(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.transforms import (
+        pareto_frontier_2d,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        _dec("o_totalprice").alias("price"),
+        F.to_date("o_orderdate").alias("odate"),
+    )
+    return pareto_frontier_2d(o, "price", "odate").select(
+        "o_orderkey", F.col("price").cast("double").alias("price"), "odate"
+    )
+
+
+@_q(
+    "column_profile",
+    "Single-scan column profiling (null count, distinct count, min/max "
+    "per column) — the data-quality primer on an unknown feed; the "
+    "1-row aggregate is unpivoted with stack(), no driver loop",
+    "extension: data-quality profiling (P6/A4 family)",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus, CAST(o_orderdate AS DATE) AS o_orderdate,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice, o_orderpriority
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS column_name,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_value
+    FROM t
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_orderstatus),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+    FROM t
+    UNION ALL
+    SELECT 'o_orderdate',
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_orderdate),
+           CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+    FROM t
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_totalprice),
+           CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+    FROM t
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_orderpriority),
+           CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+    FROM t
+    """,
+)
+def q_column_profile(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.transforms import (
+        table_profile,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+        _dec("o_totalprice").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    return table_profile(
+        o,
+        ["o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice",
+         "o_orderpriority"],
+    )
+
+
+@_q(
+    "cms_heavy_hitters",
+    "Count-min sketch frequency estimates for the exact top-10 tokens: "
+    "the sketch (4×1024, portable md5 row hashes) is rebuilt "
+    "bit-identically by the oracle — demonstrates the broadcastable "
+    "fixed-size frequency summary with its one-sided error (est ≥ "
+    "exact always; equal when the row dodges collisions)",
+    "extension: frequency sketches (Cormode-Muthukrishnan CMS)",
+    r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents
+    ),
+    exact AS (
+      SELECT token, count(*) AS exact_n FROM tok GROUP BY token
+      ORDER BY exact_n DESC, token ASC LIMIT 10
+    ),
+    ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    sk AS (
+      SELECT ds.d,
+             ('0x' || substr(md5('cms' || CAST(ds.d AS VARCHAR) || '|' || tok.token), 1, 15))::BIGINT % 1024 AS b,
+             count(*) AS cnt
+      FROM tok CROSS JOIN ds
+      GROUP BY 1, 2
+    )
+    SELECT e.token, e.exact_n, min(sk.cnt) AS est_n
+    FROM exact e
+    CROSS JOIN ds
+    JOIN sk ON sk.d = ds.d
+           AND sk.b = ('0x' || substr(md5('cms' || CAST(ds.d AS VARCHAR) || '|' || e.token), 1, 15))::BIGINT % 1024
+    GROUP BY 1, 2
+    """,
+)
+def q_cms_heavy_hitters(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    d = _t(spark, sf, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("token").asc())
+        .limit(10)
+    )
+    sketch = cms_build(tok, "token", depth=4, width=1024)
+    return cms_estimate(sketch, exact, "token", depth=4, width=1024)
+
+
+@_q(
+    "retention_cohorts",
+    "Weekly cohort retention: users grouped by first-seen week × "
+    "activity week offset → distinct-user counts. Two aggregations "
+    "(first-seen per user, then cohort cells) + one broadcast-scale "
+    "join of the per-user cohort onto the distinct (user, week) "
+    "activity relation — the canonical product-analytics rollup",
+    "extension: behavioral analytics (cohort retention)",
+    """
+    WITH a AS (
+      SELECT user_id,
+             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+      FROM events GROUP BY 1, 2
+    ),
+    first_seen AS (
+      SELECT user_id, min(week) AS cohort_week FROM a GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST((a.week - f.cohort_week) // 7 AS BIGINT) AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM a JOIN first_seen f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark, sf):
+    e = _t(spark, sf, "events")
+    a = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    first_seen = a.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        a.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@_q(
+    "event_transition_matrix",
+    "Per-user event-type transition counts (Markov chain estimation): "
+    "lag window per user ordered by time → groupBy (from, to). One "
+    "sort-within-user window + one count shuffle; ties broken by "
+    "event_id so the sequence is deterministic",
+    "extension: behavioral analytics (sequence/transition mining)",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_event_transition_matrix(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        s.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at

@@ -223,3 +223,29 @@ def test_stream_source_rescues_extras(spark, tmp_path):
         spark, src, cfg.spark_schema, str(tmp_path / "schema")
     )
     assert "unexpected_col" in [f.name for f in merged.fields]
+
+
+def test_partitioned_bronze_prunes_partitions(spark, tmp_path):
+    """partition_by_cdc_date bronze layout: a cdc_date filter on the
+    read side must resolve to PartitionFilters (directory pruning — at
+    100 TB the daily query touches one partition dir, not the table)."""
+    cfg = TABLE_BY_NAME["dim_user"]
+    store = WatermarkStore(tmp_path / "state")
+    bronze = str(tmp_path / "bronze")
+    rows = [
+        (1, "a", "US", "Free", None, None, dt.datetime(2025, 1, 1, 5)),
+        (2, "b", "DE", "Free", None, None, dt.datetime(2025, 1, 2, 6)),
+        (3, "c", "FR", "Paid", None, None, dt.datetime(2025, 1, 3, 7)),
+    ]
+    res = ingest_table(
+        spark, cfg, _src(spark, rows), bronze, store,
+        run_ts="rp", partition_by_cdc_date=True,
+    )
+    assert res.rows == 3
+    df = spark.read.parquet(res.landed_path).filter(F.col("cdc_date") == "2025-01-02")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cdc_date" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+    got = [r["user_id"] for r in df.collect()]
+    assert got == [2]

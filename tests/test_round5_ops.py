@@ -130,3 +130,91 @@ def test_cooccurrence_lift_top_n_prefilter(spark):
         r["token_b"] for r in out.collect()
     }
     assert toks <= {"common1", "common2"}
+
+
+# ------------------------------------------------------- pareto frontier --
+def test_pareto_frontier_basic(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.transforms import (
+        pareto_frontier_2d,
+    )
+
+    rows = [
+        (1, 10, 10),  # frontier
+        (2, 10, 5),   # dominated by 1 (same x, lower y)
+        (3, 5, 20),   # frontier
+        (4, 5, 20),   # duplicate of 3 -> both kept
+        (5, 4, 19),   # dominated by 3
+        (6, 20, 1),   # frontier
+    ]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    kept = {r["id"] for r in pareto_frontier_2d(df, "x", "y").collect()}
+    assert kept == {1, 3, 4, 6}
+
+
+def test_pareto_frontier_single_point_and_chain(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.transforms import (
+        pareto_frontier_2d,
+    )
+
+    df = spark.createDataFrame([(1, 1, 1)], ["id", "x", "y"])
+    assert pareto_frontier_2d(df, "x", "y").count() == 1
+    # strictly increasing anti-chain: everything on the frontier
+    chain = spark.createDataFrame(
+        [(i, i, 10 - i) for i in range(5)], ["id", "x", "y"]
+    )
+    assert pareto_frontier_2d(chain, "x", "y").count() == 5
+
+
+# -------------------------------------------------------- table profile --
+def test_table_profile_values(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.transforms import (
+        table_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "c"), (None, "a")],
+        ["k", "s"],
+    )
+    prof = {r["column_name"]: r for r in table_profile(df, ["k", "s"]).collect()}
+    k = prof["k"]
+    assert (k["n_nulls"], k["n_distinct"], k["min_value"], k["max_value"]) == (
+        1, 2, "1", "2",
+    )
+    s = prof["s"]
+    assert (s["n_nulls"], s["n_distinct"], s["min_value"], s["max_value"]) == (
+        1, 2, "a", "c",
+    )
+
+
+# ----------------------------------------------------------- CMS sketch --
+def test_cms_overestimates_never_under(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(w,) for w, n in [("a", 50), ("b", 20), ("c", 1)] for _ in range(n)]
+    df = spark.createDataFrame(rows, ["token"])
+    exact = df.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    sk = cms_build(df, "token", depth=4, width=64)
+    est = cms_estimate(sk, exact, "token", depth=4, width=64)
+    for r in est.collect():
+        assert r["est_n"] >= r["exact_n"]  # one-sided error
+    # wide sketch, 3 keys -> no collisions, exact recovery
+    sk2 = cms_build(df, "token", depth=4, width=4096)
+    for r in cms_estimate(sk2, exact, "token", depth=4, width=4096).collect():
+        assert r["est_n"] == r["exact_n"]
+
+
+def test_cms_sketch_size_bounded(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.sketches import (
+        cms_build,
+    )
+
+    df = spark.createDataFrame([(f"tok{i}",) for i in range(500)], ["token"])
+    sk = cms_build(df, "token", depth=4, width=16)
+    assert sk.count() <= 4 * 16
+    # every cell's count is the sum of its colliding keys
+    total = sum(r["cnt"] for r in sk.collect())
+    assert total == 500 * 4
