@@ -218,3 +218,57 @@ def test_cms_sketch_size_bounded(spark):
     # every cell's count is the sum of its colliding keys
     total = sum(r["cnt"] for r in sk.collect())
     assert total == 500 * 4
+
+
+# ------------------------------------------------- property-based checks --
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+edges_st = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=0, max_size=40,
+)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(edges=edges_st)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    expected = 0
+    nodes = sorted({n for e in es for n in e})
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            for z in nodes[nodes.index(y) + 1:]:
+                if (x, y) in es and (y, z) in es and (x, z) in es:
+                    expected += 1
+    if not es:
+        return  # createDataFrame can't infer an empty list's schema
+    assert _tri(spark, sorted(es)) == expected
+
+
+points_st = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)),
+    min_size=1, max_size=25,
+)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(points=points_st)
+def test_pareto_frontier_matches_dominance_definition(spark, points):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.transforms import (
+        pareto_frontier_2d,
+    )
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(points)]
+    expected = {
+        i
+        for i, x, y in rows
+        if not any(
+            qx >= x and qy >= y and (qx > x or qy > y) for _, qx, qy in rows
+        )
+    }
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    got = {r["id"] for r in pareto_frontier_2d(df, "x", "y").collect()}
+    assert got == expected
