@@ -177,7 +177,7 @@ def table_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     aggs = []
     for c in cols:
         aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            F.coalesce(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0))
             .cast("bigint")
             .alias(f"{c}__nulls"),
             F.countDistinct(F.col(c)).alias(f"{c}__distinct"),

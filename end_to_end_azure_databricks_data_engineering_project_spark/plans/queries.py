@@ -4401,6 +4401,126 @@ def q_event_transition_matrix(spark, sf):
     )
 
 
+@_q(
+    "regression_per_group",
+    "Per-group least-squares trend (order value over days) + Pearson r "
+    "from EXACT sums: Σx/Σy/Σxy/Σx²/Σy² accumulate in decimal/bigint "
+    "(order-independent, no float drift), then the closed form runs a "
+    "fixed sequence of double ops — deterministic where the built-in "
+    "corr()'s double accumulation is not. One scan, one shuffle",
+    "extension: grouped regression / correlation (implied §2.4 surface)",
+    """
+    WITH t AS (
+      SELECT o_orderpriority,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS x,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+      FROM orders
+    ),
+    s AS (
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(yc) AS DOUBLE) AS syc,
+             CAST(SUM(CAST(x * yc AS DECIMAL(38,0))) AS DOUBLE) AS sxyc,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS syyc
+      FROM t GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           ((n * sxyc - sx * syc) / (n * sxx - sx * sx)) / 100 AS slope,
+           (syc / 100 - (((n * sxyc - sx * syc) / (n * sxx - sx * sx)) / 100) * sx) / n
+             AS intercept,
+           (n * sxyc - sx * syc)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syyc - syc * syc)) AS r
+    FROM s
+    """,
+)
+def q_regression_per_group(spark, sf):
+    """Exactness: y is held as EXACT integer cents (decimal(18,2)·100 →
+    bigint), so every per-group sum is a scale-0 integer and its
+    double conversion is a single correct rounding in both engines (a
+    scale-4 decimal like Σy² converts via int128/10⁴ in DuckDB — two
+    roundings — and drifts 2 ulps from Spark's BigDecimal path; cents
+    sidestep that). Per-row products stay in bigint range; the sums
+    ride decimal(38,0). The closed form then runs the SAME double-op
+    sequence on identical operands (sqrt is correctly rounded per
+    IEEE-754), so slope/intercept/r are all bit-identical."""
+    o = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01"))
+        .cast("bigint")
+        .alias("x"),
+        (_dec("o_totalprice") * 100).cast("bigint").alias("yc"),
+    )
+    s = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("yc").cast("double").alias("syc"),
+        F.sum((F.col("x") * F.col("yc")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxyc"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum((F.col("yc") * F.col("yc")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("syyc"),
+    )
+    n, sx, syc = F.col("n"), F.col("sx"), F.col("syc")
+    sxyc, sxx, syyc = F.col("sxyc"), F.col("sxx"), F.col("syyc")
+    slope = ((n * sxyc - sx * syc) / (n * sxx - sx * sx)) / 100
+    return s.select(
+        "o_orderpriority",
+        "n",
+        slope.alias("slope"),
+        ((syc / 100 - slope * sx) / n).alias("intercept"),
+        (
+            (n * sxyc - sx * syc)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syyc - syc * syc))
+        ).alias("r"),
+    )
+
+
+@_q(
+    "balanced_shards",
+    "Token-balanced output sharding: docs ranked by token count desc "
+    "(doc_id tiebreak) and dealt round-robin into 8 shards — the "
+    "LPT-style approximation for writing balanced training shards; "
+    "report per-shard doc count + token total. The global rank is the "
+    "only global step (swap in token_budget_head's two-phase shard "
+    "prefix-sum at 100 TB; at catalog scale the window is exact and "
+    "cheap)",
+    "extension: curation (balanced output sharding)",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_tok,
+             row_number() OVER (ORDER BY n_tok DESC, doc_id ASC) AS rk
+      FROM t
+    )
+    SELECT CAST((rk - 1) % 8 AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM r GROUP BY 1
+    """,
+)
+def q_balanced_shards(spark, sf):
+    d = _t(spark, sf, "documents")
+    t = d.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok")
+    )
+    w = Window.orderBy(F.col("n_tok").desc(), F.col("doc_id").asc())
+    return (
+        t.withColumn("rk", F.row_number().over(w))
+        .groupBy(((F.col("rk") - 1) % 8).cast("bigint").alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at

@@ -272,3 +272,40 @@ def test_pareto_frontier_matches_dominance_definition(spark, points):
     df = spark.createDataFrame(rows, ["id", "x", "y"])
     got = {r["id"] for r in pareto_frontier_2d(df, "x", "y").collect()}
     assert got == expected
+
+
+# ------------------------------------------------------ empty-input paths --
+def test_new_ops_handle_empty_input(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.sketches import (
+        cms_build,
+    )
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.text import (
+        cooccurrence_lift,
+    )
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.transforms import (
+        mad_outlier_stats,
+        pareto_frontier_2d,
+        table_profile,
+    )
+
+    empty_docs = spark.createDataFrame(
+        [], StructType([StructField("doc_id", LongType()),
+                        StructField("text", StringType())])
+    )
+    empty_vals = spark.createDataFrame(
+        [], StructType([StructField("grp", StringType()),
+                        StructField("v", DoubleType())])
+    )
+    assert cooccurrence_lift(empty_docs).count() == 0
+    assert cms_build(empty_docs.select(F.col("text").alias("token")), "token").count() == 0
+    assert mad_outlier_stats(empty_vals, "v", "grp").count() == 0
+    assert pareto_frontier_2d(
+        empty_vals.select(F.col("v").alias("x"), F.col("v").alias("y")), "x", "y"
+    ).count() == 0
+    prof = table_profile(empty_vals, ["grp", "v"]).collect()
+    assert {r["column_name"] for r in prof} == {"grp", "v"}
+    assert all(r["n_nulls"] == 0 and r["n_distinct"] == 0 for r in prof)
