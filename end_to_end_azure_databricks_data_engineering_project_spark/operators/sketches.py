@@ -83,3 +83,16 @@ def cms_estimate(
         joined.groupBy(*keys.columns)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_n"))
     )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with the SAME (depth, width,
+    hash family): cell-wise sum. CMS is a linear sketch, so
+    merge(sketch(A), sketch(B)) == sketch(A ⊎ B) exactly — the property
+    that makes per-partition / per-day sketches maintainable
+    incrementally (build on each micro-batch, merge into the running
+    summary; never re-scan history)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "b").agg(F.sum("cnt").alias("cnt"))

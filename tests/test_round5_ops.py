@@ -309,3 +309,58 @@ def test_new_ops_handle_empty_input(spark):
     prof = table_profile(empty_vals, ["grp", "v"]).collect()
     assert {r["column_name"] for r in prof} == {"grp", "v"}
     assert all(r["n_nulls"] == 0 and r["n_distinct"] == 0 for r in prof)
+
+
+def test_cms_merge_equals_union_build(spark):
+    from pyspark.sql import functions as F
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.sketches import (
+        cms_build,
+        cms_merge,
+    )
+
+    a = spark.createDataFrame([(f"t{i % 7}",) for i in range(40)], ["token"])
+    b = spark.createDataFrame([(f"t{i % 11}",) for i in range(60)], ["token"])
+    merged = {
+        (r["d"], r["b"]): r["cnt"]
+        for r in cms_merge(
+            cms_build(a, "token", 4, 64), cms_build(b, "token", 4, 64)
+        ).collect()
+    }
+    union = {
+        (r["d"], r["b"]): r["cnt"]
+        for r in cms_build(a.unionByName(b), "token", 4, 64).collect()
+    }
+    assert merged == union  # linear sketch: merge == build-on-union
+
+
+def test_regression_matches_numpy(spark):
+    import numpy as np
+    from end_to_end_azure_databricks_data_engineering_project_spark.plans.queries import CATALOG
+
+    out = {
+        r["o_orderpriority"]: r
+        for r in CATALOG["regression_per_group"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT o_orderpriority, CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT),"
+        " CAST(o_totalprice AS DOUBLE)"
+        " FROM read_parquet('/root/testdata/sf0.001/orders.parquet')"
+    ).fetchall()
+    by_g: dict = {}
+    for g, x, y in rows:
+        by_g.setdefault(g, []).append((x, y))
+    for g, pts in by_g.items():
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r = np.corrcoef(xs, ys)[0, 1]
+        got = out[g]
+        assert abs(got["slope"] - slope) < 1e-6 * max(1, abs(slope))
+        assert abs(got["intercept"] - intercept) < 1e-6 * max(1, abs(intercept))
+        assert abs(got["r"] - r) < 1e-9
+        assert got["n"] == len(pts)
