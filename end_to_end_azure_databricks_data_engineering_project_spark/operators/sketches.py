@@ -96,3 +96,87 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.groupBy("d", "b").agg(F.sum("cnt").alias("cnt"))
+
+
+# ---------------------------------------------------------------------
+# HyperLogLog (Flajolet et al., AofA 2007): mergeable distinct-count
+# registers. Exact distinct of a high-cardinality key at 100 TB is one
+# full shuffle of every distinct value; the HLL summary is m registers
+# (m=256 → ~6.5% std error) that (a) build with ONE map-side-combinable
+# aggregation whose shuffle volume is ≤ partitions·m rows, and (b)
+# merge across shards/days by register-wise MAX — max is idempotent and
+# commutative, so merge(hll(A), hll(B)) == hll(A ∪ B) EXACTLY, the
+# property that makes per-day register tables maintainable without
+# re-scanning history.
+#
+# Portability: registers derive from the engine's md5 scheme
+# (portable_hash64 → 60-bit value; low log2(m) bits pick the register,
+# the remaining 52 bits give rho = leading-zero count + 1 via
+# lpad(bin(w)) + strpos — every step replays bit-identically in DuckDB,
+# verified primitive-by-primitive). The raw estimate α·m²/Σ2^−M uses
+# only exact powers of two (shiftleft, not pow) and a fixed fold order,
+# so even the double-valued estimate is bit-identical cross-engine.
+# ---------------------------------------------------------------------
+
+#: 52 = 60-bit portable hash minus the 8 register-index bits (m=256).
+_HLL_W_BITS = 52
+
+
+def hll_idx_rho(key, m: int = 256):
+    """(register index, rho) column pair for a key expression — the
+    per-row map-side part of the HLL build."""
+    assert m & (m - 1) == 0 and m <= 256, "m must be a power of two <= 256"
+    bits = m.bit_length() - 1
+    h = portable_hash64(key.cast("string"))
+    idx = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftrightunsigned(h, bits)
+    pos = F.instr(F.lpad(F.bin(w), _HLL_W_BITS, "0"), "1")
+    rho = F.when(pos == 0, F.lit(_HLL_W_BITS + 1)).otherwise(pos)
+    return idx, rho
+
+
+def hll_registers(df: DataFrame, key_col: str, m: int = 256) -> DataFrame:
+    """HLL registers of ``key_col``: (idx, reg) rows, at most m of them
+    (absent idx ≡ register 0). m must be a power of two ≤ 256."""
+    idx, rho = hll_idx_rho(F.col(key_col), m)
+    return (
+        df.select(idx.alias("idx"), rho.alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_merge(*registers: DataFrame) -> DataFrame:
+    """Register-wise max across HLL summaries built with the same m —
+    exactly the registers the union stream would have produced."""
+    out = registers[0]
+    for r in registers[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("idx").agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate(registers: DataFrame, m: int = 256) -> DataFrame:
+    """Raw HLL distinct estimate α_m·m²/Σ_j 2^−M_j (no small/large-range
+    correction — the corrections need ln(), which drifts a ulp across
+    engines; the raw estimate is exact-double-deterministic). Absent
+    registers contribute 2⁰ = 1 each. Returns one row
+    (used_registers, raw_estimate)."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # standard alpha_m for m >= 128
+    # 2^-reg as 1/shiftleft(1,reg): exact powers of two, no pow().
+    # (F.shiftleft only takes a literal bit count — use the SQL form.)
+    term = F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), reg)").cast("double")
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("used_registers"),
+        # fold in ascending idx order → identical summation order in any
+        # engine that replays the same sorted fold
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("idx"), term.alias("t")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("present_sum"),
+    )
+    denom = F.col("present_sum") + (F.lit(m) - F.col("used_registers")).cast("double")
+    return agg.select(
+        "used_registers",
+        (F.lit(alpha * m * m) / denom).alias("raw_estimate"),
+    )

@@ -4521,6 +4521,369 @@ def q_balanced_shards(spark, sf):
     )
 
 
+# =====================================================================
+# Catalog batch 8 (round 5 cont.): null-safe join semantics, skew
+# diagnostics, lexical diversity, market basket, HLL mergeability,
+# feature hashing
+# =====================================================================
+
+
+@_q(
+    "null_safe_join",
+    "Null-safe equi-join (<=> / IS NOT DISTINCT FROM): customers and a "
+    "per-group supplier rollup matched on a NULLable group key where "
+    "NULL matches NULL. EqualNullSafe is an extractable equi-join key "
+    "(nulls hash like any value), so this stays a BroadcastHashJoin — "
+    "the OR-of-IS-NULLs emulation would degrade to a nested-loop join "
+    "and cannot survive 100 TB",
+    "§2.5 joins (null-handling semantics)",
+    """
+    WITH c AS (
+      SELECT c_custkey, CAST(NULLIF(c_nationkey % 5, 0) AS BIGINT) AS grp
+      FROM customer
+    ),
+    sa AS (
+      SELECT CAST(NULLIF(s_nationkey % 5, 0) AS BIGINT) AS grp,
+             count(*) AS n_suppliers
+      FROM supplier GROUP BY 1
+    )
+    SELECT c.grp, count(*) AS n_customers,
+           CAST(COALESCE(MAX(sa.n_suppliers), 0) AS BIGINT) AS n_suppliers
+    FROM c LEFT JOIN sa ON c.grp IS NOT DISTINCT FROM sa.grp
+    GROUP BY c.grp
+    """,
+)
+def q_null_safe_join(spark, sf):
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.nullif(F.col("c_nationkey") % 5, F.lit(0)).cast("bigint").alias("grp"),
+    )
+    supp_agg = (
+        _t(spark, sf, "supplier")
+        .select(
+            F.nullif(F.col("s_nationkey") % 5, F.lit(0)).cast("bigint").alias("grp")
+        )
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    joined = cust.join(
+        F.broadcast(supp_agg), cust["grp"].eqNullSafe(supp_agg["grp"]), "left"
+    )
+    return joined.groupBy(cust["grp"].alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.coalesce(F.max("n_suppliers"), F.lit(0)).cast("bigint").alias("n_suppliers"),
+    )
+
+
+@_q(
+    "skew_key_report",
+    "Partition-skew diagnostics for a join/agg key: per-key counts "
+    "(map-side partial agg), then the top-5 heaviest keys with their "
+    "share of rows and skew ratio (key rows ÷ mean rows/key). The "
+    "totals are a 1-row broadcast; the top-5 is a TakeOrdered, never a "
+    "full sort — this is the report you run BEFORE choosing salting "
+    "factors at 100 TB",
+    "extension: scale diagnostics (skew detection; feeds skew.py salting)",
+    """
+    WITH pk AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys FROM pk),
+    top AS (SELECT user_id, cnt FROM pk ORDER BY cnt DESC, user_id ASC LIMIT 5)
+    SELECT top.user_id, top.cnt,
+           CAST(cnt AS DOUBLE) * 100 / n_rows AS share_pct,
+           CAST(cnt AS DOUBLE) * n_keys / n_rows AS skew_ratio
+    FROM top CROSS JOIN t
+    """,
+)
+def q_skew_key_report(spark, sf):
+    per_key = (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = per_key.agg(
+        F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = per_key.orderBy(F.col("cnt").desc(), F.col("user_id").asc()).limit(5)
+    return top.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "cnt",
+        (F.col("cnt").cast("double") * 100 / F.col("n_rows")).alias("share_pct"),
+        (F.col("cnt").cast("double") * F.col("n_keys") / F.col("n_rows")).alias(
+            "skew_ratio"
+        ),
+    )
+
+
+@_q(
+    "lexical_diversity",
+    "Per-document lexical diversity without transcendentals: Simpson "
+    "diversity 1 − Σc²/n² and top-token share from EXACT integer "
+    "token counts (entropy's ln() drifts a ulp across engines; the "
+    "Simpson index is the same repetition signal from int arithmetic "
+    "+ one exact double division). Explode → two hash aggs, both with "
+    "map-side partial combine, no joins",
+    "extension: text quality (lexical diversity / repetition filter)",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents
+    ),
+    c AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+    a AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n, count(*) AS u,
+             CAST(sum(cnt * cnt) AS BIGINT) AS ss,
+             CAST(max(cnt) AS BIGINT) AS maxc
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_tokens, u AS distinct_tokens,
+           1.0 - CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
+             AS simpson_diversity,
+           CAST(maxc AS DOUBLE) / n AS top_token_share
+    FROM a
+    """,
+)
+def q_lexical_diversity(spark, sf):
+    tok = (
+        _t(spark, sf, "documents")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    )
+    c = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    a = c.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).alias("u"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+        F.max("cnt").alias("maxc"),
+    )
+    return a.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.col("u").alias("distinct_tokens"),
+        (
+            F.lit(1.0)
+            - F.col("ss").cast("double") / (F.col("n") * F.col("n")).cast("double")
+        ).alias("simpson_diversity"),
+        (F.col("maxc").cast("double") / F.col("n")).alias("top_token_share"),
+    )
+
+
+@_q(
+    "hll_distinct_merge",
+    "HyperLogLog mergeability: per-shard register tables combined by "
+    "register-wise MAX equal the registers built on the union stream "
+    "(max is idempotent+commutative — the property that lets per-day "
+    "HLL tables answer cross-day distincts without re-scanning "
+    "history). One map-side-combinable agg (shuffle ≤ partitions·m "
+    "rows) vs the full-shuffle exact distinct; raw estimate uses only "
+    "exact powers of two (shiftleft, no pow/ln) in a fixed fold order "
+    "so even the double is bit-identical cross-engine",
+    "extension: mergeable distinct sketches (Flajolet HLL, AofA 2007)",
+    """
+    WITH h AS (
+      SELECT user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ),
+    rr AS (
+      SELECT user_id % 4 AS shard, h & 255 AS idx,
+             CASE WHEN strpos(lpad(bin(h >> 8), 52, '0'), '1') = 0 THEN 53
+                  ELSE strpos(lpad(bin(h >> 8), 52, '0'), '1') END AS rho
+      FROM h
+    ),
+    shard_regs AS (SELECT shard, idx, max(rho) AS reg FROM rr GROUP BY 1, 2),
+    merged AS (SELECT idx, max(reg) AS reg FROM shard_regs GROUP BY idx),
+    union_regs AS (SELECT idx, max(rho) AS reg FROM rr GROUP BY idx),
+    mis AS (
+      SELECT count(*) AS n_bad
+      FROM merged m FULL JOIN union_regs u ON m.idx = u.idx
+      WHERE m.reg IS DISTINCT FROM u.reg
+    ),
+    est AS (
+      SELECT count(*) AS used_registers,
+             list_reduce(
+               list_prepend(
+                 CAST(0.0 AS DOUBLE),
+                 list(CAST(1.0 AS DOUBLE)
+                      / CAST((CAST(1 AS BIGINT) << reg) AS DOUBLE)
+                      ORDER BY idx)),
+               (acc, x) -> acc + x) AS present_sum
+      FROM merged
+    )
+    SELECT est.used_registers,
+           (mis.n_bad = 0) AS merged_equals_union,
+           ((CAST(0.7213 AS DOUBLE)
+             / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 256)) * 256) * 256
+             / (est.present_sum + CAST(256 - est.used_registers AS DOUBLE))
+             AS raw_estimate,
+           x.exact_distinct
+    FROM est CROSS JOIN mis
+    CROSS JOIN (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                AS exact_distinct FROM events) x
+    """,
+)
+def q_hll_distinct_merge(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.sketches import (
+        hll_estimate,
+        hll_idx_rho,
+        hll_merge,
+        hll_registers,
+    )
+
+    e = _t(spark, sf, "events")
+    idx, rho = hll_idx_rho(F.col("user_id"))
+    rr = e.select(
+        (F.col("user_id") % 4).alias("shard"), idx.alias("idx"), rho.alias("rho")
+    )
+    shard_regs = rr.groupBy("shard", "idx").agg(F.max("rho").alias("reg"))
+    merged = hll_merge(shard_regs.select("idx", "reg"))
+    union_regs = hll_registers(e, "user_id")
+    cmp = merged.alias("m").join(
+        union_regs.alias("u"), F.col("m.idx") == F.col("u.idx"), "full"
+    )
+    eq = cmp.agg(
+        (
+            F.sum(
+                F.when(F.col("m.reg").eqNullSafe(F.col("u.reg")), 0).otherwise(1)
+            )
+            == 0
+        ).alias("merged_equals_union")
+    )
+    exact = e.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return hll_estimate(merged).crossJoin(eq).crossJoin(exact)
+
+
+@_q(
+    "market_basket_pairs",
+    "Market-basket co-occurrence: part pairs bought in the same order, "
+    "support ≥ 2, ranked by lift = N·c_ab/(c_a·c_b). The pair "
+    "generation is a self-equi-join on the order key (fan-out bounded "
+    "by lines-per-order², never corpus-quadratic), item counts are a "
+    "broadcast dim, N is a 1-row broadcast, and the top-20 is a "
+    "TakeOrdered — the relational twin of token_cooccurrence_lift",
+    "extension: association analysis (support/lift mining)",
+    """
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    item AS (SELECT l_partkey, count(*) AS c_item FROM d GROUP BY 1),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    p AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS c_ab
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, c_ab, ia.c_item AS c_a, ib.c_item AS c_b,
+           CAST(c_ab AS DOUBLE) * n_orders
+             / CAST(ia.c_item * ib.c_item AS DOUBLE) AS lift
+    FROM p
+    JOIN item ia ON p.part_a = ia.l_partkey
+    JOIN item ib ON p.part_b = ib.l_partkey
+    CROSS JOIN n
+    WHERE c_ab >= 2
+    ORDER BY lift DESC, part_a ASC, part_b ASC
+    LIMIT 20
+    """,
+)
+def q_market_basket_pairs(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    item = d.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c_item"))
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a, b = d.alias("a"), d.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    ia = item.withColumnRenamed("l_partkey", "part_a").withColumnRenamed(
+        "c_item", "c_a"
+    )
+    ib = item.withColumnRenamed("l_partkey", "part_b").withColumnRenamed(
+        "c_item", "c_b"
+    )
+    return (
+        p.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (
+                (F.col("c_ab").cast("double") * F.col("n_orders"))
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(20)
+    )
+
+
+@_q(
+    "feature_hash_tf",
+    "Hashing-trick term-frequency features (Weinberger et al., ICML "
+    "2009): tokens hashed into a fixed 64-dim space with a ±1 sign "
+    "hash, emitted as sparse COO rows (doc_id, feat_idx, feat_val) — "
+    "the vectorizer whose output width is independent of vocabulary "
+    "size, so no vocab broadcast/join is ever needed. Explode → one "
+    "map-side-combinable agg; zero coordinates (sign cancellation) "
+    "drop out, matching the sparse semantics",
+    "extension: feature engineering (hashing-trick vectorizer)",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('fh|' || token), 1, 15))::BIGINT & 63
+               AS feat_idx,
+             CASE WHEN (('0x' || substr(md5('fs|' || token), 1, 15))::BIGINT
+                        & 1) = 1
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok
+    )
+    SELECT doc_id, feat_idx, CAST(sum(sgn) AS BIGINT) AS feat_val
+    FROM s GROUP BY 1, 2
+    HAVING sum(sgn) <> 0
+    """,
+)
+def q_feature_hash_tf(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.functions.scalars import (
+        portable_hash64,
+    )
+
+    tok = _t(spark, sf, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    feat_idx = portable_hash64(F.concat(F.lit("fh|"), F.col("token"))).bitwiseAND(
+        F.lit(63)
+    )
+    sgn = F.when(
+        portable_hash64(F.concat(F.lit("fs|"), F.col("token"))).bitwiseAND(F.lit(1))
+        == 1,
+        1,
+    ).otherwise(-1)
+    return (
+        tok.select("doc_id", feat_idx.alias("feat_idx"), sgn.alias("sgn"))
+        .groupBy("doc_id", "feat_idx")
+        .agg(F.sum("sgn").alias("feat_val"))
+        .filter(F.col("feat_val") != 0)
+    )
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at

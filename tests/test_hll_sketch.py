@@ -1,0 +1,85 @@
+"""HLL distinct-sketch units: merge==union (the mergeability law),
+bounded register count, estimate accuracy, empty input."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.sketches import (
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def _regs_dict(df):
+    return {r["idx"]: r["reg"] for r in df.collect()}
+
+
+def test_hll_registers_bounded_and_deterministic(spark):
+    df = spark.range(10_000).select(F.col("id").alias("k"))
+    regs = hll_registers(df, "k")
+    rows = regs.collect()
+    assert len(rows) <= 256
+    assert all(1 <= r["reg"] <= 53 for r in rows)
+    # rebuild → identical registers (pure function of the key set)
+    assert _regs_dict(hll_registers(df, "k")) == _regs_dict(regs)
+
+
+def test_hll_merge_equals_union_build(spark):
+    df = spark.range(5_000).select(F.col("id").alias("k"))
+    a = df.filter(F.col("k") % 3 == 0)
+    b = df.filter(F.col("k") % 3 == 1)
+    c = df.filter(F.col("k") % 3 == 2)
+    merged = hll_merge(
+        hll_registers(a, "k"), hll_registers(b, "k"), hll_registers(c, "k")
+    )
+    assert _regs_dict(merged) == _regs_dict(hll_registers(df, "k"))
+
+
+def test_hll_merge_idempotent_on_overlap(spark):
+    # shards that OVERLAP still merge to the union registers — max is
+    # idempotent, so double-counted keys cannot inflate the sketch
+    # (the property exact counters lack)
+    df = spark.range(2_000).select(F.col("id").alias("k"))
+    a = df.filter(F.col("k") < 1_500)
+    b = df.filter(F.col("k") >= 500)
+    merged = hll_merge(hll_registers(a, "k"), hll_registers(b, "k"))
+    assert _regs_dict(merged) == _regs_dict(hll_registers(df, "k"))
+
+
+def test_hll_estimate_within_error_band(spark):
+    # m=256 → relative std error 1.04/sqrt(256) = 6.5%; allow 4 sigma
+    for n in (500, 5_000, 20_000):
+        df = spark.range(n).select(F.col("id").alias("k"))
+        est = hll_estimate(hll_registers(df, "k")).collect()[0]["raw_estimate"]
+        assert abs(est - n) / n < 0.26, (n, est)
+
+
+def test_hll_empty_input(spark):
+    df = spark.range(0).select(F.col("id").alias("k"))
+    regs = hll_registers(df, "k")
+    assert regs.count() == 0
+    row = hll_estimate(regs).collect()[0]
+    # raw estimate of the empty sketch is alpha*m (~184), NOT 0 — the
+    # small-range correction that would fix it needs ln(); callers gate
+    # on used_registers == 0 instead
+    assert row["used_registers"] == 0
+    assert row["raw_estimate"] > 0
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10_000), max_size=60),
+    pivot=st.integers(min_value=0, max_value=10_000),
+)
+def test_hll_merge_equals_union_property(spark, keys, pivot):
+    df = spark.createDataFrame([(k,) for k in keys] or [(0,)], ["k"])
+    if not keys:
+        df = df.limit(0)
+    a = df.filter(F.col("k") < pivot)
+    b = df.filter(F.col("k") >= pivot)
+    merged = hll_merge(hll_registers(a, "k"), hll_registers(b, "k"))
+    assert _regs_dict(merged) == _regs_dict(hll_registers(df, "k"))
