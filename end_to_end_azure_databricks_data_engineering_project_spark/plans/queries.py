@@ -4884,6 +4884,98 @@ def q_feature_hash_tf(spark, sf):
     )
 
 
+@_q(
+    "random_projection_jl",
+    "Johnson-Lindenstrauss random projection 64→16 dims: seeded pseudo-"
+    "gaussian planes (same md5 counter stream as the SRP family, so "
+    "the oracle re-derives them bit-exactly), scaled by 1/√16 to "
+    "preserve expected distances. Map-side only — no shuffle, no UDF; "
+    "the 16 projections are computed BEFORE the explode so the 64-dim "
+    "vector never rides a generator. The 4× cheaper vectors feed "
+    "downstream ANN/dedup at 100 TB",
+    "extension: embedding ops (JL dimensionality reduction)",
+    f"""
+    WITH planes AS (
+      SELECT p, list(w ORDER BY d) AS wv
+      FROM (
+        SELECT p, d,
+          ({" + ".join(
+            "('0x' || substr(md5('jl|' || p || '|' || d || '|" + str(r) + "'), 1, 15))::BIGINT"
+            " / 1152921504606846976.0"
+            for r in range(3)
+          )}) - 1.5 AS w
+        FROM range(16) rp(p), range(64) rd(d)
+      )
+      GROUP BY p
+    )
+    SELECT e.vec_id, pl.p AS out_dim,
+           list_reduce(list_transform(range(1, 65),
+             i -> CAST(e.embedding[i] AS DOUBLE) * pl.wv[i]),
+             (a, b) -> a + b) / 4 AS value
+    FROM embeddings e, planes pl
+    """,
+)
+def q_random_projection_jl(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import (
+        _seeded_hyperplanes,
+    )
+
+    planes = _seeded_hyperplanes(64, 16, seed="jl")
+    e = _t(spark, sf, "embeddings")
+    projs = []
+    for p, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(w) for w in plane]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        projs.append(
+            F.struct(
+                F.lit(p).cast("bigint").alias("out_dim"), (proj / 4).alias("value")
+            )
+        )
+    slim = e.select("vec_id", F.array(*projs).alias("pr"))
+    return slim.select("vec_id", F.explode("pr").alias("s")).select(
+        "vec_id", F.col("s.out_dim").alias("out_dim"), F.col("s.value").alias("value")
+    )
+
+
+@_q(
+    "diversity_sample_srp",
+    "Diversity (coreset-style) sampling: one representative per SRP "
+    "sign-bucket — embedding-space-spread picks instead of uniform "
+    "draws, the cheap alternative to k-means coreset selection. One "
+    "map-side bucket computation + one combinable agg; representative "
+    "= min vec_id (deterministic). Same seeded hyperplane stream as "
+    "ann_topk_srp, replayed bit-exactly by the oracle",
+    "extension: curation (diversity sampling via SRP buckets)",
+    _srp_buckets_cte(1, 4, 64)
+    + """
+    SELECT CAST(bucket AS BIGINT) AS bucket, min(vec_id) AS rep_vec_id,
+           count(*) AS n_members
+    FROM buckets GROUP BY 1
+    """,
+)
+def q_diversity_sample_srp(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import (
+        _seeded_hyperplanes,
+        srp_bucket,
+    )
+
+    planes = _seeded_hyperplanes(64, 4, seed="srp0")
+    e = _t(spark, sf, "embeddings")
+    b = e.select(
+        "vec_id", srp_bucket(F.col("embedding"), planes).cast("bigint").alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.min("vec_id").alias("rep_vec_id"), F.count(F.lit(1)).alias("n_members")
+    )
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at

@@ -522,3 +522,45 @@ def run_exact_dedup_drain(
     finally:
         fp_batch.unpersist()
     return n_idx, n_dups
+
+
+def run_hll_drain(
+    catalog: Catalog,
+    batch: DataFrame,
+    epoch: int,
+    key_col: str = "user_id",
+    m: int = 256,
+) -> int:
+    """One exactly-once drain of a streaming HLL distinct-count sketch:
+    fold the micro-batch's registers into the persistent
+    ``hll_registers`` table by register-wise MAX.
+
+    This is the streaming shape exact distinct-count fundamentally
+    lacks: exact distinct state grows with the key cardinality (the
+    whole key set must persist), while the register table is ≤ m rows
+    FOREVER — each drain reads ≤ m stored rows, aggregates the batch
+    with one map-side-combinable agg, and overwrites ≤ m rows. Query
+    the running estimate any time via ``sketches.hll_estimate`` on the
+    table; merge across independently-maintained tables (per-day,
+    per-region) with ``sketches.hll_merge``.
+
+    Exactly-once: register-wise MAX is idempotent, so a replayed batch
+    cannot inflate the sketch even mid-crash; the epoch guard just
+    skips the recompute. Returns the register count after the drain
+    (0 if the epoch was already applied)."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.sketches import (
+        hll_merge,
+        hll_registers,
+    )
+
+    table = catalog.table("hll_registers")
+    stored = table.applied_epoch("hll_drain")
+    if stored is not None and epoch <= stored:
+        return 0
+    batch_regs = hll_registers(batch.select(key_col), key_col, m)
+    merged = (
+        hll_merge(table.read().select("idx", "reg"), batch_regs)
+        if table.exists()
+        else batch_regs
+    )
+    return table.overwrite(merged, epoch=epoch, epoch_key="hll_drain")

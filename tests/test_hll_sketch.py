@@ -83,3 +83,50 @@ def test_hll_merge_equals_union_property(spark, keys, pivot):
     b = df.filter(F.col("k") >= pivot)
     merged = hll_merge(hll_registers(a, "k"), hll_registers(b, "k"))
     assert _regs_dict(merged) == _regs_dict(hll_registers(df, "k"))
+
+
+# -------------------------------------------------- streaming HLL drain --
+def _drain_setup(spark, tmp_path):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    return Catalog(spark, tmp_path / "warehouse")
+
+
+def _ids(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("user_id"))
+
+
+def test_hll_drain_slicing_independent(spark, tmp_path):
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import run_hll_drain
+
+    # two drains over a split stream == one drain over the union
+    cat_a = _drain_setup(spark, tmp_path / "a")
+    run_hll_drain(cat_a, _ids(spark, 0, 600), epoch=1)
+    run_hll_drain(cat_a, _ids(spark, 400, 1_000), epoch=2)
+    cat_b = _drain_setup(spark, tmp_path / "b")
+    run_hll_drain(cat_b, _ids(spark, 0, 1_000), epoch=1)
+    assert _regs_dict(cat_a.table("hll_registers").read()) == _regs_dict(
+        cat_b.table("hll_registers").read()
+    )
+
+
+def test_hll_drain_replay_is_noop(spark, tmp_path):
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import run_hll_drain
+
+    cat = _drain_setup(spark, tmp_path)
+    run_hll_drain(cat, _ids(spark, 0, 500), epoch=1)
+    before = _regs_dict(cat.table("hll_registers").read())
+    assert run_hll_drain(cat, _ids(spark, 0, 500), epoch=1) == 0  # replay
+    assert _regs_dict(cat.table("hll_registers").read()) == before
+
+
+def test_hll_drain_estimate_tracks_stream(spark, tmp_path):
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import run_hll_drain
+
+    cat = _drain_setup(spark, tmp_path)
+    for e, (lo, hi) in enumerate([(0, 2_000), (1_000, 4_000), (3_500, 6_000)], 1):
+        run_hll_drain(cat, _ids(spark, lo, hi), epoch=e)
+    regs = cat.table("hll_registers").read()
+    assert regs.count() <= 256  # bounded state regardless of stream length
+    est = hll_estimate(regs).collect()[0]["raw_estimate"]
+    assert abs(est - 6_000) / 6_000 < 0.26
