@@ -4976,6 +4976,193 @@ def q_diversity_sample_srp(spark, sf):
     )
 
 
+@_q(
+    "quantile_hist_merge",
+    "Mergeable quantile summary (fixed-boundary histogram): per-shard "
+    "64-bin histograms of order value combined by bin-wise SUM equal "
+    "the union-built histogram (a linear sketch, like CMS), and "
+    "p50/p90/p99 read off the cumulative counts. Build shuffles ≤ "
+    "partitions·bins rows vs the full sort exact quantiles need; "
+    "per-day histogram tables answer cross-day quantiles without "
+    "rescanning. (KLL is the adaptive-boundary refinement; fixed "
+    "$10k bins suit the known price domain.) All-integer arithmetic",
+    "extension: mergeable quantile sketches (fixed-bin histogram)",
+    """
+    WITH c AS (
+      SELECT o_orderkey,
+             least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   // 1000000, 63) AS bin
+      FROM orders
+    ),
+    shard_h AS (
+      SELECT o_orderkey % 4 AS shard, bin, count(*) AS cnt
+      FROM c GROUP BY 1, 2
+    ),
+    merged AS (SELECT bin, CAST(sum(cnt) AS BIGINT) AS cnt
+               FROM shard_h GROUP BY bin),
+    union_h AS (SELECT bin, count(*) AS cnt FROM c GROUP BY bin),
+    mis AS (
+      SELECT count(*) AS n_bad
+      FROM merged m FULL JOIN union_h u ON m.bin = u.bin
+      WHERE m.cnt IS DISTINCT FROM u.cnt
+    ),
+    cum AS (
+      SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin) AS cum_n,
+             sum(cnt) OVER () AS total_n
+      FROM merged
+    ),
+    q AS (
+      SELECT CAST(min(CASE WHEN cum_n * 100 >= total_n * 50 THEN bin END)
+                  * 10000 AS BIGINT) AS est_p50,
+             CAST(min(CASE WHEN cum_n * 100 >= total_n * 90 THEN bin END)
+                  * 10000 AS BIGINT) AS est_p90,
+             CAST(min(CASE WHEN cum_n * 100 >= total_n * 99 THEN bin END)
+                  * 10000 AS BIGINT) AS est_p99,
+             CAST(count(*) AS BIGINT) AS bins_used
+      FROM cum
+    )
+    SELECT q.bins_used, (mis.n_bad = 0) AS merged_equals_union,
+           q.est_p50, q.est_p90, q.est_p99
+    FROM q CROSS JOIN mis
+    """,
+)
+def q_quantile_hist_merge(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = o.select(
+        "o_orderkey",
+        F.least(
+            ((_dec("o_totalprice") * 100).cast("bigint") / F.lit(1000000)).cast(
+                "bigint"
+            ),
+            F.lit(63).cast("bigint"),
+        ).alias("bin"),
+    )
+    shard_h = c.groupBy((F.col("o_orderkey") % 4).alias("shard"), "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    merged = shard_h.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    union_h = c.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    cmp = merged.alias("m").join(
+        union_h.alias("u"), F.col("m.bin") == F.col("u.bin"), "full"
+    )
+    mis = cmp.agg(
+        (
+            F.sum(
+                F.when(F.col("m.cnt").eqNullSafe(F.col("u.cnt")), 0).otherwise(1)
+            )
+            == 0
+        ).alias("merged_equals_union")
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = merged.select(
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum_n"),
+        F.sum("cnt").over(w_all).alias("total_n"),
+    )
+
+    def est(pct):
+        return (
+            F.min(
+                F.when(
+                    F.col("cum_n") * 100 >= F.col("total_n") * pct, F.col("bin")
+                )
+            )
+            * 10000
+        ).cast("bigint")
+
+    q = cum.agg(
+        F.count(F.lit(1)).cast("bigint").alias("bins_used"),
+        est(50).alias("est_p50"),
+        est(90).alias("est_p90"),
+        est(99).alias("est_p99"),
+    )
+    return q.select("bins_used", "est_p50", "est_p90", "est_p99").crossJoin(mis)
+
+
+@_q(
+    "table_diff",
+    "Snapshot reconciliation: full-outer join of two table versions on "
+    "the primary key comparing per-row md5 content hashes → "
+    "added/removed/changed/unchanged counts. The comparison ships "
+    "(key, hash) pairs only — row width never crosses the wire — and "
+    "the join co-partitions on the key: the anti-entropy primitive for "
+    "verifying replicas/CDC pipelines at 100 TB. Snapshot B is derived "
+    "from orders with deterministic deletes (key%101=0), updates "
+    "(key%97=0) and inserts (key%103=0 re-keyed)",
+    "extension: reconciliation (snapshot diff / anti-entropy)",
+    """
+    WITH a AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|', o_custkey, o_orderstatus, o_totalprice,
+                           o_orderdate, o_orderpriority)) AS h
+      FROM orders
+    ),
+    b_src AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 101 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 103 = 0
+    ),
+    b AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|', o_custkey, o_orderstatus, o_totalprice,
+                           o_orderdate, o_orderpriority)) AS h
+      FROM b_src
+    )
+    SELECT CASE WHEN a.k IS NULL THEN 'added'
+                WHEN b.k IS NULL THEN 'removed'
+                WHEN a.h <> b.h THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           count(*) AS n
+    FROM a FULL JOIN b ON a.k = b.k
+    GROUP BY 1
+    """,
+)
+def q_table_diff(spark, sf):
+    # The hash only has to be consistent WITHIN each engine (each side
+    # compares its own A-hash to its own B-hash), so rendering
+    # differences between engines don't matter — but the mutation
+    # semantics must match exactly.
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+            "o_orderpriority"]
+    o = _t(spark, sf, "orders")
+
+    def hashed(df):
+        return df.select(
+            F.col("o_orderkey").alias("k"),
+            F.md5(F.concat_ws("|", *cols)).alias("h"),
+        )
+
+    a = hashed(o)
+    b_kept = o.filter(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 97 == 0, "X").otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    b_ins = o.filter(F.col("o_orderkey") % 103 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10000000
+    )
+    b = hashed(b_kept.unionByName(b_ins))
+    j = a.alias("a").join(b.alias("b"), F.col("a.k") == F.col("b.k"), "full")
+    return j.groupBy(
+        F.when(F.col("a.k").isNull(), "added")
+        .when(F.col("b.k").isNull(), "removed")
+        .when(F.col("a.h") != F.col("b.h"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at

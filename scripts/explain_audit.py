@@ -49,6 +49,15 @@ ALLOW_CARTESIAN = {
     "knn_label_predict",
     # 1-row max-weight scalar broadcast feeding the Bernoulli draw.
     "weighted_sample",
+    # 1-row broadcasts: (n_rows, n_keys) totals onto the top-5 keys.
+    "skew_key_report",
+    # 1-row broadcasts: order count N in the lift denominator.
+    "market_basket_pairs",
+    # 1-row x 1-row assembly of the final report row (estimate,
+    # merge-equality flag, exact distinct) — nothing corpus-sized.
+    "hll_distinct_merge",
+    # 1-row x 1-row assembly (quantile estimates + merge-equality flag).
+    "quantile_hist_merge",
 }
 EXPECT_PUSHDOWN = {
     "watermark_filter", "in_predicate", "null_predicate", "pricing_summary",
