@@ -65,6 +65,42 @@ def streaming_dedup(
     return stream.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(keys)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner interval join: a right row matches a left
+    row with the same key when ``right_ts ∈ [left_ts, left_ts +
+    within]`` — the impression→click attribution shape.
+
+    Both sides carry event-time watermarks, which is what makes the
+    join state BOUNDED: Spark can discard a buffered left row once the
+    right watermark passes ``left_ts + within`` (no future right row
+    can match it) and a buffered right row once the left watermark
+    passes ``right_ts``. Without the interval bound the state would
+    grow forever; with it, per-executor state ≈ rate × (watermark +
+    within) per side, independent of stream length — the property that
+    lets this run indefinitely at 100 TB/day. The join itself hash-
+    partitions both streams on the key: one co-shuffle, then purely
+    local matching. ``left_ts``/``right_ts`` must be distinct names so
+    the joined schema is unambiguous."""
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct column names")
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").drop(F.col(f"r.{key}"))
+
+
 def run_available_now(
     df: DataFrame, query_name: str, checkpoint: str, output_mode: str = "append"
 ):

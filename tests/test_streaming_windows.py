@@ -208,3 +208,53 @@ def test_windowed_counts_custom_measures(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM custom_win").collect()
     assert rows[0].mx == 9.0 and rows[0].avg_amt == 4.5 and rows[0].n == 10
+
+
+def test_interval_join_streams_match_batch(spark, tmp_path):
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.windows import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    imp_schema = "ad_id long, imp_ts timestamp"
+    clk_schema = "ad_id long, click_ts timestamp"
+    imps = [(i % 5, base + dt.timedelta(minutes=3 * i)) for i in range(40)]
+    # clicks: some inside the 30-minute window, some after, some before
+    clks = [(i % 5, base + dt.timedelta(minutes=3 * i + d))
+            for i in range(40) for d in (1, 29, 31, -2)]
+    imp_df = spark.createDataFrame(imps, imp_schema)
+    clk_df = spark.createDataFrame(clks, clk_schema)
+    imp_df.write.mode("overwrite").parquet(str(tmp_path / "imps"))
+    clk_df.write.mode("overwrite").parquet(str(tmp_path / "clks"))
+
+    joined = interval_join(
+        spark.readStream.schema(imp_schema).parquet(str(tmp_path / "imps")),
+        spark.readStream.schema(clk_schema).parquet(str(tmp_path / "clks")),
+        key="ad_id", left_ts="imp_ts", right_ts="click_ts",
+        within="30 minutes", watermark="1 hour",
+    )
+    q = run_available_now(joined, "attrib", str(tmp_path / "ckpt_ij"))
+    q.awaitTermination(120)
+
+    got = {(r.ad_id, r.imp_ts, r.click_ts)
+           for r in spark.sql("SELECT * FROM attrib").collect()}
+    expected = {
+        (r.ad_id, r.imp_ts, r.click_ts)
+        for r in imp_df.join(
+            clk_df,
+            (imp_df.ad_id == clk_df.ad_id)
+            & (clk_df.click_ts >= imp_df.imp_ts)
+            & (clk_df.click_ts <= imp_df.imp_ts + F.expr("INTERVAL 30 minutes")),
+        ).select(imp_df.ad_id, "imp_ts", "click_ts").collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_interval_join_rejects_ambiguous_ts(spark):
+    import pytest as _pytest
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.windows import interval_join
+
+    df = spark.range(1).select(
+        F.col("id").alias("k"), F.current_timestamp().alias("ts")
+    )
+    with _pytest.raises(ValueError):
+        interval_join(df, df, key="k", left_ts="ts", right_ts="ts")
