@@ -65,6 +65,38 @@ def streaming_dedup(
     return stream.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(keys)
 
 
+def session_windows(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    late_threshold: str = "10 minutes",
+    value_col: str = "value",
+) -> DataFrame:
+    """Event-time session windows: rows of a key within ``gap`` of each
+    other merge into one growing window (native ``session_window`` —
+    the streaming twin of the batch ``sessionize`` catalog entry's
+    lag+cumsum). State is one open session per active key; the
+    watermark finalizes sessions ``late_threshold`` behind the max
+    event time and frees their state, so memory is bounded by the
+    number of keys active within the horizon, not stream length."""
+    return (
+        stream.withWatermark(ts_col, late_threshold)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

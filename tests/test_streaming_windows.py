@@ -258,3 +258,42 @@ def test_interval_join_rejects_ambiguous_ts(spark):
     )
     with _pytest.raises(ValueError):
         interval_join(df, df, key="k", left_ts="ts", right_ts="ts")
+
+
+def test_session_windows_match_batch(spark, tmp_path):
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.windows import session_windows
+
+    base = dt.datetime(2024, 1, 1)
+    # user 1: two bursts separated by > 30 min; user 2: one long session
+    rows, eid = [], 0
+    for m in [0, 5, 10, 60, 65]:
+        rows.append((eid, base + dt.timedelta(minutes=m), 1, "click", 1.0)); eid += 1
+    for m in [0, 20, 40, 55]:
+        rows.append((eid, base + dt.timedelta(minutes=m), 2, "view", 2.0)); eid += 1
+    df = spark.createDataFrame(rows, SCHEMA)
+    src = str(tmp_path / "sess_events")
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    agg = session_windows(stream, gap="30 minutes")
+    q = run_available_now(agg, "sessions", str(tmp_path / "ckpt_sw"), "complete")
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    expected = {
+        (r.user_id, r.ss, r.se): (r.n, r.tv)
+        for r in df.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .select(F.col("w.start").alias("ss"), F.col("w.end").alias("se"),
+                "user_id", "n", "tv")
+        .collect()
+    }
+    assert got == expected
+    # semantics spot-check: user 1 split into two sessions, user 2 one
+    assert sum(1 for (u, *_ ) in got if u == 1) == 2
+    assert sum(1 for (u, *_ ) in got if u == 2) == 1
