@@ -5163,6 +5163,69 @@ def q_table_diff(spark, sf):
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+@_q(
+    "corpus_ngram_overlap",
+    "Corpus-level trigram overlap between two document collections "
+    "(containment + Jaccard over distinct token 3-grams) — the corpus "
+    "granularity of train/eval contamination measurement, where "
+    "contamination_check answers it per-document. ONE shuffle: "
+    "presence flags per n-gram via conditional MAX directly on the "
+    "exploded stream (no separate distinct — max absorbs duplicates), "
+    "then a 1-row combinable agg; ratios are exact-int divisions",
+    "extension: corpus analytics (cross-corpus n-gram overlap)",
+    r"""
+    WITH t AS (
+      SELECT CASE WHEN length(source) = 4 THEN 'A' ELSE 'B' END AS corpus,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT corpus,
+             unnest(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             )) AS ngram
+      FROM t
+    ), flags AS (
+      SELECT ngram,
+             max(CASE WHEN corpus = 'A' THEN 1 ELSE 0 END) AS ha,
+             max(CASE WHEN corpus = 'B' THEN 1 ELSE 0 END) AS hb
+      FROM sh GROUP BY ngram
+    )
+    SELECT CAST(sum(ha) AS BIGINT) AS n_a,
+           CAST(sum(hb) AS BIGINT) AS n_b,
+           CAST(sum(ha * hb) AS BIGINT) AS n_both,
+           CAST(sum(ha * hb) AS DOUBLE) / sum(ha) AS containment_a,
+           CAST(sum(ha * hb) AS DOUBLE) / (sum(ha) + sum(hb) - sum(ha * hb))
+             AS jaccard
+    FROM flags
+    """,
+)
+def q_corpus_ngram_overlap(spark, sf):
+    d = _t(spark, sf, "documents").select(
+        F.when(F.length("source") == 4, "A").otherwise("B").alias("corpus"),
+        tokens(F.col("text")).alias("_toks"),
+    )
+    sh = d.select(
+        "corpus", F.explode(shingles_from_tokens(F.col("_toks"), 3)).alias("ngram")
+    )
+    flags = sh.groupBy("ngram").agg(
+        F.max(F.when(F.col("corpus") == "A", 1).otherwise(0)).alias("ha"),
+        F.max(F.when(F.col("corpus") == "B", 1).otherwise(0)).alias("hb"),
+    )
+    return flags.agg(
+        F.sum("ha").alias("n_a"),
+        F.sum("hb").alias("n_b"),
+        F.sum(F.col("ha") * F.col("hb")).alias("n_both"),
+        (
+            F.sum(F.col("ha") * F.col("hb")).cast("double") / F.sum("ha")
+        ).alias("containment_a"),
+        (
+            F.sum(F.col("ha") * F.col("hb")).cast("double")
+            / (F.sum("ha") + F.sum("hb") - F.sum(F.col("ha") * F.col("hb")))
+        ).alias("jaccard"),
+    )
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at
