@@ -62,6 +62,40 @@ def expect_all_or_drop(
     return ExpectationResult(df.filter(F.coalesce(keep, F.lit(False))), obs, rules)
 
 
+def expect_all_or_quarantine(
+    df: DataFrame, rules: dict[str, str]
+) -> tuple[DataFrame, DataFrame]:
+    """Route instead of drop: returns ``(passed, quarantined)`` where
+    quarantined rows carry a ``_failed_expectations`` array naming every
+    violated rule — the DLT quarantine-table pattern, which keeps bad
+    rows debuggable and replayable instead of silently gone.
+
+    The failure array is computed once per row in codegen (NULL rule
+    results count as failures, matching ``expect_all_or_drop``'s
+    three-valued-logic stance); both outputs are filters over the same
+    scan, so writing passed rows to the sink and quarantined rows to a
+    side table costs one extra pass at most — and none if the caller
+    persists the tagged frame."""
+    if not rules:
+        return df, df.limit(0).withColumn(
+            "_failed_expectations", F.array().cast("array<string>")
+        )
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(~F.coalesce(F.expr(rule), F.lit(False)), F.lit(name))
+                for name, rule in rules.items()
+            ]
+        )
+    )
+    tagged = df.withColumn("_failed_expectations", failed)
+    passed = tagged.filter(F.size("_failed_expectations") == 0).drop(
+        "_failed_expectations"
+    )
+    quarantined = tagged.filter(F.size("_failed_expectations") > 0)
+    return passed, quarantined
+
+
 def expect_all(df: DataFrame, rules: dict[str, str]) -> ExpectationResult:
     """Warn-only variant (≙ dlt.expect_all): keep all rows, observe counts."""
     if not rules:

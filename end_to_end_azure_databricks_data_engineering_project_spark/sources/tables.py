@@ -641,6 +641,74 @@ class ManagedTable:
             if int(d.name[1:]) > cur:
                 shutil.rmtree(d, ignore_errors=True)
 
+    def read_at(self, version: int) -> DataFrame:
+        """Time travel: the committed snapshot at ``version`` (must not
+        have been vacuumed), read under ITS schema — reads are pinned to
+        the schema as of that version, so post-evolution columns don't
+        appear retroactively."""
+        vdir = self._version_dir(version)
+        if not vdir.exists():
+            raise FileNotFoundError(
+                f"table {self.name}: version {version} missing (vacuumed?)"
+            )
+        schema = self.table_schema(version)
+        reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
+        return reader.parquet(str(vdir))
+
+    def _link_snapshot_into(self, src: Path, dst: Path) -> None:
+        """Hardlink every data file of snapshot ``src`` into ``dst``
+        under its ORIGINAL name (copy fallback), carrying the schema and
+        the per-file stats manifest along — stats keys are file names,
+        which are preserved, so skipping keeps working with zero IO."""
+        for f in src.glob("*.parquet"):
+            try:
+                os.link(f, dst / f.name)
+            except OSError:
+                shutil.copy2(f, dst / f.name)
+        for meta in ("_schema.json", "_stats.json"):
+            if (src / meta).exists():
+                shutil.copy2(src / meta, dst / meta)
+
+    def restore(self, version: int) -> int:
+        """Delta-RESTORE semantics: commit a NEW version whose content
+        is snapshot ``version``. History only moves forward — the
+        versions being rolled past stay readable for audit/time travel
+        until vacuumed — and no data is rewritten (hardlinks).
+
+        The restore commit is a snapshot barrier for ``appended_since``
+        (op marker != append), so incremental consumers correctly fall
+        back to a rebuild instead of silently missing the rollback."""
+        src = self._version_dir(version)
+        if not src.exists():
+            raise FileNotFoundError(
+                f"table {self.name}: cannot restore missing version {version}"
+            )
+        new_v = self._claim_next_version()
+        self._link_snapshot_into(src, self._version_dir(new_v))
+        self._write_op_marker(new_v, "restore")
+        self._commit(new_v)
+        return new_v
+
+    def clone_to(self, target: "ManagedTable") -> int:
+        """Shallow clone (Delta SHALLOW CLONE): commit the current
+        snapshot's files into ``target`` by hardlink — zero data copy,
+        stats and schema carried over, and the clone's history starts
+        fresh at its own v0+. Writers to either table never interfere:
+        version dirs are never mutated in place, so shared inodes are
+        safe. Target must be empty (a clone is a create, not a merge)."""
+        if target.exists():
+            raise ValueError(
+                f"clone target {target.name} already has committed versions"
+            )
+        cur = self.current_version()
+        if cur < 0:
+            raise FileNotFoundError(f"table {self.name} has no committed version")
+        new_v = target._claim_next_version()
+        self._link_snapshot_into(self._version_dir(cur), target._version_dir(new_v))
+        target._write_op_marker(new_v, "clone")
+        target._commit(new_v)
+        return new_v
+
 
 class Catalog:
     """Tiny namespace of ManagedTables (≙ Unity Catalog schema binding,

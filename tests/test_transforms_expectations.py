@@ -67,3 +67,34 @@ def test_expect_all_warn_only(spark):
     res = expect_all(df, {"key": "user_id IS NOT NULL"})
     assert res.df.count() == 2
     assert res.metrics()["violations__key"] == 1
+
+
+def test_expect_all_or_quarantine_routes_and_names_rules(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.expectations import (
+        expect_all_or_quarantine,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (None, 3.0), (4, None)],
+        "user_id int, value double",
+    )
+    rules = {"has_user": "user_id IS NOT NULL", "positive": "value > 0"}
+    passed, quarantined = expect_all_or_quarantine(df, rules)
+    assert sorted(r.user_id for r in passed.collect()) == [1]
+    q = {tuple(r["_failed_expectations"]): r for r in quarantined.collect()}
+    got = {r.user_id if r.user_id is not None else None: sorted(r["_failed_expectations"])
+           for r in quarantined.collect()}
+    assert got[2] == ["positive"]
+    assert got[None] == ["has_user"]
+    assert got[4] == ["positive"]  # NULL rule result counts as failure
+    assert "_failed_expectations" not in passed.columns
+
+
+def test_expect_all_or_quarantine_empty_rules(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.expectations import (
+        expect_all_or_quarantine,
+    )
+
+    df = spark.range(3)
+    passed, quarantined = expect_all_or_quarantine(df, {})
+    assert passed.count() == 3 and quarantined.count() == 0
