@@ -5226,6 +5226,47 @@ def q_corpus_ngram_overlap(spark, sf):
     )
 
 
+@_q(
+    "bpe_token_estimate",
+    "BPE-ish token counting over structured-ish text (events.props "
+    "JSON): tokens = letter-runs | digit-runs | single "
+    "punctuation/symbol, the GPT-2-pretokenizer-shaped regex that "
+    "tracks subword token budgets far better than whitespace counts on "
+    "code/JSON/markup. regexp_count stays in codegen at the scan "
+    "(alternation branches start on disjoint char classes, so Java "
+    "ordered-alternation and RE2 leftmost-longest agree); one "
+    "combinable agg per event_type",
+    "extension: text analysis (BPE-ish token budget estimation)",
+    r"""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(length(regexp_extract_all(props,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+             AS total_bpe_tokens,
+           CAST(sum(length(props)) AS BIGINT) AS total_chars,
+           CAST(sum(length(props)) AS DOUBLE)
+             / sum(length(regexp_extract_all(props,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+             AS chars_per_token
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_bpe_token_estimate(spark, sf):
+    e = _t(spark, sf, "events")
+    n_tok = F.regexp_count("props", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    return (
+        e.select("event_type", n_tok.alias("t"), F.length("props").alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("t").cast("bigint").alias("total_bpe_tokens"),
+            F.sum("c").cast("bigint").alias("total_chars"),
+            (F.sum("c").cast("double") / F.sum("t")).alias("chars_per_token"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at
