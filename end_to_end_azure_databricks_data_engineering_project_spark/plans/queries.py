@@ -5267,6 +5267,44 @@ def q_bpe_token_estimate(spark, sf):
     )
 
 
+@_q(
+    "forward_fill_locf",
+    "Time-series forward fill (LOCF): per-user last non-NULL "
+    "observation carried forward over event time via last(..., "
+    "ignorenulls) with a running frame — the gap-repair primitive for "
+    "sensor/metric streams. One window shuffle on the key; leading "
+    "NULLs stay NULL (nothing to carry). NULLs are synthesized "
+    "deterministically (event_id % 7) so both engines repair the same "
+    "gaps",
+    "§2.6 windows (IGNORE NULLS frame functions)",
+    """
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           last_value(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS value_filled
+    FROM events
+    """,
+)
+def q_forward_fill_locf(spark, sf):
+    e = _t(spark, sf, "events")
+    gapped = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(gapped, ignorenulls=True).over(w).alias("value_filled"),
+    )
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at

@@ -401,13 +401,20 @@ def silver_stream(
     catalog: Catalog,
     checkpoint_root: str,
     cleanse: Transform | None = None,
+    quarantine: bool = False,
 ):
     """Continuous silver refine as true Structured Streaming with a
     foreachBatch sink. Genuinely exactly-once: foreachBatch is
     at-least-once, so the append records the epoch_id in the table
     commit and a replayed micro-batch (crash after append, before
     checkpoint commit) is skipped instead of duplicated.
-    Returns the StreamingQuery; caller stops it."""
+
+    ``quarantine=True`` (with ``cfg.expectations`` set) routes rule-
+    violating rows to ``quarantine_<table>`` tagged with the violated
+    rule names instead of dropping them — the DLT quarantine-table
+    pattern; both appends are epoch-guarded, so a replayed micro-batch
+    duplicates neither side. Returns the StreamingQuery; caller stops
+    it."""
     from end_to_end_azure_databricks_data_engineering_project_spark.sources.autoload import stream_source
 
     src = str(Path(bronze_root) / cfg.table)
@@ -416,9 +423,35 @@ def silver_stream(
         df = cleanse(df)
     df = df.drop(RESCUE_COL)
     table = catalog.table(f"silver_{cfg.table}")
+    q_table = (
+        catalog.table(f"quarantine_{cfg.table}")
+        if quarantine and cfg.expectations
+        else None
+    )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        table.append(batch_df, epoch=epoch_id, epoch_key=f"silver_stream_{cfg.table}")
+        if q_table is None:
+            table.append(
+                batch_df, epoch=epoch_id, epoch_key=f"silver_stream_{cfg.table}"
+            )
+            return
+        from end_to_end_azure_databricks_data_engineering_project_spark.operators.expectations import (
+            expect_all_or_quarantine,
+        )
+
+        # both outputs filter the same tagged frame — persist so the
+        # micro-batch is scanned once, not once per sink
+        batch_df.persist()
+        try:
+            passed, bad = expect_all_or_quarantine(batch_df, cfg.expectations)
+            table.append(
+                passed, epoch=epoch_id, epoch_key=f"silver_stream_{cfg.table}"
+            )
+            q_table.append(
+                bad, epoch=epoch_id, epoch_key=f"silver_stream_q_{cfg.table}"
+            )
+        finally:
+            batch_df.unpersist()
 
     return (
         df.writeStream.foreachBatch(sink)

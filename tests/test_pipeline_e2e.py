@@ -207,3 +207,44 @@ def test_gold_cursor_survives_equal_cdc_timestamp(spark, tmp_path, sources_phase
     pipe.run_all()
     assert gold.read().filter(F.col("user_id") == 999).count() == 1
     assert gold.read().count() == 11
+
+
+def test_streaming_silver_quarantine_routes_bad_rows(spark, tmp_path):
+    """quarantine=True: rule-violating rows land in quarantine_<table>
+    tagged with the violated rule names; good rows reach silver; the
+    two sides partition the batch exactly."""
+    import dataclasses
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import silver_stream
+
+    cfg = dataclasses.replace(
+        TABLE_BY_NAME["dim_user"],
+        expectations={
+            "valid_key": "user_id IS NOT NULL",
+            "known_tier": "subscription_type IN ('Free', 'Premium')",
+        },
+    )
+    users = spark.createDataFrame(
+        [(1, "a", "US", "Free", None, None, T0),
+         (2, "b", "US", "Gold", None, None, T0),      # bad tier
+         (None, "c", "US", "Premium", None, None, T0),  # bad key
+         (4, "d", "US", "Premium", None, None, T0)],
+        "user_id int, user_name string, country string, subscription_type string,"
+        " start_date date, end_date date, updated_at timestamp",
+    )
+    store = WatermarkStore(tmp_path / "state")
+    ingest_all(spark, [cfg], {"dim_user": users}, str(tmp_path / "bronze"), store)
+    catalog = Catalog(spark, str(tmp_path / "warehouse"))
+    q = silver_stream(
+        spark, cfg, str(tmp_path / "bronze"), catalog,
+        str(tmp_path / "ckpt_q"), quarantine=True,
+    )
+    q.awaitTermination(120)
+
+    silver = catalog.table("silver_dim_user").read()
+    quar = catalog.table("quarantine_dim_user").read()
+    assert sorted(r.user_id for r in silver.collect()) == [1, 4]
+    got = {r.user_name: sorted(r["_failed_expectations"]) for r in quar.collect()}
+    assert got == {"b": ["known_tier"], "c": ["valid_key"]}
+    assert "_failed_expectations" not in silver.columns
