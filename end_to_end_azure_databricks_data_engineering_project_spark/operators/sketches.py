@@ -118,29 +118,38 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
 # so even the double-valued estimate is bit-identical cross-engine.
 # ---------------------------------------------------------------------
 
-#: 52 = 60-bit portable hash minus the 8 register-index bits (m=256).
-_HLL_W_BITS = 52
+#: the portable md5 hash is 60 bits; the register index consumes
+#: log2(m) of them and rho is counted over the remaining 60 - log2(m).
+_HLL_HASH_BITS = 60
 
 
 def hll_idx_rho(key, m: int = 256):
     """(register index, rho) column pair for a key expression — the
-    per-row map-side part of the HLL build."""
+    per-row map-side part of the HLL build. The rho window is the
+    60-bit hash minus the log2(m) index bits, so any power-of-two m
+    ≤ 256 counts leading zeros over the correct width."""
     assert m & (m - 1) == 0 and m <= 256, "m must be a power of two <= 256"
     bits = m.bit_length() - 1
+    w_bits = _HLL_HASH_BITS - bits
     h = portable_hash64(key.cast("string"))
     idx = h.bitwiseAND(F.lit(m - 1))
     w = F.shiftrightunsigned(h, bits)
-    pos = F.instr(F.lpad(F.bin(w), _HLL_W_BITS, "0"), "1")
-    rho = F.when(pos == 0, F.lit(_HLL_W_BITS + 1)).otherwise(pos)
+    pos = F.instr(F.lpad(F.bin(w), w_bits, "0"), "1")
+    rho = F.when(pos == 0, F.lit(w_bits + 1)).otherwise(pos)
     return idx, rho
 
 
 def hll_registers(df: DataFrame, key_col: str, m: int = 256) -> DataFrame:
     """HLL registers of ``key_col``: (idx, reg) rows, at most m of them
-    (absent idx ≡ register 0). m must be a power of two ≤ 256."""
+    (absent idx ≡ register 0). m must be a power of two ≤ 256.
+
+    NULL keys are excluded, matching COUNT(DISTINCT) semantics — a
+    NULL would otherwise hash to a (NULL, NULL) register row that
+    poisons the estimate fold."""
     idx, rho = hll_idx_rho(F.col(key_col), m)
     return (
-        df.select(idx.alias("idx"), rho.alias("rho"))
+        df.where(F.col(key_col).isNotNull())
+        .select(idx.alias("idx"), rho.alias("rho"))
         .groupBy("idx")
         .agg(F.max("rho").alias("reg"))
     )

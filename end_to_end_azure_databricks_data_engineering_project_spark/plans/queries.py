@@ -5092,7 +5092,9 @@ def q_quantile_hist_merge(spark, sf):
     "the join co-partitions on the key: the anti-entropy primitive for "
     "verifying replicas/CDC pipelines at 100 TB. Snapshot B is derived "
     "from orders with deterministic deletes (key%101=0), updates "
-    "(key%97=0) and inserts (key%103=0 re-keyed)",
+    "(key%97=0) and inserts (key%103=0 re-keyed NEGATIVE — orderkeys "
+    "are positive at every sf, so inserted keys can never collide "
+    "with real ones)",
     "extension: reconciliation (snapshot diff / anti-entropy)",
     """
     WITH a AS (
@@ -5108,7 +5110,7 @@ def q_quantile_hist_merge(spark, sf):
              o_totalprice, o_orderdate, o_orderpriority
       FROM orders WHERE o_orderkey % 101 <> 0
       UNION ALL
-      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+      SELECT -o_orderkey - 1, o_custkey, o_orderstatus, o_totalprice,
              o_orderdate, o_orderpriority
       FROM orders WHERE o_orderkey % 103 = 0
     ),
@@ -5150,7 +5152,7 @@ def q_table_diff(spark, sf):
         ),
     )
     b_ins = o.filter(F.col("o_orderkey") % 103 == 0).withColumn(
-        "o_orderkey", F.col("o_orderkey") + 10000000
+        "o_orderkey", -F.col("o_orderkey") - 1
     )
     b = hashed(b_kept.unionByName(b_ins))
     j = a.alias("a").join(b.alias("b"), F.col("a.k") == F.col("b.k"), "full")

@@ -646,6 +646,12 @@ class ManagedTable:
         have been vacuumed), read under ITS schema — reads are pinned to
         the schema as of that version, so post-evolution columns don't
         appear retroactively."""
+        if version > self.current_version():
+            raise FileNotFoundError(
+                f"table {self.name}: version {version} is not committed "
+                f"(pointer at v{self.current_version()}) — an orphan dir from "
+                "a crashed writer is not a readable snapshot"
+            )
         vdir = self._version_dir(version)
         if not vdir.exists():
             raise FileNotFoundError(
@@ -678,6 +684,12 @@ class ManagedTable:
         The restore commit is a snapshot barrier for ``appended_since``
         (op marker != append), so incremental consumers correctly fall
         back to a rebuild instead of silently missing the rollback."""
+        if version > self.current_version():
+            raise FileNotFoundError(
+                f"table {self.name}: version {version} is not committed "
+                f"(pointer at v{self.current_version()}) — refusing to restore "
+                "an orphan writer dir"
+            )
         src = self._version_dir(version)
         if not src.exists():
             raise FileNotFoundError(

@@ -579,21 +579,42 @@ def run_hll_drain(
 
     Exactly-once: register-wise MAX is idempotent, so a replayed batch
     cannot inflate the sketch even mid-crash; the epoch guard just
-    skips the recompute. Returns the register count after the drain
-    (0 if the epoch was already applied)."""
+    skips the recompute. The table records its ``m`` in a sidecar on
+    the first drain and refuses later drains with a different ``m`` —
+    registers from different bit splits must never max-combine.
+    Returns the register count after the drain, or -1 when the epoch
+    was already applied (replay no-op)."""
+    import json
+
     from end_to_end_azure_databricks_data_engineering_project_spark.operators.sketches import (
         hll_merge,
         hll_registers,
     )
 
     table = catalog.table("hll_registers")
+    meta = table.dir / "_hll_meta.json"
+    if meta.exists():
+        stored_m = json.loads(meta.read_text())["m"]
+        if stored_m != m:
+            raise ValueError(
+                f"hll_registers table was built with m={stored_m}; refusing to "
+                f"merge m={m} registers (different bit splits never combine)"
+            )
     stored = table.applied_epoch("hll_drain")
     if stored is not None and epoch <= stored:
-        return 0
+        return -1
     batch_regs = hll_registers(batch.select(key_col), key_col, m)
     merged = (
         hll_merge(table.read().select("idx", "reg"), batch_regs)
         if table.exists()
         else batch_regs
     )
-    return table.overwrite(merged, epoch=epoch, epoch_key="hll_drain")
+    merged = merged.persist()
+    try:
+        n_regs = merged.count()
+        table.overwrite(merged, epoch=epoch, epoch_key="hll_drain")
+    finally:
+        merged.unpersist()
+    if not meta.exists():
+        meta.write_text(json.dumps({"m": m}))
+    return n_regs

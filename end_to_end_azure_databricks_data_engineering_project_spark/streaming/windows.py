@@ -125,10 +125,13 @@ def interval_join(
         raise ValueError("left_ts and right_ts must be distinct column names")
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
+    # qualify through the aliases — unqualified names would be
+    # AMBIGUOUS_REFERENCE whenever both inputs carry both ts columns
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
     cond = (
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
-        & (F.col(right_ts) >= F.col(left_ts))
-        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+        & (rts >= lts)
+        & (rts <= lts + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond, "inner").drop(F.col(f"r.{key}"))
 

@@ -114,10 +114,45 @@ def test_hll_drain_replay_is_noop(spark, tmp_path):
     from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import run_hll_drain
 
     cat = _drain_setup(spark, tmp_path)
-    run_hll_drain(cat, _ids(spark, 0, 500), epoch=1)
+    n = run_hll_drain(cat, _ids(spark, 0, 500), epoch=1)
     before = _regs_dict(cat.table("hll_registers").read())
-    assert run_hll_drain(cat, _ids(spark, 0, 500), epoch=1) == 0  # replay
+    assert n == len(before) > 0  # returns the register count
+    assert run_hll_drain(cat, _ids(spark, 0, 500), epoch=1) == -1  # replay
     assert _regs_dict(cat.table("hll_registers").read()) == before
+
+
+def test_hll_drain_rejects_mismatched_m(spark, tmp_path):
+    import pytest as _pytest
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import run_hll_drain
+
+    cat = _drain_setup(spark, tmp_path)
+    run_hll_drain(cat, _ids(spark, 0, 100), epoch=1, m=256)
+    with _pytest.raises(ValueError, match="m=256"):
+        run_hll_drain(cat, _ids(spark, 100, 200), epoch=2, m=64)
+
+
+def test_hll_small_m_register_width_and_accuracy(spark):
+    # m=16 counts rho over a 56-bit window (not 256's 52): registers
+    # stay in [1, 57] and the estimate is unbiased, not ~16x low
+    df = spark.range(10_000).select(F.col("id").alias("k"))
+    regs = hll_registers(df, "k", m=16)
+    rows = regs.collect()
+    assert len(rows) <= 16
+    assert all(1 <= r["reg"] <= 57 for r in rows)
+    est = hll_estimate(regs, m=16).collect()[0]["raw_estimate"]
+    # m=16 -> rel std error 26%; allow 4 sigma
+    assert abs(est - 10_000) / 10_000 < 1.04, est
+
+
+def test_hll_null_keys_excluded(spark):
+    # NULLs are not distinct values (COUNT DISTINCT semantics) and must
+    # not poison the estimate fold
+    df = spark.createDataFrame([(1,), (2,), (None,), (None,)], "k int")
+    regs = hll_registers(df, "k")
+    assert regs.where(F.col("idx").isNull()).count() == 0
+    row = hll_estimate(regs).collect()[0]
+    assert row["raw_estimate"] is not None and row["used_registers"] <= 2
 
 
 def test_hll_drain_estimate_tracks_stream(spark, tmp_path):

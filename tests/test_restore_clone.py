@@ -46,6 +46,18 @@ def test_restore_missing_version_raises(spark, tmp_path):
         t.restore(99)
 
 
+def test_read_at_and_restore_refuse_orphan_writer_dirs(spark, tmp_path):
+    # a crashed writer leaves a claimed-but-uncommitted dir above the
+    # pointer; it must not be readable or restorable as a snapshot
+    t = _t(spark, tmp_path)
+    t.overwrite(spark.range(2).select(F.col("id").alias("k")))
+    orphan = t._claim_next_version()  # simulate crash before commit
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        t.read_at(orphan)
+    with pytest.raises(FileNotFoundError, match="orphan"):
+        t.restore(orphan)
+
+
 def test_clone_is_shallow_and_isolated(spark, tmp_path):
     cat = Catalog(spark, tmp_path / "wh")
     src, dst = cat.table("src"), cat.table("dst")

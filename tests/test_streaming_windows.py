@@ -248,6 +248,29 @@ def test_interval_join_streams_match_batch(spark, tmp_path):
     assert got == expected and len(got) > 0
 
 
+def test_interval_join_resolves_shared_column_names(spark, tmp_path):
+    """Both inputs carrying BOTH ts column names must not be ambiguous —
+    the join condition is qualified through the l/r aliases."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.windows import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "ad_id long, imp_ts timestamp, click_ts timestamp"
+    rows = [(i % 3, base + dt.timedelta(minutes=i),
+             base + dt.timedelta(minutes=i + 5)) for i in range(12)]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "both")
+    )
+    s1 = spark.readStream.schema(schema).parquet(str(tmp_path / "both"))
+    s2 = spark.readStream.schema(schema).parquet(str(tmp_path / "both"))
+    joined = interval_join(
+        s1, s2, key="ad_id", left_ts="imp_ts", right_ts="click_ts",
+        within="30 minutes", watermark="1 hour",
+    )  # must not raise AMBIGUOUS_REFERENCE at construction
+    q = run_available_now(joined, "shared_cols", str(tmp_path / "ckpt_sc"))
+    q.awaitTermination(120)
+    assert spark.sql("SELECT * FROM shared_cols").count() > 0
+
+
 def test_interval_join_rejects_ambiguous_ts(spark):
     import pytest as _pytest
 
