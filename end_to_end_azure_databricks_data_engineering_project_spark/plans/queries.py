@@ -4731,7 +4731,9 @@ def q_hll_distinct_merge(spark, sf):
 
     e = _t(spark, sf, "events")
     idx, rho = hll_idx_rho(F.col("user_id"))
-    rr = e.select(
+    # NULL keys excluded like hll_registers does (COUNT DISTINCT
+    # semantics) — both sides of the mergeability check must agree
+    rr = e.where(F.col("user_id").isNotNull()).select(
         (F.col("user_id") % 4).alias("shard"), idx.alias("idx"), rho.alias("rho")
     )
     shard_regs = rr.groupBy("shard", "idx").agg(F.max("rho").alias("reg"))
@@ -5181,12 +5183,15 @@ def q_table_diff(spark, sf):
              string_split_regex(lower(trim(text)), '\s+') AS toks
       FROM documents
     ), sh AS (
+      -- docs below one full trigram are excluded on BOTH engines
+      -- (short-doc truncation semantics differ: || propagates NULL
+      -- past the end here, concat_ws skips it in Spark)
       SELECT corpus,
              unnest(list_transform(
-               range(1, greatest(len(toks) - 2, 1) + 1),
+               range(1, len(toks) - 2 + 1),
                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
              )) AS ngram
-      FROM t
+      FROM t WHERE len(toks) >= 3
     ), flags AS (
       SELECT ngram,
              max(CASE WHEN corpus = 'A' THEN 1 ELSE 0 END) AS ha,
@@ -5207,7 +5212,7 @@ def q_corpus_ngram_overlap(spark, sf):
         F.when(F.length("source") == 4, "A").otherwise("B").alias("corpus"),
         tokens(F.col("text")).alias("_toks"),
     )
-    sh = d.select(
+    sh = d.where(F.size("_toks") >= 3).select(
         "corpus", F.explode(shingles_from_tokens(F.col("_toks"), 3)).alias("ngram")
     )
     flags = sh.groupBy("ngram").agg(

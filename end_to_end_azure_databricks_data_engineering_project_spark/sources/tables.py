@@ -641,11 +641,12 @@ class ManagedTable:
             if int(d.name[1:]) > cur:
                 shutil.rmtree(d, ignore_errors=True)
 
-    def read_at(self, version: int) -> DataFrame:
-        """Time travel: the committed snapshot at ``version`` (must not
-        have been vacuumed), read under ITS schema — reads are pinned to
-        the schema as of that version, so post-evolution columns don't
-        appear retroactively."""
+    def _require_complete(self, version: int) -> None:
+        """Reject version dirs that are not finished snapshots: above
+        the committed pointer, vacuumed away, or missing the ``_op``
+        marker (written only after the data write succeeds — a crashed
+        writer's partial dir never has one, even when a LATER commit
+        moved the pointer past it)."""
         if version > self.current_version():
             raise FileNotFoundError(
                 f"table {self.name}: version {version} is not committed "
@@ -657,6 +658,19 @@ class ManagedTable:
             raise FileNotFoundError(
                 f"table {self.name}: version {version} missing (vacuumed?)"
             )
+        if not (vdir / "_op").exists():
+            raise FileNotFoundError(
+                f"table {self.name}: version {version} has no _op marker — "
+                "a crashed writer's partial dir is not a readable snapshot"
+            )
+
+    def read_at(self, version: int) -> DataFrame:
+        """Time travel: the committed snapshot at ``version`` (must not
+        have been vacuumed), read under ITS schema — reads are pinned to
+        the schema as of that version, so post-evolution columns don't
+        appear retroactively."""
+        self._require_complete(version)
+        vdir = self._version_dir(version)
         schema = self.table_schema(version)
         reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
         return reader.parquet(str(vdir))
@@ -684,17 +698,8 @@ class ManagedTable:
         The restore commit is a snapshot barrier for ``appended_since``
         (op marker != append), so incremental consumers correctly fall
         back to a rebuild instead of silently missing the rollback."""
-        if version > self.current_version():
-            raise FileNotFoundError(
-                f"table {self.name}: version {version} is not committed "
-                f"(pointer at v{self.current_version()}) — refusing to restore "
-                "an orphan writer dir"
-            )
+        self._require_complete(version)
         src = self._version_dir(version)
-        if not src.exists():
-            raise FileNotFoundError(
-                f"table {self.name}: cannot restore missing version {version}"
-            )
         new_v = self._claim_next_version()
         self._link_snapshot_into(src, self._version_dir(new_v))
         self._write_op_marker(new_v, "restore")

@@ -609,12 +609,17 @@ def run_hll_drain(
         if table.exists()
         else batch_regs
     )
+    # write the m-guard sidecar BEFORE the first commit: a crash in the
+    # window between commit and sidecar would otherwise leave committed
+    # m=X registers guarded by nothing, letting a later default-m drain
+    # max-combine across bit splits. (Crash after sidecar, before
+    # commit, is harmless — the next drain just re-verifies m.)
+    if not meta.exists():
+        meta.write_text(json.dumps({"m": m}))
     merged = merged.persist()
     try:
         n_regs = merged.count()
         table.overwrite(merged, epoch=epoch, epoch_key="hll_drain")
     finally:
         merged.unpersist()
-    if not meta.exists():
-        meta.write_text(json.dumps({"m": m}))
     return n_regs

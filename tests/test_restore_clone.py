@@ -24,7 +24,7 @@ def test_restore_rolls_content_forward(spark, tmp_path):
     t.append(spark.range(5, 8).select(F.col("id").alias("k")))
     assert t.read().count() == 8
     new_v = t.restore(v0)
-    assert new_v > t._pointer_state()["version"] - 1  # committed
+    assert new_v == t.current_version()  # the restore commit moved the pointer
     assert _rows(t.read()) == _rows(spark.range(5).select(F.col("id").alias("k")))
     # rolled-past version still time-travel readable (audit)
     assert t.read_at(v0 + 1).count() == 8
@@ -54,7 +54,16 @@ def test_read_at_and_restore_refuse_orphan_writer_dirs(spark, tmp_path):
     orphan = t._claim_next_version()  # simulate crash before commit
     with pytest.raises(FileNotFoundError, match="not committed"):
         t.read_at(orphan)
-    with pytest.raises(FileNotFoundError, match="orphan"):
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        t.restore(orphan)
+    # a LATER commit moving the pointer past the orphan must not make
+    # the partial dir readable: the _op marker (written only after a
+    # successful data write) is what distinguishes finished snapshots
+    t.overwrite(spark.range(9).select(F.col("id").alias("k")))
+    assert t.current_version() > orphan
+    with pytest.raises(FileNotFoundError, match="_op marker"):
+        t.read_at(orphan)
+    with pytest.raises(FileNotFoundError, match="_op marker"):
         t.restore(orphan)
 
 

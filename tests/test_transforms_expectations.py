@@ -81,7 +81,6 @@ def test_expect_all_or_quarantine_routes_and_names_rules(spark):
     rules = {"has_user": "user_id IS NOT NULL", "positive": "value > 0"}
     passed, quarantined = expect_all_or_quarantine(df, rules)
     assert sorted(r.user_id for r in passed.collect()) == [1]
-    q = {tuple(r["_failed_expectations"]): r for r in quarantined.collect()}
     got = {r.user_id if r.user_id is not None else None: sorted(r["_failed_expectations"])
            for r in quarantined.collect()}
     assert got[2] == ["positive"]
