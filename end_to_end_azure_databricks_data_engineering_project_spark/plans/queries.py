@@ -5312,6 +5312,124 @@ def q_forward_fill_locf(spark, sf):
     )
 
 
+#: log10(1 + 1/d) for d = 1..9 — computed once in Python and embedded
+#: as literals on BOTH engines (log10 in-query would drift a ulp).
+_BENFORD_P = [
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]
+
+
+@_q(
+    "benford_first_digit",
+    "Benford's-law audit of order totals: first-significant-digit "
+    "distribution vs log10(1+1/d) with per-digit chi-square "
+    "contributions — the classic fabricated-numbers screen. The digit "
+    "comes from the EXACT integer cents (string head of a bigint — "
+    "decimal rendering differs across engines, integer rendering "
+    "doesn't); expected shares are Python-computed literals, so every "
+    "double op replays identically. One map-side-combinable agg + a "
+    "1-row broadcast total",
+    "extension: data-quality analytics (Benford first-digit test)",
+    f"""
+    WITH c AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    d AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             count(*) AS n_obs
+      FROM c WHERE cents > 0 GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM d)
+    SELECT digit, n_obs,
+           [{", ".join(repr(p) for p in _BENFORD_P)}][digit]
+             AS expected_share,
+           CAST(n_obs AS DOUBLE) / n_total AS observed_share,
+           (CAST(n_obs AS DOUBLE)
+            - CAST(n_total AS DOUBLE)
+              * [{", ".join(repr(p) for p in _BENFORD_P)}][digit])
+           * (CAST(n_obs AS DOUBLE)
+              - CAST(n_total AS DOUBLE)
+                * [{", ".join(repr(p) for p in _BENFORD_P)}][digit])
+           / (CAST(n_total AS DOUBLE)
+              * [{", ".join(repr(p) for p in _BENFORD_P)}][digit])
+             AS chi2_term
+    FROM d CROSS JOIN t
+    """,
+)
+def q_benford_first_digit(spark, sf):
+    o = _t(spark, sf, "orders")
+    cents = (_dec("o_totalprice") * 100).cast("bigint")
+    d = (
+        o.select(cents.alias("cents"))
+        .where(F.col("cents") > 0)
+        .groupBy(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("bigint")
+            .alias("digit")
+        )
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    t = d.agg(F.sum("n_obs").alias("n_total"))
+    p = F.element_at(F.array(*[F.lit(x) for x in _BENFORD_P]), F.col("digit").cast("int"))
+    n_d = F.col("n_obs").cast("double")
+    nt_d = F.col("n_total").cast("double")
+    dev = n_d - nt_d * p
+    return d.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n_obs",
+        p.alias("expected_share"),
+        (n_d / F.col("n_total")).alias("observed_share"),
+        (dev * dev / (nt_d * p)).alias("chi2_term"),
+    )
+
+
+@_q(
+    "monthly_revenue_growth",
+    "Month-over-month revenue growth: decimal-exact monthly totals, "
+    "then lag + ratio over the month sequence — the standard BI trend "
+    "query. The months relation is tiny (one row per month), so the "
+    "unpartitioned lag window is a single-partition sort of dozens of "
+    "rows, NOT a data-sized sort; first month's growth is NULL on both "
+    "engines",
+    "§2.4/§2.6 (period-over-period trend)",
+    """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+               AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue, n_orders,
+           lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+           (revenue - lag(revenue) OVER (ORDER BY month))
+             / lag(revenue) OVER (ORDER BY month) AS growth
+    FROM m
+    """,
+)
+def q_monthly_revenue_growth(spark, sf):
+    o = _t(spark, sf, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.to_date("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        "n_orders",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("growth"),
+    )
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at

@@ -58,6 +58,8 @@ ALLOW_CARTESIAN = {
     "hll_distinct_merge",
     # 1-row x 1-row assembly (quantile estimates + merge-equality flag).
     "quantile_hist_merge",
+    # 1-row digit-count total broadcast onto the 9 digit rows.
+    "benford_first_digit",
 }
 EXPECT_PUSHDOWN = {
     "watermark_filter", "in_predicate", "null_predicate", "pricing_summary",
