@@ -110,10 +110,10 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
 # re-scanning history.
 #
 # Portability: registers derive from the engine's md5 scheme
-# (portable_hash64 → 60-bit value; low log2(m) bits pick the register,
-# the remaining 52 bits give rho = leading-zero count + 1 via
-# lpad(bin(w)) + strpos — every step replays bit-identically in DuckDB,
-# verified primitive-by-primitive). The raw estimate α·m²/Σ2^−M uses
+# (portable_hash64 → 60-bit value; the low log2(m) bits pick the
+# register, the remaining 60 - log2(m) bits give rho = leading-zero
+# count + 1 via lpad(bin(w)) + strpos — every step replays
+# bit-identically in DuckDB, verified primitive-by-primitive). The raw estimate α·m²/Σ2^−M uses
 # only exact powers of two (shiftleft, not pow) and a fixed fold order,
 # so even the double-valued estimate is bit-identical cross-engine.
 # ---------------------------------------------------------------------

@@ -4682,7 +4682,7 @@ def q_lexical_diversity(spark, sf):
     WITH h AS (
       SELECT user_id,
              ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     rr AS (
       SELECT user_id % 4 AS shard, h & 255 AS idx,
@@ -5094,9 +5094,10 @@ def q_quantile_hist_merge(spark, sf):
     "the join co-partitions on the key: the anti-entropy primitive for "
     "verifying replicas/CDC pipelines at 100 TB. Snapshot B is derived "
     "from orders with deterministic deletes (key%101=0), updates "
-    "(key%97=0) and inserts (key%103=0 re-keyed NEGATIVE — orderkeys "
-    "are positive at every sf, so inserted keys can never collide "
-    "with real ones)",
+    "(key%97=0) and inserts (key%103=0 re-keyed to -k-1 — real "
+    "orderkeys are ≥ 0 at every sf, so inserted keys, all ≤ -1, can "
+    "never collide; the -1 matters: plain negation would map key 0 "
+    "onto itself)",
     "extension: reconciliation (snapshot diff / anti-entropy)",
     """
     WITH a AS (

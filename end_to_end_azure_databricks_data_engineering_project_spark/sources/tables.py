@@ -158,6 +158,11 @@ class ManagedTable:
         if epoch is not None and epoch_key is not None:
             state["epochs"][epoch_key] = epoch
         state["version"] = v
+        # ledger of every version that actually committed: a claimed dir
+        # whose writer lost the race (ConcurrentWriteError above) or
+        # crashed never appears here, so read_at/restore can tell real
+        # history from aborted-writer leftovers even BELOW the pointer.
+        state.setdefault("committed", []).append(v)
         tmp = self.dir / f"_latest.tmp.{os.getpid()}.{time.monotonic_ns()}"
         tmp.write_text(json.dumps(state))
         os.replace(tmp, self._pointer())
@@ -642,15 +647,26 @@ class ManagedTable:
                 shutil.rmtree(d, ignore_errors=True)
 
     def _require_complete(self, version: int) -> None:
-        """Reject version dirs that are not finished snapshots: above
-        the committed pointer, vacuumed away, or missing the ``_op``
-        marker (written only after the data write succeeds — a crashed
-        writer's partial dir never has one, even when a LATER commit
-        moved the pointer past it)."""
-        if version > self.current_version():
+        """Reject version dirs that are not committed history. Primary
+        check: the pointer's ``committed`` ledger (only ``_commit``
+        appends to it, so losing-race or crashed writers never appear —
+        even when their dir sits BELOW the pointer with complete data
+        and an ``_op`` marker). Legacy tables committed before the
+        ledger existed fall back to pointer-bound + ``_op``-marker
+        checks."""
+        state = self._pointer_state()
+        committed = state.get("committed")
+        if committed is not None:
+            if version not in committed:
+                raise FileNotFoundError(
+                    f"table {self.name}: version {version} is not committed "
+                    "history (aborted/losing-writer dir, or never existed) — "
+                    "not a readable snapshot"
+                )
+        elif version > state["version"]:
             raise FileNotFoundError(
                 f"table {self.name}: version {version} is not committed "
-                f"(pointer at v{self.current_version()}) — an orphan dir from "
+                f"(pointer at v{state['version']}) — an orphan dir from "
                 "a crashed writer is not a readable snapshot"
             )
         vdir = self._version_dir(version)

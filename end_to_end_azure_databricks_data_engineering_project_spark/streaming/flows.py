@@ -593,7 +593,10 @@ def run_hll_drain(
 
     table = catalog.table("hll_registers")
     meta = table.dir / "_hll_meta.json"
-    if meta.exists():
+    # the m binding only matters once registers have actually COMMITTED:
+    # a sidecar left by a failed first drain must not lock an empty
+    # table to an m that never wrote anything (rebind below instead)
+    if meta.exists() and table.exists():
         stored_m = json.loads(meta.read_text())["m"]
         if stored_m != m:
             raise ValueError(
@@ -612,9 +615,10 @@ def run_hll_drain(
     # write the m-guard sidecar BEFORE the first commit: a crash in the
     # window between commit and sidecar would otherwise leave committed
     # m=X registers guarded by nothing, letting a later default-m drain
-    # max-combine across bit splits. (Crash after sidecar, before
-    # commit, is harmless — the next drain just re-verifies m.)
-    if not meta.exists():
+    # max-combine across bit splits. While nothing has committed the
+    # sidecar is re-bindable (a failed first drain must not lock the
+    # empty table to a typo'd m).
+    if not meta.exists() or not table.exists():
         meta.write_text(json.dumps({"m": m}))
     merged = merged.persist()
     try:

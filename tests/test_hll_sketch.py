@@ -132,6 +132,27 @@ def test_hll_drain_rejects_mismatched_m(spark, tmp_path):
         run_hll_drain(cat, _ids(spark, 100, 200), epoch=2, m=64)
 
 
+def test_hll_drain_sidecar_rebinds_while_uncommitted(spark, tmp_path):
+    """A sidecar left by a FAILED first drain (crash before any commit)
+    must not lock the empty table to that m — the next drain rebinds."""
+    import json
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import run_hll_drain
+
+    cat = _drain_setup(spark, tmp_path)
+    table = cat.table("hll_registers")
+    (table.dir / "_hll_meta.json").write_text(json.dumps({"m": 64}))  # typo'd m
+    assert not table.exists()
+    n = run_hll_drain(cat, _ids(spark, 0, 300), epoch=1, m=256)  # must not raise
+    assert n > 0
+    assert json.loads((table.dir / "_hll_meta.json").read_text())["m"] == 256
+    # ...and once committed, the binding holds
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="m=256"):
+        run_hll_drain(cat, _ids(spark, 300, 400), epoch=2, m=64)
+
+
 def test_hll_small_m_register_width_and_accuracy(spark):
     # m=16 counts rho over a 56-bit window (not 256's 52): registers
     # stay in [1, 57] and the estimate is unbiased, not ~16x low
@@ -141,8 +162,11 @@ def test_hll_small_m_register_width_and_accuracy(spark):
     assert len(rows) <= 16
     assert all(1 <= r["reg"] <= 57 for r in rows)
     est = hll_estimate(regs, m=16).collect()[0]["raw_estimate"]
-    # m=16 -> rel std error 26%; allow 4 sigma
+    # m=16 -> rel std error 26%; allow 4 sigma — and a one-sided floor
+    # that the old fixed-52-bit-window bug (~16x-low estimates, ~625)
+    # cannot pass
     assert abs(est - 10_000) / 10_000 < 1.04, est
+    assert est > 5_000, est
 
 
 def test_hll_null_keys_excluded(spark):

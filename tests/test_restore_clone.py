@@ -61,10 +61,29 @@ def test_read_at_and_restore_refuse_orphan_writer_dirs(spark, tmp_path):
     # successful data write) is what distinguishes finished snapshots
     t.overwrite(spark.range(9).select(F.col("id").alias("k")))
     assert t.current_version() > orphan
-    with pytest.raises(FileNotFoundError, match="_op marker"):
+    with pytest.raises(FileNotFoundError, match="not committed"):
         t.read_at(orphan)
-    with pytest.raises(FileNotFoundError, match="_op marker"):
+    with pytest.raises(FileNotFoundError, match="not committed"):
         t.restore(orphan)
+
+
+def test_read_at_refuses_losing_writer_dir(spark, tmp_path):
+    """A losing concurrent writer can finish its data write AND _op
+    marker before its _commit raises — only the pointer's committed
+    ledger distinguishes that dir from real history."""
+    t = _t(spark, tmp_path)
+    t.overwrite(spark.range(3).select(F.col("id").alias("k")))
+    lost = t._claim_next_version()
+    spark.range(99).select(F.col("id").alias("k")).write.mode(
+        "overwrite"
+    ).parquet(str(t._version_dir(lost)))
+    t._write_op_marker(lost, "snapshot")  # ...but _commit never ran
+    t.overwrite(spark.range(5).select(F.col("id").alias("k")))  # winner
+    assert t.current_version() > lost
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        t.read_at(lost)
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        t.restore(lost)
 
 
 def test_clone_is_shallow_and_isolated(spark, tmp_path):
