@@ -5343,21 +5343,24 @@ _BENFORD_P = [
              count(*) AS n_obs
       FROM c WHERE cents > 0 GROUP BY 1
     ),
-    t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM d)
+    t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM d),
+    -- CAST to DOUBLE: the decimal-literal array would otherwise type
+    -- the column DECIMAL(18,17); the cast is the same correctly-rounded
+    -- decimal->binary conversion Python's float literal parse does
+    e AS (
+      SELECT digit, n_obs, n_total,
+             CAST([{", ".join(repr(p) for p in _BENFORD_P)}][digit]
+                  AS DOUBLE) AS p
+      FROM d CROSS JOIN t
+    )
     SELECT digit, n_obs,
-           [{", ".join(repr(p) for p in _BENFORD_P)}][digit]
-             AS expected_share,
+           p AS expected_share,
            CAST(n_obs AS DOUBLE) / n_total AS observed_share,
-           (CAST(n_obs AS DOUBLE)
-            - CAST(n_total AS DOUBLE)
-              * [{", ".join(repr(p) for p in _BENFORD_P)}][digit])
-           * (CAST(n_obs AS DOUBLE)
-              - CAST(n_total AS DOUBLE)
-                * [{", ".join(repr(p) for p in _BENFORD_P)}][digit])
-           / (CAST(n_total AS DOUBLE)
-              * [{", ".join(repr(p) for p in _BENFORD_P)}][digit])
+           (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * p)
+           * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * p)
+           / (CAST(n_total AS DOUBLE) * p)
              AS chi2_term
-    FROM d CROSS JOIN t
+    FROM e
     """,
 )
 def q_benford_first_digit(spark, sf):
@@ -5428,6 +5431,60 @@ def q_monthly_revenue_growth(spark, sf):
         "n_orders",
         prev.alias("prev_revenue"),
         ((F.col("revenue") - prev) / prev).alias("growth"),
+    )
+
+
+@_q(
+    "string_toolkit",
+    "Remaining §2.3 string surface in one scan-stage entry: lpad key "
+    "padding, split_part id extraction, translate vowel mapping, "
+    "reverse — all JVM-side codegen expressions, no shuffle (the "
+    "reference's notebooks lean on exactly this family for naming/"
+    "cleansing)",
+    "§2.3 scalar functions (string toolkit)",
+    """
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key,
+           split_part(c_name, '#', 2) AS name_id,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+           reverse(c_name) AS name_reversed
+    FROM customer
+    """,
+)
+def q_string_toolkit(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_key"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_id"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
+        F.reverse("c_name").alias("name_reversed"),
+    )
+
+
+@_q(
+    "array_toolkit",
+    "Array/list surface over the embedding column: slice (first 3 "
+    "components), element max, ascending sort of the head — the "
+    "higher-order-function family that keeps vector manipulation "
+    "JVM-side instead of in Python UDFs. Map-side only, no shuffle; "
+    "float32 components round-trip bit-exactly through both engines",
+    "§2.3/§2.8 (array higher-order functions)",
+    """
+    SELECT vec_id,
+           embedding[1:3] AS head3,
+           CAST(list_max(embedding) AS DOUBLE) AS vmax,
+           list_sort(embedding[1:5]) AS head5_sorted
+    FROM embeddings
+    """,
+)
+def q_array_toolkit(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.slice("embedding", 1, 3).alias("head3"),
+        F.array_max("embedding").cast("double").alias("vmax"),
+        F.sort_array(F.slice("embedding", 1, 5)).alias("head5_sorted"),
     )
 
 

@@ -82,10 +82,20 @@ def test_query_matches_oracle(spark, duck, name):
         "date": "date", "DATE": "date", "timestamp": "ts", "TIMESTAMP": "ts",
         "timestamp_ntz": "ts", "boolean": "bool", "BOOLEAN": "bool",
     }
-    stypes = {f.name: canon.get(f.dataType.simpleString(), f.dataType.simpleString())
+    def canon_type(t):
+        # same element type, different list spellings: Spark
+        # array<float> == DuckDB FLOAT[]
+        if t.endswith("[]"):
+            return f"arr<{canon.get(t[:-2], t[:-2])}>"
+        if t.startswith("array<") and t.endswith(">"):
+            inner = t[6:-1]
+            return f"arr<{canon.get(inner, inner)}>"
+        return canon.get(t, t)
+
+    stypes = {f.name: canon_type(f.dataType.simpleString())
               for f in sdf.schema.fields}
     dtypes = {
-        r[0]: canon.get(r[1], r[1])
+        r[0]: canon_type(r[1])
         for r in duck.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
     }
     mismatched_types = {
