@@ -148,24 +148,67 @@ class ManagedTable:
             ) from exc
         return v
 
+    def _acquire_commit_lock(self) -> int:
+        """Exclusive-create lock serializing pointer read-modify-write:
+        without it, two concurrent _commits could each read a stale
+        state and the second os.replace would drop the first writer's
+        ledger entry / epoch watermark (lost update). The critical
+        section is microseconds of JSON I/O; a lock left by a crashed
+        process is stolen after 10 s."""
+        lock = self.dir / "_latest.lock"
+        for _ in range(500):
+            try:
+                return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                try:
+                    if time.time() - lock.stat().st_mtime > 10.0:
+                        lock.unlink(missing_ok=True)
+                        continue
+                except FileNotFoundError:
+                    continue
+                time.sleep(0.01)
+        raise ConcurrentWriteError(
+            f"table {self.name}: could not acquire commit lock"
+        )
+
+    def _release_commit_lock(self, fd: int) -> None:
+        os.close(fd)
+        (self.dir / "_latest.lock").unlink(missing_ok=True)
+
     def _commit(self, v: int, epoch=None, epoch_key=None) -> None:
-        state = self._pointer_state()
-        if state["version"] >= v:
-            raise ConcurrentWriteError(
-                f"table {self.name}: pointer already at v{state['version']} "
-                f">= v{v}; refusing to move the table backwards"
-            )
-        if epoch is not None and epoch_key is not None:
-            state["epochs"][epoch_key] = epoch
-        state["version"] = v
-        # ledger of every version that actually committed: a claimed dir
-        # whose writer lost the race (ConcurrentWriteError above) or
-        # crashed never appears here, so read_at/restore can tell real
-        # history from aborted-writer leftovers even BELOW the pointer.
-        state.setdefault("committed", []).append(v)
-        tmp = self.dir / f"_latest.tmp.{os.getpid()}.{time.monotonic_ns()}"
-        tmp.write_text(json.dumps(state))
-        os.replace(tmp, self._pointer())
+        fd = self._acquire_commit_lock()
+        try:
+            state = self._pointer_state()  # read INSIDE the lock
+            if state["version"] >= v:
+                raise ConcurrentWriteError(
+                    f"table {self.name}: pointer already at v{state['version']} "
+                    f">= v{v}; refusing to move the table backwards"
+                )
+            if epoch is not None and epoch_key is not None:
+                state["epochs"][epoch_key] = epoch
+            # ledger of every version that actually committed: a claimed
+            # dir whose writer lost the race (ConcurrentWriteError) or
+            # crashed never appears here, so version-range readers can
+            # tell real history from aborted-writer leftovers even BELOW
+            # the pointer. First commit on a PRE-ledger table seeds the
+            # ledger with its existing history (every marker-bearing dir
+            # at/below the old pointer — the legacy heuristic) so old
+            # committed snapshots stay readable.
+            if "committed" not in state:
+                state["committed"] = sorted(
+                    int(d.name[1:])
+                    for d in self.dir.glob("v*")
+                    if d.name[1:].isdigit()
+                    and int(d.name[1:]) <= state["version"]
+                    and (d / "_op").exists()
+                )
+            state["committed"].append(v)
+            state["version"] = v
+            tmp = self.dir / f"_latest.tmp.{os.getpid()}.{time.monotonic_ns()}"
+            tmp.write_text(json.dumps(state))
+            os.replace(tmp, self._pointer())
+        finally:
+            self._release_commit_lock(fd)
 
     # -- schema enforcement / evolution -------------------------------------
     def _write_schema(self, vdir: Path, schema) -> None:
@@ -355,6 +398,28 @@ class ManagedTable:
         p = self._version_dir(v) / "_op"
         return p.read_text() if p.exists() else "unknown"
 
+    def _committed_in_range(self, lo: int, hi: int) -> list[int] | None:
+        """Committed versions in (lo, hi], in order — or None when the
+        range is not derivable because vacuum pruned ledger entries
+        inside it (their dirs are gone too; silently skipping them
+        would drop deltas instead of forcing the rebuild fallback).
+
+        With the pointer ledger this EXCLUDES losing-writer orphan dirs
+        sitting below the pointer (complete data + _op marker, but
+        never committed) — without the filter, appended_since/
+        changes_since would fold such phantom rows into incremental
+        deltas. Legacy tables (no ledger yet) fall back to the dense
+        range, which was correct for them because every pre-ledger
+        consumer also assumed density (vacuumed dirs fail the _op probe
+        and return None downstream)."""
+        state = self._pointer_state()
+        committed = state.get("committed")
+        if committed is not None:
+            if state.get("committed_floor", 0) > lo + 1:
+                return None  # pruned entries may fall inside (lo, hi]
+            return sorted(x for x in committed if lo < x <= hi)
+        return list(range(lo + 1, hi + 1))
+
     def appended_since(self, v: int | None) -> DataFrame | None:
         """The append-only delta: rows added by append commits strictly
         after version ``v``. Returns None when the delta is not
@@ -372,8 +437,11 @@ class ManagedTable:
             return None
         if v >= cur:
             return self.spark.createDataFrame([], self.read().schema)
+        versions = self._committed_in_range(v, cur)
+        if versions is None:
+            return None
         files: list[str] = []
-        for vv in range(v + 1, cur + 1):
+        for vv in versions:
             if self._op(vv) != "append":
                 return None
             files.extend(
@@ -418,20 +486,27 @@ class ManagedTable:
 
         if v >= cur:
             return _read([]).withColumn("_change_type", F.lit("insert")).limit(0)
+        versions = self._committed_in_range(v, cur)
+        if versions is None:
+            return None
         inserts: list[DataFrame] = []
         deletes: list[DataFrame] = []
-        for vv in range(v + 1, cur + 1):
+        for i, vv in enumerate(versions):
             op = self._op(vv)
             vdir = self._version_dir(vv)
             new_files = [str(f) for f in vdir.glob("*.parquet") if not f.name.startswith("prior_")]
             if op == "append":
                 inserts.append(_read(new_files))
             elif op == "merge":
-                # touched files = prior-version data files NOT hardlinked in
+                # touched files = prior-version data files NOT hardlinked
+                # in. "Prior" = the previous COMMITTED version (what the
+                # merge read as current) — with the ledger that is NOT
+                # necessarily vv-1, which could be an orphan dir.
                 linked = {
                     f.name[len("prior_"):] for f in vdir.glob("prior_*.parquet")
                 }
-                prev_dir = self._version_dir(vv - 1)
+                prev_v = versions[i - 1] if i > 0 else v
+                prev_dir = self._version_dir(prev_v)
                 touched_old = [
                     str(f) for f in prev_dir.glob("*.parquet") if f.name not in linked
                 ]
@@ -630,12 +705,31 @@ class ManagedTable:
         return self.overwrite(df)
 
     def vacuum(self, keep: int = 2) -> None:
-        """Drop snapshot dirs older than the newest ``keep`` versions."""
+        """Drop snapshot dirs older than the newest ``keep`` versions,
+        and prune their ledger entries (recording the prune point in
+        ``committed_floor``) — otherwise a long-lived streaming sink
+        table would re-parse an ever-growing committed list on every
+        pointer read."""
         cur = self.current_version()
         for d in sorted(self.dir.glob("v*")):
             v = int(d.name[1:])
             if v <= cur - keep:
                 shutil.rmtree(d, ignore_errors=True)
+        fd = self._acquire_commit_lock()
+        try:
+            state = self._pointer_state()
+            committed = state.get("committed")
+            keep_from = cur - keep + 1
+            if committed is not None and any(x < keep_from for x in committed):
+                state["committed"] = [x for x in committed if x >= keep_from]
+                state["committed_floor"] = max(
+                    state.get("committed_floor", 0), keep_from
+                )
+                tmp = self.dir / f"_latest.tmp.{os.getpid()}.{time.monotonic_ns()}"
+                tmp.write_text(json.dumps(state))
+                os.replace(tmp, self._pointer())
+        finally:
+            self._release_commit_lock(fd)
 
     def vacuum_uncommitted(self) -> None:
         """Remove orphan version dirs left by crashed or losing writers
@@ -657,7 +751,10 @@ class ManagedTable:
         state = self._pointer_state()
         committed = state.get("committed")
         if committed is not None:
-            if version not in committed:
+            # entries below committed_floor were pruned by vacuum — for
+            # those (whose dirs vacuum also removed) fall through to the
+            # dir/marker checks instead of the membership test
+            if version >= state.get("committed_floor", 0) and version not in committed:
                 raise FileNotFoundError(
                     f"table {self.name}: version {version} is not committed "
                     "history (aborted/losing-writer dir, or never existed) — "

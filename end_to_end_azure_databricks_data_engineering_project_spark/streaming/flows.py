@@ -606,10 +606,11 @@ def run_hll_drain(
     stored = table.applied_epoch("hll_drain")
     if stored is not None and epoch <= stored:
         return -1
+    existed = table.exists()
     batch_regs = hll_registers(batch.select(key_col), key_col, m)
     merged = (
         hll_merge(table.read().select("idx", "reg"), batch_regs)
-        if table.exists()
+        if existed
         else batch_regs
     )
     # write the m-guard sidecar BEFORE the first commit: a crash in the
@@ -623,6 +624,18 @@ def run_hll_drain(
     merged = merged.persist()
     try:
         n_regs = merged.count()
+        # re-verify just before committing: a CONCURRENT first drain with
+        # a different m may have committed (and re-bound the sidecar)
+        # while this drain's Spark job ran — merging across bit splits,
+        # or overwriting its registers with a disjoint sketch, must fail
+        # loudly instead
+        if table.exists() != existed or (
+            meta.exists() and json.loads(meta.read_text())["m"] != m
+        ):
+            raise ValueError(
+                "hll_registers changed during the drain (concurrent drain "
+                "with a different m?) — retry this drain"
+            )
         table.overwrite(merged, epoch=epoch, epoch_key="hll_drain")
     finally:
         merged.unpersist()

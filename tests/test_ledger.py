@@ -1,0 +1,107 @@
+"""Committed-version ledger: pre-ledger seeding, orphan exclusion from
+incremental deltas, vacuum pruning."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+
+def _t(spark, tmp_path, name="t"):
+    return Catalog(spark, tmp_path / "wh").table(name)
+
+
+def _ids(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+
+def _strip_ledger(t):
+    """Rewrite the pointer as a pre-ledger (legacy) state."""
+    p = t._pointer()
+    state = json.loads(p.read_text())
+    state.pop("committed", None)
+    state.pop("committed_floor", None)
+    p.write_text(json.dumps(state))
+
+
+def test_first_commit_on_legacy_table_seeds_history(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    v0 = t.overwrite(_ids(spark, 0, 3))
+    v1 = t.append(_ids(spark, 3, 5))
+    _strip_ledger(t)  # simulate a table created before the ledger existed
+    v2 = t.append(_ids(spark, 5, 6))
+    # old committed snapshots must STILL be readable/restorable
+    assert t.read_at(v0).count() == 3
+    assert t.read_at(v1).count() == 5
+    t.restore(v0)
+    assert t.read().count() == 3
+    state = t._pointer_state()
+    assert set(state["committed"]) >= {v0, v1, v2}
+
+
+def test_appended_since_skips_losing_writer_orphan(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    v0 = t.overwrite(_ids(spark, 0, 3))
+    # losing appender: complete data + 'append' marker, commit never ran
+    lost = t._claim_next_version()
+    _ids(spark, 100, 110).write.mode("overwrite").parquet(
+        str(t._version_dir(lost))
+    )
+    t._write_op_marker(lost, "append")
+    # winner commits past it
+    t.append(_ids(spark, 3, 5))
+    delta = t.appended_since(v0)
+    assert delta is not None
+    got = sorted(r.k for r in delta.collect())
+    assert got == [3, 4]  # the orphan's 100..109 rows must NOT appear
+
+
+def test_changes_since_skips_orphan_and_diffs_against_committed_prev(
+    spark, tmp_path
+):
+    t = _t(spark, tmp_path)
+    v0 = t.overwrite(_ids(spark, 0, 3))
+    lost = t._claim_next_version()
+    _ids(spark, 500, 505).write.mode("overwrite").parquet(
+        str(t._version_dir(lost))
+    )
+    t._write_op_marker(lost, "append")
+    t.append(_ids(spark, 3, 4))
+    feed = t.changes_since(v0)
+    assert feed is not None
+    rows = {(r.k, r._change_type) for r in feed.collect()}
+    assert rows == {(3, "insert")}
+
+
+def test_vacuum_prunes_ledger_and_delta_falls_back(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    v0 = t.overwrite(_ids(spark, 0, 2))
+    for lo in range(2, 8):
+        t.append(_ids(spark, lo, lo + 1))
+    t.vacuum(keep=2)
+    state = t._pointer_state()
+    assert min(state["committed"]) >= t.current_version() - 1
+    assert state["committed_floor"] == t.current_version() - 1
+    # a delta range crossing pruned territory is not derivable (rebuild)
+    assert t.appended_since(v0) is None
+    # current snapshot unaffected
+    assert t.read().count() == 8
+    with pytest.raises(FileNotFoundError):
+        t.read_at(v0)  # vacuumed
+
+
+def test_commit_lock_steals_stale_lock(spark, tmp_path):
+    import os
+    import time
+
+    t = _t(spark, tmp_path)
+    lock = t.dir / "_latest.lock"
+    lock.touch()
+    os.utime(lock, (time.time() - 60, time.time() - 60))  # crashed writer
+    t.overwrite(_ids(spark, 0, 2))  # must steal the stale lock, not hang
+    assert t.read().count() == 2
+    assert not lock.exists()

@@ -83,13 +83,12 @@ def test_query_matches_oracle(spark, duck, name):
         "timestamp_ntz": "ts", "boolean": "bool", "BOOLEAN": "bool",
     }
     def canon_type(t):
-        # same element type, different list spellings: Spark
-        # array<float> == DuckDB FLOAT[]
+        # same element type, different list spellings (recursively, so
+        # array<array<float>> == FLOAT[][]): Spark array<float> == FLOAT[]
         if t.endswith("[]"):
-            return f"arr<{canon.get(t[:-2], t[:-2])}>"
+            return f"arr<{canon_type(t[:-2])}>"
         if t.startswith("array<") and t.endswith(">"):
-            inner = t[6:-1]
-            return f"arr<{canon.get(inner, inner)}>"
+            return f"arr<{canon_type(t[6:-1])}>"
         return canon.get(t, t)
 
     stypes = {f.name: canon_type(f.dataType.simpleString())
