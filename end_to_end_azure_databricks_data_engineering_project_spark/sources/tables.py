@@ -175,10 +175,20 @@ class ManagedTable:
         os.close(fd)
         (self.dir / "_latest.lock").unlink(missing_ok=True)
 
-    def _commit(self, v: int, epoch=None, epoch_key=None) -> None:
+    def _commit(self, v: int, epoch=None, epoch_key=None) -> bool:
+        """Atomically publish version ``v``. Returns False (commit
+        skipped, ``v`` becomes a never-committed orphan the ledger
+        excludes) when the epoch watermark shows this epoch already
+        applied — re-checked INSIDE the lock, because the caller's
+        check-then-act guard races: two concurrent replays of the same
+        micro-batch could both pass it and double-apply."""
         fd = self._acquire_commit_lock()
         try:
             state = self._pointer_state()  # read INSIDE the lock
+            if epoch is not None and epoch_key is not None:
+                applied = state["epochs"].get(epoch_key)
+                if applied is not None and epoch <= applied:
+                    return False
             if state["version"] >= v:
                 raise ConcurrentWriteError(
                     f"table {self.name}: pointer already at v{state['version']} "
@@ -207,6 +217,7 @@ class ManagedTable:
             tmp = self.dir / f"_latest.tmp.{os.getpid()}.{time.monotonic_ns()}"
             tmp.write_text(json.dumps(state))
             os.replace(tmp, self._pointer())
+            return True
         finally:
             self._release_commit_lock(fd)
 
@@ -566,7 +577,8 @@ class ManagedTable:
         self._write_op_marker(v, "snapshot")
         self._write_schema(self._version_dir(v), df.schema)
         self._collect_stats(self._version_dir(v))
-        self._commit(v, epoch, epoch_key)
+        if not self._commit(v, epoch, epoch_key):  # lost the replay race
+            return self.current_version()
         return v
 
     def append(self, df: DataFrame, epoch=None, epoch_key=None, evolve: bool = False) -> int:
@@ -591,7 +603,8 @@ class ManagedTable:
         self._write_op_marker(new_v, "append")
         self._write_schema(new_dir, schema)
         self._collect_stats(new_dir, self.file_stats(v) if v >= 0 else None)
-        self._commit(new_v, epoch, epoch_key)
+        if not self._commit(new_v, epoch, epoch_key):  # lost the replay race
+            return self.current_version()
         return new_v
 
     def merge_keyed(
@@ -675,7 +688,8 @@ class ManagedTable:
         self._write_op_marker(new_v, "merge")
         self._write_schema(new_dir, schema)
         self._collect_stats(new_dir, self.file_stats(v) if not full_rewrite else None)
-        self._commit(new_v, epoch, epoch_key)
+        if not self._commit(new_v, epoch, epoch_key):  # lost the replay race
+            return self.current_version()
         return new_v
 
     def compact(

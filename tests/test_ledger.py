@@ -105,3 +105,25 @@ def test_commit_lock_steals_stale_lock(spark, tmp_path):
     t.overwrite(_ids(spark, 0, 2))  # must steal the stale lock, not hang
     assert t.read().count() == 2
     assert not lock.exists()
+
+
+def test_epoch_guard_rechecked_inside_commit(spark, tmp_path):
+    """The caller-level epoch guard is check-then-act; _commit re-checks
+    under the lock so a second writer that passed the outer guard
+    cannot double-apply the epoch. Simulated by applying the epoch
+    between the outer check and the commit."""
+    t = _t(spark, tmp_path)
+    t.overwrite(_ids(spark, 0, 2))
+    t.append(_ids(spark, 2, 4), epoch=7, epoch_key="sink")
+    n_before = t.read().count()
+    # direct _commit with the same epoch: must be skipped (False) and
+    # leave the pointer where it was
+    v = t._claim_next_version()
+    _ids(spark, 100, 105).write.mode("overwrite").parquet(
+        str(t._version_dir(v))
+    )
+    t._write_op_marker(v, "append")
+    assert t._commit(v, epoch=7, epoch_key="sink") is False
+    assert t.read().count() == n_before
+    # the skipped dir is an orphan the ledger excludes
+    assert v not in t._pointer_state()["committed"]
