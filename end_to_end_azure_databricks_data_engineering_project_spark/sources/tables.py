@@ -148,21 +148,38 @@ class ManagedTable:
             ) from exc
         return v
 
-    def _acquire_commit_lock(self) -> int:
+    def _acquire_commit_lock(self) -> tuple[int, str]:
         """Exclusive-create lock serializing pointer read-modify-write:
         without it, two concurrent _commits could each read a stale
         state and the second os.replace would drop the first writer's
         ledger entry / epoch watermark (lost update). The critical
-        section is microseconds of JSON I/O; a lock left by a crashed
-        process is stolen after 10 s."""
+        section is microseconds of JSON I/O.
+
+        Crashed-writer recovery: a lock older than 10 s is stolen by
+        atomically RENAMING it aside — rename has exactly one winner,
+        so two waiters cannot both steal (an unlink-based steal would
+        let the second waiter remove the first stealer's fresh lock).
+        The lock carries a unique token so release only removes a lock
+        this holder still owns. The wait budget (15 s) exceeds the
+        steal threshold, so a waiter arriving right after a crash
+        eventually steals instead of timing out."""
         lock = self.dir / "_latest.lock"
-        for _ in range(500):
+        token = f"{os.getpid()}.{time.monotonic_ns()}"
+        deadline = time.monotonic() + 15.0
+        while time.monotonic() < deadline:
             try:
-                return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, token.encode())
+                return fd, token
             except FileExistsError:
                 try:
                     if time.time() - lock.stat().st_mtime > 10.0:
-                        lock.unlink(missing_ok=True)
+                        stale = lock.with_name(f"_latest.lock.stale.{token}")
+                        try:
+                            os.rename(lock, stale)  # atomic: one winner
+                        except FileNotFoundError:
+                            continue
+                        stale.unlink(missing_ok=True)
                         continue
                 except FileNotFoundError:
                     continue
@@ -171,24 +188,52 @@ class ManagedTable:
             f"table {self.name}: could not acquire commit lock"
         )
 
-    def _release_commit_lock(self, fd: int) -> None:
+    def _release_commit_lock(self, fd: int, token: str) -> None:
         os.close(fd)
-        (self.dir / "_latest.lock").unlink(missing_ok=True)
+        lock = self.dir / "_latest.lock"
+        try:
+            if lock.read_text() == token:  # still ours (not stolen)
+                lock.unlink(missing_ok=True)
+        except FileNotFoundError:
+            pass
 
-    def _commit(self, v: int, epoch=None, epoch_key=None) -> bool:
+    def _write_pointer_locked(self, state: dict) -> None:
+        """Atomic pointer publish — call only while holding the commit
+        lock (single home for the tmp-write + rename protocol)."""
+        tmp = self.dir / f"_latest.tmp.{os.getpid()}.{time.monotonic_ns()}"
+        tmp.write_text(json.dumps(state))
+        os.replace(tmp, self._pointer())
+
+    def _commit(
+        self, v: int, epoch=None, epoch_key=None, expected_version: int | None = None
+    ) -> bool:
         """Atomically publish version ``v``. Returns False (commit
         skipped, ``v`` becomes a never-committed orphan the ledger
         excludes) when the epoch watermark shows this epoch already
         applied — re-checked INSIDE the lock, because the caller's
         check-then-act guard races: two concurrent replays of the same
-        micro-batch could both pass it and double-apply."""
-        fd = self._acquire_commit_lock()
+        micro-batch could both pass it and double-apply.
+
+        ``expected_version``: optimistic-concurrency check — raise if
+        the pointer moved since the caller read its inputs at that
+        version (a read-merge-overwrite over stale state must fail
+        loudly, not silently drop the interleaved commit's rows)."""
+        fd, token = self._acquire_commit_lock()
         try:
             state = self._pointer_state()  # read INSIDE the lock
             if epoch is not None and epoch_key is not None:
                 applied = state["epochs"].get(epoch_key)
                 if applied is not None and epoch <= applied:
                     return False
+            if (
+                expected_version is not None
+                and state["version"] != expected_version
+            ):
+                raise ConcurrentWriteError(
+                    f"table {self.name}: optimistic concurrency check failed "
+                    f"(read at v{expected_version}, pointer now at "
+                    f"v{state['version']}) — re-read and retry"
+                )
             if state["version"] >= v:
                 raise ConcurrentWriteError(
                     f"table {self.name}: pointer already at v{state['version']} "
@@ -214,12 +259,10 @@ class ManagedTable:
                 )
             state["committed"].append(v)
             state["version"] = v
-            tmp = self.dir / f"_latest.tmp.{os.getpid()}.{time.monotonic_ns()}"
-            tmp.write_text(json.dumps(state))
-            os.replace(tmp, self._pointer())
+            self._write_pointer_locked(state)
             return True
         finally:
-            self._release_commit_lock(fd)
+            self._release_commit_lock(fd, token)
 
     # -- schema enforcement / evolution -------------------------------------
     def _write_schema(self, vdir: Path, schema) -> None:
@@ -518,6 +561,12 @@ class ManagedTable:
                 }
                 prev_v = versions[i - 1] if i > 0 else v
                 prev_dir = self._version_dir(prev_v)
+                if not prev_dir.exists():
+                    # the diff base (often the caller's cursor version)
+                    # was vacuumed — an empty old side would turn every
+                    # rewritten row into a phantom 'insert' and drop the
+                    # deletes; not derivable, rebuild instead
+                    return None
                 touched_old = [
                     str(f) for f in prev_dir.glob("*.parquet") if f.name not in linked
                 ]
@@ -563,13 +612,22 @@ class ManagedTable:
             except OSError:
                 shutil.copy2(f, target)
 
-    def overwrite(self, df: DataFrame, epoch=None, epoch_key=None) -> int:
+    def overwrite(
+        self, df: DataFrame, epoch=None, epoch_key=None,
+        expected_version: int | None = None,
+    ) -> int:
         """Write a full new snapshot and atomically repoint ``_latest``.
 
         ``(epoch, epoch_key)``: optional idempotence watermark — if a
         committed write already recorded epoch >= this one under the
         same key (an at-least-once foreachBatch replay after a crash
-        between sink write and checkpoint), the write is skipped."""
+        between sink write and checkpoint), the write is skipped.
+
+        ``expected_version``: optimistic concurrency — raise
+        ``ConcurrentWriteError`` (checked atomically inside the commit
+        lock) if the pointer moved since the caller read the table at
+        that version; for read-modify-overwrite patterns where silently
+        replacing an interleaved commit's data would lose it."""
         if self._epoch_already_applied(epoch, epoch_key):
             return self.current_version()
         v = self._claim_next_version()
@@ -577,8 +635,8 @@ class ManagedTable:
         self._write_op_marker(v, "snapshot")
         self._write_schema(self._version_dir(v), df.schema)
         self._collect_stats(self._version_dir(v))
-        if not self._commit(v, epoch, epoch_key):  # lost the replay race
-            return self.current_version()
+        if not self._commit(v, epoch, epoch_key, expected_version):
+            return self.current_version()  # lost the replay race
         return v
 
     def append(self, df: DataFrame, epoch=None, epoch_key=None, evolve: bool = False) -> int:
@@ -729,7 +787,7 @@ class ManagedTable:
             v = int(d.name[1:])
             if v <= cur - keep:
                 shutil.rmtree(d, ignore_errors=True)
-        fd = self._acquire_commit_lock()
+        fd, token = self._acquire_commit_lock()
         try:
             state = self._pointer_state()
             committed = state.get("committed")
@@ -739,11 +797,9 @@ class ManagedTable:
                 state["committed_floor"] = max(
                     state.get("committed_floor", 0), keep_from
                 )
-                tmp = self.dir / f"_latest.tmp.{os.getpid()}.{time.monotonic_ns()}"
-                tmp.write_text(json.dumps(state))
-                os.replace(tmp, self._pointer())
+                self._write_pointer_locked(state)
         finally:
-            self._release_commit_lock(fd)
+            self._release_commit_lock(fd, token)
 
     def vacuum_uncommitted(self) -> None:
         """Remove orphan version dirs left by crashed or losing writers

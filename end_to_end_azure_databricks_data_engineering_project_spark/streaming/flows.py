@@ -606,11 +606,11 @@ def run_hll_drain(
     stored = table.applied_epoch("hll_drain")
     if stored is not None and epoch <= stored:
         return -1
-    existed = table.exists()
+    base_v = table.current_version()  # OCC base: what this drain reads
     batch_regs = hll_registers(batch.select(key_col), key_col, m)
     merged = (
         hll_merge(table.read().select("idx", "reg"), batch_regs)
-        if existed
+        if base_v >= 0
         else batch_regs
     )
     # write the m-guard sidecar BEFORE the first commit: a crash in the
@@ -624,19 +624,15 @@ def run_hll_drain(
     merged = merged.persist()
     try:
         n_regs = merged.count()
-        # re-verify just before committing: a CONCURRENT first drain with
-        # a different m may have committed (and re-bound the sidecar)
-        # while this drain's Spark job ran — merging across bit splits,
-        # or overwriting its registers with a disjoint sketch, must fail
-        # loudly instead
-        if table.exists() != existed or (
-            meta.exists() and json.loads(meta.read_text())["m"] != m
-        ):
-            raise ValueError(
-                "hll_registers changed during the drain (concurrent drain "
-                "with a different m?) — retry this drain"
-            )
-        table.overwrite(merged, epoch=epoch, epoch_key="hll_drain")
+        # expected_version closes the read-merge-overwrite race
+        # ATOMICALLY (checked inside the table's commit lock): any
+        # commit interleaving with this drain — a concurrent drain with
+        # a different m, or a same-m drain whose registers this stale
+        # merge would silently drop — fails this commit loudly with
+        # ConcurrentWriteError; the caller retries against fresh state.
+        table.overwrite(
+            merged, epoch=epoch, epoch_key="hll_drain", expected_version=base_v
+        )
     finally:
         merged.unpersist()
     return n_regs

@@ -127,3 +127,20 @@ def test_epoch_guard_rechecked_inside_commit(spark, tmp_path):
     assert t.read().count() == n_before
     # the skipped dir is an orphan the ledger excludes
     assert v not in t._pointer_state()["committed"]
+
+
+def test_overwrite_optimistic_concurrency_check(spark, tmp_path):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import (
+        ConcurrentWriteError,
+    )
+
+    t = _t(spark, tmp_path)
+    v0 = t.overwrite(_ids(spark, 0, 3))
+    # writer A reads at v0; writer B commits; A's overwrite must fail
+    t.append(_ids(spark, 3, 5))
+    with pytest.raises(ConcurrentWriteError, match="optimistic"):
+        t.overwrite(_ids(spark, 0, 1), expected_version=v0)
+    # table unharmed; matching expectation succeeds
+    assert t.read().count() == 5
+    t.overwrite(_ids(spark, 0, 1), expected_version=t.current_version())
+    assert t.read().count() == 1
