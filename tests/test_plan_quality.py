@@ -1,0 +1,74 @@
+"""Plan-shape regression tests for headline catalog queries: the scale
+properties (pushdown, broadcast dims, no accidental cartesians) must
+hold in CI, not just in the per-round explain-audit artifact."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from end_to_end_azure_databricks_data_engineering_project_spark.plans.queries import CATALOG
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = CATALOG[name].spark(spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.mark.parametrize(
+    "name", ["watermark_filter", "pricing_summary", "in_predicate", "like_filter"]
+)
+def test_filters_push_to_scan(spark, name):
+    assert re.search(r"PushedFilters: \[(?!\])", _plan(spark, name)), (
+        f"{name}: filter must reach the parquet scan"
+    )
+
+
+@pytest.mark.parametrize(
+    "name", ["star_join_revenue", "broadcast_dim_join", "topk_customers",
+             "null_safe_join"]
+)
+def test_dim_joins_broadcast(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: dims must broadcast"
+    assert "SortMergeJoin" not in plan, (
+        f"{name}: a dim join fell back to SortMergeJoin"
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["minhash_signatures", "doc_fingerprint_dedup", "sessionize",
+     "latest_per_key", "feature_hash_tf", "lexical_diversity"],
+)
+def test_no_accidental_cartesian(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: unexpected cartesian"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: unexpected BNLJ"
+
+
+def test_projection_prunes_scan(spark):
+    # project_drop drops columns: the scan must read the pruned schema,
+    # not the table's full 11-column lineitem width
+    plan = _plan(spark, "project_drop")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "scan should expose ReadSchema"
+    read_cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    out_cols = CATALOG["project_drop"].spark(spark, SF_DIR).columns
+    assert 0 < len(read_cols) <= len(out_cols), (read_cols, out_cols)
+
+
+def test_srp_banding_keeps_vectors_out_of_explode(spark):
+    # ann_topk_srp's banded explode must not carry the 64-float vector
+    plan = _plan(spark, "ann_topk_srp")
+    gen = [l for l in plan.splitlines() if "explode(" in l]
+    assert gen, "expected an explode in the SRP plan"
+    assert not any("embedding" in l for l in gen), (
+        "the embedding vector must not ride the banded explode"
+    )
