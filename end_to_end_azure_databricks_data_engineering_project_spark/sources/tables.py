@@ -148,54 +148,41 @@ class ManagedTable:
             ) from exc
         return v
 
-    def _acquire_commit_lock(self) -> tuple[int, str]:
-        """Exclusive-create lock serializing pointer read-modify-write:
+    def _acquire_commit_lock(self) -> int:
+        """Advisory flock serializing pointer read-modify-write:
         without it, two concurrent _commits could each read a stale
         state and the second os.replace would drop the first writer's
         ledger entry / epoch watermark (lost update). The critical
         section is microseconds of JSON I/O.
 
-        Crashed-writer recovery: a lock older than 10 s is stolen by
-        atomically RENAMING it aside — rename has exactly one winner,
-        so two waiters cannot both steal (an unlink-based steal would
-        let the second waiter remove the first stealer's fresh lock).
-        The lock carries a unique token so release only removes a lock
-        this holder still owns. The wait budget (15 s) exceeds the
-        steal threshold, so a waiter arriving right after a crash
-        eventually steals instead of timing out."""
-        lock = self.dir / "_latest.lock"
-        token = f"{os.getpid()}.{time.monotonic_ns()}"
-        deadline = time.monotonic() + 15.0
-        while time.monotonic() < deadline:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, token.encode())
-                return fd, token
-            except FileExistsError:
-                try:
-                    if time.time() - lock.stat().st_mtime > 10.0:
-                        stale = lock.with_name(f"_latest.lock.stale.{token}")
-                        try:
-                            os.rename(lock, stale)  # atomic: one winner
-                        except FileNotFoundError:
-                            continue
-                        stale.unlink(missing_ok=True)
-                        continue
-                except FileNotFoundError:
-                    continue
-                time.sleep(0.01)
-        raise ConcurrentWriteError(
-            f"table {self.name}: could not acquire commit lock"
-        )
+        flock (not exclusive-create) because the kernel releases it
+        automatically when the holder crashes or is killed — no stale
+        locks, no steal heuristics, no ownership tokens, and release
+        cannot race another holder. The zero-byte lock file persists in
+        the table dir by design. (Advisory file locks require a local
+        filesystem — the documented deployment for ManagedTable's
+        pointer dir.)"""
+        import fcntl
 
-    def _release_commit_lock(self, fd: int, token: str) -> None:
+        fd = os.open(self.dir / "_latest.lock", os.O_CREAT | os.O_RDWR)
+        deadline = time.monotonic() + 15.0
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                return fd
+            except OSError:
+                if time.monotonic() >= deadline:
+                    os.close(fd)
+                    raise ConcurrentWriteError(
+                        f"table {self.name}: could not acquire commit lock"
+                    )
+                time.sleep(0.01)
+
+    def _release_commit_lock(self, fd: int) -> None:
+        import fcntl
+
+        fcntl.flock(fd, fcntl.LOCK_UN)
         os.close(fd)
-        lock = self.dir / "_latest.lock"
-        try:
-            if lock.read_text() == token:  # still ours (not stolen)
-                lock.unlink(missing_ok=True)
-        except FileNotFoundError:
-            pass
 
     def _write_pointer_locked(self, state: dict) -> None:
         """Atomic pointer publish — call only while holding the commit
@@ -218,7 +205,7 @@ class ManagedTable:
         the pointer moved since the caller read its inputs at that
         version (a read-merge-overwrite over stale state must fail
         loudly, not silently drop the interleaved commit's rows)."""
-        fd, token = self._acquire_commit_lock()
+        fd = self._acquire_commit_lock()
         try:
             state = self._pointer_state()  # read INSIDE the lock
             if epoch is not None and epoch_key is not None:
@@ -262,7 +249,7 @@ class ManagedTable:
             self._write_pointer_locked(state)
             return True
         finally:
-            self._release_commit_lock(fd, token)
+            self._release_commit_lock(fd)
 
     # -- schema enforcement / evolution -------------------------------------
     def _write_schema(self, vdir: Path, schema) -> None:
@@ -630,6 +617,17 @@ class ManagedTable:
         replacing an interleaved commit's data would lose it."""
         if self._epoch_already_applied(epoch, epoch_key):
             return self.current_version()
+        if (
+            expected_version is not None
+            and self.current_version() != expected_version
+        ):
+            # fast-fail before burning the snapshot write; the
+            # authoritative (locked) check still runs in _commit
+            raise ConcurrentWriteError(
+                f"table {self.name}: optimistic concurrency check failed "
+                f"(read at v{expected_version}, pointer now at "
+                f"v{self.current_version()}) — re-read and retry"
+            )
         v = self._claim_next_version()
         df.write.mode("overwrite").parquet(str(self._version_dir(v)))
         self._write_op_marker(v, "snapshot")
@@ -787,7 +785,7 @@ class ManagedTable:
             v = int(d.name[1:])
             if v <= cur - keep:
                 shutil.rmtree(d, ignore_errors=True)
-        fd, token = self._acquire_commit_lock()
+        fd = self._acquire_commit_lock()
         try:
             state = self._pointer_state()
             committed = state.get("committed")
@@ -799,7 +797,7 @@ class ManagedTable:
                 )
                 self._write_pointer_locked(state)
         finally:
-            self._release_commit_lock(fd, token)
+            self._release_commit_lock(fd)
 
     def vacuum_uncommitted(self) -> None:
         """Remove orphan version dirs left by crashed or losing writers

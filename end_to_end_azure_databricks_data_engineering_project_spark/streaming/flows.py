@@ -624,15 +624,27 @@ def run_hll_drain(
     merged = merged.persist()
     try:
         n_regs = merged.count()
-        # expected_version closes the read-merge-overwrite race
-        # ATOMICALLY (checked inside the table's commit lock): any
-        # commit interleaving with this drain — a concurrent drain with
-        # a different m, or a same-m drain whose registers this stale
-        # merge would silently drop — fails this commit loudly with
-        # ConcurrentWriteError; the caller retries against fresh state.
+        # two complementary guards:
+        #  - the sidecar re-check catches a CONCURRENT FIRST drain with a
+        #    different m that re-bound the sidecar while our job ran (OCC
+        #    can't see it — the pointer never moved);
+        #  - expected_version closes the read-merge-overwrite race
+        #    ATOMICALLY (checked inside the table's commit lock): any
+        #    interleaved commit — different m, or a same-m drain whose
+        #    registers this stale merge would silently drop — fails this
+        #    commit loudly with ConcurrentWriteError; caller retries.
+        if meta.exists() and json.loads(meta.read_text())["m"] != m:
+            raise ValueError(
+                "hll_registers sidecar was re-bound to a different m during "
+                "the drain (concurrent first drain?) — retry"
+            )
         table.overwrite(
             merged, epoch=epoch, epoch_key="hll_drain", expected_version=base_v
         )
+        # make the sidecar authoritative for what actually COMMITTED: a
+        # rebind that slipped between the re-check and the commit is
+        # corrected here, and any drain it belonged to fails OCC anyway
+        meta.write_text(json.dumps({"m": m}))
     finally:
         merged.unpersist()
     return n_regs

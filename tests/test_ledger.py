@@ -94,17 +94,42 @@ def test_vacuum_prunes_ledger_and_delta_falls_back(spark, tmp_path):
         t.read_at(v0)  # vacuumed
 
 
-def test_commit_lock_steals_stale_lock(spark, tmp_path):
-    import os
-    import time
-
+def test_commit_lock_survives_crashed_holder(spark, tmp_path):
+    """flock is kernel-released when the holder dies, so a lock file
+    left by a crashed writer never blocks the next commit (the
+    zero-byte lock file itself persists by design)."""
     t = _t(spark, tmp_path)
     lock = t.dir / "_latest.lock"
-    lock.touch()
-    os.utime(lock, (time.time() - 60, time.time() - 60))  # crashed writer
-    t.overwrite(_ids(spark, 0, 2))  # must steal the stale lock, not hang
+    lock.touch()  # leftover file from a crashed writer — flock is gone
+    t.overwrite(_ids(spark, 0, 2))  # must acquire immediately, not hang
     assert t.read().count() == 2
-    assert not lock.exists()
+    assert lock.exists()  # persistent lock file, by design
+
+
+def test_commit_lock_blocks_second_holder(spark, tmp_path):
+    import fcntl
+    import os
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import (
+        ManagedTable,
+    )
+
+    t = _t(spark, tmp_path)
+    t.overwrite(_ids(spark, 0, 2))
+    fd = t._acquire_commit_lock()
+    try:
+        # another handle's non-blocking probe must fail while held
+        import pytest as _pytest
+
+        t2 = ManagedTable(spark, t.dir.parent, t.name)
+        fd2 = os.open(t2.dir / "_latest.lock", os.O_CREAT | os.O_RDWR)
+        try:
+            with _pytest.raises(OSError):
+                fcntl.flock(fd2, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        finally:
+            os.close(fd2)
+    finally:
+        t._release_commit_lock(fd)
 
 
 def test_epoch_guard_rechecked_inside_commit(spark, tmp_path):
