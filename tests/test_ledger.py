@@ -169,3 +169,76 @@ def test_overwrite_optimistic_concurrency_check(spark, tmp_path):
     assert t.read().count() == 5
     t.overwrite(_ids(spark, 0, 1), expected_version=t.current_version())
     assert t.read().count() == 1
+
+
+def test_commit_lock_cross_process(spark, tmp_path):
+    """True cross-process exclusion: a subprocess holds the flock for
+    ~2s; a commit in this process must WAIT and then succeed."""
+    import subprocess
+    import sys
+    import time
+
+    t = _t(spark, tmp_path)
+    t.overwrite(_ids(spark, 0, 2))
+    lock_path = t.dir / "_latest.lock"
+    holder = subprocess.Popen(
+        [sys.executable, "-c",
+         "import fcntl, os, sys, time\n"
+         f"fd = os.open({str(lock_path)!r}, os.O_CREAT | os.O_RDWR)\n"
+         "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+         "print('locked', flush=True)\n"
+         "time.sleep(2.0)\n"
+         "fcntl.flock(fd, fcntl.LOCK_UN)\n"]
+    , stdout=subprocess.PIPE)
+    assert holder.stdout.readline().strip() == b"locked"
+    t0 = time.monotonic()
+    t.append(_ids(spark, 2, 4))  # must block on the subprocess's flock
+    waited = time.monotonic() - t0
+    holder.wait(timeout=10)
+    assert t.read().count() == 4
+    assert waited >= 1.0, f"commit did not wait for the lock ({waited:.2f}s)"
+
+
+def test_ledger_randomized_model(spark, tmp_path):
+    """Seeded random interleaving of overwrite/append/orphan/restore/
+    vacuum against a pure-Python model: read() must always equal the
+    model, and orphan dirs must never surface."""
+    import random
+
+    rng = random.Random(7)
+    t = _t(spark, tmp_path)
+    next_id = 0
+
+    def fresh(n):
+        nonlocal next_id
+        lo = next_id
+        next_id += n
+        return set(range(lo, lo + n)), _ids(spark, lo, lo + n)
+
+    model, df = fresh(3)
+    committed = {t.overwrite(df): set(model)}
+    for step in range(18):
+        op = rng.choice(["overwrite", "append", "orphan", "restore", "vacuum"])
+        if op == "overwrite":
+            model, df = fresh(rng.randint(1, 4))
+            committed[t.overwrite(df)] = set(model)
+        elif op == "append":
+            extra, df = fresh(rng.randint(1, 3))
+            model |= extra
+            committed[t.append(df)] = set(model)
+        elif op == "orphan":
+            v = t._claim_next_version()
+            _ids(spark, 9000, 9005).write.mode("overwrite").parquet(
+                str(t._version_dir(v))
+            )
+            t._write_op_marker(v, rng.choice(["append", "snapshot"]))
+        elif op == "restore":
+            v = rng.choice(sorted(committed))
+            if t._version_dir(v).exists():
+                model = set(committed[v])
+                committed[t.restore(v)] = set(model)
+        else:
+            t.vacuum(keep=3)
+        got = {r.k for r in t.read().collect()}
+        assert got == model, (step, op, sorted(got)[:5], sorted(model)[:5])
+        assert not any(9000 <= k < 9005 for k in got)  # no orphan leakage
