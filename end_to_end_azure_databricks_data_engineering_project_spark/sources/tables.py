@@ -159,10 +159,21 @@ class ManagedTable:
         automatically when the holder crashes or is killed — no stale
         locks, no steal heuristics, no ownership tokens, and release
         cannot race another holder. The zero-byte lock file persists in
-        the table dir by design. (Advisory file locks require a local
-        filesystem — the documented deployment for ManagedTable's
-        pointer dir.)"""
-        import fcntl
+        the table dir by design. Requires a local filesystem with
+        advisory-lock support (ManagedTable's documented deployment for
+        the pointer dir); a filesystem error other than contention
+        (ENOLCK, EOPNOTSUPP, …) surfaces immediately instead of
+        spinning the wait budget."""
+        try:
+            import fcntl
+        except ImportError:  # pragma: no cover - non-POSIX fallback
+            # best-effort single-process serialization (threading only);
+            # cross-process safety needs the POSIX path
+            import threading
+
+            lock = self.__dict__.setdefault("_thread_lock", threading.Lock())
+            lock.acquire()
+            return -1
 
         fd = os.open(self.dir / "_latest.lock", os.O_CREAT | os.O_RDWR)
         deadline = time.monotonic() + 15.0
@@ -170,15 +181,21 @@ class ManagedTable:
             try:
                 fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                 return fd
-            except OSError:
+            except BlockingIOError:  # held by another process: wait
                 if time.monotonic() >= deadline:
                     os.close(fd)
                     raise ConcurrentWriteError(
                         f"table {self.name}: could not acquire commit lock"
                     )
                 time.sleep(0.01)
+            except OSError:
+                os.close(fd)  # ENOLCK/EOPNOTSUPP etc: not contention
+                raise
 
     def _release_commit_lock(self, fd: int) -> None:
+        if fd == -1:  # pragma: no cover - non-POSIX fallback
+            self.__dict__["_thread_lock"].release()
+            return
         import fcntl
 
         fcntl.flock(fd, fcntl.LOCK_UN)
@@ -191,8 +208,19 @@ class ManagedTable:
         tmp.write_text(json.dumps(state))
         os.replace(tmp, self._pointer())
 
+    def table_prop(self, key: str):
+        """A committed table property (bound via ``_commit(set_props=…)``,
+        atomic with the commit that established it), or None."""
+        return self._pointer_state().get("props", {}).get(key)
+
     def _commit(
-        self, v: int, epoch=None, epoch_key=None, expected_version: int | None = None
+        self,
+        v: int,
+        epoch=None,
+        epoch_key=None,
+        expected_version: int | None = None,
+        set_props: dict | None = None,
+        expect_props: dict | None = None,
     ) -> bool:
         """Atomically publish version ``v``. Returns False (commit
         skipped, ``v`` becomes a never-committed orphan the ledger
@@ -204,7 +232,14 @@ class ManagedTable:
         ``expected_version``: optimistic-concurrency check — raise if
         the pointer moved since the caller read its inputs at that
         version (a read-merge-overwrite over stale state must fail
-        loudly, not silently drop the interleaved commit's rows)."""
+        loudly, not silently drop the interleaved commit's rows).
+
+        ``expect_props`` / ``set_props``: commit-atomic table
+        properties. Each expected key must be unbound or equal to the
+        expected value (first binder wins); ``set_props`` are then
+        recorded in the pointer state. Check and bind ride the SAME
+        locked commit, so invariants like 'all committed sketch
+        registers share one m' hold with no sidecar-file races."""
         fd = self._acquire_commit_lock()
         try:
             state = self._pointer_state()  # read INSIDE the lock
@@ -221,6 +256,15 @@ class ManagedTable:
                     f"(read at v{expected_version}, pointer now at "
                     f"v{state['version']}) — re-read and retry"
                 )
+            if expect_props:
+                props = state.get("props", {})
+                for k, want in expect_props.items():
+                    have = props.get(k)
+                    if have is not None and have != want:
+                        raise ConcurrentWriteError(
+                            f"table {self.name}: committed property {k}={have} "
+                            f"conflicts with this write's {k}={want}"
+                        )
             if state["version"] >= v:
                 raise ConcurrentWriteError(
                     f"table {self.name}: pointer already at v{state['version']} "
@@ -228,6 +272,8 @@ class ManagedTable:
                 )
             if epoch is not None and epoch_key is not None:
                 state["epochs"][epoch_key] = epoch
+            if set_props:
+                state.setdefault("props", {}).update(set_props)
             # ledger of every version that actually committed: a claimed
             # dir whose writer lost the race (ConcurrentWriteError) or
             # crashed never appears here, so version-range readers can
@@ -602,6 +648,8 @@ class ManagedTable:
     def overwrite(
         self, df: DataFrame, epoch=None, epoch_key=None,
         expected_version: int | None = None,
+        set_props: dict | None = None,
+        expect_props: dict | None = None,
     ) -> int:
         """Write a full new snapshot and atomically repoint ``_latest``.
 
@@ -617,23 +665,23 @@ class ManagedTable:
         replacing an interleaved commit's data would lose it."""
         if self._epoch_already_applied(epoch, epoch_key):
             return self.current_version()
-        if (
-            expected_version is not None
-            and self.current_version() != expected_version
-        ):
+        cur = self.current_version()
+        if expected_version is not None and cur != expected_version:
             # fast-fail before burning the snapshot write; the
             # authoritative (locked) check still runs in _commit
             raise ConcurrentWriteError(
                 f"table {self.name}: optimistic concurrency check failed "
-                f"(read at v{expected_version}, pointer now at "
-                f"v{self.current_version()}) — re-read and retry"
+                f"(read at v{expected_version}, pointer now at v{cur}) — "
+                "re-read and retry"
             )
         v = self._claim_next_version()
         df.write.mode("overwrite").parquet(str(self._version_dir(v)))
         self._write_op_marker(v, "snapshot")
         self._write_schema(self._version_dir(v), df.schema)
         self._collect_stats(self._version_dir(v))
-        if not self._commit(v, epoch, epoch_key, expected_version):
+        if not self._commit(
+            v, epoch, epoch_key, expected_version, set_props, expect_props
+        ):
             return self.current_version()  # lost the replay race
         return v
 

@@ -579,30 +579,30 @@ def run_hll_drain(
 
     Exactly-once: register-wise MAX is idempotent, so a replayed batch
     cannot inflate the sketch even mid-crash; the epoch guard just
-    skips the recompute. The table records its ``m`` in a sidecar on
-    the first drain and refuses later drains with a different ``m`` —
-    registers from different bit splits must never max-combine.
+    skips the recompute. The table's ``m`` is bound as a COMMIT-ATOMIC
+    table property (``hll_m``): the first successful commit records it
+    in the pointer state, and every later commit's expectation is
+    checked inside the same locked commit — registers from different
+    bit splits can never max-combine, with no sidecar-file races and
+    nothing left behind by failed drains. Combined with the
+    ``expected_version`` OCC check, ANY interleaved commit (different
+    m, or a same-m drain whose registers a stale merge would silently
+    drop) fails this drain loudly; the caller retries on fresh state.
     Returns the register count after the drain, or -1 when the epoch
     was already applied (replay no-op)."""
-    import json
-
     from end_to_end_azure_databricks_data_engineering_project_spark.operators.sketches import (
         hll_merge,
         hll_registers,
     )
 
     table = catalog.table("hll_registers")
-    meta = table.dir / "_hll_meta.json"
-    # the m binding only matters once registers have actually COMMITTED:
-    # a sidecar left by a failed first drain must not lock an empty
-    # table to an m that never wrote anything (rebind below instead)
-    if meta.exists() and table.exists():
-        stored_m = json.loads(meta.read_text())["m"]
-        if stored_m != m:
-            raise ValueError(
-                f"hll_registers table was built with m={stored_m}; refusing to "
-                f"merge m={m} registers (different bit splits never combine)"
-            )
+    bound_m = table.table_prop("hll_m")
+    if bound_m is not None and bound_m != m:
+        # early, friendly version of the commit-time check
+        raise ValueError(
+            f"hll_registers table was built with m={bound_m}; refusing to "
+            f"merge m={m} registers (different bit splits never combine)"
+        )
     stored = table.applied_epoch("hll_drain")
     if stored is not None and epoch <= stored:
         return -1
@@ -613,38 +613,17 @@ def run_hll_drain(
         if base_v >= 0
         else batch_regs
     )
-    # write the m-guard sidecar BEFORE the first commit: a crash in the
-    # window between commit and sidecar would otherwise leave committed
-    # m=X registers guarded by nothing, letting a later default-m drain
-    # max-combine across bit splits. While nothing has committed the
-    # sidecar is re-bindable (a failed first drain must not lock the
-    # empty table to a typo'd m).
-    if not meta.exists() or not table.exists():
-        meta.write_text(json.dumps({"m": m}))
     merged = merged.persist()
     try:
         n_regs = merged.count()
-        # two complementary guards:
-        #  - the sidecar re-check catches a CONCURRENT FIRST drain with a
-        #    different m that re-bound the sidecar while our job ran (OCC
-        #    can't see it — the pointer never moved);
-        #  - expected_version closes the read-merge-overwrite race
-        #    ATOMICALLY (checked inside the table's commit lock): any
-        #    interleaved commit — different m, or a same-m drain whose
-        #    registers this stale merge would silently drop — fails this
-        #    commit loudly with ConcurrentWriteError; caller retries.
-        if meta.exists() and json.loads(meta.read_text())["m"] != m:
-            raise ValueError(
-                "hll_registers sidecar was re-bound to a different m during "
-                "the drain (concurrent first drain?) — retry"
-            )
         table.overwrite(
-            merged, epoch=epoch, epoch_key="hll_drain", expected_version=base_v
+            merged,
+            epoch=epoch,
+            epoch_key="hll_drain",
+            expected_version=base_v,
+            set_props={"hll_m": m},
+            expect_props={"hll_m": m},
         )
-        # make the sidecar authoritative for what actually COMMITTED: a
-        # rebind that slipped between the re-check and the commit is
-        # corrected here, and any drain it belonged to fails OCC anyway
-        meta.write_text(json.dumps({"m": m}))
     finally:
         merged.unpersist()
     return n_regs

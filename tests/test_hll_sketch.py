@@ -132,25 +132,32 @@ def test_hll_drain_rejects_mismatched_m(spark, tmp_path):
         run_hll_drain(cat, _ids(spark, 100, 200), epoch=2, m=64)
 
 
-def test_hll_drain_sidecar_rebinds_while_uncommitted(spark, tmp_path):
-    """A sidecar left by a FAILED first drain (crash before any commit)
-    must not lock the empty table to that m — the next drain rebinds."""
-    import json
-
+def test_hll_drain_m_binding_is_commit_atomic(spark, tmp_path):
+    """m binds as a table property WITH the first successful commit:
+    nothing is bound before one (a failed first drain leaves no
+    binding), and after one the binding is enforced both early
+    (friendly ValueError) and inside the locked commit itself."""
     from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import run_hll_drain
 
     cat = _drain_setup(spark, tmp_path)
     table = cat.table("hll_registers")
-    (table.dir / "_hll_meta.json").write_text(json.dumps({"m": 64}))  # typo'd m
-    assert not table.exists()
-    n = run_hll_drain(cat, _ids(spark, 0, 300), epoch=1, m=256)  # must not raise
+    assert table.table_prop("hll_m") is None  # nothing committed, no binding
+    n = run_hll_drain(cat, _ids(spark, 0, 300), epoch=1, m=256)
     assert n > 0
-    assert json.loads((table.dir / "_hll_meta.json").read_text())["m"] == 256
-    # ...and once committed, the binding holds
+    assert table.table_prop("hll_m") == 256
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="m=256"):
         run_hll_drain(cat, _ids(spark, 300, 400), epoch=2, m=64)
+    # the commit-level guard holds even if the early check is bypassed
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import (
+        ConcurrentWriteError,
+    )
+
+    with _pytest.raises(ConcurrentWriteError, match="hll_m"):
+        table.overwrite(
+            table.read(), expect_props={"hll_m": 64}, set_props={"hll_m": 64}
+        )
 
 
 def test_hll_small_m_register_width_and_accuracy(spark):

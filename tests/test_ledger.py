@@ -191,12 +191,17 @@ def test_commit_lock_cross_process(spark, tmp_path):
          "fcntl.flock(fd, fcntl.LOCK_UN)\n"]
     , stdout=subprocess.PIPE)
     assert holder.stdout.readline().strip() == b"locked"
+    # time ONLY the lock acquisition (not a Spark write, whose own
+    # latency could mask a broken lock): it must block until the
+    # subprocess releases at ~2s
     t0 = time.monotonic()
-    t.append(_ids(spark, 2, 4))  # must block on the subprocess's flock
+    fd = t._acquire_commit_lock()
     waited = time.monotonic() - t0
+    t._release_commit_lock(fd)
     holder.wait(timeout=10)
+    assert waited >= 1.0, f"acquire did not wait for the flock ({waited:.2f}s)"
+    t.append(_ids(spark, 2, 4))  # and commits still work afterwards
     assert t.read().count() == 4
-    assert waited >= 1.0, f"commit did not wait for the lock ({waited:.2f}s)"
 
 
 def test_ledger_randomized_model(spark, tmp_path):
