@@ -5464,27 +5464,38 @@ def q_string_toolkit(spark, sf):
 
 @_q(
     "array_toolkit",
-    "Array/list surface over the embedding column: slice (first 3 "
-    "components), element max, ascending sort of the head — the "
-    "higher-order-function family that keeps vector manipulation "
-    "JVM-side instead of in Python UDFs. Map-side only, no shuffle; "
-    "float32 components round-trip bit-exactly through both engines",
+    "Array/list surface over the embedding column: slice, element max, "
+    "ascending sort of the head — the higher-order-function family that "
+    "keeps vector manipulation JVM-side instead of in Python UDFs. "
+    "Map-side only, no shuffle; float32 components round-trip "
+    "bit-exactly through both engines. The array ops run in the plan; "
+    "the output projects their ELEMENTS as double columns because the "
+    "driver's canonical compare sorts/hashes cells, which array cells "
+    "cannot do (r5: `unhashable type: 'list'`)",
     "§2.3/§2.8 (array higher-order functions)",
     """
     SELECT vec_id,
-           embedding[1:3] AS head3,
+           CAST(embedding[1] AS DOUBLE) AS h1,
+           CAST(embedding[2] AS DOUBLE) AS h2,
+           CAST(embedding[3] AS DOUBLE) AS h3,
            CAST(list_max(embedding) AS DOUBLE) AS vmax,
-           list_sort(embedding[1:5]) AS head5_sorted
+           CAST(list_sort(embedding[1:5])[1] AS DOUBLE) AS s1,
+           CAST(list_sort(embedding[1:5])[5] AS DOUBLE) AS s5
     FROM embeddings
     """,
 )
 def q_array_toolkit(spark, sf):
     e = _t(spark, sf, "embeddings")
+    head3 = F.slice("embedding", 1, 3)
+    sorted5 = F.sort_array(F.slice("embedding", 1, 5))
     return e.select(
         "vec_id",
-        F.slice("embedding", 1, 3).alias("head3"),
+        F.element_at(head3, 1).cast("double").alias("h1"),
+        F.element_at(head3, 2).cast("double").alias("h2"),
+        F.element_at(head3, 3).cast("double").alias("h3"),
         F.array_max("embedding").cast("double").alias("vmax"),
-        F.sort_array(F.slice("embedding", 1, 5)).alias("head5_sorted"),
+        F.element_at(sorted5, 1).cast("double").alias("s1"),
+        F.element_at(sorted5, 5).cast("double").alias("s5"),
     )
 
 
@@ -5536,15 +5547,52 @@ _R4_GREEN = {
 }
 
 
+# Entries with a green row in CORRECTNESS_r05.json (the round-5
+# 50-entry driver window — all passed rows+schema+hash except
+# array_toolkit, whose array-typed cells the driver's pandas
+# canonicalization cannot hash; its entry now projects scalars and
+# must lead the r6 window as unproven).
+_R5_GREEN = {
+    "embedding_near_dup_srp", "sequence_packing", "quota_per_source",
+    "token_budget_head", "bigram_lm_score", "duplicated_span_dedup",
+    "gopher_rule_report", "vocab_build", "neardup_graph_pagerank",
+    "cluster_balanced_sample", "bloom_decontaminate", "ewma_smoothing",
+    "zorder_cluster", "embedding_quantize_int8", "weighted_sample",
+    "winsorized_stats", "knn_label_predict", "rolling_distinct_users",
+    "exact_jaccard_pairs", "table_checksum", "dedup_keep_best",
+    "mad_outliers", "hopping_window_counts", "token_cooccurrence_lift",
+    "neardup_triangles", "pareto_frontier", "column_profile",
+    "cms_heavy_hitters", "retention_cohorts", "event_transition_matrix",
+    "regression_per_group", "balanced_shards", "null_safe_join",
+    "skew_key_report", "lexical_diversity", "hll_distinct_merge",
+    "market_basket_pairs", "feature_hash_tf", "random_projection_jl",
+    "diversity_sample_srp", "quantile_hist_merge", "table_diff",
+    "corpus_ngram_overlap", "bpe_token_estimate", "forward_fill_locf",
+    "benford_first_digit", "monthly_revenue_growth", "string_toolkit",
+    "in_predicate",
+}
+
+#: green-evidence rounds, oldest first — ordering sorts proven entries
+#: by the LAST round that checked them (stalest evidence first).
+_GREEN_ROUNDS: list[set[str]] = [_R3_GREEN, _R4_GREEN, _R5_GREEN]
+
+
+def _last_green(name: str) -> int:
+    """Most recent round (index into _GREEN_ROUNDS, 1-based) with a
+    green driver row for this entry; 0 = never proven on the current
+    testdata."""
+    for i in range(len(_GREEN_ROUNDS), 0, -1):
+        if name in _GREEN_ROUNDS[i - 1]:
+            return i
+    return 0
+
+
 def _ordered_catalog() -> dict[str, CatalogQuery]:
-    by_name = {q.name: q for q in _CATALOG}
-    proven = _R3_GREEN | _R4_GREEN
-    new = [q.name for q in _CATALOG if q.name not in proven]
-    # Stalest standing evidence first: r3-green entries not re-checked
-    # in r4 precede the r4-green tail.
-    r3_only = [q.name for q in _CATALOG if q.name in _R3_GREEN - _R4_GREEN]
-    r4 = [q.name for q in _CATALOG if q.name in _R4_GREEN]
-    return {n: by_name[n] for n in new + r3_only + r4}
+    # Stable sort: unproven entries (last_green 0) lead the driver's
+    # 50-entry window, then proven ones by staleness of evidence;
+    # catalog registration order breaks ties.
+    ordered = sorted(_CATALOG, key=lambda q: _last_green(q.name))
+    return {q.name: q for q in ordered}
 
 
 CATALOG: dict[str, CatalogQuery] = _ordered_catalog()

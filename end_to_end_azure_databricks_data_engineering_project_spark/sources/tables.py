@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 from collections.abc import Callable, Sequence
 from pathlib import Path
@@ -53,6 +54,24 @@ class SchemaMismatchError(ValueError):
     committed schema (Delta-style schema ENFORCEMENT). Raised for type
     changes, for missing non-nullable columns, and for new columns
     unless the write opts into evolution (``evolve=True``)."""
+
+
+#: Non-POSIX commit-lock fallback: one threading.Lock per resolved table
+#: directory, shared by every ManagedTable instance pointing at it
+#: (Catalog.table() builds a fresh instance per call, so per-instance
+#: locks would not serialize anything). Guarded by _FALLBACK_LOCKS_GUARD
+#: so two threads can't each install their own lock for the same dir.
+_FALLBACK_LOCKS: dict[str, threading.Lock] = {}
+_FALLBACK_LOCKS_GUARD = threading.Lock()
+
+
+def _fallback_lock_for(table_dir: Path) -> threading.Lock:
+    key = str(Path(table_dir).resolve())
+    with _FALLBACK_LOCKS_GUARD:
+        lock = _FALLBACK_LOCKS.get(key)
+        if lock is None:
+            lock = _FALLBACK_LOCKS[key] = threading.Lock()
+        return lock
 
 
 def _stat_value(v):
@@ -168,10 +187,12 @@ class ManagedTable:
             import fcntl
         except ImportError:  # pragma: no cover - non-POSIX fallback
             # best-effort single-process serialization (threading only);
-            # cross-process safety needs the POSIX path
-            import threading
-
-            lock = self.__dict__.setdefault("_thread_lock", threading.Lock())
+            # cross-process safety needs the POSIX path. Keyed by resolved
+            # table dir in a module-level registry: Catalog.table()
+            # constructs a fresh ManagedTable per call, so an instance
+            # attribute would hand each writer its own lock and serialize
+            # nothing.
+            lock = _fallback_lock_for(self.dir)
             lock.acquire()
             return -1
 
@@ -194,7 +215,7 @@ class ManagedTable:
 
     def _release_commit_lock(self, fd: int) -> None:
         if fd == -1:  # pragma: no cover - non-POSIX fallback
-            self.__dict__["_thread_lock"].release()
+            _fallback_lock_for(self.dir).release()
             return
         import fcntl
 
@@ -283,19 +304,37 @@ class ManagedTable:
             # at/below the old pointer — the legacy heuristic) so old
             # committed snapshots stay readable.
             if "committed" not in state:
-                state["committed"] = sorted(
-                    int(d.name[1:])
-                    for d in self.dir.glob("v*")
-                    if d.name[1:].isdigit()
-                    and int(d.name[1:]) <= state["version"]
-                    and (d / "_op").exists()
-                )
+                self._seed_ledger(state)
             state["committed"].append(v)
             state["version"] = v
             self._write_pointer_locked(state)
             return True
         finally:
             self._release_commit_lock(fd)
+
+    def _seed_ledger(self, state: dict) -> None:
+        """Seed the committed-version ledger on a pre-ledger table from
+        its surviving marker-bearing dirs (the legacy heuristic), AND
+        record ``committed_floor = min(seeded)`` (pointer+1 when nothing
+        survives). The floor is what keeps vacuumed pre-ledger history
+        honest: if vacuum already removed old committed dirs, the seeded
+        list starts ABOVE the vacuum horizon — without a floor,
+        ``_committed_in_range`` would treat a cursor range crossing that
+        gap as fully derivable and silently drop the vacuumed versions'
+        rows from appended_since/changes_since instead of returning None
+        to force the rebuild fallback. Call only under the commit lock."""
+        seeded = sorted(
+            int(d.name[1:])
+            for d in self.dir.glob("v*")
+            if d.name[1:].isdigit()
+            and int(d.name[1:]) <= state["version"]
+            and (d / "_op").exists()
+        )
+        state["committed"] = seeded
+        state["committed_floor"] = max(
+            state.get("committed_floor", 0),
+            seeded[0] if seeded else state["version"] + 1,
+        )
 
     # -- schema enforcement / evolution -------------------------------------
     def _write_schema(self, vdir: Path, schema) -> None:
@@ -836,9 +875,21 @@ class ManagedTable:
         fd = self._acquire_commit_lock()
         try:
             state = self._pointer_state()
-            committed = state.get("committed")
             keep_from = cur - keep + 1
-            if committed is not None and any(x < keep_from for x in committed):
+            if state.get("committed") is None:
+                # Ledger-less table: seed NOW (from the surviving dirs) so
+                # the prune point is recorded. Deferring to the next
+                # _commit would seed a list starting above the vacuum
+                # horizon; _seed_ledger's min(seeded) floor covers that
+                # too, but recording keep_from here keeps the floor exact
+                # even if later commits tighten the heuristic.
+                self._seed_ledger(state)
+                state["committed_floor"] = max(
+                    state["committed_floor"], keep_from
+                )
+                self._write_pointer_locked(state)
+            committed = state["committed"]
+            if any(x < keep_from for x in committed):
                 state["committed"] = [x for x in committed if x >= keep_from]
                 state["committed_floor"] = max(
                     state.get("committed_floor", 0), keep_from

@@ -131,24 +131,48 @@ def test_verification_window_covers_unproven_entries():
     driver-checked — and stalest-evidence entries (r3-green-only) come
     before the r4-green tail so the window refreshes them."""
     from end_to_end_azure_databricks_data_engineering_project_spark.plans.queries import (
-        _R3_GREEN,
-        _R4_GREEN,
+        _last_green,
         CATALOG,
     )
 
     order = list(CATALOG)
     window = set(order[:50])
-    proven = _R3_GREEN | _R4_GREEN
-    unproven = [n for n in order if n not in proven]
+    unproven = [n for n in order if _last_green(n) == 0]
     missing = [n for n in unproven if n not in window]
     assert not missing, (
         f"entries lacking current-testdata evidence fall outside the "
         f"driver's 50-entry window: {missing}"
     )
-    # new entries lead the window outright, stalest evidence next
+    # unproven entries lead the window outright; proven entries follow
+    # in non-decreasing last-green round (stalest evidence first)
     assert order[: len(unproven)] == unproven
-    r3_only = [n for n in order if n in _R3_GREEN - _R4_GREEN]
-    assert order[len(unproven) : len(unproven) + len(r3_only)] == r3_only
+    rounds = [_last_green(n) for n in order]
+    assert rounds == sorted(rounds)
+
+
+def test_catalog_outputs_are_driver_hashable(spark):
+    """The driver canonicalizes results with pandas sort_values + a
+    value hash, which dies on array/map/struct cells (r5:
+    `unhashable type: 'list'` on array_toolkit). Every oracle-checked
+    entry must therefore project only atomic columns — run the array
+    ops in the plan, project their elements out."""
+    from pyspark.sql import types as T
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    bad = {}
+    for name in oracles:
+        schema = qs[name](spark, SF_DIR).schema
+        nested = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if nested:
+            bad[name] = nested
+    assert not bad, f"driver-unhashable output columns: {bad}"
 
 
 def test_stratified_sample_partitioning_independent(spark):

@@ -94,6 +94,58 @@ def test_vacuum_prunes_ledger_and_delta_falls_back(spark, tmp_path):
         t.read_at(v0)  # vacuumed
 
 
+def test_vacuum_on_preledger_table_records_floor(spark, tmp_path):
+    """vacuum on a ledger-less table must seed the ledger and record the
+    prune point — otherwise the first post-upgrade commit would seed a
+    committed list starting above the vacuum horizon with floor 0, and
+    appended_since across the gap would silently DROP the vacuumed
+    versions' rows instead of forcing a rebuild."""
+    t = _t(spark, tmp_path)
+    v0 = t.overwrite(_ids(spark, 0, 2))
+    cursor = t.append(_ids(spark, 2, 3))  # v1 — consumer cursor
+    for lo in range(3, 7):
+        t.append(_ids(spark, lo, lo + 1))  # v2..v5
+    _strip_ledger(t)  # table predates the ledger
+    t.vacuum(keep=2)  # drops v0..v3
+    state = t._pointer_state()
+    assert state.get("committed") is not None
+    assert state["committed_floor"] >= t.current_version() - 1
+    t.append(_ids(spark, 7, 8))
+    # delta (cursor, current] crosses vacuumed territory: NOT derivable
+    assert t.appended_since(cursor) is None
+    assert t.changes_since(cursor) is None
+    # a range fully above the floor still folds incrementally
+    assert t.appended_since(t.current_version()) is not None
+    assert v0 == 0  # silence unused warning; v0 vacuumed by design
+
+
+def test_preledger_vacuumed_under_old_code_seeds_floor(spark, tmp_path):
+    """The advisor's exact reproduction: a pre-ledger table vacuumed by
+    OLD code (dirs gone, no floor recorded), upgraded, then appended.
+    Seeding must set committed_floor = min(seeded) so the cursor range
+    crossing the gap returns None (rebuild) instead of delta rows that
+    silently omit the vacuumed commits."""
+    import shutil
+
+    t = _t(spark, tmp_path)
+    t.overwrite(_ids(spark, 0, 2))  # v0
+    cursor = t.append(_ids(spark, 2, 3))  # v1
+    for lo in range(3, 8):
+        t.append(_ids(spark, lo, lo + 1))  # v2..v6
+    _strip_ledger(t)
+    # old-code vacuum(keep=2): remove dirs v<=4, record nothing
+    for v in range(0, 5):
+        shutil.rmtree(t._version_dir(v))
+    t.append(_ids(spark, 8, 9))  # v7 — seeds the ledger
+    state = t._pointer_state()
+    assert state["committed_floor"] == 5  # min of surviving dirs v5,v6
+    assert t.appended_since(cursor) is None  # was [5,6,7] pre-fix: data loss
+    assert t.changes_since(cursor) is None
+    # above the floor, incremental folding still works
+    delta = t.appended_since(6)
+    assert delta is not None and sorted(r.k for r in delta.collect()) == [8]
+
+
 def test_commit_lock_survives_crashed_holder(spark, tmp_path):
     """flock is kernel-released when the holder dies, so a lock file
     left by a crashed writer never blocks the next commit (the
