@@ -1,0 +1,240 @@
+"""Product quantization (PQ) ANN — compressed-domain similarity search.
+
+Extends the similarity surface (brute-force `similarity.py`, SRP-LSH,
+IVF `ivf.py`) with the memory-bound scale path: split each D-dim vector
+into ``m`` subvectors, k-means-quantize each subspace to ``k_sub``
+codes, and store each vector as ``m`` small ints (D×4 bytes of float32
+→ m bytes at k_sub ≤ 256 — e.g. 64-dim/4-subspace = 256 B → 4 B, 64×
+compression). Queries score candidates with the asymmetric distance
+computation (ADC): one m×k_sub lookup table of exact query-to-centroid
+subspace distances per query, then a code-indexed O(m) sum per corpus
+row — no decompression, no corpus shuffle (Jégou, Douze, Schmid,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+Physical shapes (the part that must survive 100 TB):
+ - ``pq_fit`` — ONE joint Lloyd loop for all m subspaces: rows explode
+   to (id, subspace, subvector) once, centroids ride a broadcast
+   relation keyed by subspace (m×k_sub×(D/m) doubles — KBs), and each
+   iteration is one scan + one hash-agg shuffle keyed (s, cluster,
+   pos). Driver state is the m×k_sub codebook only. Deterministic:
+   seeds are the k_sub smallest ids' subvectors, ordered-fold means —
+   bit-identical every run, replayable in SQL by the DuckDB oracle.
+ - ``pq_encode`` — expression-only: the codebook joins on as a one-row
+   broadcast column and the m argmins run inside whole-stage codegen.
+   One corpus scan, NO shuffle, no Python. At scale this writes the
+   codes column next to the corpus once; queries touch only (id,
+   codes).
+ - ``pq_adc_topk`` — corpus scans its (id, codes) projection once and
+   never shuffles; the query side (ids × m×k_sub distance tables) is
+   broadcast. Per-row cost is O(m) element_at lookups + a fold vs the
+   brute-force O(D) multiply-adds; only Q×k rows reach the final
+   ranking shuffle, same as brute_force_topk.
+
+Cross-engine determinism contract (same rules as ivf.py): every float
+reduction is a sequential left-to-right double fold with a defined
+order (subspace distances fold over positions; ADC folds over
+subspaces in index order; means fold members ordered by id), so the
+DuckDB oracle in plans/queries.py replays the whole pipeline — fit,
+encode, ADC — bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.ivf import (
+    _argmin_cluster,
+    _sq_dists_col,
+)
+
+_CB = "__pq_codebooks"
+
+
+def _check_geometry(dim: int, m: int) -> int:
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    return dim // m
+
+
+def _with_codebooks(df: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
+    """Attach the full m×k_sub×sd codebook as ONE broadcast one-row
+    column (array<array<array<double>>>) — constant-size codegen source
+    regardless of m·k_sub·dim, same rationale as ivf._with_centroids."""
+    cdf = df.sparkSession.createDataFrame(
+        [([[list(map(float, c)) for c in cb] for cb in codebooks],)],
+        f"{_CB}: array<array<array<double>>>",
+    )
+    return df.crossJoin(F.broadcast(cdf))
+
+
+def _subvector(vec: Column, s: Column | int, sd: int) -> Column:
+    """1-based slice of subspace ``s`` (0-based): elements
+    [s·sd+1, (s+1)·sd]."""
+    start = (s if isinstance(s, Column) else F.lit(s)) * sd + 1
+    return F.slice(vec, start, sd)
+
+
+def pq_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k_sub: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    fit_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace Lloyd k-means; returns m codebooks of
+    k_sub centroids each (python lists — the only driver-side state).
+
+    All m subspaces train in the SAME scans: the input explodes once to
+    (id, s, subvector) and every Lloyd iteration is one pass with a
+    single (s, cluster, pos) hash aggregation — m never multiplies the
+    number of jobs. Empty clusters keep their previous centroid."""
+    sd = _check_geometry(dim, m)
+    data = df.select(id_col, vec_col)
+    if fit_fraction:
+        data = data.sample(fraction=fit_fraction, seed=42)
+    # seeds: the k_sub smallest ids, each sliced into its m subvectors
+    seeds = data.orderBy(F.col(id_col).asc()).limit(k_sub).collect()
+    codebooks = [
+        [
+            [float(x) for x in r[vec_col][s * sd : (s + 1) * sd]]
+            for r in seeds
+        ]
+        for s in range(m)
+    ]
+    sub = data.select(
+        F.col(id_col).alias("_mid"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: _subvector(F.col(vec_col), s, sd),
+            )
+        ).alias("s", "sv"),
+    )
+    for _ in range(n_iter):
+        # assignment: broadcast-join the per-subspace centroid relation
+        # (m rows) and argmin — cluster projected BELOW the posexplode
+        # so the O(k_sub·sd) distance expr runs once per subvector (see
+        # ivf.kmeans_fit's generator-placement note).
+        cdf = sub.sparkSession.createDataFrame(
+            [(s, [list(map(float, c)) for c in codebooks[s]]) for s in range(m)],
+            "s: int, _cents: array<array<double>>",
+        )
+        pre = sub.join(F.broadcast(cdf), "s").select(
+            "_mid",
+            "s",
+            _argmin_cluster(
+                _sq_dists_col(F.col("sv"), F.col("_cents"))
+            ).alias("cluster"),
+            "sv",
+        )
+        assigned = pre.select(
+            "_mid", "s", "cluster", F.posexplode("sv").alias("pos", "x")
+        )
+        # ordered-fold mean (members sorted by id) — partitioning-
+        # independent IEEE result, replayed by the oracle's
+        # list(x ORDER BY id) fold. Bounded by the fit sample size.
+        ordered_sum = F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("_mid"), F.col("x")))),
+            F.lit(0.0),
+            lambda acc, st: acc + st["x"].cast("double"),
+        )
+        means = (
+            assigned.groupBy("s", "cluster", "pos")
+            .agg((ordered_sum / F.count(F.lit(1))).alias("mu"))
+            .groupBy("s", "cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
+            .collect()
+        )
+        new_cb = [[list(c) for c in cb] for cb in codebooks]
+        for r in means:
+            new_cb[r.s][r.cluster] = [float(p.mu) for p in r.pm]
+        codebooks = new_cb
+    return codebooks
+
+
+def pq_codes(vec: Column, cb: Column, m: int, sd: int) -> Column:
+    """``array<int>`` of m code ids: per subspace, the argmin centroid
+    of that subspace's codebook. Pure expression over the broadcast
+    codebook column — runs in whole-stage codegen at scan stage."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: _argmin_cluster(
+            _sq_dists_col(_subvector(vec, s, sd), F.element_at(cb, s + 1))
+        ),
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Corpus + ``codes`` column (array<int>, length m). One scan, no
+    shuffle; at scale, persist (id, codes) as the compressed index."""
+    m = len(codebooks)
+    sd = _check_geometry(dim, m)
+    j = _with_codebooks(df, codebooks)
+    return j.withColumn(
+        "codes", pq_codes(F.col(vec_col), F.col(_CB), m, sd)
+    ).drop(_CB)
+
+
+def pq_adc_topk(
+    encoded_corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k approximate neighbors by ADC distance (sum over subspaces
+    of exact query-to-centroid distance at the neighbor's code).
+
+    Returns: query_id, neighbor_id, adc_dist, rank (1-based; ties by
+    neighbor_id). Plan: broadcast(queries + distance tables) ⋈ one
+    corpus scan of (id, codes); corpus never shuffles."""
+    m = len(codebooks)
+    sd = _check_geometry(dim, m)
+    # per-query m×k_sub distance table, computed once on the tiny side
+    jq = _with_codebooks(queries, codebooks)
+    dtab = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: _sq_dists_col(
+            _subvector(F.col(vec_col), s, sd), F.element_at(F.col(_CB), s + 1)
+        ),
+    )
+    q = jq.select(
+        F.col(id_col).alias("query_id"), dtab.alias("_dtab")
+    )
+    c = encoded_corpus.select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    # ADC: fold subspaces in index order — zip the m codes with the m
+    # table rows, element_at each, sequential sum (bit-deterministic).
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("_dtab"),
+            lambda code, row: F.element_at(row, code.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_dist", adc)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -1379,6 +1379,118 @@ def q_ann_topk_ivf(spark, sf):
     return ivf_topk(indexed, emb.filter("vec_id < 10"), centroids, k=5, n_probe=3)
 
 
+def _pq_oracle_sql(m=4, k_sub=8, n_iter=2, topk=5, dim=64, max_qid=10) -> str:
+    """DuckDB replay of pq_fit + pq_encode + pq_adc_topk: the joint
+    per-subspace Lloyd unroll (one extra ``s`` dimension over
+    _kmeans_assigned_cte's scheme), then code assignment and the
+    subspace-ordered ADC fold — bit-identical to the Spark path because
+    every reduction is a defined-order sequential double fold."""
+    sd = dim // m
+    sq = (
+        f"list_reduce(list_transform(range(1, {sd + 1}), "
+        "i -> (t.sv[i] - c.c[i]) * (t.sv[i] - c.c[i])), (a, b) -> a + b)"
+    )
+    parts = [f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT e.vec_id, s.s, e.v[s.s * {sd} + 1 : (s.s + 1) * {sd}] AS sv
+      FROM emb e, range(0, {m}) s(s)
+    ),
+    c0 AS (
+      SELECT s, cluster, sv AS c FROM (
+        SELECT s, vec_id, sv,
+               row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cluster
+        FROM sub
+      ) WHERE cluster < {k_sub}
+    )"""]
+    for n in range(1, n_iter + 1):
+        parts.append(f""",
+    d{n} AS (
+      SELECT t.vec_id, t.s, c.cluster, {sq} AS dist
+      FROM sub t JOIN c{n - 1} c USING (s)
+    ),
+    a{n} AS (
+      SELECT vec_id, s, cluster FROM (
+        SELECT vec_id, s, cluster,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cluster) AS rn
+        FROM d{n}
+      ) WHERE rn = 1
+    ),
+    m{n} AS (
+      SELECT a.s, a.cluster, p.pos,
+             list_reduce(list(t.sv[p.pos] ORDER BY t.vec_id), (x, y) -> x + y)
+               / count(*) AS mu
+      FROM a{n} a JOIN sub t USING (vec_id, s), range(1, {sd + 1}) p(pos)
+      GROUP BY a.s, a.cluster, p.pos
+    ),
+    c{n} AS (
+      SELECT pc.s, pc.cluster, coalesce(nc.c, pc.c) AS c
+      FROM c{n - 1} pc LEFT JOIN (
+        SELECT s, cluster, list(mu ORDER BY pos) AS c
+        FROM m{n} GROUP BY s, cluster
+      ) nc USING (s, cluster)
+    )""")
+    parts.append(f""",
+    dfin AS (
+      SELECT t.vec_id, t.s, c.cluster, {sq} AS dist
+      FROM sub t JOIN c{n_iter} c USING (s)
+    ),
+    codes AS (
+      SELECT vec_id, s, cluster FROM (
+        SELECT vec_id, s, cluster,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cluster) AS rn
+        FROM dfin
+      ) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT t.vec_id AS query_id, t.s, c.cluster, {sq} AS d
+      FROM sub t JOIN c{n_iter} c USING (s)
+      WHERE t.vec_id < {max_qid}
+    ),
+    adc AS (
+      SELECT qd.query_id, cd.vec_id AS neighbor_id,
+             list_reduce(list(qd.d ORDER BY qd.s), (a, b) -> a + b) AS adc_dist
+      FROM qd JOIN codes cd ON qd.s = cd.s AND qd.cluster = cd.cluster
+      WHERE qd.query_id <> cd.vec_id
+      GROUP BY qd.query_id, cd.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS INT) AS rank FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rnk
+      FROM adc
+    ) WHERE rnk <= {topk}
+    """)
+    return "".join(parts)
+
+
+@_q(
+    "ann_topk_pq",
+    "Product-quantization ANN (Jégou/Douze/Schmid, TPAMI 2011): joint "
+    "per-subspace deterministic k-means codebooks (one Lloyd loop for "
+    "all m subspaces), corpus compressed to m code ids at scan stage "
+    "with no shuffle, queries score via ADC lookup-table folds against "
+    "a broadcast query side — the oracle unrolls the per-subspace fit, "
+    "the code assignment, and the subspace-ordered ADC sum in SQL",
+    "ext:similarity-pq",
+    _pq_oracle_sql(),
+)
+def q_ann_topk_pq(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    cb = pq_fit(emb, m=4, k_sub=8, n_iter=2, dim=64)
+    enc = pq_encode(emb, cb, dim=64)
+    return pq_adc_topk(enc, emb.filter("vec_id < 10"), cb, k=5, dim=64)
+
+
 def _semantic_dedup_oracle_sql(k=8, n_iter=2, dim=64, thr="0.30") -> str:
     cos = _sql_cosine("a", "b", dim)
     return (
