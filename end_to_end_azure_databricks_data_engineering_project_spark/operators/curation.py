@@ -136,6 +136,102 @@ def token_budget_head(
     )
 
 
+def dsir_select(
+    docs: DataFrame,
+    target_expr: str = "lang = 'en'",
+    n_buckets: int = 1024,
+    top_n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by how target-like its hashed-unigram distribution
+    is, then keep the ``top_n`` highest-scoring documents. Returns
+    (doc_id, n_tokens, dsir_score, sel_rank).
+
+    The importance signal per token is the smoothed probability ratio
+    r(w) = p_target(bucket(w)) / p_corpus(bucket(w)) over ``n_buckets``
+    hashed-unigram features (add-one smoothing both sides); a document
+    scores the MEAN of its tokens' ratios, folded in position order.
+    Deviation from the paper, on purpose: the paper sums log-ratios —
+    ln() is the one primitive whose low bits differ across engines, so
+    the engine stays in ratio space (every value is a quotient of
+    exact-integer-valued doubles; cross-engine bit-exact, same rule as
+    bigram_lm_score). Ranking by mean-ratio preserves the
+    target-likeness ordering signal; swap in F.log at the cost of the
+    oracle's hash equality if log-space is required.
+
+    Scale shape: one explode to (doc, pos, bucket) tokens; the bucket
+    statistics relation is ≤ n_buckets rows (counts from two map-side-
+    partial aggregations + two 1-row totals) and BROADCASTS onto the
+    token stream — the only wide exchange is the per-document fold's
+    hash shuffle on doc_id. Final selection is TakeOrderedAndProject
+    (orderBy + limit top_n), never a global single-partition window;
+    the rank window runs over the top_n survivors only."""
+    ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col).alias("_id"),
+            F.expr(target_expr).alias("_is_tgt"),
+            F.posexplode(ws).alias("pos", "w"),
+        )
+        .select(
+            "_id",
+            "_is_tgt",
+            (F.col("pos") + 1).alias("pos"),
+            (_phash("dsir|", F.col("w")) % n_buckets).alias("bucket"),
+        )
+    )
+    src = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("_cs"))
+    tgt = (
+        toks.filter("_is_tgt")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_ct"))
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("_ns"),
+        F.count_if(F.col("_is_tgt")).alias("_nt"),
+    )
+    # p_t / p_s with each probability evaluated as ONE double division
+    # of exact integer counts — the division order is pinned so the
+    # oracle replays it bit-for-bit.
+    p_tgt = (F.coalesce(F.col("_ct"), F.lit(0)) + 1).cast("double") / (
+        F.col("_nt") + n_buckets
+    ).cast("double")
+    p_src = (F.col("_cs") + 1).cast("double") / (
+        F.col("_ns") + n_buckets
+    ).cast("double")
+    stats = (
+        src.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select("bucket", (p_tgt / p_src).alias("_r"))
+    )
+    ordered_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("_r")))),
+        F.lit(0.0),
+        lambda acc, s: acc + s["_r"],
+    )
+    scored = (
+        toks.join(F.broadcast(stats), "bucket")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            (ordered_sum / F.count(F.lit(1))).alias("dsir_score"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("dsir_score").desc(), F.col("_id").asc()
+    ).limit(top_n)
+    w = Window.orderBy(F.col("dsir_score").desc(), F.col("_id").asc())
+    return (
+        top.withColumn("sel_rank", F.row_number().over(w).cast("int"))
+        .withColumnRenamed("_id", id_col)
+        .select(id_col, "n_tokens", "dsir_score", "sel_rank")
+    )
+
+
 def bigram_lm_score(
     docs: DataFrame,
     id_col: str = "doc_id",

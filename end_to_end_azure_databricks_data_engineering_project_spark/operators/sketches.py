@@ -158,6 +158,49 @@ def hll_registers(df: DataFrame, key_col: str, m: int = 256) -> DataFrame:
     )
 
 
+def hll_registers_by(
+    df: DataFrame, group_col: str, key_col: str, m: int = 256
+) -> DataFrame:
+    """Per-group HLL registers: (<group_col>, idx, reg) — at most m rows
+    per group. One map-side-combinable aggregation; the shuffle carries
+    ≤ partitions·groups·m rows regardless of input size (the property
+    that makes per-day/per-domain distinct sketches cheap at 100 TB)."""
+    idx, rho = hll_idx_rho(F.col(key_col), m)
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.col(group_col), idx.alias("idx"), rho.alias("rho"))
+        .groupBy(group_col, "idx")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_estimate_by(
+    registers: DataFrame, group_col: str, m: int = 256
+) -> DataFrame:
+    """One (<group_col>, used_registers, raw_estimate) row per group —
+    the grouped twin of ``hll_estimate``, same raw-estimate-only,
+    fixed-fold-order determinism contract."""
+    assert m & (m - 1) == 0 and 16 <= m <= 256, (
+        "m must be a power of two in [16, 256]"
+    )
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    term = F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), reg)").cast("double")
+    agg = registers.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("used_registers"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("idx"), term.alias("t")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("present_sum"),
+    )
+    denom = F.col("present_sum") + (F.lit(m) - F.col("used_registers")).cast("double")
+    return agg.select(
+        group_col,
+        "used_registers",
+        (F.lit(alpha * m * m) / denom).alias("raw_estimate"),
+    )
+
+
 def hll_merge(*registers: DataFrame) -> DataFrame:
     """Register-wise max across HLL summaries built with the same m —
     exactly the registers the union stream would have produced."""

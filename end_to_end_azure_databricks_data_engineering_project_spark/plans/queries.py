@@ -3344,6 +3344,63 @@ def q_bigram_lm_score(spark, sf):
 
 
 @_q(
+    "dsir_importance_select",
+    "DSIR-style importance resampling (Xie et al. 2023): hashed-unigram "
+    "bucket counts over the target slice (lang='en') vs the whole "
+    "corpus, per-token smoothed probability ratios from a broadcast "
+    "<=1024-row stats relation, per-doc mean via position-ordered fold, "
+    "top-50 selection by (score, id). Ratio space instead of the "
+    "paper's log-ratios so every value is a quotient of exact-integer "
+    "doubles (ln() low bits differ across engines)",
+    "extension: training-data curation (importance resampling)",
+    r"""
+    WITH tw AS (
+      SELECT doc_id, lang = 'en' AS is_tgt,
+             unnest(list_transform(range(1, len(ws) + 1),
+               i -> struct_pack(pos := i, w := ws[i]))) AS s
+      FROM (
+        SELECT doc_id, lang,
+               string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents WHERE trim(text) <> ''
+      )
+    ),
+    toks AS (
+      SELECT doc_id, is_tgt, s.pos AS pos,
+             CAST(('0x' || substr(md5('dsir|' || s.w), 1, 15)) AS BIGINT) % 1024 AS bucket
+      FROM tw
+    ),
+    src AS (SELECT bucket, count(*) AS cs FROM toks GROUP BY bucket),
+    tgt AS (SELECT bucket, count(*) AS ct FROM toks WHERE is_tgt GROUP BY bucket),
+    tot AS (SELECT count(*) AS ns, count(*) FILTER (is_tgt) AS nt FROM toks),
+    stats AS (
+      SELECT s.bucket,
+             (CAST(coalesce(t.ct, 0) + 1 AS DOUBLE) / CAST(tot.nt + 1024 AS DOUBLE))
+             / (CAST(s.cs + 1 AS DOUBLE) / CAST(tot.ns + 1024 AS DOUBLE)) AS r
+      FROM src s LEFT JOIN tgt t USING (bucket) CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT toks.doc_id, CAST(count(*) AS INT) AS n_tokens,
+             list_reduce(list(stats.r ORDER BY toks.pos), (a, b) -> a + b)
+               / count(*) AS dsir_score
+      FROM toks JOIN stats USING (bucket)
+      GROUP BY toks.doc_id
+    )
+    SELECT doc_id, n_tokens, dsir_score, CAST(rn AS INT) AS sel_rank FROM (
+      SELECT doc_id, n_tokens, dsir_score,
+             row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS rn
+      FROM scored
+    ) WHERE rn <= 50
+    """,
+)
+def q_dsir_importance_select(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.curation import (
+        dsir_select,
+    )
+
+    return dsir_select(_t(spark, sf, "documents"), target_expr="lang = 'en'")
+
+
+@_q(
     "duplicated_span_dedup",
     "Substring-level dedup (Lee et al. 2022): every 5-token span "
     "occurring >= 2 times anywhere in the corpus is stripped from each "
@@ -4777,6 +4834,69 @@ def q_lexical_diversity(spark, sf):
         ).alias("simpson_diversity"),
         (F.col("maxc").cast("double") / F.col("n")).alias("top_token_share"),
     )
+
+
+@_q(
+    "hll_distinct_by_group",
+    "Per-group HyperLogLog distinct-user estimates (grouped twin of "
+    "hll_distinct_merge): one map-side-combinable (group, idx) max-rho "
+    "aggregation whose shuffle is bounded by groups*m rows, estimate "
+    "folded per group in fixed idx order with exact powers of two — "
+    "joined against the exact per-group distinct for a relative-error "
+    "audit column, all bit-deterministic cross-engine",
+    "extension: mergeable distinct sketches (grouped HLL)",
+    """
+    WITH h AS (
+      SELECT event_type, user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    rr AS (
+      SELECT event_type, h & 255 AS idx,
+             CASE WHEN strpos(lpad(bin(h >> 8), 52, '0'), '1') = 0 THEN 53
+                  ELSE strpos(lpad(bin(h >> 8), 52, '0'), '1') END AS rho
+      FROM h
+    ),
+    regs AS (SELECT event_type, idx, max(rho) AS reg FROM rr GROUP BY 1, 2),
+    est AS (
+      SELECT event_type, count(*) AS used_registers,
+             list_reduce(
+               list_prepend(
+                 CAST(0.0 AS DOUBLE),
+                 list(CAST(1.0 AS DOUBLE)
+                      / CAST((CAST(1 AS BIGINT) << reg) AS DOUBLE)
+                      ORDER BY idx)),
+               (acc, x) -> acc + x) AS present_sum
+      FROM regs GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    )
+    SELECT est.event_type, est.used_registers,
+           ((CAST(0.7213 AS DOUBLE)
+             / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 256)) * 256) * 256
+             / (est.present_sum + CAST(256 - est.used_registers AS DOUBLE))
+             AS raw_estimate,
+           ex.exact_distinct
+    FROM est JOIN ex USING (event_type)
+    """,
+)
+def q_hll_distinct_by_group(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.sketches import (
+        hll_estimate_by,
+        hll_registers_by,
+    )
+
+    ev = _t(spark, sf, "events")
+    regs = hll_registers_by(ev, "event_type", "user_id", m=256)
+    est = hll_estimate_by(regs, "event_type", m=256)
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
+    )
+    return est.join(exact, "event_type")
 
 
 @_q(

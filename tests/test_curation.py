@@ -192,3 +192,38 @@ def test_rule_filter_report_rejects_bad_names(spark):
         rule_filter_report(df, {"kept": F.col("id") > 0})
     with _pytest.raises(ValueError):
         rule_filter_report(df, {"has-url": F.col("id") > 0})
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """Docs made of target-only vocabulary must outscore docs made of
+    off-target vocabulary; mixed docs land between."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.curation import (
+        dsir_select,
+    )
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "alpha beta gamma alpha beta", "en"))  # target
+    for i in range(10, 20):
+        rows.append((i, "zeta eta theta zeta eta", "de"))  # off-target
+    rows.append((20, "alpha beta gamma alpha beta", "de"))  # target-like text
+    rows.append((21, "zeta eta theta zeta eta", "de"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = dsir_select(docs, target_expr="lang = 'en'", top_n=22)
+    scores = {r.doc_id: r.dsir_score for r in out.collect()}
+    # doc 20 uses exclusively target vocabulary -> scores like the en docs
+    assert scores[20] == scores[0]
+    assert scores[20] > scores[21]
+    ranks = {r.doc_id: r.sel_rank for r in out.collect()}
+    assert ranks[21] > ranks[20]
+
+
+def test_dsir_select_partitioning_independent(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.curation import (
+        dsir_select,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = sorted(map(tuple, dsir_select(docs, top_n=20).collect()))
+    again = sorted(map(tuple, dsir_select(docs.repartition(13), top_n=20).collect()))
+    assert base == again

@@ -196,3 +196,74 @@ def test_hll_drain_estimate_tracks_stream(spark, tmp_path):
     assert regs.count() <= 256  # bounded state regardless of stream length
     est = hll_estimate(regs).collect()[0]["raw_estimate"]
     assert abs(est - 6_000) / 6_000 < 0.26
+
+
+def test_hll_by_group_matches_global_on_single_group(spark):
+    """A grouped sketch over one group must equal the ungrouped one."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.sketches import (
+        hll_estimate,
+        hll_estimate_by,
+        hll_registers,
+        hll_registers_by,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 500).select(
+        F.lit("g").alias("grp"), F.col("id").alias("k")
+    )
+    g = hll_estimate_by(hll_registers_by(df, "grp", "k"), "grp").collect()[0]
+    u = hll_estimate(hll_registers(df, "k")).collect()[0]
+    assert g.used_registers == u.used_registers
+    assert g.raw_estimate == u.raw_estimate
+
+
+def test_hll_by_group_isolates_groups(spark):
+    """Each group's estimate tracks its own cardinality; a dominating
+    sibling group must not bleed into a small one."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.sketches import (
+        hll_estimate_by,
+        hll_registers_by,
+    )
+    import pyspark.sql.functions as F
+
+    # both cardinalities sit in the raw-estimate regime (n >~ m): the
+    # engine's HLL deliberately omits the small-range linear-counting
+    # correction (needs ln(), which is not cross-engine bit-stable).
+    big = spark.range(0, 3000).select(F.lit("big").alias("grp"), F.col("id").alias("k"))
+    small = spark.range(0, 400).select(F.lit("small").alias("grp"), F.col("id").alias("k"))
+    est = {
+        r.grp: r.raw_estimate
+        for r in hll_estimate_by(
+            hll_registers_by(big.unionByName(small), "grp", "k"), "grp"
+        ).collect()
+    }
+    assert 0.6 * 400 <= est["small"] <= 1.6 * 400
+    assert 0.7 * 3000 <= est["big"] <= 1.3 * 3000
+
+
+def test_hll_small_m_alpha_constants(spark):
+    """m=16/32/64 use the tabulated alpha_m, not the >=128 asymptote —
+    estimates at n >> m stay within the published error envelope."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 4000).select(F.col("id").alias("k"))
+    for m, rel in [(16, 0.26), (32, 0.18), (64, 0.13)]:
+        est = hll_estimate(hll_registers(df, "k", m=m), m=m).collect()[0]
+        # raw estimate (no corrections): allow 4 sigma of 1.04/sqrt(m)
+        assert abs(est.raw_estimate - 4000) <= 4 * rel * 4000, (m, est.raw_estimate)
+
+
+def test_hll_rejects_unsupported_m(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.sketches import (
+        hll_idx_rho,
+    )
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    for bad in (8, 512, 24):
+        with _pytest.raises(AssertionError):
+            hll_idx_rho(F.col("x"), m=bad)
