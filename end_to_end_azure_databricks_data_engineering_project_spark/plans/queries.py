@@ -3344,6 +3344,72 @@ def q_bigram_lm_score(spark, sf):
 
 
 @_q(
+    "bm25_topk",
+    "Okapi BM25 relevance ranking for a bag-of-words query (k1=1.2, "
+    "b=0.75) in ratio-idf mode — the idf stays ((N-df+0.5)/(df+0.5))+1 "
+    "without the ln() so every value is plain IEEE arithmetic on exact "
+    "integer counts (the log mode exists for production and is pinned "
+    "by unit tests instead). Query terms filter BEFORE the token "
+    "stream shuffles; df/stats relations broadcast; per-doc fold is "
+    "|Q|-bounded; top-20 via TakeOrderedAndProject",
+    "extension: full-text relevance ranking (BM25)",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      FROM documents WHERE trim(text) <> ''
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(ws)) AS BIGINT) AS n_toks
+      FROM base
+    ),
+    dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM base),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS w FROM base)
+      WHERE w IN ('vector', 'merge', 'spark', 'window')
+      GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    sc AS (
+      SELECT tf.doc_id, tf.w,
+             ((CAST(stats.n_docs AS DOUBLE) - df.df + 0.5)
+                / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+             * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(tf.tf AS DOUBLE)
+                   + 1.2 * (1.0 - 0.75
+                            + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                      / (CAST(stats.n_toks AS DOUBLE)
+                                         / CAST(stats.n_docs AS DOUBLE)))))) AS s
+      FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS INT) AS n_hit_terms,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY w)),
+               (a, b) -> a + b) AS bm25
+      FROM sc GROUP BY doc_id
+    )
+    SELECT doc_id, n_hit_terms, bm25, CAST(rn AS INT) AS sel_rank FROM (
+      SELECT doc_id, n_hit_terms, bm25,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+      FROM agg
+    ) WHERE rn <= 20
+    """,
+)
+def q_bm25_topk(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.ranking import (
+        bm25_topk,
+    )
+
+    return bm25_topk(
+        _t(spark, sf, "documents"),
+        ["vector", "merge", "spark", "window"],
+        idf="ratio",
+    )
+
+
+@_q(
     "dsir_importance_select",
     "DSIR-style importance resampling (Xie et al. 2023): hashed-unigram "
     "bucket counts over the target slice (lang='en') vs the whole "
