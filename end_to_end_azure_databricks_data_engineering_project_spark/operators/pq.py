@@ -45,7 +45,10 @@ from pyspark.sql import functions as F
 
 from end_to_end_azure_databricks_data_engineering_project_spark.operators.ivf import (
     _argmin_cluster,
+    _probe_pairs,
     _sq_dists_col,
+    _with_centroids,
+    ivf_assign,
 )
 
 _CB = "__pq_codebooks"
@@ -182,6 +185,142 @@ def pq_encode(
     return j.withColumn(
         "codes", pq_codes(F.col(vec_col), F.col(_CB), m, sd)
     ).drop(_CB)
+
+
+def residuals(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "residual",
+) -> DataFrame:
+    """``vec − centroid[cluster]`` as array<double> — the quantity IVF-PQ
+    codes. ``assigned`` must carry ``cluster`` (from ``ivf_assign``).
+    k-row broadcast equi-join + zip_with; scan-stage, no shuffle."""
+    cdf = assigned.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster: int, _cent: array<double>",
+    )
+    return (
+        assigned.join(F.broadcast(cdf), "cluster")
+        .withColumn(
+            out_col,
+            F.zip_with(
+                F.col(vec_col),
+                F.col("_cent"),
+                lambda a, b: a.cast("double") - b,
+            ),
+        )
+        .drop("_cent")
+    )
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    coarse_centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k_sub: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """The FAISS-style IVF-PQ index: coarse-assign every vector, PQ-fit
+    the RESIDUALS (vector − coarse centroid — much lower variance than
+    raw vectors, so the same code budget quantizes far more finely),
+    and encode. Returns (indexed DataFrame carrying ``cluster`` +
+    ``codes``, residual codebooks).
+
+    At 100 TB the indexed output persists partitioned by ``cluster``
+    with ``codes`` as the only payload queries touch: file pruning from
+    the probe list + m bytes per vector."""
+    assigned = ivf_assign(df, coarse_centroids, vec_col=vec_col)
+    res = residuals(assigned, coarse_centroids, vec_col=vec_col)
+    codebooks = pq_fit(
+        res, vec_col="residual", id_col=id_col, m=m, k_sub=k_sub,
+        n_iter=n_iter, dim=dim,
+    )
+    sd = _check_geometry(dim, m)
+    j = _with_codebooks(res, codebooks)
+    encoded = j.withColumn(
+        "codes", pq_codes(F.col("residual"), F.col(_CB), m, sd)
+    ).drop(_CB, "residual")
+    return encoded, codebooks
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k by ADC over the n_probe nearest inverted lists. Per
+    (query, probed cluster) the distance table is built from the QUERY
+    RESIDUAL against that cluster's coarse centroid — the IVF-PQ
+    asymmetric search. Returns (query_id, neighbor_id, adc_dist, rank).
+
+    Plan: the query side (Q·n_probe rows + m×k_sub tables) broadcasts
+    into a hash equi-join on ``cluster`` — candidates are only the
+    probed lists' members; the corpus side never shuffles and reads
+    only (id, cluster, codes)."""
+    m = len(codebooks)
+    sd = _check_geometry(dim, m)
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.ivf import _CENTS
+
+    jq = _with_centroids(queries, coarse_centroids)
+    pairs = _probe_pairs(
+        _sq_dists_col(F.col(vec_col), F.col(_CENTS)), F.col(_CENTS)
+    )
+    probe = F.slice(
+        F.transform(F.array_sort(pairs), lambda p: p["i"]), 1, n_probe
+    )
+    q = (
+        jq.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            probe.alias("_probe"),
+        )
+        .select("query_id", "_qv", F.explode("_probe").alias("cluster"))
+    )
+    # query residual vs the probed centroid, then its distance tables
+    qres = residuals(q, coarse_centroids, vec_col="_qv", out_col="_qr")
+    jqd = _with_codebooks(qres, codebooks)
+    dtab = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: _sq_dists_col(
+            _subvector(F.col("_qr"), s, sd), F.element_at(F.col(_CB), s + 1)
+        ),
+    )
+    qd = jqd.select("query_id", "cluster", dtab.alias("_dtab"))
+    c = encoded.select(
+        F.col(id_col).alias("neighbor_id"), "cluster", "codes"
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("_dtab"),
+            lambda code, row: F.element_at(row, code.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    scored = (
+        c.join(F.broadcast(qd), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_dist", adc)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
 
 
 def pq_adc_topk(

@@ -1467,6 +1467,151 @@ def _pq_oracle_sql(m=4, k_sub=8, n_iter=2, topk=5, dim=64, max_qid=10) -> str:
     return "".join(parts)
 
 
+def _ivfpq_oracle_sql(
+    kc=4, nc=2, m=2, k_sub=4, npq=2, n_probe=2, topk=5, dim=64, max_qid=10
+) -> str:
+    """DuckDB replay of the IVF-PQ composite (ivfpq_encode +
+    ivfpq_topk): the coarse Lloyd unroll (_kmeans_assigned_cte), the
+    residual relation, the PQ unroll ON RESIDUALS (pc*/pd*/pa*/pm* CTE
+    family), coarse-list probing, query-residual distance tables and
+    the subspace-ordered ADC fold."""
+    sd = dim // m
+    sq = (
+        f"list_reduce(list_transform(range(1, {sd + 1}), "
+        "i -> (t.sv[i] - c.c[i]) * (t.sv[i] - c.c[i])), (a, b) -> a + b)"
+    )
+    parts = [_kmeans_assigned_cte(kc, nc, dim)]
+    parts.append(f""",
+    res AS (
+      SELECT a.vec_id, a.cluster,
+             list_transform(range(1, {dim + 1}), i -> e.v[i] - c.c[i]) AS v
+      FROM assigned a JOIN emb e USING (vec_id) JOIN c{nc} c USING (cluster)
+    ),
+    psub AS (
+      SELECT r.vec_id, s.s, r.v[s.s * {sd} + 1 : (s.s + 1) * {sd}] AS sv
+      FROM res r, range(0, {m}) s(s)
+    ),
+    pc0 AS (
+      SELECT s, code, sv AS c FROM (
+        SELECT s, vec_id, sv,
+               row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS code
+        FROM psub
+      ) WHERE code < {k_sub}
+    )""")
+    for n in range(1, npq + 1):
+        parts.append(f""",
+    pd{n} AS (
+      SELECT t.vec_id, t.s, c.code, {sq} AS dist
+      FROM psub t JOIN pc{n - 1} c USING (s)
+    ),
+    pa{n} AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+        FROM pd{n}
+      ) WHERE rn = 1
+    ),
+    pm{n} AS (
+      SELECT a.s, a.code, p.pos,
+             list_reduce(list(t.sv[p.pos] ORDER BY t.vec_id), (x, y) -> x + y)
+               / count(*) AS mu
+      FROM pa{n} a JOIN psub t USING (vec_id, s), range(1, {sd + 1}) p(pos)
+      GROUP BY a.s, a.code, p.pos
+    ),
+    pc{n} AS (
+      SELECT pc.s, pc.code, coalesce(nc2.c, pc.c) AS c
+      FROM pc{n - 1} pc LEFT JOIN (
+        SELECT s, code, list(mu ORDER BY pos) AS c
+        FROM pm{n} GROUP BY s, code
+      ) nc2 USING (s, code)
+    )""")
+    parts.append(f""",
+    pdfin AS (
+      SELECT t.vec_id, t.s, c.code, {sq} AS dist
+      FROM psub t JOIN pc{npq} c USING (s)
+    ),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+        FROM pdfin
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        FROM dfin WHERE vec_id < {max_qid}
+      ) WHERE rn <= {n_probe}
+    ),
+    qres AS (
+      SELECT p.query_id, p.cluster,
+             list_transform(range(1, {dim + 1}), i -> e.v[i] - c.c[i]) AS v
+      FROM probe p JOIN emb e ON e.vec_id = p.query_id
+      JOIN c{nc} c USING (cluster)
+    ),
+    qd AS (
+      SELECT t.query_id, t.cluster, t.s, c.code, {sq} AS d
+      FROM (
+        SELECT query_id, cluster, s.s,
+               v[s.s * {sd} + 1 : (s.s + 1) * {sd}] AS sv
+        FROM qres, range(0, {m}) s(s)
+      ) t JOIN pc{npq} c USING (s)
+    ),
+    cand AS (
+      SELECT p.query_id, p.cluster, a.vec_id AS neighbor_id
+      FROM probe p JOIN assigned a USING (cluster)
+      WHERE a.vec_id <> p.query_id
+    ),
+    adc AS (
+      SELECT cn.query_id, cn.neighbor_id,
+             list_reduce(list(qd.d ORDER BY qd.s), (a, b) -> a + b) AS adc_dist
+      FROM cand cn
+      JOIN codes cd ON cd.vec_id = cn.neighbor_id
+      JOIN qd ON qd.query_id = cn.query_id AND qd.cluster = cn.cluster
+             AND qd.s = cd.s AND qd.code = cd.code
+      GROUP BY cn.query_id, cn.neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS INT) AS rank FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rnk
+      FROM adc
+    ) WHERE rnk <= {topk}
+    """)
+    return "".join(parts)
+
+
+@_q(
+    "ann_topk_ivfpq",
+    "The FAISS-style IVF-PQ composite index: deterministic coarse "
+    "k-means lists, product-quantization codebooks fitted on the "
+    "RESIDUALS (vector minus coarse centroid), queries probe n_probe "
+    "lists and score candidates by ADC against per-(query, list) "
+    "residual distance tables — probe-pruned candidates x m-byte codes "
+    "is the architecture that actually serves ANN at 100 TB. Oracle "
+    "unrolls coarse fit, residuals, residual-PQ fit, probing and the "
+    "ADC fold in one SQL replay",
+    "ext:similarity-ivfpq",
+    _ivfpq_oracle_sql(),
+)
+def q_ann_topk_ivfpq(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.ivf import (
+        kmeans_fit,
+    )
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    cents = kmeans_fit(emb, k=4, n_iter=2)
+    encoded, cbs = ivfpq_encode(emb, cents, m=2, k_sub=4, n_iter=2, dim=64)
+    return ivfpq_topk(
+        encoded, emb.filter("vec_id < 10"), cents, cbs, k=5, n_probe=2, dim=64
+    )
+
+
 @_q(
     "ann_topk_pq",
     "Product-quantization ANN (Jégou/Douze/Schmid, TPAMI 2011): joint "

@@ -60,6 +60,17 @@ ALLOW_CARTESIAN = {
     "quantile_hist_merge",
     # 1-row digit-count total broadcast onto the 9 digit rows.
     "benford_first_digit",
+    # 1-row broadcast codebook attach (fit/encode) + broadcast-queries
+    # ADC join (same shape as cosine_topk) — corpus never shuffles.
+    "ann_topk_pq",
+    # 1-row broadcast coarse-centroid + codebook attaches on the QUERY
+    # side; the candidate join itself is a broadcast hash equi-join on
+    # the coarse cluster key.
+    "ann_topk_ivfpq",
+    # 1-row (n_src, n_tgt) totals broadcast onto the bucket stats.
+    "dsir_importance_select",
+    # 1-row (N, total-tokens) corpus stats broadcast onto the tf stream.
+    "bm25_topk",
 }
 EXPECT_PUSHDOWN = {
     "watermark_filter", "in_predicate", "null_predicate", "pricing_summary",

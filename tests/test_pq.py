@@ -147,3 +147,82 @@ def test_empty_cluster_keeps_previous_centroid(spark):
     # the two value-groups map to two distinct code words per subspace
     assert codes[0] != codes[1]
     assert codes[0] == codes[2] and codes[1] == codes[3]
+
+
+def test_ivfpq_end_to_end_recall_and_candidate_pruning(spark, emb):
+    """IVF-PQ: candidates must come only from probed coarse lists; with
+    all lists probed, the residual-PQ ranking must clearly beat chance
+    against exact L2."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.ivf import (
+        ivf_assign,
+        kmeans_fit,
+    )
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+
+    cents = kmeans_fit(emb, k=4, n_iter=2)
+    encoded, cbs = ivfpq_encode(emb, cents, m=8, k_sub=16, n_iter=2, dim=64)
+    queries = emb.filter("vec_id < 20")
+
+    # candidate pruning: with n_probe=1 every neighbor shares the
+    # query's nearest coarse cluster
+    out1 = ivfpq_topk(encoded, queries, cents, cbs, k=5, n_probe=1)
+    clusters = {
+        r.vec_id: r.cluster
+        for r in ivf_assign(emb, cents).select("vec_id", "cluster").collect()
+    }
+    probe1 = {}
+    for r in out1.collect():
+        probe1.setdefault(r.query_id, set()).add(clusters[r.neighbor_id])
+    assert all(len(s) == 1 for s in probe1.values())
+
+    # recall with every list probed (pure PQ-on-residual ranking)
+    out = ivfpq_topk(encoded, queries, cents, cbs, k=5, n_probe=4)
+    sq_l2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("embedding"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    from pyspark.sql import Window
+
+    qside = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    exact = (
+        emb.crossJoin(F.broadcast(qside))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("d2", sq_l2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 5")
+    )
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in out.collect()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.12, recall
+
+
+def test_ivfpq_deterministic(spark, emb):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.ivf import (
+        kmeans_fit,
+    )
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+
+    cents = kmeans_fit(emb, k=4, n_iter=2)
+    enc1, cb1 = ivfpq_encode(emb, cents, m=2, k_sub=4, n_iter=2, dim=64)
+    enc2, cb2 = ivfpq_encode(emb.repartition(9), cents, m=2, k_sub=4, n_iter=2, dim=64)
+    assert cb1 == cb2
+    q = emb.filter("vec_id < 5")
+    r1 = sorted(map(tuple, ivfpq_topk(enc1, q, cents, cb1).collect()))
+    r2 = sorted(map(tuple, ivfpq_topk(enc2, q, cents, cb2).collect()))
+    assert r1 == r2
