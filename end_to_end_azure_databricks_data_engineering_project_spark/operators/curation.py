@@ -232,6 +232,46 @@ def dsir_select(
     )
 
 
+def group_quantile_threshold(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    q: float = 0.25,
+) -> DataFrame:
+    """Adaptive per-group quality gate: keep rows whose ``value_col`` is
+    at or above their OWN group's exact discrete q-quantile (the value
+    at rank ceil(q·n) in (value, id) order — percentile_disc semantics
+    with a deterministic tie-break). Returns the surviving rows plus a
+    ``threshold`` column.
+
+    This is how per-language/per-domain quality filtering avoids one
+    global cutoff penalizing whole languages: each group is filtered
+    against its own distribution. Prefer q values that are exact binary
+    fractions (0.25, 0.5, 0.125…) — q·n is then exactly representable
+    and ceil() is engine-independent.
+
+    Scale shape: one rank window per group (hash shuffle on the group
+    key; n_groups-way parallelism) producing an n_groups-row threshold
+    relation that broadcasts back. At 100 TB replace the exact rank
+    pass with the mergeable fixed-bin quantile sketch (see the
+    quantile_hist_merge entry) — same broadcast-back shape."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(group_col)
+    ranked = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+    )
+    thr = ranked.filter(
+        F.col("_rn") == F.ceil(F.lit(q) * F.col("_n"))
+    ).select(group_col, F.col(value_col).alias("threshold"))
+    return df.join(F.broadcast(thr), group_col).filter(
+        F.col(value_col) >= F.col("threshold")
+    )
+
+
 def bigram_lm_score(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -3555,6 +3555,74 @@ def q_bm25_topk(spark, sf):
 
 
 @_q(
+    "lang_adaptive_filter",
+    "Per-language adaptive quality gate: each document is kept only if "
+    "its Simpson lexical diversity reaches its OWN language's exact "
+    "p25 (rank-selected, percentile_disc semantics with (value, id) "
+    "tie-break) — the pattern that stops one global cutoff from "
+    "penalizing entire languages. q=0.25 is an exact binary fraction "
+    "so ceil(q*n) is engine-independent; thresholds form a 5-row "
+    "broadcast relation. At 100 TB swap the exact rank pass for the "
+    "mergeable quantile sketch (same broadcast-back shape)",
+    "extension: training-data curation (adaptive quality thresholds)",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents
+    ),
+    c AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+    a AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt * cnt) AS BIGINT) AS ss
+      FROM c GROUP BY doc_id
+    ),
+    m AS (
+      SELECT a.doc_id, d.lang,
+             1.0 - CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE) AS diversity
+      FROM a JOIN documents d USING (doc_id)
+    ),
+    r AS (
+      SELECT doc_id, lang, diversity,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY diversity, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM m
+    ),
+    t AS (
+      SELECT lang, diversity AS threshold
+      FROM r WHERE rn = CAST(ceil(0.25 * n) AS BIGINT)
+    )
+    SELECT m.doc_id, m.lang, m.diversity, t.threshold
+    FROM m JOIN t USING (lang)
+    WHERE m.diversity >= t.threshold
+    """,
+)
+def q_lang_adaptive_filter(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.curation import (
+        group_quantile_threshold,
+    )
+
+    d = _t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    c = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    a = c.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"), F.sum(F.col("cnt") * F.col("cnt")).alias("ss")
+    )
+    m = a.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        (
+            F.lit(1.0)
+            - F.col("ss").cast("double") / (F.col("n") * F.col("n")).cast("double")
+        ).alias("diversity"),
+    )
+    return group_quantile_threshold(
+        m, "lang", "diversity", "doc_id", q=0.25
+    ).select("doc_id", "lang", "diversity", "threshold")
+
+
+@_q(
     "dsir_importance_select",
     "DSIR-style importance resampling (Xie et al. 2023): hashed-unigram "
     "bucket counts over the target slice (lang='en') vs the whole "

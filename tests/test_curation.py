@@ -227,3 +227,38 @@ def test_dsir_select_partitioning_independent(spark):
     base = sorted(map(tuple, dsir_select(docs, top_n=20).collect()))
     again = sorted(map(tuple, dsir_select(docs.repartition(13), top_n=20).collect()))
     assert base == again
+
+
+def test_group_quantile_threshold_exact_p25(spark):
+    """Hand-checkable: group A values 1..8 -> p25 = value at rank
+    ceil(0.25*8)=2 -> threshold 2, keeps 2..8; group B values 10,20
+    -> rank ceil(0.5)=1 -> threshold 10, keeps both."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.curation import (
+        group_quantile_threshold,
+    )
+
+    rows = [("A", i, float(i)) for i in range(1, 9)]
+    rows += [("B", 100, 10.0), ("B", 101, 20.0)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = group_quantile_threshold(df, "g", "v", "id", q=0.25)
+    got = {(r.g, r.id): r.threshold for r in out.collect()}
+    assert {k for k in got if k[0] == "A"} == {("A", i) for i in range(2, 9)}
+    assert all(t == 2.0 for (g, _), t in got.items() if g == "A")
+    assert {k for k in got if k[0] == "B"} == {("B", 100), ("B", 101)}
+    assert all(t == 10.0 for (g, _), t in got.items() if g == "B")
+
+
+def test_group_quantile_threshold_tie_break_deterministic(spark):
+    """All-equal values: threshold equals the common value and every
+    row survives, regardless of partitioning."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.curation import (
+        group_quantile_threshold,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, 7.0) for i in range(10)], "g string, id long, v double"
+    )
+    for d in (df, df.repartition(5)):
+        out = group_quantile_threshold(d, "g", "v", "id", q=0.25)
+        assert out.count() == 10
+        assert {r.threshold for r in out.collect()} == {7.0}
