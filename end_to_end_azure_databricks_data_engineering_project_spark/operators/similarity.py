@@ -300,3 +300,55 @@ def quantize_int8(vec: Column) -> tuple[Column, Column]:
         lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
     )
     return scale, q
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    every anchor, the k corpus rows MOST cosine-similar to it among
+    those carrying a DIFFERENT label — the negatives that actually
+    teach the margin (random negatives are trivially separable).
+
+    Returns (anchor_id, anchor_label, neighbor_id, neighbor_label,
+    cos_sim, rank). Plan: same broadcast-anchors shape as
+    brute_force_topk — the corpus scans once and never shuffles, the
+    label inequality rides the join condition so same-label pairs are
+    dropped before any scoring; only A×k rows reach the ranking
+    shuffle. At scale, pre-bucket candidates with SRP/IVF exactly like
+    the ANN paths and apply the same label-exclusion join."""
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("av"),
+        norm(F.col(vec_col)).alias("an"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = c.join(
+        F.broadcast(a), F.col("anchor_label") != F.col("neighbor_label")
+    ).withColumn(
+        "cos_sim", dot(F.col("av"), F.col("cv")) / (F.col("an") * F.col("cn"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id", "anchor_label", "neighbor_id", "neighbor_label",
+            "cos_sim", "rank",
+        )
+    )

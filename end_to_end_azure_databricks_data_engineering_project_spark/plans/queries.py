@@ -1317,6 +1317,43 @@ def q_ann_topk_srp(spark, sf):
     return srp_ann_topk(emb, emb.filter("vec_id < 10"), k=5)
 
 
+@_q(
+    "hard_negative_mining",
+    "Contrastive-training hard negatives: for each anchor (vec_id < "
+    "15), the 3 corpus vectors most cosine-similar among those with a "
+    "DIFFERENT label — the negatives that actually teach the margin. "
+    "Broadcast-anchors plan (corpus scans once, never shuffles); the "
+    "label inequality rides the join condition so same-label pairs die "
+    "before scoring",
+    "ext:similarity-contrastive",
+    f"""
+    WITH anchors AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 15
+    ),
+    scored AS (
+      SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+             a.vec_id AS neighbor_id, a.label AS neighbor_label,
+             {_sql_cosine("q", "a", 64)} AS cos_sim
+      FROM anchors q JOIN embeddings a ON q.label <> a.label
+    )
+    SELECT anchor_id, anchor_label, neighbor_id, neighbor_label, cos_sim,
+           CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def q_hard_negative_mining(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    return hard_negatives(emb, emb.filter("vec_id < 15"), k=3)
+
+
 def _srp_neardup_oracle_sql(n_tables=8, n_planes=4, dim=64, thr="0.30") -> str:
     """DuckDB replay of near_dup_by_cosine: SRP band-bucket candidate
     pairs (any shared table bucket, id_a < id_b, distinct), then exact

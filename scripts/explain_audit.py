@@ -63,6 +63,9 @@ ALLOW_CARTESIAN = {
     # 1-row broadcast codebook attach (fit/encode) + broadcast-queries
     # ADC join (same shape as cosine_topk) — corpus never shuffles.
     "ann_topk_pq",
+    # broadcast-anchors pattern with a label-inequality join condition
+    # (same shape as cosine_topk/knn_label_predict).
+    "hard_negative_mining",
     # 1-row broadcast coarse-centroid + codebook attaches on the QUERY
     # side; the candidate join itself is a broadcast hash equi-join on
     # the coarse cluster key.

@@ -208,3 +208,26 @@ def test_token_count_matches_manual(spark, docs):
     sample = docs.limit(20).select("doc_id", "text", token_count(F.col("text")).alias("n"))
     for r in sample.collect():
         assert r.n == len(r.text.split())
+
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    # anchor 0 (label 0) at e1; same-label 1 is CLOSEST but must be
+    # excluded; different-label 2 (near e1) must outrank far vector 3.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.14, 0.0, 0.0], 0),   # same label: excluded
+        (2, [0.9, 0.43, 0.0, 0.0], 1),    # different label, close
+        (3, [0.0, 0.0, 1.0, 0.0], 1),     # different label, orthogonal
+        (4, [0.0, 0.0, 0.0, 1.0], 2),     # different label, orthogonal
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = hard_negatives(df, df.filter("vec_id = 0"), k=3)
+    got = [(r.neighbor_id, r.rank) for r in sorted(out.collect(), key=lambda r: r.rank)]
+    assert [n for n, _ in got] == [2, 3, 4]
+    assert all(r.neighbor_label != r.anchor_label for r in out.collect())
