@@ -239,12 +239,28 @@ def ivfpq_encode(
         res, vec_col="residual", id_col=id_col, m=m, k_sub=k_sub,
         n_iter=n_iter, dim=dim,
     )
+    return ivfpq_encode_with(df, coarse_centroids, codebooks, vec_col, dim), codebooks
+
+
+def ivfpq_encode_with(
+    df: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Encode with a FROZEN model (no fitting) — the incremental-index
+    path: new vectors are assigned + residual-coded against the stored
+    centroids/codebooks so old codes never need recomputation. Same
+    scan-stage, shuffle-free plan as ``pq_encode``."""
+    m = len(codebooks)
     sd = _check_geometry(dim, m)
+    assigned = ivf_assign(df, coarse_centroids, vec_col=vec_col)
+    res = residuals(assigned, coarse_centroids, vec_col=vec_col)
     j = _with_codebooks(res, codebooks)
-    encoded = j.withColumn(
+    return j.withColumn(
         "codes", pq_codes(F.col("residual"), F.col(_CB), m, sd)
     ).drop(_CB, "residual")
-    return encoded, codebooks
 
 
 def ivfpq_topk(

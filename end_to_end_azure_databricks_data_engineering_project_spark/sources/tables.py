@@ -724,11 +724,23 @@ class ManagedTable:
             return self.current_version()  # lost the replay race
         return v
 
-    def append(self, df: DataFrame, epoch=None, epoch_key=None, evolve: bool = False) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        epoch=None,
+        epoch_key=None,
+        evolve: bool = False,
+        set_props: dict | None = None,
+        expect_props: dict | None = None,
+    ) -> int:
         """Append = new snapshot directory: new files land next to
         hardlinked prior files (cheap, no data rewrite). Epoch watermark
         as in ``overwrite`` — replaying the same micro-batch is a no-op,
         making checkpoint + append genuinely exactly-once.
+
+        ``set_props`` / ``expect_props``: commit-atomic table properties
+        (same contract as ``overwrite`` / ``_commit`` — expectation
+        checked inside the locked commit; first binder wins).
 
         Schema is ENFORCED against the committed one (aligned order,
         null-filled missing nullable columns, exact types); new columns
@@ -746,7 +758,9 @@ class ManagedTable:
         self._write_op_marker(new_v, "append")
         self._write_schema(new_dir, schema)
         self._collect_stats(new_dir, self.file_stats(v) if v >= 0 else None)
-        if not self._commit(new_v, epoch, epoch_key):  # lost the replay race
+        if not self._commit(
+            new_v, epoch, epoch_key, set_props=set_props, expect_props=expect_props
+        ):  # lost the replay race
             return self.current_version()
         return new_v
 

@@ -355,6 +355,111 @@ def run_neardup_drain_bucketed(
     return n_pairs, n_new
 
 
+def run_ann_index_drain(
+    catalog: Catalog,
+    batch: DataFrame,
+    epoch: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_k: int = 4,
+    m: int = 2,
+    k_sub: int = 4,
+    n_iter: int = 2,
+    dim: int = 64,
+    table_name: str = "ann_index",
+) -> int:
+    """One exactly-once drain of an incremental IVF-PQ index: encode the
+    new embedding batch and append its (id, cluster, codes) rows to the
+    persistent ``ann_index`` table.
+
+    The model (coarse centroids + residual codebooks) is trained ONCE —
+    on the first drain's batch — and FROZEN as a commit-atomic table
+    property (``ivfpq_model``, JSON; few KB at these shapes — larger
+    models should store a file path + content hash instead, same
+    binding rule): retraining would silently re-partition the space and
+    orphan every previously-stored code. Later drains encode only their
+    batch against the stored model (scan-stage, shuffle-free — see
+    ivfpq_encode_with) and append. The property expectation is checked
+    INSIDE the same locked commit that appends (exactly the
+    ``run_hll_drain`` m-binding rule), so a drain racing with a
+    different model, or against a table whose model changed under it,
+    fails loudly instead of mixing incompatible codes.
+
+    Query the index any time with ``pq.ivfpq_topk(index.read(), …)``
+    using the stored model (``ann_index_model(catalog)``).
+
+    Exactly-once: the append carries the caller's ``epoch`` — a
+    replayed micro-batch skips before any compute. Returns rows
+    appended, or -1 on a replay no-op."""
+    import json as _json
+
+    from pyspark.sql import Observation
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.ivf import (
+        kmeans_fit,
+    )
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.pq import (
+        ivfpq_encode_with,
+        pq_fit,
+        residuals,
+    )
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.ivf import ivf_assign
+
+    table = catalog.table(table_name)
+    stored_model = table.table_prop("ivfpq_model")
+    if stored_model is not None:
+        model = _json.loads(stored_model)
+        if (len(model["centroids"]), len(model["codebooks"])) != (coarse_k, m) or len(
+            model["codebooks"][0]
+        ) != k_sub:
+            # early, friendly version of the commit-time check
+            raise ValueError(
+                f"{table_name} was built with k={len(model['centroids'])}, "
+                f"m={len(model['codebooks'])}, k_sub={len(model['codebooks'][0])}; "
+                f"refusing to encode with k={coarse_k}, m={m}, k_sub={k_sub} "
+                "(codes from different models never mix)"
+            )
+        cents, cbs = model["centroids"], model["codebooks"]
+        model_json = stored_model
+    else:
+        cents = kmeans_fit(batch, vec_col=vec_col, id_col=id_col, k=coarse_k, n_iter=n_iter)
+        res = residuals(ivf_assign(batch, cents, vec_col=vec_col), cents, vec_col=vec_col)
+        cbs = pq_fit(res, vec_col="residual", id_col=id_col, m=m, k_sub=k_sub,
+                     n_iter=n_iter, dim=dim)
+        # json round-trips python floats exactly (shortest-repr)
+        model_json = _json.dumps({"centroids": cents, "codebooks": cbs})
+    applied = table.applied_epoch("ann_index_drain")
+    if applied is not None and epoch <= applied:
+        return -1
+    encoded = ivfpq_encode_with(batch, cents, cbs, vec_col=vec_col, dim=dim).select(
+        id_col, "cluster", "codes"
+    )
+    obs = Observation()
+    table.append(
+        encoded.observe(obs, F.count(F.lit(1)).alias("n")),
+        epoch=epoch,
+        epoch_key="ann_index_drain",
+        set_props={"ivfpq_model": model_json},
+        expect_props={"ivfpq_model": model_json},
+    )
+    return obs.get["n"]
+
+
+def ann_index_model(
+    catalog: Catalog, table_name: str = "ann_index"
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """The frozen (coarse centroids, residual codebooks) bound to an
+    incremental ANN index table — what ``pq.ivfpq_topk`` needs to query
+    it."""
+    import json as _json
+
+    stored = catalog.table(table_name).table_prop("ivfpq_model")
+    if stored is None:
+        raise ValueError(f"{table_name} has no bound ivfpq_model yet")
+    model = _json.loads(stored)
+    return model["centroids"], model["codebooks"]
+
+
 def cdc_stream(
     spark: SparkSession,
     cfg: TableConfig,
