@@ -393,3 +393,46 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def _pack_bits(m: int, k_sub: int) -> int:
+    if k_sub & (k_sub - 1) != 0:
+        raise ValueError(f"k_sub must be a power of two, got {k_sub}")
+    bits = k_sub.bit_length() - 1
+    if m * bits > 62:
+        raise ValueError(
+            f"m={m} x log2(k_sub)={bits} = {m * bits} bits exceeds the 62 "
+            "a signed BIGINT safely holds"
+        )
+    return bits
+
+
+def pq_pack_codes(codes: Column, m: int, k_sub: int) -> Column:
+    """Pack the m-element code array into ONE BIGINT (subspace 0 in the
+    least-significant bits) — the storage form that makes a 100 TB code
+    column a fixed-width integer instead of an array: denser parquet
+    encoding, cheaper shuffles, and an equi-joinable exact-duplicate
+    key (two vectors with identical codes collide on one bigint).
+    Exact integer arithmetic only; requires power-of-two k_sub and
+    m·log2(k_sub) ≤ 62 bits."""
+    bits = _pack_bits(m, k_sub)
+    packed = F.lit(0).cast("bigint")
+    for s in range(m - 1, -1, -1):
+        packed = F.shiftleft(packed, bits) + F.element_at(
+            codes, s + 1
+        ).cast("bigint")
+    return packed
+
+
+def pq_unpack_codes(packed: Column, m: int, k_sub: int) -> Column:
+    """Inverse of ``pq_pack_codes``: the BIGINT back to the m-element
+    int code array, subspace order restored."""
+    bits = _pack_bits(m, k_sub)
+    return F.array(
+        *[
+            F.shiftrightunsigned(packed, s * bits)
+            .bitwiseAND(F.lit(k_sub - 1))
+            .cast("int")
+            for s in range(m)
+        ]
+    )

@@ -226,3 +226,31 @@ def test_ivfpq_deterministic(spark, emb):
     r1 = sorted(map(tuple, ivfpq_topk(enc1, q, cents, cb1).collect()))
     r2 = sorted(map(tuple, ivfpq_topk(enc2, q, cents, cb2).collect()))
     assert r1 == r2
+
+
+def test_pack_unpack_roundtrip_and_validation(spark, emb, codebooks):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.pq import (
+        pq_pack_codes,
+        pq_unpack_codes,
+    )
+
+    enc = pq_encode(emb, codebooks).select("vec_id", "codes")
+    packed = enc.select(
+        "vec_id", "codes", pq_pack_codes(F.col("codes"), 4, 8).alias("p")
+    )
+    back = packed.select(
+        "vec_id", "codes", pq_unpack_codes(F.col("p"), 4, 8).alias("u"), "p"
+    )
+    rows = back.collect()
+    assert all(list(r.codes) == list(r.u) for r in rows)
+    # packing is injective over observed code words
+    by_packed = {}
+    for r in rows:
+        by_packed.setdefault(r.p, set()).add(tuple(r.codes))
+    assert all(len(v) == 1 for v in by_packed.values())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="power of two"):
+        pq_pack_codes(F.col("codes"), 4, 6)
+    with _pytest.raises(ValueError, match="62"):
+        pq_pack_codes(F.col("codes"), 8, 256)
