@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from end_to_end_azure_databricks_data_engineering_project_spark.operators.skew import (
@@ -89,6 +91,62 @@ def test_running_user_stats_stateful(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = {r.user_id: (r.n, r.total) for r in spark.sql("SELECT * FROM user_stats").collect()}
+    expected = {
+        u: (len([i for i in range(30) if i % 3 == u]),
+            float(sum(i for i in range(30) if i % 3 == u)))
+        for u in (0, 1, 2)
+    }
+    assert got == expected
+
+
+def test_running_user_stats_transformwithstate(spark, tmp_path):
+    """The Spark 4.x transformWithState twin must produce the same final
+    per-key stats as the applyInPandasWithState operator. Requires the
+    RocksDB state-store provider (bundled) AND google.protobuf (NOT in
+    this container — pyspark's transform_with_state_driver_worker dies
+    at init importing StateMessage_pb2 without it), so the test skips
+    there instead of asserting a crash."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.stateful import (
+        HAVE_TWS_PROTO,
+        running_user_stats_tws,
+    )
+
+    if not HAVE_TWS_PROTO:
+        pytest.skip("google.protobuf absent: transformWithState wire protocol unavailable")
+
+    src = str(tmp_path / "ev")
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(minutes=i), i % 3, "click", float(i))
+            for i in range(30)]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            running_user_stats_tws(stream)
+            .writeStream.format("memory")
+            .queryName("user_stats_tws")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.user_id: (r.n, r.total)
+            for r in spark.sql("SELECT * FROM user_stats_tws").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     expected = {
         u: (len([i for i in range(30) if i % 3 == u]),
             float(sum(i for i in range(30) if i % 3 == u)))
