@@ -232,6 +232,65 @@ def dsir_select(
     )
 
 
+def temperature_mixture_sample(
+    docs: DataFrame,
+    group_col: str = "source",
+    target_total: int = 300,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-flattened domain mixture at T=2 (the DoReMi /
+    multilingual-sampling shape): per-group weights
+    w_i = sqrt(n_i) / Σ_j sqrt(n_j) up-weight small domains relative to
+    proportional sampling; each group contributes ceil(target·w_i)
+    documents (naturally capped at n_i) picked in portable-md5 order.
+    Returns (doc_id, <group_col>, pick_rank).
+
+    T is fixed at 2 because n^(1/T) is then sqrt — IEEE
+    correctly-rounded and therefore cross-engine bit-exact, unlike
+    pow(x, 1/T) for general T (whose low bits vary by libm). The
+    Σ sqrt(n_j) denominator folds in group order over the n_groups-row
+    relation, so even the double total is deterministic.
+
+    Scale shape: group counts are one map-side-combinable agg; the
+    weight/quota relation is n_groups rows and broadcasts back; the
+    only wide step is quota_per_group's window shuffle on the group
+    key."""
+    n_rel = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    denom = n_rel.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(group_col),
+                        F.sqrt(F.col("_n").cast("double")).alias("_s"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["_s"],
+        ).alias("_d")
+    )
+    quota = (
+        n_rel.crossJoin(F.broadcast(denom))
+        .select(
+            group_col,
+            F.ceil(
+                F.lit(target_total)
+                * (F.sqrt(F.col("_n").cast("double")) / F.col("_d"))
+            ).cast("bigint").alias("_q"),
+        )
+    )
+    h = _phash("mix|", F.col(id_col))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.select(id_col, group_col)
+        .join(F.broadcast(quota), group_col)
+        .withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= F.col("_q"))
+        .select(id_col, group_col, F.col("pick_rank").cast("int").alias("pick_rank"))
+    )
+
+
 def group_quantile_threshold(
     df: DataFrame,
     group_col: str,

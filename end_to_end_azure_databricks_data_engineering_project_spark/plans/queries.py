@@ -3592,6 +3592,106 @@ def q_bm25_topk(spark, sf):
 
 
 @_q(
+    "temperature_mixture_sample",
+    "Temperature-flattened domain mixture (the DoReMi/multilingual-"
+    "sampling shape at T=2): per-source weights w_i = sqrt(n_i) / "
+    "sum_j sqrt(n_j) up-weight small domains; each source then "
+    "contributes ceil(300 * w_i) documents (capped at n_i) picked in "
+    "portable-md5 order. sqrt is IEEE-correctly-rounded (cross-engine "
+    "exact, unlike pow/ln) and the 20-term weight denominator folds in "
+    "source order — bit-identical totals. The weight relation is "
+    "n_sources rows, broadcast back; selection is one window per "
+    "source",
+    "extension: training-data curation (mixture reweighting)",
+    r"""
+    WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    denom AS (
+      SELECT list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)),
+               (a, b) -> a + b) AS d
+      FROM n
+    ),
+    quota AS (
+      SELECT n.source,
+             CAST(ceil(300 * (sqrt(CAST(n.n AS DOUBLE)) / denom.d)) AS BIGINT)
+               AS q
+      FROM n CROSS JOIN denom
+    )
+    SELECT doc_id, source, CAST(rn AS INT) AS pick_rank FROM (
+      SELECT d.doc_id, d.source, q.q,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY CAST(('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                        d.doc_id) AS rn
+      FROM documents d JOIN quota q USING (source)
+    ) WHERE rn <= q
+    """,
+)
+def q_temperature_mixture_sample(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.curation import (
+        temperature_mixture_sample,
+    )
+
+    return temperature_mixture_sample(
+        _t(spark, sf, "documents"), "source", target_total=300
+    )
+
+
+@_q(
+    "zscore_normalize",
+    "Per-group z-score standardization: group mean/std from EXACT "
+    "decimal partial sums (the stats_moments rule — bit-identical "
+    "under any partitioning), the 3-row stats relation broadcast back "
+    "onto a ship-date slice, z = (x - mean) / std with pinned "
+    "operation order. The normalization transform row-level twin of "
+    "the stats_moments summary entry",
+    "extension: feature engineering (group-wise standardization)",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           CAST(l.l_extendedprice AS DOUBLE) AS price,
+           (CAST(l.l_extendedprice AS DOUBLE) - s.sx / s.n)
+             / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)) AS z
+    FROM lineitem l JOIN s USING (l_returnflag)
+    WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1996-04-01'
+    """,
+)
+def q_zscore_normalize(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    dp = _dec("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dp).cast("double").alias("sx"),
+        F.sum(dp * dp).cast("double").alias("sxx"),
+    )
+    sliced = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    x = F.col("l_extendedprice").cast("double")
+    mean = F.col("sx") / F.col("n")
+    std = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return sliced.join(F.broadcast(s), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        x.alias("price"),
+        ((x - mean) / std).alias("z"),
+    )
+
+
+@_q(
     "lang_adaptive_filter",
     "Per-language adaptive quality gate: each document is kept only if "
     "its Simpson lexical diversity reaches its OWN language's exact "

@@ -262,3 +262,24 @@ def test_group_quantile_threshold_tie_break_deterministic(spark):
         out = group_quantile_threshold(d, "g", "v", "id", q=0.25)
         assert out.count() == 10
         assert {r.threshold for r in out.collect()} == {7.0}
+
+
+def test_temperature_mixture_upweights_small_domains(spark):
+    """At T=2 a 4x-larger domain gets only 2x the quota (sqrt), so the
+    small domain's sampling RATE is higher; totals track the target."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.curation import (
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture_sample(docs, "source", target_total=90)
+    got = {r.source: 0 for r in out.collect()}
+    for r in out.collect():
+        got[r.source] += 1
+    # weights: sqrt(400)=20, sqrt(100)=10 -> big 2/3, small 1/3
+    assert got["big"] == 60 and got["small"] == 30
+    assert got["small"] / 100 > got["big"] / 400  # higher RATE for small
+    # determinism under repartition
+    again = temperature_mixture_sample(docs.repartition(7), "source", target_total=90)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
