@@ -3592,6 +3592,48 @@ def q_bm25_topk(spark, sf):
 
 
 @_q(
+    "lateral_topn_join",
+    "Correlated LATERAL subquery (Spark 4 lateral join surface): each "
+    "of the 20 highest-balance customers pulls its own top-2 orders by "
+    "price inside the lateral body — the per-row-subquery shape that "
+    "SQL users reach for before discovering window top-k; Catalyst "
+    "decorrelates it to the same join+window plan",
+    "§2.5 joins (correlated LATERAL subquery)",
+    """
+    WITH topc AS (
+      SELECT c_custkey FROM customer
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 20
+    )
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS price
+    FROM topc c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) o
+    """,
+)
+def q_lateral_topn_join(spark, sf):
+    _t(spark, sf, "customer").createOrReplaceTempView("__cust_lat")
+    _t(spark, sf, "orders").createOrReplaceTempView("__ord_lat")
+    return spark.sql(
+        """
+        WITH topc AS (
+          SELECT c_custkey FROM __cust_lat
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 20
+        )
+        SELECT c.c_custkey, o.o_orderkey,
+               CAST(o.o_totalprice AS DOUBLE) AS price
+        FROM topc c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM __ord_lat
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) o
+        """
+    )
+
+
+@_q(
     "temperature_mixture_sample",
     "Temperature-flattened domain mixture (the DoReMi/multilingual-"
     "sampling shape at T=2): per-source weights w_i = sqrt(n_i) / "

@@ -74,6 +74,8 @@ ALLOW_CARTESIAN = {
     "dsir_importance_select",
     # 1-row (N, total-tokens) corpus stats broadcast onto the tf stream.
     "bm25_topk",
+    # 1-row sqrt-weight denominator broadcast onto the n_sources quotas.
+    "temperature_mixture_sample",
 }
 EXPECT_PUSHDOWN = {
     "watermark_filter", "in_predicate", "null_predicate", "pricing_summary",
