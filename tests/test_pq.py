@@ -254,3 +254,73 @@ def test_pack_unpack_roundtrip_and_validation(spark, emb, codebooks):
         pq_pack_codes(F.col("codes"), 4, 6)
     with _pytest.raises(ValueError, match="62"):
         pq_pack_codes(F.col("codes"), 8, 256)
+
+
+def test_pack_unpack_property(spark):
+    """Property: pack∘unpack is the identity for every valid (m, k_sub,
+    codes) combination — checked via pure-python replication of the
+    column expressions over one Spark round trip."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.pq import (
+        pq_pack_codes,
+        pq_unpack_codes,
+    )
+
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.data())
+    def run(data):
+        k_sub = data.draw(st.sampled_from([2, 4, 8, 16, 64, 256]))
+        bits = k_sub.bit_length() - 1
+        m = data.draw(st.integers(min_value=1, max_value=min(8, 62 // bits)))
+        codes = data.draw(
+            st.lists(st.integers(0, k_sub - 1), min_size=m, max_size=m)
+        )
+        df = spark.createDataFrame([(codes,)], "codes: array<int>")
+        out = df.select(
+            pq_unpack_codes(pq_pack_codes(F.col("codes"), m, k_sub), m, k_sub).alias("u")
+        ).collect()[0]
+        assert list(out.u) == codes
+
+    run()
+
+
+def test_group_quantile_threshold_matches_model(spark):
+    """Property: survivors == {rows with value >= sorted(values)[ceil(q*n)-1]}
+    per group, for random value multisets (ties included)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+    import math
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.curation import (
+        group_quantile_threshold,
+    )
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.data())
+    def run(data):
+        q = data.draw(st.sampled_from([0.25, 0.5, 0.125]))
+        groups = {}
+        rows = []
+        next_id = 0
+        for g in ("a", "b"):
+            vals = data.draw(
+                st.lists(st.integers(-5, 5), min_size=1, max_size=12)
+            )
+            groups[g] = []
+            for v in vals:
+                rows.append((g, next_id, float(v)))
+                groups[g].append((next_id, float(v)))
+                next_id += 1
+        df = spark.createDataFrame(rows, "g string, id long, v double")
+        out = group_quantile_threshold(df, "g", "v", "id", q=q)
+        got = {(r.g, r.id) for r in out.collect()}
+        expect = set()
+        for g, members in groups.items():
+            ordered = sorted(members, key=lambda t: (t[1], t[0]))
+            thr = ordered[math.ceil(q * len(ordered)) - 1][1]
+            expect |= {(g, i) for i, v in members if v >= thr}
+        assert got == expect
+
+    run()
