@@ -254,7 +254,13 @@ def temperature_mixture_sample(
     Scale shape: group counts are one map-side-combinable agg; the
     weight/quota relation is n_groups rows and broadcasts back; the
     only wide step is quota_per_group's window shuffle on the group
-    key."""
+    key.
+
+    NULL-group rows are excluded up front (they can neither receive a
+    quota nor equi-join one) — without the filter they would inflate
+    the weight denominator and silently push every real group under
+    quota."""
+    docs = docs.filter(F.col(group_col).isNotNull())
     n_rel = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
     denom = n_rel.agg(
         F.aggregate(

@@ -97,8 +97,23 @@ def pq_fit(
     number of jobs. Empty clusters keep their previous centroid."""
     sd = _check_geometry(dim, m)
     data = df.select(id_col, vec_col)
-    if fit_fraction:
-        data = data.sample(fraction=fit_fraction, seed=42)
+    if fit_fraction is not None:
+        if not 0.0 < fit_fraction <= 1.0:
+            raise ValueError(f"fit_fraction must be in (0, 1], got {fit_fraction}")
+        if fit_fraction < 1.0:
+            # portable md5 draw, NOT df.sample(): Spark's seeded sample
+            # is per-partition, so the same data read with different
+            # parallelism yields different codebooks — which would break
+            # this operator's bit-identical-every-run contract and make
+            # frozen incremental-index models unreproducible.
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("pqfit|"), F.col(id_col).cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("bigint")
+            data = data.filter((h % 1_000_000) < int(fit_fraction * 1_000_000))
     # seeds: the k_sub smallest ids, each sliced into its m subvectors
     seeds = data.orderBy(F.col(id_col).asc()).limit(k_sub).collect()
     codebooks = [

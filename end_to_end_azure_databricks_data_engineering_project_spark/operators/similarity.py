@@ -321,7 +321,14 @@ def hard_negatives(
     label inequality rides the join condition so same-label pairs are
     dropped before any scoring; only A×k rows reach the ranking
     shuffle. At scale, pre-bucket candidates with SRP/IVF exactly like
-    the ANN paths and apply the same label-exclusion join."""
+    the ANN paths and apply the same label-exclusion join.
+
+    NULL labels are excluded EXPLICITLY on both sides (an unlabeled
+    anchor has no well-defined negatives; an unlabeled corpus row can't
+    be proven a different class) — without the filters the NULL
+    inequality would drop them silently inside the join condition."""
+    anchors = anchors.filter(F.col(label_col).isNotNull())
+    corpus = corpus.filter(F.col(label_col).isNotNull())
     a = anchors.select(
         F.col(id_col).alias("anchor_id"),
         F.col(vec_col).alias("av"),

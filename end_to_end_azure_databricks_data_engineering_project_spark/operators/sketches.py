@@ -123,15 +123,25 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
 _HLL_HASH_BITS = 60
 
 
+def _hll_alpha(m: int) -> float:
+    """The single home for m validation + the alpha_m bias constant
+    (Flajolet et al. 2007): tabulated values for m = 16/32/64, the
+    closed-form asymptote for m >= 128. Every HLL entry point funnels
+    through this so the global and grouped estimators can never
+    drift."""
+    assert m & (m - 1) == 0 and 16 <= m <= 256, (
+        "m must be a power of two in [16, 256] (alpha_m is tabulated "
+        "down to 16; smaller register counts have no standard bias term)"
+    )
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
 def hll_idx_rho(key, m: int = 256):
     """(register index, rho) column pair for a key expression — the
     per-row map-side part of the HLL build. The rho window is the
     60-bit hash minus the log2(m) index bits, so any power-of-two m
     ≤ 256 counts leading zeros over the correct width."""
-    assert m & (m - 1) == 0 and 16 <= m <= 256, (
-        "m must be a power of two in [16, 256] (alpha_m is tabulated "
-        "down to 16; smaller register counts have no standard bias term)"
-    )
+    _hll_alpha(m)  # validates m
     bits = m.bit_length() - 1
     w_bits = _HLL_HASH_BITS - bits
     h = portable_hash64(key.cast("string"))
@@ -180,10 +190,7 @@ def hll_estimate_by(
     """One (<group_col>, used_registers, raw_estimate) row per group —
     the grouped twin of ``hll_estimate``, same raw-estimate-only,
     fixed-fold-order determinism contract."""
-    assert m & (m - 1) == 0 and 16 <= m <= 256, (
-        "m must be a power of two in [16, 256]"
-    )
-    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    alpha = _hll_alpha(m)
     term = F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), reg)").cast("double")
     agg = registers.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("used_registers"),
@@ -216,13 +223,7 @@ def hll_estimate(registers: DataFrame, m: int = 256) -> DataFrame:
     engines; the raw estimate is exact-double-deterministic). Absent
     registers contribute 2⁰ = 1 each. Returns one row
     (used_registers, raw_estimate)."""
-    # standard alpha_m constants (Flajolet et al. 2007): the closed form
-    # 0.7213/(1+1.079/m) is only the m >= 128 asymptote; smaller register
-    # counts have their own tabulated bias corrections.
-    assert m & (m - 1) == 0 and 16 <= m <= 256, (
-        "m must be a power of two in [16, 256]"
-    )
-    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    alpha = _hll_alpha(m)
     # 2^-reg as 1/shiftleft(1,reg): exact powers of two, no pow().
     # (F.shiftleft only takes a literal bit count — use the SQL form.)
     term = F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), reg)").cast("double")

@@ -396,6 +396,7 @@ def run_ann_index_drain(
     from pyspark.sql import Observation
 
     from end_to_end_azure_databricks_data_engineering_project_spark.operators.ivf import (
+        ivf_assign,
         kmeans_fit,
     )
     from end_to_end_azure_databricks_data_engineering_project_spark.operators.pq import (
@@ -403,7 +404,6 @@ def run_ann_index_drain(
         pq_fit,
         residuals,
     )
-    from end_to_end_azure_databricks_data_engineering_project_spark.operators.ivf import ivf_assign
 
     table = catalog.table(table_name)
     stored_model = table.table_prop("ivfpq_model")
@@ -435,13 +435,22 @@ def run_ann_index_drain(
         id_col, "cluster", "codes"
     )
     obs = Observation()
-    table.append(
+    v_before = table.current_version()
+    v_new = table.append(
         encoded.observe(obs, F.count(F.lit(1)).alias("n")),
         epoch=epoch,
         epoch_key="ann_index_drain",
         set_props={"ivfpq_model": model_json},
         expect_props={"ivfpq_model": model_json},
     )
+    if v_new <= v_before:
+        # lost a same-epoch replay race (or the epoch landed between our
+        # pre-check and the append): nothing committed — honor the
+        # replay-no-op contract instead of reporting the batch size.
+        # NB: only safe to skip obs here — when append short-circuits on
+        # the epoch guard the observed plan never executed and obs.get
+        # would block forever.
+        return -1
     return obs.get["n"]
 
 

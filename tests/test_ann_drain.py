@@ -97,3 +97,29 @@ def test_query_drained_index_matches_direct_encode(spark, tmp_path, emb):
 def test_model_accessor_before_first_drain_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="no bound ivfpq_model"):
         ann_index_model(_cat(spark, tmp_path))
+
+
+def test_drain_lost_replay_race_returns_noop(spark, tmp_path, emb, monkeypatch):
+    """If the epoch lands between the drain's pre-check and its append
+    (concurrent replay), append commits nothing — the drain must report
+    -1, not the batch size, and must NOT block on the never-fired
+    observation."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources import tables as tbl
+
+    cat = _cat(spark, tmp_path)
+    b = emb.filter("vec_id < 40")
+    assert run_ann_index_drain(cat, b, epoch=1) == 40
+    # simulate the race: the pre-check sees "not applied" but the table
+    # actually has epoch 1 applied, so append's internal guard skips
+    real = tbl.ManagedTable.applied_epoch
+    calls = {"n": 0}
+
+    def lying_applied_epoch(self, key):
+        calls["n"] += 1
+        if calls["n"] == 1:  # only the drain's pre-check is lied to
+            return None
+        return real(self, key)
+
+    monkeypatch.setattr(tbl.ManagedTable, "applied_epoch", lying_applied_epoch)
+    assert run_ann_index_drain(cat, b, epoch=1) == -1
+    assert cat.table("ann_index").read().count() == 40

@@ -324,3 +324,16 @@ def test_group_quantile_threshold_matches_model(spark):
         assert got == expect
 
     run()
+
+
+def test_fit_fraction_deterministic_and_validated(spark, emb):
+    """fit_fraction draws by portable md5, so the sampled codebooks are
+    identical under any partitioning (df.sample would not be)."""
+    cb1 = pq_fit(emb, m=4, k_sub=8, n_iter=1, dim=64, fit_fraction=0.5)
+    cb2 = pq_fit(emb.repartition(13), m=4, k_sub=8, n_iter=1, dim=64, fit_fraction=0.5)
+    assert cb1 == cb2
+    assert cb1 != pq_fit(emb, m=4, k_sub=8, n_iter=1, dim=64)  # subset differs
+    with pytest.raises(ValueError, match="fit_fraction"):
+        pq_fit(emb, m=4, k_sub=8, n_iter=1, dim=64, fit_fraction=0.0)
+    with pytest.raises(ValueError, match="fit_fraction"):
+        pq_fit(emb, m=4, k_sub=8, n_iter=1, dim=64, fit_fraction=1.5)
