@@ -3685,9 +3685,11 @@ def q_temperature_mixture_sample(spark, sf):
     "Per-group z-score standardization: group mean/std from EXACT "
     "decimal partial sums (the stats_moments rule — bit-identical "
     "under any partitioning), the 3-row stats relation broadcast back "
-    "onto a ship-date slice, z = (x - mean) / std with pinned "
-    "operation order. The normalization transform row-level twin of "
-    "the stats_moments summary entry",
+    "onto a ship-date slice, z = round((x - mean) / std, 9) with "
+    "pinned operation order (rounded like stats_moments: DuckDB's "
+    "decimal-to-double cast double-rounds once the scaled int passes "
+    "2^53). The normalization transform row-level twin of the "
+    "stats_moments summary entry",
     "extension: feature engineering (group-wise standardization)",
     """
     WITH s AS (
@@ -3700,8 +3702,8 @@ def q_temperature_mixture_sample(spark, sf):
     )
     SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
            CAST(l.l_extendedprice AS DOUBLE) AS price,
-           (CAST(l.l_extendedprice AS DOUBLE) - s.sx / s.n)
-             / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)) AS z
+           round((CAST(l.l_extendedprice AS DOUBLE) - s.sx / s.n)
+                 / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 9) AS z
     FROM lineitem l JOIN s USING (l_returnflag)
     WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1996-04-01'
     """,
@@ -3729,7 +3731,11 @@ def q_zscore_normalize(spark, sf):
         "l_linenumber",
         "l_returnflag",
         x.alias("price"),
-        ((x - mean) / std).alias("z"),
+        # round(9) like stats_moments: sxx's DECIMAL(38,4) scaled int
+        # exceeds 2^53, and DuckDB's decimal->double cast (scaled-int
+        # double divided by 10^scale, two roundings) can land 1 ulp off
+        # Spark's correctly-rounded cast — observed at sf0.001.
+        F.round((x - mean) / std, 9).alias("z"),
     )
 
 
