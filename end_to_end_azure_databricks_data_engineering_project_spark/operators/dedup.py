@@ -225,6 +225,32 @@ def minhash_near_dup_pairs(
     return _banded_pairs(banded, banded, id_col, num_hashes)
 
 
+def incremental_index_rows(
+    index: DataFrame | None,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Just the new batch's band-index rows (no probe join): first-write-
+    wins anti-join against the stored index's ids, then one signature
+    pass. Returned CACHED — the rows feed up to three consumers (probe
+    side, self-join side, the caller's index append); callers unpersist
+    when done. This is also the replay fast path: when the pairs side of
+    a drain is already committed, only these rows (which anti-join to
+    empty on a full replay) are needed to finish the index side."""
+    if index is not None:
+        # First write wins: ids already indexed are skipped entirely —
+        # this also makes the caller's index append idempotent at the
+        # row level (a replayed batch filters to empty).
+        new_docs = new_docs.join(index.select(id_col), on=id_col, how="left_anti")
+    return minhash_band_index(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_n
+    ).cache()
+
+
 def incremental_near_dup_pairs(
     index: DataFrame | None,
     new_docs: DataFrame,
@@ -263,19 +289,9 @@ def incremental_near_dup_pairs(
     only the index's id column (column-pruned scan); at extreme scale
     keep an ids-only sidecar bucketed by id to make it shuffle-free
     too."""
-    if index is not None:
-        # First write wins: ids already indexed are skipped entirely —
-        # this also makes the caller's index append idempotent at the
-        # row level (a replayed batch filters to empty).
-        new_docs = new_docs.join(index.select(id_col), on=id_col, how="left_anti")
-    new_rows = minhash_band_index(
-        new_docs, text_col, id_col, num_hashes, bands, shingle_n
+    new_rows = incremental_index_rows(
+        index, new_docs, text_col, id_col, num_hashes, bands, shingle_n
     )
-    # The batch's index rows feed three consumers (probe side, self-join
-    # side, and the caller's index append) — cache so the md5-per-
-    # shingle signature hashing runs once, not 2-3×. Caller may
-    # unpersist after appending to the stored index.
-    new_rows = new_rows.cache()
     if index is None:  # first drain: no stored index yet → pure self-join
         return _banded_pairs(new_rows, new_rows, id_col, num_hashes), new_rows
     old = index.select(id_col, "sig", "band_idx", "band_key")

@@ -389,7 +389,29 @@ class ManagedTable:
             for f in stored.fields
         ] + [F.col(f.name) for f in extras]
         out = df.select(*cols)
-        return out, out.schema
+        # Commit schema nullability is derived, NOT taken from out.schema:
+        # a single batch built from non-nullable expressions must not
+        # rewrite a nullable canonical column to non-nullable (the next
+        # legitimately-omitting batch would then be rejected, and read()
+        # would pin a wrong optimizer-visible invariant over old files
+        # holding NULLs). Stored nullability only ever WIDENS; evolved
+        # columns are forced nullable because pre-evolution files
+        # null-fill them.
+        from pyspark.sql.types import StructField, StructType
+
+        commit_schema = StructType(
+            [
+                StructField(
+                    f.name,
+                    f.dataType,
+                    f.nullable
+                    or (f.name in by_name and by_name[f.name].nullable),
+                )
+                for f in stored.fields
+            ]
+            + [StructField(f.name, f.dataType, True) for f in extras]
+        )
+        return out, commit_schema
 
     # -- read/write ----------------------------------------------------------
     def read(self) -> DataFrame:
@@ -509,10 +531,21 @@ class ManagedTable:
         cluster the table (``compact(cluster_by=...)``) to make the
         ranges disjoint and the skipping sharp."""
         files = self.pruned_files(predicates)
+        schema = self.table_schema()
         if not files:
-            df = self.spark.createDataFrame([], self.read().schema)
+            df = self.spark.createDataFrame([], schema or self.read().schema)
         else:
-            df = self.spark.read.parquet(*[str(f) for f in files])
+            # pin the committed schema like read()/read_at: after
+            # evolution the surviving set mixes pre- and post-evolution
+            # files, and an unpinned reader takes an arbitrary footer —
+            # evolved columns would nondeterministically vanish (and the
+            # exact-predicate filter below would throw on them)
+            reader = (
+                self.spark.read.schema(schema)
+                if schema is not None
+                else self.spark.read
+            )
+            df = reader.parquet(*[str(f) for f in files])
         for c, (lo, hi) in predicates.items():
             if lo is not None:
                 df = df.filter(F.col(c) >= F.lit(lo))
@@ -689,7 +722,7 @@ class ManagedTable:
         expected_version: int | None = None,
         set_props: dict | None = None,
         expect_props: dict | None = None,
-    ) -> int:
+    ) -> int | None:
         """Write a full new snapshot and atomically repoint ``_latest``.
 
         ``(epoch, epoch_key)``: optional idempotence watermark — if a
@@ -701,9 +734,16 @@ class ManagedTable:
         ``ConcurrentWriteError`` (checked atomically inside the commit
         lock) if the pointer moved since the caller read the table at
         that version; for read-modify-overwrite patterns where silently
-        replacing an interleaved commit's data would lose it."""
+        replacing an interleaved commit's data would lose it.
+
+        Returns the committed version, or **None when nothing was
+        committed** (the epoch was already applied — caught by the
+        pre-check or the in-lock recheck). Callers observing a write
+        via ``Observation`` MUST check for None before ``obs.get``: a
+        pre-check skip never executes the observed plan, so the get
+        would block forever."""
         if self._epoch_already_applied(epoch, epoch_key):
-            return self.current_version()
+            return None
         cur = self.current_version()
         if expected_version is not None and cur != expected_version:
             # fast-fail before burning the snapshot write; the
@@ -721,7 +761,7 @@ class ManagedTable:
         if not self._commit(
             v, epoch, epoch_key, expected_version, set_props, expect_props
         ):
-            return self.current_version()  # lost the replay race
+            return None  # lost the replay race: nothing committed
         return v
 
     def append(
@@ -732,7 +772,7 @@ class ManagedTable:
         evolve: bool = False,
         set_props: dict | None = None,
         expect_props: dict | None = None,
-    ) -> int:
+    ) -> int | None:
         """Append = new snapshot directory: new files land next to
         hardlinked prior files (cheap, no data rewrite). Epoch watermark
         as in ``overwrite`` — replaying the same micro-batch is a no-op,
@@ -745,9 +785,20 @@ class ManagedTable:
         Schema is ENFORCED against the committed one (aligned order,
         null-filled missing nullable columns, exact types); new columns
         require ``evolve=True``, which widens the canonical schema
-        without rewriting old files."""
+        without rewriting old files.
+
+        Returns the committed version, or **None when nothing was
+        committed** (epoch already applied — pre-check or in-lock
+        recheck). Same Observation caveat as ``overwrite``.
+
+        Concurrency: the commit carries ``expected_version`` = the
+        version whose files this append hardlinked as priors, so a
+        writer that raced past another's commit raises
+        ``ConcurrentWriteError`` (re-read and retry) instead of
+        silently publishing a snapshot that omits the interleaved
+        commit's rows — appends must be additive, never lossy."""
         if self._epoch_already_applied(epoch, epoch_key):
-            return self.current_version()
+            return None
         v = self.current_version()
         df, schema = self._align(df, evolve)
         new_v = self._claim_next_version()
@@ -759,9 +810,10 @@ class ManagedTable:
         self._write_schema(new_dir, schema)
         self._collect_stats(new_dir, self.file_stats(v) if v >= 0 else None)
         if not self._commit(
-            new_v, epoch, epoch_key, set_props=set_props, expect_props=expect_props
+            new_v, epoch, epoch_key, expected_version=v,
+            set_props=set_props, expect_props=expect_props,
         ):  # lost the replay race
-            return self.current_version()
+            return None
         return new_v
 
     def merge_keyed(
@@ -771,8 +823,15 @@ class ManagedTable:
         merge_fn: Callable[[DataFrame, DataFrame], DataFrame],
         epoch=None,
         epoch_key=None,
-    ) -> int:
+    ) -> int | None:
         """File-pruned keyed merge (Delta-MERGE-style on plain parquet).
+
+        Returns the committed version, or None when nothing was
+        committed (epoch already applied). The commit carries
+        ``expected_version`` = the version whose files were read/
+        hardlinked, so a merge racing past an interleaved commit fails
+        loudly (ConcurrentWriteError) instead of silently dropping that
+        commit's rows.
 
         ``merge_fn(current_subset, batch) -> merged`` must be key-local
         (the result for key k depends only on rows of key k — true for
@@ -796,7 +855,7 @@ class ManagedTable:
         merge falls back to a full rewrite (subset = whole snapshot,
         nothing hardlinked) without ever materializing the manifest."""
         if self._epoch_already_applied(epoch, epoch_key):
-            return self.current_version()
+            return None
         if not self.exists():
             empty = self.spark.createDataFrame([], batch.schema)
             return self.overwrite(merge_fn(empty, batch), epoch, epoch_key)
@@ -845,8 +904,8 @@ class ManagedTable:
         self._write_op_marker(new_v, "merge")
         self._write_schema(new_dir, schema)
         self._collect_stats(new_dir, self.file_stats(v) if not full_rewrite else None)
-        if not self._commit(new_v, epoch, epoch_key):  # lost the replay race
-            return self.current_version()
+        if not self._commit(new_v, epoch, epoch_key, expected_version=v):
+            return None  # lost the replay race: nothing committed
         return new_v
 
     def compact(
@@ -1033,8 +1092,14 @@ class Catalog:
         return ManagedTable(self.spark, self.root, name)
 
     def register_views(self) -> None:
-        """Expose every committed table as a temp view for spark.sql()."""
+        """Expose every committed table as a temp view for spark.sql().
+
+        Non-directory entries in the root (editor backups, stray
+        manifests) are skipped — constructing a ManagedTable on one
+        would hit mkdir(FileExistsError) and abort every registration."""
         for d in sorted(self.root.iterdir()):
+            if not d.is_dir():
+                continue
             t = ManagedTable(self.spark, self.root, d.name)
             if t.exists():
                 t.read().createOrReplaceTempView(d.name)

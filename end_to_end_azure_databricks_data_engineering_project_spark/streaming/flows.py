@@ -20,6 +20,7 @@ Design choices vs the reference:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -96,34 +97,63 @@ def silver_flow(
     """
 
     def run() -> int:
+        import json as _json
+
         src = str(Path(bronze_root) / cfg.table)
         loc = str(Path(state_root) / f"autoload_{cfg.table}")
         ledger = FileLedger(loc)
-        df, new_files = read_new_files(spark, src, cfg.spark_schema, loc)
-        if df is None:
-            return 0
+        table = catalog.table(f"silver_{cfg.table}")
+        # Drain-intent WAL: the file set a drain processes is PINNED
+        # before the append, because the ledger-size epoch identifies a
+        # ledger STATE, not a file set. Without it, a crash between
+        # append and ledger-commit followed by a NEW bronze file landing
+        # would make the rerun's skip branch ledger-commit that new file
+        # without ever appending its rows — silent, permanent loss. With
+        # the intent, the rerun finishes exactly the crashed batch; the
+        # newcomer is a fresh drain at the next epoch.
+        intent_p = Path(loc) / "drain_intent.json"
+        if intent_p.exists():
+            intent = _json.loads(intent_p.read_text())
+            batch = set(intent["files"]) - ledger.seen()
+            epoch = intent["epoch"]
+            if not batch:  # crashed after ledger commit: just clean up
+                intent_p.unlink()
+                return 0
+            df = spark.read.option("mergeSchema", "true").parquet(*sorted(batch))
+            from end_to_end_azure_databricks_data_engineering_project_spark.sources.autoload import (
+                with_rescue,
+            )
+
+            df = with_rescue(df, cfg.spark_schema)
+        else:
+            df, batch = read_new_files(spark, src, cfg.spark_schema, loc)
+            if df is None:
+                return 0
+            epoch = len(ledger.seen())
+            tmp = intent_p.with_suffix(".tmp")
+            tmp.write_text(_json.dumps({"files": sorted(batch), "epoch": epoch}))
+            os.replace(tmp, intent_p)
         if cleanse is not None:
             df = cleanse(df)
         df = df.drop(RESCUE_COL)
-        table = catalog.table(f"silver_{cfg.table}")
-        # Idempotence watermark: the ledger's committed-file count is a
-        # monotone drain epoch. A crash after append but before ledger
-        # commit replays the same files at the same epoch → the append
-        # skips, closing the duplicate window (exactly-once, not just
-        # at-least-once).
-        epoch = len(ledger.seen())
         applied = table.applied_epoch("autoload_drain")
         if applied is not None and epoch <= applied:
-            ledger.commit(new_files)
+            # crashed after append, before ledger commit: finish the
+            # pinned batch's bookkeeping ONLY (never newcomers)
+            ledger.commit(batch)
+            intent_p.unlink()
             return 0
         from pyspark.sql import Observation
 
         obs = Observation()
         df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         # rowcount rides the single write action (no separate count scan)
-        table.append(df, epoch=epoch, epoch_key="autoload_drain")
-        FileLedger(loc).commit(new_files)  # commit AFTER the sink write
-        return obs.get["n"]
+        committed = table.append(df, epoch=epoch, epoch_key="autoload_drain")
+        FileLedger(loc).commit(batch)  # commit AFTER the sink write
+        intent_p.unlink()
+        # None = a concurrent same-epoch drain won the race; the observed
+        # plan may never have run — don't block on obs.get
+        return obs.get["n"] if committed is not None else 0
 
     return run
 
@@ -174,7 +204,11 @@ def gold_flow(
         finally:
             gated.unpersist()
         # Advance the cursor even on an empty delta (skip re-scans).
-        marker.write_text(str(cur_v))
+        # tmp + rename like every other state file: a crash mid-write
+        # must not leave a truncated cursor that wedges every later run.
+        tmp = marker.with_suffix(".tmp")
+        tmp.write_text(str(cur_v))
+        os.replace(tmp, marker)
         return n
 
     return run
@@ -270,18 +304,21 @@ def run_neardup_drain(
     try:
         if not pairs_done:
             obs = Observation()
-            pairs_table.append(
+            committed = pairs_table.append(
                 pairs.observe(obs, F.count(F.lit(1)).alias("n")),
                 epoch=epoch, epoch_key="neardup_drain",
             )
-            n_pairs = obs.get["n"]
+            # None = a concurrent replay applied the epoch between our
+            # pre-check and the append; the observed plan may never have
+            # run, so only read obs after a real commit (else get blocks)
+            n_pairs = obs.get["n"] if committed is not None else 0
         if not index_done:
             obs = Observation()
-            idx_table.append(
+            committed = idx_table.append(
                 new_rows.observe(obs, F.count(F.lit(1)).alias("n")),
                 epoch=epoch, epoch_key="neardup_drain",
             )
-            n_new = obs.get["n"]
+            n_new = obs.get["n"] if committed is not None else 0
     finally:
         new_rows.unpersist()
     return n_pairs, n_new
@@ -322,24 +359,39 @@ def run_neardup_drain_bucketed(
     from pyspark.sql import Observation
 
     from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+        incremental_index_rows,
         incremental_near_dup_pairs,
     )
 
     pairs_table = catalog.table("neardup_pairs")
     existing = spark.table(index_table) if spark.catalog.tableExists(index_table) else None
-    pairs, new_rows = incremental_near_dup_pairs(
-        existing, batch, text_col, id_col, num_hashes, bands, shingle_n
-    )
+    stored = pairs_table.applied_epoch("neardup_drain_bucketed")
+    pairs_applied = stored is not None and epoch <= stored
+    if pairs_applied:
+        # Replay fast path: the pairs side already committed, so only
+        # the index side can be missing rows (crash between the two
+        # writes). Compute JUST the batch's index rows — signature pass
+        # + first-write-wins anti-join, NO probe join (the expensive
+        # index⋈batch step exists only to produce pairs) — and run the
+        # idempotent bucketed append; a fully-applied replay anti-joins
+        # to zero rows.
+        pairs = None
+        new_rows = incremental_index_rows(
+            existing, batch, text_col, id_col, num_hashes, bands, shingle_n
+        )
+    else:
+        pairs, new_rows = incremental_near_dup_pairs(
+            existing, batch, text_col, id_col, num_hashes, bands, shingle_n
+        )
     try:
-        stored = pairs_table.applied_epoch("neardup_drain_bucketed")
         n_pairs = 0
-        if stored is None or epoch > stored:
+        if not pairs_applied:
             obs = Observation()
-            pairs_table.append(
+            committed = pairs_table.append(
                 pairs.observe(obs, F.count(F.lit(1)).alias("n")),
                 epoch=epoch, epoch_key="neardup_drain_bucketed",
             )
-            n_pairs = obs.get["n"]
+            n_pairs = obs.get["n"] if committed is not None else 0
         obs2 = Observation()
         (
             new_rows.observe(obs2, F.count(F.lit(1)).alias("n"))
@@ -435,7 +487,6 @@ def run_ann_index_drain(
         id_col, "cluster", "codes"
     )
     obs = Observation()
-    v_before = table.current_version()
     v_new = table.append(
         encoded.observe(obs, F.count(F.lit(1)).alias("n")),
         epoch=epoch,
@@ -443,13 +494,12 @@ def run_ann_index_drain(
         set_props={"ivfpq_model": model_json},
         expect_props={"ivfpq_model": model_json},
     )
-    if v_new <= v_before:
-        # lost a same-epoch replay race (or the epoch landed between our
-        # pre-check and the append): nothing committed — honor the
-        # replay-no-op contract instead of reporting the batch size.
-        # NB: only safe to skip obs here — when append short-circuits on
-        # the epoch guard the observed plan never executed and obs.get
-        # would block forever.
+    if v_new is None:
+        # a concurrent replay applied the epoch between our pre-check
+        # and the append: nothing committed — honor the replay-no-op
+        # contract. NB: obs is only read after a real commit — when
+        # append short-circuits on the epoch guard the observed plan
+        # never executed and obs.get would block forever.
         return -1
     return obs.get["n"]
 
@@ -654,18 +704,18 @@ def run_exact_dedup_drain(
     try:
         if not idx_done:
             obs = Observation()
-            idx_table.append(
+            committed = idx_table.append(
                 new_rows.observe(obs, F.count(F.lit(1)).alias("n")),
                 epoch=epoch, epoch_key="exact_dedup_drain",
             )
-            n_idx = obs.get["n"]
+            n_idx = obs.get["n"] if committed is not None else 0
         if not dups_done:
             obs2 = Observation()
-            dups_table.append(
+            committed = dups_table.append(
                 dups.observe(obs2, F.count(F.lit(1)).alias("n")),
                 epoch=epoch, epoch_key="exact_dedup_drain",
             )
-            n_dups = obs2.get["n"]
+            n_dups = obs2.get["n"] if committed is not None else 0
     finally:
         fp_batch.unpersist()
     return n_idx, n_dups
@@ -730,7 +780,7 @@ def run_hll_drain(
     merged = merged.persist()
     try:
         n_regs = merged.count()
-        table.overwrite(
+        committed = table.overwrite(
             merged,
             epoch=epoch,
             epoch_key="hll_drain",
@@ -740,4 +790,6 @@ def run_hll_drain(
         )
     finally:
         merged.unpersist()
-    return n_regs
+    # None = a concurrent replay applied the epoch between our pre-check
+    # and the overwrite: report the documented replay no-op, not n_regs
+    return n_regs if committed is not None else -1

@@ -249,3 +249,65 @@ def test_partitioned_bronze_prunes_partitions(spark, tmp_path):
     )[1][:200]
     got = [r["user_id"] for r in df.collect()]
     assert got == [2]
+
+
+def test_silver_drain_crash_then_late_file_loses_nothing(spark, tmp_path, monkeypatch):
+    import pytest
+    """The r6 review's data-loss scenario: drain appends batch B, crashes
+    BEFORE the ledger commit; a new bronze file lands; the rerun must
+    finish B's bookkeeping only and then drain the newcomer as a fresh
+    epoch — pre-fix, the rerun's skip branch ledger-committed the
+    newcomer without ever appending its rows (silent permanent loss)."""
+    import end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows as flows_mod
+    from end_to_end_azure_databricks_data_engineering_project_spark.config import TABLE_BY_NAME
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.autoload import FileLedger
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import silver_flow
+
+    cfg = TABLE_BY_NAME["dim_user"]
+    bronze = tmp_path / "bronze" / "dim_user"
+    bronze.mkdir(parents=True)
+    schema = (
+        "user_id int, user_name string, country string, subscription_type string,"
+        " start_date date, end_date date, updated_at timestamp"
+    )
+
+    def drop_file(name, ids):
+        import datetime as dt
+        rows = [(i, f"u{i}", "US", "Free", None, None, dt.datetime(2025, 1, 1))
+                for i in ids]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "stage" / name))
+        import shutil
+        src = next((tmp_path / "stage" / name).glob("*.parquet"))
+        shutil.copy(src, bronze / f"{name}.parquet")
+
+    catalog = Catalog(spark, tmp_path / "wh")
+    run = silver_flow(spark, cfg, str(tmp_path / "bronze"), catalog,
+                      str(tmp_path / "state"))
+    (tmp_path / "state").mkdir(exist_ok=True)
+
+    drop_file("f1", [1, 2, 3])
+    assert run() == 3
+
+    # file 2 arrives; the drain appends it but CRASHES before the
+    # ledger commit
+    drop_file("f2", [4, 5])
+    real_commit = FileLedger.commit
+    def crash_commit(self, files):
+        raise RuntimeError("simulated crash before ledger commit")
+    monkeypatch.setattr(FileLedger, "commit", crash_commit)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run()
+    monkeypatch.setattr(FileLedger, "commit", real_commit)
+
+    # a NEW file lands before the rerun
+    drop_file("f3", [6])
+
+    # rerun: finishes f2's bookkeeping only (no re-append, no f3 commit)
+    assert run() == 0
+    # next run: drains f3 as a fresh epoch — its rows MUST land
+    assert run() == 1
+    got = sorted(r.user_id for r in catalog.table("silver_dim_user").read().collect())
+    assert got == [1, 2, 3, 4, 5, 6]  # nothing lost, nothing duplicated

@@ -299,3 +299,45 @@ def test_ledger_randomized_model(spark, tmp_path):
         got = {r.k for r in t.read().collect()}
         assert got == model, (step, op, sorted(got)[:5], sorted(model)[:5])
         assert not any(9000 <= k < 9005 for k in got)  # no orphan leakage
+
+
+def test_concurrent_append_fails_loudly_not_lossy(spark, tmp_path, monkeypatch):
+    """A writer whose append races past an interleaved commit must raise
+    ConcurrentWriteError (re-read and retry), never publish a snapshot
+    that silently omits the interleaved commit's rows."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources import tables as tbl
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import (
+        ConcurrentWriteError,
+        ManagedTable,
+    )
+
+    t = _t(spark, tmp_path)
+    t.overwrite(_ids(spark, 0, 3))
+    t2 = ManagedTable(spark, t.dir.parent, t.name)
+    real_claim = tbl.ManagedTable._claim_next_version
+    state = {"interleaved": False}
+
+    def claim(self):
+        if not state["interleaved"] and self is t:
+            state["interleaved"] = True
+            t2.append(_ids(spark, 3, 5))  # commits between t's read and claim
+        return real_claim(self)
+
+    monkeypatch.setattr(tbl.ManagedTable, "_claim_next_version", claim)
+    with pytest.raises(ConcurrentWriteError, match="optimistic"):
+        t.append(_ids(spark, 5, 7))
+    # the interleaved commit's rows survive; retry then succeeds
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 2, 3, 4]
+    monkeypatch.setattr(tbl.ManagedTable, "_claim_next_version", real_claim)
+    t.append(_ids(spark, 5, 7))
+    assert t.read().count() == 7
+
+
+def test_register_views_skips_stray_files(spark, tmp_path):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    cat = Catalog(spark, tmp_path / "wh")
+    cat.table("good").overwrite(_ids(spark, 0, 3))
+    (tmp_path / "wh" / "stray.json").write_text("{}")  # editor/manifest junk
+    cat.register_views()  # must not FileExistsError on the stray file
+    assert spark.table("good").count() == 3

@@ -140,7 +140,7 @@ def test_append_epoch_idempotent(spark, table):
     df = spark.range(10).select(F.col("id").alias("k"))
     v1 = table.append(df, epoch=0, epoch_key="stream")
     v2 = table.append(df, epoch=0, epoch_key="stream")  # replayed batch
-    assert v1 == v2
+    assert v2 is None  # skip signal: nothing committed (see docstring)
     assert table.read().count() == 10
     v3 = table.append(df, epoch=1, epoch_key="stream")
     assert v3 == v1 + 1

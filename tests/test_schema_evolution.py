@@ -14,6 +14,7 @@ per file.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import (
     Catalog,
@@ -102,3 +103,48 @@ def test_appended_since_pins_current_schema(spark, table):
     delta = table.appended_since(v0)
     assert [f.name for f in delta.schema.fields] == ["id", "name", "score", "country"]
     assert delta.count() == 1 and delta.first().country == "DE"
+
+
+def test_batch_nullability_cannot_narrow_canonical_schema(spark, tmp_path):
+    """A batch built from non-nullable expressions (e.g. F.lit) must not
+    rewrite a nullable canonical column to non-nullable — the next batch
+    that legitimately omits the column would then be rejected."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    t = Catalog(spark, tmp_path / "wh").table("t")
+    t.overwrite(
+        spark.createDataFrame([(1, "a")], "k long, note string")  # note nullable
+    )
+    assert t.table_schema()["note"].nullable
+    # batch with a non-nullable note expression
+    t.append(
+        spark.range(2, 3).select(
+            F.col("id").alias("k"), F.lit("x").alias("note")
+        )
+    )
+    assert t.table_schema()["note"].nullable  # still nullable
+    # a batch omitting note must null-fill, not raise
+    t.append(spark.range(3, 4).select(F.col("id").alias("k")))
+    assert t.read().filter("note IS NULL").count() == 1
+
+
+def test_read_pruned_pins_schema_after_evolution(spark, tmp_path):
+    """read_pruned over a mix of pre- and post-evolution files must see
+    the committed (evolved) schema, not an arbitrary file footer."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    t = Catalog(spark, tmp_path / "wh").table("t")
+    t.overwrite(spark.range(0, 10).select(F.col("id").alias("k")))
+    t.append(
+        spark.range(10, 20).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("extra")
+        ),
+        evolve=True,
+    )
+    out = t.read_pruned({"k": (0, 15)})
+    assert "extra" in out.columns
+    rows = {r.k: r.extra for r in out.collect()}
+    assert rows[5] is None and rows[12] == 24
+    # predicate on the EVOLVED column must not throw on old files
+    out2 = t.read_pruned({"extra": (20, 30)})
+    assert sorted(r.k for r in out2.collect()) == [10, 11, 12, 13, 14, 15]
