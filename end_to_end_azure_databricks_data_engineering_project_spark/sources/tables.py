@@ -921,10 +921,16 @@ class ManagedTable:
         (``repartitionByRange`` + in-file sort) so per-file min/max
         ranges become disjoint — this is what turns the ``_stats.json``
         index into sharp data skipping (``read_pruned``) and keeps
-        ``merge_keyed`` touching few files per incremental batch."""
+        ``merge_keyed`` touching few files per incremental batch.
+
+        Content-preserving by contract, so the commit carries
+        ``expected_version`` = the snapshot it read: a concurrent append
+        landing mid-compaction raises ConcurrentWriteError (re-run the
+        compaction) instead of being silently discarded by the rewrite."""
+        v = self.current_version()
         df = self.read()
         if target_partitions is None:
-            n_files = len(list(self._version_dir(self.current_version()).glob("*.parquet")))
+            n_files = len(list(self._version_dir(v).glob("*.parquet")))
             target_partitions = max(1, n_files // 8)
         if cluster_by:
             df = df.repartitionByRange(target_partitions, *cluster_by).sortWithinPartitions(
@@ -932,7 +938,7 @@ class ManagedTable:
             )
         else:
             df = df.coalesce(target_partitions)
-        return self.overwrite(df)
+        return self.overwrite(df, expected_version=v)
 
     def vacuum(self, keep: int = 2) -> None:
         """Drop snapshot dirs older than the newest ``keep`` versions,
