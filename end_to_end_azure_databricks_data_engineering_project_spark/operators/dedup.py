@@ -20,7 +20,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from end_to_end_azure_databricks_data_engineering_project_spark.functions.scalars import fingerprint
+from end_to_end_azure_databricks_data_engineering_project_spark.functions.scalars import (
+    fingerprint,
+    portable_hash64,
+)
 
 
 # ---------------------------------------------------------------- exact --
@@ -48,9 +51,12 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     inline split expression — expressions inside HOF lambdas are not
     CSE'd, so an inline split would re-run the regex per element."""
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    # try_element_at, NOT element_at: past-the-end lookups are the
+    # designed truncated-gram path for short docs, and plain element_at
+    # THROWS under ANSI mode (the Spark 4 default this session runs)
     grams = F.transform(
         idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j) for j in range(n)]),
     )
     return F.array_distinct(grams)
 
@@ -68,10 +74,10 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def _hash_shingle(s: Column, seed: int) -> Column:
-    """Portable 60-bit positive hash of (seed, shingle)."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), s)), 1, 15), 16, 10
-    ).cast("bigint")
+    """Portable 60-bit positive hash of (seed, shingle) — delegates to
+    scalars.portable_hash64 (the ONE home of the md5 recipe the DuckDB
+    oracles replay; bit-identical to the previous inline copy)."""
+    return portable_hash64(F.concat(F.lit(f"{seed}|"), s))
 
 
 # -------------------------------------------------------------- minhash --
@@ -104,7 +110,15 @@ def minhash_components(
     shuffle on the id). Docs with no shingles (empty text) produce no
     row."""
     base = (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        # Blank/NULL text yields the single shingle "" (split('') == ['']),
+        # NOT zero shingles: without this filter every such doc shares one
+        # identical signature, forming a quadratic hot bucket in the band
+        # join and letting minhash_dedup delete docs whose text is merely
+        # missing. Filtering makes the docstring's "no shingles -> no row"
+        # actually true. (Testdata has no blank docs, so oracles are
+        # unaffected; real crawls have millions.)
+        df.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
         .select(
             id_col,
             F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias("__sh"),
@@ -348,8 +362,19 @@ def connected_components(
     localCheckpoint — swap for ``checkpoint()`` with a checkpoint dir on
     a real cluster. Fixpoint detection: count + md5-sum edge digest (a
     false-positive stop needs a 60-bit hash-sum collision)."""
+    # Ids are only compared/min'd, so any totally ordered type works.
+    # Integral ids cast to bigint (unifies int/long inputs); everything
+    # else stays as-is — blindly casting e.g. string doc ids to bigint
+    # yields NULL (legacy mode), the u != v filter then drops EVERY edge,
+    # and dedup silently keeps all near-duplicates.
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    src_type = pairs.schema[src].dataType
+    integral = isinstance(src_type, (ByteType, ShortType, IntegerType, LongType))
+    u = F.col(src).cast("bigint") if integral else F.col(src)
+    v = F.col(dst).cast("bigint") if integral else F.col(dst)
     e = (
-        pairs.select(F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v"))
+        pairs.select(u.alias("u"), v.alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
@@ -503,7 +528,18 @@ def simhash_near_dup_pairs(
     Candidate generation: 4 rotated prefix-blocks of the hash as bucket
     keys (two docs within hamming 3 of each other share at least one of
     4 16-bit blocks untouched → standard Charikar blocking); exact
-    hamming check within buckets. Columns: id_a, id_b, hamming."""
+    hamming check within buckets. Columns: id_a, id_b, hamming.
+
+    Completeness needs blocks >= max_hamming + 1 (pigeonhole: at most
+    max_hamming blocks can contain a flipped bit) — validated, because
+    a silently incomplete pair set is worse than an error."""
+    n_blocks = 64 // prefix_bits
+    if n_blocks < max_hamming + 1:
+        raise ValueError(
+            f"Charikar blocking with {n_blocks} blocks of {prefix_bits} bits "
+            f"cannot guarantee recall at max_hamming={max_hamming}: need "
+            f"blocks >= max_hamming + 1 (shrink prefix_bits or max_hamming)"
+        )
     h = with_simhash(df, text_col, id_col, shingle_n, out_col="sh")
     blocks = F.array(
         *[
@@ -644,10 +680,14 @@ def exact_jaccard_join(
     controlled cardinality; raw text never shuffles.
     """
     t = float(threshold)
+    # cached: the exploded shingle relation feeds FOUR consumers (sizes,
+    # dfreq, ranked, and both sides of the verification join) — without
+    # the cache, lineage recomputation re-tokenizes and re-shingles the
+    # whole corpus once per consumer. LRU-evicted when memory needs it.
     sh = (
         docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
         .select("doc_id", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"))
-    )
+    ).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())

@@ -36,7 +36,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import cosine
 
 _CENTS = "__ivf_cents"
 
@@ -208,13 +207,28 @@ def ivf_topk(
         F.col(vec_col).alias("qv"),
         probe.alias("_probe"),
     ).select("query_id", "qv", F.explode("_probe").alias("cluster"))
+    # norms hoisted below the join: one sqrt-fold per ROW per side, not
+    # two per candidate PAIR (same bit-exact cosine — the norms are the
+    # identical folds wherever computed; ~3x less fold work on the
+    # candidate hot path, matching brute_force_topk's shape)
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import (
+        dot,
+        norm,
+    )
+
+    q = q.withColumn("qn", norm(F.col("qv")))
     c = indexed_corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cluster"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+        "cluster",
     )
     cand = (
         c.join(q, "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

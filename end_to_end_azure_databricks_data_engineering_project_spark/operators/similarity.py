@@ -71,11 +71,16 @@ def brute_force_topk(
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cos_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-        )
+    # Self-exclusion ONLY when query ids share the corpus id space
+    # (query_id_col is None, per the docstring): with a separate query
+    # id space, a coincidentally id-equal true neighbor must not be
+    # silently dropped.
+    if query_id_col is None:
+        joined = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    else:
+        joined = c.crossJoin(F.broadcast(q))
+    scored = joined.withColumn(
+        "cos_sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     )
     from pyspark.sql import Window
 
@@ -145,7 +150,22 @@ def _srp_banded(
             for t in range(len(tables))
         ]
     )
-    pre = df.select(F.col(idc).alias(out_id), buckets.alias("_bk"))
+    # Loud dim check, per row (one F.size — negligible): with the wrong
+    # ``dim``, zip_with NULL-pads the hyperplane products, the fold goes
+    # NULL, every sign bit reads 0, and EVERY row lands in bucket 0 —
+    # silently turning the bucketed ANN join into the full cross join
+    # this module exists to avoid.
+    n_dim = len(tables[0][0])
+    guarded = F.when(F.size(F.col(vc)) == n_dim, buckets).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"SRP hyperplanes are {n_dim}-dim but got a vector of "),
+                F.size(F.col(vc)).cast("string"),
+                F.lit(" dims — pass the correct dim= to the SRP entry point"),
+            )
+        )
+    )
+    pre = df.select(F.col(idc).alias(out_id), guarded.alias("_bk"))
     return pre.select(out_id, F.explode("_bk").alias("b")).select(
         out_id, "b.table_idx", "b.bucket"
     )

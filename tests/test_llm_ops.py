@@ -231,3 +231,98 @@ def test_hard_negatives_excludes_same_label_and_ranks(spark):
     got = [(r.neighbor_id, r.rank) for r in sorted(out.collect(), key=lambda r: r.rank)]
     assert [n for n, _ in got] == [2, 3, 4]
     assert all(r.neighbor_label != r.anchor_label for r in out.collect())
+
+
+def test_srp_wrong_dim_fails_loudly(spark):
+    """The silent-global-bucket trap: wrong dim= must raise, not turn
+    the bucketed ANN join into a full cross join."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import (
+        srp_ann_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 384) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="SRP hyperplanes are 64-dim"):
+        srp_ann_topk(emb, emb.filter("vec_id < 2"), k=2, dim=64).collect()
+
+
+def test_brute_force_separate_query_id_space_keeps_id_equal_neighbor(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(42, [1.0, 0.0]), (43, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(42, [1.0, 0.0])], "qid long, embedding array<float>"
+    )
+    out = brute_force_topk(corpus, queries, k=1, query_id_col="qid")
+    rows = out.collect()
+    # query 42's true top-1 IS corpus row 42 (identical vector) — the
+    # id collision must not exclude it in a separate id space
+    assert rows[0].neighbor_id == 42 and rows[0].rank == 1
+
+
+def test_minhash_skips_blank_and_null_text(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+        minhash_components,
+        minhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "real document with several tokens here"),
+         (2, ""), (3, "   "), (4, None),
+         (5, "real document with several tokens here")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_components(docs, num_hashes=4)
+    assert {r.doc_id for r in sigs.collect()} == {1, 5}  # blanks: no row
+    pairs = minhash_near_dup_pairs(docs)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 5)}  # blank/NULL docs never pair with anything
+
+
+def test_shingles_short_doc_survives_ansi(spark):
+    """Docs shorter than the shingle width must yield their truncated
+    gram, not throw INVALID_ARRAY_INDEX under ANSI mode."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    df = spark.createDataFrame([(1, "two tokens")], "id long, text string")
+    out = df.select(
+        shingles_from_tokens(tokens(F.col("text")), 3).alias("sh")
+    ).collect()
+    assert out[0].sh == ["two tokens"]
+
+
+def test_connected_components_string_ids(spark):
+    """String doc ids must flow through CC (lexicographic min), not be
+    NULLed by a blind bigint cast that silently drops every edge."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [("doc_b", "doc_a"), ("doc_b", "doc_c"), ("doc_x", "doc_y")],
+        "id_a string, id_b string",
+    )
+    comp = {r.node: r.component for r in connected_components(pairs, "id_a", "id_b").collect()}
+    assert comp == {
+        "doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a",
+        "doc_x": "doc_x", "doc_y": "doc_x",
+    }
+
+
+def test_simhash_blocking_completeness_guard(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="blocks >= max_hamming"):
+        simhash_near_dup_pairs(docs, max_hamming=4, prefix_bits=16)
