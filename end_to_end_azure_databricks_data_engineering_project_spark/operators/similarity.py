@@ -14,8 +14,9 @@ Two paths:
 
 At 100 TB: brute force is O(Q·N) dot products but only O(N) I/O with no
 shuffle (query side broadcast); SRP reduces compute by the bucket
-selectivity. An IVF-style coarse quantizer needs k-means (iterative) —
-noted for a later round.
+selectivity. The coarse-quantizer and compressed-domain paths live in
+ivf.py (IVF) and pq.py (PQ, IVF-PQ); contrastive hard-negative mining
+(hard_negatives) composes on the brute-force shape.
 """
 
 from __future__ import annotations
