@@ -107,10 +107,24 @@ def triangle_count(
     hash joins (wedge build on src, closure probe on (t1, t2)) and one
     count — no driver-side graph state.
     """
+    # Integral ids cast to bigint (unifies int/long); any other type
+    # (string/UUID doc ids — supported by pagerank and the dedup stack)
+    # flows through as-is: a blind cast would NULL them and silently
+    # report 0 triangles (legacy mode) or throw (ANSI).
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = isinstance(
+        pairs.schema[id_a].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+
+    def _id(c):
+        return c.cast("bigint") if integral else c
+
     e = (
         pairs.select(
-            F.least(F.col(id_a), F.col(id_b)).cast("bigint").alias("u"),
-            F.greatest(F.col(id_a), F.col(id_b)).cast("bigint").alias("v"),
+            _id(F.least(F.col(id_a), F.col(id_b))).alias("u"),
+            _id(F.greatest(F.col(id_a), F.col(id_b))).alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()

@@ -145,10 +145,15 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                if r["media_type"] != "video" or not r["duration_ms"]:
+                dur = r["duration_ms"]
+                # NULL duration arrives as NaN through Arrow->pandas
+                # (nullable int -> float64): NaN is truthy, so a bare
+                # `not dur` passes it through and int(NaN) raises —
+                # check pd.isna explicitly.
+                if r["media_type"] != "video" or dur is None or pd.isna(dur) or not dur:
                     rows.append({**r.to_dict(), "frame_ts_ms": None})
                     continue
-                for ts in range(0, int(r["duration_ms"]), every_ms):
+                for ts in range(0, int(dur), every_ms):
                     d = r.to_dict()
                     payload = d["payload"] or b""
                     d["payload"] = hashlib.md5(payload + str(ts).encode()).digest()

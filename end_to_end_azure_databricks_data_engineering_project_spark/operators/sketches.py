@@ -66,6 +66,12 @@ def cms_estimate(
     Returns the input columns + ``est_n``. The key set and the sketch
     are both small — the probe is a broadcast equi-join, the corpus is
     never touched."""
+    for reserved in ("d", "b", "cnt", "__cms_rid"):
+        if reserved in keys.columns:
+            raise ValueError(
+                f"cms_estimate: keys must not carry a column named "
+                f"{reserved!r} (clashes with the sketch join internals)"
+            )
     key = F.col(key_col).cast("string")
     cells = F.array(
         *[
@@ -73,15 +79,21 @@ def cms_estimate(
             for d in range(depth)
         ]
     )
+    # per-ROW tag so duplicate key rows stay distinct through the
+    # group-back (groupBy on the key columns alone would collapse them,
+    # breaking the 'returns the input columns' row-for-row contract);
+    # the tag is internal only — values never surface.
+    tagged = keys.withColumn("__cms_rid", F.monotonically_increasing_id())
     probes = (
-        keys.select("*", F.explode(cells).alias("c"))
+        tagged.select("*", F.explode(cells).alias("c"))
         .select("*", F.col("c.d").alias("d"), F.col("c.b").alias("b"))
         .drop("c")
     )
     joined = probes.join(F.broadcast(sketch), ["d", "b"], "left")
     return (
-        joined.groupBy(*keys.columns)
+        joined.groupBy("__cms_rid", *keys.columns)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_n"))
+        .drop("__cms_rid")
     )
 
 

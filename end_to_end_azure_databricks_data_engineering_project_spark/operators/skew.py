@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -39,7 +39,14 @@ def salted_latest_per_key(
 
     Phase 1: row_number within (keys, salt) — the hot key's rows are
     spread over ``n_salt`` reducers; each slice keeps 1 row.
-    Phase 2: row_number within (keys) over ≤ n_salt survivors."""
+    Phase 2: row_number within (keys) over ≤ n_salt survivors.
+
+    Determinism REQUIRES (sequence_col, *tiebreakers) to be unique per
+    key — include a unique id as the final tiebreaker. With ties, the
+    all-column salt can route the tied rows to different slices and
+    phase 2's row_number picks a partition-order-dependent winner
+    (exactly one row still survives, but which one can vary run to run
+    and differ from dedup_keep_latest's arbitrary pick)."""
     order = [F.col(sequence_col).desc()] + [F.col(c).desc() for c in tiebreakers]
     salted = df.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt))

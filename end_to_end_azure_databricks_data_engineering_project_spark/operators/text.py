@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from end_to_end_azure_databricks_data_engineering_project_spark.functions.scalars import fingerprint
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import tokens
 
 # Tiny per-language stopword marker sets for n-gram-free heuristic lang-id.
 # Word-boundary hits are counted per language; argmax wins. Deliberately
@@ -49,7 +50,7 @@ def punct_ratio(text: Column) -> Column:
 
 def stopword_ratio(text: Column, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
     """Fraction of whitespace tokens that are (lowercase) stopwords."""
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    toks = tokens(text)
     hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
     total = token_count(text)
     return F.when(total == 0, F.lit(0.0)).otherwise(
@@ -87,7 +88,7 @@ def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
 
 def lang_scores(text: Column) -> dict[str, Column]:
     """Per-language marker-hit counts over whitespace tokens."""
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    toks = tokens(text)
     return {
         lang: _marker_hits(toks, markers) for lang, markers in LANG_MARKERS.items()
     }
@@ -166,7 +167,10 @@ def chunk_tokens(
         F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride)
     )
     out = (
-        df.select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n"))
+        # blank/NULL docs: split('') is [''] (one empty token), which
+        # would emit a bogus (n_tokens=1, chunk_text='') training sample
+        df.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
+        .select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n"))
         .select(
             id_col,
             "_toks",
@@ -219,15 +223,23 @@ def rule_filter_report(docs: DataFrame, rules: dict[str, Column]) -> DataFrame:
                 f"rule name {n!r} must be a bare identifier and not the "
                 "reserved name 'kept' (names are spliced into stack())"
             )
+    # NULL-safe: a rule evaluating to NULL (three-valued logic on a NULL
+    # metric) counts as FAILING — the house rule gopher_rules documents
+    # for missing_lang_marker, enforced here for every rule so per-rule
+    # counts + kept always reconcile with the corpus total. Sums coalesce
+    # to 0 so an empty corpus reports zeros, not NULLs.
+    safe = {n: F.coalesce(rules[n], F.lit(True)) for n in names}
     aggs = [
-        F.sum(F.when(rules[n], 1).otherwise(0)).cast("bigint").alias(n)
+        F.coalesce(F.sum(F.when(safe[n], 1).otherwise(0)), F.lit(0))
+        .cast("bigint").alias(n)
         for n in names
     ]
     fail_any = None
-    for c in rules.values():
+    for c in safe.values():
         fail_any = c if fail_any is None else (fail_any | c)
     aggs.append(
-        F.sum(F.when(~fail_any, 1).otherwise(0)).cast("bigint").alias("kept")
+        F.coalesce(F.sum(F.when(~fail_any, 1).otherwise(0)), F.lit(0))
+        .cast("bigint").alias("kept")
     )
     wide = docs.agg(*aggs)
     stack = ", ".join(f"'{n}', {n}" for n in [*names, "kept"])
@@ -243,11 +255,19 @@ def gopher_rules(
     """Three corpus-adapted Gopher-style drop rules: token-count floor,
     mean-word-length band, and a language-consistency check (the text
     must contain at least one marker token of its TAGGED language —
-    the lang-aware variant of Gopher's 'must contain a stop word')."""
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    the lang-aware variant of Gopher's 'must contain a stop word').
+
+    zh marker check also accepts ANY CJK character in the raw text:
+    real Chinese is unsegmented, so its single-char markers never
+    appear as whitespace tokens — without the fallback essentially
+    every genuine zh document would flag missing_lang_marker (the
+    same no-whitespace fallback detect_language already has)."""
+    toks = tokens(text)
     marker_hit = None
     for lg, markers in LANG_MARKERS.items():
         hit = F.exists(toks, lambda t: t.isin(*markers))
+        if lg == "zh":
+            hit = hit | F.trim(text).rlike("[\u4e00-\u9fff]")
         branch = (lang == lg) & hit
         marker_hit = branch if marker_hit is None else (marker_hit | branch)
     mwl = mean_word_length(text)
@@ -283,8 +303,6 @@ def cooccurrence_lift(
     doc count rides a 1-row broadcast (same idiom as tf-idf), never a
     driver collect.
     """
-    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import tokens
-
     dt = (
         docs.select(F.col(id_col).alias("_doc"), tokens(F.col(text_col)).alias("_toks"))
         .select("_doc", F.explode(F.array_distinct("_toks")).alias("token"))
@@ -310,7 +328,11 @@ def cooccurrence_lift(
         "token_a",
         "token_b",
         "n_co",
-        (F.col("_n").cast("double") * F.col("n_co") / (F.col("df_a") * F.col("df_b"))).alias(
-            "lift"
-        ),
+        # df product in DOUBLE: the int64 product overflows past ~3e9
+        # doc frequency (ANSI abort / silent wrap); exact-int doubles
+        # multiply bit-identically below 2^53 so the oracle still matches
+        (
+            F.col("_n").cast("double") * F.col("n_co")
+            / (F.col("df_a").cast("double") * F.col("df_b"))
+        ).alias("lift"),
     )

@@ -3933,7 +3933,8 @@ def q_duplicated_span_dedup(spark, sf):
                   ELSE CAST(length(regexp_replace(trim(text), '\s+', ' ', 'g'))
                             - len(string_split_regex(trim(text), '\s+')) + 1 AS DOUBLE)
                        / len(string_split_regex(trim(text), '\s+')) END AS mwl,
-             string_split_regex(lower(trim(text)), '\s+') AS toks
+             string_split_regex(lower(trim(text)), '\s+') AS toks,
+             trim(text) AS ttext
       FROM documents
     ),
     f AS (
@@ -3944,7 +3945,8 @@ def q_duplicated_span_dedup(spark, sf):
                WHEN 'es' THEN list_has_any(toks, ['el','la','de','que','y','los'])
                WHEN 'fr' THEN list_has_any(toks, ['le','la','les','et','des','une'])
                WHEN 'de' THEN list_has_any(toks, ['der','die','und','das','ein','nicht'])
-               WHEN 'zh' THEN list_has_any(toks, ['的','是','了','在','我','有'])
+               WHEN 'zh' THEN (list_has_any(toks, ['的','是','了','在','我','有'])
+                               OR regexp_matches(ttext, '[一-鿿]'))
                ELSE FALSE END) AS r_lang
       FROM t
     )
@@ -4762,7 +4764,7 @@ def q_hopping_window_counts(spark, sf):
     ),
     n AS (SELECT count(*) AS n_docs FROM documents)
     SELECT token_a, token_b, n_co,
-           CAST(n_docs AS DOUBLE) * n_co / (df_a * df_b) AS lift
+           CAST(n_docs AS DOUBLE) * n_co / (CAST(df_a AS DOUBLE) * df_b) AS lift
     FROM co, n
     """,
 )

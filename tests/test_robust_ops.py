@@ -179,3 +179,80 @@ def test_table_checksum_partition_invariant_and_sensitive(spark):
     c1 = spark.sql(f"SELECT bit_xor({h}) AS c FROM _ck_s1").collect()[0].c
     c2 = spark.sql(f"SELECT bit_xor({h}) AS c FROM _ck_s2").collect()[0].c
     assert c1 != c2
+
+
+def test_sample_frames_null_duration_video(spark):
+    """A video row with NULL duration_ms (NaN after Arrow->pandas) must
+    pass through with frame_ts_ms NULL, not crash on int(NaN)."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    rows = [(1, "video", b"xx", None, None, None, None)]
+    cols = [f.name for f in MEDIA_SCHEMA.fields]
+    df = spark.createDataFrame(
+        [dict(zip(cols, r)) for r in rows], MEDIA_SCHEMA
+    )
+    out = sample_frames(df).collect()
+    assert len(out) == 1 and out[0].frame_ts_ms is None
+
+
+def test_cms_estimate_preserves_duplicate_key_rows(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    data = spark.createDataFrame([("a",)] * 7 + [("b",)] * 3, "k string")
+    sk = cms_build(data, "k")
+    keys = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    out = cms_estimate(sk, keys, "k").collect()
+    assert len(out) == 3  # duplicate probe rows preserved row-for-row
+    assert sorted((r.k, r.est_n) for r in out) == [("a", 7), ("a", 7), ("b", 3)]
+    with _pytest.raises(ValueError, match="clashes"):
+        cms_estimate(sk, keys.withColumn("d", F.lit(1)), "k")
+
+
+def test_triangle_count_string_ids(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.graph import (
+        triangle_count,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "id_a string, id_b string",
+    )
+    assert triangle_count(pairs).collect()[0].n_triangles == 1
+
+
+def test_chunk_tokens_blank_docs_yield_no_chunks(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.text import chunk_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_tokens(docs, chunk_size=3, stride=2)
+    assert {r.doc_id for r in out.collect()} == {1}
+
+
+def test_rule_filter_report_null_rule_counts_as_fail(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.text import (
+        rule_filter_report,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, None), (2, 5)], "id long, metric int")
+    # metric < 3 is NULL for row 1 (three-valued logic)
+    rep = {r.rule: r.n_docs for r in rule_filter_report(
+        df, {"low_metric": F.col("metric") < 3}
+    ).collect()}
+    assert rep == {"low_metric": 1, "kept": 1}  # NULL counts as fail
+    # empty corpus: zeros, not NULLs
+    rep0 = {r.rule: r.n_docs for r in rule_filter_report(
+        df.filter("id > 99"), {"low_metric": F.col("metric") < 3}
+    ).collect()}
+    assert rep0 == {"low_metric": 0, "kept": 0}
