@@ -103,6 +103,21 @@ def scd2_apply(
     opening a new one (history retained; later changes re-open the key).
     """
     data_cols = [c for c in batch.columns]
+    if target is not None:
+        # LOUD on a batch missing target data columns (scd1_merge's
+        # behavior): projecting history onto the batch's column set
+        # would silently NULL the missing column for every rewritten
+        # row, including untouched keys co-located in touched files.
+        missing = [
+            c for c in target.columns
+            if c not in (START_AT, END_AT) and c not in data_cols
+        ]
+        if missing:
+            raise ValueError(
+                f"scd2_apply: batch is missing target column(s) {missing}; "
+                "a CDC batch must carry every data column of the dimension "
+                "(add them, or drop them from the table first)"
+            )
     attr_cols = [c for c in data_cols if c not in keys and c != seq]
     tracked_cols = [c for c in attr_cols if c not in set(track_history_except)]
     seq_type = dict(batch.dtypes)[seq]
@@ -126,17 +141,33 @@ def scd2_apply(
             .withColumn("__is_delete", F.lit(False))
         )
         combined = cur.unionByName(b)
+        # Closed-history high-water mark per key: after a DELETE closed
+        # the key there is no open row, so the open-version guard alone
+        # would let a replayed/late row (seq <= the delete's) resurrect
+        # the deleted key with stale data. max(END_AT) over closed rows
+        # is the last event sequence applied to the key.
+        hist_hwm = hist.groupBy(*keys).agg(
+            F.max(F.col(END_AT).cast(seq_type)).alias("__hist_ord")
+        )
+        combined = combined.join(hist_hwm, list(keys), "left")
     else:
         hist = None
-        combined = b
+        combined = b.withColumn("__hist_ord", F.lit(None).cast(seq_type))
 
     key_part = Window.partitionBy(*[F.col(k) for k in keys])
-    # Drop batch rows at-or-before the current open version (stale/replay).
+    # Drop batch rows at-or-before the key's high-water mark: the open
+    # version's sequence, or — when a delete left no open row — the last
+    # closed END_AT (greatest skips NULLs; NULL hwm = brand-new key).
     cur_ord = F.max(F.when(F.col(_EXISTING) == 1, F.col(_ORD))).over(key_part)
-    live = combined.withColumn("__cur_ord", cur_ord).filter(
-        (F.col(_EXISTING) == 1)
-        | F.col("__cur_ord").isNull()
-        | (F.col(_ORD) > F.col("__cur_ord"))
+    hwm = F.greatest(cur_ord, F.col("__hist_ord"))
+    live = (
+        combined.withColumn("__hwm", hwm)
+        .filter(
+            (F.col(_EXISTING) == 1)
+            | F.col("__hwm").isNull()
+            | (F.col(_ORD) > F.col("__hwm"))
+        )
+        .drop("__hist_ord", "__hwm")
     )
 
     # No-op suppression on TRACKED attrs only; the delete flag is part of

@@ -50,7 +50,13 @@ def with_rescue(df: DataFrame, declared: T.StructType) -> DataFrame:
         for c in declared_names
     ]
     if extras:
-        rescued = F.to_json(F.struct(*[F.col(c) for c in extras]))
+        # to_json DROPS null fields, so a row whose extras are all NULL
+        # (e.g. mergeSchema null-fill for files lacking the column)
+        # renders as '{}' — normalize to NULL so the documented
+        # "NULL when nothing was rescued" contract holds and consumers
+        # alerting on _rescued_data IS NOT NULL don't flag clean rows.
+        j = F.to_json(F.struct(*[F.col(c) for c in extras]))
+        rescued = F.when(j == "{}", F.lit(None).cast(T.StringType())).otherwise(j)
     else:
         rescued = F.lit(None).cast(T.StringType())
     return df.select(*cols, rescued.alias(RESCUE_COL))
@@ -64,8 +70,19 @@ def promote_rescued(
     addNewColumns mode — operator reviews rescued extras, then promotes).
 
     Rows without the rescued field get NULL; the field is removed from
-    the remaining rescue JSON (NULL when nothing else was rescued)."""
+    the remaining rescue JSON (NULL when nothing else was rescued).
+
+    Limitations (validated): the field name must be a plain identifier —
+    get_json_object treats '.' as JSONPath navigation, so a dotted
+    rescued name would silently extract NULL for every row. Remaining
+    rescue values re-render through map<string,string>, so non-string
+    scalars come back JSON-quoted in the residual doc.."""
     column = column or field
+    if not field.isidentifier():
+        raise ValueError(
+            f"promote_rescued: field {field!r} must be a plain identifier "
+            "(dots/JSONPath metacharacters silently extract NULL)"
+        )
     extracted = F.get_json_object(F.col(RESCUE_COL), f"$.{field}").cast(data_type)
     # remove the promoted field from the rescue doc
     remaining = F.to_json(

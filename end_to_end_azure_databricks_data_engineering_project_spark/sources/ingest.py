@@ -29,9 +29,10 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from end_to_end_azure_databricks_data_engineering_project_spark.config import TableConfig
-from end_to_end_azure_databricks_data_engineering_project_spark.sources.watermark import WatermarkStore
+from end_to_end_azure_databricks_data_engineering_project_spark.sources.watermark import EPOCH, WatermarkStore
 
 
 @dataclass
@@ -71,9 +72,19 @@ def ingest_table(
     pruning on top of row-group skipping."""
     wm = store.effective_watermark(cfg.table, cfg.from_date)
     cdc_type = cfg.spark_schema[cfg.cdc_col].dataType
-    batch = coerce_schema(source_df, cfg).filter(
-        F.col(cfg.cdc_col) > F.lit(wm).cast(cdc_type)
-    )
+    wm_lit = F.lit(wm).cast(cdc_type)
+    batch = coerce_schema(source_df, cfg)
+    if wm == EPOCH and not isinstance(
+        cdc_type, (T.TimestampType, T.TimestampNTZType, T.DateType)
+    ):
+        # Numeric/string CDC column with the timestamp-shaped EPOCH
+        # sentinel: the cast yields NULL (or throws under ANSI), so
+        # `cdc > NULL` would SILENTLY drop every row, never advance the
+        # watermark, and leave the table stuck at 0 rows forever. A
+        # fresh numeric-watermark table means full load: no filter.
+        pass
+    else:
+        batch = batch.filter(F.col(cfg.cdc_col) > wm_lit)
     # Row count + new max watermark ride the write action as observed
     # metrics: the source is scanned exactly ONCE per pull (a separate
     # agg-then-write would scan twice). The empty-pull branch becomes
@@ -85,12 +96,11 @@ def ingest_table(
     )
     run_ts = run_ts or _dt.datetime.now(_dt.timezone.utc).strftime("%Y%m%dT%H%M%S%f")
     out = str(Path(bronze_root) / cfg.table / f"run={run_ts}")
-    writer = batch.write.mode("overwrite").option("compression", "snappy")
     if partition_by_cdc_date:
         batch = batch.withColumn("cdc_date", F.to_date(F.col(cfg.cdc_col)))
-        writer = batch.write.mode("overwrite").option("compression", "snappy").partitionBy(
-            "cdc_date"
-        )
+    writer = batch.write.mode("overwrite").option("compression", "snappy")
+    if partition_by_cdc_date:
+        writer = writer.partitionBy("cdc_date")
     writer.parquet(out)
     n, mx = obs.get["n"], obs.get["mx"]
     if n == 0:

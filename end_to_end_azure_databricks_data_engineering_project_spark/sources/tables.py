@@ -579,7 +579,9 @@ class ManagedTable:
             return sorted(x for x in committed if lo < x <= hi)
         return list(range(lo + 1, hi + 1))
 
-    def appended_since(self, v: int | None) -> DataFrame | None:
+    def appended_since(
+        self, v: int | None, until: int | None = None
+    ) -> DataFrame | None:
         """The append-only delta: rows added by append commits strictly
         after version ``v``. Returns None when the delta is not
         derivable — ``v`` is None (no cursor yet) or some commit in
@@ -590,8 +592,15 @@ class ManagedTable:
         append's own files (the non-``prior_`` ones) are exactly that
         commit's new rows, so a consumer can fold increments by version
         cursor with no data-column watermark (and none of the strict-'>'
-        boundary losses a value watermark has)."""
-        cur = self.current_version()
+        boundary losses a value watermark has).
+
+        ``until``: optional INCLUSIVE upper bound — pass the version you
+        read BEFORE deriving your cursor so a commit landing between
+        that read and this call is left for the next fold instead of
+        being folded now AND re-folded later (double-count)."""
+        cur = self.current_version() if until is None else min(
+            until, self.current_version()
+        )
         if v is None:
             return None
         if v >= cur:
@@ -614,7 +623,12 @@ class ManagedTable:
         reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
         return reader.parquet(*sorted(files))
 
-    def changes_since(self, v: int | None, keys: Sequence[str] | None = None) -> DataFrame | None:
+    def changes_since(
+        self,
+        v: int | None,
+        keys: Sequence[str] | None = None,
+        until: int | None = None,
+    ) -> DataFrame | None:
         """Delta-CDF-style change feed: the row-level changes committed
         strictly after version ``v``, as the table's columns plus
         ``_change_type`` ('insert' / 'delete', or 'update_pre' /
@@ -631,8 +645,9 @@ class ManagedTable:
 
         Exactly-once consumption: fold the result, then store ``v`` =
         ``current_version()`` read BEFORE calling (same cursor contract
-        as ``appended_since``)."""
-        cur = self.current_version()
+        as ``appended_since``; ``until`` pins that same pre-read version
+        as the inclusive upper bound against concurrent commits)."""
+        cur = self.current_version() if until is None else min(until, self.current_version())
         if v is None:
             return None
         schema = self.table_schema(cur)

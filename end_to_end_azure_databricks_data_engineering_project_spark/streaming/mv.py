@@ -156,20 +156,31 @@ class IncrementalAgg:
             self._fold()  # catch up stage 2 after a stage-1-only crash
             return 0
         signed = False
-        delta = src.appended_since(last)
+        # until=src_v: the fold is bounded by the version recorded as
+        # the cursor — a concurrent source append landing after the
+        # src_v read is left for the NEXT refresh instead of being
+        # folded now and re-folded later (double-count).
+        delta = src.appended_since(last, until=src_v)
         if delta is None:
             if last is None:
-                delta = src.read()  # first fold: full snapshot
+                delta = src.read_at(src_v)  # first fold: the cursor snapshot
             else:
                 # Source had merge commits: fold the CHANGE FEED instead
                 # (inserts add, deletes retract) — keeps an MV over an
                 # SCD1-merged gold table incremental. Only invertible
-                # measures can retract.
+                # measures can retract, and retraction needs a count
+                # measure for group liveness (a fully-deleted group must
+                # fold AWAY, which sum-only measures cannot express).
                 non_inv = [m.name for m in self.measures if not m.invertible]
-                delta = None if non_inv else src.changes_since(last)
+                has_count = any(m.kind == "count" for m in self.measures)
+                delta = (
+                    None if (non_inv or not has_count)
+                    else src.changes_since(last, until=src_v)
+                )
                 if delta is None:
                     why = (
                         f"non-invertible measures {non_inv}" if non_inv
+                        else "no count measure for group liveness" if not has_count
                         else "a snapshot rewrite in the version range"
                     )
                     raise RuntimeError(
@@ -178,13 +189,18 @@ class IncrementalAgg:
                         f"unavailable ({why}) — rebuild the MV"
                     )
                 signed = True
-        n = delta.count()
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        delta = delta.observe(obs, F.count(F.lit(1)).alias("n"))
         partial = delta.groupBy(*self.keys).agg(
             *[(m.signed_partial() if signed else m.partial()) for m in self.measures]
         )
-        self.log.append(partial, epoch=src_v, epoch_key="src_version")
+        # the delta row count rides the append action: ONE source scan
+        # per refresh, not an extra count() pass
+        committed = self.log.append(partial, epoch=src_v, epoch_key="src_version")
         self._fold()
-        return n
+        return obs.get["n"] if committed is not None else 0
 
     def _fold(self) -> None:
         log_v = self.log.current_version()
@@ -206,9 +222,9 @@ class IncrementalAgg:
 def fold_increments(mv, log, last, log_v, keys, measures, derive=None) -> None:
     """Merge log increments after version ``last`` into the ``mv``
     snapshot, committing ``log_v`` as the new cursor atomically."""
-    inc = log.appended_since(last)
+    inc = log.appended_since(last, until=log_v)
     if inc is None:
-        inc = log.read()  # first fold of this consumer: all increments
+        inc = log.read_at(log_v)  # first fold of this consumer
     if derive is not None:
         inc = derive(inc)
     inc = inc.select(*keys, *[F.col(m.name) for m in measures])

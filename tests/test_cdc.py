@@ -15,6 +15,7 @@ from end_to_end_azure_databricks_data_engineering_project_spark.operators.cdc im
     START_AT,
     apply_changes,
     scd1_merge,
+    scd2_apply,
 )
 from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import ManagedTable
 
@@ -176,3 +177,62 @@ def test_scd1_delete_removes_key(spark, tmp_path):
     apply_changes(t, _users(spark, [(2, "b", "__DELETE__", T0 - dt.timedelta(days=1))]),
                   ["user_id"], "updated_at", 1, delete_expr="plan = '__DELETE__'")
     assert {r.user_id for r in t.read().collect()} == {2}
+
+
+def test_scd2_stale_replay_after_delete_does_not_resurrect(spark):
+    """r6 review: after a delete closes a key, a replayed/late row with
+    an older sequence must be dropped as stale, not re-open the key."""
+    import datetime as dt
+
+    s1, s2 = dt.datetime(2025, 1, 1), dt.datetime(2025, 2, 1)
+    t = scd2_apply(
+        None,
+        spark.createDataFrame([(1, "v1", s1, 0)], "k int, v string, ts timestamp, is_del int"),
+        keys=["k"], seq="ts", delete_expr="is_del = 1",
+    )
+    t = spark.createDataFrame(t.collect(), t.schema)
+    t = scd2_apply(
+        t,
+        spark.createDataFrame([(1, "v1", s2, 1)], "k int, v string, ts timestamp, is_del int"),
+        keys=["k"], seq="ts", delete_expr="is_del = 1",
+    )
+    t = spark.createDataFrame(t.collect(), t.schema)
+    # key 1 is closed at s2; replay batch 1 (seq s1 <= s2)
+    out = scd2_apply(
+        t,
+        spark.createDataFrame([(1, "v1", s1, 0)], "k int, v string, ts timestamp, is_del int"),
+        keys=["k"], seq="ts", delete_expr="is_del = 1",
+    )
+    rows = out.collect()
+    assert all(r[END_AT] is not None for r in rows)  # key stays deleted
+    # a GENUINELY newer change still re-opens
+    s3 = dt.datetime(2025, 3, 1)
+    out2 = scd2_apply(
+        t,
+        spark.createDataFrame([(1, "v2", s3, 0)], "k int, v string, ts timestamp, is_del int"),
+        keys=["k"], seq="ts", delete_expr="is_del = 1",
+    )
+    open_rows = [r for r in out2.collect() if r[END_AT] is None]
+    assert len(open_rows) == 1 and open_rows[0].v == "v2"
+
+
+def test_scd2_batch_missing_target_column_fails_loudly(spark):
+    """A batch omitting a target data column must raise (scd1_merge's
+    behavior) — the old projection silently NULLed the column for every
+    rewritten row."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    s1 = dt.datetime(2025, 1, 1)
+    t = scd2_apply(
+        None,
+        spark.createDataFrame(
+            [(1, "a", "US", s1)], "k int, v string, country string, ts timestamp"
+        ),
+        keys=["k"], seq="ts",
+    )
+    t = spark.createDataFrame(t.collect(), t.schema)
+    bad = spark.createDataFrame([(1, "b", dt.datetime(2025, 2, 1))], "k int, v string, ts timestamp")
+    with _pytest.raises(ValueError, match="missing target column"):
+        scd2_apply(t, bad, keys=["k"], seq="ts")

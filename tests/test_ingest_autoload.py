@@ -311,3 +311,64 @@ def test_silver_drain_crash_then_late_file_loses_nothing(spark, tmp_path, monkey
     assert run() == 1
     got = sorted(r.user_id for r in catalog.table("silver_dim_user").read().collect())
     assert got == [1, 2, 3, 4, 5, 6]  # nothing lost, nothing duplicated
+
+
+def test_numeric_watermark_first_pull_ingests_everything(spark, tmp_path):
+    """A numeric CDC column with the timestamp-shaped EPOCH sentinel
+    previously cast to NULL, dropped every row, and left the table stuck
+    at 0 rows forever — the first pull must be a full load and advance
+    the numeric watermark."""
+    from dataclasses import replace as _replace
+
+    from pyspark.sql import types as T
+    from end_to_end_azure_databricks_data_engineering_project_spark.config import TABLE_BY_NAME
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.ingest import ingest_table
+
+    base = TABLE_BY_NAME["fact_stream"]
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    cfg = _replace(base, table="numtab", cdc_col="seq", spark_schema=schema)
+    store = WatermarkStore(tmp_path / "state")
+    src = spark.createDataFrame([(i, 100 + i) for i in range(5)], "id long, seq long")
+    r1 = ingest_table(spark, cfg, src, str(tmp_path / "bronze"), store)
+    assert r1.rows == 5
+    assert store.read("numtab") == "104"
+    # incremental pull: only rows past the numeric watermark
+    src2 = spark.createDataFrame([(9, 104), (10, 105)], "id long, seq long")
+    r2 = ingest_table(spark, cfg, src2, str(tmp_path / "bronze"), store)
+    assert r2.rows == 1 and store.read("numtab") == "105"
+
+
+def test_with_rescue_all_null_extras_stay_null(spark):
+    """mergeSchema null-fill: rows from files lacking the extra column
+    must keep _rescued_data NULL, not the misleading '{}'."""
+    from pyspark.sql import types as T
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.autoload import (
+        RESCUE_COL,
+        with_rescue,
+    )
+
+    declared = T.StructType([T.StructField("k", T.LongType())])
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None)], "k long, extra string"
+    )
+    out = {r.k: r[RESCUE_COL] for r in with_rescue(df, declared).collect()}
+    assert out[1] == '{"extra":"x"}'
+    assert out[2] is None
+
+
+def test_promote_rescued_rejects_dotted_field(spark):
+    import pytest as _pytest
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.autoload import (
+        promote_rescued,
+    )
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame([(1, '{"geo.lat":"1"}')], "k long, _rescued_data string")
+    with _pytest.raises(ValueError, match="plain identifier"):
+        promote_rescued(df, "geo.lat", T.DoubleType())

@@ -341,3 +341,19 @@ def test_register_views_skips_stray_files(spark, tmp_path):
     (tmp_path / "wh" / "stray.json").write_text("{}")  # editor/manifest junk
     cat.register_views()  # must not FileExistsError on the stray file
     assert spark.table("good").count() == 3
+
+
+def test_appended_since_until_bound(spark, tmp_path):
+    """The `until` bound pins a fold to the version its caller recorded
+    as cursor — commits landing after that read are left for the next
+    fold instead of being double-counted."""
+    t = _t(spark, tmp_path)
+    v0 = t.overwrite(_ids(spark, 0, 2))
+    v1 = t.append(_ids(spark, 2, 4))
+    t.append(_ids(spark, 4, 6))  # the "concurrent" commit
+    bounded = t.appended_since(v0, until=v1)
+    assert sorted(r.k for r in bounded.collect()) == [2, 3]
+    feed = t.changes_since(v0, until=v1)
+    assert sorted(r.k for r in feed.collect()) == [2, 3]
+    # unbounded still sees everything
+    assert sorted(r.k for r in t.appended_since(v0).collect()) == [2, 3, 4, 5]
