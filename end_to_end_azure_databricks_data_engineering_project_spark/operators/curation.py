@@ -183,7 +183,9 @@ def dsir_select(
             (F.col("pos") + 1).alias("pos"),
             (_phash("dsir|", F.col("w")) % n_buckets).alias("bucket"),
         )
-    )
+    ).cache()  # feeds FOUR consumers (src/tgt counts, totals, scoring
+    # join) — without the cache the corpus re-tokenizes once per
+    # consumer; LRU-evicted, same rationale as exact_jaccard_join
     src = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("_cs"))
     tgt = (
         toks.filter("_is_tgt")

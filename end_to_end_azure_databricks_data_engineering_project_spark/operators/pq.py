@@ -116,6 +116,16 @@ def pq_fit(
             data = data.filter((h % 1_000_000) < int(fit_fraction * 1_000_000))
     # seeds: the k_sub smallest ids, each sliced into its m subvectors
     seeds = data.orderBy(F.col(id_col).asc()).limit(k_sub).collect()
+    if len(seeds) < k_sub:
+        # a short codebook would freeze into an incremental ANN index
+        # whose shape check then rejects every later drain with a
+        # misleading cross-model error (r6 advisor) — fail loudly here
+        raise ValueError(
+            f"pq_fit: need ≥ k_sub={k_sub} rows to seed the codebooks, "
+            f"got {len(seeds)}"
+            + (" after fit_fraction sampling" if fit_fraction else "")
+            + " — lower k_sub or raise fit_fraction"
+        )
     codebooks = [
         [
             [float(x) for x in r[vec_col][s * sd : (s + 1) * sd]]

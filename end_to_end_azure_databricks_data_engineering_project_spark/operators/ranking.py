@@ -49,6 +49,9 @@ def bm25_topk(
         raise ValueError(f"idf must be 'log' or 'ratio', got {idf!r}")
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    # the token stream below is lowercased; fold the query to match so a
+    # mixed-case term matches instead of silently scoring zero (r6 advisor)
+    query_terms = [t.lower() for t in query_terms]
     ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     base = docs.filter(F.trim(F.col(text_col)) != "").select(
         F.col(id_col).alias("_id"), ws.alias("_ws")

@@ -97,63 +97,92 @@ def silver_flow(
     """
 
     def run() -> int:
+        import hashlib
         import json as _json
 
         src = str(Path(bronze_root) / cfg.table)
         loc = str(Path(state_root) / f"autoload_{cfg.table}")
         ledger = FileLedger(loc)
         table = catalog.table(f"silver_{cfg.table}")
-        # Drain-intent WAL: the file set a drain processes is PINNED
-        # before the append, because the ledger-size epoch identifies a
-        # ledger STATE, not a file set. Without it, a crash between
-        # append and ledger-commit followed by a NEW bronze file landing
-        # would make the rerun's skip branch ledger-commit that new file
-        # without ever appending its rows — silent, permanent loss. With
-        # the intent, the rerun finishes exactly the crashed batch; the
-        # newcomer is a fresh drain at the next epoch.
-        intent_p = Path(loc) / "drain_intent.json"
-        if intent_p.exists():
-            intent = _json.loads(intent_p.read_text())
-            batch = set(intent["files"]) - ledger.seen()
-            epoch = intent["epoch"]
-            if not batch:  # crashed after ledger commit: just clean up
-                intent_p.unlink()
-                return 0
-            df = spark.read.option("mergeSchema", "true").parquet(*sorted(batch))
-            from end_to_end_azure_databricks_data_engineering_project_spark.sources.autoload import (
-                with_rescue,
-            )
+        # Content-addressed drain WAL. The file set a drain processes is
+        # PINNED in a sidecar (``drain_<digest>.json``) written BEFORE
+        # the append, and the append COMMIT records that digest as a
+        # commit-atomic table property. Bookkeeping (``ledger.commit``)
+        # may therefore only ever cover files PROVEN appended: the WAL
+        # set whose digest the table itself recorded. A losing racer's
+        # listing (or a stale intent) references a digest the table
+        # never recorded, so its files can never be falsely marked seen
+        # — they are simply re-discovered by a later drain. This closes
+        # both halves of the r6 advisor hole: a drain that loses the
+        # same-epoch append race, and an epoch-skip entered via a fresh
+        # listing, both now mark NOTHING seen.
+        wal_dir = Path(loc)
 
-            df = with_rescue(df, cfg.spark_schema)
-        else:
-            df, batch = read_new_files(spark, src, cfg.spark_schema, loc)
-            if df is None:
-                return 0
-            epoch = len(ledger.seen())
-            tmp = intent_p.with_suffix(".tmp")
-            tmp.write_text(_json.dumps({"files": sorted(batch), "epoch": epoch}))
-            os.replace(tmp, intent_p)
+        def _wal_path(digest: str) -> Path:
+            return wal_dir / f"drain_{digest}.json"
+
+        # -- recovery: finish crashed bookkeeping before listing --
+        # If the last committed append recorded a WAL digest whose files
+        # are not yet all in the ledger, the writer crashed between
+        # append and ledger-commit; finish exactly that pinned set.
+        applied_digest = table.table_prop("autoload_drain_wal")
+        if applied_digest is not None:
+            wal_p = _wal_path(applied_digest)
+            if wal_p.exists():
+                wal_files = set(_json.loads(wal_p.read_text())["files"])
+                pending = wal_files - ledger.seen()
+                if pending:
+                    ledger.commit(pending)
+                wal_p.unlink()
+        # GC orphan sidecars (crashed before append, or losing racers)
+        # only once every file they pin is ledger-seen — an in-flight
+        # concurrent drain's WAL must survive until its bookkeeping is
+        # durable, else a crash-after-append becomes unrecoverable.
+        seen_now = ledger.seen()
+        for orphan in wal_dir.glob("drain_*.json"):
+            try:
+                if set(_json.loads(orphan.read_text())["files"]) <= seen_now:
+                    orphan.unlink()
+            except (OSError, ValueError, KeyError):
+                continue
+
+        df, batch = read_new_files(spark, src, cfg.spark_schema, loc)
+        if df is None:
+            return 0
+        # ledger-size epoch: two drains over the same ledger state race
+        # to one append; the in-lock epoch guard picks exactly one.
+        epoch = len(ledger.seen())
+        files_sorted = sorted(batch)
+        digest = hashlib.sha256("\n".join(files_sorted).encode()).hexdigest()[:16]
+        wal_p = _wal_path(digest)
+        tmp = wal_p.with_suffix(".tmp")
+        tmp.write_text(_json.dumps({"files": files_sorted, "epoch": epoch}))
+        os.replace(tmp, wal_p)
         if cleanse is not None:
             df = cleanse(df)
         df = df.drop(RESCUE_COL)
-        applied = table.applied_epoch("autoload_drain")
-        if applied is not None and epoch <= applied:
-            # crashed after append, before ledger commit: finish the
-            # pinned batch's bookkeeping ONLY (never newcomers)
-            ledger.commit(batch)
-            intent_p.unlink()
-            return 0
         from pyspark.sql import Observation
 
         obs = Observation()
         df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         # rowcount rides the single write action (no separate count scan)
-        committed = table.append(df, epoch=epoch, epoch_key="autoload_drain")
-        FileLedger(loc).commit(batch)  # commit AFTER the sink write
-        intent_p.unlink()
-        # None = a concurrent same-epoch drain won the race; the observed
-        # plan may never have run — don't block on obs.get
-        return obs.get["n"] if committed is not None else 0
+        committed = table.append(
+            df, epoch=epoch, epoch_key="autoload_drain",
+            set_props={"autoload_drain_wal": digest},
+        )
+        if committed is None:
+            # Lost the same-epoch race: the winner committed ITS digest
+            # and owns the bookkeeping. Mark nothing seen — any file the
+            # winner did not append stays out of the ledger and is
+            # re-discovered next drain. Keep our sidecar only if the
+            # winner's listing was identical (same digest): it is then
+            # the winner's recovery WAL.
+            if table.table_prop("autoload_drain_wal") != digest:
+                wal_p.unlink(missing_ok=True)
+            return 0
+        ledger.commit(batch)  # commit AFTER the sink write
+        wal_p.unlink(missing_ok=True)
+        return obs.get["n"]
 
     return run
 

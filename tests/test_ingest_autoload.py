@@ -305,12 +305,92 @@ def test_silver_drain_crash_then_late_file_loses_nothing(spark, tmp_path, monkey
     # a NEW file lands before the rerun
     drop_file("f3", [6])
 
-    # rerun: finishes f2's bookkeeping only (no re-append, no f3 commit)
-    assert run() == 0
-    # next run: drains f3 as a fresh epoch — its rows MUST land
+    # rerun: recovery finishes f2's bookkeeping from the commit-recorded
+    # WAL (no re-append), then drains f3 as a fresh epoch in the same run
     assert run() == 1
+    assert run() == 0  # quiescent
     got = sorted(r.user_id for r in catalog.table("silver_dim_user").read().collect())
     assert got == [1, 2, 3, 4, 5, 6]  # nothing lost, nothing duplicated
+    # all WAL sidecars retired once bookkeeping is durable
+    assert not list((tmp_path / "state" / "autoload_dim_user").glob("drain_*.json"))
+
+
+def test_silver_drain_race_loser_marks_nothing_seen(spark, tmp_path, monkeypatch):
+    """The r6 advisor hole: a drain that LOSES the same-epoch append race
+    (append returns None) used to ledger-commit its OWN file listing; if
+    that listing held a file the winner never appended (landed between
+    the two listings), the file was marked seen and its rows silently,
+    permanently lost. Post-fix the loser marks nothing seen and the file
+    is re-discovered by the next drain."""
+    import datetime as dt
+    import shutil
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.config import TABLE_BY_NAME
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog, ManagedTable
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import silver_flow
+
+    cfg = TABLE_BY_NAME["dim_user"]
+    bronze = tmp_path / "bronze" / "dim_user"
+    bronze.mkdir(parents=True)
+    schema = (
+        "user_id int, user_name string, country string, subscription_type string,"
+        " start_date date, end_date date, updated_at timestamp"
+    )
+
+    def drop_file(name, ids):
+        rows = [(i, f"u{i}", "US", "Free", None, None, dt.datetime(2025, 1, 1))
+                for i in ids]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "stage" / name))
+        src = next((tmp_path / "stage" / name).glob("*.parquet"))
+        shutil.copy(src, bronze / f"{name}.parquet")
+
+    import end_to_end_azure_databricks_data_engineering_project_spark.sources.autoload as al
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.autoload import FileLedger
+
+    catalog = Catalog(spark, tmp_path / "wh")
+    run = silver_flow(spark, cfg, str(tmp_path / "bronze"), catalog,
+                      str(tmp_path / "state"))
+    drop_file("f1", [1, 2])
+    assert run() == 2
+
+    # Interleaving: f2a lands → winner lists {f2a} → f2b lands → loser
+    # lists {f2a, f2b} (same ledger state, same epoch) → winner appends,
+    # ledger-commits, finishes → loser's append hits the in-lock epoch
+    # guard and returns None. Pre-fix the loser then ledger-committed
+    # its OWN listing, marking f2b seen though nobody appended it.
+    drop_file("f2a", [3])
+    drop_file("f2b", [4])
+    real_list = al._list_parquet_files
+    real_append = ManagedTable.append
+    fired = {"done": False}
+
+    def losing_append(self, df, **kw):
+        if fired["done"]:
+            return real_append(self, df, **kw)
+        fired["done"] = True
+        # run the interleaved winner to completion (its listing predated
+        # f2b); then our append loses the same-epoch race
+        monkeypatch.setattr(
+            al, "_list_parquet_files",
+            lambda root: [p for p in real_list(root) if "f2b" not in p],
+        )
+        monkeypatch.setattr(ManagedTable, "append", real_append)
+        assert run() == 1  # winner drains f2a only
+        monkeypatch.setattr(al, "_list_parquet_files", real_list)
+        return real_append(self, df, **kw)  # same-epoch → None
+
+    monkeypatch.setattr(ManagedTable, "append", losing_append)
+    assert run() == 0  # loser: must mark NOTHING seen
+    monkeypatch.setattr(ManagedTable, "append", real_append)
+    seen = FileLedger(str(tmp_path / "state" / "autoload_dim_user")).seen()
+    assert not any("f2b" in f for f in seen)  # the advisor's lost file
+
+    # the next drain re-discovers f2b and lands its rows
+    assert run() == 1
+    got = sorted(r.user_id for r in catalog.table("silver_dim_user").read().collect())
+    assert got == [1, 2, 3, 4]
 
 
 def test_numeric_watermark_first_pull_ingests_everything(spark, tmp_path):

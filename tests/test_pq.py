@@ -337,3 +337,10 @@ def test_fit_fraction_deterministic_and_validated(spark, emb):
         pq_fit(emb, m=4, k_sub=8, n_iter=1, dim=64, fit_fraction=0.0)
     with pytest.raises(ValueError, match="fit_fraction"):
         pq_fit(emb, m=4, k_sub=8, n_iter=1, dim=64, fit_fraction=1.5)
+
+
+def test_fit_raises_on_fewer_rows_than_k_sub(spark, emb):
+    """r6 advisor: a silent short codebook would freeze into the ANN
+    index and reject every later drain with a cross-model error."""
+    with pytest.raises(ValueError, match="k_sub=8"):
+        pq_fit(emb.limit(3), m=4, k_sub=8, n_iter=1, dim=64)

@@ -77,3 +77,11 @@ def test_bm25_partitioning_independent(spark):
     base = sorted(map(tuple, bm25_topk(real, terms).collect()))
     again = sorted(map(tuple, bm25_topk(real.repartition(11), terms).collect()))
     assert base == again
+
+
+def test_bm25_query_terms_case_folded(spark, docs):
+    """r6 advisor: mixed-case query terms must match the lowercased
+    token stream, not silently score zero."""
+    lo = {r.doc_id: r.bm25 for r in bm25_topk(docs, ["cat"]).collect()}
+    hi = {r.doc_id: r.bm25 for r in bm25_topk(docs, ["CaT"]).collect()}
+    assert lo and lo == hi
