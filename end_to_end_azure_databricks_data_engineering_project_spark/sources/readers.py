@@ -61,7 +61,7 @@ def watermark_query(schema_name: str, table: str, cdc_col: str, watermark: str) 
 def read_jdbc(
     spark: SparkSession,
     url: str,
-    query: str,
+    query: str | None,
     driver: str | None = None,
     partition_options: dict[str, str] | None = None,
 ) -> DataFrame:
@@ -70,8 +70,12 @@ def read_jdbc(
     ``partition_options`` (partitionColumn/lowerBound/upperBound/
     numPartitions) enable parallel range-partitioned pulls — the scale
     path for large source tables (ADF does the analogous parallel copy).
+    Spark disallows ``partitionColumn`` with ``query``; for the ranged
+    path pass ``query=None`` and a ``dbtable`` in ``partition_options``.
     """
-    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    reader = spark.read.format("jdbc").option("url", url)
+    if query is not None:
+        reader = reader.option("query", query)
     if driver:
         reader = reader.option("driver", driver)
     for k, v in (partition_options or {}).items():
