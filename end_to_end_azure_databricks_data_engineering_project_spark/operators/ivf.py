@@ -123,20 +123,55 @@ def kmeans_fit(
 ) -> list[list[float]]:
     """Deterministic Lloyd k-means; returns k centroids (python lists).
 
-    Empty clusters keep their previous centroid (stable k)."""
+    Empty clusters keep their previous centroid (stable k).
+
+    ONE Spark job end to end: the per-iteration centroid state is a
+    chained k-row RELATION (not a collected list), so the whole loop is
+    analyzed, codegen-compiled, and dispatched once, with a single
+    final k-row collect — previously each iteration paid its own
+    collect + full plan analysis, which dominated the cold path of the
+    ANN composites (~2 s/round-trip). Two caches, both bounded:
+      - ``data`` (the fit set): feeds every iteration's assignment scan;
+        in IVF-PQ its lineage is the coarse-assign + residual HOF tree
+        over the corpus, which would otherwise re-run per use;
+      - each iteration's ``cents`` (k rows): referenced TWICE (the next
+        assignment's broadcast side + the empty-cluster fallback join) —
+        uncached, iteration i's full subtree would re-evaluate per
+        reference, doubling work per chained level."""
     data = df.select(id_col, vec_col)
     if fit_fraction:
         data = data.sample(fraction=fit_fraction, seed=42)
-    seeds = data.orderBy(F.col(id_col).asc()).limit(k).collect()
-    centroids = [list(map(float, r[vec_col])) for r in seeds]
+    data = data.cache()
+    caches = [data]
+    # seed relation: the k smallest ids, cluster = rank order (matches
+    # the previous collected-seed numbering and the oracle's replay)
+    w_seed = Window.orderBy(F.col(id_col).asc())
+    cents = (
+        data.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(
+            (F.row_number().over(w_seed) - 1).alias("cluster"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "cent"
+            ),
+        )
+    )
     for _ in range(n_iter):
+        cents = cents.cache()
+        caches.append(cents)
+        crow = cents.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cluster", "cent"))),
+                lambda s: s["cent"],
+            ).alias(_CENTS)
+        )
         # Two selects, deliberately: a generator in the SAME select as
         # the argmin would re-evaluate the O(k·dim) distance expression
         # once per exploded row (dim× per vector — the dominant cost at
         # k=64: ~45 s/iter for 2 000 rows). Projecting cluster below the
         # Generate evaluates it once per vector; Catalyst keeps the
         # projection under Generate (Generate only appends columns).
-        pre = _with_centroids(data, centroids).select(
+        pre = data.crossJoin(F.broadcast(crow)).select(
             F.col(id_col).alias("_mid"),
             _argmin_cluster(
                 _sq_dists_col(F.col(vec_col), F.col(_CENTS))
@@ -160,14 +195,26 @@ def kmeans_fit(
             assigned.groupBy("cluster", "pos")
             .agg((ordered_sum / F.count(F.lit(1))).alias("m"))
             .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .collect()
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("new_cent")
+            )
         )
-        new_centroids = list(centroids)  # empty clusters keep old centroid
-        for r in means:
-            new_centroids[r.cluster] = [float(p.m) for p in r.pm]
-        centroids = new_centroids
-    return centroids
+        # empty clusters keep the previous centroid
+        cents = cents.join(means, "cluster", "left").select(
+            "cluster", F.coalesce("new_cent", "cent").alias("cent")
+        )
+    rows = cents.collect()
+    for c in caches:
+        c.unpersist()
+    out: list[list[float] | None] = [None] * k
+    for r in rows:
+        out[r.cluster] = [float(x) for x in r.cent]
+    # fewer input rows than k: contiguous leading clusters only (the
+    # previous collected-seeds behavior)
+    return [c for c in out if c is not None]
 
 
 def ivf_assign(

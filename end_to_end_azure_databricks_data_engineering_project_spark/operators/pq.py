@@ -114,6 +114,11 @@ def pq_fit(
                 16, 10,
             ).cast("bigint")
             data = data.filter((h % 1_000_000) < int(fit_fraction * 1_000_000))
+    # cached: the fit input feeds n_iter+1 jobs (seeds + one per Lloyd
+    # iteration); in the IVF-PQ composite its lineage is the coarse-
+    # assign + residual HOF tree over the corpus, which would otherwise
+    # re-evaluate per job. Bounded by the fit set; released at return.
+    data = data.cache()
     # seeds: the k_sub smallest ids, each sliced into its m subvectors
     seeds = data.orderBy(F.col(id_col).asc()).limit(k_sub).collect()
     if len(seeds) < k_sub:
@@ -181,6 +186,7 @@ def pq_fit(
         for r in means:
             new_cb[r.s][r.cluster] = [float(p.mu) for p in r.pm]
         codebooks = new_cb
+    data.unpersist()
     return codebooks
 
 

@@ -254,3 +254,200 @@ def hll_estimate(registers: DataFrame, m: int = 256) -> DataFrame:
         "used_registers",
         (F.lit(alpha * m * m) / denom).alias("raw_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Level-sampling quantile sketch (KLL-style levels, deterministic)
+# ---------------------------------------------------------------------------
+#
+# The adaptive-boundary refinement `quantile_hist_merge`'s fixed 64-bin
+# histogram names: summary values ADAPT to the distribution instead of
+# pre-carved domain bins, so heavy-tailed 100 TB columns keep resolution
+# where the mass is. Structure follows KLL (Karnin, Lang, Liberty,
+# FOCS'16): geometric levels, level-L items carry weight 2^L, capacity-
+# bounded summary. One deliberate deviation: KLL promotes items by
+# RANDOM pairwise compaction; here an item's level is the leading-zero
+# count of its portable md5 (P[level >= L] = 2^-L), i.e. deterministic
+# bottom-k-style level sampling (Gibbons & Matias, SIGMOD'98 lineage).
+# What that trades: KLL's optimal O(1/eps) space becomes a uniform-
+# sample bound — rank error <= eps*n w.p. 1-d for k = O(ln(1/d)/eps^2).
+# What it buys (the properties this engine's sketch discipline
+# requires): bit-determinism under any partitioning, EXACT mergeability
+# (merge(sketch(A), sketch(B)) is row-identical to sketch(A UNION B) —
+# KLL's random compaction cannot promise that), and full cross-engine
+# SQL replay for the catalog oracle.
+#
+# Scale shape: build = one map-side level computation + one combinable
+# <=61-row-per-partition level-count agg + one broadcast cap attach +
+# one filter; the only data-sized shuffle is none at all. Retained rows
+# <= k forever; estimates run a <=k-row window. Merge unions retained
+# rows (<= #sketches * k) and recaps — constant work, never rescans.
+
+
+def _lsq_level(key) -> "F.Column":
+    """Deterministic level: leading zeros of the 60-bit portable hash,
+    so P[level >= L] = 2^-L. Replayed in DuckDB as
+    ``strpos(lpad(bin(h), 60, '0'), '1') - 1`` (60 when no '1')."""
+    h = portable_hash64(key)
+    pos = F.instr(F.lpad(F.bin(h), 60, "0"), "1")
+    return F.when(pos == F.lit(0), F.lit(60)).otherwise(pos - 1).cast("int")
+
+
+def _lsq_cap(rows: DataFrame, k: int) -> DataFrame:
+    """One-row (cap, n_total) relation: cap is the smallest level L
+    (over the FULL 0..61 domain, not just levels present in the data —
+    a present-level min would overstate the weight exponent when a
+    level is empty) such that the retained count |{level >= L}| is
+    <= k; n_total falls out of the same cumulation (cnt_ge at level 0
+    counts every row), so the build scans the data exactly twice
+    (this <=61-row combinable agg + the retain filter)."""
+    from pyspark.sql import Window
+
+    spark = rows.sparkSession
+    dom = spark.range(62).select(F.col("id").cast("int").alias("level"))
+    per = rows.groupBy("level").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("level").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        dom.join(per, "level", "left")
+        .select("level", F.coalesce("c", F.lit(0)).alias("c"))
+        .withColumn("cnt_ge", F.sum("c").over(w))
+    )
+    # level 61 has cnt_ge = 0 <= k always, so min() never returns NULL
+    return cum.agg(
+        F.min(F.when(F.col("cnt_ge") <= F.lit(k), F.col("level"))).alias("cap"),
+        F.max("cnt_ge").cast("bigint").alias("n_total"),
+    )
+
+
+def lsq_sketch(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 512,
+    salt: str = "lsq|",
+) -> DataFrame:
+    """Build the sketch: retained rows ``(value, level, cap, n_total,
+    k)`` — every row with level >= cap, where cap is the smallest level
+    keeping <= k rows. cap / n_total / k are constants riding a one-row
+    broadcast relation (house pattern: model state is never an
+    expression tree). NULL values are excluded, matching SQL
+    percentile semantics. ``k >= 64`` recommended: retained count
+    concentrates in (k/2, k], and the eps*n rank-error bound needs
+    k = O(ln(1/d)/eps^2) samples."""
+    rows = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(value_col).cast("bigint").alias("value"),
+            _lsq_level(
+                F.concat(F.lit(salt), F.col(id_col).cast("string"))
+            ).alias("level"),
+        )
+    )
+    meta = _lsq_cap(rows, k)
+    return (
+        rows.crossJoin(F.broadcast(meta))
+        .where(F.col("level") >= F.col("cap"))
+        .select("value", "level", "cap", "n_total", F.lit(k).alias("k"))
+    )
+
+
+def lsq_merge(*sketches: DataFrame) -> DataFrame:
+    """Union retained rows and recap. Row-for-row IDENTICAL to building
+    one sketch over the unioned inputs: every input cap is <= the
+    union's cap (more rows can only push the cap up), so every row the
+    union build would retain is present in some input sketch, and the
+    recap (searched from max(input caps) upward — below that the union
+    counts are truncated) lands on exactly the union build's cap. All
+    inputs must share one k; a mismatch merges at max(k) (documented
+    caller error)."""
+    from pyspark.sql import Window
+
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    rows = u.select("value", "level")
+    # each input's (cap, n_total, k) constants ride its rows; recover
+    # one row per input (NULL-safe for an empty-input sketch), then fold
+    metas = sketches[0].agg(
+        F.max("cap").alias("cap"),
+        F.max("n_total").alias("n"),
+        F.max("k").alias("k"),
+    )
+    for s in sketches[1:]:
+        metas = metas.unionByName(
+            s.agg(
+                F.max("cap").alias("cap"),
+                F.max("n_total").alias("n"),
+                F.max("k").alias("k"),
+            )
+        )
+    folded = metas.agg(
+        F.coalesce(F.max("cap"), F.lit(0)).cast("int").alias("floor"),
+        F.sum(F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias("n_total"),
+        F.coalesce(F.max("k"), F.lit(0)).cast("int").alias("k"),
+    )
+    spark = rows.sparkSession
+    dom = spark.range(62).select(F.col("id").cast("int").alias("level"))
+    per = rows.groupBy("level").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("level").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        dom.join(per, "level", "left")
+        .select("level", F.coalesce("c", F.lit(0)).alias("c"))
+        .withColumn("cnt_ge", F.sum("c").over(w))
+        .crossJoin(F.broadcast(folded))
+        .where((F.col("level") >= F.col("floor")) & (F.col("cnt_ge") <= F.col("k")))
+    )
+    meta = cum.agg(
+        F.min("level").alias("cap"),
+        F.max("n_total").cast("bigint").alias("n_total"),
+        F.max("k").cast("int").alias("k"),
+    )
+    return (
+        rows.crossJoin(F.broadcast(meta))
+        .where(F.col("level") >= F.col("cap"))
+        .select("value", "level", "cap", "n_total", "k")
+    )
+
+
+def lsq_quantiles(sketch: DataFrame, pcts: tuple[int, ...] = (50, 90, 99)) -> DataFrame:
+    """One-row quantile readout: for each integer percentile p, the
+    smallest retained value whose retained-sample cumulative count
+    reaches p% of the retained total (the classic sample quantile —
+    NOT cum*2^cap vs n_total, which leaves top percentiles unreachable
+    whenever the sample mass 2^cap*retained undershoots n). All-bigint
+    arithmetic, bit-exact in any engine that replays the same cum
+    ordering. Returns (n_total, cap, retained, est_p<p>...); estimates
+    are NULL only for an empty sketch."""
+    from pyspark.sql import Window
+
+    byval = sketch.groupBy("value", "cap", "n_total").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = byval.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "tot", F.sum("c").over(w_all)
+    )
+    aggs = [
+        F.coalesce(F.max("n_total"), F.lit(0)).cast("bigint").alias("n_total"),
+        F.coalesce(F.max("cap"), F.lit(0)).cast("int").alias("cap"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("retained"),
+    ]
+    for p in pcts:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.col("tot") * F.lit(p),
+                    F.col("value"),
+                )
+            )
+            .cast("bigint")
+            .alias(f"est_p{p}")
+        )
+    return cum.agg(*aggs)

@@ -5784,6 +5784,146 @@ def q_quantile_hist_merge(spark, sf):
 
 
 @_q(
+    "adaptive_quantile_sketch",
+    "Adaptive mergeable quantile sketch — the KLL-style refinement "
+    "quantile_hist_merge names: geometric levels with DETERMINISTIC "
+    "hash level assignment (P[level>=L] = 2^-L from the portable md5) "
+    "instead of KLL's random compaction, capacity-capped at k=512 "
+    "retained rows whose cap level ADAPTS to n. Trades KLL's optimal "
+    "space for exact mergeability: two shard sketches merged+recapped "
+    "are ROW-IDENTICAL to the union-built sketch (audited in the "
+    "merged_equals_union column). Build = one map-side level expr + "
+    "one <=62-row combinable agg + broadcast cap filter: no data-sized "
+    "shuffle at any n; estimates run a <=k-row window. All-bigint, "
+    "bit-replayed by the oracle end to end",
+    "extension: mergeable quantile sketches (adaptive level sampling)",
+    """
+    WITH v AS (
+      SELECT o_orderkey AS id, o_orderkey % 2 AS shard,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS value
+      FROM orders
+    ),
+    lv AS (
+      SELECT shard, value,
+             CASE WHEN strpos(lpad(bin(h), 60, '0'), '1') = 0 THEN 60
+                  ELSE strpos(lpad(bin(h), 60, '0'), '1') - 1 END AS level
+      FROM (SELECT shard, value,
+                   ('0x' || substr(md5('lsq|' || CAST(id AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM v)
+    ),
+    dom AS (SELECT range AS level FROM range(0, 62)),
+    sper AS (SELECT shard, level, count(*) AS c FROM lv GROUP BY 1, 2),
+    scum AS (
+      SELECT s.shard, d.level,
+             sum(coalesce(sp.c, 0))
+               OVER (PARTITION BY s.shard ORDER BY d.level DESC) AS cnt_ge
+      FROM (SELECT DISTINCT shard FROM lv) s CROSS JOIN dom d
+      LEFT JOIN sper sp ON sp.shard = s.shard AND sp.level = d.level
+    ),
+    scap AS (
+      SELECT shard, min(CASE WHEN cnt_ge <= 512 THEN level END) AS cap
+      FROM scum GROUP BY shard
+    ),
+    sret AS (
+      SELECT lv.shard, lv.value, lv.level
+      FROM lv JOIN scap ON lv.shard = scap.shard AND lv.level >= scap.cap
+    ),
+    fl AS (SELECT max(cap) AS floor FROM scap),
+    mper AS (SELECT level, count(*) AS c FROM sret GROUP BY 1),
+    mcum AS (
+      SELECT d.level, sum(coalesce(mp.c, 0)) OVER (ORDER BY d.level DESC) AS cnt_ge
+      FROM dom d LEFT JOIN mper mp ON mp.level = d.level
+    ),
+    mcap AS (
+      SELECT min(CASE WHEN m.cnt_ge <= 512 AND m.level >= f.floor
+                      THEN m.level END) AS cap
+      FROM mcum m CROSS JOIN fl f
+    ),
+    merged AS (
+      SELECT r.value, r.level FROM sret r CROSS JOIN mcap WHERE r.level >= mcap.cap
+    ),
+    uper AS (SELECT level, count(*) AS c FROM lv GROUP BY 1),
+    ucum AS (
+      SELECT d.level, sum(coalesce(up.c, 0)) OVER (ORDER BY d.level DESC) AS cnt_ge
+      FROM dom d LEFT JOIN uper up ON up.level = d.level
+    ),
+    umeta AS (
+      SELECT min(CASE WHEN cnt_ge <= 512 THEN level END) AS cap,
+             max(cnt_ge) AS n_total
+      FROM ucum
+    ),
+    ubuilt AS (SELECT value, level FROM lv CROSS JOIN umeta
+               WHERE lv.level >= umeta.cap),
+    mis AS (
+      SELECT count(*) AS n_bad FROM
+        (SELECT value, level, count(*) AS c FROM merged GROUP BY 1, 2) m
+        FULL JOIN
+        (SELECT value, level, count(*) AS c FROM ubuilt GROUP BY 1, 2) u
+        ON m.value = u.value AND m.level = u.level
+      WHERE m.c IS DISTINCT FROM u.c
+    ),
+    byval AS (SELECT value, count(*) AS c FROM merged GROUP BY 1),
+    cum AS (
+      SELECT value, sum(c) OVER (ORDER BY value) AS cum, sum(c) OVER () AS tot
+      FROM byval
+    ),
+    q AS (
+      SELECT CAST(max(tot) AS BIGINT) AS retained,
+             CAST(min(CASE WHEN cum * 100 >= tot * 50 THEN value END)
+                  AS BIGINT) AS est_p50,
+             CAST(min(CASE WHEN cum * 100 >= tot * 90 THEN value END)
+                  AS BIGINT) AS est_p90,
+             CAST(min(CASE WHEN cum * 100 >= tot * 99 THEN value END)
+                  AS BIGINT) AS est_p99
+      FROM cum
+    )
+    SELECT CAST(um.n_total AS BIGINT) AS n_total, CAST(mc.cap AS INT) AS cap,
+           q.retained, (mis.n_bad = 0) AS merged_equals_union,
+           q.est_p50, q.est_p90, q.est_p99
+    FROM q CROSS JOIN mis CROSS JOIN mcap mc CROSS JOIN umeta um
+    """,
+)
+def q_adaptive_quantile_sketch(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.sketches import (
+        lsq_merge,
+        lsq_quantiles,
+        lsq_sketch,
+    )
+
+    o = _t(spark, sf, "orders")
+    cents = o.select(
+        "o_orderkey", (_dec("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    shards = [
+        lsq_sketch(
+            cents.where(F.col("o_orderkey") % 2 == i), "cents", "o_orderkey", k=512
+        )
+        for i in range(2)
+    ]
+    merged = lsq_merge(*shards)
+    union_built = lsq_sketch(cents, "cents", "o_orderkey", k=512)
+    mc = merged.groupBy("value", "level").agg(F.count(F.lit(1)).alias("c"))
+    uc = union_built.groupBy("value", "level").agg(F.count(F.lit(1)).alias("c"))
+    cmp = mc.alias("m").join(
+        uc.alias("u"),
+        (F.col("m.value") == F.col("u.value"))
+        & (F.col("m.level") == F.col("u.level")),
+        "full",
+    )
+    mis = cmp.agg(
+        (
+            F.sum(F.when(F.col("m.c").eqNullSafe(F.col("u.c")), 0).otherwise(1))
+            == 0
+        ).alias("merged_equals_union")
+    )
+    est = lsq_quantiles(merged, pcts=(50, 90, 99))
+    return est.crossJoin(mis).select(
+        "n_total", "cap", "retained", "merged_equals_union",
+        "est_p50", "est_p90", "est_p99",
+    )
+
+
+@_q(
     "table_diff",
     "Snapshot reconciliation: full-outer join of two table versions on "
     "the primary key comparing per-row md5 content hashes → "
@@ -6270,9 +6410,31 @@ _R5_GREEN = {
     "in_predicate",
 }
 
+# Entries with a green row in CORRECTNESS_r06.json (the round-6
+# 50-entry driver window — every sampled entry passed
+# rows+schema+hash with no errors).
+_R6_GREEN = {
+    "ann_topk_ivf", "ann_topk_ivfpq", "ann_topk_pq", "ann_topk_srp",
+    "array_toolkit", "bm25_topk", "bucketize", "calendar",
+    "contamination_check", "cube_agg", "dataset_split",
+    "deterministic_sample", "doc_chunking", "doc_repetition_ratio",
+    "dsir_importance_select", "embedding_normalize", "embedding_stats",
+    "exact_median", "explode_unnest", "filtered_agg",
+    "first_last_in_group", "full_outer_join", "grouping_sets",
+    "hard_negative_mining", "histogram_bins", "hll_distinct_by_group",
+    "lag_lead_delta", "lang_adaptive_filter", "lateral_topn_join",
+    "left_outer_join", "levenshtein_match", "local_supplier_volume",
+    "media_features", "minhash_dedup_cc", "null_predicate",
+    "ordered_string_agg", "pandas_grouped_rank", "percent_rank_cume",
+    "pii_redaction", "project_drop", "range_frame_window", "range_join",
+    "regexp_clean", "regexp_extract_groups", "stats_moments",
+    "temperature_mixture_sample", "union_all_counts",
+    "unpivot_measures", "upper_trim", "zscore_normalize",
+}
+
 #: green-evidence rounds, oldest first — ordering sorts proven entries
 #: by the LAST round that checked them (stalest evidence first).
-_GREEN_ROUNDS: list[set[str]] = [_R3_GREEN, _R4_GREEN, _R5_GREEN]
+_GREEN_ROUNDS: list[set[str]] = [_R3_GREEN, _R4_GREEN, _R5_GREEN, _R6_GREEN]
 
 
 def _last_green(name: str) -> int:
