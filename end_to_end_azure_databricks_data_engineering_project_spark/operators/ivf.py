@@ -143,6 +143,16 @@ def kmeans_fit(
         data = data.sample(fraction=fit_fraction, seed=42)
     data = data.cache()
     caches = [data]
+    try:
+        return _kmeans_iterate(data, caches, vec_col, id_col, k, n_iter)
+    finally:
+        # released on success AND error paths — a leaked fit cache pins
+        # the coarse-assign/residual lineage in memory (r7 advisor)
+        for c in caches:
+            c.unpersist()
+
+
+def _kmeans_iterate(data, caches, vec_col, id_col, k, n_iter):
     # seed relation: the k smallest ids, cluster = rank order (matches
     # the previous collected-seed numbering and the oracle's replay)
     w_seed = Window.orderBy(F.col(id_col).asc())
@@ -207,8 +217,6 @@ def kmeans_fit(
             "cluster", F.coalesce("new_cent", "cent").alias("cent")
         )
     rows = cents.collect()
-    for c in caches:
-        c.unpersist()
     out: list[list[float] | None] = [None] * k
     for r in rows:
         out[r.cluster] = [float(x) for x in r.cent]

@@ -94,7 +94,16 @@ def pq_fit(
     All m subspaces train in the SAME scans: the input explodes once to
     (id, s, subvector) and every Lloyd iteration is one pass with a
     single (s, cluster, pos) hash aggregation — m never multiplies the
-    number of jobs. Empty clusters keep their previous centroid."""
+    number of jobs. Empty clusters keep their previous centroid.
+
+    ONE Spark job end to end (the ``ivf.kmeans_fit`` r7 pattern, applied
+    here in r8): per-iteration codebook state is a chained m-row
+    RELATION (s, _cents) instead of a collected list, so the whole loop
+    — seeds included — is analyzed and dispatched once with a single
+    final m-row collect. Previously each of the n_iter+1 round-trips
+    (seed collect + one per Lloyd iteration) paid its own plan analysis
+    over the full input lineage (in IVF-PQ: the coarse-assign + residual
+    HOF tree), which dominated the ANN composites' cold path."""
     sd = _check_geometry(dim, m)
     data = df.select(id_col, vec_col)
     if fit_fraction is not None:
@@ -119,25 +128,20 @@ def pq_fit(
     # assign + residual HOF tree over the corpus, which would otherwise
     # re-evaluate per job. Bounded by the fit set; released at return.
     data = data.cache()
-    # seeds: the k_sub smallest ids, each sliced into its m subvectors
-    seeds = data.orderBy(F.col(id_col).asc()).limit(k_sub).collect()
-    if len(seeds) < k_sub:
-        # a short codebook would freeze into an incremental ANN index
-        # whose shape check then rejects every later drain with a
-        # misleading cross-model error (r6 advisor) — fail loudly here
-        raise ValueError(
-            f"pq_fit: need ≥ k_sub={k_sub} rows to seed the codebooks, "
-            f"got {len(seeds)}"
-            + (" after fit_fraction sampling" if fit_fraction else "")
-            + " — lower k_sub or raise fit_fraction"
+    caches = [data]
+    try:
+        return _pq_fit_chained(
+            data, caches, id_col, vec_col, m, sd, k_sub, n_iter, fit_fraction
         )
-    codebooks = [
-        [
-            [float(x) for x in r[vec_col][s * sd : (s + 1) * sd]]
-            for r in seeds
-        ]
-        for s in range(m)
-    ]
+    finally:
+        # released on BOTH success and error paths (short-seed ValueError,
+        # collect failure) — a leaked fit-set cache pins the whole coarse-
+        # assign + residual lineage in executor memory (r7 advisor).
+        for c in caches:
+            c.unpersist()
+
+
+def _pq_fit_chained(data, caches, id_col, vec_col, m, sd, k_sub, n_iter, fit_fraction):
     sub = data.select(
         F.col(id_col).alias("_mid"),
         F.posexplode(
@@ -147,16 +151,39 @@ def pq_fit(
             )
         ).alias("s", "sv"),
     )
+    # seed relation: per subspace, the k_sub smallest ids' subvectors in
+    # id order (cluster = rank order — matches the previous collected-
+    # seed numbering and the oracle's replay)
+    cb = (
+        data.orderBy(F.col(id_col).asc())
+        .limit(k_sub)
+        .select(
+            F.col(id_col).alias("_mid"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: _subvector(F.col(vec_col), s, sd),
+                )
+            ).alias("s", "sv"),
+        )
+        .groupBy("s")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("_mid"), F.col("sv")))),
+                lambda st: F.transform(st["sv"], lambda x: x.cast("double")),
+            ).alias("_cents")
+        )
+    )
     for _ in range(n_iter):
+        # each iteration's cb (m rows) is referenced twice: the next
+        # assignment's broadcast side + the empty-cluster fallback join
+        cb = cb.cache()
+        caches.append(cb)
         # assignment: broadcast-join the per-subspace centroid relation
         # (m rows) and argmin — cluster projected BELOW the posexplode
         # so the O(k_sub·sd) distance expr runs once per subvector (see
         # ivf.kmeans_fit's generator-placement note).
-        cdf = sub.sparkSession.createDataFrame(
-            [(s, [list(map(float, c)) for c in codebooks[s]]) for s in range(m)],
-            "s: int, _cents: array<array<double>>",
-        )
-        pre = sub.join(F.broadcast(cdf), "s").select(
+        pre = sub.join(F.broadcast(cb), "s").select(
             "_mid",
             "s",
             _argmin_cluster(
@@ -179,14 +206,47 @@ def pq_fit(
             assigned.groupBy("s", "cluster", "pos")
             .agg((ordered_sum / F.count(F.lit(1))).alias("mu"))
             .groupBy("s", "cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
-            .collect()
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                    lambda p: p["mu"],
+                ).alias("new_cent")
+            )
         )
-        new_cb = [[list(c) for c in cb] for cb in codebooks]
-        for r in means:
-            new_cb[r.s][r.cluster] = [float(p.mu) for p in r.pm]
-        codebooks = new_cb
-    data.unpersist()
+        # fold the iteration's means back into the m-row codebook
+        # relation: clusters the batch assigned get their new centroid,
+        # empty clusters keep the previous one (try_element_at — ANSI
+        # mode throws on a plain element_at at a missing map key)
+        per_s = means.groupBy("s").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("cluster", "new_cent"))
+            ).alias("_mp")
+        )
+        cb = cb.join(per_s, "s", "left").select(
+            "s",
+            F.transform(
+                F.sequence(F.lit(0), F.size("_cents") - 1),
+                lambda c: F.coalesce(
+                    F.try_element_at("_mp", c),
+                    F.element_at("_cents", c + 1),
+                ),
+            ).alias("_cents"),
+        )
+    rows = cb.collect()
+    n_seeds = len(rows[0]["_cents"]) if rows else 0
+    if n_seeds < k_sub:
+        # a short codebook would freeze into an incremental ANN index
+        # whose shape check then rejects every later drain with a
+        # misleading cross-model error (r6 advisor) — fail loudly here
+        raise ValueError(
+            f"pq_fit: need ≥ k_sub={k_sub} rows to seed the codebooks, "
+            f"got {n_seeds}"
+            + (" after fit_fraction sampling" if fit_fraction else "")
+            + " — lower k_sub or raise fit_fraction"
+        )
+    codebooks: list[list[list[float]] | None] = [None] * m
+    for r in rows:
+        codebooks[r["s"]] = [[float(x) for x in c] for c in r["_cents"]]
     return codebooks
 
 

@@ -335,7 +335,17 @@ def lsq_sketch(
     expression tree). NULL values are excluded, matching SQL
     percentile semantics. ``k >= 64`` recommended: retained count
     concentrates in (k/2, k], and the eps*n rank-error bound needs
-    k = O(ln(1/d)/eps^2) samples."""
+    k = O(ln(1/d)/eps^2) samples.
+
+    Known representational assumption (r7 advisor): the (cap, n_total,
+    k) metadata rides only the retained rows, so a sketch whose
+    retained set is EMPTY while n_total > 0 would be indistinguishable
+    from an empty-input sketch in ``lsq_merge`` (its n_total folds as
+    0). Reaching that state requires > k rows ALL landing on level
+    cap-1 with NONE above it; with independent hash levels
+    (P[level >= L+1 | level >= L] = 1/2) that has probability
+    2^-(k+1)-ish — < 1e-154 at the k=512 default — so it is accepted
+    rather than paid for with a sentinel meta row on every sketch."""
     rows = (
         df.where(F.col(value_col).isNotNull())
         .select(

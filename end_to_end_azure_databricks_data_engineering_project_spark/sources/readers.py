@@ -73,6 +73,27 @@ def read_jdbc(
     Spark disallows ``partitionColumn`` with ``query``; for the ranged
     path pass ``query=None`` and a ``dbtable`` in ``partition_options``.
     """
+    opts = partition_options or {}
+    # fail fast with a clear message instead of Spark's opaque JDBC
+    # option-conflict error (r7 advisor): exactly one of query /
+    # partition_options['dbtable'] must name the relation, and
+    # partitionColumn is only legal on the dbtable path.
+    if query is not None and "partitionColumn" in opts:
+        raise ValueError(
+            "read_jdbc: Spark disallows partitionColumn with a pushed "
+            "query — pass query=None and a dbtable in partition_options "
+            "for the range-partitioned path"
+        )
+    if query is None and "dbtable" not in opts:
+        raise ValueError(
+            "read_jdbc: query=None requires partition_options['dbtable'] "
+            "to name the source relation"
+        )
+    if query is not None and "dbtable" in opts:
+        raise ValueError(
+            "read_jdbc: query and partition_options['dbtable'] are "
+            "mutually exclusive — pass exactly one"
+        )
     reader = spark.read.format("jdbc").option("url", url)
     if query is not None:
         reader = reader.option("query", query)

@@ -89,11 +89,21 @@ def silver_flow(
     catalog: Catalog,
     state_root: str,
     cleanse: Transform | None = None,
+    promote: Sequence[tuple[str, object]] | None = None,
 ) -> Callable[[], int]:
     """Silver refine: drain new bronze files → rescue → cleanse → append.
 
     ≙ silver_Dimensions.py per-table chain (cloudFiles read → withColumn
     cleanses → drop _rescued_data → writeStream trigger(once) to Delta).
+
+    ``promote``: [(rescued_field, spark_type), ...] — the operator-
+    approved half of Autoloader's addNewColumns evolution
+    (silver_Dimensions.py:27-28): each listed field is lifted out of
+    ``_rescued_data`` into a first-class typed column BEFORE the rescue
+    column is dropped, and the append runs with ``evolve=True`` so the
+    silver schema widens in place (prior rows read back NULL for the
+    new column). Fields absent from a batch promote as NULL — the list
+    is a standing declaration, safe to leave in place across drains.
     """
 
     def run() -> int:
@@ -160,6 +170,13 @@ def silver_flow(
         os.replace(tmp, wal_p)
         if cleanse is not None:
             df = cleanse(df)
+        if promote:
+            from end_to_end_azure_databricks_data_engineering_project_spark.sources.autoload import (
+                promote_rescued,
+            )
+
+            for p_field, p_type in promote:
+                df = promote_rescued(df, p_field, p_type)
         df = df.drop(RESCUE_COL)
         from pyspark.sql import Observation
 
@@ -169,15 +186,25 @@ def silver_flow(
         committed = table.append(
             df, epoch=epoch, epoch_key="autoload_drain",
             set_props={"autoload_drain_wal": digest},
+            evolve=bool(promote),
         )
         if committed is None:
-            # Lost the same-epoch race: the winner committed ITS digest
-            # and owns the bookkeeping. Mark nothing seen — any file the
-            # winner did not append stays out of the ledger and is
-            # re-discovered next drain. Keep our sidecar only if the
-            # winner's listing was identical (same digest): it is then
-            # the winner's recovery WAL.
-            if table.table_prop("autoload_drain_wal") != digest:
+            # Epoch already applied. Two distinct cases:
+            #  * The committed WAL digest equals OURS: this exact file
+            #    set was appended (either by us on a crash-replay, or by
+            #    a racer with an identical listing). The commit-atomic
+            #    property is proof — finish the bookkeeping here instead
+            #    of deferring it to the next drain's recovery pre-pass
+            #    (deferral left the ledger absent for a full drain cycle,
+            #    re-listing/re-reading the whole batch on every replay).
+            #  * Digest mismatch: we lost the race to a winner with a
+            #    DIFFERENT listing. Mark nothing seen — any file the
+            #    winner did not append stays out of the ledger and is
+            #    re-discovered next drain; drop our sidecar.
+            if table.table_prop("autoload_drain_wal") == digest:
+                ledger.commit(batch)
+                wal_p.unlink(missing_ok=True)
+            else:
                 wal_p.unlink(missing_ok=True)
             return 0
         ledger.commit(batch)  # commit AFTER the sink write
@@ -250,18 +277,24 @@ def build_medallion_pipeline(
     warehouse_root: str,
     state_root: str,
     cleansers: dict[str, Transform] | None = None,
+    promotions: dict[str, Sequence[tuple[str, object]]] | None = None,
 ) -> tuple[Pipeline, Catalog]:
-    """Wire silver+gold flows for every configured table."""
+    """Wire silver+gold flows for every configured table.
+
+    ``promotions``: per-table rescued-field promotion declarations,
+    passed through to ``silver_flow(promote=...)``."""
     Path(state_root).mkdir(parents=True, exist_ok=True)
     catalog = Catalog(spark, warehouse_root)
     pipe = Pipeline()
     cleansers = cleansers or {}
+    promotions = promotions or {}
     for cfg in configs:
         pipe.add(
             Flow(
                 f"silver_{cfg.table}",
                 silver_flow(spark, cfg, bronze_root, catalog, state_root,
-                            cleansers.get(cfg.table)),
+                            cleansers.get(cfg.table),
+                            promote=promotions.get(cfg.table)),
             )
         )
         pipe.add(
@@ -822,3 +855,71 @@ def run_hll_drain(
     # None = a concurrent replay applied the epoch between our pre-check
     # and the overwrite: report the documented replay no-op, not n_regs
     return n_regs if committed is not None else -1
+
+
+def run_lsq_drain(
+    catalog: Catalog,
+    batch: DataFrame,
+    epoch: int,
+    value_col: str,
+    id_col: str,
+    k: int = 512,
+    salt: str = "lsq|",
+) -> int:
+    """One exactly-once drain of a streaming quantile sketch: build the
+    micro-batch's level-sampling sketch and ``lsq_merge`` it into the
+    persistent ``lsq_sketch_rows`` table (≤ k retained rows FOREVER —
+    the merge recaps, it never rescans history).
+
+    Mirrors ``run_hll_drain``'s commit discipline: the drain reads the
+    stored sketch at version v, merges, and OCC-overwrites expecting v;
+    the epoch guard makes an at-least-once foreachBatch replay a no-op
+    (unlike HLL's idempotent register-MAX, a replayed lsq batch WOULD
+    double-count n_total and duplicate retained values — the epoch
+    guard is load-bearing here, not just an optimization). ``k`` and
+    the hash ``salt`` bind as commit-atomic table properties with the
+    first successful commit: rows leveled under a different salt (or a
+    different cap search bound) can never silently co-mingle — levels
+    are a pure function of (salt, id), so same-salt merge keeps the
+    split ≡ union-build row-identity that makes the sketch auditable.
+    Ids must be unique ACROSS batches (each stream row drains once) for
+    that identity to hold, the natural property of an append stream.
+
+    Returns the retained row count after the drain, or -1 when the
+    epoch was already applied (replay no-op)."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.sketches import (
+        lsq_merge,
+        lsq_sketch,
+    )
+
+    table = catalog.table("lsq_sketch_rows")
+    for prop, want in (("lsq_k", k), ("lsq_salt", salt)):
+        bound = table.table_prop(prop)
+        if bound is not None and bound != want:
+            raise ValueError(
+                f"lsq_sketch_rows table was built with {prop}={bound!r}; "
+                f"refusing to merge {prop}={want!r} (levels/caps from "
+                "different parameters never combine)"
+            )
+    stored = table.applied_epoch("lsq_drain")
+    if stored is not None and epoch <= stored:
+        return -1
+    base_v = table.current_version()  # OCC base: what this drain reads
+    batch_sk = lsq_sketch(batch, value_col=value_col, id_col=id_col, k=k, salt=salt)
+    merged = (
+        lsq_merge(table.read(), batch_sk) if base_v >= 0 else batch_sk
+    )
+    merged = merged.persist()
+    try:
+        n_rows = merged.count()
+        committed = table.overwrite(
+            merged,
+            epoch=epoch,
+            epoch_key="lsq_drain",
+            expected_version=base_v,
+            set_props={"lsq_k": k, "lsq_salt": salt},
+            expect_props={"lsq_k": k, "lsq_salt": salt},
+        )
+    finally:
+        merged.unpersist()
+    return n_rows if committed is not None else -1

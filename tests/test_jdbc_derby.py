@@ -127,3 +127,21 @@ def test_range_partitioned_parallel_pull(spark, derby):
     )
     assert df.rdd.getNumPartitions() == 4
     assert sorted(r.user_id for r in df.collect()) == [1, 2]
+
+
+def test_read_jdbc_rejects_ambiguous_relation_spec(spark):
+    """Misuse fails fast with a named error, not Spark's opaque JDBC
+    option-conflict stack (r7 advisor)."""
+    url = "jdbc:derby:memory:unused"
+    with pytest.raises(ValueError, match="partitionColumn with a pushed"):
+        read_jdbc(
+            spark, url, "SELECT 1 FROM t",
+            partition_options={"partitionColumn": "id"},
+        )
+    with pytest.raises(ValueError, match="requires partition_options"):
+        read_jdbc(spark, url, None)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_jdbc(
+            spark, url, "SELECT 1 FROM t",
+            partition_options={"dbtable": "t"},
+        )

@@ -117,6 +117,87 @@ def test_nulls_excluded_and_empty_input(spark, cents):
     assert q.retained == 0 and q.est_p50 is None
 
 
+# ----------------------------------------------- streaming LSQ drain --
+def _cat(spark, tmp_path):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    return Catalog(spark, tmp_path / "warehouse")
+
+
+def test_lsq_drain_split_equals_union(spark, tmp_path, cents):
+    """Two drains over a split stream leave the EXACT sketch one drain
+    over the union would — row-identical, same table contents (mirrors
+    test_ann_drain's split ≡ union discipline)."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import run_lsq_drain
+
+    a = cents.where(F.col("o_orderkey") % 2 == 0)
+    b = cents.where(F.col("o_orderkey") % 2 == 1)
+    cat_split = _cat(spark, tmp_path / "s")
+    n1 = run_lsq_drain(cat_split, a, epoch=1, value_col="cents", id_col="o_orderkey")
+    n2 = run_lsq_drain(cat_split, b, epoch=2, value_col="cents", id_col="o_orderkey")
+    assert n1 > 0 and 0 < n2 <= 512  # bounded state after every drain
+    cat_one = _cat(spark, tmp_path / "u")
+    run_lsq_drain(cat_one, cents, epoch=1, value_col="cents", id_col="o_orderkey")
+    assert _rows(cat_split.table("lsq_sketch_rows").read()) == _rows(
+        cat_one.table("lsq_sketch_rows").read()
+    )
+
+
+def test_lsq_drain_replay_is_noop(spark, tmp_path, cents):
+    """The epoch guard is LOAD-BEARING here (merge is not idempotent):
+    a replayed batch must change nothing — n_total included."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import run_lsq_drain
+
+    cat = _cat(spark, tmp_path)
+    n = run_lsq_drain(cat, cents, epoch=1, value_col="cents", id_col="o_orderkey")
+    before = _rows(cat.table("lsq_sketch_rows").read())
+    assert n == len(before) > 0
+    assert run_lsq_drain(
+        cat, cents, epoch=1, value_col="cents", id_col="o_orderkey"
+    ) == -1
+    assert _rows(cat.table("lsq_sketch_rows").read()) == before
+
+
+def test_lsq_drain_rejects_mismatched_params(spark, tmp_path, cents):
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import run_lsq_drain
+
+    cat = _cat(spark, tmp_path)
+    run_lsq_drain(cat, cents, epoch=1, value_col="cents", id_col="o_orderkey", k=512)
+    with pytest.raises(ValueError, match="lsq_k=512"):
+        run_lsq_drain(
+            cat, cents, epoch=2, value_col="cents", id_col="o_orderkey", k=256
+        )
+    with pytest.raises(ValueError, match="lsq_salt"):
+        run_lsq_drain(
+            cat, cents, epoch=2, value_col="cents", id_col="o_orderkey",
+            salt="other|",
+        )
+
+
+def test_lsq_drain_estimates_track_stream(spark, tmp_path, cents):
+    """After three drains the table answers quantile queries over the
+    WHOLE stream within the sampling bound, from <= k rows of state."""
+    import math
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import run_lsq_drain
+
+    cat = _cat(spark, tmp_path)
+    for e in range(3):
+        run_lsq_drain(
+            cat, cents.where(F.col("o_orderkey") % 3 == e),
+            epoch=e + 1, value_col="cents", id_col="o_orderkey",
+        )
+    sk = cat.table("lsq_sketch_rows").read()
+    q = lsq_quantiles(sk, pcts=(50, 90)).collect()[0]
+    n = cents.count()
+    assert q.n_total == n
+    eps = math.sqrt(math.log(2 / 1e-2) / (2 * q.retained))
+    for p in (50, 90):
+        est = getattr(q, f"est_p{p}")
+        true_rank = cents.where(F.col("cents") <= est).count()
+        assert abs(true_rank / n - p / 100) <= eps
+
+
 def test_merge_with_empty_is_identity(spark, cents):
     base = lsq_sketch(cents, "cents", "o_orderkey", k=512)
     empty = lsq_sketch(cents.where(F.lit(False)), "cents", "o_orderkey", k=512)

@@ -175,6 +175,58 @@ def test_silver_replay_after_crash_is_exactly_once(spark, tmp_path, sources_phas
     assert set(_json.loads(ledger_path.read_text())) == set(committed)
 
 
+def test_rescued_column_promoted_to_typed_silver(spark, tmp_path, sources_phase1):
+    """Schema-evolution e2e (≙ Autoloader rescue → operator-approved
+    addNewColumns, silver_Dimensions.py:27-28): phase 1 lands the
+    declared schema; phase 2's source grows a NEW column. The drain
+    rescues it into _rescued_data, the declared promotion lifts it into
+    a typed first-class silver column (evolve=True append), phase-1
+    rows read back NULL for it, and the rescue residual stays clean."""
+    from pyspark.sql import types as T
+
+    # phase 1: declared schema only
+    store = WatermarkStore(tmp_path / "state")
+    cfgs = [TABLE_BY_NAME["dim_user"]]
+    ingest_all(spark, cfgs, sources_phase1, str(tmp_path / "bronze"), store)
+    promotions = {"dim_user": [("loyalty_tier", T.StringType())]}
+    pipe, catalog = build_medallion_pipeline(
+        spark, cfgs, str(tmp_path / "bronze"), str(tmp_path / "wh"),
+        str(tmp_path / "state"), _cleansers(), promotions=promotions,
+    )
+    pipe.run_all()
+    silver = catalog.table("silver_dim_user")
+    got1 = silver.read()
+    # the standing promotion declares the column even before any source
+    # row carries it — all NULL, schema already widened
+    assert dict(got1.dtypes)["loyalty_tier"] == "string"
+    assert got1.where(F.col("loyalty_tier").isNotNull()).count() == 0
+
+    # phase 2: the SOURCE grows a column the declared schema lacks
+    users2 = spark.createDataFrame(
+        [(12, "user 12", "US", "Premium", None, None, T1, "gold"),
+         (13, "user 13", "DE", "Free", None, None, T1, "bronze")],
+        "user_id int, user_name string, country string, subscription_type string,"
+        " start_date date, end_date date, updated_at timestamp, loyalty_tier string",
+    )
+    ingest_all(spark, cfgs, {"dim_user": users2}, str(tmp_path / "bronze"), store)
+    pipe.run_all()
+
+    out = catalog.table("silver_dim_user").read()
+    assert out.count() == 12
+    tiers = {r.user_id: r.loyalty_tier for r in out.collect()}
+    assert tiers[12] == "gold" and tiers[13] == "bronze"
+    assert all(tiers[i] is None for i in range(1, 11))  # phase-1 rows
+    # promoted field was REMOVED from the rescue residual before drop,
+    # so nothing else leaks: the rescue column never reaches silver
+    assert "_rescued_data" not in out.columns
+    # and the typed column keeps working downstream: ad-hoc SQL over it
+    catalog.register_views()
+    n = spark.sql(
+        "SELECT count(*) AS n FROM silver_dim_user WHERE loyalty_tier = 'gold'"
+    ).collect()[0].n
+    assert n == 1
+
+
 def test_gold_cursor_survives_equal_cdc_timestamp(spark, tmp_path, sources_phase1):
     """Gold drains by silver TABLE VERSION, not a value watermark
     (ADVICE r1, flows.py strict-'>' boundary): a row appended to silver
