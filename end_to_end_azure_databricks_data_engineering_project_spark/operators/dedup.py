@@ -609,21 +609,27 @@ def duplicated_span_dedup(
     base = docs.filter(F.trim(F.col(text_col)) != "").select(
         F.col(id_col).alias("_id"), ws.alias("_ws"), F.size(ws).alias("_n")
     )
-    empty_wins = F.array().cast("array<struct<s:int,fp:string>>")
-    wins = F.when(
+    # Explode the START POSITIONS first, then fingerprint each window
+    # AFTER the Generate node. Ordering matters for more than style:
+    # computing an array of (s, fp) structs in the same projection as
+    # `_ws` lets CollapseProject inline the split() into every one of
+    # the ~tokens-per-doc window slots, re-tokenizing each document
+    # once per window (the r8 scale harness measured the quadratic-ish
+    # blowup: 14x time for 10x docs). A Generate node is a projection
+    # barrier — `_ws` is evaluated once per input row and carried, so
+    # each document is split exactly once and each window does one
+    # slice+md5.
+    starts = F.when(
         F.col("_n") >= window,
-        F.transform(
-            F.sequence(F.lit(1), F.col("_n") - window + 1),
-            lambda s: F.struct(
-                s.cast("int").alias("s"),
-                F.md5(F.concat_ws(" ", F.slice("_ws", s, window))).alias("fp"),
-            ),
-        ),
-    ).otherwise(empty_wins)
+        F.sequence(F.lit(1), F.col("_n") - window + 1),
+    ).otherwise(F.array().cast("array<int>"))
     occ = (
-        base.select("_id", wins.alias("_wn"))
-        .select("_id", F.explode("_wn").alias("w"))
-        .select("_id", "w.s", "w.fp")
+        base.select("_id", "_ws", F.explode(starts).alias("s"))
+        .select(
+            "_id",
+            F.col("s").cast("int").alias("s"),
+            F.md5(F.concat_ws(" ", F.slice("_ws", F.col("s"), window))).alias("fp"),
+        )
     )
     cnt = occ.groupBy("fp").agg(F.count(F.lit(1)).alias("_c"))
     dup_starts = (
@@ -635,13 +641,26 @@ def duplicated_span_dedup(
         "_starts", F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
     )
 
-    def covered(t):
-        return F.exists(
-            F.col("_starts"), lambda s: (s <= t) & (t <= s + window - 1)
-        )
-
+    # Coverage via set difference, NOT a per-position exists() scan of
+    # the start list: the nested-loop form is O(n_tokens * n_starts)
+    # per document, which the r8 scale harness caught going 14x for 10x
+    # data once span-collision density rises (a closed vocab saturates
+    # the span space, so n_starts grows with corpus size). Materializing
+    # the covered-position set once and array_except-ing keeps the pass
+    # O(n_tokens + n_starts * window) with hash lookups. Output is
+    # integer-position identical (array_except preserves first-array
+    # order; positions are unique), so the SQL oracle replay is
+    # unaffected.
     positions = F.sequence(F.lit(1), F.col("_n"))
-    kept = F.filter(positions, lambda t: ~covered(t))
+    covered_set = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("_starts"),
+                lambda s: F.sequence(s, F.least(s + window - 1, F.col("_n"))),
+            )
+        )
+    )
+    kept = F.array_except(positions, covered_set)
     return j.select(
         F.col("_id").alias(id_col),
         F.col("_n").cast("int").alias("n_tokens"),

@@ -6432,9 +6432,34 @@ _R6_GREEN = {
     "unpivot_measures", "upper_trim", "zscore_normalize",
 }
 
+# Entries with a green row in CORRECTNESS_r07.json (the round-7
+# 50-entry driver window — every sampled entry passed
+# rows+schema+hash with no errors, including the round's new
+# adaptive_quantile_sketch).
+_R7_GREEN = {
+    "above_avg_orders", "adaptive_quantile_sketch", "anti_join",
+    "approx_analytics", "asof_join", "broadcast_dim_join",
+    "coalesce_nullif", "concat_naming", "cosine_topk",
+    "count_distinct_groups", "date_arithmetic", "date_spine_gapfill",
+    "dedup_distinct", "doc_fingerprint_dedup", "doc_langid",
+    "doc_quality", "doc_token_stats", "embedding_near_dup",
+    "having_filter", "json_extract", "latest_per_key", "like_filter",
+    "max_watermark", "minhash_signatures", "mode_per_group",
+    "moving_average", "ngram_jaccard_pairs", "pivot_manual",
+    "pricing_summary", "quality_gate", "rank_dense_ntile",
+    "rollup_hierarchy", "rowcount_gate", "scalar_subquery",
+    "scd1_latest_state", "scd2_history", "semantic_dedup_pairs",
+    "semi_join", "sessionize", "set_ops_except", "set_ops_intersect",
+    "set_ops_union", "shipping_priority", "simhash_fingerprints",
+    "star_join_revenue", "top_ngrams", "topk_customers",
+    "topk_per_group", "watermark_filter", "window_running_sum",
+}
+
 #: green-evidence rounds, oldest first — ordering sorts proven entries
 #: by the LAST round that checked them (stalest evidence first).
-_GREEN_ROUNDS: list[set[str]] = [_R3_GREEN, _R4_GREEN, _R5_GREEN, _R6_GREEN]
+_GREEN_ROUNDS: list[set[str]] = [
+    _R3_GREEN, _R4_GREEN, _R5_GREEN, _R6_GREEN, _R7_GREEN,
+]
 
 
 def _last_green(name: str) -> int:
