@@ -41,6 +41,17 @@ def salted_latest_per_key(
     spread over ``n_salt`` reducers; each slice keeps 1 row.
     Phase 2: row_number within (keys) over ≤ n_salt survivors.
 
+    MEASURED CAVEAT (r8, scripts/skew_stress.py): on Spark >= 3.5 the
+    plain ``transforms.dedup_keep_latest`` (row_number + rn=1 filter)
+    already gets a PARTIAL ``WindowGroupLimit`` below the exchange —
+    each map partition pre-reduces to 1 row per key, so a hot key ships
+    at most #map-partitions rows and the plain form is skew-resistant
+    BY PLAN (50M rows, one key = 50%: plain 3.4s vs salted 12.2s — the
+    salt's second shuffle is pure overhead there). Keep this helper for
+    window shapes rank-limit pushdown cannot pre-reduce (top-k with a
+    data-dependent k, engines without the rule) and as the documented
+    two-phase pattern; prefer ``dedup_keep_latest`` on Spark 4.
+
     Determinism REQUIRES (sequence_col, *tiebreakers) to be unique per
     key — include a unique id as the final tiebreaker. With ties, the
     all-column salt can route the tied rows to different slices and

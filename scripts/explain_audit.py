@@ -76,6 +76,10 @@ ALLOW_CARTESIAN = {
     "bm25_topk",
     # 1-row sqrt-weight denominator broadcast onto the n_sources quotas.
     "temperature_mixture_sample",
+    # 1-row (cap, n_total) sketch-metadata broadcasts onto the retained
+    # rows (build + merge recap + the in-query merged==union audit) —
+    # the house model-state pattern, never corpus x corpus.
+    "adaptive_quantile_sketch",
 }
 EXPECT_PUSHDOWN = {
     "watermark_filter", "in_predicate", "null_predicate", "pricing_summary",

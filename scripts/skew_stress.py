@@ -6,9 +6,14 @@ fact size, zipfian keys with ONE key owning 50% of all rows:
 
 1. latest-per-key under window skew: plain single-phase window
    (transforms.dedup_keep_latest) vs the two-phase
-   skew.salted_latest_per_key — AQE does NOT split window/agg skew, so
-   the salted variant is the engine's answer; both must return the
-   identical surviving set.
+   skew.salted_latest_per_key. FINDING (r8): on Spark >= 3.5 the plain
+   form gets a Partial WindowGroupLimit below the exchange (asserted
+   below), pre-reducing every map partition to 1 row/key — the hot key
+   never concentrates on one reducer and plain BEATS salted (whose
+   second shuffle is pure overhead). The harness verifies both the
+   plan node and the identical surviving set; salted remains the
+   documented two-phase pattern for window shapes pushdown can't
+   pre-reduce.
 2. skewed fact-fact equi-join with AQE skew-join splitting ON vs OFF
    (spark.sql.adaptive.skewJoin.enabled) — the join case AQE does
    cover. Same row counts either way.
@@ -44,6 +49,12 @@ def main() -> None:
     )
     base = base.persist()
     print(f"rows={base.count():,}  hot-key share=50%")
+
+    # the reason plain survives the hot key: Partial WindowGroupLimit
+    # below the exchange (map-side 1-row-per-key pre-reduction)
+    plan = dedup_keep_latest(base, ["user_id"], "seq")._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan, "rank-limit pushdown missing"
+    print("plain plan has Partial WindowGroupLimit (map-side skew kill): OK")
 
     t0 = time.time()
     plain = dedup_keep_latest(base, ["user_id"], "seq").count()
