@@ -40,6 +40,23 @@ from pyspark.sql import functions as F
 _CENTS = "__ivf_cents"
 
 
+def portable_fraction_filter(df: DataFrame, id_col: str, fraction: float, salt: str) -> DataFrame:
+    """Deterministic ~``fraction`` subset keyed on a portable md5 draw
+    over ``id_col`` — NOT ``df.sample``: Spark's seeded sample is
+    per-partition, so the same data read with different parallelism
+    yields a different subset, breaking the bit-identical-every-run
+    contract fitted models (k-means centroids, PQ codebooks frozen into
+    incremental ANN indexes) depend on. Shared by ``kmeans_fit`` and
+    ``pq.pq_fit``; distinct salts keep their draws independent."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16, 10,
+    ).cast("bigint")
+    return df.filter((h % 1_000_000) < int(fraction * 1_000_000))
+
+
 def _with_centroids(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """Attach all k centroids as one ``array<array<double>>`` column via
     a one-row broadcast cross join (BroadcastNestedLoopJoin — no
@@ -140,7 +157,10 @@ def kmeans_fit(
         reference, doubling work per chained level."""
     data = df.select(id_col, vec_col)
     if fit_fraction:
-        data = data.sample(fraction=fit_fraction, seed=42)
+        # portable draw, not df.sample — see portable_fraction_filter
+        # (r8 review: the seeded sample is per-partition and would make
+        # frozen centroid models parallelism-dependent)
+        data = portable_fraction_filter(data, id_col, fit_fraction, "kmeansfit|")
     data = data.cache()
     caches = [data]
     try:

@@ -49,6 +49,7 @@ from end_to_end_azure_databricks_data_engineering_project_spark.operators.ivf im
     _sq_dists_col,
     _with_centroids,
     ivf_assign,
+    portable_fraction_filter,
 )
 
 _CB = "__pq_codebooks"
@@ -110,19 +111,10 @@ def pq_fit(
         if not 0.0 < fit_fraction <= 1.0:
             raise ValueError(f"fit_fraction must be in (0, 1], got {fit_fraction}")
         if fit_fraction < 1.0:
-            # portable md5 draw, NOT df.sample(): Spark's seeded sample
-            # is per-partition, so the same data read with different
-            # parallelism yields different codebooks — which would break
-            # this operator's bit-identical-every-run contract and make
-            # frozen incremental-index models unreproducible.
-            h = F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("pqfit|"), F.col(id_col).cast("string"))),
-                    1, 15,
-                ),
-                16, 10,
-            ).cast("bigint")
-            data = data.filter((h % 1_000_000) < int(fit_fraction * 1_000_000))
+            # portable md5 draw, NOT df.sample() — see
+            # ivf.portable_fraction_filter. "pqfit|" salt is part of the
+            # frozen-model contract: changing it changes every codebook.
+            data = portable_fraction_filter(data, id_col, fit_fraction, "pqfit|")
     # cached: the fit input feeds n_iter+1 jobs (seeds + one per Lloyd
     # iteration); in the IVF-PQ composite its lineage is the coarse-
     # assign + residual HOF tree over the corpus, which would otherwise
@@ -141,8 +133,11 @@ def pq_fit(
             c.unpersist()
 
 
-def _pq_fit_chained(data, caches, id_col, vec_col, m, sd, k_sub, n_iter, fit_fraction):
-    sub = data.select(
+def _explode_subs(frame: DataFrame, id_col: str, vec_col: str, m: int, sd: int) -> DataFrame:
+    """(_mid, s, sv): every row sliced into its m subvectors — the one
+    definition of subspace geometry shared by the assignment stream and
+    the seed relation (they must never disagree on slicing)."""
+    return frame.select(
         F.col(id_col).alias("_mid"),
         F.posexplode(
             F.transform(
@@ -151,27 +146,46 @@ def _pq_fit_chained(data, caches, id_col, vec_col, m, sd, k_sub, n_iter, fit_fra
             )
         ).alias("s", "sv"),
     )
+
+
+def _short_seed_error(k_sub: int, fit_fraction) -> str:
+    return (
+        f"pq_fit: need >= k_sub={k_sub} rows to seed the codebooks"
+        + (" after fit_fraction sampling" if fit_fraction else "")
+        + " — lower k_sub or raise fit_fraction"
+    )
+
+
+def _pq_fit_chained(data, caches, id_col, vec_col, m, sd, k_sub, n_iter, fit_fraction):
+    sub = _explode_subs(data, id_col, vec_col, m, sd)
     # seed relation: per subspace, the k_sub smallest ids' subvectors in
     # id order (cluster = rank order — matches the previous collected-
-    # seed numbering and the oracle's replay)
+    # seed numbering and the oracle's replay). The short-seed guard is
+    # IN-PLAN (raise_error on a short centroid array) so a misuse fails
+    # after ONE scan of the fit set — when the seed relation first
+    # evaluates, before any Lloyd-iteration work — while the success
+    # path keeps the single-job shape (no separate validation collect).
+    cents_raw = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("_mid"), F.col("sv")))),
+        lambda st: F.transform(st["sv"], lambda x: x.cast("double")),
+    )
     cb = (
-        data.orderBy(F.col(id_col).asc())
-        .limit(k_sub)
-        .select(
-            F.col(id_col).alias("_mid"),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    lambda s: _subvector(F.col(vec_col), s, sd),
-                )
-            ).alias("s", "sv"),
-        )
+        _explode_subs(data.orderBy(F.col(id_col).asc()).limit(k_sub), id_col, vec_col, m, sd)
         .groupBy("s")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("_mid"), F.col("sv")))),
-                lambda st: F.transform(st["sv"], lambda x: x.cast("double")),
-            ).alias("_cents")
+        .agg(cents_raw.alias("_cents_raw"))
+        .select(
+            "s",
+            F.when(F.size("_cents_raw") >= k_sub, F.col("_cents_raw"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(_short_seed_error(k_sub, fit_fraction) + " (got "),
+                        F.size("_cents_raw").cast("string"),
+                        F.lit(")"),
+                    )
+                )
+            )
+            .alias("_cents"),
         )
     )
     for _ in range(n_iter):
@@ -232,18 +246,17 @@ def _pq_fit_chained(data, caches, id_col, vec_col, m, sd, k_sub, n_iter, fit_fra
                 ),
             ).alias("_cents"),
         )
-    rows = cb.collect()
-    n_seeds = len(rows[0]["_cents"]) if rows else 0
-    if n_seeds < k_sub:
+    try:
+        rows = cb.collect()
+    except Exception as e:  # translate the in-plan guard to ValueError
         # a short codebook would freeze into an incremental ANN index
         # whose shape check then rejects every later drain with a
         # misleading cross-model error (r6 advisor) — fail loudly here
-        raise ValueError(
-            f"pq_fit: need ≥ k_sub={k_sub} rows to seed the codebooks, "
-            f"got {n_seeds}"
-            + (" after fit_fraction sampling" if fit_fraction else "")
-            + " — lower k_sub or raise fit_fraction"
-        )
+        if "pq_fit: need" in str(e):
+            raise ValueError(_short_seed_error(k_sub, fit_fraction)) from None
+        raise
+    if not rows:  # empty fit set: groupBy emits nothing, guard never ran
+        raise ValueError(_short_seed_error(k_sub, fit_fraction) + " (got 0)")
     codebooks: list[list[list[float]] | None] = [None] * m
     for r in rows:
         codebooks[r["s"]] = [[float(x) for x in c] for c in r["_cents"]]

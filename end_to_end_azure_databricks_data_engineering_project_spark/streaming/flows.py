@@ -36,6 +36,7 @@ from end_to_end_azure_databricks_data_engineering_project_spark.operators.expect
 from end_to_end_azure_databricks_data_engineering_project_spark.sources.autoload import (
     RESCUE_COL,
     FileLedger,
+    promote_rescued,
     read_new_files,
 )
 from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
@@ -170,13 +171,8 @@ def silver_flow(
         os.replace(tmp, wal_p)
         if cleanse is not None:
             df = cleanse(df)
-        if promote:
-            from end_to_end_azure_databricks_data_engineering_project_spark.sources.autoload import (
-                promote_rescued,
-            )
-
-            for p_field, p_type in promote:
-                df = promote_rescued(df, p_field, p_type)
+        for p_field, p_type in promote or ():
+            df = promote_rescued(df, p_field, p_type)
         df = df.drop(RESCUE_COL)
         from pyspark.sql import Observation
 
@@ -203,9 +199,7 @@ def silver_flow(
             #    re-discovered next drain; drop our sidecar.
             if table.table_prop("autoload_drain_wal") == digest:
                 ledger.commit(batch)
-                wal_p.unlink(missing_ok=True)
-            else:
-                wal_p.unlink(missing_ok=True)
+            wal_p.unlink(missing_ok=True)
             return 0
         ledger.commit(batch)  # commit AFTER the sink write
         wal_p.unlink(missing_ok=True)
@@ -628,6 +622,7 @@ def silver_stream(
     checkpoint_root: str,
     cleanse: Transform | None = None,
     quarantine: bool = False,
+    promote: Sequence[tuple[str, object]] | None = None,
 ):
     """Continuous silver refine as true Structured Streaming with a
     foreachBatch sink. Genuinely exactly-once: foreachBatch is
@@ -640,13 +635,21 @@ def silver_stream(
     rule names instead of dropping them — the DLT quarantine-table
     pattern; both appends are epoch-guarded, so a replayed micro-batch
     duplicates neither side. Returns the StreamingQuery; caller stops
-    it."""
+    it.
+
+    ``promote``: same rescued-field promotion contract as
+    ``silver_flow`` — the two modes of the silver refine must produce
+    the SAME data for the same bronze input, so a declared promotion
+    applies here too (lifted before the rescue column drops; appends
+    run with evolve=True)."""
     from end_to_end_azure_databricks_data_engineering_project_spark.sources.autoload import stream_source
 
     src = str(Path(bronze_root) / cfg.table)
     df = stream_source(spark, src, cfg.spark_schema)
     if cleanse is not None:
         df = cleanse(df)
+    for p_field, p_type in promote or ():
+        df = promote_rescued(df, p_field, p_type)
     df = df.drop(RESCUE_COL)
     table = catalog.table(f"silver_{cfg.table}")
     q_table = (
@@ -654,11 +657,13 @@ def silver_stream(
         if quarantine and cfg.expectations
         else None
     )
+    evolve = bool(promote)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if q_table is None:
             table.append(
-                batch_df, epoch=epoch_id, epoch_key=f"silver_stream_{cfg.table}"
+                batch_df, epoch=epoch_id, epoch_key=f"silver_stream_{cfg.table}",
+                evolve=evolve,
             )
             return
         from end_to_end_azure_databricks_data_engineering_project_spark.operators.expectations import (
@@ -671,10 +676,12 @@ def silver_stream(
         try:
             passed, bad = expect_all_or_quarantine(batch_df, cfg.expectations)
             table.append(
-                passed, epoch=epoch_id, epoch_key=f"silver_stream_{cfg.table}"
+                passed, epoch=epoch_id, epoch_key=f"silver_stream_{cfg.table}",
+                evolve=evolve,
             )
             q_table.append(
-                bad, epoch=epoch_id, epoch_key=f"silver_stream_q_{cfg.table}"
+                bad, epoch=epoch_id, epoch_key=f"silver_stream_q_{cfg.table}",
+                evolve=evolve,
             )
         finally:
             batch_df.unpersist()

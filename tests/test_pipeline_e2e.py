@@ -227,6 +227,36 @@ def test_rescued_column_promoted_to_typed_silver(spark, tmp_path, sources_phase1
     assert n == 1
 
 
+def test_rescued_column_promoted_in_streaming_silver(spark, tmp_path, sources_phase1):
+    """The streaming silver variant honors the same promotion contract
+    as the batch drain (r8 review: the two modes of the silver refine
+    must produce the same data for the same bronze input)."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import silver_stream
+    from pyspark.sql import types as T
+
+    cfg = TABLE_BY_NAME["dim_user"]
+    store = WatermarkStore(tmp_path / "state")
+    users = sources_phase1["dim_user"].withColumn(
+        "loyalty_tier",
+        F.when(F.col("user_id") == 1, F.lit("gold")),
+    )
+    ingest_all(spark, [cfg], {"dim_user": users}, str(tmp_path / "bronze"), store)
+    catalog = Catalog(spark, str(tmp_path / "warehouse"))
+    q = silver_stream(
+        spark, cfg, str(tmp_path / "bronze"), catalog, str(tmp_path / "ckpt"),
+        promote=[("loyalty_tier", T.StringType())],
+    )
+    q.awaitTermination(120)
+    out = catalog.table("silver_dim_user").read()
+    assert out.count() == 10
+    assert dict(out.dtypes)["loyalty_tier"] == "string"
+    tiers = {r.user_id: r.loyalty_tier for r in out.collect()}
+    assert tiers[1] == "gold"
+    assert all(tiers[i] is None for i in range(2, 11))
+    assert "_rescued_data" not in out.columns
+
+
 def test_gold_cursor_survives_equal_cdc_timestamp(spark, tmp_path, sources_phase1):
     """Gold drains by silver TABLE VERSION, not a value watermark
     (ADVICE r1, flows.py strict-'>' boundary): a row appended to silver
