@@ -6337,6 +6337,227 @@ def q_array_toolkit(spark, sf):
     )
 
 
+@_q(
+    "binary_auc_exact",
+    "EXACT ROC-AUC of a quantized score vs a binary label via the "
+    "Mann-Whitney rank-sum identity with average-rank ties — all "
+    "integer arithmetic until one final IEEE division, so the double "
+    "is bit-identical on any engine. Scale shape: one map-side-"
+    "combinable groupBy onto <=|bins| rows, then a window over that "
+    "tiny aggregated relation — the raw predictions never enter a "
+    "global sort (what makes exact AUC viable at 100 TB)",
+    "extension: eval metrics (distributed exact AUC)",
+    """
+    WITH b AS (
+      SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS bin,
+             CASE WHEN label >= 5 THEN 1 ELSE 0 END AS p
+      FROM embeddings
+    ), per AS (
+      SELECT bin, sum(p) AS pos, sum(1 - p) AS neg FROM b GROUP BY bin
+    ), cum AS (
+      SELECT pos, neg,
+             coalesce(sum(neg) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+      FROM per
+    )
+    SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           CAST(sum(pos * (2 * neg_below + neg)) AS BIGINT) AS u2,
+           CAST(sum(pos * (2 * neg_below + neg)) AS DOUBLE)
+             / CAST(2 * sum(pos) * sum(neg) AS DOUBLE) AS auc
+    FROM cum
+    """,
+)
+def q_binary_auc_exact(spark, sf):
+    """Score = embedding[0] quantized to 3 decimals (cast float→double
+    is exact, one double multiply + floor — identical both engines);
+    positive = label >= 5. AUC is exact for the quantized score."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import binned_auc
+
+    e = _t(spark, sf, "embeddings")
+    score_bin = F.floor(F.element_at("embedding", 1).cast("double") * 1000)
+    return binned_auc(e, score_bin, F.col("label") >= 5)
+
+
+@_q(
+    "interval_islands",
+    "Gaps-and-islands: merge each user's overlapping 10-min event "
+    "intervals into islands and report per-user coverage (n_islands, "
+    "covered us, longest us) — the time-coverage primitive (uptime, "
+    "exposure reach) as two per-key window passes + one groupBy; no "
+    "O(n^2) self-join, skewed users degrade to a sort never a cross "
+    "product. Exact integer us arithmetic end to end",
+    "extension: interval algebra (FactStream sessions generalized, "
+    "initial_load.sql:45-53)",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             epoch_ns(ts) // 1000 AS s,
+             epoch_ns(ts) // 1000 + 600000000 AS e,
+             event_id
+      FROM events
+    ), fl AS (
+      SELECT user_id, s, e, event_id,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS ni
+      FROM iv
+    ), isl AS (
+      SELECT user_id, s, e,
+             sum(ni) OVER (PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM fl
+    ), agg AS (
+      SELECT user_id, max(e) - min(s) AS span
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(span) AS BIGINT) AS covered,
+           CAST(max(span) AS BIGINT) AS longest
+    FROM agg GROUP BY user_id
+    """,
+)
+def q_interval_islands(spark, sf):
+    """The oracle replays the same lag-free running-max formulation
+    with the same (s, event_id) total order in BOTH window stages —
+    a tie on s between a new-island row and a continuing row would
+    otherwise let the cumsum stage split the island differently."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.intervals import (
+        interval_coverage,
+    )
+
+    ev = _t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "user_id",
+        us.alias("s"),
+        (us + 600_000_000).alias("e"),
+        "event_id",
+    )
+    return interval_coverage(iv, "user_id", "s", "e", "event_id")
+
+
+@_q(
+    "lsh_recall_audit",
+    "Self-audit of MinHash-LSH banding against EXACT ground truth: "
+    "band-collision candidate pairs (8 hashes, 4 bands — the CC-dedup "
+    "config) vs the exact trigram-Jaccard >= 0.5 pair set from the "
+    "prefix-filter join; reports n_true / n_candidates / n_hit and "
+    "empirical recall. The audit a 100 TB dedup rollout runs on a "
+    "sample before trusting the LSH config corpus-wide",
+    "extension: dedup QA (LSH recall vs exact set-similarity)",
+    None,  # assembled below — shares the minhash CTE builder
+)
+def q_lsh_recall_audit(spark, sf):
+    """Truth = exact_jaccard_join (complete recall by the prefix-filter
+    theorem); candidates = raw band collisions BEFORE any est-Jaccard
+    gate (minhash_near_dup_pairs returns every collision). One full
+    outer join on the canonical (id_a, id_b) key, then a 1-row integer
+    aggregate + one final IEEE division."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+        exact_jaccard_join,
+        minhash_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    truth = exact_jaccard_join(docs, threshold=0.5, n=3).select(
+        "id_a", "id_b", F.lit(1).alias("_t")
+    )
+    cand = minhash_near_dup_pairs(docs, num_hashes=8, bands=4).select(
+        "id_a", "id_b", F.lit(1).alias("_c")
+    )
+    both = truth.join(cand, ["id_a", "id_b"], "full")
+    return both.agg(
+        F.sum("_t").cast("bigint").alias("n_true"),
+        F.sum("_c").cast("bigint").alias("n_cand"),
+        F.sum(F.col("_t") * F.col("_c")).cast("bigint").alias("n_hit"),
+    ).select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_true").cast("double")).alias("recall"),
+    )
+
+
+def _lsh_recall_oracle(num_hashes: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
+    """DuckDB replay of lsh_recall_audit: exact-pair CTE (brute-force
+    every co-occurring pair, as in the exact_jaccard_pairs oracle) +
+    raw band-collision CTE (the _minhash_edges_cte signature/band join
+    WITHOUT the est-Jaccard gate), full outer join, integer rollup."""
+    rpb = num_hashes // bands
+    comps = ",\n             ".join(
+        "list_aggregate(list_transform(sh, "
+        f"x -> ({a} * (('0x' || substr(md5('0|' || x), 1, 15))::BIGINT % {MINHASH_P}) + {b}) % {MINHASH_P}"
+        f"), 'min') AS mh_{k}"
+        for k, (a, b) in ((k, minhash_constants(k)) for k in range(num_hashes))
+    )
+    bandjoin = " OR ".join(
+        "(" + " AND ".join(f"a.mh_{bb * rpb + j} = b.mh_{bb * rpb + j}" for j in range(rpb)) + ")"
+        for bb in range(bands)
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), shrow AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(
+          range(1, greatest(len(toks) - 2, 1) + 1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM t)
+    ), sz AS (SELECT doc_id, count(*) AS n FROM shrow GROUP BY doc_id),
+    co AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM shrow a JOIN shrow b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+      SELECT id_a, id_b FROM co
+      JOIN sz x ON x.doc_id = co.id_a JOIN sz y ON y.doc_id = co.id_b
+      WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= {threshold}
+    ),
+    sig AS (
+      SELECT doc_id, {comps}
+      FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 1) + 1),
+                 i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+                      string_split_regex(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                      string_split_regex(lower(trim(text)), '\s+')[i+2]
+               )) AS sh
+        FROM documents
+      )
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({bandjoin})
+    ),
+    audit AS (
+      SELECT coalesce(t.id_a, c.id_a) AS id_a,
+             CASE WHEN t.id_a IS NOT NULL THEN 1 END AS _t,
+             CASE WHEN c.id_a IS NOT NULL THEN 1 END AS _c
+      FROM truth t FULL OUTER JOIN cand c
+        ON t.id_a = c.id_a AND t.id_b = c.id_b
+    )
+    SELECT CAST(sum(_t) AS BIGINT) AS n_true,
+           CAST(sum(_c) AS BIGINT) AS n_cand,
+           CAST(sum(_t * _c) AS BIGINT) AS n_hit,
+           CAST(sum(_t * _c) AS DOUBLE) / CAST(sum(_t) AS DOUBLE) AS recall
+    FROM audit
+    """
+
+
+# the oracle needs the module-level CTE builder above, so it is bound
+# post-registration (the decorator stored None)
+for _cq in _CATALOG:
+    if _cq.name == "lsh_recall_audit":
+        object.__setattr__(_cq, "oracle", _lsh_recall_oracle())
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at

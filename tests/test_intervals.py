@@ -1,0 +1,65 @@
+"""merge_intervals / interval_coverage: gaps-and-islands semantics."""
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.intervals import (
+    interval_coverage,
+    merge_intervals,
+)
+
+SCHEMA = "k string, s bigint, e bigint, oid bigint"
+
+
+def _islands(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = merge_intervals(df, "k", "s", "e", "oid").collect()
+    return sorted((r.k, r.island_start, r.island_end, r.n_rows) for r in out)
+
+
+def test_disjoint_intervals_stay_separate(spark):
+    rows = [("a", 0, 10, 1), ("a", 20, 30, 2)]
+    assert _islands(spark, rows) == [("a", 0, 10, 1), ("a", 20, 30, 1)]
+
+
+def test_overlap_and_touching_merge(spark):
+    # [0,10] overlaps [5,15]; [15,20] touches → all one island
+    rows = [("a", 0, 10, 1), ("a", 5, 15, 2), ("a", 15, 20, 3)]
+    assert _islands(spark, rows) == [("a", 0, 20, 3)]
+
+
+def test_contained_interval_does_not_split(spark):
+    # [0,100] contains [10,20]; [30,40] also inside — running max end
+    # keeps the island open (the lag-only formulation gets this wrong)
+    rows = [("a", 0, 100, 1), ("a", 10, 20, 2), ("a", 30, 40, 3), ("a", 150, 160, 4)]
+    assert _islands(spark, rows) == [("a", 0, 100, 3), ("a", 150, 160, 1)]
+
+
+def test_keys_are_independent(spark):
+    rows = [("a", 0, 10, 1), ("b", 5, 15, 2)]
+    assert _islands(spark, rows) == [("a", 0, 10, 1), ("b", 5, 15, 1)]
+
+
+def test_coverage_aggregates(spark):
+    rows = [
+        ("a", 0, 10, 1), ("a", 5, 15, 2),   # island [0,15]
+        ("a", 100, 110, 3),                  # island [100,110]
+        ("b", 0, 1, 4),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {r.k: r for r in interval_coverage(df, "k", "s", "e", "oid").collect()}
+    assert (out["a"].n_islands, out["a"].covered, out["a"].longest) == (2, 25, 15)
+    assert (out["b"].n_islands, out["b"].covered, out["b"].longest) == (1, 1, 1)
+
+
+def test_partitioning_invariant(spark):
+    rows = [("k%d" % (i % 5), (i * 37) % 1000, (i * 37) % 1000 + 50, i) for i in range(300)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    a = sorted(map(tuple, merge_intervals(df, "k", "s", "e", "oid").collect()))
+    b = sorted(map(tuple, merge_intervals(df.repartition(13), "k", "s", "e", "oid").collect()))
+    assert a == b
+
+
+def test_tie_on_start_is_deterministic(spark):
+    # two rows with identical start: order_col breaks the tie; the
+    # second row (higher oid) sees the first's end in its running max
+    rows = [("a", 0, 10, 2), ("a", 0, 5, 1), ("a", 11, 12, 3)]
+    # row oid=1 [0,5] first, oid=2 [0,10] continues island; [11,12] is
+    # beyond max end 10 → new island
+    assert _islands(spark, rows) == [("a", 0, 10, 2), ("a", 11, 12, 1)]

@@ -1,0 +1,74 @@
+"""binned_auc: exact Mann-Whitney AUC over integer score bins."""
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import binned_auc
+
+
+def _auc_reference(pairs):
+    """O(n^2) literal definition: P(score_pos > score_neg) + 0.5 * ties."""
+    pos = [s for s, p in pairs if p]
+    neg = [s for s, p in pairs if not p]
+    num = 0.0
+    for sp in pos:
+        for sn in neg:
+            if sp > sn:
+                num += 1.0
+            elif sp == sn:
+                num += 0.5
+    return num / (len(pos) * len(neg))
+
+
+def _run(spark, pairs):
+    df = spark.createDataFrame(pairs, "score bigint, positive boolean")
+    row = binned_auc(df, "score", "positive").collect()[0]
+    return row
+
+
+def test_perfect_separation(spark):
+    pairs = [(10, True), (11, True), (1, False), (2, False)]
+    row = _run(spark, pairs)
+    assert (row.n_pos, row.n_neg, row.auc) == (2, 2, 1.0)
+
+
+def test_inverted_separation(spark):
+    pairs = [(1, True), (2, True), (10, False), (11, False)]
+    assert _run(spark, pairs).auc == 0.0
+
+
+def test_ties_get_half_credit(spark):
+    # every score identical: AUC must be exactly 0.5
+    pairs = [(5, True)] * 3 + [(5, False)] * 7
+    row = _run(spark, pairs)
+    assert row.auc == 0.5
+    assert row.u2 == 2 * row.n_pos * row.n_neg // 2  # 2U = n_pos*n_neg
+
+
+def test_matches_quadratic_definition(spark):
+    # mixed ties and order, incl. negative bins
+    pairs = [
+        (-3, False), (-3, True), (0, False), (0, False), (0, True),
+        (2, True), (2, False), (5, True), (7, False), (7, True), (9, True),
+    ]
+    row = _run(spark, pairs)
+    assert row.auc == pytest.approx(_auc_reference(pairs), abs=0)
+    assert row.n_pos == 6 and row.n_neg == 5
+
+
+def test_partitioning_invariant(spark):
+    pairs = [(i % 13 - 6, (i * 7) % 3 == 0) for i in range(200)]
+    df = spark.createDataFrame(pairs, "score bigint, positive boolean")
+    a = binned_auc(df, "score", "positive").collect()[0]
+    b = binned_auc(df.repartition(17), "score", "positive").collect()[0]
+    assert a == b
+
+
+def test_column_expressions_accepted(spark):
+    df = spark.createDataFrame(
+        [(0.123, 7), (0.001, 2), (0.9, 8), (0.4, 1)], "s double, label int"
+    )
+    row = binned_auc(
+        df, F.floor(F.col("s") * 1000), F.col("label") >= 5
+    ).collect()[0]
+    # pos scores {123, 900}, neg {1, 400}: 3 of 4 pairs ordered → 0.75
+    assert row.n_pos == 2 and row.n_neg == 2 and row.auc == 0.75
