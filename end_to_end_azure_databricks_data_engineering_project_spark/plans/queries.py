@@ -972,33 +972,19 @@ def q_simhash_fingerprints(spark, sf):
     return with_simhash(d, "text", "doc_id", shingle_n=2, out_col="simhash")
 
 
-def _minhash_edges_cte(
-    num_hashes: int, bands: int, threshold: float, recursive: bool = False
-) -> str:
-    """Shared DuckDB CTE prefix: minhash signatures → band-bucket
-    candidate pairs → estimated-Jaccard gate → symmetric ``edges
-    (u, v)`` relation. Used by the CC dedup oracle (recursive=True adds
-    the RECURSIVE keyword for the closure CTE that follows) and the
-    near-dup-graph PageRank oracle."""
-    rpb = num_hashes // bands
+def _mh_sig_cte_body(num_hashes: int) -> str:
+    """The ``sig`` CTE body: per-doc distinct trigram shingles → the k
+    portable md5-seeded affine minhash components ``mh_0..mh_{k-1}``.
+    The ONE definition of the cross-engine minhash recipe — shared by
+    the CC dedup, keep-best, PageRank, and LSH-recall-audit oracles (a
+    drift between copies would silently desynchronize them)."""
     comps = ",\n             ".join(
         "list_aggregate(list_transform(sh, "
         f"x -> ({a} * (('0x' || substr(md5('0|' || x), 1, 15))::BIGINT % {MINHASH_P}) + {b}) % {MINHASH_P}"
         f"), 'min') AS mh_{k}"
         for k, (a, b) in ((k, minhash_constants(k)) for k in range(num_hashes))
     )
-    bandjoin = " OR ".join(
-        "(" + " AND ".join(f"a.mh_{bb * rpb + j} = b.mh_{bb * rpb + j}" for j in range(rpb)) + ")"
-        for bb in range(bands)
-    )
-    est = (
-        "("
-        + " + ".join(f"CASE WHEN a.mh_{k} = b.mh_{k} THEN 1 ELSE 0 END" for k in range(num_hashes))
-        + f") / {float(num_hashes)}"
-    )
-    kw = "WITH RECURSIVE" if recursive else "WITH"
     return rf"""
-    {kw} sig AS (
       SELECT doc_id, {comps}
       FROM (
         SELECT doc_id,
@@ -1009,7 +995,35 @@ def _minhash_edges_cte(
                       string_split_regex(lower(trim(text)), '\s+')[i+2]
                )) AS sh
         FROM documents
-      )
+      )"""
+
+
+def _mh_bandjoin_sql(num_hashes: int, bands: int) -> str:
+    """LSH band-collision join predicate over sig aliases a/b."""
+    rpb = num_hashes // bands
+    return " OR ".join(
+        "(" + " AND ".join(f"a.mh_{bb * rpb + j} = b.mh_{bb * rpb + j}" for j in range(rpb)) + ")"
+        for bb in range(bands)
+    )
+
+
+def _minhash_edges_cte(
+    num_hashes: int, bands: int, threshold: float, recursive: bool = False
+) -> str:
+    """Shared DuckDB CTE prefix: minhash signatures → band-bucket
+    candidate pairs → estimated-Jaccard gate → symmetric ``edges
+    (u, v)`` relation. Used by the CC dedup oracle (recursive=True adds
+    the RECURSIVE keyword for the closure CTE that follows) and the
+    near-dup-graph PageRank oracle."""
+    bandjoin = _mh_bandjoin_sql(num_hashes, bands)
+    est = (
+        "("
+        + " + ".join(f"CASE WHEN a.mh_{k} = b.mh_{k} THEN 1 ELSE 0 END" for k in range(num_hashes))
+        + f") / {float(num_hashes)}"
+    )
+    kw = "WITH RECURSIVE" if recursive else "WITH"
+    return rf"""
+    {kw} sig AS ({_mh_sig_cte_body(num_hashes)}
     ),
     pairs AS (
       SELECT a.doc_id AS u, b.doc_id AS v
@@ -1017,6 +1031,27 @@ def _minhash_edges_cte(
       WHERE {est} >= {threshold}
     ),
     edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs)"""
+
+
+#: Exact trigram-Jaccard ground truth: distinct per-doc word-trigram
+#: shingles → per-doc set sizes → brute-force co-occurring pair
+#: intersections. The ONE definition of the exact-similarity truth set,
+#: shared by the exact_jaccard_pairs oracle and the LSH recall audit.
+_EXACT_TRIGRAM_CO_CTES = r"""t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(
+          range(1, greatest(len(toks) - 2, 1) + 1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM t)
+    ), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    co AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )"""
 
 
 def _minhash_cc_oracle(num_hashes: int, bands: int, threshold: float) -> str:
@@ -4540,22 +4575,7 @@ def q_rolling_distinct_users(spark, sf):
     "Jaccard — the exact counterpart of MinHash-LSH's estimate",
     "extension: dedup (exact set-similarity join, Bayardo WWW'07 / "
     "Xiao WWW'08)",
-    r"""
-    WITH t AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-      FROM documents
-    ), sh AS (
-      SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id, unnest(list_transform(
-          range(1, greatest(len(toks) - 2, 1) + 1),
-          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
-        FROM t)
-    ), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    co AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
+    "WITH " + _EXACT_TRIGRAM_CO_CTES + """
     SELECT id_a, id_b, inter,
            CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jacc
     FROM co JOIN sz x ON x.doc_id = co.id_a JOIN sz y ON y.doc_id = co.id_b
@@ -6371,12 +6391,16 @@ def q_array_toolkit(spark, sf):
 def q_binary_auc_exact(spark, sf):
     """Score = embedding[0] quantized to 3 decimals (cast float→double
     is exact, one double multiply + floor — identical both engines);
-    positive = label >= 5. AUC is exact for the quantized score."""
+    positive = label >= 5. AUC is exact for the quantized score. u2
+    rides decimal(38,0) inside the operator (int64-safe at 100 TB) and
+    is cast to bigint here only for the driver's pandas hashing — exact
+    at any sf the driver runs."""
     from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import binned_auc
 
     e = _t(spark, sf, "embeddings")
     score_bin = F.floor(F.element_at("embedding", 1).cast("double") * 1000)
-    return binned_auc(e, score_bin, F.col("label") >= 5)
+    out = binned_auc(e, score_bin, F.col("label") >= 5)
+    return out.withColumn("u2", F.col("u2").cast("bigint"))
 
 
 @_q(
@@ -6440,6 +6464,41 @@ def q_interval_islands(spark, sf):
     return interval_coverage(iv, "user_id", "s", "e", "event_id")
 
 
+def _lsh_recall_oracle(num_hashes: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
+    """DuckDB replay of lsh_recall_audit, composed from the SHARED
+    recipe builders: truth from _EXACT_TRIGRAM_CO_CTES (the
+    exact_jaccard_pairs oracle's CTEs) + raw band collisions from
+    _mh_sig_cte_body/_mh_bandjoin_sql (the _minhash_edges_cte pieces
+    WITHOUT the est-Jaccard gate), full outer join, integer rollup."""
+    return rf"""
+    WITH {_EXACT_TRIGRAM_CO_CTES},
+    truth AS (
+      SELECT id_a, id_b FROM co
+      JOIN sz x ON x.doc_id = co.id_a JOIN sz y ON y.doc_id = co.id_b
+      WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= {threshold}
+    ),
+    sig AS ({_mh_sig_cte_body(num_hashes)}
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        AND ({_mh_bandjoin_sql(num_hashes, bands)})
+    ),
+    audit AS (
+      SELECT coalesce(t.id_a, c.id_a) AS id_a,
+             CASE WHEN t.id_a IS NOT NULL THEN 1 END AS _t,
+             CASE WHEN c.id_a IS NOT NULL THEN 1 END AS _c
+      FROM truth t FULL OUTER JOIN cand c
+        ON t.id_a = c.id_a AND t.id_b = c.id_b
+    )
+    SELECT CAST(sum(_t) AS BIGINT) AS n_true,
+           CAST(sum(_c) AS BIGINT) AS n_cand,
+           CAST(sum(_t * _c) AS BIGINT) AS n_hit,
+           CAST(sum(_t * _c) AS DOUBLE) / CAST(sum(_t) AS DOUBLE) AS recall
+    FROM audit
+    """
+
+
 @_q(
     "lsh_recall_audit",
     "Self-audit of MinHash-LSH banding against EXACT ground truth: "
@@ -6449,7 +6508,7 @@ def q_interval_islands(spark, sf):
     "empirical recall. The audit a 100 TB dedup rollout runs on a "
     "sample before trusting the LSH config corpus-wide",
     "extension: dedup QA (LSH recall vs exact set-similarity)",
-    None,  # assembled below — shares the minhash CTE builder
+    _lsh_recall_oracle(),
 )
 def q_lsh_recall_audit(spark, sf):
     """Truth = exact_jaccard_join (complete recall by the prefix-filter
@@ -6481,81 +6540,6 @@ def q_lsh_recall_audit(spark, sf):
         (F.col("n_hit").cast("double") / F.col("n_true").cast("double")).alias("recall"),
     )
 
-
-def _lsh_recall_oracle(num_hashes: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
-    """DuckDB replay of lsh_recall_audit: exact-pair CTE (brute-force
-    every co-occurring pair, as in the exact_jaccard_pairs oracle) +
-    raw band-collision CTE (the _minhash_edges_cte signature/band join
-    WITHOUT the est-Jaccard gate), full outer join, integer rollup."""
-    rpb = num_hashes // bands
-    comps = ",\n             ".join(
-        "list_aggregate(list_transform(sh, "
-        f"x -> ({a} * (('0x' || substr(md5('0|' || x), 1, 15))::BIGINT % {MINHASH_P}) + {b}) % {MINHASH_P}"
-        f"), 'min') AS mh_{k}"
-        for k, (a, b) in ((k, minhash_constants(k)) for k in range(num_hashes))
-    )
-    bandjoin = " OR ".join(
-        "(" + " AND ".join(f"a.mh_{bb * rpb + j} = b.mh_{bb * rpb + j}" for j in range(rpb)) + ")"
-        for bb in range(bands)
-    )
-    return rf"""
-    WITH t AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-      FROM documents
-    ), shrow AS (
-      SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id, unnest(list_transform(
-          range(1, greatest(len(toks) - 2, 1) + 1),
-          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
-        FROM t)
-    ), sz AS (SELECT doc_id, count(*) AS n FROM shrow GROUP BY doc_id),
-    co AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-      FROM shrow a JOIN shrow b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ),
-    truth AS (
-      SELECT id_a, id_b FROM co
-      JOIN sz x ON x.doc_id = co.id_a JOIN sz y ON y.doc_id = co.id_b
-      WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= {threshold}
-    ),
-    sig AS (
-      SELECT doc_id, {comps}
-      FROM (
-        SELECT doc_id,
-               list_distinct(list_transform(
-                 range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 1) + 1),
-                 i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
-                      string_split_regex(lower(trim(text)), '\s+')[i+1] || ' ' ||
-                      string_split_regex(lower(trim(text)), '\s+')[i+2]
-               )) AS sh
-        FROM documents
-      )
-    ),
-    cand AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({bandjoin})
-    ),
-    audit AS (
-      SELECT coalesce(t.id_a, c.id_a) AS id_a,
-             CASE WHEN t.id_a IS NOT NULL THEN 1 END AS _t,
-             CASE WHEN c.id_a IS NOT NULL THEN 1 END AS _c
-      FROM truth t FULL OUTER JOIN cand c
-        ON t.id_a = c.id_a AND t.id_b = c.id_b
-    )
-    SELECT CAST(sum(_t) AS BIGINT) AS n_true,
-           CAST(sum(_c) AS BIGINT) AS n_cand,
-           CAST(sum(_t * _c) AS BIGINT) AS n_hit,
-           CAST(sum(_t * _c) AS DOUBLE) / CAST(sum(_t) AS DOUBLE) AS recall
-    FROM audit
-    """
-
-
-# the oracle needs the module-level CTE builder above, so it is bound
-# post-registration (the decorator stored None)
-for _cq in _CATALOG:
-    if _cq.name == "lsh_recall_audit":
-        object.__setattr__(_cq, "oracle", _lsh_recall_oracle())
 
 
 # ---------------------------------------------------------------------

@@ -55,6 +55,24 @@ def test_matches_quadratic_definition(spark):
     assert row.n_pos == 6 and row.n_neg == 5
 
 
+def test_null_scores_and_labels_excluded(spark):
+    # NULL bin or NULL label rows are excluded (cross-engine NULL
+    # ordering differs; a missing prediction can't be ranked)
+    rows = [(10, True), (1, False), (None, False), (None, True), (5, None)]
+    df = spark.createDataFrame(rows, "score bigint, positive boolean")
+    row = binned_auc(df, "score", "positive").collect()[0]
+    assert (row.n_pos, row.n_neg, row.auc) == (1, 1, 1.0)
+
+
+def test_u2_survives_int64_scale(spark):
+    # decimal(38,0) accumulation: force a u2 beyond what int64-squared
+    # products would produce by weighting bins via many rows is too slow
+    # here; instead verify the dtype contract that makes 100 TB safe
+    df = spark.createDataFrame([(1, True), (0, False)], "score bigint, positive boolean")
+    out = binned_auc(df, "score", "positive")
+    assert dict(out.dtypes)["u2"] == "decimal(38,0)"
+
+
 def test_partitioning_invariant(spark):
     pairs = [(i % 13 - 6, (i * 7) % 3 == 0) for i in range(200)]
     df = spark.createDataFrame(pairs, "score bigint, positive boolean")
