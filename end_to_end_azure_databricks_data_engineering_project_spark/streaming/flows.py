@@ -930,3 +930,66 @@ def run_lsq_drain(
     finally:
         merged.unpersist()
     return n_rows if committed is not None else -1
+
+
+def run_auc_drain(
+    catalog: Catalog,
+    batch: DataFrame,
+    epoch: int,
+    score_bin_col: str,
+    positive_col: str,
+    binning: str = "unspecified",
+) -> int:
+    """One exactly-once drain of a streaming exact-AUC accumulator:
+    reduce the micro-batch to per-score-bin (pos, neg) counts and merge
+    them into the persistent ``auc_bins`` table by per-bin sum. State
+    stays ≤ |bins| rows FOREVER (the monoid property of rank-sum AUC —
+    ``operators/metrics.py``); finish any time with
+    ``auc_from_bins(catalog.table("auc_bins").read())``.
+
+    Commit discipline mirrors ``run_lsq_drain``: read at version v,
+    merge, OCC-overwrite expecting v; the epoch guard is LOAD-BEARING
+    (a replayed batch would double-count both classes and silently bias
+    the AUC toward itself — sums are not idempotent). ``binning`` is a
+    caller-supplied description of the score→bin quantization (e.g.
+    "floor(score*1000)") bound as a commit-atomic table property:
+    counts binned under different quantizations must never co-mingle —
+    the merged histogram would be a lie with no in-data witness.
+
+    Returns the bin count after the drain, or -1 when the epoch was
+    already applied (replay no-op)."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import (
+        merge_bin_counts,
+        per_bin_counts,
+    )
+
+    table = catalog.table("auc_bins")
+    bound = table.table_prop("auc_binning")
+    if bound is not None and bound != binning:
+        raise ValueError(
+            f"auc_bins table was built with auc_binning={bound!r}; "
+            f"refusing to merge auc_binning={binning!r} (counts from "
+            "different score quantizations never combine)"
+        )
+    stored = table.applied_epoch("auc_drain")
+    if stored is not None and epoch <= stored:
+        return -1
+    base_v = table.current_version()
+    batch_bins = per_bin_counts(batch, score_bin_col, positive_col)
+    merged = (
+        merge_bin_counts(table.read(), batch_bins) if base_v >= 0 else batch_bins
+    )
+    merged = merged.persist()
+    try:
+        n_bins = merged.count()
+        committed = table.overwrite(
+            merged,
+            epoch=epoch,
+            epoch_key="auc_drain",
+            expected_version=base_v,
+            set_props={"auc_binning": binning},
+            expect_props={"auc_binning": binning},
+        )
+    finally:
+        merged.unpersist()
+    return n_bins if committed is not None else -1

@@ -1,0 +1,96 @@
+"""run_auc_drain: incremental exact-AUC accumulator (split ≡ union,
+replay no-op, binning binding) — mirrors test_lsq_drain's discipline."""
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import (
+    auc_from_bins,
+    binned_auc,
+)
+from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import run_auc_drain
+
+
+def _cat(spark, p):
+    return Catalog(spark, str(p))
+
+
+@pytest.fixture()
+def scored(spark):
+    # deterministic synthetic predictions: 400 rows, 40 bins, ~half pos
+    return spark.range(400).select(
+        (F.col("id") % 40).alias("score"),
+        ((F.col("id") * 13) % 7 < 3).alias("positive"),
+        "id",
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_auc_drain_split_equals_union(spark, tmp_path, scored):
+    a = scored.where(F.col("id") % 2 == 0)
+    b = scored.where(F.col("id") % 2 == 1)
+    cat_split = _cat(spark, tmp_path / "s")
+    n1 = run_auc_drain(cat_split, a, epoch=1, score_bin_col="score", positive_col="positive")
+    n2 = run_auc_drain(cat_split, b, epoch=2, score_bin_col="score", positive_col="positive")
+    assert 0 < n1 <= 40 and 0 < n2 <= 40  # bounded state after every drain
+    cat_one = _cat(spark, tmp_path / "u")
+    run_auc_drain(cat_one, scored, epoch=1, score_bin_col="score", positive_col="positive")
+    assert _rows(cat_split.table("auc_bins").read()) == _rows(
+        cat_one.table("auc_bins").read()
+    )
+    # the finished metric over the drained state == one-shot batch AUC
+    got = auc_from_bins(cat_split.table("auc_bins").read()).collect()[0]
+    want = binned_auc(scored, "score", "positive").collect()[0]
+    assert got == want
+
+
+def test_auc_drain_replay_is_noop(spark, tmp_path, scored):
+    """The epoch guard is LOAD-BEARING (per-bin sums are not
+    idempotent): a replayed batch must change nothing."""
+    cat = _cat(spark, tmp_path)
+    n = run_auc_drain(cat, scored, epoch=1, score_bin_col="score", positive_col="positive")
+    before = _rows(cat.table("auc_bins").read())
+    assert n == len(before) > 0
+    assert run_auc_drain(
+        cat, scored, epoch=1, score_bin_col="score", positive_col="positive"
+    ) == -1
+    assert _rows(cat.table("auc_bins").read()) == before
+
+
+def test_auc_drain_rejects_mismatched_binning(spark, tmp_path, scored):
+    cat = _cat(spark, tmp_path)
+    run_auc_drain(
+        cat, scored, epoch=1,
+        score_bin_col="score", positive_col="positive", binning="identity",
+    )
+    with pytest.raises(ValueError, match="auc_binning='identity'"):
+        run_auc_drain(
+            cat, scored, epoch=2,
+            score_bin_col="score", positive_col="positive", binning="floor(x*1000)",
+        )
+
+
+def test_auc_drain_estimate_tracks_stream(spark, tmp_path):
+    """Feeding progressively better-separated batches moves the
+    finished AUC the right way, computed only from bounded state."""
+    cat = _cat(spark, tmp_path)
+    # batch 1: random (AUC ~0.5); batch 2: strongly separated
+    b1 = spark.range(200).select(
+        (F.col("id") % 20).alias("score"), ((F.col("id") * 7) % 2 == 0).alias("positive"), "id",
+    )
+    b2 = spark.range(200, 400).select(
+        F.when(F.col("id") % 2 == 0, 100).otherwise(-100).alias("score"),
+        (F.col("id") % 2 == 0).alias("positive"),
+        "id",
+    )
+    run_auc_drain(cat, b1, epoch=1, score_bin_col="score", positive_col="positive")
+    auc1 = auc_from_bins(cat.table("auc_bins").read()).collect()[0].auc
+    run_auc_drain(cat, b2, epoch=2, score_bin_col="score", positive_col="positive")
+    auc2 = auc_from_bins(cat.table("auc_bins").read()).collect()[0].auc
+    assert auc2 > auc1
+    # and the drained state is exactly the union's batch computation
+    want = binned_auc(b1.unionByName(b2), "score", "positive").collect()[0].auc
+    assert auc2 == want
