@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["merge_intervals", "interval_coverage"]
+__all__ = ["merge_intervals", "interval_coverage", "coverage_from_islands"]
 
 
 def merge_intervals(
@@ -28,6 +28,7 @@ def merge_intervals(
     start_col: str,
     end_col: str,
     order_col: str,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Merge each key's overlapping-or-touching integer intervals into
     islands. Returns one row per island: ``key_col, island_start,
@@ -36,11 +37,19 @@ def merge_intervals(
     A new island begins where a row's start exceeds the running maximum
     end of all PRIOR rows (prior in (start, order_col) order —
     ``order_col`` must make the sort total, or island numbering is
-    nondeterministic under ties). Touching intervals (start == prior
-    end) merge: coverage semantics treat [a,b] ∪ [b,c] as one span.
-    ``start_col``/``end_col`` must be integral (epoch seconds); exact
-    integer comparisons only, so the island set is bit-stable across
-    engines and partitionings.
+    nondeterministic under ties; the OBSERVABLE output is tie-order
+    independent either way, since equal starts always share an island).
+    Touching intervals (start == prior end) merge: coverage semantics
+    treat [a,b] ∪ [b,c] as one span. ``start_col``/``end_col`` must be
+    integral (epoch seconds); exact integer comparisons only, so the
+    island set is bit-stable across engines and partitionings.
+
+    ``weight_col``: when the input rows are THEMSELVES islands (the
+    incremental re-merge in ``streaming/flows.py::run_islands_drain``),
+    pass their ``n_rows`` so the output's ``n_rows`` sums original rows
+    instead of counting island fragments — this is what makes island
+    merging an idempotent monoid: merge(islands(A) ∪ islands(B)) is
+    row-identical to islands(A ∪ B), weights included.
     """
     w_ord = Window.partitionBy(key_col).orderBy(start_col, order_col)
     prior_max_end = F.max(end_col).over(
@@ -53,12 +62,15 @@ def merge_intervals(
         "_island",
         F.sum("_new_island").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
     )
+    n_rows = (
+        F.sum(weight_col) if weight_col is not None else F.count(F.lit(1))
+    ).alias("n_rows")
     return (
         flagged.groupBy(key_col, "_island")
         .agg(
             F.min(start_col).alias("island_start"),
             F.max(end_col).alias("island_end"),
-            F.count(F.lit(1)).alias("n_rows"),
+            n_rows,
         )
         .drop("_island")
     )
@@ -75,7 +87,15 @@ def interval_coverage(
     n_islands, covered, longest`` — total and max island length in the
     same integer units as the inputs. Pure integer aggregation over
     ``merge_intervals``; one extra groupBy on the key."""
-    islands = merge_intervals(df, key_col, start_col, end_col, order_col)
+    return coverage_from_islands(
+        merge_intervals(df, key_col, start_col, end_col, order_col), key_col
+    )
+
+
+def coverage_from_islands(islands: DataFrame, key_col: str) -> DataFrame:
+    """Finish per-key coverage from an islands relation (the shape
+    ``merge_intervals`` emits and ``run_islands_drain`` persists):
+    ``key_col, n_islands, covered, longest``."""
     span = F.col("island_end") - F.col("island_start")
     return islands.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_islands"),

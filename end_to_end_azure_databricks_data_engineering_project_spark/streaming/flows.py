@@ -993,3 +993,73 @@ def run_auc_drain(
     finally:
         merged.unpersist()
     return n_bins if committed is not None else -1
+
+
+def run_islands_drain(
+    catalog: Catalog,
+    batch: DataFrame,
+    epoch: int,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    order_col: str,
+) -> int:
+    """One exactly-once drain of a streaming gaps-and-islands coverage
+    state: reduce the micro-batch's intervals to islands, union them
+    with the persistent ``interval_islands`` table, and RE-merge —
+    island merging is an idempotent monoid (islands are themselves
+    intervals; the weight-aware re-merge in
+    ``operators/intervals.py::merge_intervals`` keeps ``n_rows``
+    summing ORIGINAL rows), so the drained state is row-identical to
+    the one-shot batch computation over the union of all drained
+    intervals. State is bounded by the number of DISJOINT activity
+    spans per key — for bounded-gap semantics (e.g. event ts +10 min)
+    that's the key's session count, which a retention/TTL sweep prunes
+    in production; finish any time with ``coverage_from_islands``.
+
+    Commit discipline mirrors ``run_auc_drain``: OCC overwrite at the
+    read version; the epoch guard is LOAD-BEARING (a replayed batch
+    would double-count every island's n_rows — min/max bounds are
+    idempotent but the weights are not).
+
+    Returns the island count after the drain, or -1 when the epoch was
+    already applied (replay no-op)."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.intervals import (
+        merge_intervals,
+    )
+
+    table = catalog.table("interval_islands")
+    stored = table.applied_epoch("islands_drain")
+    if stored is not None and epoch <= stored:
+        return -1
+    base_v = table.current_version()
+    batch_islands = merge_intervals(batch, key_col, start_col, end_col, order_col)
+    if base_v >= 0:
+        prev = table.read().select(
+            key_col,
+            F.col("island_start"),
+            F.col("island_end"),
+            F.col("n_rows"),
+        )
+        merged = merge_intervals(
+            prev.unionByName(batch_islands),
+            key_col,
+            "island_start",
+            "island_end",
+            order_col="island_end",  # ties on start share an island
+            weight_col="n_rows",     # anyway; output is order-invariant
+        )
+    else:
+        merged = batch_islands
+    merged = merged.persist()
+    try:
+        n_islands = merged.count()
+        committed = table.overwrite(
+            merged,
+            epoch=epoch,
+            epoch_key="islands_drain",
+            expected_version=base_v,
+        )
+    finally:
+        merged.unpersist()
+    return n_islands if committed is not None else -1
