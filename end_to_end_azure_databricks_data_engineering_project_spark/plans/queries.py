@@ -6464,6 +6464,45 @@ def q_interval_islands(spark, sf):
     return interval_coverage(iv, "user_id", "s", "e", "event_id")
 
 
+@_q(
+    "calibration_bins",
+    "Reliability-diagram state: per-score-bin sample count and exact "
+    "positive fraction (one IEEE division of exact ints per bin, no "
+    "cross-bin float accumulation — an ECE finisher would need an "
+    "ordered fold, so the entry emits the bins and lets the caller "
+    "fold). Same mergeable per-bin-count monoid as binary_auc_exact "
+    "(operators/metrics.py::per_bin_counts), so the state also "
+    "maintains incrementally via run_auc_drain's auc_bins table",
+    "extension: eval metrics (model calibration)",
+    """
+    SELECT bin,
+           CAST(pos + neg AS BIGINT) AS n,
+           CAST(pos AS BIGINT) AS n_pos,
+           CAST(pos AS DOUBLE) / CAST(pos + neg AS DOUBLE) AS frac_pos
+    FROM (
+      SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS bin,
+             sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS pos,
+             sum(CASE WHEN label >= 5 THEN 0 ELSE 1 END) AS neg
+      FROM embeddings GROUP BY 1
+    )
+    """,
+)
+def q_calibration_bins(spark, sf):
+    """Same quantized score + binary label as binary_auc_exact."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import per_bin_counts
+
+    e = _t(spark, sf, "embeddings")
+    score_bin = F.floor(F.element_at("embedding", 1).cast("double") * 1000)
+    bins = per_bin_counts(e, score_bin, F.col("label") >= 5)
+    n = F.col("pos") + F.col("neg")
+    return bins.select(
+        "bin",
+        n.cast("bigint").alias("n"),
+        F.col("pos").cast("bigint").alias("n_pos"),
+        (F.col("pos").cast("double") / n.cast("double")).alias("frac_pos"),
+    )
+
+
 def _lsh_recall_oracle(num_hashes: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
     """DuckDB replay of lsh_recall_audit, composed from the SHARED
     recipe builders: truth from _EXACT_TRIGRAM_CO_CTES (the
