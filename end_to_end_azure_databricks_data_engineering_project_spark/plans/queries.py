@@ -6372,6 +6372,7 @@ def q_array_toolkit(spark, sf):
       SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS bin,
              CASE WHEN label >= 5 THEN 1 ELSE 0 END AS p
       FROM embeddings
+      WHERE embedding[1] IS NOT NULL AND label IS NOT NULL
     ), per AS (
       SELECT bin, sum(p) AS pos, sum(1 - p) AS neg FROM b GROUP BY bin
     ), cum AS (
@@ -6483,7 +6484,9 @@ def q_interval_islands(spark, sf):
       SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS bin,
              sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS pos,
              sum(CASE WHEN label >= 5 THEN 0 ELSE 1 END) AS neg
-      FROM embeddings GROUP BY 1
+      FROM embeddings
+      WHERE embedding[1] IS NOT NULL AND label IS NOT NULL
+      GROUP BY 1
     )
     """,
 )

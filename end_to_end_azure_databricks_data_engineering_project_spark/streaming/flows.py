@@ -790,6 +790,71 @@ def run_exact_dedup_drain(
     return n_idx, n_dups
 
 
+def _merge_state_drain(
+    catalog: Catalog,
+    table_name: str,
+    epoch: int,
+    epoch_key: str,
+    build,
+    merge,
+    props: dict | None = None,
+    guard: str = "parameters from different configurations never combine",
+) -> int:
+    """THE drain commit protocol, shared by every mergeable-state drain
+    (HLL registers, LSQ quantile sketch, AUC bins, interval islands) —
+    one copy of the load-bearing sequence so a fix to any step lands
+    everywhere:
+
+      1. early prop guard: refuse a drain whose semantics-binding
+         ``props`` differ from what the table was built with (friendly
+         version of the commit-time check — the authoritative check is
+         re-run INSIDE the locked commit via ``expect_props``, closing
+         the TOCTOU against a concurrent first-binder);
+      2. epoch pre-check: an at-least-once replay returns -1 untouched
+         (LOAD-BEARING wherever the merge is not idempotent);
+      3. OCC read: remember the version this drain's merge is based on;
+      4. ``build()`` the batch state, ``merge(stored, state)`` if the
+         table exists (first drain writes the batch state as-is);
+      5. persist → count → ``overwrite(expected_version=base_v,
+         set_props/expect_props)`` → unpersist in finally — ANY
+         interleaved commit (different props, or a same-prop drain
+         whose state a stale merge would silently drop) fails loudly
+         and the caller retries on fresh state.
+
+    Returns the merged state's row count, or -1 when the epoch was
+    already applied (including the race where a concurrent replay
+    applies it between the pre-check and the overwrite)."""
+    table = catalog.table(table_name)
+    props = props or {}
+    for prop, want in props.items():
+        bound = table.table_prop(prop)
+        if bound is not None and bound != want:
+            raise ValueError(
+                f"{table_name} table was built with {prop}={bound!r}; "
+                f"refusing to merge {prop}={want!r} ({guard})"
+            )
+    stored = table.applied_epoch(epoch_key)
+    if stored is not None and epoch <= stored:
+        return -1
+    base_v = table.current_version()  # OCC base: what this drain reads
+    state = build()
+    merged = merge(table.read(), state) if base_v >= 0 else state
+    merged = merged.persist()
+    try:
+        n = merged.count()
+        committed = table.overwrite(
+            merged,
+            epoch=epoch,
+            epoch_key=epoch_key,
+            expected_version=base_v,
+            set_props=props,
+            expect_props=props,
+        )
+    finally:
+        merged.unpersist()
+    return n if committed is not None else -1
+
+
 def run_hll_drain(
     catalog: Catalog,
     batch: DataFrame,
@@ -828,40 +893,16 @@ def run_hll_drain(
         hll_registers,
     )
 
-    table = catalog.table("hll_registers")
-    bound_m = table.table_prop("hll_m")
-    if bound_m is not None and bound_m != m:
-        # early, friendly version of the commit-time check
-        raise ValueError(
-            f"hll_registers table was built with m={bound_m}; refusing to "
-            f"merge m={m} registers (different bit splits never combine)"
-        )
-    stored = table.applied_epoch("hll_drain")
-    if stored is not None and epoch <= stored:
-        return -1
-    base_v = table.current_version()  # OCC base: what this drain reads
-    batch_regs = hll_registers(batch.select(key_col), key_col, m)
-    merged = (
-        hll_merge(table.read().select("idx", "reg"), batch_regs)
-        if base_v >= 0
-        else batch_regs
+    return _merge_state_drain(
+        catalog,
+        "hll_registers",
+        epoch,
+        "hll_drain",
+        build=lambda: hll_registers(batch.select(key_col), key_col, m),
+        merge=lambda stored, regs: hll_merge(stored.select("idx", "reg"), regs),
+        props={"hll_m": m},
+        guard="different bit splits never combine",
     )
-    merged = merged.persist()
-    try:
-        n_regs = merged.count()
-        committed = table.overwrite(
-            merged,
-            epoch=epoch,
-            epoch_key="hll_drain",
-            expected_version=base_v,
-            set_props={"hll_m": m},
-            expect_props={"hll_m": m},
-        )
-    finally:
-        merged.unpersist()
-    # None = a concurrent replay applied the epoch between our pre-check
-    # and the overwrite: report the documented replay no-op, not n_regs
-    return n_regs if committed is not None else -1
 
 
 def run_lsq_drain(
@@ -899,37 +940,16 @@ def run_lsq_drain(
         lsq_sketch,
     )
 
-    table = catalog.table("lsq_sketch_rows")
-    for prop, want in (("lsq_k", k), ("lsq_salt", salt)):
-        bound = table.table_prop(prop)
-        if bound is not None and bound != want:
-            raise ValueError(
-                f"lsq_sketch_rows table was built with {prop}={bound!r}; "
-                f"refusing to merge {prop}={want!r} (levels/caps from "
-                "different parameters never combine)"
-            )
-    stored = table.applied_epoch("lsq_drain")
-    if stored is not None and epoch <= stored:
-        return -1
-    base_v = table.current_version()  # OCC base: what this drain reads
-    batch_sk = lsq_sketch(batch, value_col=value_col, id_col=id_col, k=k, salt=salt)
-    merged = (
-        lsq_merge(table.read(), batch_sk) if base_v >= 0 else batch_sk
+    return _merge_state_drain(
+        catalog,
+        "lsq_sketch_rows",
+        epoch,
+        "lsq_drain",
+        build=lambda: lsq_sketch(batch, value_col=value_col, id_col=id_col, k=k, salt=salt),
+        merge=lambda stored, sk: lsq_merge(stored, sk),
+        props={"lsq_k": k, "lsq_salt": salt},
+        guard="levels/caps from different parameters never combine",
     )
-    merged = merged.persist()
-    try:
-        n_rows = merged.count()
-        committed = table.overwrite(
-            merged,
-            epoch=epoch,
-            epoch_key="lsq_drain",
-            expected_version=base_v,
-            set_props={"lsq_k": k, "lsq_salt": salt},
-            expect_props={"lsq_k": k, "lsq_salt": salt},
-        )
-    finally:
-        merged.unpersist()
-    return n_rows if committed is not None else -1
 
 
 def run_auc_drain(
@@ -938,7 +958,7 @@ def run_auc_drain(
     epoch: int,
     score_bin_col: str,
     positive_col: str,
-    binning: str = "unspecified",
+    binning: str,
 ) -> int:
     """One exactly-once drain of a streaming exact-AUC accumulator:
     reduce the micro-batch to per-score-bin (pos, neg) counts and merge
@@ -951,10 +971,12 @@ def run_auc_drain(
     merge, OCC-overwrite expecting v; the epoch guard is LOAD-BEARING
     (a replayed batch would double-count both classes and silently bias
     the AUC toward itself — sums are not idempotent). ``binning`` is a
-    caller-supplied description of the score→bin quantization (e.g.
-    "floor(score*1000)") bound as a commit-atomic table property:
+    REQUIRED caller-supplied description of the score→bin quantization
+    (e.g. "floor(score*1000)") bound as a commit-atomic table property:
     counts binned under different quantizations must never co-mingle —
-    the merged histogram would be a lie with no in-data witness.
+    the merged histogram would be a lie with no in-data witness, so the
+    guard is not opt-in (a defaulted label would let two callers with
+    different quantizations silently agree).
 
     Returns the bin count after the drain, or -1 when the epoch was
     already applied (replay no-op)."""
@@ -963,36 +985,16 @@ def run_auc_drain(
         per_bin_counts,
     )
 
-    table = catalog.table("auc_bins")
-    bound = table.table_prop("auc_binning")
-    if bound is not None and bound != binning:
-        raise ValueError(
-            f"auc_bins table was built with auc_binning={bound!r}; "
-            f"refusing to merge auc_binning={binning!r} (counts from "
-            "different score quantizations never combine)"
-        )
-    stored = table.applied_epoch("auc_drain")
-    if stored is not None and epoch <= stored:
-        return -1
-    base_v = table.current_version()
-    batch_bins = per_bin_counts(batch, score_bin_col, positive_col)
-    merged = (
-        merge_bin_counts(table.read(), batch_bins) if base_v >= 0 else batch_bins
+    return _merge_state_drain(
+        catalog,
+        "auc_bins",
+        epoch,
+        "auc_drain",
+        build=lambda: per_bin_counts(batch, score_bin_col, positive_col),
+        merge=merge_bin_counts,
+        props={"auc_binning": binning},
+        guard="counts from different score quantizations never combine",
     )
-    merged = merged.persist()
-    try:
-        n_bins = merged.count()
-        committed = table.overwrite(
-            merged,
-            epoch=epoch,
-            epoch_key="auc_drain",
-            expected_version=base_v,
-            set_props={"auc_binning": binning},
-            expect_props={"auc_binning": binning},
-        )
-    finally:
-        merged.unpersist()
-    return n_bins if committed is not None else -1
 
 
 def run_islands_drain(
@@ -1003,6 +1005,7 @@ def run_islands_drain(
     start_col: str,
     end_col: str,
     order_col: str,
+    interval_spec: str,
 ) -> int:
     """One exactly-once drain of a streaming gaps-and-islands coverage
     state: reduce the micro-batch's intervals to islands, union them
@@ -1020,7 +1023,12 @@ def run_islands_drain(
     Commit discipline mirrors ``run_auc_drain``: OCC overwrite at the
     read version; the epoch guard is LOAD-BEARING (a replayed batch
     would double-count every island's n_rows — min/max bounds are
-    idempotent but the weights are not).
+    idempotent but the weights are not). ``interval_spec`` is a
+    REQUIRED caller-supplied description of how intervals derive from
+    events (e.g. "ts..ts+10min") bound as a commit-atomic table
+    property: islands built under different padding/gap semantics must
+    never re-merge — the fused coverage would correspond to no real
+    definition.
 
     Returns the island count after the drain, or -1 when the epoch was
     already applied (replay no-op)."""
@@ -1028,20 +1036,14 @@ def run_islands_drain(
         merge_intervals,
     )
 
-    table = catalog.table("interval_islands")
-    stored = table.applied_epoch("islands_drain")
-    if stored is not None and epoch <= stored:
-        return -1
-    base_v = table.current_version()
-    batch_islands = merge_intervals(batch, key_col, start_col, end_col, order_col)
-    if base_v >= 0:
-        prev = table.read().select(
+    def _remerge(stored: DataFrame, batch_islands: DataFrame) -> DataFrame:
+        prev = stored.select(
             key_col,
             F.col("island_start"),
             F.col("island_end"),
             F.col("n_rows"),
         )
-        merged = merge_intervals(
+        return merge_intervals(
             prev.unionByName(batch_islands),
             key_col,
             "island_start",
@@ -1049,17 +1051,14 @@ def run_islands_drain(
             order_col="island_end",  # ties on start share an island
             weight_col="n_rows",     # anyway; output is order-invariant
         )
-    else:
-        merged = batch_islands
-    merged = merged.persist()
-    try:
-        n_islands = merged.count()
-        committed = table.overwrite(
-            merged,
-            epoch=epoch,
-            epoch_key="islands_drain",
-            expected_version=base_v,
-        )
-    finally:
-        merged.unpersist()
-    return n_islands if committed is not None else -1
+
+    return _merge_state_drain(
+        catalog,
+        "interval_islands",
+        epoch,
+        "islands_drain",
+        build=lambda: merge_intervals(batch, key_col, start_col, end_col, order_col),
+        merge=_remerge,
+        props={"interval_spec": interval_spec},
+        guard="islands from different interval semantics never re-merge",
+    )

@@ -33,11 +33,11 @@ def test_auc_drain_split_equals_union(spark, tmp_path, scored):
     a = scored.where(F.col("id") % 2 == 0)
     b = scored.where(F.col("id") % 2 == 1)
     cat_split = _cat(spark, tmp_path / "s")
-    n1 = run_auc_drain(cat_split, a, epoch=1, score_bin_col="score", positive_col="positive")
-    n2 = run_auc_drain(cat_split, b, epoch=2, score_bin_col="score", positive_col="positive")
+    n1 = run_auc_drain(cat_split, a, epoch=1, score_bin_col="score", positive_col="positive", binning="identity")
+    n2 = run_auc_drain(cat_split, b, epoch=2, score_bin_col="score", positive_col="positive", binning="identity")
     assert 0 < n1 <= 40 and 0 < n2 <= 40  # bounded state after every drain
     cat_one = _cat(spark, tmp_path / "u")
-    run_auc_drain(cat_one, scored, epoch=1, score_bin_col="score", positive_col="positive")
+    run_auc_drain(cat_one, scored, epoch=1, score_bin_col="score", positive_col="positive", binning="identity")
     assert _rows(cat_split.table("auc_bins").read()) == _rows(
         cat_one.table("auc_bins").read()
     )
@@ -51,11 +51,12 @@ def test_auc_drain_replay_is_noop(spark, tmp_path, scored):
     """The epoch guard is LOAD-BEARING (per-bin sums are not
     idempotent): a replayed batch must change nothing."""
     cat = _cat(spark, tmp_path)
-    n = run_auc_drain(cat, scored, epoch=1, score_bin_col="score", positive_col="positive")
+    n = run_auc_drain(cat, scored, epoch=1, score_bin_col="score", positive_col="positive", binning="identity")
     before = _rows(cat.table("auc_bins").read())
     assert n == len(before) > 0
     assert run_auc_drain(
-        cat, scored, epoch=1, score_bin_col="score", positive_col="positive"
+        cat, scored, epoch=1,
+        score_bin_col="score", positive_col="positive", binning="identity",
     ) == -1
     assert _rows(cat.table("auc_bins").read()) == before
 
@@ -86,9 +87,9 @@ def test_auc_drain_estimate_tracks_stream(spark, tmp_path):
         (F.col("id") % 2 == 0).alias("positive"),
         "id",
     )
-    run_auc_drain(cat, b1, epoch=1, score_bin_col="score", positive_col="positive")
+    run_auc_drain(cat, b1, epoch=1, score_bin_col="score", positive_col="positive", binning="identity")
     auc1 = auc_from_bins(cat.table("auc_bins").read()).collect()[0].auc
-    run_auc_drain(cat, b2, epoch=2, score_bin_col="score", positive_col="positive")
+    run_auc_drain(cat, b2, epoch=2, score_bin_col="score", positive_col="positive", binning="identity")
     auc2 = auc_from_bins(cat.table("auc_bins").read()).collect()[0].auc
     assert auc2 > auc1
     # and the drained state is exactly the union's batch computation

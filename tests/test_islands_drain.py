@@ -35,9 +35,9 @@ def test_islands_drain_split_equals_union(spark, tmp_path, intervals):
     b = intervals.where(F.col("id") % 2 == 1)
     cat_split = _cat(spark, tmp_path / "s")
     n1 = run_islands_drain(cat_split, a, epoch=1, key_col="k",
-                           start_col="s", end_col="e", order_col="id")
+                           start_col="s", end_col="e", order_col="id", interval_spec="s..s+40")
     n2 = run_islands_drain(cat_split, b, epoch=2, key_col="k",
-                           start_col="s", end_col="e", order_col="id")
+                           start_col="s", end_col="e", order_col="id", interval_spec="s..s+40")
     assert n1 > 0 and n2 > 0
     # drained state row-identical to the one-shot batch islands, n_rows
     # (original-row weights) included
@@ -53,12 +53,23 @@ def test_islands_drain_replay_is_noop(spark, tmp_path, intervals):
     re-merge but n_rows weights are not — a replay must change nothing."""
     cat = _cat(spark, tmp_path)
     n = run_islands_drain(cat, intervals, epoch=1, key_col="k",
-                          start_col="s", end_col="e", order_col="id")
+                          start_col="s", end_col="e", order_col="id", interval_spec="s..s+40")
     before = _rows(cat.table("interval_islands").read())
     assert n == len(before) > 0
     assert run_islands_drain(cat, intervals, epoch=1, key_col="k",
-                             start_col="s", end_col="e", order_col="id") == -1
+                             start_col="s", end_col="e", order_col="id", interval_spec="s..s+40") == -1
     assert _rows(cat.table("interval_islands").read()) == before
+
+
+def test_islands_drain_rejects_mismatched_spec(spark, tmp_path, intervals):
+    """interval_spec binds commit-atomically: islands built under
+    different padding/gap semantics must never re-merge."""
+    cat = _cat(spark, tmp_path)
+    run_islands_drain(cat, intervals, epoch=1, key_col="k",
+                      start_col="s", end_col="e", order_col="id", interval_spec="s..s+40")
+    with pytest.raises(ValueError, match="interval_spec='s..s\\+40'"):
+        run_islands_drain(cat, intervals, epoch=2, key_col="k",
+                          start_col="s", end_col="e", order_col="id", interval_spec="s..s+5")
 
 
 def test_islands_fuse_across_batches(spark, tmp_path):
@@ -70,10 +81,10 @@ def test_islands_fuse_across_batches(spark, tmp_path):
     b1 = spark.createDataFrame([("a", 0, 10, 1), ("a", 100, 110, 2)], schema)
     b2 = spark.createDataFrame([("a", 5, 105, 3)], schema)  # the bridge
     run_islands_drain(cat, b1, epoch=1, key_col="k",
-                      start_col="s", end_col="e", order_col="id")
+                      start_col="s", end_col="e", order_col="id", interval_spec="s..s+40")
     assert cat.table("interval_islands").read().count() == 2
     n = run_islands_drain(cat, b2, epoch=2, key_col="k",
-                          start_col="s", end_col="e", order_col="id")
+                          start_col="s", end_col="e", order_col="id", interval_spec="s..s+40")
     assert n == 1
     row = cat.table("interval_islands").read().collect()[0]
     assert (row.k, row.island_start, row.island_end, row.n_rows) == ("a", 0, 110, 3)
