@@ -997,6 +997,44 @@ def run_auc_drain(
     )
 
 
+def metric_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    catalog: Catalog,
+    checkpoint_root: str,
+    score_bin_col: str,
+    positive_col: str,
+    binning: str,
+):
+    """TRUE streaming AUC maintenance: prediction file stream →
+    foreachBatch ``run_auc_drain`` — the streaming-query wiring for the
+    per-bin-count monoid (``operators/metrics.py``). The micro-batch's
+    ``epoch_id`` IS the drain epoch, so Structured Streaming's
+    at-least-once foreachBatch replays hit the drain's epoch guard with
+    the real checkpointed ids (the property the direct-call tests can
+    only simulate). availableNow drain; returns the StreamingQuery;
+    finish the metric any time via
+    ``auc_from_bins(catalog.table("auc_bins").read())``."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.autoload import stream_source
+
+    df = stream_source(spark, source_dir, schema).drop(RESCUE_COL)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        run_auc_drain(
+            catalog, batch_df, epoch=epoch_id,
+            score_bin_col=score_bin_col, positive_col=positive_col,
+            binning=binning,
+        )
+
+    return (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(Path(checkpoint_root) / "auc_metric"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_islands_drain(
     catalog: Catalog,
     batch: DataFrame,

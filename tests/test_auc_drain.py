@@ -74,6 +74,49 @@ def test_auc_drain_rejects_mismatched_binning(spark, tmp_path, scored):
         )
 
 
+def test_metric_stream_e2e(spark, tmp_path):
+    """Real Structured Streaming wiring: prediction files → foreachBatch
+    run_auc_drain with the CHECKPOINTED epoch_id — new files advance the
+    metric, a restart with no new files changes nothing (the replay
+    guard exercised with real epoch ids, not simulated ones)."""
+    from pyspark.sql import types as T
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import metric_stream
+
+    schema = T.StructType(
+        [T.StructField("score", T.LongType()), T.StructField("positive", T.BooleanType())]
+    )
+    src = tmp_path / "preds"
+    cat = _cat(spark, tmp_path / "wh")
+    spark.createDataFrame(
+        [(10, True), (11, True), (1, False)], schema
+    ).write.parquet(str(src / "run=1"))
+
+    def drain():
+        q = metric_stream(
+            spark, str(src), schema, cat, str(tmp_path / "ck"),
+            score_bin_col="score", positive_col="positive", binning="identity",
+        )
+        q.awaitTermination(120)
+
+    drain()
+    auc1 = auc_from_bins(cat.table("auc_bins").read()).collect()[0]
+    assert (auc1.n_pos, auc1.n_neg, auc1.auc) == (2, 1, 1.0)
+
+    # a later file with an inversion moves the metric down
+    spark.createDataFrame([(0, True), (99, False)], schema).write.parquet(
+        str(src / "run=2")
+    )
+    drain()
+    auc2 = auc_from_bins(cat.table("auc_bins").read()).collect()[0]
+    assert (auc2.n_pos, auc2.n_neg) == (3, 2) and auc2.auc < auc1.auc
+
+    # restart, no new files: exactly-once — state untouched
+    before = _rows(cat.table("auc_bins").read())
+    drain()
+    assert _rows(cat.table("auc_bins").read()) == before
+
+
 def test_auc_drain_estimate_tracks_stream(spark, tmp_path):
     """Feeding progressively better-separated batches moves the
     finished AUC the right way, computed only from bounded state."""
