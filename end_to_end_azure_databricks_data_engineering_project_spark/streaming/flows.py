@@ -997,6 +997,31 @@ def run_auc_drain(
     )
 
 
+def prune_islands(catalog: Catalog, cutoff: int) -> int:
+    """Retention sweep for the ``interval_islands`` drain state: drop
+    islands that ENDED strictly before ``cutoff`` (same integer units
+    as the drained intervals). This is the production lever that keeps
+    the state bounded when keys churn forever — an island whose end
+    precedes every future interval's start can never fuse again, so
+    dropping it cannot change any later drain's output for the
+    retained window (late data older than the cutoff is the caller's
+    watermark contract, exactly like a streaming state TTL).
+
+    OCC-guarded read-filter-overwrite (a drain racing the sweep fails
+    one side loudly; retry on fresh state). Returns retained count."""
+    table = catalog.table("interval_islands")
+    base_v = table.current_version()
+    if base_v < 0:
+        return 0
+    kept = table.read().filter(F.col("island_end") >= cutoff).persist()
+    try:
+        n = kept.count()
+        table.overwrite(kept, expected_version=base_v)
+    finally:
+        kept.unpersist()
+    return n
+
+
 def metric_stream(
     spark: SparkSession,
     source_dir: str,

@@ -72,6 +72,37 @@ def test_islands_drain_rejects_mismatched_spec(spark, tmp_path, intervals):
                           start_col="s", end_col="e", order_col="id", interval_spec="s..s+5")
 
 
+def test_prune_islands_retention_sweep(spark, tmp_path):
+    """Dropping islands ended before the cutoff keeps later drains
+    exact for the retained window — pruned state + new batch yields the
+    same NEW islands as unpruned state + new batch."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import prune_islands
+
+    schema = "k string, s bigint, e bigint, id bigint"
+    old = spark.createDataFrame([("a", 0, 10, 1), ("a", 50, 60, 2)], schema)
+    new = spark.createDataFrame([("a", 55, 70, 3)], schema)  # fuses with [50,60]
+
+    cat_p = _cat(spark, tmp_path / "pruned")
+    run_islands_drain(cat_p, old, epoch=1, key_col="k",
+                      start_col="s", end_col="e", order_col="id", interval_spec="raw")
+    assert prune_islands(cat_p, cutoff=40) == 1  # [0,10] swept, [50,60] kept
+    run_islands_drain(cat_p, new, epoch=2, key_col="k",
+                      start_col="s", end_col="e", order_col="id", interval_spec="raw")
+
+    cat_u = _cat(spark, tmp_path / "unpruned")
+    run_islands_drain(cat_u, old, epoch=1, key_col="k",
+                      start_col="s", end_col="e", order_col="id", interval_spec="raw")
+    run_islands_drain(cat_u, new, epoch=2, key_col="k",
+                      start_col="s", end_col="e", order_col="id", interval_spec="raw")
+
+    recent = lambda c: _rows(  # noqa: E731
+        c.table("interval_islands").read().filter("island_end >= 40")
+    )
+    assert recent(cat_p) == recent(cat_u) == [("a", 50, 70, 2)]
+    # empty-table sweep is a no-op
+    assert prune_islands(_cat(spark, tmp_path / "empty"), cutoff=0) == 0
+
+
 def test_islands_fuse_across_batches(spark, tmp_path):
     """An interval arriving in a LATER batch that bridges two stored
     islands fuses them into one (the property a naive append-only
