@@ -839,20 +839,33 @@ def _merge_state_drain(
     base_v = table.current_version()  # OCC base: what this drain reads
     state = build()
     merged = merge(table.read(), state) if base_v >= 0 else state
-    merged = merged.persist()
+    n, committed = _occ_overwrite(
+        table, merged, base_v, epoch=epoch, epoch_key=epoch_key, props=props
+    )
+    return n if committed is not None else -1
+
+
+def _occ_overwrite(table, df: DataFrame, base_v: int, epoch=None,
+                   epoch_key=None, props: dict | None = None):
+    """The commit tail every OCC state rewrite shares (drains, prune
+    sweeps): persist → count → overwrite(expected_version, props) →
+    unpersist in finally. Returns (row_count, committed_version_or_None
+    — None means a concurrent replay applied the epoch between the
+    caller's pre-check and this overwrite)."""
+    df = df.persist()
     try:
-        n = merged.count()
+        n = df.count()
         committed = table.overwrite(
-            merged,
+            df,
             epoch=epoch,
             epoch_key=epoch_key,
             expected_version=base_v,
-            set_props=props,
-            expect_props=props,
+            set_props=props or {},
+            expect_props=props or {},
         )
     finally:
-        merged.unpersist()
-    return n if committed is not None else -1
+        df.unpersist()
+    return n, committed
 
 
 def run_hll_drain(
@@ -959,6 +972,7 @@ def run_auc_drain(
     score_bin_col: str,
     positive_col: str,
     binning: str,
+    stream_id: str | None = None,
 ) -> int:
     """One exactly-once drain of a streaming exact-AUC accumulator:
     reduce the micro-batch to per-score-bin (pos, neg) counts and merge
@@ -978,6 +992,16 @@ def run_auc_drain(
     guard is not opt-in (a defaulted label would let two callers with
     different quantizations silently agree).
 
+    ``stream_id``: REQUIRED when the epochs come from a Structured
+    Streaming checkpoint (``metric_stream`` passes the resolved
+    checkpoint path). Epoch ids are CHECKPOINT-LOCAL — a relocated or
+    second checkpoint renumbers batches from 0, which the table-global
+    epoch guard alone would misread as replays (silently dropping new
+    batches) or fresh epochs (double-counting old ones). Binding the
+    stream identity as a commit-atomic property turns that silent
+    corruption into a loud refusal. Direct batch callers with
+    self-managed monotonic epochs may leave it None.
+
     Returns the bin count after the drain, or -1 when the epoch was
     already applied (replay no-op)."""
     from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import (
@@ -985,6 +1009,9 @@ def run_auc_drain(
         per_bin_counts,
     )
 
+    props = {"auc_binning": binning}
+    if stream_id is not None:
+        props["auc_stream_id"] = stream_id
     return _merge_state_drain(
         catalog,
         "auc_bins",
@@ -992,8 +1019,9 @@ def run_auc_drain(
         "auc_drain",
         build=lambda: per_bin_counts(batch, score_bin_col, positive_col),
         merge=merge_bin_counts,
-        props={"auc_binning": binning},
-        guard="counts from different score quantizations never combine",
+        props=props,
+        guard="counts from different score quantizations or epoch "
+        "numberings never combine",
     )
 
 
@@ -1013,12 +1041,8 @@ def prune_islands(catalog: Catalog, cutoff: int) -> int:
     base_v = table.current_version()
     if base_v < 0:
         return 0
-    kept = table.read().filter(F.col("island_end") >= cutoff).persist()
-    try:
-        n = kept.count()
-        table.overwrite(kept, expected_version=base_v)
-    finally:
-        kept.unpersist()
+    kept = table.read().filter(F.col("island_end") >= cutoff)
+    n, _ = _occ_overwrite(table, kept, base_v)
     return n
 
 
@@ -1038,23 +1062,28 @@ def metric_stream(
     ``epoch_id`` IS the drain epoch, so Structured Streaming's
     at-least-once foreachBatch replays hit the drain's epoch guard with
     the real checkpointed ids (the property the direct-call tests can
-    only simulate). availableNow drain; returns the StreamingQuery;
-    finish the metric any time via
+    only simulate). Because epoch ids are CHECKPOINT-LOCAL, the
+    resolved checkpoint path is bound into the table as the drain's
+    ``stream_id`` — a relocated checkpoint or a second stream draining
+    the same table fails loudly instead of silently renumbering epochs
+    (dropped new batches / double-counted old ones). availableNow
+    drain; returns the StreamingQuery; finish the metric any time via
     ``auc_from_bins(catalog.table("auc_bins").read())``."""
     from end_to_end_azure_databricks_data_engineering_project_spark.sources.autoload import stream_source
 
     df = stream_source(spark, source_dir, schema).drop(RESCUE_COL)
+    ckpt = Path(checkpoint_root).resolve() / "auc_metric"
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         run_auc_drain(
             catalog, batch_df, epoch=epoch_id,
             score_bin_col=score_bin_col, positive_col=positive_col,
-            binning=binning,
+            binning=binning, stream_id=str(ckpt),
         )
 
     return (
         df.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", str(Path(checkpoint_root) / "auc_metric"))
+        .option("checkpointLocation", str(ckpt))
         .trigger(availableNow=True)
         .start()
     )

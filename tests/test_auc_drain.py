@@ -117,6 +117,41 @@ def test_metric_stream_e2e(spark, tmp_path):
     assert _rows(cat.table("auc_bins").read()) == before
 
 
+def test_metric_stream_foreign_checkpoint_fails_loudly(spark, tmp_path):
+    """Epoch ids are checkpoint-local, so a SECOND checkpoint draining
+    the same auc_bins table would renumber batches from 0 — silently
+    dropping new data as 'replays'. The bound stream_id turns that into
+    a loud failure instead."""
+    from pyspark.sql import types as T
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import metric_stream
+
+    schema = T.StructType(
+        [T.StructField("score", T.LongType()), T.StructField("positive", T.BooleanType())]
+    )
+    src = tmp_path / "preds"
+    cat = _cat(spark, tmp_path / "wh")
+    spark.createDataFrame([(10, True), (1, False)], schema).write.parquet(
+        str(src / "run=1")
+    )
+    q = metric_stream(
+        spark, str(src), schema, cat, str(tmp_path / "ck_a"),
+        score_bin_col="score", positive_col="positive", binning="identity",
+    )
+    q.awaitTermination(120)
+    before = _rows(cat.table("auc_bins").read())
+    assert before
+    # same table, different checkpoint → refused, state untouched
+    q2 = metric_stream(
+        spark, str(src), schema, cat, str(tmp_path / "ck_b"),
+        score_bin_col="score", positive_col="positive", binning="identity",
+    )
+    with pytest.raises(StreamingQueryException, match="auc_stream_id"):
+        q2.awaitTermination(120)
+    assert _rows(cat.table("auc_bins").read()) == before
+
+
 def test_auc_drain_estimate_tracks_stream(spark, tmp_path):
     """Feeding progressively better-separated batches moves the
     finished AUC the right way, computed only from bounded state."""
