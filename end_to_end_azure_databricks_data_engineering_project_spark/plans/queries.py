@@ -6506,6 +6506,61 @@ def q_calibration_bins(spark, sf):
     )
 
 
+@_q(
+    "roc_points",
+    "Full ROC curve points: per score-bin threshold t (predict "
+    "positive when bin >= t), cumulative-from-the-top TP/FP counts and "
+    "exact TPR/FPR (each ONE IEEE division of exact ints — no "
+    "cross-bin float accumulation). Window runs over the ALREADY-"
+    "AGGREGATED <=|bins| relation, so raw predictions never globally "
+    "sort; completes the eval family with binary_auc_exact / "
+    "calibration_bins over the same per-bin-count monoid",
+    "extension: eval metrics (ROC curve)",
+    """
+    WITH per AS (
+      SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS bin,
+             sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS pos,
+             sum(CASE WHEN label >= 5 THEN 0 ELSE 1 END) AS neg
+      FROM embeddings
+      WHERE embedding[1] IS NOT NULL AND label IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT bin,
+           CAST(sum(pos) OVER w AS BIGINT) AS tp,
+           CAST(sum(neg) OVER w AS BIGINT) AS fp,
+           CAST(sum(pos) OVER w AS DOUBLE)
+             / CAST(sum(pos) OVER t AS DOUBLE) AS tpr,
+           CAST(sum(neg) OVER w AS DOUBLE)
+             / CAST(sum(neg) OVER t AS DOUBLE) AS fpr
+    FROM per
+    WINDOW w AS (ORDER BY bin DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           t AS (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_roc_points(spark, sf):
+    """Same quantized score + binary label as binary_auc_exact; the
+    totals ride a whole-partition window frame instead of a second
+    aggregate-and-join."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import per_bin_counts
+
+    e = _t(spark, sf, "embeddings")
+    score_bin = F.floor(F.element_at("embedding", 1).cast("double") * 1000)
+    bins = per_bin_counts(e, score_bin, F.col("label") >= 5)
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tp, fp = F.sum("pos").over(w), F.sum("neg").over(w)
+    return bins.select(
+        "bin",
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        (tp.cast("double") / F.sum("pos").over(t).cast("double")).alias("tpr"),
+        (fp.cast("double") / F.sum("neg").over(t).cast("double")).alias("fpr"),
+    )
+
+
 def _lsh_recall_oracle(num_hashes: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
     """DuckDB replay of lsh_recall_audit, composed from the SHARED
     recipe builders: truth from _EXACT_TRIGRAM_CO_CTES (the
