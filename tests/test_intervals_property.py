@@ -80,3 +80,46 @@ def test_binned_auc_matches_quadratic_model(spark, pairs):
     u2, n_pos, n_neg, auc = model_auc(pairs)
     assert (row.u2, row.n_pos, row.n_neg) == (u2, n_pos, n_neg)
     assert row.auc == auc  # one IEEE division of the same ints both sides
+
+
+# random batch assignment (0-2) per interval row: ANY split of the
+# stream into drains must leave the same state as one drain of the union
+drain_split_st = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=2),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=drain_split_st)
+def test_islands_drain_any_split_equals_union(spark, tmp_path_factory, rows):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import run_islands_drain
+
+    data = [(k, s, s + ln, oid, b) for oid, (k, s, ln, b) in enumerate(rows)]
+    schema = "k string, s bigint, e bigint, oid bigint, b int"
+    df = spark.createDataFrame(data, schema)
+    root = tmp_path_factory.mktemp("islprop")
+    cat = Catalog(spark, str(root / "split"))
+    ep = 0
+    for b in range(3):
+        batch = df.filter(f"b = {b}").drop("b")
+        if batch.count() == 0:
+            continue
+        ep += 1
+        run_islands_drain(cat, batch, epoch=ep, key_col="k", start_col="s",
+                          end_col="e", order_col="oid", interval_spec="p")
+    cat1 = Catalog(spark, str(root / "one"))
+    run_islands_drain(cat1, df.drop("b"), epoch=1, key_col="k", start_col="s",
+                      end_col="e", order_col="oid", interval_spec="p")
+    got = sorted(map(tuple, cat.table("interval_islands").read().collect()))
+    want = sorted(map(tuple, cat1.table("interval_islands").read().collect()))
+    assert got == want
