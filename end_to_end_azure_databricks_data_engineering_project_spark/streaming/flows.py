@@ -918,6 +918,47 @@ def run_hll_drain(
     )
 
 
+def run_cms_drain(
+    catalog: Catalog,
+    batch: DataFrame,
+    epoch: int,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> int:
+    """One exactly-once drain of a streaming count-min frequency
+    sketch: build the micro-batch's (d, b, cnt) cells and cell-wise-SUM
+    them into the persistent ``cms_cells`` table. CMS is a LINEAR
+    sketch — merge(sketch(A), sketch(B)) == sketch(A ⊎ B) exactly — so
+    the drained summary always equals the one built over the whole
+    history, while state stays ≤ depth·width rows FOREVER. Estimate any
+    time via ``sketches.cms_estimate`` on the table.
+
+    The epoch guard is LOAD-BEARING (cell sums are not idempotent — a
+    replayed batch would inflate every one of its keys' counts);
+    (depth, width) bind commit-atomically: cells from different
+    geometries or hash families never sum together (the shared
+    ``_merge_state_drain`` discipline).
+
+    Returns the non-zero cell count after the drain, or -1 when the
+    epoch was already applied (replay no-op)."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.sketches import (
+        cms_build,
+        cms_merge,
+    )
+
+    return _merge_state_drain(
+        catalog,
+        "cms_cells",
+        epoch,
+        "cms_drain",
+        build=lambda: cms_build(batch, key_col, depth, width),
+        merge=cms_merge,
+        props={"cms_depth": depth, "cms_width": width},
+        guard="cells from different sketch geometries never sum",
+    )
+
+
 def run_lsq_drain(
     catalog: Catalog,
     batch: DataFrame,
