@@ -108,9 +108,13 @@ def auc_from_bins(bins: DataFrame) -> DataFrame:
         "n_pos",
         "n_neg",
         "u2",
-        (
+        # one-class input → AUC undefined → NULL on BOTH engines (an
+        # unguarded division diverges: ANSI Spark throws DIVIDE_BY_ZERO,
+        # DuckDB returns inf/nan)
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
             F.col("u2").cast("double")
-            / (2 * F.col("n_pos").cast(_DEC) * F.col("n_neg").cast(_DEC)).cast("double")
+            / (2 * F.col("n_pos").cast(_DEC) * F.col("n_neg").cast(_DEC)).cast("double"),
         ).alias("auc"),
     )
 

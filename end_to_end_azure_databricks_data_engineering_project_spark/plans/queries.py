@@ -6384,8 +6384,10 @@ def q_array_toolkit(spark, sf):
     SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
            CAST(sum(neg) AS BIGINT) AS n_neg,
            CAST(sum(pos * (2 * neg_below + neg)) AS BIGINT) AS u2,
-           CAST(sum(pos * (2 * neg_below + neg)) AS DOUBLE)
-             / CAST(2 * sum(pos) * sum(neg) AS DOUBLE) AS auc
+           CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+             CAST(sum(pos * (2 * neg_below + neg)) AS DOUBLE)
+               / CAST(2 * sum(pos) * sum(neg) AS DOUBLE)
+           END AS auc
     FROM cum
     """,
 )
@@ -6528,10 +6530,12 @@ def q_calibration_bins(spark, sf):
     SELECT bin,
            CAST(sum(pos) OVER w AS BIGINT) AS tp,
            CAST(sum(neg) OVER w AS BIGINT) AS fp,
-           CAST(sum(pos) OVER w AS DOUBLE)
-             / CAST(sum(pos) OVER t AS DOUBLE) AS tpr,
-           CAST(sum(neg) OVER w AS DOUBLE)
-             / CAST(sum(neg) OVER t AS DOUBLE) AS fpr
+           CASE WHEN sum(pos) OVER t > 0 THEN
+             CAST(sum(pos) OVER w AS DOUBLE)
+               / CAST(sum(pos) OVER t AS DOUBLE) END AS tpr,
+           CASE WHEN sum(neg) OVER t > 0 THEN
+             CAST(sum(neg) OVER w AS DOUBLE)
+               / CAST(sum(neg) OVER t AS DOUBLE) END AS fpr
     FROM per
     WINDOW w AS (ORDER BY bin DESC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -6552,12 +6556,15 @@ def q_roc_points(spark, sf):
     )
     t = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     tp, fp = F.sum("pos").over(w), F.sum("neg").over(w)
+    tot_p, tot_n = F.sum("pos").over(t), F.sum("neg").over(t)
+    # one-class slice → rate undefined → NULL both engines (unguarded:
+    # ANSI Spark throws DIVIDE_BY_ZERO, DuckDB returns inf/nan)
     return bins.select(
         "bin",
         tp.cast("bigint").alias("tp"),
         fp.cast("bigint").alias("fp"),
-        (tp.cast("double") / F.sum("pos").over(t).cast("double")).alias("tpr"),
-        (fp.cast("double") / F.sum("neg").over(t).cast("double")).alias("fpr"),
+        F.when(tot_p > 0, tp.cast("double") / tot_p.cast("double")).alias("tpr"),
+        F.when(tot_n > 0, fp.cast("double") / tot_n.cast("double")).alias("fpr"),
     )
 
 

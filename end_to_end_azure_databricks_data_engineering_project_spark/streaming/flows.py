@@ -884,8 +884,8 @@ def run_hll_drain(
     whole key set must persist), while the register table is ≤ m rows
     FOREVER — each drain reads ≤ m stored rows, aggregates the batch
     with one map-side-combinable agg, and overwrites ≤ m rows. Query
-    the running estimate any time via ``sketches.hll_estimate`` on the
-    table; merge across independently-maintained tables (per-day,
+    the running estimate any time via ``hll_estimate_table`` (reads the
+    table's own bound m); merge across independently-maintained tables (per-day,
     per-region) with ``sketches.hll_merge``.
 
     Exactly-once: register-wise MAX is idempotent, so a replayed batch
@@ -932,7 +932,8 @@ def run_cms_drain(
     sketch — merge(sketch(A), sketch(B)) == sketch(A ⊎ B) exactly — so
     the drained summary always equals the one built over the whole
     history, while state stays ≤ depth·width rows FOREVER. Estimate any
-    time via ``sketches.cms_estimate`` on the table.
+    time via ``cms_estimate_table`` (which probes with the table's OWN
+    bound geometry — a caller-guessed width would silently underestimate).
 
     The epoch guard is LOAD-BEARING (cell sums are not idempotent — a
     replayed batch would inflate every one of its keys' counts);
@@ -957,6 +958,44 @@ def run_cms_drain(
         props={"cms_depth": depth, "cms_width": width},
         guard="cells from different sketch geometries never sum",
     )
+
+
+def cms_estimate_table(catalog: Catalog, keys: DataFrame, key_col: str) -> DataFrame:
+    """Probe the drained ``cms_cells`` table with the GEOMETRY IT WAS
+    BUILT WITH — read from the commit-atomic ``cms_depth``/``cms_width``
+    props instead of trusting caller defaults. A mismatched-geometry
+    probe doesn't fail loudly: buckets hash mod the wrong width, the
+    left join misses, and the min coalesces to 0 — a silent
+    UNDERestimate that violates the sketch's one-sided (est ≥ exact)
+    guarantee. This is the read-path twin of the drain's prop guard."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.sketches import cms_estimate
+
+    table = catalog.table("cms_cells")
+    depth = table.table_prop("cms_depth")
+    width = table.table_prop("cms_width")
+    if depth is None or width is None:
+        raise ValueError(
+            "cms_cells has no bound geometry — nothing drained yet "
+            "(run_cms_drain binds cms_depth/cms_width on first commit)"
+        )
+    return cms_estimate(table.read(), keys, key_col, depth=depth, width=width)
+
+
+def hll_estimate_table(catalog: Catalog) -> DataFrame:
+    """Estimate the drained ``hll_registers`` table with ITS OWN bound
+    ``hll_m`` (same read-path rule as ``cms_estimate_table``; a wrong m
+    here only skews the bias constant rather than breaking a guarantee,
+    but there is no reason to guess what the table already knows)."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.sketches import hll_estimate
+
+    table = catalog.table("hll_registers")
+    m = table.table_prop("hll_m")
+    if m is None:
+        raise ValueError(
+            "hll_registers has no bound m — nothing drained yet "
+            "(run_hll_drain binds hll_m on first commit)"
+        )
+    return hll_estimate(table.read(), m=m)
 
 
 def run_lsq_drain(

@@ -8,7 +8,10 @@ from end_to_end_azure_databricks_data_engineering_project_spark.operators.sketch
     cms_estimate,
 )
 from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
-from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import run_cms_drain
+from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import (
+    cms_estimate_table,
+    run_cms_drain,
+)
 
 
 def _cat(spark, p):
@@ -47,6 +50,25 @@ def test_cms_drain_split_equals_union_and_direct_build(spark, tmp_path, keyed):
         assert est[k] >= n  # one-sided error
 
 
+def test_cms_estimate_table_uses_bound_geometry(spark, tmp_path, keyed):
+    """The read-path twin of the drain's prop guard: a non-default
+    drained geometry still estimates correctly because the helper reads
+    (depth, width) from the table props — a caller guessing the default
+    width would probe the wrong buckets and silently UNDERestimate,
+    breaking the one-sided guarantee."""
+    cat = _cat(spark, tmp_path)
+    run_cms_drain(cat, keyed, epoch=1, key_col="k", depth=3, width=256)
+    keys = spark.range(5).select(F.col("id").alias("k"))
+    est = {r.k: r.est_n for r in cms_estimate_table(cat, keys, "k").collect()}
+    true = {r.k: r.n for r in keyed.groupBy("k").agg(F.count("*").alias("n"))
+            .filter("k < 5").collect()}
+    for k, n in true.items():
+        assert est[k] >= n
+    # nothing drained yet → loud refusal, not a zero-filled estimate
+    with pytest.raises(ValueError, match="no bound geometry"):
+        cms_estimate_table(_cat(spark, tmp_path / "fresh"), keys, "k")
+
+
 def test_cms_drain_replay_is_noop(spark, tmp_path, keyed):
     """Cell sums are not idempotent — the epoch guard must hold."""
     cat = _cat(spark, tmp_path)
@@ -55,6 +77,21 @@ def test_cms_drain_replay_is_noop(spark, tmp_path, keyed):
     assert n == len(before) > 0
     assert run_cms_drain(cat, keyed, epoch=1, key_col="k") == -1
     assert _rows(cat.table("cms_cells").read()) == before
+
+
+def test_hll_estimate_table_uses_bound_m(spark, tmp_path):
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import (
+        hll_estimate_table,
+        run_hll_drain,
+    )
+
+    cat = _cat(spark, tmp_path)
+    ids = spark.range(1000).select(F.col("id").alias("user_id"))
+    run_hll_drain(cat, ids, epoch=1, key_col="user_id", m=64)
+    est = hll_estimate_table(cat).collect()[0].raw_estimate
+    assert 700 <= est <= 1300  # ~13% std error at m=64
+    with pytest.raises(ValueError, match="no bound m"):
+        hll_estimate_table(_cat(spark, tmp_path / "fresh"))
 
 
 def test_cms_drain_rejects_mismatched_geometry(spark, tmp_path, keyed):

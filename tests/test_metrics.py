@@ -64,6 +64,14 @@ def test_null_scores_and_labels_excluded(spark):
     assert (row.n_pos, row.n_neg, row.auc) == (1, 1, 1.0)
 
 
+def test_one_class_input_yields_null_auc(spark):
+    # AUC undefined with a single class: NULL, not a throw (ANSI Spark
+    # double division by zero raises) and not inf/nan (DuckDB would)
+    df = spark.createDataFrame([(1, True), (2, True)], "score bigint, positive boolean")
+    row = binned_auc(df, "score", "positive").collect()[0]
+    assert (row.n_pos, row.n_neg, row.auc) == (2, 0, None)
+
+
 def test_u2_survives_int64_scale(spark):
     # decimal(38,0) accumulation: force a u2 beyond what int64-squared
     # products would produce by weighting bins via many rows is too slow
