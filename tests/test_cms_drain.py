@@ -79,20 +79,6 @@ def test_cms_drain_replay_is_noop(spark, tmp_path, keyed):
     assert _rows(cat.table("cms_cells").read()) == before
 
 
-def test_hll_estimate_table_uses_bound_m(spark, tmp_path):
-    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import (
-        hll_estimate_table,
-        run_hll_drain,
-    )
-
-    cat = _cat(spark, tmp_path)
-    ids = spark.range(1000).select(F.col("id").alias("user_id"))
-    run_hll_drain(cat, ids, epoch=1, key_col="user_id", m=64)
-    est = hll_estimate_table(cat).collect()[0].raw_estimate
-    assert 700 <= est <= 1300  # ~13% std error at m=64
-    with pytest.raises(ValueError, match="no bound m"):
-        hll_estimate_table(_cat(spark, tmp_path / "fresh"))
-
 
 def test_cms_drain_rejects_mismatched_geometry(spark, tmp_path, keyed):
     cat = _cat(spark, tmp_path)

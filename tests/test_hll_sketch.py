@@ -267,3 +267,21 @@ def test_hll_rejects_unsupported_m(spark):
     for bad in (8, 512, 24):
         with _pytest.raises(AssertionError):
             hll_idx_rho(F.col("x"), m=bad)
+
+
+def test_hll_estimate_table_uses_bound_m(spark, tmp_path):
+    import pytest as _pytest
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import (
+        hll_estimate_table,
+        run_hll_drain,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ids = spark.range(1000).select(F.col("id").alias("user_id"))
+    run_hll_drain(cat, ids, epoch=1, key_col="user_id", m=64)
+    est = hll_estimate_table(cat).collect()[0].raw_estimate
+    assert 700 <= est <= 1300  # ~13% std error at m=64
+    with _pytest.raises(ValueError, match="no bound m"):
+        hll_estimate_table(Catalog(spark, str(tmp_path / "fresh")))
