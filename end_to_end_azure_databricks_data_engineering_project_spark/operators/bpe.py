@@ -1,0 +1,115 @@
+"""BPE tokenizer induction: learn merge rules from a corpus.
+
+Byte-pair encoding (Sennrich et al., ACL 2016) is THE tokenizer-training
+primitive of LLM data pipelines — and its scale shape is a gift: the
+corpus is scanned ONCE to build word frequencies, and every merge round
+then operates on the Heaps-law-sized vocabulary relation, never the
+token stream. At 100 TB the word-count aggregation is the only big job
+(map-side combinable, one shuffle on the word key); the n merge rounds
+are vocabulary-sized chained DataFrame ops in a single Spark job (best
+pairs ride 1-row broadcast relations, the same no-driver-state pattern
+as ``ivf.kmeans_fit``).
+
+Words are represented as space-joined symbol strings padded with one
+leading/trailing space (`` l o w ``); a merge of pair (a, b) is
+``replace(sym, " a b ", " ab ")``. The padding pins matches to symbol
+boundaries (without it, symbol ``xa`` followed by ``b`` would match
+pattern ``a b``). Within a round the merge is a GREEDY SINGLE SCAN:
+``replace`` consumes left-to-right and continues after each
+replacement, so ``a a a a`` merges to ``aa a a`` in one round (the
+remaining pair merges next round) — canonical BPE merges both in one
+pass; the single-scan variant is deterministic, identical in Spark and
+DuckDB (verified), and converges to the same merges when pair counts
+are distinct. Ties break (count DESC, left ASC, right ASC).
+
+Reference parity: the reference pipeline has no tokenizer stage — this
+module is part of the mandated LLM-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import tokens
+
+__all__ = ["bpe_word_counts", "bpe_learn_merges"]
+
+
+def bpe_word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The one corpus-sized job: distinct words with frequencies,
+    each as a padded space-joined character-symbol string. Returns
+    ``(sym, wfreq)`` — vocabulary-sized."""
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wfreq"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    sym = F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" "))
+    return words.select(sym.alias("sym"), "wfreq")
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over the vocabulary, weighted by
+    word frequency. Counts ALL adjacent positions (overlapping), the
+    canonical BPE ranking statistic."""
+    arr = F.split(F.trim(F.col("sym")), " ")
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.struct(
+                F.element_at(arr, i).alias("a"),
+                F.element_at(arr, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        vocab.select(F.explode(pairs).alias("p"), "wfreq")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("wfreq").alias("cnt"))
+    )
+
+
+def bpe_learn_merges(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 4
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merge rules. Returns one row per rule:
+    ``(merge_rank, lhs, rhs, pair_count)`` — the pair merged at that
+    round and its (pre-merge) weighted count.
+
+    Each round: count adjacent pairs over the current vocabulary →
+    take the (count DESC, lhs ASC, rhs ASC) argmax as a 1-row broadcast
+    relation → rewrite every word with ``replace`` (boundary-padded,
+    greedy single scan — see module docstring). No per-round driver
+    collect: the rounds chain as lazy relations and execute as one job
+    when the result is consumed."""
+    vocab = bpe_word_counts(docs, text_col)
+    out: DataFrame | None = None
+    for r in range(1, n_merges + 1):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+        )
+        row = best.select(
+            F.lit(r).alias("merge_rank"),
+            F.col("a").alias("lhs"),
+            F.col("b").alias("rhs"),
+            F.col("cnt").cast("bigint").alias("pair_count"),
+        )
+        out = row if out is None else out.unionByName(row)
+        vocab = vocab.crossJoin(F.broadcast(best.select("a", "b"))).select(
+            F.replace(
+                "sym",
+                F.concat(F.lit(" "), F.col("a"), F.lit(" "), F.col("b"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+            ).alias("sym"),
+            "wfreq",
+        )
+    assert out is not None
+    return out

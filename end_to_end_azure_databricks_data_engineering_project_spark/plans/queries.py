@@ -6568,6 +6568,70 @@ def q_roc_points(spark, sf):
     )
 
 
+def _bpe_oracle(n_merges: int = 4) -> str:
+    r"""DuckDB replay of bpe_learn_merges: word counts once, then
+    n_merges chained rounds of (pair counts → best pair → boundary-
+    padded greedy-single-scan replace). replace() continuation
+    semantics verified identical Spark↔DuckDB (' a a a a ' → ' aa a a '
+    on both)."""
+    parts = [
+        r"""WITH w0 AS (
+      SELECT w, count(*) AS wfreq FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents) WHERE w <> '' GROUP BY w
+    ),
+    s0 AS (
+      SELECT ' ' || array_to_string(
+               list_transform(range(1, len(w)+1), i -> w[i]), ' ') || ' ' AS sym,
+             wfreq
+      FROM w0
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"s{r-1}"
+        parts.append(
+            f""",
+    p{r} AS (
+      SELECT arr[i] AS a, arr[i+1] AS b, sum(wfreq) AS cnt FROM (
+        SELECT string_split(trim(sym), ' ') AS arr, wfreq,
+               unnest(range(1, len(string_split(trim(sym), ' ')))) AS i
+        FROM {prev})
+      GROUP BY 1, 2
+    ),
+    b{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+    s{r} AS (
+      SELECT replace(sym,
+               ' ' || (SELECT a FROM b{r}) || ' ' || (SELECT b FROM b{r}) || ' ',
+               ' ' || (SELECT a FROM b{r}) || (SELECT b FROM b{r}) || ' ') AS sym,
+             wfreq
+      FROM {prev}
+    )"""
+        )
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n    " + selects
+
+
+@_q(
+    "bpe_learn_merges",
+    "BPE tokenizer induction (Sennrich ACL'16): learn 4 merge rules "
+    "from the corpus. The scale gift of BPE training: ONE corpus-sized "
+    "word-count job (map-side combinable), then every merge round runs "
+    "on the Heaps-law-sized vocabulary relation — the token stream is "
+    "never rescanned; best pairs ride 1-row broadcast relations "
+    "(the kmeans_fit no-driver-state pattern). Greedy-single-scan "
+    "in-round merge semantics, verified identical Spark<->DuckDB",
+    "extension: tokenizer training (LLM-pipeline surface)",
+    _bpe_oracle(4),
+)
+def q_bpe_learn_merges(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.bpe import bpe_learn_merges
+
+    return bpe_learn_merges(_t(spark, sf, "documents"), n_merges=4)
+
+
 def _lsh_recall_oracle(num_hashes: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
     """DuckDB replay of lsh_recall_audit, composed from the SHARED
     recipe builders: truth from _EXACT_TRIGRAM_CO_CTES (the

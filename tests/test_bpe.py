@@ -1,0 +1,61 @@
+"""bpe_learn_merges: hand-computed merges, greedy-scan edge, ranking."""
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.bpe import (
+    bpe_learn_merges,
+    bpe_word_counts,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+
+
+def test_hand_computed_merges(spark):
+    # classic BPE toy: "low" x5, "lower" x2, "newest" x6, "widest" x3
+    corpus = ["low "] * 5 + ["lower "] * 2 + ["newest "] * 6 + ["widest "] * 3
+    docs = _docs(spark, [" ".join(corpus)])
+    out = {r.merge_rank: (r.lhs, r.rhs, r.pair_count) for r in
+           bpe_learn_merges(docs, n_merges=3).collect()}
+    # pair counts round 1: es=9, st=9, lo=7, we=8(newest6+lower2)... argmax
+    # ties es/st at 9 -> lexicographic: ('e','s') wins
+    assert out[1] == ("e", "s", 9)
+    # round 2: 'es' 't' now adjacent 9 times -> ('es','t')
+    assert out[2] == ("es", "t", 9)
+    # round 3: after 'est' forms, "newest" is (n,e,w,est) so (w,e)
+    # survives only in "lower" (2); (l,o) = low 5 + lower 2 = 7 wins
+    assert out[3] == ("l", "o", 7)
+
+
+def test_word_counts_are_padded_symbol_strings(spark):
+    docs = _docs(spark, ["low low high"])
+    rows = {r.sym: r.wfreq for r in bpe_word_counts(docs).collect()}
+    assert rows == {" l o w ": 2, " h i g h ": 1}
+
+
+def test_greedy_single_scan_within_round(spark):
+    # "aaaa": round-1 pairs (a,a) x3 -> merge -> ' aa a a ' (single
+    # scan, the remaining pair merges NEXT round: (aa,a) vs (a,a)...)
+    docs = _docs(spark, ["aaaa"])
+    out = {r.merge_rank: (r.lhs, r.rhs, r.pair_count) for r in
+           bpe_learn_merges(docs, n_merges=2).collect()}
+    assert out[1] == ("a", "a", 3)
+    # after round 1: symbols (aa, a, a): pairs (aa,a)=1, (a,a)=1 ->
+    # lexicographic tiebreak: ('a','a') < ('aa','a')
+    assert out[2] == ("a", "a", 1)
+
+
+def test_single_char_words_produce_no_pairs(spark):
+    docs = _docs(spark, ["a b a b ab"])
+    out = bpe_learn_merges(docs, n_merges=1).collect()
+    # only "ab" has a pair
+    assert [(r.lhs, r.rhs, r.pair_count) for r in out] == [("a", "b", 1)]
+
+
+def test_partitioning_invariant(spark):
+    texts = ["the cat sat on the mat", "the bat ate the rat", "a cat and a rat"] * 7
+    docs = _docs(spark, texts)
+    a = sorted(map(tuple, bpe_learn_merges(docs, n_merges=3).collect()))
+    b = sorted(map(tuple, bpe_learn_merges(docs.repartition(13), n_merges=3).collect()))
+    assert a == b
