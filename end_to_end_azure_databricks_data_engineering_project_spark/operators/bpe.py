@@ -56,21 +56,28 @@ def bpe_word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def _pair_counts(vocab: DataFrame) -> DataFrame:
     """Adjacent-symbol pair counts over the vocabulary, weighted by
     word frequency. Counts ALL adjacent positions (overlapping), the
-    canonical BPE ranking statistic."""
-    arr = F.split(F.trim(F.col("sym")), " ")
-    pairs = F.when(
-        F.size(arr) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(arr) - 1),
-            lambda i: F.struct(
-                F.element_at(arr, i).alias("a"),
-                F.element_at(arr, i + 1).alias("b"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    canonical BPE ranking statistic.
+
+    The symbol split materializes in a projection BELOW the explode
+    (Generate is a projection barrier), so each word splits ONCE — an
+    inline split inside the per-position expressions would re-tokenize
+    every word once per position (the duplicated_span_dedup lesson;
+    see dedup.shingles_from_tokens' contract)."""
+    arr_df = vocab.select(
+        F.split(F.trim(F.col("sym")), " ").alias("arr"), "wfreq"
+    ).filter(F.size("arr") >= 2)
+    pos = arr_df.select(
+        "arr",
+        "wfreq",
+        F.explode(F.sequence(F.lit(1), F.size("arr") - 1)).alias("i"),
+    )
     return (
-        vocab.select(F.explode(pairs).alias("p"), "wfreq")
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        pos.select(
+            F.element_at("arr", F.col("i")).alias("a"),
+            F.element_at("arr", F.col("i") + 1).alias("b"),
+            "wfreq",
+        )
+        .groupBy("a", "b")
         .agg(F.sum("wfreq").alias("cnt"))
     )
 
@@ -85,31 +92,52 @@ def bpe_learn_merges(
     Each round: count adjacent pairs over the current vocabulary →
     take the (count DESC, lhs ASC, rhs ASC) argmax as a 1-row broadcast
     relation → rewrite every word with ``replace`` (boundary-padded,
-    greedy single scan — see module docstring). No per-round driver
-    collect: the rounds chain as lazy relations and execute as one job
-    when the result is consumed."""
-    vocab = bpe_word_counts(docs, text_col)
+    greedy single scan — see module docstring). Each round's vocabulary
+    is cached: both the next round's pair count AND its rewrite
+    reference it, so uncached chaining would double the plan subtree
+    per round (2^n growth — the kmeans_fit lesson, ivf.py). The ONLY
+    driver-side state is the final n_merges-row collect (model-sized,
+    like kmeans centroids), returned re-parallelized so every cache can
+    be released before returning."""
+    if n_merges < 1:
+        raise ValueError(f"bpe_learn_merges: n_merges must be >= 1, got {n_merges}")
+    vocab = bpe_word_counts(docs, text_col).cache()
+    caches = [vocab]
     out: DataFrame | None = None
-    for r in range(1, n_merges + 1):
-        best = (
-            _pair_counts(vocab)
-            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
-        )
-        row = best.select(
-            F.lit(r).alias("merge_rank"),
-            F.col("a").alias("lhs"),
-            F.col("b").alias("rhs"),
-            F.col("cnt").cast("bigint").alias("pair_count"),
-        )
-        out = row if out is None else out.unionByName(row)
-        vocab = vocab.crossJoin(F.broadcast(best.select("a", "b"))).select(
-            F.replace(
-                "sym",
-                F.concat(F.lit(" "), F.col("a"), F.lit(" "), F.col("b"), F.lit(" ")),
-                F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
-            ).alias("sym"),
-            "wfreq",
-        )
-    assert out is not None
-    return out
+    try:
+        for r in range(1, n_merges + 1):
+            best = (
+                _pair_counts(vocab)
+                .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+                .limit(1)
+                .cache()
+            )
+            caches.append(best)
+            row = best.select(
+                F.lit(r).alias("merge_rank"),
+                F.col("a").alias("lhs"),
+                F.col("b").alias("rhs"),
+                F.col("cnt").cast("bigint").alias("pair_count"),
+            )
+            out = row if out is None else out.unionByName(row)
+            vocab = (
+                vocab.crossJoin(F.broadcast(best.select("a", "b")))
+                .select(
+                    F.replace(
+                        "sym",
+                        F.concat(
+                            F.lit(" "), F.col("a"), F.lit(" "), F.col("b"), F.lit(" ")
+                        ),
+                        F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+                    ).alias("sym"),
+                    "wfreq",
+                )
+                .cache()
+            )
+            caches.append(vocab)
+        assert out is not None
+        rows = out.collect()  # n_merges rows — model-sized, like centroids
+    finally:
+        for c in caches:
+            c.unpersist()
+    return docs.sparkSession.createDataFrame(rows, out.schema)

@@ -79,7 +79,6 @@ def test_cms_drain_replay_is_noop(spark, tmp_path, keyed):
     assert _rows(cat.table("cms_cells").read()) == before
 
 
-
 def test_cms_drain_rejects_mismatched_geometry(spark, tmp_path, keyed):
     cat = _cat(spark, tmp_path)
     run_cms_drain(cat, keyed, epoch=1, key_col="k", depth=4, width=1024)
