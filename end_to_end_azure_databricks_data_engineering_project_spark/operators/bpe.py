@@ -89,6 +89,23 @@ def bpe_learn_merges(
     ``(merge_rank, lhs, rhs, pair_count)`` — the pair merged at that
     round and its (pre-merge) weighted count.
 
+    Return contract caveats:
+
+    - FEWER than ``n_merges`` rows when the vocabulary runs out of
+      adjacent pairs first (tiny corpus, all words fully merged) —
+      the loop stops at the first pair-less round rather than
+      cross-joining the vocabulary against an empty best relation
+      (which would silently empty the vocab for all later rounds).
+      Zero rows (an all-single-symbol corpus) returns an empty frame
+      with the same schema.
+    - The same ``(lhs, rhs)`` pair CAN appear at multiple ranks: the
+      greedy single-scan in-round merge leaves overlapping
+      occurrences (``a a a a`` → ``aa a a``) for later rounds, so a
+      pair can win again. External appliers keyed by pair (the usual
+      rank-dict encoder) collapse such duplicates and will NOT
+      reproduce this tokenizer — replay the rules rank-by-rank, or
+      dedupe to first rank if an approximation is acceptable.
+
     Each round: count adjacent pairs over the current vocabulary →
     take the (count DESC, lhs ASC, rhs ASC) argmax as a 1-row broadcast
     relation → rewrite every word with ``replace`` (boundary-padded,
@@ -113,6 +130,13 @@ def bpe_learn_merges(
                 .cache()
             )
             caches.append(best)
+            if best.count() == 0:
+                # No adjacent pairs left anywhere in the vocabulary:
+                # every word is a single symbol. Cross-joining against
+                # the empty best relation would EMPTY the whole vocab
+                # and silently produce no further rules — stop instead
+                # (see return contract: fewer than n_merges rows).
+                break
             row = best.select(
                 F.lit(r).alias("merge_rank"),
                 F.col("a").alias("lhs"),
@@ -135,8 +159,11 @@ def bpe_learn_merges(
                 .cache()
             )
             caches.append(vocab)
-        assert out is not None
-        rows = out.collect()  # n_merges rows — model-sized, like centroids
+        if out is None:  # zero merges learnable (all-single-symbol corpus)
+            return docs.sparkSession.createDataFrame(
+                [], "merge_rank int, lhs string, rhs string, pair_count bigint"
+            )
+        rows = out.collect()  # ≤ n_merges rows — model-sized, like centroids
     finally:
         for c in caches:
             c.unpersist()

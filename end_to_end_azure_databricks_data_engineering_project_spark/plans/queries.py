@@ -6828,10 +6828,33 @@ _R7_GREEN = {
     "topk_per_group", "watermark_filter", "window_running_sum",
 }
 
+# Entries with a green row in CORRECTNESS_r08.json (the round-8
+# 50-entry driver window — every sampled entry passed
+# rows+schema+hash with no errors, including all six r8 additions).
+_R8_GREEN = {
+    "balanced_shards", "bigram_lm_score", "binary_auc_exact",
+    "bloom_decontaminate", "bpe_learn_merges", "calibration_bins",
+    "cluster_balanced_sample", "cms_heavy_hitters", "column_profile",
+    "dedup_keep_best", "duplicated_span_dedup", "embedding_near_dup_srp",
+    "embedding_quantize_int8", "event_transition_matrix",
+    "ewma_smoothing", "exact_jaccard_pairs", "feature_hash_tf",
+    "funnel_conversion", "gopher_rule_report", "hll_distinct_merge",
+    "hopping_window_counts", "in_predicate", "interval_islands",
+    "knn_label_predict", "lexical_diversity", "lsh_recall_audit",
+    "mad_outliers", "market_basket_pairs", "neardup_graph_pagerank",
+    "neardup_triangles", "null_safe_join", "pareto_frontier",
+    "quota_per_source", "random_projection_jl", "regression_per_group",
+    "retention_cohorts", "roc_points", "rolling_distinct_users",
+    "sequence_packing", "skew_key_report", "skew_salted_latest",
+    "stratified_sample", "table_checksum", "tfidf_top_terms",
+    "token_budget_head", "token_cooccurrence_lift", "vocab_build",
+    "weighted_sample", "winsorized_stats", "zorder_cluster",
+}
+
 #: green-evidence rounds, oldest first — ordering sorts proven entries
 #: by the LAST round that checked them (stalest evidence first).
 _GREEN_ROUNDS: list[set[str]] = [
-    _R3_GREEN, _R4_GREEN, _R5_GREEN, _R6_GREEN, _R7_GREEN,
+    _R3_GREEN, _R4_GREEN, _R5_GREEN, _R6_GREEN, _R7_GREEN, _R8_GREEN,
 ]
 
 

@@ -1092,6 +1092,23 @@ def run_auc_drain(
     props = {"auc_binning": binning}
     if stream_id is not None:
         props["auc_stream_id"] = stream_id
+    else:
+        # The guard must be two-sided: a stream-bound table has
+        # checkpoint-local epoch numbering, so a direct-batch caller
+        # with self-managed epochs would collide with the checkpoint's
+        # ids — the exact silent drop/double-count the stream_id
+        # binding exists to prevent. _merge_state_drain's prop check
+        # only fires between two non-None differing values (a None
+        # caller omits the key entirely), so refuse here.
+        bound = catalog.table("auc_bins").table_prop("auc_stream_id")
+        if bound is not None:
+            raise ValueError(
+                "auc_bins table is bound to streaming checkpoint "
+                f"{bound!r}; a direct-batch drain (stream_id=None) "
+                "would merge self-managed epochs into the checkpoint's "
+                "epoch numbering — pass the bound stream_id or drain "
+                "into a different table"
+            )
     return _merge_state_drain(
         catalog,
         "auc_bins",

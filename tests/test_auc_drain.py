@@ -173,3 +173,28 @@ def test_auc_drain_estimate_tracks_stream(spark, tmp_path):
     # and the drained state is exactly the union's batch computation
     want = binned_auc(b1.unionByName(b2), "score", "positive").collect()[0].auc
     assert auc2 == want
+
+
+def test_direct_batch_drain_refused_on_stream_bound_table(spark, tmp_path, scored):
+    """stream_id guard is two-sided: once auc_bins is bound to a
+    checkpoint, a direct-batch caller (stream_id=None) must be refused
+    — its self-managed epochs would collide with the checkpoint-local
+    numbering (silent drop or double-count)."""
+    cat = _cat(spark, tmp_path)
+    run_auc_drain(
+        cat, scored, epoch=1,
+        score_bin_col="score", positive_col="positive", binning="identity",
+        stream_id="/ck/metrics",
+    )
+    with pytest.raises(ValueError, match="bound to streaming checkpoint"):
+        run_auc_drain(
+            cat, scored, epoch=2,
+            score_bin_col="score", positive_col="positive", binning="identity",
+        )
+    # the bound stream itself still drains fine
+    n = run_auc_drain(
+        cat, scored.where(F.col("id") % 3 == 0), epoch=2,
+        score_bin_col="score", positive_col="positive", binning="identity",
+        stream_id="/ck/metrics",
+    )
+    assert n > 0

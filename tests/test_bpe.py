@@ -59,3 +59,22 @@ def test_partitioning_invariant(spark):
     a = sorted(map(tuple, bpe_learn_merges(docs, n_merges=3).collect()))
     b = sorted(map(tuple, bpe_learn_merges(docs.repartition(13), n_merges=3).collect()))
     assert a == b
+
+
+def test_exhausted_pairs_stop_early_without_emptying_vocab(spark):
+    # "ab" fully merges in round 1; rounds 2-3 have NO adjacent pairs.
+    # The loop must stop (fewer rows), not crossJoin vocab to empty.
+    docs = _docs(spark, ["ab ab"])
+    out = bpe_learn_merges(docs, n_merges=3).collect()
+    assert [(r.merge_rank, r.lhs, r.rhs, r.pair_count) for r in out] == [
+        (1, "a", "b", 2)
+    ]
+
+
+def test_all_single_symbol_corpus_returns_empty_with_schema(spark):
+    docs = _docs(spark, ["a b c a"])
+    out = bpe_learn_merges(docs, n_merges=2)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "merge_rank", "lhs", "rhs", "pair_count",
+    ]
