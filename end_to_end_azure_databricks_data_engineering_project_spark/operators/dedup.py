@@ -790,3 +790,80 @@ def minhash_dedup_keep_best(
         .filter(F.col("_rk") == 1)
         .drop("_rk", "_comp")
     )
+
+
+def sorted_neighborhood_candidates(
+    df: DataFrame,
+    id_col: str,
+    sort_key: Column,
+    block_col: str | None = None,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) candidate pairs — the classic record-
+    linkage blocker (Hernández & Stolfo, SIGMOD 1995): sort records by
+    a similarity-preserving key and pair each record with its next
+    ``window-1`` neighbors in the sorted order. Linear candidates
+    (≤ (w−1)·n pairs) instead of the n² cross product, catching fuzzy
+    duplicates that exact-key blocking misses.
+
+    Scale shape: production SNM is BLOCKED — pass ``block_col`` (e.g.
+    language, domain) and the sort+lead window partitions by block,
+    parallel across blocks with no global single-partition sort (a
+    partitionBy-less Spark window collapses to ONE task; the block is
+    what keeps this operator alive at 100 TB — standard blocking
+    tradeoff: pairs never cross blocks, stated not hidden). Neighbors
+    are emitted via ``lead`` columns — no self-join, ONE sort per
+    block. ``block_col=None`` is the small-relation escape hatch and
+    documents its own bottleneck.
+
+    Ties in the sort key break by ``id_col`` so the candidate set is
+    deterministic under any partitioning. Returns
+    (block?, id_a, id_b, key_a, key_b) with id_a emitted before id_b
+    in sort order.
+
+    Reference parity: none (the reference has no record-linkage stage);
+    mandated LLM-pipeline extension surface (near-dup candidate
+    generation complementing MinHash/SimHash: SNM finds *prefix-close*
+    near-dups at strictly linear candidate cost).
+    """
+    if window < 2:
+        raise ValueError(f"sorted_neighborhood_candidates: window must be >= 2, got {window}")
+    keyed = df.select(
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+        F.col(id_col).alias("id_a"),
+        sort_key.alias("key_a"),
+    )
+    w = (
+        Window.partitionBy("_blk") if block_col else Window.partitionBy()
+    ).orderBy(F.col("key_a").asc(), F.col("id_a").asc())
+    leads = keyed.select(
+        *(["_blk"] if block_col else []),
+        "id_a",
+        "key_a",
+        F.array(
+            *[
+                F.struct(
+                    F.lead("id_a", d).over(w).alias("id_b"),
+                    F.lead("key_a", d).over(w).alias("key_b"),
+                )
+                for d in range(1, window)
+            ]
+        ).alias("_nbrs"),
+    )
+    out = (
+        leads.select(
+            *(["_blk"] if block_col else []),
+            "id_a",
+            "key_a",
+            F.explode("_nbrs").alias("_nb"),
+        )
+        .filter(F.col("_nb.id_b").isNotNull())
+        .select(
+            *([F.col("_blk").alias(block_col)] if block_col else []),
+            "id_a",
+            F.col("_nb.id_b").alias("id_b"),
+            "key_a",
+            F.col("_nb.key_b").alias("key_b"),
+        )
+    )
+    return out

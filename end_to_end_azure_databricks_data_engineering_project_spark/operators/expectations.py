@@ -110,3 +110,63 @@ def expect_all(df: DataFrame, rules: dict[str, str]) -> ExpectationResult:
             )
         )
     return ExpectationResult(df.observe(obs, *metrics), obs, rules)
+
+
+def integrity_report(checks: list[tuple[str, DataFrame]]) -> DataFrame:
+    """Constraint-violation report over a set of named single-count
+    checks — the warehouse-wide DQ scorecard the reference models as
+    per-pipeline ADF validation activities (`Azure ADF/adf/pipeline/
+    incremental_loop.json` gates each copy on a lookup) re-expressed as
+    ONE declarative relation: every row is (check_name, violations),
+    and the deploy gate is ``max(violations) == 0``.
+
+    Each entry is (name, df) where ``df`` is any DataFrame whose ROW
+    COUNT is the violation count — build them with the helpers below
+    (``pk_duplicates``, ``fk_orphans``, ``null_violations``) or any
+    ad-hoc predicate. The union of per-check aggregates lets Catalyst
+    plan each check independently (broadcast the dim side of an FK
+    probe, map-side-combine the PK groupBy) while the caller still
+    gets one actionable relation.
+    """
+    if not checks:
+        raise ValueError("integrity_report: no checks given")
+    parts = [
+        df.agg(F.count(F.lit(1)).cast("bigint").alias("violations")).select(
+            F.lit(name).alias("check_name"), "violations"
+        )
+        for name, df in checks
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pk_duplicates(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Key groups that violate primary-key uniqueness (count > 1).
+    NULL keys are violations of a different check (``null_violations``)
+    and are excluded here so the two reports don't double-count.
+    One map-side-combinable groupBy."""
+    nn = df
+    for c in key_cols:
+        nn = nn.filter(F.col(c).isNotNull())
+    return (
+        nn.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+    )
+
+
+def fk_orphans(child: DataFrame, fk_col: str, parent: DataFrame, pk_col: str) -> DataFrame:
+    """Child rows whose non-NULL FK has no parent row (referential-
+    integrity orphans; NULL FKs are legitimately optional and skipped).
+    LEFT ANTI join — with a dimension-sized parent Spark broadcasts
+    the parent's key set, so the probe is a map-only pass over the
+    child (no fact-table shuffle)."""
+    keys = parent.select(F.col(pk_col).alias(fk_col)).distinct()
+    return child.filter(F.col(fk_col).isNotNull()).join(keys, fk_col, "left_anti")
+
+
+def null_violations(df: DataFrame, col: str) -> DataFrame:
+    """Rows violating a NOT NULL expectation on ``col``."""
+    return df.filter(F.col(col).isNull())

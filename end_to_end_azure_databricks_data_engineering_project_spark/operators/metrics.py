@@ -25,7 +25,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["binned_auc", "per_bin_counts", "merge_bin_counts", "auc_from_bins"]
+__all__ = [
+    "binned_auc",
+    "per_bin_counts",
+    "merge_bin_counts",
+    "auc_from_bins",
+    "retrieval_eval",
+    "cohens_kappa",
+]
 
 _DEC = "decimal(38,0)"
 
@@ -135,3 +142,157 @@ def binned_auc(
     predictions is not.
     """
     return auc_from_bins(per_bin_counts(df, score_bin_col, positive_col))
+
+
+def _lcm_1_to(k: int) -> int:
+    from math import gcd
+
+    out = 1
+    for i in range(2, k + 1):
+        out = out * i // gcd(out, i)
+    return out
+
+
+def retrieval_eval(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    rel_query_col: str = "query_id",
+    rel_item_col: str = "item_id",
+) -> DataFrame:
+    """Exact retrieval metrics (hits@k, micro precision@k, MRR@k) for a
+    ranked result list against a relevance set — the QA gate for the
+    ANN/search stack (``similarity``, ``ivf``, ``pq``): run the exact
+    and the approximate retriever through the same scorer and read the
+    recall cost of the index right off the report.
+
+    Everything stays in exact-integer space (the module house rule):
+    reciprocal ranks are scaled by ``lcm(1..k)`` so ``Σ scale/rank`` is
+    an exact integer (``mrr_num``); the ONLY floats are two final IEEE
+    divisions of exact values, bit-identical on any engine. Per-query
+    reduction is a MIN (first relevant rank) — no float sums anywhere.
+
+    Scale shape: one broadcast-sized join per ranked row (the relevance
+    set for evaluated queries is eval-sized), one groupBy query, one
+    global count — no windows over the corpus, no driver loops. Rows in
+    ``ranked`` beyond rank k are ignored (callers may pass a deeper
+    list). Queries with NO relevant item count toward the MRR/precision
+    denominator with contribution 0 (the standard harsh-macro
+    convention, stated so oracle replays agree).
+
+    Returns one row: n_queries, hits_at_k, mrr_num, mrr_scale,
+    precision_at_k (double), mrr (double).
+    """
+    scale = _lcm_1_to(k)
+    r = ranked.select(
+        F.col(query_col).alias("_q"),
+        F.col(item_col).alias("_i"),
+        F.col(rank_col).cast("bigint").alias("_r"),
+    ).filter(F.col("_r") <= k)
+    rel = relevant.select(
+        F.col(rel_query_col).alias("_q"), F.col(rel_item_col).alias("_i")
+    ).distinct()
+    hits = r.join(F.broadcast(rel), ["_q", "_i"])
+    per_q = hits.groupBy("_q").agg(
+        F.count(F.lit(1)).alias("_hits"),
+        F.min("_r").alias("_first"),
+    )
+    nq = r.select("_q").distinct()
+    joined = nq.join(per_q, "_q", "left").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.coalesce(F.col("_hits"), F.lit(0))).alias("hits_at_k"),
+        # scale = lcm(1..k) and _first ≤ k, so scale/_first is an exact
+        # integer — the cast happens per row BEFORE the sum, keeping the
+        # accumulation in bigint (no float reduction to order).
+        F.sum(
+            F.coalesce(
+                (F.lit(scale) / F.col("_first")).cast("bigint"), F.lit(0)
+            )
+        ).alias("mrr_num"),
+    )
+    return joined.select(
+        "n_queries",
+        "hits_at_k",
+        "mrr_num",
+        F.lit(scale).cast("bigint").alias("mrr_scale"),
+        F.when(
+            F.col("n_queries") > 0,
+            F.col("hits_at_k").cast("double")
+            / (F.col("n_queries") * F.lit(k)).cast("double"),
+        ).alias("precision_at_k"),
+        F.when(
+            F.col("n_queries") > 0,
+            F.col("mrr_num").cast("double")
+            / (F.col("n_queries") * F.lit(scale)).cast("double"),
+        ).alias("mrr"),
+    )
+
+
+def cohens_kappa(df: DataFrame, a_col: str | Column, b_col: str | Column) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical raters/classifiers, the standard QA statistic when two
+    labeling pipelines (a rule filter and a model, two annotator
+    cohorts) score the same corpus and you need to know whether they
+    agree beyond what their marginals force.
+
+    Kappa is a RATIONAL function of contingency counts, so the whole
+    computation stays exact-integer (module house rule):
+        kappa = (N·agree − Σ_c na_c·nb_c) / (N² − Σ_c na_c·nb_c)
+    with one final IEEE division. Rows where either label is NULL are
+    excluded (a missing label can't agree or disagree).
+
+    Scale shape: ONE map-side-combinable groupBy(a, b) reduces the
+    corpus to the |A|×|B| contingency table; marginals and the pe term
+    are table-sized joins. Products accumulate in decimal(38,0) (N² is
+    past int64 at ~3e9 rows — this module's claimed scale); the final
+    decimal→double casts are scale-0 single roundings, bit-stable.
+
+    Returns one row: n, agree, pe_num (decimal), kappa_num (decimal),
+    kappa_den (decimal), kappa (double; NULL when the denominator is 0
+    — both raters constant and identical, agreement is vacuous).
+    """
+    a = (F.col(a_col) if isinstance(a_col, str) else a_col).cast("string")
+    b = (F.col(b_col) if isinstance(b_col, str) else b_col).cast("string")
+    ct = (
+        df.select(a.alias("_a"), b.alias("_b"))
+        .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    na = ct.groupBy("_a").agg(F.sum("_n").alias("_na"))
+    nb = ct.groupBy("_b").agg(F.sum("_n").alias("_nb"))
+    pe = (
+        na.join(nb, na["_a"] == nb["_b"])
+        .agg(
+            F.coalesce(
+                F.sum(F.col("_na").cast(_DEC) * F.col("_nb").cast(_DEC)), F.lit(0)
+            ).cast(_DEC).alias("pe_num")
+        )
+    )
+    tot = ct.agg(
+        F.sum("_n").alias("n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_n")).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    out = tot.crossJoin(pe).select(
+        "n",
+        "agree",
+        "pe_num",
+        (F.col("n").cast(_DEC) * F.col("agree").cast(_DEC) - F.col("pe_num"))
+        .cast(_DEC)
+        .alias("kappa_num"),
+        (F.col("n").cast(_DEC) * F.col("n").cast(_DEC) - F.col("pe_num"))
+        .cast(_DEC)
+        .alias("kappa_den"),
+    )
+    return out.withColumn(
+        "kappa",
+        F.when(
+            F.col("kappa_den") != 0,
+            F.col("kappa_num").cast("double") / F.col("kappa_den").cast("double"),
+        ),
+    )

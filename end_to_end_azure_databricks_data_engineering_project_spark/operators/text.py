@@ -9,7 +9,7 @@ plans/queries.py) so correctness is machine-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from end_to_end_azure_databricks_data_engineering_project_spark.functions.scalars import fingerprint
@@ -335,4 +335,83 @@ def cooccurrence_lift(
             F.col("_n").cast("double") * F.col("n_co")
             / (F.col("df_a").cast("double") * F.col("df_b"))
         ).alias("lift"),
+    )
+
+
+def divergent_tokens(
+    docs: DataFrame,
+    in_a: Column,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k most distribution-divergent tokens between two corpus
+    slices (``in_a`` true vs false), ranked by the token's two-sample
+    chi-square contribution — the drift detector a curation pipeline
+    runs when a new crawl/source lands: which tokens changed frequency
+    the most relative to the incumbent corpus?
+
+    Per-token statistic (pooled-expectation chi-square term):
+
+        term = (c_a·N_b − c_b·N_a)² · (N_a + N_b) / (N_a·N_b·(c_a+c_b))
+
+    There is NO global float reduction — the output is the ranked
+    per-token report (rank on the per-row double + token tiebreak),
+    which sidesteps the cross-engine float-sum-ordering problem
+    entirely AND is the more actionable artifact (a single scalar chi²
+    says "drifted", the token report says *what* drifted). No ln/log
+    anywhere (house rule — KL would need one); every input to the
+    float expression is an exact integer and the expression tree is
+    fixed, so the doubles are bit-identical on any engine.
+
+    Scale shape: one corpus scan → map-side-combinable (token, slice)
+    count onto the vocab relation; totals are a 1-row broadcast; the
+    ranking sorts the VOCAB (Heaps-law sublinear), never the stream.
+    Rows with NULL slice membership are excluded.
+    """
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import tokens as _tok
+
+    toks = (
+        docs.filter(in_a.isNotNull())
+        .filter(F.trim(F.col(text_col)) != "")
+        .select(in_a.alias("_a"), F.explode(_tok(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("_a"), 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("_a"), 0).otherwise(1)).alias("c_b"),
+    )
+    totals = counts.agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    )
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        "c_a",
+        "c_b",
+        # one-slice-empty input → the statistic is undefined → NULL on
+        # BOTH engines (unguarded: ANSI Spark throws DIVIDE_BY_ZERO,
+        # DuckDB returns inf — the auc_from_bins rule)
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            (
+                (
+                    F.col("c_a").cast("double") * F.col("n_b").cast("double")
+                    - F.col("c_b").cast("double") * F.col("n_a").cast("double")
+                )
+                * (
+                    F.col("c_a").cast("double") * F.col("n_b").cast("double")
+                    - F.col("c_b").cast("double") * F.col("n_a").cast("double")
+                )
+                * (F.col("n_a") + F.col("n_b")).cast("double")
+            )
+            / (
+                (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+                * (F.col("c_a") + F.col("c_b")).cast("double")
+            )
+        ).alias("chi2_term"),
+    )
+    w = Window.orderBy(F.col("chi2_term").desc_nulls_last(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(F.col("rank").cast("int").alias("rank"), "token", "c_a", "c_b", "chi2_term")
     )

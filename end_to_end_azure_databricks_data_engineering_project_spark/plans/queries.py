@@ -6709,6 +6709,417 @@ def q_lsh_recall_audit(spark, sf):
     )
 
 
+# =====================================================================
+# Round 9: record-linkage blocking, retrieval QA, agreement stats,
+# warehouse DQ scorecard, leakage-safe splits, time-weighted series,
+# corpus drift
+# =====================================================================
+
+@_q(
+    "sorted_neighborhood_pairs",
+    "Sorted-neighborhood (SNM) near-dup candidate pairs: block by lang, "
+    "sort by normalized 12-char text prefix, pair each doc with its "
+    "next 2 sorted neighbors — linear candidates (<= 2n) instead of "
+    "n^2, the classic record-linkage blocker complementing MinHash "
+    "(catches prefix-close fuzzy dups at strictly linear cost)",
+    "extension: dedup candidate generation (Hernández-Stolfo SNM)",
+    """
+    WITH keyed AS (
+      SELECT lang, doc_id AS id_a,
+             substr(lower(trim(text)), 1, 12) AS key_a
+      FROM documents
+    ),
+    led AS (
+      SELECT lang, id_a, key_a,
+             lead(id_a, 1) OVER w AS id_b1, lead(key_a, 1) OVER w AS key_b1,
+             lead(id_a, 2) OVER w AS id_b2, lead(key_a, 2) OVER w AS key_b2
+      FROM keyed
+      WINDOW w AS (PARTITION BY lang ORDER BY key_a ASC, id_a ASC)
+    )
+    SELECT lang, id_a, id_b1 AS id_b, key_a, key_b1 AS key_b
+    FROM led WHERE id_b1 IS NOT NULL
+    UNION ALL
+    SELECT lang, id_a, id_b2 AS id_b, key_a, key_b2 AS key_b
+    FROM led WHERE id_b2 IS NOT NULL
+    """,
+)
+def q_sorted_neighborhood_pairs(spark, sf):
+    """Blocked SNM: the sort+lead window partitions by lang — parallel
+    across blocks, no single-partition global sort (the 100 TB shape;
+    see operators/dedup.py::sorted_neighborhood_candidates)."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+        sorted_neighborhood_candidates,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return sorted_neighborhood_candidates(
+        docs,
+        id_col="doc_id",
+        sort_key=F.substring(F.lower(F.trim(F.col("text"))), 1, 12),
+        block_col="lang",
+        window=3,
+    )
+
+
+@_q(
+    "retrieval_eval_mrr",
+    "Retrieval QA scorecard: exact hits@10 / micro precision@10 / "
+    "MRR@10 of brute-force cosine top-10 against label-match ground "
+    "truth — reciprocal ranks scaled by lcm(1..10)=2520 so every "
+    "accumulation is an exact integer (the eval harness for the "
+    "ANN stack: run exact + IVF/PQ retrievers through the same scorer "
+    "to price an index's recall)",
+    "extension: retrieval evaluation (similarity stack QA)",
+    """
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, len(q.embedding) + 1),
+               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a,b) -> a + b)
+             / (sqrt(list_reduce(list_transform(range(1, len(q.embedding) + 1),
+                  i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (a,b) -> a + b))
+                * sqrt(list_reduce(list_transform(range(1, len(c.embedding) + 1),
+                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a,b) -> a + b)))
+               AS cos_sim
+      FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM pairs
+    ),
+    rel AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS item_id
+      FROM q JOIN embeddings c ON q.label = c.label AND q.vec_id <> c.vec_id
+    ),
+    per_q AS (
+      SELECT r.query_id,
+             count(rel.item_id) AS hits,
+             min(CASE WHEN rel.item_id IS NOT NULL THEN r.rank END) AS first_rel
+      FROM ranked r LEFT JOIN rel
+        ON r.query_id = rel.query_id AND r.neighbor_id = rel.item_id
+      WHERE r.rank <= 10
+      GROUP BY r.query_id
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             CAST(sum(hits) AS BIGINT) AS hits_at_k,
+             CAST(coalesce(sum(CAST(2520 / first_rel AS BIGINT)), 0) AS BIGINT) AS mrr_num
+      FROM per_q
+    )
+    SELECT n_queries, hits_at_k, mrr_num,
+           CAST(2520 AS BIGINT) AS mrr_scale,
+           CAST(hits_at_k AS DOUBLE) / CAST(n_queries * 10 AS DOUBLE) AS precision_at_k,
+           CAST(mrr_num AS DOUBLE) / CAST(n_queries * 2520 AS DOUBLE) AS mrr
+    FROM agg
+    """,
+)
+def q_retrieval_eval_mrr(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import retrieval_eval
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    ranked = brute_force_topk(emb, queries, k=10)
+    rel = (
+        queries.select(F.col("vec_id").alias("query_id"), F.col("label").alias("_ql"))
+        .join(
+            emb.select(F.col("vec_id").alias("item_id"), F.col("label").alias("_cl")),
+            F.col("_ql") == F.col("_cl"),
+        )
+        .filter(F.col("query_id") != F.col("item_id"))
+        .select("query_id", "item_id")
+    )
+    return retrieval_eval(ranked, rel, k=10)
+
+
+@_q(
+    "cohens_kappa",
+    "Cohen's kappa between two rule classifiers on documents (char-"
+    "length gate vs whitespace-count gate): chance-corrected agreement "
+    "from the contingency table, exact-integer kappa = "
+    "(N*agree - sum na*nb) / (N^2 - sum na*nb) with one final IEEE "
+    "division — the QA statistic for comparing two labeling pipelines",
+    "extension: annotation/filter agreement QA",
+    """
+    WITH lab AS (
+      SELECT CAST(n_chars >= 300 AS VARCHAR) AS a,
+             CAST((length(text) - length(replace(text, ' ', ''))) >= 49 AS VARCHAR) AS b
+      FROM documents
+    ),
+    ct AS (SELECT a, b, count(*) AS n FROM lab GROUP BY a, b),
+    na AS (SELECT a, sum(n) AS na FROM ct GROUP BY a),
+    nb AS (SELECT b, sum(n) AS nb FROM ct GROUP BY b),
+    pe AS (SELECT coalesce(sum(na.na * nb.nb), 0) AS pe_num
+           FROM na JOIN nb ON na.a = nb.b),
+    tot AS (SELECT sum(n) AS n,
+                   sum(CASE WHEN a = b THEN n ELSE 0 END) AS agree
+            FROM ct)
+    SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+           CAST(pe_num AS BIGINT) AS pe_num,
+           CAST(n * agree - pe_num AS BIGINT) AS kappa_num,
+           CAST(n * n - pe_num AS BIGINT) AS kappa_den,
+           CASE WHEN n * n - pe_num <> 0
+                THEN CAST(n * agree - pe_num AS DOUBLE)
+                     / CAST(n * n - pe_num AS DOUBLE)
+           END AS kappa
+    FROM tot, pe
+    """,
+)
+def q_cohens_kappa(spark, sf):
+    """Raters: A = n_chars >= 300; B = at-least-49 spaces (a word-count
+    proxy deliberately correlated-but-not-identical to A, so the table
+    is non-degenerate). Booleans ride as strings through the generic
+    categorical operator; outputs cast to bigint (test-scale exact —
+    the operator itself accumulates decimal(38,0) for 100 TB)."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import cohens_kappa
+
+    docs = _t(spark, sf, "documents")
+    a = F.col("n_chars") >= 300
+    b = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    ) >= 49
+    out = cohens_kappa(docs, a, b)
+    return out.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("agree").cast("bigint").alias("agree"),
+        F.col("pe_num").cast("bigint").alias("pe_num"),
+        F.col("kappa_num").cast("bigint").alias("kappa_num"),
+        F.col("kappa_den").cast("bigint").alias("kappa_den"),
+        "kappa",
+    )
+
+
+@_q(
+    "integrity_report_tpch",
+    "Warehouse DQ scorecard in ONE relation: PK-uniqueness, FK-orphan "
+    "(anti-join probes with broadcast parent key sets), NOT-NULL and "
+    "empty-text checks across the star schema — the deploy gate is "
+    "max(violations) == 0 (re-expresses the reference's per-pipeline "
+    "ADF validation lookups declaratively)",
+    "P6/A4 expectations surface; extension: warehouse-wide DQ audit",
+    """
+    SELECT 'orders_pk_dup' AS check_name,
+           CAST((SELECT count(*) FROM (
+             SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL
+             GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT) AS violations
+    UNION ALL
+    SELECT 'customer_pk_dup',
+           CAST((SELECT count(*) FROM (
+             SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL
+             GROUP BY c_custkey HAVING count(*) > 1)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_orphan_orders',
+           CAST((SELECT count(*) FROM lineitem l
+             WHERE l.l_orderkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_orphan_customer',
+           CAST((SELECT count(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer_null_nation',
+           CAST((SELECT count(*) FROM customer
+                 WHERE c_nationkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'documents_empty_text',
+           CAST((SELECT count(*) FROM documents
+                 WHERE trim(text) = '') AS BIGINT)
+    """,
+)
+def q_integrity_report_tpch(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.expectations import (
+        fk_orphans,
+        integrity_report,
+        null_violations,
+        pk_duplicates,
+    )
+
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    lineitem = _t(spark, sf, "lineitem")
+    docs = _t(spark, sf, "documents")
+    return integrity_report([
+        ("orders_pk_dup", pk_duplicates(orders, "o_orderkey")),
+        ("customer_pk_dup", pk_duplicates(customer, "c_custkey")),
+        ("lineitem_orphan_orders", fk_orphans(lineitem, "l_orderkey", orders, "o_orderkey")),
+        ("orders_orphan_customer", fk_orphans(orders, "o_custkey", customer, "c_custkey")),
+        ("customer_null_nation", null_violations(customer, "c_nationkey")),
+        ("documents_empty_text", docs.filter(F.trim("text") == "")),
+    ])
+
+
+@_q(
+    "grouped_dataset_split",
+    "LEAKAGE-SAFE train/val/test split: the 80/10/10 hash is computed "
+    "on the GROUP key (user_id), so every event of a user lands in one "
+    "split — the group-aware variant of dataset_split that a temporal/"
+    "behavioral corpus needs (row-hash splits leak user history across "
+    "train and test)",
+    "extension: training-data curation (grouped split)",
+    """
+    SELECT CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT user_id,
+             CAST(('0x' || substr(md5('gsplit|' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 100 AS b
+      FROM events
+    )
+    GROUP BY split
+    """,
+)
+def q_grouped_dataset_split(spark, sf):
+    """Same portable md5 bucket as dataset_split, but keyed on user_id
+    alone: split membership is a pure function of the group, so no
+    group can straddle splits (leakage-free by construction, no
+    post-hoc check needed). The hash rides the event scan — no join
+    against a separate user relation."""
+    ev = _t(spark, sf, "events")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("gsplit|"), F.col("user_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split")
+    return (
+        ev.select(split, "user_id")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+@_q(
+    "time_weighted_average",
+    "Per-user TIME-weighted mean of a piecewise-constant signal: each "
+    "value holds until the next event, weighted by its holding "
+    "interval in exact integer microseconds; per-user ORDERED fold "
+    "(sorted array -> sequential sum) keeps the one float reduction "
+    "bit-identical across engines and partitionings — the correct "
+    "average for irregular telemetry where arithmetic means over-"
+    "weight bursts",
+    "extension: time-series analytics (irregular-interval aggregation)",
+    """
+    WITH ordered AS (
+      SELECT user_id,
+             list(CAST(epoch_us(ts) AS DOUBLE) ORDER BY epoch_us(ts), value, event_id) AS ts_l,
+             list(value ORDER BY epoch_us(ts), value, event_id) AS v_l
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(ts_l) AS BIGINT) AS n_events,
+           CAST(ts_l[len(ts_l)] - ts_l[1] AS BIGINT) AS span_us,
+           CASE WHEN len(ts_l) > 1 AND ts_l[len(ts_l)] > ts_l[1]
+                THEN list_reduce(
+                       list_transform(range(1, len(ts_l)),
+                         i -> v_l[i] * (ts_l[i + 1] - ts_l[i])),
+                       (a, b) -> a + b)
+                     / (ts_l[len(ts_l)] - ts_l[1])
+           END AS twa
+    FROM ordered
+    """,
+)
+def q_time_weighted_average(spark, sf):
+    """Sort inside the per-user array (sort_array on (ts, value, id)
+    structs), fold terms v_i * Δt_i sequentially — identical op
+    order to DuckDB's ORDER BY list + list_reduce. Timestamps become
+    DOUBLE microseconds BEFORE differencing on both engines (exact:
+    30 days of µs < 2^53). One groupBy; per-user state bounded by the
+    user's event count (the per-key-array caveat is the operator's
+    documented contract, same as pagerank's neighbor fold)."""
+    ev = _t(spark, sf, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    grp = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(ts_us.alias("t"), F.col("value").alias("v"), F.col("event_id").alias("e")))
+        ).alias("arr")
+    )
+    ts_l = F.transform(F.col("arr"), lambda s: s["t"].cast("double"))
+    v_l = F.transform(F.col("arr"), lambda s: s["v"])
+    n = F.size("arr")
+    first_t = F.element_at(ts_l, 1)
+    last_t = F.element_at(ts_l, n)
+    terms = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.element_at(v_l, i) * (F.element_at(ts_l, i + 1) - F.element_at(ts_l, i)),
+    )
+    twa = F.when(
+        (n > 1) & (last_t > first_t),
+        F.aggregate(terms, F.lit(0.0), lambda a, b: a + b) / (last_t - first_t),
+    )
+    return grp.select(
+        "user_id",
+        n.cast("bigint").alias("n_events"),
+        (last_t - first_t).cast("bigint").alias("span_us"),
+        twa.alias("twa"),
+    )
+
+
+@_q(
+    "divergent_tokens_chi2",
+    "Corpus drift report: top-20 tokens by two-sample chi-square "
+    "contribution between the en slice and the rest — per-token exact-"
+    "integer inputs into one fixed float expression, ranked on the "
+    "vocab relation (no global float reduction, no ln) — what a "
+    "curation pipeline runs when a new source lands: WHICH tokens "
+    "shifted, not just that something did",
+    "extension: corpus distribution-shift QA",
+    r"""
+    WITH tok AS (
+      SELECT (lang = 'en') AS a,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents
+      WHERE lang IS NOT NULL AND trim(text) <> ''
+    ),
+    counts AS (
+      SELECT token,
+             sum(CASE WHEN a THEN 1 ELSE 0 END) AS c_a,
+             sum(CASE WHEN a THEN 0 ELSE 1 END) AS c_b
+      FROM tok WHERE token <> '' GROUP BY token
+    ),
+    tot AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM counts),
+    scored AS (
+      SELECT token, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+             CASE WHEN n_a > 0 AND n_b > 0 THEN
+               (((CAST(c_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                  - CAST(c_b AS DOUBLE) * CAST(n_a AS DOUBLE))
+                 * (CAST(c_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                    - CAST(c_b AS DOUBLE) * CAST(n_a AS DOUBLE)))
+                * CAST(n_a + n_b AS DOUBLE))
+               / ((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                  * CAST(c_a + c_b AS DOUBLE))
+             END AS chi2_term
+      FROM counts, tot
+    )
+    SELECT CAST(rank AS INT) AS rank, token, c_a, c_b, chi2_term FROM (
+      SELECT *, row_number() OVER (ORDER BY chi2_term DESC NULLS LAST, token ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 20
+    """,
+)
+def q_divergent_tokens_chi2(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.text import divergent_tokens
+
+    docs = _t(spark, sf, "documents")
+    return divergent_tokens(docs, in_a=F.col("lang") == "en", top_k=20)
+
+
 
 # ---------------------------------------------------------------------
 
