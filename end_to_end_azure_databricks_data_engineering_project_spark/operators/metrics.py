@@ -195,13 +195,20 @@ def retrieval_eval(
     rel = relevant.select(
         F.col(rel_query_col).alias("_q"), F.col(rel_item_col).alias("_i")
     ).distinct()
-    hits = r.join(F.broadcast(rel), ["_q", "_i"])
-    per_q = hits.groupBy("_q").agg(
-        F.count(F.lit(1)).alias("_hits"),
-        F.min("_r").alias("_first"),
+    # ONE pass over the ranked list: LEFT join the broadcast relevance
+    # set, then a single groupBy covers hit counting, first-relevant
+    # rank, AND the query universe. (An inner hits-join plus a separate
+    # distinct-queries branch would compute the ranked list — i.e. the
+    # whole retrieval — twice, and their reconciliation join SMJ'd;
+    # caught by test_retrieval_eval_broadcasts_eval_relations.)
+    marked = r.join(
+        F.broadcast(rel.withColumn("_rel", F.lit(1))), ["_q", "_i"], "left"
     )
-    nq = r.select("_q").distinct()
-    joined = nq.join(per_q, "_q", "left").agg(
+    per_q = marked.groupBy("_q").agg(
+        F.sum(F.when(F.col("_rel").isNotNull(), 1).otherwise(0)).alias("_hits"),
+        F.min(F.when(F.col("_rel").isNotNull(), F.col("_r"))).alias("_first"),
+    )
+    joined = per_q.agg(
         F.count(F.lit(1)).alias("n_queries"),
         F.sum(F.coalesce(F.col("_hits"), F.lit(0))).alias("hits_at_k"),
         # scale = lcm(1..k) and _first ≤ k, so scale/_first is an exact

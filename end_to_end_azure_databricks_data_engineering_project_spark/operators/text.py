@@ -380,10 +380,17 @@ def divergent_tokens(
         F.sum(F.when(F.col("_a"), 1).otherwise(0)).alias("c_a"),
         F.sum(F.when(F.col("_a"), 0).otherwise(1)).alias("c_b"),
     )
-    totals = counts.agg(
-        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    # Totals ride an unbounded window over the COUNTS relation rather
+    # than a separate aggregate: a second aggregate branch would
+    # recompute the token counts — i.e. scan the corpus TWICE (caught
+    # by test_round9_single_corpus_scan). The window collapses to one
+    # partition, but over the vocab relation only — the same bounded
+    # cost class as the final row_number ranking below.
+    wt = Window.partitionBy()
+    counts = counts.withColumn("n_a", F.sum("c_a").over(wt)).withColumn(
+        "n_b", F.sum("c_b").over(wt)
     )
-    scored = counts.crossJoin(F.broadcast(totals)).select(
+    scored = counts.select(
         "token",
         "c_a",
         "c_b",

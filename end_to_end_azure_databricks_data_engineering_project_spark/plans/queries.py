@@ -7093,7 +7093,11 @@ def q_time_weighted_average(spark, sf):
              sum(CASE WHEN a THEN 0 ELSE 1 END) AS c_b
       FROM tok WHERE token <> '' GROUP BY token
     ),
-    tot AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM counts),
+    withtot AS (
+      SELECT token, c_a, c_b,
+             sum(c_a) OVER () AS n_a, sum(c_b) OVER () AS n_b
+      FROM counts
+    ),
     scored AS (
       SELECT token, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
              CASE WHEN n_a > 0 AND n_b > 0 THEN
@@ -7105,7 +7109,7 @@ def q_time_weighted_average(spark, sf):
                / ((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
                   * CAST(c_a + c_b AS DOUBLE))
              END AS chi2_term
-      FROM counts, tot
+      FROM withtot
     )
     SELECT CAST(rank AS INT) AS rank, token, c_a, c_b, chi2_term FROM (
       SELECT *, row_number() OVER (ORDER BY chi2_term DESC NULLS LAST, token ASC) AS rank

@@ -72,3 +72,48 @@ def test_srp_banding_keeps_vectors_out_of_explode(spark):
     assert not any("embedding" in l for l in gen), (
         "the embedding vector must not ride the banded explode"
     )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["sorted_neighborhood_pairs", "time_weighted_average",
+     "divergent_tokens_chi2", "grouped_dataset_split"],
+)
+def test_round9_entries_no_cartesian(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: unexpected cartesian"
+    # divergent_tokens' 1-row totals relation rides an explicit
+    # broadcast; anything else nested-loop-joining is a regression
+    if name != "divergent_tokens_chi2":
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: unexpected BNLJ"
+
+
+@pytest.mark.parametrize(
+    "name", ["sorted_neighborhood_pairs", "time_weighted_average",
+             "divergent_tokens_chi2"],
+)
+def test_round9_single_corpus_scan(spark, name):
+    # these are one-pass operators: the input table must be scanned
+    # exactly once (a second scan means a lost cache/reuse and doubles
+    # the 100 TB bill)
+    plan = _plan(spark, name)
+    # formatted explain prints each node twice (tree line + detail
+    # header) — count the numbered detail headers only
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 1, f"{name}: input scanned more than once"
+
+
+def test_integrity_fk_probes_broadcast(spark):
+    # every FK orphan probe must broadcast the parent key set: the
+    # child (fact) side may never shuffle for a referential check
+    plan = _plan(spark, "integrity_report_tpch")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "an FK probe fell back to SortMergeJoin"
+
+
+def test_retrieval_eval_broadcasts_eval_relations(spark):
+    # ranked topk broadcasts queries; the relevance join broadcasts the
+    # eval-sized relevance set — the corpus never shuffles
+    plan = _plan(spark, "retrieval_eval_mrr")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
