@@ -34,6 +34,8 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import deltalog
+
 try:  # Delta OSS if its jars are ever present; else versioned parquet.
     from delta.tables import DeltaTable  # type: ignore
 
@@ -264,6 +266,11 @@ class ManagedTable:
         fd = self._acquire_commit_lock()
         try:
             state = self._pointer_state()  # read INSIDE the lock
+            # heal first: if the previous committer crashed between its
+            # pointer write and its _delta_log write, exactly one
+            # committed version lacks its log entry — rewriting it is
+            # safe regardless of whether THIS commit proceeds
+            self._heal_delta_log(state)
             if epoch is not None and epoch_key is not None:
                 applied = state["epochs"].get(epoch_key)
                 if applied is not None and epoch <= applied:
@@ -307,7 +314,16 @@ class ManagedTable:
                 self._seed_ledger(state)
             state["committed"].append(v)
             state["version"] = v
+            # Delta-log record rides the SAME pointer write (delta
+            # versions are contiguous commit counts; MT versions can
+            # gap). Pointer first — it is the source of truth — then
+            # the log file; the crash window in between is healed by
+            # the next commit (see _heal_delta_log).
+            emit_meta, schema_string, prior_paths = self._prepare_delta(state, v)
             self._write_pointer_locked(state)
+            self._write_delta_commit(
+                state["delta"], v, emit_meta, schema_string, prior_paths
+            )
             return True
         finally:
             self._release_commit_lock(fd)
@@ -335,6 +351,98 @@ class ManagedTable:
             state.get("committed_floor", 0),
             seeded[0] if seeded else state["version"] + 1,
         )
+
+    # -- Delta transaction-log emission (see sources/deltalog.py) -----------
+    def _schema_string_for(self, v: int) -> str | None:
+        """Delta ``schemaString`` for version ``v``: the committed
+        ``_schema.json`` (already Spark StructType JSON — the exact
+        format Delta's metaData uses); derived by a one-off parquet
+        read only for legacy pre-schema-tracking versions."""
+        p = self._version_dir(v) / "_schema.json"
+        if p.exists():
+            return p.read_text()
+        try:
+            return self.spark.read.parquet(str(self._version_dir(v))).schema.json()
+        except Exception:
+            return None
+
+    def _prepare_delta(self, state: dict, v: int):
+        """Advance ``state['delta']`` for the commit of MT version ``v``
+        (call under the commit lock, before the pointer write). Returns
+        what the post-pointer log write needs: whether to emit metaData,
+        the schemaString, and the previous commit's add paths (read back
+        from the previous log file — self-contained, vacuum-proof)."""
+        prior = state.get("delta")
+        schema_string = self._schema_string_for(v)
+        md5 = deltalog.schema_fingerprint(schema_string)
+        if prior is None:
+            state["delta"] = {
+                "version": 0,
+                "mt_version": v,
+                "table_id": deltalog.new_table_id(),
+                "schema_md5": md5,
+            }
+            return schema_string is not None, schema_string, []
+        emit_meta = schema_string is not None and md5 != prior.get("schema_md5")
+        prior_paths = [
+            a["path"] for a in deltalog.read_adds(self.dir, prior["version"])
+        ]
+        state["delta"] = {
+            "version": prior["version"] + 1,
+            "mt_version": v,
+            "table_id": prior["table_id"],
+            "schema_md5": md5 if md5 is not None else prior.get("schema_md5"),
+        }
+        return emit_meta, schema_string, prior_paths
+
+    def _write_delta_commit(
+        self, rec: dict, v: int, emit_meta: bool,
+        schema_string: str | None, prior_paths: list[str],
+    ) -> None:
+        actions = deltalog.build_commit(
+            self._version_dir(v), rec["version"], self._op(v),
+            rec["table_id"], self.name, schema_string, emit_meta,
+            prior_paths, v,
+        )
+        deltalog.write_commit(self.dir, rec["version"], actions)
+
+    def _heal_delta_log(self, state: dict) -> None:
+        """Rewrite the pointer's recorded delta commit if its log file
+        is missing (crash between pointer write and log write, or a
+        user-deleted log dir). Everything needed is immutable and still
+        on disk: the snapshot dir (it is the pointer version — never
+        vacuumed), its ``_op``/``_schema.json``, and the previous
+        commit's adds. Healed commits always re-emit metaData
+        (harmless — Delta replay takes the latest). Call under the
+        commit lock."""
+        rec = state.get("delta")
+        if rec is None or deltalog.commit_path(self.dir, rec["version"]).exists():
+            return
+        v = rec["mt_version"]
+        prior_paths: list[str] = []
+        if rec["version"] > 0:
+            try:
+                prior_paths = [
+                    a["path"]
+                    for a in deltalog.read_adds(self.dir, rec["version"] - 1)
+                ]
+            except FileNotFoundError:
+                # whole log dir lost: restart accounting at this commit
+                prior_paths = []
+        schema_string = self._schema_string_for(v)
+        self._write_delta_commit(
+            rec, v, schema_string is not None, schema_string, prior_paths
+        )
+
+    def heal_delta_log(self) -> None:
+        """Public heal entry point (takes the commit lock) — run after a
+        suspected crash to bring ``_delta_log/`` current without waiting
+        for the next commit."""
+        fd = self._acquire_commit_lock()
+        try:
+            self._heal_delta_log(self._pointer_state())
+        finally:
+            self._release_commit_lock(fd)
 
     # -- schema enforcement / evolution -------------------------------------
     def _write_schema(self, vdir: Path, schema) -> None:
@@ -737,6 +845,7 @@ class ManagedTable:
         expected_version: int | None = None,
         set_props: dict | None = None,
         expect_props: dict | None = None,
+        op: str = "snapshot",
     ) -> int | None:
         """Write a full new snapshot and atomically repoint ``_latest``.
 
@@ -770,7 +879,7 @@ class ManagedTable:
             )
         v = self._claim_next_version()
         df.write.mode("overwrite").parquet(str(self._version_dir(v)))
-        self._write_op_marker(v, "snapshot")
+        self._write_op_marker(v, op)
         self._write_schema(self._version_dir(v), df.schema)
         self._collect_stats(self._version_dir(v))
         if not self._commit(
@@ -953,7 +1062,7 @@ class ManagedTable:
             )
         else:
             df = df.coalesce(target_partitions)
-        return self.overwrite(df, expected_version=v)
+        return self.overwrite(df, expected_version=v, op="compact")
 
     def vacuum(self, keep: int = 2) -> None:
         """Drop snapshot dirs older than the newest ``keep`` versions,

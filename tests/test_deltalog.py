@@ -1,0 +1,245 @@
+"""Structural validation of the native Delta transaction log that
+ManagedTable emits alongside every commit (sources/deltalog.py).
+
+The reference's storage contract is Delta (silver_Dimensions.py:55
+``format("delta")``); delta-spark itself cannot be installed in this
+offline environment, so these tests validate the public protocol
+structurally: action schema, version contiguity, add/remove file
+accounting (log replay == snapshot file set), schemaString round-trip,
+dataChange semantics, epoch-skip, and the crash-heal path.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from end_to_end_azure_databricks_data_engineering_project_spark.sources import deltalog
+from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import ManagedTable
+
+
+def _df(spark, start, n, extra_col=False):
+    rows = [(start + i, f"u{(start + i) % 7}", float(start + i)) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, user string, amount double")
+    if extra_col:
+        df = df.withColumn("flag", F.lit(1))
+    return df
+
+
+def _log_versions(table):
+    d = deltalog.log_dir(table.dir)
+    return sorted(int(p.stem) for p in d.glob("*.json"))
+
+
+def _replay_live_set(table):
+    """Replay the full log: the live file set after the last commit."""
+    live: set[str] = set()
+    for v in _log_versions(table):
+        for a in deltalog.read_actions(table.dir, v):
+            if "remove" in a:
+                live.discard(a["remove"]["path"])
+            if "add" in a:
+                live.add(a["add"]["path"])
+    return live
+
+
+def _snapshot_paths(table):
+    vdir = table._version_dir(table.current_version())
+    return {f"{vdir.name}/{f.name}" for f in vdir.glob("*.parquet")}
+
+
+def test_first_commit_protocol_metadata_adds(spark, tmp_path):
+    t = ManagedTable(spark, tmp_path / "wh", "orders")
+    t.overwrite(_df(spark, 0, 50))
+    assert _log_versions(t) == [0]
+    actions = deltalog.read_actions(t.dir, 0)
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "protocol"
+    assert kinds[1] == "metaData"
+    assert kinds[-1] == "commitInfo"
+    proto = actions[0]["protocol"]
+    assert proto["minReaderVersion"] == 1 and proto["minWriterVersion"] == 2
+    meta = actions[1]["metaData"]
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    assert meta["partitionColumns"] == []
+    # schemaString is Spark StructType JSON — must parse and round-trip
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    assert set(schema.fieldNames()) == {"id", "user", "amount"}
+    adds = deltalog.read_adds(t.dir, 0)
+    assert {a["path"] for a in adds} == _snapshot_paths(t)
+    for a in adds:
+        assert a["size"] > 0 and a["dataChange"] is True
+        assert a["partitionValues"] == {}
+    ci = actions[-1]["commitInfo"]
+    assert ci["operation"] == "WRITE"
+    assert ci["mtVersion"] == t.current_version()
+
+
+def test_append_accounting_and_readback(spark, tmp_path):
+    t = ManagedTable(spark, tmp_path / "wh", "orders")
+    t.overwrite(_df(spark, 0, 50))
+    t.append(_df(spark, 50, 30))
+    assert _log_versions(t) == [0, 1]
+    actions = deltalog.read_actions(t.dir, 1)
+    removes = {a["remove"]["path"] for a in actions if "remove" in a}
+    assert removes == {a["path"] for a in deltalog.read_adds(t.dir, 0)}
+    assert _replay_live_set(t) == _snapshot_paths(t)
+    # non-evolving append must NOT re-emit metaData
+    assert not any("metaData" in a for a in actions)
+    # reading the live add paths back with a stock parquet reader
+    # reproduces the table exactly
+    paths = [str(t.dir / p) for p in sorted(_replay_live_set(t))]
+    back = spark.read.parquet(*paths)
+    assert back.count() == 80
+    assert set(r["id"] for r in back.collect()) == set(range(80))
+
+
+def test_delta_versions_contiguous_across_aborted_claims(spark, tmp_path):
+    t = ManagedTable(spark, tmp_path / "wh", "orders")
+    t.overwrite(_df(spark, 0, 10))
+    # simulate a crashed writer: claimed dir that never commits
+    orphan = t._claim_next_version()
+    assert orphan == t.current_version() + 1
+    t.append(_df(spark, 10, 10))  # MT version skips past the orphan
+    assert _log_versions(t) == [0, 1]  # delta log has no gap
+    mt_versions = [
+        next(a["commitInfo"]["mtVersion"]
+             for a in deltalog.read_actions(t.dir, d) if "commitInfo" in a)
+        for d in (0, 1)
+    ]
+    assert mt_versions[1] > mt_versions[0] + 1  # the gap is in MT space
+    assert _replay_live_set(t) == _snapshot_paths(t)
+
+
+def test_epoch_skip_writes_no_delta_commit(spark, tmp_path):
+    t = ManagedTable(spark, tmp_path / "wh", "orders")
+    t.overwrite(_df(spark, 0, 10))
+    assert t.append(_df(spark, 10, 5), epoch=7, epoch_key="sink") is not None
+    assert t.append(_df(spark, 10, 5), epoch=7, epoch_key="sink") is None
+    assert _log_versions(t) == [0, 1]
+
+
+def test_schema_evolution_reemits_metadata(spark, tmp_path):
+    t = ManagedTable(spark, tmp_path / "wh", "orders")
+    t.overwrite(_df(spark, 0, 10))
+    t.append(_df(spark, 10, 10, extra_col=True), evolve=True)
+    actions = deltalog.read_actions(t.dir, 1)
+    metas = [a["metaData"] for a in actions if "metaData" in a]
+    assert len(metas) == 1
+    schema = StructType.fromJson(json.loads(metas[0]["schemaString"]))
+    assert "flag" in schema.fieldNames()
+    # stable table id across commits (Delta requires it)
+    id0 = next(a["metaData"]["id"]
+               for a in deltalog.read_actions(t.dir, 0) if "metaData" in a)
+    assert metas[0]["id"] == id0
+
+
+def test_compact_and_restore_datachange_false(spark, tmp_path):
+    t = ManagedTable(spark, tmp_path / "wh", "orders")
+    t.overwrite(_df(spark, 0, 40))
+    t.append(_df(spark, 40, 40))
+    t.compact(target_partitions=1)
+    ops = {}
+    for d in _log_versions(t):
+        for a in deltalog.read_actions(t.dir, d):
+            if "commitInfo" in a:
+                ops[d] = a["commitInfo"]["operation"]
+    assert ops[2] == "OPTIMIZE"
+    compact_adds = deltalog.read_adds(t.dir, 2)
+    assert all(a["dataChange"] is False for a in compact_adds)
+    t.restore(t.current_version() - 1)
+    d = max(_log_versions(t))
+    ci = next(a["commitInfo"] for a in deltalog.read_actions(t.dir, d)
+              if "commitInfo" in a)
+    assert ci["operation"] == "RESTORE"
+    assert _replay_live_set(t) == _snapshot_paths(t)
+
+
+def test_merge_keyed_logs_and_accounting_holds(spark, tmp_path):
+    t = ManagedTable(spark, tmp_path / "wh", "orders")
+    t.overwrite(_df(spark, 0, 60))
+
+    def upsert(current, batch):
+        merged = current.alias("c").join(batch.alias("b"), "id", "left_anti")
+        return merged.unionByName(batch)
+
+    t.merge_keyed(_df(spark, 30, 60), ["id"], upsert)
+    d = max(_log_versions(t))
+    ci = next(a["commitInfo"] for a in deltalog.read_actions(t.dir, d)
+              if "commitInfo" in a)
+    assert ci["operation"] == "MERGE"
+    assert _replay_live_set(t) == _snapshot_paths(t)
+    assert _log_versions(t) == list(range(d + 1))  # contiguous
+
+
+def test_crash_heal_rewrites_missing_commit(spark, tmp_path):
+    t = ManagedTable(spark, tmp_path / "wh", "orders")
+    t.overwrite(_df(spark, 0, 20))
+    t.append(_df(spark, 20, 20))
+    # simulate the crash window: pointer moved, log write lost
+    lost = deltalog.commit_path(t.dir, 1)
+    before = lost.read_text()
+    lost.unlink()
+    t.heal_delta_log()
+    assert lost.exists()
+    assert _replay_live_set(t) == _snapshot_paths(t)
+    healed = deltalog.read_actions(t.dir, 1)
+    orig = [json.loads(l) for l in before.splitlines() if l.strip()]
+    # same accounting (healed commit may add a redundant metaData)
+    assert {a["add"]["path"] for a in healed if "add" in a} == {
+        a["add"]["path"] for a in orig if "add" in a
+    }
+    assert {a["remove"]["path"] for a in healed if "remove" in a} == {
+        a["remove"]["path"] for a in orig if "remove" in a
+    }
+
+
+def test_crash_heal_happens_on_next_commit(spark, tmp_path):
+    t = ManagedTable(spark, tmp_path / "wh", "orders")
+    t.overwrite(_df(spark, 0, 20))
+    deltalog.commit_path(t.dir, 0).unlink()
+    t.append(_df(spark, 20, 20))  # commit must heal 0 before writing 1
+    assert _log_versions(t) == [0, 1]
+    assert _replay_live_set(t) == _snapshot_paths(t)
+
+
+def test_pre_existing_table_starts_log_at_enablement(spark, tmp_path):
+    t = ManagedTable(spark, tmp_path / "wh", "orders")
+    t.overwrite(_df(spark, 0, 10))
+    t.append(_df(spark, 10, 10))
+    # simulate a table created before delta-log emission existed
+    import shutil
+
+    shutil.rmtree(deltalog.log_dir(t.dir))
+    state = t._pointer_state()
+    state.pop("delta")
+    fd = t._acquire_commit_lock()
+    try:
+        t._write_pointer_locked(state)
+    finally:
+        t._release_commit_lock(fd)
+    t.append(_df(spark, 20, 10))
+    # log restarts at 0 with the table as-of enablement: protocol,
+    # metaData, and the FULL current snapshot as adds
+    assert _log_versions(t) == [0]
+    actions = deltalog.read_actions(t.dir, 0)
+    assert any("protocol" in a for a in actions)
+    assert any("metaData" in a for a in actions)
+    assert _replay_live_set(t) == _snapshot_paths(t)
+
+
+def test_vacuum_keeps_latest_commit_readable(spark, tmp_path):
+    t = ManagedTable(spark, tmp_path / "wh", "orders")
+    t.overwrite(_df(spark, 0, 10))
+    for i in range(1, 5):
+        t.append(_df(spark, 10 * i, 10))
+    t.vacuum(keep=1)
+    # latest delta commit references only the pointer version's files,
+    # which vacuum always keeps — stock-reader view survives
+    live = _replay_live_set(t)
+    assert live == _snapshot_paths(t)
+    for p in live:
+        assert (t.dir / p).exists()
