@@ -28,11 +28,16 @@ module is part of the mandated LLM-pipeline extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import tokens
 
-__all__ = ["bpe_word_counts", "bpe_learn_merges"]
+__all__ = [
+    "bpe_word_counts",
+    "bpe_learn_merges",
+    "bpe_encode",
+    "bpe_encode_ids",
+]
 
 
 def bpe_word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -168,3 +173,117 @@ def bpe_learn_merges(
         for c in caches:
             c.unpersist()
     return docs.sparkSession.createDataFrame(rows, out.schema)
+
+
+def _padded_sym(word: Column) -> Column:
+    """Boundary-padded space-joined character-symbol string for a word
+    (the representation every merge rule rewrites — see module
+    docstring)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: word.substr(i, F.lit(1)),
+    )
+    return F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" "))
+
+
+# nested-replace chain depth per projection; beyond this the chain is
+# split across stacked selects so a 32k-rule tokenizer neither builds
+# one expression tree of depth 32k nor trips Janino's 64KB method limit
+_APPLY_CHUNK = 16
+
+
+def bpe_encode(
+    docs: DataFrame,
+    rules: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize a corpus with learned BPE merge rules. Returns the
+    exploded token stream ``(id_col, widx, tpos, token, token_id)`` —
+    ``widx``/``tpos`` = 1-based word / within-word token positions;
+    ``token_id`` = the token's 1-based rank in the lexicographically
+    ordered vocabulary actually used (deterministic on both engines).
+
+    This is the half of the tokenizer an LLM pipeline actually runs at
+    100 TB, and its scale shape mirrors training's gift: merges are
+    replayed on the DISTINCT-WORD relation (Heaps-law-sized), never the
+    token stream — two corpus passes total (one feeding the distinct-
+    word vocabulary, one joined back word→tokens; persist the word
+    stream between them in a real pipeline to make it one). Rules
+    replay rank-by-rank as chained literal ``replace`` projections
+    (greedy single scan — byte-identical to how ``bpe_learn_merges``
+    rewrote its vocabulary, so duplicate pairs at different ranks
+    reproduce exactly; see the learn return contract). The rule table
+    is the only driver-side state (model-sized, like centroids); the
+    chain is split every ``_APPLY_CHUNK`` rules across stacked selects
+    to bound expression depth. The token-id vocabulary is ranked by a
+    single-partition window over the VOCAB relation — the same bounded
+    cost class as the final ranking in ``divergent_tokens``.
+    """
+    rule_rows = sorted(
+        rules.select("merge_rank", "lhs", "rhs").collect(),
+        key=lambda r: r["merge_rank"],
+    )
+    stream = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("_wi", "w"),
+    ).filter(F.col("w") != "").select(
+        id_col, (F.col("_wi") + 1).alias("widx"), "w"
+    )
+    words = stream.select("w").distinct()
+    sym = _padded_sym(F.col("w"))
+    out = words
+    for i, r in enumerate(rule_rows):
+        sym = F.replace(
+            sym,
+            F.lit(f" {r['lhs']} {r['rhs']} "),
+            F.lit(f" {r['lhs']}{r['rhs']} "),
+        )
+        if (i + 1) % _APPLY_CHUNK == 0 or i == len(rule_rows) - 1:
+            out = out.select("w", sym.alias("_sym"))
+            sym = F.col("_sym")
+    if not rule_rows:
+        out = words.select("w", _padded_sym(F.col("w")).alias("_sym"))
+    toked = out.select("w", F.split(F.trim("_sym"), " ").alias("_toks"))
+    vocab = (
+        toked.select(F.explode("_toks").alias("token"))
+        .distinct()
+        .select(
+            "token",
+            F.row_number()
+            .over(Window.partitionBy().orderBy(F.col("token").asc()))
+            .alias("token_id"),
+        )
+    )
+    return (
+        stream.join(toked, "w")
+        .select(
+            id_col,
+            "widx",
+            F.posexplode("_toks").alias("_ti", "token"),
+        )
+        .select(id_col, "widx", (F.col("_ti") + 1).alias("tpos"), "token")
+        .join(F.broadcast(vocab), "token")
+        .select(id_col, "widx", "tpos", "token", "token_id")
+    )
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    rules: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token-id sequences ``(id_col, token_ids
+    array<int>)`` — ``bpe_encode``'s stream reassembled document-order
+    by one groupBy (``sort_array`` over (widx, tpos) structs pins the
+    order under any partitioning)."""
+    enc = bpe_encode(docs, rules, text_col, id_col)
+    return enc.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("widx", "tpos", "token_id"))
+            ),
+            lambda s: s["token_id"],
+        ).alias("token_ids")
+    )

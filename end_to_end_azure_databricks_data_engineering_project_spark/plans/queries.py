@@ -6568,20 +6568,23 @@ def q_roc_points(spark, sf):
     )
 
 
-def _bpe_oracle(n_merges: int = 4) -> str:
-    r"""DuckDB replay of bpe_learn_merges: word counts once, then
-    n_merges chained rounds of (pair counts → best pair → boundary-
-    padded greedy-single-scan replace). replace() continuation
-    semantics verified identical Spark↔DuckDB (' a a a a ' → ' aa a a '
-    on both)."""
+def _bpe_chain_ctes(n_merges: int = 4, carry_w: bool = False) -> str:
+    r"""Shared CTE chain replaying bpe_learn_merges' merge rounds in
+    DuckDB: word counts once, then n_merges chained rounds of (pair
+    counts → best pair → boundary-padded greedy-single-scan replace).
+    replace() continuation semantics verified identical Spark↔DuckDB
+    (' a a a a ' → ' aa a a ' on both). ``carry_w=True`` threads the
+    raw word through every round so the final s{n} is the word→symbol
+    map the encode oracle joins the corpus stream against."""
+    w_col = "w, " if carry_w else ""
     parts = [
-        r"""WITH w0 AS (
+        rf"""w0 AS (
       SELECT w, count(*) AS wfreq FROM (
         SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
         FROM documents) WHERE w <> '' GROUP BY w
     ),
     s0 AS (
-      SELECT ' ' || array_to_string(
+      SELECT {w_col}' ' || array_to_string(
                list_transform(range(1, len(w)+1), i -> w[i]), ' ') || ' ' AS sym,
              wfreq
       FROM w0
@@ -6600,18 +6603,24 @@ def _bpe_oracle(n_merges: int = 4) -> str:
     ),
     b{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
     s{r} AS (
-      SELECT replace(sym,
+      SELECT {w_col}replace(sym,
                ' ' || (SELECT a FROM b{r}) || ' ' || (SELECT b FROM b{r}) || ' ',
                ' ' || (SELECT a FROM b{r}) || (SELECT b FROM b{r}) || ' ') AS sym,
              wfreq
       FROM {prev}
     )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle(n_merges: int = 4) -> str:
+    """DuckDB replay of bpe_learn_merges over the shared merge-round
+    chain (see _bpe_chain_ctes)."""
     selects = "\n    UNION ALL ".join(
         f"SELECT {r} AS merge_rank, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
         for r in range(1, n_merges + 1)
     )
-    return "".join(parts) + "\n    " + selects
+    return "WITH " + _bpe_chain_ctes(n_merges) + "\n    " + selects
 
 
 @_q(
@@ -6630,6 +6639,66 @@ def q_bpe_learn_merges(spark, sf):
     from end_to_end_azure_databricks_data_engineering_project_spark.operators.bpe import bpe_learn_merges
 
     return bpe_learn_merges(_t(spark, sf, "documents"), n_merges=4)
+
+
+def _bpe_encode_oracle(n_merges: int = 4, doc_limit: int = 50) -> str:
+    r"""DuckDB replay of bpe_encode: the shared learn chain (carrying
+    the word through every round) yields the word→final-symbol map;
+    the corpus word stream (positions BEFORE the empty-word filter,
+    matching Spark's posexplode-then-filter) joins it, tokens explode
+    with within-word positions, ids rank the slice's vocabulary."""
+    return rf"""
+    WITH {_bpe_chain_ctes(n_merges, carry_w=True)},
+    toked AS (
+      SELECT w, string_split(trim(sym), ' ') AS toks FROM s{n_merges}
+    ),
+    stream AS (
+      SELECT doc_id, CAST(i AS INT) AS widx, ws[i] AS w FROM (
+        SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS i FROM (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+          FROM documents WHERE doc_id < {doc_limit}))
+      WHERE ws[i] <> ''
+    ),
+    stoked AS (
+      SELECT t.w, t.toks FROM toked t
+      JOIN (SELECT DISTINCT w FROM stream) sw USING (w)
+    ),
+    vocab AS (
+      SELECT token, CAST(row_number() OVER (ORDER BY token ASC) AS INT) AS token_id
+      FROM (SELECT DISTINCT unnest(toks) AS token FROM stoked)
+    ),
+    enc AS (
+      SELECT doc_id, widx, CAST(i AS INT) AS tpos, toks[i] AS token FROM (
+        SELECT s.doc_id, s.widx, t.toks, unnest(range(1, len(t.toks)+1)) AS i
+        FROM stream s JOIN stoked t USING (w))
+    )
+    SELECT e.doc_id, e.widx, e.tpos, e.token, v.token_id
+    FROM enc e JOIN vocab v USING (token)
+    """
+
+
+@_q(
+    "bpe_encode",
+    "BPE tokenizer application: replay 4 learned merge rules to "
+    "tokenize a 50-doc slice into (doc, word, token-position, token, "
+    "token-id) — the half an LLM pipeline actually runs at 100 TB. "
+    "Scale shape mirrors training's gift: merges replay on the "
+    "DISTINCT-WORD relation (Heaps-law-sized) as chained literal "
+    "replace projections, never the token stream; the corpus is "
+    "scanned once and joined back word->tokens; the rule table is the "
+    "only driver-side state (model-sized)",
+    "extension: tokenizer application (LLM-pipeline surface)",
+    _bpe_encode_oracle(4, 50),
+)
+def q_bpe_encode(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.bpe import (
+        bpe_encode,
+        bpe_learn_merges,
+    )
+
+    docs = _t(spark, sf, "documents")
+    rules = bpe_learn_merges(docs, n_merges=4)
+    return bpe_encode(docs.filter(F.col("doc_id") < 50), rules)
 
 
 def _lsh_recall_oracle(num_hashes: int = 8, bands: int = 4, threshold: float = 0.5) -> str:

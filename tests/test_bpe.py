@@ -3,6 +3,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from end_to_end_azure_databricks_data_engineering_project_spark.operators.bpe import (
+    bpe_encode,
+    bpe_encode_ids,
     bpe_learn_merges,
     bpe_word_counts,
 )
@@ -78,3 +80,106 @@ def test_all_single_symbol_corpus_returns_empty_with_schema(spark):
     assert [f.name for f in out.schema.fields] == [
         "merge_rank", "lhs", "rhs", "pair_count",
     ]
+
+
+# -- bpe_encode / bpe_encode_ids ------------------------------------------
+
+
+def test_encode_hand_computed(spark):
+    corpus = ["low "] * 5 + ["lower "] * 2 + ["newest "] * 6 + ["widest "] * 3
+    docs = _docs(spark, [" ".join(corpus)])
+    rules = bpe_learn_merges(docs, n_merges=3)  # es, est, lo (see above)
+    enc = bpe_encode(_docs(spark, ["newest low"]), rules)
+    toks = [
+        r.token
+        for r in enc.orderBy("widx", "tpos").collect()
+    ]
+    assert toks == ["n", "e", "w", "est", "lo", "w"]
+    # token_id = lexicographic rank within THIS corpus slice's vocab
+    vocab = sorted(set(toks))
+    ids = {r.token: r.token_id for r in enc.collect()}
+    assert ids == {t: vocab.index(t) + 1 for t in vocab}
+
+
+def test_encode_roundtrip_decodes_to_words(spark):
+    docs = _docs(spark, ["the fast key order", "order keys fast fast", "low lower lowest"])
+    rules = bpe_learn_merges(docs, n_merges=4)
+    enc = bpe_encode(docs, rules)
+    rejoined = enc.groupBy("doc_id", "widx").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("tpos", "token"))),
+                lambda s: s["token"],
+            ),
+        ).alias("rw")
+    )
+    words = (
+        docs.select(
+            "doc_id", F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("_wi", "w")
+        )
+        .filter(F.col("w") != "")
+        .select("doc_id", (F.col("_wi") + 1).alias("widx"), "w")
+    )
+    assert rejoined.join(words, ["doc_id", "widx"]).filter(
+        F.col("rw") != F.col("w")
+    ).count() == 0
+
+
+def test_encode_conserves_characters(spark):
+    # sum of token lengths per word == word length (merges rearrange,
+    # never create or destroy characters)
+    docs = _docs(spark, ["aaaa aab abab", "baba aaaa bb"])
+    rules = bpe_learn_merges(docs, n_merges=3)
+    enc = bpe_encode(docs, rules)
+    per_word = enc.groupBy("doc_id", "widx").agg(
+        F.sum(F.length("token")).alias("chars")
+    )
+    words = (
+        docs.select(
+            "doc_id", F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("_wi", "w")
+        )
+        .filter(F.col("w") != "")
+        .select("doc_id", (F.col("_wi") + 1).alias("widx"), F.length("w").alias("wlen"))
+    )
+    assert per_word.join(words, ["doc_id", "widx"]).filter(
+        F.col("chars") != F.col("wlen")
+    ).count() == 0
+
+
+def test_encode_zero_rules_is_character_tokenizer(spark):
+    docs = _docs(spark, ["ab ba"])
+    empty = spark.createDataFrame(
+        [], "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )
+    toks = [
+        (r.widx, r.tpos, r.token, r.token_id)
+        for r in bpe_encode(docs, empty).orderBy("widx", "tpos").collect()
+    ]
+    assert toks == [(1, 1, "a", 1), (1, 2, "b", 2), (2, 1, "b", 2), (2, 2, "a", 1)]
+
+
+def test_encode_chunked_projection_matches_single_chain(spark, monkeypatch):
+    # force the stacked-select path (chunk=2) and compare against the
+    # default chain — identical output proves the split is semantics-free
+    import end_to_end_azure_databricks_data_engineering_project_spark.operators.bpe as bpe_mod
+
+    docs = _docs(spark, ["low lower newest widest", "newest newest low"])
+    rules = bpe_learn_merges(docs, n_merges=5)
+    base = sorted(
+        tuple(r) for r in bpe_encode(docs, rules).collect()
+    )
+    monkeypatch.setattr(bpe_mod, "_APPLY_CHUNK", 2)
+    chunked = sorted(tuple(r) for r in bpe_encode(docs, rules).collect())
+    assert chunked == base
+
+
+def test_encode_ids_assembles_document_order(spark):
+    docs = _docs(spark, ["ab aa", "ba"])
+    empty = spark.createDataFrame(
+        [], "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )
+    ids = {r.doc_id: r.token_ids for r in bpe_encode_ids(docs, empty).collect()}
+    # vocab over slice: a=1, b=2
+    assert ids[0] == [1, 2, 1, 1]
+    assert ids[1] == [2, 1]
