@@ -30,6 +30,8 @@ __all__ = [
     "per_bin_counts",
     "merge_bin_counts",
     "auc_from_bins",
+    "pr_curve_from_bins",
+    "average_precision_from_bins",
     "retrieval_eval",
     "cohens_kappa",
 ]
@@ -123,6 +125,91 @@ def auc_from_bins(bins: DataFrame) -> DataFrame:
             F.col("u2").cast("double")
             / (2 * F.col("n_pos").cast(_DEC) * F.col("n_neg").cast(_DEC)).cast("double"),
         ).alias("auc"),
+    )
+
+
+def pr_curve_from_bins(bins: DataFrame) -> DataFrame:
+    """Precision-recall curve from the SAME (bin, pos, neg) monoid
+    that backs AUC/ROC/calibration — one threshold per distinct score
+    bin, predicting positive at ``score_bin >= bin``:
+
+        tp(b) = Σ_{b' >= b} pos_b'     fp(b) = Σ_{b' >= b} neg_b'
+        precision = tp / (tp + fp)     recall = tp / n_pos
+
+    All cumulative sums are exact integers over the bounded bins
+    relation (window over ≤ |bins| rows — raw predictions never sort);
+    each output float is ONE IEEE division of exact values, so the
+    curve is bit-identical across engines. ``tp + fp >= 1`` by
+    construction (every bin row holds at least one example); recall is
+    NULL when the slice has no positives (same one-class guard as
+    ``auc_from_bins``). Maintained incrementally for streams by
+    ``run_auc_drain``'s bins table — point this finisher at it.
+
+    Returns (bin, tp, fp, precision, recall) ordered by any consumer's
+    choice (bin DESC walks the curve from strictest threshold).
+    """
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tp, fp = F.sum("pos").over(w), F.sum("neg").over(w)
+    n_pos = F.sum("pos").over(t)
+    return bins.select(
+        "bin",
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        (tp.cast("double") / (tp + fp).cast("double")).alias("precision"),
+        F.when(n_pos > 0, tp.cast("double") / n_pos.cast("double")).alias(
+            "recall"
+        ),
+    )
+
+
+def average_precision_from_bins(bins: DataFrame) -> DataFrame:
+    """Exact average precision (the step-wise AP of scikit-learn's
+    ``average_precision_score``, computed on the quantized bins) from
+    the shared (bin, pos, neg) monoid:
+
+        AP = Σ_b ΔR(b) · P(b) = (Σ_b pos_b · tp_b / (tp_b + fp_b)) / n_pos
+
+    with tp/fp cumulative from the strictest threshold INCLUDING bin b.
+
+    Float discipline (the module house rule): each per-bin term is one
+    division of exact integers (``pos·tp`` accumulates in
+    decimal(38,0) — past int64 at ~3e9 examples); the term SUM is a
+    sequential fold in pinned bin-DESC order (``F.aggregate`` over a
+    sorted array ↔ DuckDB ``list_reduce(list(... ORDER BY bin DESC))``)
+    because float addition does not commute across partitionings. The
+    fold's array is the BOUNDED bins relation — never raw predictions.
+    NULL (not NaN/throw) when the slice is all-negative.
+
+    Returns one row: n_pos, n_neg, ap (double).
+    """
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tp, fp = F.sum("pos").over(w), F.sum("neg").over(w)
+    term = (F.col("pos").cast(_DEC) * tp.cast(_DEC)).cast("double") / (
+        tp + fp
+    ).cast("double")
+    scored = bins.select("bin", "pos", "neg", term.alias("_term"))
+    folded = scored.agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.aggregate(
+            F.reverse(
+                F.sort_array(F.collect_list(F.struct("bin", "_term")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["_term"],
+        ).alias("_num"),
+    )
+    return folded.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            F.col("n_pos") > 0, F.col("_num") / F.col("n_pos").cast("double")
+        ).alias("ap"),
     )
 
 

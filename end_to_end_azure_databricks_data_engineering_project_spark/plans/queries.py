@@ -6568,6 +6568,94 @@ def q_roc_points(spark, sf):
     )
 
 
+_EVAL_BINS_CTE = """per AS (
+      SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS bin,
+             sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS pos,
+             sum(CASE WHEN label >= 5 THEN 0 ELSE 1 END) AS neg
+      FROM embeddings
+      WHERE embedding[1] IS NOT NULL AND label IS NOT NULL
+      GROUP BY 1
+    )"""
+
+
+def _eval_bins(spark, sf):
+    """The shared quantized-score (bin, pos, neg) relation every eval
+    entry (AUC/ROC/calibration/PR/AP) finishes from."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import per_bin_counts
+
+    e = _t(spark, sf, "embeddings")
+    score_bin = F.floor(F.element_at("embedding", 1).cast("double") * 1000)
+    return per_bin_counts(e, score_bin, F.col("label") >= 5)
+
+
+@_q(
+    "pr_curve",
+    "Precision-recall curve from the SAME per-bin-count monoid as "
+    "AUC/ROC/calibration: per score-bin threshold, cumulative-from-"
+    "the-top TP/FP and exact precision/recall (each ONE IEEE division "
+    "of exact ints). Window runs over the already-aggregated <=|bins| "
+    "relation — raw predictions never globally sort; maintained "
+    "incrementally for streams by run_auc_drain's bins table",
+    "extension: eval metrics (PR curve)",
+    f"""
+    WITH {_EVAL_BINS_CTE}
+    SELECT bin,
+           CAST(sum(pos) OVER w AS BIGINT) AS tp,
+           CAST(sum(neg) OVER w AS BIGINT) AS fp,
+           CAST(sum(pos) OVER w AS DOUBLE)
+             / CAST(sum(pos) OVER w + sum(neg) OVER w AS DOUBLE) AS precision,
+           CASE WHEN sum(pos) OVER t > 0 THEN
+             CAST(sum(pos) OVER w AS DOUBLE)
+               / CAST(sum(pos) OVER t AS DOUBLE) END AS recall
+    FROM per
+    WINDOW w AS (ORDER BY bin DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           t AS (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_pr_curve(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import pr_curve_from_bins
+
+    return pr_curve_from_bins(_eval_bins(spark, sf))
+
+
+@_q(
+    "average_precision",
+    "Exact average precision (sklearn step-wise AP on the quantized "
+    "bins): AP = sum_b pos_b * tp_b/(tp_b+fp_b) / n_pos. Per-bin term "
+    "= one division of exact ints (pos*tp rides decimal(38,0)); the "
+    "term sum is a SEQUENTIAL fold in pinned bin-DESC order "
+    "(F.aggregate <-> list_reduce) because float addition does not "
+    "commute across partitionings — the fold array is the bounded "
+    "bins relation, never raw predictions",
+    "extension: eval metrics (average precision)",
+    f"""
+    WITH {_EVAL_BINS_CTE},
+    cum AS (
+      SELECT bin, pos, neg,
+             CAST(CAST(pos AS DECIMAL(38,0))
+                  * CAST(sum(pos) OVER w AS DECIMAL(38,0)) AS DOUBLE)
+               / CAST(sum(pos) OVER w + sum(neg) OVER w AS DOUBLE) AS term
+      FROM per
+      WINDOW w AS (ORDER BY bin DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           CASE WHEN sum(pos) > 0 THEN
+             list_reduce(list(term ORDER BY bin DESC), (a, b) -> a + b)
+               / CAST(sum(pos) AS DOUBLE) END AS ap
+    FROM cum
+    """,
+)
+def q_average_precision(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import (
+        average_precision_from_bins,
+    )
+
+    return average_precision_from_bins(_eval_bins(spark, sf))
+
+
 def _bpe_chain_ctes(n_merges: int = 4, carry_w: bool = False) -> str:
     r"""Shared CTE chain replaying bpe_learn_merges' merge rounds in
     DuckDB: word counts once, then n_merges chained rounds of (pair

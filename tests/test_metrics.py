@@ -98,3 +98,90 @@ def test_column_expressions_accepted(spark):
     ).collect()[0]
     # pos scores {123, 900}, neg {1, 400}: 3 of 4 pairs ordered → 0.75
     assert row.n_pos == 2 and row.n_neg == 2 and row.auc == 0.75
+
+
+# -- pr_curve_from_bins / average_precision_from_bins ----------------------
+
+
+def _bins(spark, rows):
+    return spark.createDataFrame(rows, "bin long, pos long, neg long")
+
+
+def _ap_reference(bins_rows):
+    """Step-wise AP over bins in descending-bin order (the sklearn
+    definition on quantized scores), plain Python floats."""
+    rows = sorted(bins_rows, reverse=True)
+    n_pos = sum(p for _, p, _ in rows)
+    tp = fp = 0
+    num = 0.0
+    for _, p, n in rows:
+        tp += p
+        fp += n
+        num += p * tp / (tp + fp)
+    return num / n_pos if n_pos else None
+
+
+def test_pr_curve_hand_computed(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import pr_curve_from_bins
+
+    # bins (desc): 9 -> (2 pos, 0 neg), 5 -> (1, 1), 1 -> (0, 2)
+    out = {
+        r.bin: (r.tp, r.fp, r.precision, r.recall)
+        for r in pr_curve_from_bins(
+            _bins(spark, [(9, 2, 0), (5, 1, 1), (1, 0, 2)])
+        ).collect()
+    }
+    assert out[9] == (2, 0, 1.0, 2 / 3)
+    assert out[5] == (3, 1, 0.75, 1.0)
+    assert out[1] == (3, 3, 0.5, 1.0)
+
+
+def test_average_precision_matches_reference(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import (
+        average_precision_from_bins,
+    )
+
+    rows = [(9, 2, 0), (5, 1, 1), (3, 4, 7), (1, 0, 2), (-2, 1, 5)]
+    got = average_precision_from_bins(_bins(spark, rows)).collect()[0]
+    assert got.n_pos == 8 and got.n_neg == 15
+    assert got.ap == pytest.approx(_ap_reference(rows), abs=0)
+
+
+def test_average_precision_merge_invariant(spark):
+    # AP finished from merged per-batch bins == AP from one-shot bins:
+    # the monoid property that makes the metric stream-maintainable
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import (
+        average_precision_from_bins,
+        merge_bin_counts,
+    )
+
+    a = _bins(spark, [(9, 1, 0), (5, 1, 0), (3, 2, 3)])
+    b = _bins(spark, [(9, 1, 0), (5, 0, 1), (3, 2, 4), (1, 0, 2)])
+    whole = _bins(spark, [(9, 2, 0), (5, 1, 1), (3, 4, 7), (1, 0, 2)])
+    m = average_precision_from_bins(merge_bin_counts(a, b)).collect()[0]
+    w = average_precision_from_bins(whole).collect()[0]
+    assert (m.n_pos, m.n_neg, m.ap) == (w.n_pos, w.n_neg, w.ap)
+
+
+def test_pr_ap_one_class_guard(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import (
+        average_precision_from_bins,
+        pr_curve_from_bins,
+    )
+
+    all_neg = _bins(spark, [(5, 0, 3), (2, 0, 1)])
+    assert average_precision_from_bins(all_neg).collect()[0].ap is None
+    curve = pr_curve_from_bins(all_neg).collect()
+    assert all(r.recall is None for r in curve)
+    assert all(r.precision == 0.0 for r in curve)
+
+
+def test_pr_curve_partitioning_invariant(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import (
+        average_precision_from_bins,
+    )
+
+    rows = [(b, (b * 7) % 3, (b * 5) % 4) for b in range(40)]
+    one = average_precision_from_bins(_bins(spark, rows).coalesce(1)).collect()[0]
+    many = average_precision_from_bins(_bins(spark, rows).repartition(8)).collect()[0]
+    assert (one.n_pos, one.n_neg, one.ap) == (many.n_pos, many.n_neg, many.ap)
