@@ -36,6 +36,49 @@ HEADLINE = [
     "cosine_topk",
 ]
 
+# One representative per post-r6 operator family, timed and reported
+# under "extended" WITHOUT entering "value": the headline total has
+# been the same 11 queries since r1 and is what round-over-round (and
+# the 2x-of-baseline bar) compares — growing it would read as a
+# regression. Regressions in these families are now visible per-round
+# instead of only in ad-hoc stress runs.
+EXTENDED = [
+    "ann_topk_ivfpq",      # ANN stack: IVF-PQ fit + ADC search
+    "binary_auc_exact",    # eval metrics: bin-monoid AUC
+    "bpe_learn_merges",    # tokenizer induction (4 merge rounds)
+    "bpe_encode",          # tokenizer application (vocab replay + join-back)
+    "interval_islands",    # interval algebra monoid
+]
+
+
+def _drain_cycle_seconds(spark, sf_dir: str) -> float:
+    """One full streaming-drain cycle (the r7/r8 exactly-once family):
+    per-batch AUC bins -> run_auc_drain into a fresh ManagedTable ->
+    finish auc_from_bins off the table. Temp-dir sandboxed; measures
+    the drain protocol cost (OCC read, merge, overwrite, commit), not
+    just the query plan."""
+    import shutil
+    import tempfile
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import auc_from_bins
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import run_auc_drain
+
+    root = tempfile.mkdtemp(prefix="bench_drain_")
+    try:
+        cat = Catalog(spark, root)
+        batch = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+            "CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000) AS BIGINT) AS sbin",
+            "label >= 5 AS is_pos",
+        )
+        t0 = time.perf_counter()
+        run_auc_drain(cat, batch, epoch=1, score_bin_col="sbin",
+                      positive_col="is_pos", binning="e1x1000")
+        auc_from_bins(cat.table("auc_bins").read()).collect()
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,12 +102,30 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — degrade, don't die
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        q = CATALOG[name]
+        t0 = time.perf_counter()
+        try:
+            q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            extended[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+    try:
+        extended["auc_drain_cycle"] = _drain_cycle_seconds(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        errors["auc_drain_cycle"] = f"{type(exc).__name__}: {exc}"[:300]
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline query suite wall-clock (noop sink, full execution)",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # post-r6 family representatives: timed, NOT in "value" (the
+        # headline total compares round-over-round; see EXTENDED note)
+        "extended": extended,
+        "extended_total": round(sum(extended.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
