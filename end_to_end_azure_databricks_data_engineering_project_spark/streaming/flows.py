@@ -1251,3 +1251,145 @@ def run_islands_drain(
         props={"interval_spec": interval_spec},
         guard="islands from different interval semantics never re-merge",
     )
+
+
+def run_ri_drain(
+    catalog: Catalog,
+    children: DataFrame,
+    parents: DataFrame,
+    epoch: int,
+    child_key: str,
+    parent_key: str,
+    ri_spec: str,
+) -> dict:
+    """One exactly-once drain of a streaming DEFERRED referential-
+    integrity check — the late-arriving-dimension problem every star-
+    schema medallion pipeline has (reference parity: the silver fact
+    joins dims by FK, silver_Dimensions.py — a fact row landing before
+    its dimension row is operationally routine, and dropping or
+    null-joining it is silent data loss; this drain parks it and cures
+    it when the parent arrives).
+
+    State, all ManagedTables:
+      ``ri_parent_keys`` — distinct parent keys ever seen (a key-only
+        relation: dimension-cardinality, the real bound — state is the
+        DIMENSION's key set, never the fact stream);
+      ``ri_orphans``     — child rows still waiting for their parent,
+        stamped ``__orphan_since`` = first epoch seen (bounded by true
+        orphan count; shrinks as parents arrive; ``prune_ri_orphans``
+        is the retention lever for permanently-dead keys);
+      ``ri_cured``       — append-only log of orphans whose parent
+        arrived, stamped ``__cured_epoch`` (downstream replays these
+        into the fact table).
+
+    Commit choreography (three tables cannot commit atomically — the
+    order + per-table epoch guards make every crash window replayable):
+
+      1. cured append: stored orphans semi-joined to THIS batch's
+         parent keys — deterministic from (pre-drain orphan state,
+         batch), so a replay recomputes it identically and the epoch
+         guard makes the append exactly-once;
+      2. parent-keys drain: distinct union (an IDEMPOTENT monoid —
+         the epoch guard just skips work on replay);
+      3. orphan drain: (stored ∪ batch children) anti-join the
+         COMMITTED parent keys (now including this batch). Also
+         idempotent given steps 1-2, but epoch-guarded so a replay
+         never re-stamps ``__orphan_since``.
+
+    A crash between any two steps replays cleanly: earlier steps
+    no-op on their epoch guard and later steps recompute from state
+    those earlier steps left exactly as the replay expects.
+    ``ri_spec`` (e.g. "orders.custkey->customer.custkey") binds as a
+    commit-atomic property on all three tables — orphans parked under
+    one FK definition must never be cured by another's parents.
+
+    Returns {"orphans": n, "cured": k, "parents": p} (counts after the
+    drain), with ``orphans=-1`` when the whole epoch was already
+    applied (full-replay no-op).
+    """
+    props = {"ri_spec": ri_spec}
+    parents_t = catalog.table("ri_parent_keys")
+    orphans_t = catalog.table("ri_orphans")
+    cured_t = catalog.table("ri_cured")
+    for t in (parents_t, orphans_t, cured_t):
+        bound = t.table_prop("ri_spec")
+        if bound is not None and bound != ri_spec:
+            raise ValueError(
+                f"{t.name} table was built with ri_spec={bound!r}; "
+                f"refusing ri_spec={ri_spec!r} (orphans parked under one "
+                "FK definition must never be cured by another's parents)"
+            )
+    pkeys = parents.select(F.col(parent_key).alias("__pk")).distinct()
+
+    # 1. cure: stored orphans whose parent arrived IN THIS BATCH
+    cured_n = 0
+    stored_cured = cured_t.applied_epoch("ri_cured")
+    if orphans_t.exists():
+        cured = orphans_t.read().join(
+            F.broadcast(pkeys),
+            F.col(child_key) == F.col("__pk"),
+            "left_semi",
+        ).withColumn("__cured_epoch", F.lit(epoch).cast("bigint"))
+        if stored_cured is None or epoch > stored_cured:
+            cured = cured.localCheckpoint(eager=True)  # pin pre-drain state
+            cured_n = cured.count()
+            if cured_n:
+                cured_t.append(
+                    cured, epoch=epoch, epoch_key="ri_cured",
+                    set_props=props, expect_props=props, evolve=True,
+                )
+
+    # 2. parent keys: distinct-union monoid
+    parents_n = _merge_state_drain(
+        catalog, "ri_parent_keys", epoch, "ri_parents",
+        build=lambda: pkeys,
+        merge=lambda stored, batch_keys: stored.unionByName(batch_keys).distinct(),
+        props=props,
+        guard="parent key sets from different FK definitions never union",
+    )
+    if parents_n < 0:
+        parents_n = parents_t.read().count() if parents_t.exists() else 0
+
+    # 3. orphans: (stored ∪ new children) minus all committed parents
+    stamped = children.withColumn(
+        "__orphan_since", F.lit(epoch).cast("bigint")
+    )
+
+    def _reorphan(stored: DataFrame, batch_children: DataFrame) -> DataFrame:
+        return stored.unionByName(batch_children)
+
+    def _against_parents(df: DataFrame) -> DataFrame:
+        keys = parents_t.read() if parents_t.exists() else None
+        if keys is None:
+            return df
+        return df.join(
+            keys, F.col(child_key) == F.col("__pk"), "left_anti"
+        )
+
+    orphans_n = _merge_state_drain(
+        catalog, "ri_orphans", epoch, "ri_orphans",
+        build=lambda: _against_parents(stamped),
+        merge=lambda stored, batch_orphans: _against_parents(
+            _reorphan(stored, batch_orphans)
+        ),
+        props=props,
+        guard="orphans from different FK definitions never co-mingle",
+    )
+    return {"orphans": orphans_n, "cured": cured_n, "parents": parents_n}
+
+
+def prune_ri_orphans(catalog: Catalog, cutoff_epoch: int) -> int:
+    """Retention sweep for the deferred-RI orphan state: drop orphans
+    first seen at or before ``cutoff_epoch`` — the lever for
+    permanently-dead FKs (a parent that was never going to arrive).
+    The dropped rows are the pipeline's data-quality REJECTS; read
+    them before sweeping (``ri_orphans`` where ``__orphan_since <=
+    cutoff``) if they feed a quarantine report. OCC-guarded
+    read-filter-overwrite; returns retained count."""
+    table = catalog.table("ri_orphans")
+    base_v = table.current_version()
+    if base_v < 0:
+        return 0
+    kept = table.read().filter(F.col("__orphan_since") > cutoff_epoch)
+    n, _ = _occ_overwrite(table, kept, base_v)
+    return n

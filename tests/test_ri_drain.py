@@ -1,0 +1,143 @@
+"""Deferred referential-integrity drain (late-arriving dimensions):
+orphan parking, curing, exactly-once replay, crash windows, spec guard,
+retention sweep, and equivalence with the one-shot batch computation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+from end_to_end_azure_databricks_data_engineering_project_spark.streaming import flows
+from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import (
+    prune_ri_orphans,
+    run_ri_drain,
+)
+
+SPEC = "orders.custkey->customer.custkey"
+
+
+def _children(spark, rows):
+    return spark.createDataFrame(rows, "order_id long, custkey long, amount double")
+
+
+def _parents(spark, keys):
+    return spark.createDataFrame([(k, f"c{k}") for k in keys], "custkey long, name string")
+
+
+def _drain(cat, spark, epoch, child_rows, parent_keys):
+    return run_ri_drain(
+        cat, _children(spark, child_rows), _parents(spark, parent_keys),
+        epoch=epoch, child_key="custkey", parent_key="custkey", ri_spec=SPEC,
+    )
+
+
+def test_orphan_park_and_cure_cycle(spark, tmp_path):
+    cat = Catalog(spark, tmp_path / "wh")
+    # epoch 1: children for customers 1,2,3; only parent 1 exists
+    got = _drain(cat, spark, 1, [(10, 1, 5.0), (11, 2, 6.0), (12, 3, 7.0)], [1])
+    assert got == {"orphans": 2, "cured": 0, "parents": 1}
+    orphans = {r.custkey for r in cat.table("ri_orphans").read().collect()}
+    assert orphans == {2, 3}
+
+    # epoch 2: parent 2 arrives (no new children) -> child 11 cured
+    got = _drain(cat, spark, 2, [], [2])
+    assert got == {"orphans": 1, "cured": 1, "parents": 2}
+    cured = cat.table("ri_cured").read().collect()
+    assert [
+        (r["order_id"], r["custkey"], r["__orphan_since"], r["__cured_epoch"])
+        for r in cured
+    ] == [(11, 2, 1, 2)]
+    assert {r.custkey for r in cat.table("ri_orphans").read().collect()} == {3}
+
+    # epoch 3: child + its parent in the SAME batch -> never orphaned,
+    # never "cured" (it was never parked)
+    got = _drain(cat, spark, 3, [(13, 4, 8.0)], [4])
+    assert got == {"orphans": 1, "cured": 0, "parents": 3}
+
+
+def test_replay_is_exactly_once(spark, tmp_path):
+    cat = Catalog(spark, tmp_path / "wh")
+    _drain(cat, spark, 1, [(10, 1, 5.0), (11, 2, 6.0)], [1])
+    got = _drain(cat, spark, 2, [(12, 3, 7.0)], [2])
+    assert got["cured"] == 1
+    before_orphans = sorted(
+        tuple(r) for r in cat.table("ri_orphans").read().collect()
+    )
+    before_cured = sorted(tuple(r) for r in cat.table("ri_cured").read().collect())
+    # full replay of epoch 2 (at-least-once foreachBatch)
+    got = _drain(cat, spark, 2, [(12, 3, 7.0)], [2])
+    assert got["orphans"] == -1 and got["cured"] == 0
+    assert sorted(tuple(r) for r in cat.table("ri_orphans").read().collect()) == before_orphans
+    assert sorted(tuple(r) for r in cat.table("ri_cured").read().collect()) == before_cured
+
+
+def test_crash_between_cure_and_orphan_drain_replays_clean(spark, tmp_path, monkeypatch):
+    cat = Catalog(spark, tmp_path / "wh")
+    _drain(cat, spark, 1, [(10, 1, 5.0), (11, 2, 6.0)], [])
+
+    # crash epoch 2 AFTER the cured append + parent drain, BEFORE the
+    # orphan drain commits
+    real = flows._merge_state_drain
+
+    def exploding(catalog, table_name, *a, **k):
+        if table_name == "ri_orphans":
+            raise RuntimeError("simulated crash before orphan commit")
+        return real(catalog, table_name, *a, **k)
+
+    monkeypatch.setattr(flows, "_merge_state_drain", exploding)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        _drain(cat, spark, 2, [(12, 3, 7.0)], [1])
+    monkeypatch.setattr(flows, "_merge_state_drain", real)
+
+    # replay epoch 2: cured append no-ops on its epoch guard, parent
+    # drain no-ops, orphan drain completes — final state as if no crash
+    got = _drain(cat, spark, 2, [(12, 3, 7.0)], [1])
+    assert got["orphans"] == 2  # custkey 2 (from e1) + 3 (new)
+    assert {r.custkey for r in cat.table("ri_orphans").read().collect()} == {2, 3}
+    cured = cat.table("ri_cured").read().collect()
+    assert len(cured) == 1 and cured[0].custkey == 1  # appended once, pre-crash
+
+
+def test_matches_one_shot_batch_computation(spark, tmp_path):
+    # idempotent-monoid property: drained orphan state == anti-join of
+    # ALL children against ALL parents, however the batches were sliced
+    cat = Catalog(spark, tmp_path / "wh")
+    all_children = [(i, i % 7, float(i)) for i in range(60)]
+    all_parents = [0, 1, 2, 3]
+    for e, lo in enumerate(range(0, 60, 20), start=1):
+        _drain(cat, spark, e, all_children[lo:lo + 20],
+               all_parents[e - 1:e])
+    got = sorted(
+        (r.order_id, r.custkey)
+        for r in cat.table("ri_orphans").read().collect()
+    )
+    want = sorted(
+        (oid, ck) for oid, ck, _ in all_children if ck not in {0, 1, 2}
+    )
+    assert got == want
+
+
+def test_ri_spec_guard(spark, tmp_path):
+    cat = Catalog(spark, tmp_path / "wh")
+    _drain(cat, spark, 1, [(10, 1, 5.0)], [1])
+    with pytest.raises(ValueError, match="ri_spec"):
+        run_ri_drain(
+            cat, _children(spark, [(11, 2, 6.0)]), _parents(spark, [2]),
+            epoch=2, child_key="custkey", parent_key="custkey",
+            ri_spec="lineitem.orderkey->orders.orderkey",
+        )
+
+
+def test_prune_drops_dead_orphans(spark, tmp_path):
+    cat = Catalog(spark, tmp_path / "wh")
+    _drain(cat, spark, 1, [(10, 8, 5.0)], [])
+    _drain(cat, spark, 2, [(11, 9, 6.0)], [])
+    assert prune_ri_orphans(cat, cutoff_epoch=1) == 1
+    left = cat.table("ri_orphans").read().collect()
+    assert [(r["order_id"], r["__orphan_since"]) for r in left] == [(11, 2)]
+    # a pruned orphan's parent arriving later cures nothing (the row
+    # was swept as a data-quality reject)
+    got = _drain(cat, spark, 3, [], [8])
+    assert got["cured"] == 0
