@@ -273,6 +273,17 @@ def retrieval_eval(
     Returns one row: n_queries, hits_at_k, mrr_num, mrr_scale,
     precision_at_k (double), mrr (double).
     """
+    if not 1 <= k <= 40:
+        # lcm(1..41) = 219060189739591200 > 2^53: the per-row
+        # scale/_first division stops being exact in double (and past
+        # int64 at k=43 the bigint cast overflows outright) — the
+        # silent-wrong-mrr failure mode, so refuse loudly. For
+        # recall@50/@100-style evals, run this scorer per cutoff <= 40
+        # or use an unscaled float MRR variant.
+        raise ValueError(
+            f"retrieval_eval: k must be in [1, 40] (lcm(1..k) must stay "
+            f"under 2^53 for the exact-integer rank scaling), got {k}"
+        )
     scale = _lcm_1_to(k)
     r = ranked.select(
         F.col(query_col).alias("_q"),

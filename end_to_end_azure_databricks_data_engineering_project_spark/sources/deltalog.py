@@ -39,9 +39,9 @@ Design, and why it differs from delta-spark's own writer:
   is O(live files) per commit rather than O(changed files) — the same
   order as Delta's own periodic checkpoints — and stays exactly
   correct: replaying adds/removes yields precisely the current
-  snapshot's file set. ``dataChange`` is false for compaction-style
-  rearrangements (op ``compact``/``restore``/``clone``), true
-  otherwise, mirroring delta-spark.
+  snapshot's file set. ``dataChange`` is false only for ``compact``
+  (OPTIMIZE), mirroring delta-spark — RESTORE and CLONE change the
+  visible data and must stay true for CDF-style consumers.
 
 - **Pre-existing tables** (created before log emission) start their
   log at commit 0 = the table as-of enablement (protocol + metaData +
@@ -65,8 +65,13 @@ from pathlib import Path
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
-# ops that rearrange existing rows without changing table content
-_NO_DATA_CHANGE_OPS = {"compact", "restore", "clone"}
+# ops that rearrange existing rows without changing table content.
+# ONLY compaction qualifies: RESTORE changes the visible data (that is
+# its purpose — delta-spark RESTORE emits dataChange=true, and a CDF /
+# streaming consumer filtering on dataChange would otherwise skip the
+# rollback and keep serving rolled-back rows), and a CLONE's initial
+# adds are the new table's first visible data.
+_NO_DATA_CHANGE_OPS = {"compact"}
 
 # Delta commitInfo operation names for ManagedTable op markers
 _OP_NAMES = {

@@ -263,6 +263,12 @@ class ManagedTable:
         recorded in the pointer state. Check and bind ride the SAME
         locked commit, so invariants like 'all committed sketch
         registers share one m' hold with no sidecar-file races."""
+        # resolve the committing version's Delta schemaString BEFORE
+        # taking the lock: the legacy fallback (no _schema.json) runs a
+        # Spark job, which must never sit inside the flock critical
+        # section — concurrent writers would spin out their lock
+        # deadline on a busy cluster
+        schema_string = self._schema_string_for(v)
         fd = self._acquire_commit_lock()
         try:
             state = self._pointer_state()  # read INSIDE the lock
@@ -319,7 +325,7 @@ class ManagedTable:
             # gap). Pointer first — it is the source of truth — then
             # the log file; the crash window in between is healed by
             # the next commit (see _heal_delta_log).
-            emit_meta, schema_string, prior_paths = self._prepare_delta(state, v)
+            emit_meta, prior_paths = self._prepare_delta(state, v, schema_string)
             self._write_pointer_locked(state)
             self._write_delta_commit(
                 state["delta"], v, emit_meta, schema_string, prior_paths
@@ -366,14 +372,15 @@ class ManagedTable:
         except Exception:
             return None
 
-    def _prepare_delta(self, state: dict, v: int):
+    def _prepare_delta(self, state: dict, v: int, schema_string: str | None):
         """Advance ``state['delta']`` for the commit of MT version ``v``
-        (call under the commit lock, before the pointer write). Returns
-        what the post-pointer log write needs: whether to emit metaData,
-        the schemaString, and the previous commit's add paths (read back
-        from the previous log file — self-contained, vacuum-proof)."""
+        (call under the commit lock, before the pointer write;
+        ``schema_string`` is resolved by the caller OUTSIDE the lock —
+        the legacy fallback runs a Spark job). Returns what the
+        post-pointer log write needs: whether to emit metaData and the
+        previous commit's add paths (read back from the previous log
+        file — self-contained, vacuum-proof)."""
         prior = state.get("delta")
-        schema_string = self._schema_string_for(v)
         md5 = deltalog.schema_fingerprint(schema_string)
         if prior is None:
             state["delta"] = {
@@ -382,7 +389,7 @@ class ManagedTable:
                 "table_id": deltalog.new_table_id(),
                 "schema_md5": md5,
             }
-            return schema_string is not None, schema_string, []
+            return schema_string is not None, []
         emit_meta = schema_string is not None and md5 != prior.get("schema_md5")
         prior_paths = [
             a["path"] for a in deltalog.read_adds(self.dir, prior["version"])
@@ -393,7 +400,7 @@ class ManagedTable:
             "table_id": prior["table_id"],
             "schema_md5": md5 if md5 is not None else prior.get("schema_md5"),
         }
-        return emit_meta, schema_string, prior_paths
+        return emit_meta, prior_paths
 
     def _write_delta_commit(
         self, rec: dict, v: int, emit_meta: bool,
@@ -407,29 +414,64 @@ class ManagedTable:
         deltalog.write_commit(self.dir, rec["version"], actions)
 
     def _heal_delta_log(self, state: dict) -> None:
-        """Rewrite the pointer's recorded delta commit if its log file
-        is missing (crash between pointer write and log write, or a
-        user-deleted log dir). Everything needed is immutable and still
-        on disk: the snapshot dir (it is the pointer version — never
-        vacuumed), its ``_op``/``_schema.json``, and the previous
-        commit's adds. Healed commits always re-emit metaData
-        (harmless — Delta replay takes the latest). Call under the
-        commit lock."""
+        """Repair ``_delta_log/`` to match the pointer (call under the
+        commit lock). Two cases:
+
+        1. Only the LATEST commit file is missing (crash between
+           pointer write and log write — the designed window): rewrite
+           it from immutable on-disk state — the snapshot dir (it is
+           the pointer version, never vacuumed), its ``_op`` /
+           ``_schema.json``, and the previous commit's adds. Healed
+           commits always re-emit metaData (harmless — replay takes
+           the latest).
+
+        2. Any EARLIER commit file is missing too (user-deleted log
+           dir or files): a log with holes is unreadable by a stock
+           Delta reader no matter what we append, so RESTART it —
+           reset the pointer's delta record to version 0 (fresh table
+           id: to a Delta reader this IS a new table) and write commit
+           0 as protocol + metaData + the current snapshot's full
+           adds, exactly like first-time enablement on a pre-existing
+           table. The reset pointer is persisted here, under the lock,
+           so a subsequent abort of the enclosing commit cannot leave
+           the pointer pointing past the restarted log."""
         rec = state.get("delta")
-        if rec is None or deltalog.commit_path(self.dir, rec["version"]).exists():
+        if rec is None:
+            return
+        latest_missing = not deltalog.commit_path(self.dir, rec["version"]).exists()
+        # one readdir, not O(history) stats per commit: commits 0..D are
+        # complete iff exactly D+1 (- the possibly-missing latest) files
+        # exist — any deletion shrinks the count
+        n_log_files = len(list(deltalog.log_dir(self.dir).glob("*.json")))
+        history_missing = n_log_files < rec["version"] + (0 if latest_missing else 1)
+        if not latest_missing and not history_missing:
             return
         v = rec["mt_version"]
+        schema_string = self._schema_string_for(v)
+        if history_missing:
+            # clear every surviving old file FIRST: a stale commit left
+            # above the restart point would replay on top of the fresh
+            # log and corrupt the reconstructed snapshot
+            for stale in deltalog.log_dir(self.dir).glob("*.json"):
+                stale.unlink()
+            rec = {
+                "version": 0,
+                "mt_version": v,
+                "table_id": deltalog.new_table_id(),
+                "schema_md5": deltalog.schema_fingerprint(schema_string),
+            }
+            state["delta"] = rec
+            self._write_pointer_locked(state)
+            self._write_delta_commit(
+                rec, v, schema_string is not None, schema_string, []
+            )
+            return
         prior_paths: list[str] = []
         if rec["version"] > 0:
-            try:
-                prior_paths = [
-                    a["path"]
-                    for a in deltalog.read_adds(self.dir, rec["version"] - 1)
-                ]
-            except FileNotFoundError:
-                # whole log dir lost: restart accounting at this commit
-                prior_paths = []
-        schema_string = self._schema_string_for(v)
+            prior_paths = [
+                a["path"]
+                for a in deltalog.read_adds(self.dir, rec["version"] - 1)
+            ]
         self._write_delta_commit(
             rec, v, schema_string is not None, schema_string, prior_paths
         )

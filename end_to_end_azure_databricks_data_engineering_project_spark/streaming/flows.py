@@ -1080,7 +1080,10 @@ def run_auc_drain(
     batches) or fresh epochs (double-counting old ones). Binding the
     stream identity as a commit-atomic property turns that silent
     corruption into a loud refusal. Direct batch callers with
-    self-managed monotonic epochs may leave it None.
+    self-managed monotonic epochs may leave it None — that binds the
+    ``"__direct__"`` sentinel identity, so batch-managed and
+    stream-bound tables refuse each other in BOTH directions inside
+    the locked commit (no first-binder race).
 
     Returns the bin count after the drain, or -1 when the epoch was
     already applied (replay no-op)."""
@@ -1089,19 +1092,22 @@ def run_auc_drain(
         per_bin_counts,
     )
 
-    props = {"auc_binning": binning}
-    if stream_id is not None:
-        props["auc_stream_id"] = stream_id
-    else:
-        # The guard must be two-sided: a stream-bound table has
-        # checkpoint-local epoch numbering, so a direct-batch caller
-        # with self-managed epochs would collide with the checkpoint's
-        # ids — the exact silent drop/double-count the stream_id
-        # binding exists to prevent. _merge_state_drain's prop check
-        # only fires between two non-None differing values (a None
-        # caller omits the key entirely), so refuse here.
-        bound = catalog.table("auc_bins").table_prop("auc_stream_id")
-        if bound is not None:
+    # EVERY drain binds a stream identity — direct-batch callers bind
+    # the "__direct__" sentinel — so the commit-atomic prop check in
+    # _merge_state_drain closes BOTH collision directions (batch drain
+    # on a stream-bound table AND stream attach to a batch-managed
+    # table) inside the locked commit, with no check-then-act window
+    # for a concurrent first-binder to slip through. Epoch ids are only
+    # comparable within one numbering authority; the sentinel makes
+    # "self-managed" an explicit authority instead of an absent key.
+    sid = stream_id if stream_id is not None else "__direct__"
+    props = {"auc_binning": binning, "auc_stream_id": sid}
+    table = catalog.table("auc_bins")
+    bound = table.table_prop("auc_stream_id")
+    if bound is not None and bound != sid:
+        # friendlier messages than the generic prop-guard for the two
+        # asymmetric cases (the in-lock check remains authoritative)
+        if sid == "__direct__":
             raise ValueError(
                 "auc_bins table is bound to streaming checkpoint "
                 f"{bound!r}; a direct-batch drain (stream_id=None) "
@@ -1109,6 +1115,23 @@ def run_auc_drain(
                 "epoch numbering — pass the bound stream_id or drain "
                 "into a different table"
             )
+        if bound == "__direct__":
+            raise ValueError(
+                "auc_bins table is batch-managed (direct drains); "
+                f"attaching streaming checkpoint {sid!r} would renumber "
+                "epochs against the self-managed watermark — drain the "
+                "stream into a different table"
+            )
+    if bound is None and stream_id is not None and table.applied_epoch("auc_drain") is not None:
+        # pre-sentinel history: the table has drained epochs under an
+        # unrecorded numbering authority — attaching a checkpoint whose
+        # ids start at 0 would silently collide with the stored
+        # watermark (batches dropped as 'replays')
+        raise ValueError(
+            "auc_bins table has drained epochs but no bound stream "
+            "identity (pre-binding history); refusing to attach "
+            f"streaming checkpoint {sid!r} — drain into a fresh table"
+        )
     return _merge_state_drain(
         catalog,
         "auc_bins",
@@ -1277,7 +1300,10 @@ def run_ri_drain(
       ``ri_orphans``     — child rows still waiting for their parent,
         stamped ``__orphan_since`` = first epoch seen (bounded by true
         orphan count; shrinks as parents arrive; ``prune_ri_orphans``
-        is the retention lever for permanently-dead keys);
+        is the retention lever for permanently-dead keys). Children
+        with a NULL FK are SKIPPED — optional FKs are not violations
+        (the ``fk_orphans`` semantic), and a NULL key could never be
+        cured by any parent;
       ``ri_cured``       — append-only log of orphans whose parent
         arrived, stamped ``__cured_epoch`` (downstream replays these
         into the fact table).
@@ -1350,8 +1376,12 @@ def run_ri_drain(
     if parents_n < 0:
         parents_n = parents_t.read().count() if parents_t.exists() else 0
 
-    # 3. orphans: (stored ∪ new children) minus all committed parents
-    stamped = children.withColumn(
+    # 3. orphans: (stored ∪ new children) minus all committed parents.
+    # NULL FKs are OPTIONAL, not violations (the fk_orphans semantic,
+    # operators/expectations.py) — and the equality anti-join below is
+    # null-rejecting, so an unstripped NULL key would park forever
+    # (uncurable by any parent) and break the true-orphan state bound.
+    stamped = children.filter(F.col(child_key).isNotNull()).withColumn(
         "__orphan_since", F.lit(epoch).cast("bigint")
     )
 

@@ -112,6 +112,11 @@ def main() -> None:
         table.compact(target_partitions=64, cluster_by=["user_id"])
         print(f"## compact(cluster_by=user_id): {time.perf_counter() - t0:.2f}s", flush=True)
 
+        # throwaway warmup merge: the first shuffle/codegen of the
+        # session otherwise lands in the first timed number
+        _merge(table, _batch(spark, 1_000, dim_rows, 9_000_000),
+               "warmup batch 1k (untimed)")
+
         print("\n-- merge wall-clock vs batch size (table is constant) --")
         walls = {}
         for bs in (10_000, 100_000, 500_000):
@@ -121,6 +126,11 @@ def main() -> None:
             )
 
         print("\n-- key-localized batch (keys in lowest 1% of range) --")
+        # uniform batches above exceeded merge_full_rewrite_fraction
+        # (uniform keys touch every file — true of any file-pruned
+        # MERGE, Delta included) and their full rewrites destroyed the
+        # clustering; re-cluster so this measures the pruned path
+        table.compact(target_partitions=64, cluster_by=["user_id"])
         _merge(
             table, _localized_batch(spark, 50_000, dim_rows // 100, 15_000_000),
             "localized batch 50k (1% range)",

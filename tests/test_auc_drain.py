@@ -198,3 +198,51 @@ def test_direct_batch_drain_refused_on_stream_bound_table(spark, tmp_path, score
         stream_id="/ck/metrics",
     )
     assert n > 0
+
+
+def test_stream_attach_to_batch_managed_table_refused(spark, tmp_path, scored):
+    """The other collision direction: a table managed by direct-batch
+    drains (sentinel identity) must refuse a streaming checkpoint whose
+    epoch ids would renumber against the self-managed watermark."""
+    cat = _cat(spark, tmp_path)
+    run_auc_drain(
+        cat, scored, epoch=5,
+        score_bin_col="score", positive_col="positive", binning="identity",
+    )
+    with pytest.raises(ValueError, match="batch-managed"):
+        run_auc_drain(
+            cat, scored, epoch=0,
+            score_bin_col="score", positive_col="positive", binning="identity",
+            stream_id="/ck/metrics",
+        )
+    # direct drains continue fine
+    assert run_auc_drain(
+        cat, scored.where(F.col("id") % 2 == 0), epoch=6,
+        score_bin_col="score", positive_col="positive", binning="identity",
+    ) > 0
+
+
+def test_stream_attach_to_pre_binding_history_refused(spark, tmp_path, scored):
+    """Legacy table: drained epochs but NO bound identity (created
+    before the sentinel binding existed) — a checkpoint restarting at
+    epoch 0 would silently collide with the stored watermark."""
+    cat = _cat(spark, tmp_path)
+    run_auc_drain(
+        cat, scored, epoch=3,
+        score_bin_col="score", positive_col="positive", binning="identity",
+    )
+    # simulate pre-sentinel history: strip the bound identity
+    t = cat.table("auc_bins")
+    fd = t._acquire_commit_lock()
+    try:
+        state = t._pointer_state()
+        state["props"].pop("auc_stream_id")
+        t._write_pointer_locked(state)
+    finally:
+        t._release_commit_lock(fd)
+    with pytest.raises(ValueError, match="pre-binding history"):
+        run_auc_drain(
+            cat, scored, epoch=0,
+            score_bin_col="score", positive_col="positive", binning="identity",
+            stream_id="/ck/metrics",
+        )

@@ -137,7 +137,7 @@ def test_schema_evolution_reemits_metadata(spark, tmp_path):
     assert metas[0]["id"] == id0
 
 
-def test_compact_and_restore_datachange_false(spark, tmp_path):
+def test_compact_and_restore_datachange(spark, tmp_path):
     t = ManagedTable(spark, tmp_path / "wh", "orders")
     t.overwrite(_df(spark, 0, 40))
     t.append(_df(spark, 40, 40))
@@ -148,6 +148,7 @@ def test_compact_and_restore_datachange_false(spark, tmp_path):
             if "commitInfo" in a:
                 ops[d] = a["commitInfo"]["operation"]
     assert ops[2] == "OPTIMIZE"
+    # compaction rearranges without changing content: dataChange=false
     compact_adds = deltalog.read_adds(t.dir, 2)
     assert all(a["dataChange"] is False for a in compact_adds)
     t.restore(t.current_version() - 1)
@@ -155,6 +156,49 @@ def test_compact_and_restore_datachange_false(spark, tmp_path):
     ci = next(a["commitInfo"] for a in deltalog.read_actions(t.dir, d)
               if "commitInfo" in a)
     assert ci["operation"] == "RESTORE"
+    # RESTORE changes the visible data — a CDF-style consumer filtering
+    # on dataChange must NOT skip the rollback commit
+    assert all(a["dataChange"] is True for a in deltalog.read_adds(t.dir, d))
+    assert _replay_live_set(t) == _snapshot_paths(t)
+
+
+def test_holey_log_restarts_at_zero(spark, tmp_path):
+    # a log with missing EARLIER commits is unreadable no matter what
+    # gets appended — heal must restart it as a fresh Delta table
+    t = ManagedTable(spark, tmp_path / "wh", "orders")
+    t.overwrite(_df(spark, 0, 20))
+    t.append(_df(spark, 20, 20))
+    t.append(_df(spark, 40, 20))
+    id_before = next(a["metaData"]["id"]
+                     for a in deltalog.read_actions(t.dir, 0) if "metaData" in a)
+    deltalog.commit_path(t.dir, 1).unlink()  # hole in the middle
+    t.append(_df(spark, 60, 20))  # next commit detects + restarts
+    vs = _log_versions(t)
+    assert vs == [0, 1], vs  # restart (0 = snapshot as-of heal) + this commit
+    actions0 = deltalog.read_actions(t.dir, 0)
+    assert any("protocol" in a for a in actions0)
+    meta0 = next(a["metaData"] for a in actions0 if "metaData" in a)
+    assert meta0["id"] != id_before  # a restarted log IS a new table
+    assert _replay_live_set(t) == _snapshot_paths(t)
+
+
+def test_whole_log_dir_lost_restarts_at_zero(spark, tmp_path):
+    import shutil
+
+    t = ManagedTable(spark, tmp_path / "wh", "orders")
+    t.overwrite(_df(spark, 0, 20))
+    t.append(_df(spark, 20, 20))
+    shutil.rmtree(deltalog.log_dir(t.dir))
+    t.heal_delta_log()
+    assert _log_versions(t) == [0]
+    actions = deltalog.read_actions(t.dir, 0)
+    assert any("protocol" in a for a in actions)
+    assert any("metaData" in a for a in actions)
+    assert not any("remove" in a for a in actions)
+    assert _replay_live_set(t) == _snapshot_paths(t)
+    # and the table keeps committing normally afterwards
+    t.append(_df(spark, 40, 20))
+    assert _log_versions(t) == [0, 1]
     assert _replay_live_set(t) == _snapshot_paths(t)
 
 

@@ -141,3 +141,18 @@ def test_prune_drops_dead_orphans(spark, tmp_path):
     # was swept as a data-quality reject)
     got = _drain(cat, spark, 3, [], [8])
     assert got["cured"] == 0
+
+
+def test_null_fk_children_are_skipped_not_parked(spark, tmp_path):
+    # NULL FKs are optional, not violations (the fk_orphans semantic)
+    # — and no parent could ever cure a NULL key, so parking it would
+    # break the true-orphan state bound
+    cat = Catalog(spark, tmp_path / "wh")
+    got = run_ri_drain(
+        cat,
+        _children(spark, [(10, 1, 5.0), (11, None, 6.0), (12, 3, 7.0)]),
+        _parents(spark, [1]),
+        epoch=1, child_key="custkey", parent_key="custkey", ri_spec=SPEC,
+    )
+    assert got["orphans"] == 1  # only custkey=3; the NULL row is skipped
+    assert {r.custkey for r in cat.table("ri_orphans").read().collect()} == {3}

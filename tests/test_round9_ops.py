@@ -207,3 +207,21 @@ def test_divergent_tokens_null_slice_rows_excluded(spark):
     ).collect()
     toks = {r.token for r in out}
     assert "noise" not in toks and toks == {"tok"}
+
+
+def test_retrieval_eval_k_bound_guard(spark):
+    # lcm(1..41) > 2^53: the exact-integer rank scaling breaks silently
+    # past k=40, so the operator must refuse loudly
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import retrieval_eval
+
+    ranked = spark.createDataFrame(
+        [(1, 10, 1)], "query_id long, neighbor_id long, rank long"
+    )
+    rel = spark.createDataFrame([(1, 10)], "query_id long, item_id long")
+    with pytest.raises(ValueError, match=r"k must be in \[1, 40\]"):
+        retrieval_eval(ranked, rel, k=41)
+    with pytest.raises(ValueError, match=r"k must be in \[1, 40\]"):
+        retrieval_eval(ranked, rel, k=0)
+    # k=40 (the boundary) still works and stays exact
+    got = retrieval_eval(ranked, rel, k=40).collect()[0]
+    assert got.hits_at_k == 1 and got.mrr == 1.0
