@@ -42,6 +42,13 @@ ALLOW_CARTESIAN = {
     "cluster_balanced_sample",
     # corpus doc-count 1-row broadcast in the lift denominator.
     "token_cooccurrence_lift",
+    # two 1-row aggregates (observed vs expected agreement) crossed to
+    # finish kappa — scalar broadcast, not a scan product.
+    "cohens_kappa",
+    # the eval's ranked list comes from the cosine_topk shape: 10
+    # broadcast queries non-equi-joined onto the corpus (the corpus
+    # never shuffles) — same designed BNLJ as cosine_topk/ann_topk_srp.
+    "retrieval_eval_mrr",
     # 1-row bloom-bitmap relation broadcast onto the corpus scan.
     "bloom_decontaminate",
     # broadcast-queries pattern (tiny labeled query slice, same shape
