@@ -287,3 +287,47 @@ def test_vacuum_keeps_latest_commit_readable(spark, tmp_path):
     assert live == _snapshot_paths(t)
     for p in live:
         assert (t.dir / p).exists()
+
+
+def test_medallion_pipeline_tables_emit_consistent_logs(spark, tmp_path):
+    """Integration: the REAL medallion flows (silver drains + SCD merges
+    + gold rebuilds through build_medallion_pipeline) produce tables
+    whose _delta_log replays to exactly the current snapshot — the log
+    emits through every production write path, not just direct table
+    ops."""
+    import datetime as dt
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.config import TABLE_BY_NAME
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.transforms import dedup_keep_latest
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.ingest import ingest_all
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.watermark import WatermarkStore
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import build_medallion_pipeline
+
+    t0 = dt.datetime(2025, 1, 1)
+    users = spark.createDataFrame(
+        [(i, f"user {i}", "US", "Free", None, None, t0) for i in range(1, 8)],
+        "user_id int, user_name string, country string, subscription_type string,"
+        " start_date date, end_date date, updated_at timestamp",
+    )
+    cfgs = [TABLE_BY_NAME["dim_user"]]
+    store = WatermarkStore(tmp_path / "state")
+    ingest_all(spark, cfgs, {"dim_user": users}, str(tmp_path / "bronze"), store)
+    pipe, catalog = build_medallion_pipeline(
+        spark, cfgs, str(tmp_path / "bronze"), str(tmp_path / "warehouse"),
+        str(tmp_path / "state"),
+        {"dim_user": lambda df: dedup_keep_latest(df, ["user_id"], "updated_at")},
+    )
+    pipe.run_all()
+    checked = 0
+    for name in ("silver_dim_user", "gold_dim_user"):
+        t = catalog.table(name)
+        if not t.exists():
+            continue
+        versions = _log_versions(t)
+        assert versions == list(range(len(versions))), (name, versions)
+        actions0 = deltalog.read_actions(t.dir, 0)
+        assert any("protocol" in a for a in actions0), name
+        assert any("metaData" in a for a in actions0), name
+        assert _replay_live_set(t) == _snapshot_paths(t), name
+        checked += 1
+    assert checked == 2

@@ -117,3 +117,24 @@ def test_retrieval_eval_broadcasts_eval_relations(spark):
     plan = _plan(spark, "retrieval_eval_mrr")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_prunes_scan_and_avoids_cartesian(spark):
+    # the encode slice's doc_id predicate must reach the parquet scan
+    # (at 100 TB the tokenizer runs on a curated subset — the filter
+    # must prune files, not rows post-scan), and nothing in the
+    # vocab-replay join-back may degenerate to a cartesian
+    plan = _plan(spark, "bpe_encode")
+    assert re.search(r"PushedFilters: \[.*doc_id.*\]", plan), (
+        "doc_id slice must push into the scan"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_pr_curve_single_scan_no_joins(spark):
+    # PR finisher = one scan + bounded-relation windows; a join or a
+    # second scan means the bin monoid was recomputed
+    plan = _plan(spark, "pr_curve")
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 1
+    assert "Join" not in plan
