@@ -196,3 +196,123 @@ def write_commit(table_dir: Path, delta_version: int, actions: list[dict]) -> No
 
 def new_table_id() -> str:
     return str(uuid.uuid4())
+
+
+def write_checkpoint(table_dir: Path, delta_version: int) -> Path:
+    """Write a classic Delta checkpoint for commit ``delta_version``:
+    one parquet file holding the reconstructed snapshot state (latest
+    protocol + latest metaData + every live add), plus the
+    ``_last_checkpoint`` pointer. A stock reader then replays
+    checkpoint + later JSON commits instead of the whole log — which
+    matters here because every ManagedTable commit re-adds the full
+    snapshot, so raw-log replay cost grows O(commits x files).
+
+    OPT-IN maintenance (call like ``compact``/``vacuum``), not wired
+    into the commit path: checkpoint parquet has a reader-expected
+    nested schema, and with no ``delta-spark`` installable offline the
+    shape is validated structurally only — a malformed checkpoint
+    would be PREFERRED by readers and break an otherwise-readable
+    JSON log, so emitting one is the operator's explicit choice.
+    The JSON commits stay authoritative and untouched either way —
+    and must STAY on disk: this engine's heal treats a missing
+    earlier JSON as corruption and restarts the log (deleting the
+    checkpoint), so do NOT apply Delta-style pre-checkpoint log
+    cleanup to these tables.
+
+    Because every commit is self-contained (full re-add), the live
+    state at D is exactly commit D's adds, and the latest protocol /
+    metaData are found by walking back from D."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    proto = None
+    meta = None
+    for d in range(delta_version, -1, -1):
+        for a in read_actions(table_dir, d):
+            if meta is None and "metaData" in a:
+                meta = a["metaData"]
+            if proto is None and "protocol" in a:
+                proto = a["protocol"]
+        if proto is not None and meta is not None:
+            break
+    if proto is None or meta is None:
+        raise ValueError(
+            f"delta log at {table_dir} has no protocol/metaData at or "
+            f"below commit {delta_version}; cannot checkpoint"
+        )
+    adds = read_adds(table_dir, delta_version)
+
+    meta_struct = {
+        "id": meta["id"],
+        "name": meta.get("name"),
+        "description": meta.get("description"),
+        "format": {"provider": meta["format"]["provider"],
+                   "options": list(meta["format"].get("options", {}).items())},
+        "schemaString": meta["schemaString"],
+        "partitionColumns": meta.get("partitionColumns", []),
+        "configuration": list(meta.get("configuration", {}).items()),
+        "createdTime": meta.get("createdTime"),
+    }
+    n = 2 + len(adds)
+    proto_col = [proto] + [None] * (n - 1)
+    meta_col = [None, meta_struct] + [None] * (n - 2)
+    add_col = [None, None] + [
+        {
+            "path": a["path"],
+            "partitionValues": list(a.get("partitionValues", {}).items()),
+            "size": a["size"],
+            "modificationTime": a["modificationTime"],
+            "dataChange": False,  # checkpoint rows never signal change
+        }
+        for a in adds
+    ]
+    str_map = pa.map_(pa.string(), pa.string())
+    schema = pa.schema([
+        ("protocol", pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+        ])),
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("name", pa.string()),
+            ("description", pa.string()),
+            ("format", pa.struct([
+                ("provider", pa.string()),
+                ("options", str_map),
+            ])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", str_map),
+            ("createdTime", pa.int64()),
+        ])),
+        ("add", pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", str_map),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ])),
+        ("remove", pa.struct([
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ])),
+    ])
+    tbl = pa.table(
+        {
+            "protocol": pa.array(proto_col, schema.field("protocol").type),
+            "metaData": pa.array(meta_col, schema.field("metaData").type),
+            "add": pa.array(add_col, schema.field("add").type),
+            "remove": pa.array([None] * n, schema.field("remove").type),
+        },
+        schema=schema,
+    )
+    d = log_dir(table_dir)
+    ckpt = d / f"{delta_version:020d}.checkpoint.parquet"
+    tmp = d / f".{ckpt.name}.tmp.{os.getpid()}.{time.monotonic_ns()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, ckpt)
+    last_tmp = d / f"._last_checkpoint.tmp.{os.getpid()}.{time.monotonic_ns()}"
+    last_tmp.write_text(json.dumps({"version": delta_version, "size": n}))
+    os.replace(last_tmp, d / "_last_checkpoint")
+    return ckpt

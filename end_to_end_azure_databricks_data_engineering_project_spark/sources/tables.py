@@ -451,9 +451,13 @@ class ManagedTable:
         if history_missing:
             # clear every surviving old file FIRST: a stale commit left
             # above the restart point would replay on top of the fresh
-            # log and corrupt the reconstructed snapshot
-            for stale in deltalog.log_dir(self.dir).glob("*.json"):
-                stale.unlink()
+            # log (and a stale checkpoint/_last_checkpoint would be
+            # PREFERRED by readers), corrupting the reconstructed
+            # snapshot
+            ld = deltalog.log_dir(self.dir)
+            for pattern in ("*.json", "*.checkpoint.parquet", "_last_checkpoint"):
+                for stale in ld.glob(pattern):
+                    stale.unlink()
             rec = {
                 "version": 0,
                 "mt_version": v,
@@ -483,6 +487,29 @@ class ManagedTable:
         fd = self._acquire_commit_lock()
         try:
             self._heal_delta_log(self._pointer_state())
+        finally:
+            self._release_commit_lock(fd)
+
+    def write_delta_checkpoint(self) -> Path:
+        """Opt-in maintenance (call like ``compact``/``vacuum``): write
+        a classic Delta checkpoint for the current delta commit so a
+        stock reader replays checkpoint + tail commits instead of the
+        whole log (which grows O(commits x files) here — every commit
+        re-adds the full snapshot). Heals first, and holds the commit
+        lock so the checkpointed version is stable. See
+        ``deltalog.write_checkpoint`` for the offline-validation
+        caveat that keeps this out of the automatic commit path."""
+        fd = self._acquire_commit_lock()
+        try:
+            state = self._pointer_state()
+            if state.get("delta") is None:
+                raise ValueError(
+                    f"table {self.name} has no delta log to checkpoint"
+                )
+            self._heal_delta_log(state)
+            return deltalog.write_checkpoint(
+                self.dir, state["delta"]["version"]
+            )
         finally:
             self._release_commit_lock(fd)
 

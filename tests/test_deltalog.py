@@ -331,3 +331,62 @@ def test_medallion_pipeline_tables_emit_consistent_logs(spark, tmp_path):
         assert _replay_live_set(t) == _snapshot_paths(t), name
         checked += 1
     assert checked == 2
+
+
+def test_checkpoint_reconstructs_snapshot_state(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    t = ManagedTable(spark, tmp_path / "wh", "orders")
+    t.overwrite(_df(spark, 0, 30))
+    t.append(_df(spark, 30, 30))
+    t.append(_df(spark, 60, 30, extra_col=True), evolve=True)
+    ckpt = t.write_delta_checkpoint()
+    assert ckpt.exists()
+    last = json.loads((deltalog.log_dir(t.dir) / "_last_checkpoint").read_text())
+    assert last["version"] == 2
+    tbl = pq.read_table(str(ckpt))
+    rows = tbl.to_pylist()
+    assert last["size"] == len(rows)
+    protos = [r["protocol"] for r in rows if r["protocol"] is not None]
+    metas = [r["metaData"] for r in rows if r["metaData"] is not None]
+    adds = [r["add"] for r in rows if r["add"] is not None]
+    assert len(protos) == 1 and protos[0]["minReaderVersion"] == 1
+    assert len(metas) == 1
+    # latest metaData wins: the evolved schema (with 'flag') is the one
+    # checkpointed
+    schema = StructType.fromJson(json.loads(metas[0]["schemaString"]))
+    assert "flag" in schema.fieldNames()
+    assert {a["path"] for a in adds} == _snapshot_paths(t)
+    assert all(a["dataChange"] is False for a in adds)
+    assert not any(r["remove"] is not None for r in rows)
+    # checkpoint + later commits still replays correctly after more writes
+    t.append(_df(spark, 90, 10))
+    live = {a["path"] for a in adds}
+    for d in range(last["version"] + 1, max(_log_versions(t)) + 1):
+        for a in deltalog.read_actions(t.dir, d):
+            if "remove" in a:
+                live.discard(a["remove"]["path"])
+            if "add" in a:
+                live.add(a["add"]["path"])
+    assert live == _snapshot_paths(t)
+
+
+def test_checkpoint_requires_delta_log(spark, tmp_path):
+    t = ManagedTable(spark, tmp_path / "wh", "orders")
+    with pytest.raises(ValueError, match="no delta log"):
+        t.write_delta_checkpoint()
+
+
+def test_log_restart_clears_stale_checkpoint(spark, tmp_path):
+    t = ManagedTable(spark, tmp_path / "wh", "orders")
+    t.overwrite(_df(spark, 0, 20))
+    t.append(_df(spark, 20, 20))
+    t.write_delta_checkpoint()
+    deltalog.commit_path(t.dir, 0).unlink()  # hole -> restart on heal
+    t.heal_delta_log()
+    # the stale checkpoint and _last_checkpoint must be gone — a reader
+    # preferring them would reconstruct pre-restart state
+    assert not list(deltalog.log_dir(t.dir).glob("*.checkpoint.parquet"))
+    assert not (deltalog.log_dir(t.dir) / "_last_checkpoint").exists()
+    assert _log_versions(t) == [0]
+    assert _replay_live_set(t) == _snapshot_paths(t)
