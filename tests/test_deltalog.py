@@ -390,3 +390,40 @@ def test_log_restart_clears_stale_checkpoint(spark, tmp_path):
     assert not (deltalog.log_dir(t.dir) / "_last_checkpoint").exists()
     assert _log_versions(t) == [0]
     assert _replay_live_set(t) == _snapshot_paths(t)
+
+
+def test_concurrent_appends_keep_log_contiguous(spark, tmp_path):
+    """Two writers racing on the same table: whatever interleaving the
+    commit lock serializes, the delta log must come out contiguous and
+    replay to the final snapshot (losers raise ConcurrentWriteError and
+    retry — their aborted claims never enter the log)."""
+    import threading
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import ConcurrentWriteError
+
+    t = ManagedTable(spark, tmp_path / "wh", "orders")
+    t.overwrite(_df(spark, 0, 10))
+    errors = []
+
+    def writer(wid):
+        for i in range(3):
+            for attempt in range(10):
+                try:
+                    t.append(_df(spark, 1000 * wid + 10 * i, 5))
+                    break
+                except ConcurrentWriteError:
+                    continue
+            else:
+                errors.append(f"writer {wid} batch {i} never landed")
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    vs = _log_versions(t)
+    assert vs == list(range(len(vs))), vs
+    assert len(vs) == 7  # initial + 6 appends
+    assert _replay_live_set(t) == _snapshot_paths(t)
+    assert t.read().count() == 40
