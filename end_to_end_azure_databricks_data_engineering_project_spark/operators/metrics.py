@@ -32,6 +32,7 @@ __all__ = [
     "auc_from_bins",
     "pr_curve_from_bins",
     "average_precision_from_bins",
+    "threshold_metrics_from_bins",
     "retrieval_eval",
     "cohens_kappa",
 ]
@@ -210,6 +211,48 @@ def average_precision_from_bins(bins: DataFrame) -> DataFrame:
         F.when(
             F.col("n_pos") > 0, F.col("_num") / F.col("n_pos").cast("double")
         ).alias("ap"),
+    )
+
+
+def threshold_metrics_from_bins(bins: DataFrame) -> DataFrame:
+    """Confusion-matrix metrics per score-bin threshold (predict
+    positive at ``score_bin >= bin``) from the shared (bin, pos, neg)
+    monoid: tp/fp/fn/tn as exact cumulative integers, then accuracy,
+    precision, recall, and F1 — each ONE IEEE division of exact ints.
+    F1 uses the single-division identity ``2·tp / (2·tp + fp + fn)``
+    (algebraically 2PR/(P+R)) so it never composes two already-rounded
+    doubles — the same bit-stability discipline as the rest of the
+    family. Denominator-zero slices (no predicted positives for
+    precision, no actual positives for recall/F1) yield NULL.
+    Maintained incrementally for streams by ``run_auc_drain``'s bins
+    table. Returns (bin, tp, fp, fn, tn, accuracy, precision_,
+    recall_, f1) — metric columns suffixed to dodge reserved words.
+    """
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tp, fp = F.sum("pos").over(w), F.sum("neg").over(w)
+    n_pos, n_neg = F.sum("pos").over(t), F.sum("neg").over(t)
+    fn, tn = n_pos - tp, n_neg - fp
+    total = n_pos + n_neg
+    return bins.select(
+        "bin",
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        tn.cast("bigint").alias("tn"),
+        ((tp + tn).cast("double") / total.cast("double")).alias("accuracy"),
+        F.when(
+            tp + fp > 0, tp.cast("double") / (tp + fp).cast("double")
+        ).alias("precision_"),
+        F.when(n_pos > 0, tp.cast("double") / n_pos.cast("double")).alias(
+            "recall_"
+        ),
+        F.when(
+            (n_pos > 0) & ((2 * tp + fp + fn) > 0),
+            (2 * tp).cast("double") / (2 * tp + fp + fn).cast("double"),
+        ).alias("f1"),
     )
 
 

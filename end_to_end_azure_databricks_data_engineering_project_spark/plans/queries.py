@@ -6656,6 +6656,51 @@ def q_average_precision(spark, sf):
     return average_precision_from_bins(_eval_bins(spark, sf))
 
 
+@_q(
+    "threshold_metrics",
+    "Confusion-matrix scorecard per score-bin threshold from the same "
+    "per-bin-count monoid: exact cumulative tp/fp/fn/tn plus accuracy, "
+    "precision, recall, F1 — each ONE IEEE division of exact ints (F1 "
+    "via the single-division identity 2tp/(2tp+fp+fn), never composing "
+    "two rounded doubles). The operating-point picker for a trained "
+    "filter: read the threshold off the row that hits the target "
+    "precision/recall tradeoff",
+    "extension: eval metrics (operating-point selection)",
+    f"""
+    WITH {_EVAL_BINS_CTE}
+    SELECT bin,
+           CAST(sum(pos) OVER w AS BIGINT) AS tp,
+           CAST(sum(neg) OVER w AS BIGINT) AS fp,
+           CAST(sum(pos) OVER t - sum(pos) OVER w AS BIGINT) AS fn,
+           CAST(sum(neg) OVER t - sum(neg) OVER w AS BIGINT) AS tn,
+           CAST(sum(pos) OVER w + (sum(neg) OVER t - sum(neg) OVER w) AS DOUBLE)
+             / CAST(sum(pos) OVER t + sum(neg) OVER t AS DOUBLE) AS accuracy,
+           CASE WHEN sum(pos) OVER w + sum(neg) OVER w > 0 THEN
+             CAST(sum(pos) OVER w AS DOUBLE)
+               / CAST(sum(pos) OVER w + sum(neg) OVER w AS DOUBLE) END AS precision_,
+           CASE WHEN sum(pos) OVER t > 0 THEN
+             CAST(sum(pos) OVER w AS DOUBLE)
+               / CAST(sum(pos) OVER t AS DOUBLE) END AS recall_,
+           CASE WHEN sum(pos) OVER t > 0
+                     AND 2 * sum(pos) OVER w + sum(neg) OVER w
+                     + (sum(pos) OVER t - sum(pos) OVER w) > 0 THEN
+             CAST(2 * sum(pos) OVER w AS DOUBLE)
+               / CAST(2 * sum(pos) OVER w + sum(neg) OVER w
+                      + (sum(pos) OVER t - sum(pos) OVER w) AS DOUBLE) END AS f1
+    FROM per
+    WINDOW w AS (ORDER BY bin DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           t AS (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_threshold_metrics(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import (
+        threshold_metrics_from_bins,
+    )
+
+    return threshold_metrics_from_bins(_eval_bins(spark, sf))
+
+
 def _bpe_chain_ctes(n_merges: int = 4, carry_w: bool = False) -> str:
     r"""Shared CTE chain replaying bpe_learn_merges' merge rounds in
     DuckDB: word counts once, then n_merges chained rounds of (pair

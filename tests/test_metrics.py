@@ -185,3 +185,35 @@ def test_pr_curve_partitioning_invariant(spark):
     one = average_precision_from_bins(_bins(spark, rows).coalesce(1)).collect()[0]
     many = average_precision_from_bins(_bins(spark, rows).repartition(8)).collect()[0]
     assert (one.n_pos, one.n_neg, one.ap) == (many.n_pos, many.n_neg, many.ap)
+
+
+def test_threshold_metrics_hand_computed(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import (
+        threshold_metrics_from_bins,
+    )
+
+    # bins desc: 9 -> (2 pos, 0 neg), 5 -> (1, 1), 1 -> (0, 2); n_pos=3 n_neg=3
+    out = {
+        r.bin: r
+        for r in threshold_metrics_from_bins(
+            _bins(spark, [(9, 2, 0), (5, 1, 1), (1, 0, 2)])
+        ).collect()
+    }
+    r9 = out[9]
+    assert (r9.tp, r9.fp, r9.fn, r9.tn) == (2, 0, 1, 3)
+    assert r9.accuracy == 5 / 6 and r9.precision_ == 1.0 and r9.recall_ == 2 / 3
+    assert r9.f1 == 4 / 5  # 2*2/(2*2+0+1)
+    r1 = out[1]
+    assert (r1.tp, r1.fp, r1.fn, r1.tn) == (3, 3, 0, 0)
+    assert r1.accuracy == 0.5 and r1.f1 == 2 * 3 / (2 * 3 + 3 + 0)
+
+
+def test_threshold_metrics_one_class_guards(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import (
+        threshold_metrics_from_bins,
+    )
+
+    rows = threshold_metrics_from_bins(_bins(spark, [(5, 0, 3), (2, 0, 1)])).collect()
+    for r in rows:
+        assert r.recall_ is None and r.f1 is None  # no actual positives
+        assert r.precision_ == 0.0  # predicted positives exist, all wrong

@@ -138,3 +138,10 @@ def test_pr_curve_single_scan_no_joins(spark):
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
     assert len(scans) == 1
     assert "Join" not in plan
+
+
+def test_threshold_metrics_single_scan_no_joins(spark):
+    plan = _plan(spark, "threshold_metrics")
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 1
+    assert "Join" not in plan
