@@ -1284,6 +1284,7 @@ def run_ri_drain(
     child_key: str,
     parent_key: str,
     ri_spec: str,
+    stream_id: str | None = None,
 ) -> dict:
     """One exactly-once drain of a streaming DEFERRED referential-
     integrity check — the late-arriving-dimension problem every star-
@@ -1328,23 +1329,32 @@ def run_ri_drain(
     ``ri_spec`` (e.g. "orders.custkey->customer.custkey") binds as a
     commit-atomic property on all three tables — orphans parked under
     one FK definition must never be cured by another's parents.
+    ``stream_id`` binds the epoch-numbering authority exactly like
+    ``run_auc_drain``'s: streaming callers pass their resolved
+    checkpoint path, direct-batch callers bind the ``"__direct__"``
+    sentinel — a renumbered checkpoint colliding with the stored epoch
+    watermark would otherwise make the orphan drain silently skip NEW
+    batches (the cure log would quietly miss cures).
 
     Returns {"orphans": n, "cured": k, "parents": p} (counts after the
     drain), with ``orphans=-1`` when the whole epoch was already
     applied (full-replay no-op).
     """
-    props = {"ri_spec": ri_spec}
+    sid = stream_id if stream_id is not None else "__direct__"
+    props = {"ri_spec": ri_spec, "ri_stream_id": sid}
     parents_t = catalog.table("ri_parent_keys")
     orphans_t = catalog.table("ri_orphans")
     cured_t = catalog.table("ri_cured")
     for t in (parents_t, orphans_t, cured_t):
-        bound = t.table_prop("ri_spec")
-        if bound is not None and bound != ri_spec:
-            raise ValueError(
-                f"{t.name} table was built with ri_spec={bound!r}; "
-                f"refusing ri_spec={ri_spec!r} (orphans parked under one "
-                "FK definition must never be cured by another's parents)"
-            )
+        for prop, want in props.items():
+            bound = t.table_prop(prop)
+            if bound is not None and bound != want:
+                raise ValueError(
+                    f"{t.name} table was built with {prop}={bound!r}; "
+                    f"refusing {prop}={want!r} (orphans parked under one "
+                    "FK definition / epoch authority must never mix "
+                    "with another's)"
+                )
     pkeys = parents.select(F.col(parent_key).alias("__pk")).distinct()
 
     # 1. cure: stored orphans whose parent arrived IN THIS BATCH
@@ -1423,3 +1433,71 @@ def prune_ri_orphans(catalog: Catalog, cutoff_epoch: int) -> int:
     kept = table.read().filter(F.col("__orphan_since") > cutoff_epoch)
     n, _ = _occ_overwrite(table, kept, base_v)
     return n
+
+
+def ri_stream(
+    spark: SparkSession,
+    facts_dir: str,
+    schema,
+    catalog: Catalog,
+    checkpoint_root: str,
+    dims_table: str,
+    child_key: str,
+    parent_key: str,
+    ri_spec: str,
+):
+    """TRUE streaming deferred-RI: a fact file stream drains through
+    ``run_ri_drain`` per micro-batch, with dimension arrivals folded in
+    from ``dims_table``'s version cursor — the streaming wiring for the
+    late-arriving-dimension choreography (``metric_stream``'s pattern:
+    the micro-batch's ``epoch_id`` IS the drain epoch, and the resolved
+    checkpoint path binds as the epoch-numbering authority).
+
+    Parent batches are INCREMENTAL: each micro-batch folds only the dim
+    rows appended since the last drained dim version
+    (``appended_since``), falling back to the full dim snapshot when
+    the delta is not derivable (no cursor yet, or a snapshot
+    rewrite/merge barrier). The cursor lives in a sidecar next to the
+    checkpoint; over-reading after a crash is harmless because the
+    parent-key union is idempotent — the cursor is an optimization,
+    never a correctness input. availableNow drain; returns the
+    StreamingQuery."""
+    import json as _json
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.autoload import stream_source
+
+    df = stream_source(spark, facts_dir, schema).drop(RESCUE_COL)
+    ckpt = Path(checkpoint_root).resolve() / "ri"
+    ckpt.mkdir(parents=True, exist_ok=True)
+    cursor_p = ckpt / "dims_cursor.json"
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        dims = catalog.table(dims_table)
+        cur_v = dims.current_version()
+        last = (
+            _json.loads(cursor_p.read_text())["v"] if cursor_p.exists() else None
+        )
+        parents = None
+        if cur_v >= 0:
+            parents = dims.appended_since(last, until=cur_v)
+            if parents is None:  # no cursor yet / rebuild barrier
+                parents = dims.read()
+        if parents is None:  # dims table not created yet
+            parents = batch_df.select(
+                F.col(child_key).alias(parent_key)
+            ).limit(0)
+        run_ri_drain(
+            catalog, batch_df, parents, epoch=epoch_id,
+            child_key=child_key, parent_key=parent_key,
+            ri_spec=ri_spec, stream_id=str(ckpt),
+        )
+        tmp = cursor_p.with_suffix(f".tmp.{os.getpid()}")
+        tmp.write_text(_json.dumps({"v": cur_v}))
+        os.replace(tmp, cursor_p)
+
+    return (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )

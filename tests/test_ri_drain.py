@@ -156,3 +156,65 @@ def test_null_fk_children_are_skipped_not_parked(spark, tmp_path):
     )
     assert got["orphans"] == 1  # only custkey=3; the NULL row is skipped
     assert {r.custkey for r in cat.table("ri_orphans").read().collect()} == {3}
+
+
+def test_ri_stream_e2e_late_dim_cures(spark, tmp_path):
+    """Real Structured Streaming wiring: fact files → foreachBatch
+    run_ri_drain with checkpointed epoch ids; dims fold in incrementally
+    via the version cursor, and a dim arriving AFTER its fact cures the
+    parked orphan on the next drain."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import ri_stream
+
+    schema = T.StructType([
+        T.StructField("order_id", T.LongType()),
+        T.StructField("custkey", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+    ])
+    src = tmp_path / "facts"
+    cat = Catalog(spark, tmp_path / "wh")
+    dims = cat.table("silver_customer")
+
+    def drain():
+        q = ri_stream(
+            spark, str(src), schema, cat, str(tmp_path / "ck"),
+            dims_table="silver_customer", child_key="custkey",
+            parent_key="custkey", ri_spec=SPEC,
+        )
+        q.awaitTermination(120)
+
+    # batch 1: facts for customers 1 and 2; only dim 1 exists
+    dims.overwrite(_parents(spark, [1]))
+    spark.createDataFrame([(10, 1, 5.0), (11, 2, 6.0)], schema).write.parquet(
+        str(src / "run=1")
+    )
+    drain()
+    assert {r.custkey for r in cat.table("ri_orphans").read().collect()} == {2}
+    cursor = _json.loads(
+        (tmp_path / "ck" / "ri" / "dims_cursor.json").read_text()
+    )
+    assert cursor["v"] == dims.current_version()
+
+    # dim 2 arrives (appended to the dims table), plus a new fact file
+    # for customer 3 (still parentless)
+    dims.append(_parents(spark, [2]))
+    spark.createDataFrame([(12, 3, 7.0)], schema).write.parquet(str(src / "run=2"))
+    drain()
+    assert {r.custkey for r in cat.table("ri_orphans").read().collect()} == {3}
+    cured = cat.table("ri_cured").read().collect()
+    assert [r.custkey for r in cured] == [2]
+
+    # restart with no new facts: exactly-once, nothing moves
+    before_o = sorted(tuple(r) for r in cat.table("ri_orphans").read().collect())
+    before_c = sorted(tuple(r) for r in cat.table("ri_cured").read().collect())
+    drain()
+    assert sorted(tuple(r) for r in cat.table("ri_orphans").read().collect()) == before_o
+    assert sorted(tuple(r) for r in cat.table("ri_cured").read().collect()) == before_c
+
+    # the stream bound its checkpoint as the epoch authority: a direct
+    # batch drain (sentinel identity) must now be refused
+    with pytest.raises(ValueError, match="ri_stream_id"):
+        _drain(cat, spark, 99, [(13, 4, 8.0)], [4])
