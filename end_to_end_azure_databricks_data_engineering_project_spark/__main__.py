@@ -61,7 +61,12 @@ def run_all(workdir: str, scale: float = 0.2) -> None:
             spark, cfgs, str(root / "bronze"), str(root / "warehouse"),
             str(root / "state"), CLEANSERS,
         )
-        flow_rows = pipe.run_all()
+        # run ledger + failure events (≙ reference readme.md:8 alerting)
+        from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import run_report_hook
+
+        flow_rows = pipe.run_all(
+            on_event=run_report_hook(spark, catalog, run_id=phase_name)
+        )
         print(f"== {phase_name}")
         for r in results:
             print(f"   ingest {r.table:12s} rows={r.rows:6d} wm→ {r.watermark_after}")
@@ -76,6 +81,8 @@ def run_all(workdir: str, scale: float = 0.2) -> None:
     for row in gold_user.filter("user_id = 1").orderBy("__START_AT").collect():
         print("  ", row.subscription_type, row["__START_AT"], row[END_AT])
     print("== SCD1 fact rows:", catalog.table("gold_fact_stream").read().count())
+    failed = catalog.table("pipeline_runs").read().filter("status = 'failed'")
+    print("== pipeline_runs ledger: failed flows:", failed.count())
 
 
 def main() -> None:

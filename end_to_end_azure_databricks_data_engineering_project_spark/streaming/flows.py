@@ -79,8 +79,74 @@ class Pipeline:
             visit(n, ())
         return order
 
-    def run_all(self) -> dict[str, int]:
-        return {n: self.flows[n].run() for n in self.topo_order()}
+    def run_all(
+        self,
+        on_event: Callable[[dict], None] | None = None,
+        halt_on_failure: bool = True,
+    ) -> dict[str, int]:
+        """Run every flow in dependency order.
+
+        ``on_event``: optional observer called with one dict per flow
+        transition — ``{"flow", "status": running|succeeded|failed,
+        "rows", "seconds", "error"}`` — the engine-level analog of the
+        reference's failure alerting (readme.md:8 Logic-Apps email on
+        ADF failure; ``email_notifications`` in spotify_dab.job.yml):
+        the DELIVERY channel (email/webhook/pager) is platform wiring,
+        but the detection, the structured payload, and the run ledger
+        belong to the engine. Pair with ``run_report_hook`` to persist
+        a queryable ops table. Observer exceptions propagate — a
+        broken alerting channel must be loud, not best-effort.
+
+        ``halt_on_failure=True`` (default) re-raises the first flow
+        error after emitting its failure event — downstream flows of a
+        failed dependency must not run against missing inputs.
+        ``False`` runs the remaining flows (recording each outcome)
+        and raises ONE summary error at the end."""
+        import time as _time
+
+        results: dict[str, int] = {}
+        failures: list[tuple[str, Exception]] = []
+        unavailable: set[str] = set()  # failed flows + their dependents
+
+        def emit(evt: dict) -> None:
+            if on_event is not None:
+                on_event(evt)
+
+        for n in self.topo_order():
+            skip = next(
+                (d for d in self.flows[n].depends_on if d in unavailable),
+                None,
+            )
+            if skip is not None:
+                unavailable.add(n)  # transitive dependents skip too
+                emit({"flow": n, "status": "skipped", "rows": None,
+                      "seconds": 0.0, "error": f"dependency {skip} failed"})
+                continue
+            emit({"flow": n, "status": "running", "rows": None,
+                  "seconds": None, "error": None})
+            t0 = _time.perf_counter()
+            try:
+                rows = self.flows[n].run()
+            except Exception as exc:
+                emit({"flow": n, "status": "failed", "rows": None,
+                      "seconds": round(_time.perf_counter() - t0, 3),
+                      "error": f"{type(exc).__name__}: {exc}"[:500]})
+                if halt_on_failure:
+                    raise
+                failures.append((n, exc))
+                unavailable.add(n)
+                continue
+            results[n] = rows
+            emit({"flow": n, "status": "succeeded", "rows": rows,
+                  "seconds": round(_time.perf_counter() - t0, 3),
+                  "error": None})
+        if failures:
+            names = ", ".join(f for f, _ in failures)
+            raise RuntimeError(
+                f"pipeline finished with {len(failures)} failed flow(s): "
+                f"{names}"
+            ) from failures[0][1]
+        return results
 
 
 def silver_flow(
@@ -1501,3 +1567,33 @@ def ri_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_report_hook(
+    spark: SparkSession, catalog: Catalog, run_id: str
+) -> Callable[[dict], None]:
+    """An ``on_event`` observer for ``Pipeline.run_all`` that persists
+    every TERMINAL flow outcome (succeeded / failed / skipped) into a
+    ``pipeline_runs`` ManagedTable — the queryable run ledger behind
+    the reference's alerting story (readme.md:8: ADF failure → Logic
+    App email; here the alert CONDITION is a query:
+    ``pipeline_runs WHERE status = 'failed' AND run_id = ...`` — wire
+    the delivery channel of your choice on top). ``running`` events
+    are not persisted (one commit per flow, not two). ``run_id`` is
+    caller-supplied so retries of the same logical run correlate."""
+    table = catalog.table("pipeline_runs")
+
+    def on_event(evt: dict) -> None:
+        if evt["status"] == "running":
+            return
+        row = spark.createDataFrame(
+            [(
+                run_id, evt["flow"], evt["status"],
+                evt["rows"], evt["seconds"], evt["error"],
+            )],
+            "run_id string, flow string, status string, rows long,"
+            " seconds double, error string",
+        ).withColumn("recorded_at", F.current_timestamp())
+        table.append(row, evolve=True)
+
+    return on_event

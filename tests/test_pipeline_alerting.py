@@ -1,0 +1,99 @@
+"""Pipeline run events + failure alerting (the engine-level analog of
+the reference's readme.md:8 Logic-Apps-on-ADF-failure story): event
+stream shape, halt-vs-continue semantics, transitive dependency skips,
+and the persistent pipeline_runs ledger."""
+
+from __future__ import annotations
+
+import pytest
+
+from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import (
+    Flow,
+    Pipeline,
+    run_report_hook,
+)
+
+
+def _pipe(fail: set[str] = frozenset()):
+    pipe = Pipeline()
+
+    def mk(name, rows):
+        def run():
+            if name in fail:
+                raise RuntimeError(f"{name} exploded")
+            return rows
+        return run
+
+    pipe.add(Flow("bronze", mk("bronze", 10)))
+    pipe.add(Flow("silver", mk("silver", 8), depends_on=("bronze",)))
+    pipe.add(Flow("gold", mk("gold", 5), depends_on=("silver",)))
+    pipe.add(Flow("report", mk("report", 1), depends_on=("gold",)))
+    pipe.add(Flow("side", mk("side", 2)))  # independent branch
+    return pipe
+
+
+def test_success_event_stream(spark):
+    events = []
+    out = _pipe().run_all(on_event=events.append)
+    assert out == {"bronze": 10, "silver": 8, "gold": 5, "report": 1, "side": 2}
+    terminal = [e for e in events if e["status"] != "running"]
+    assert all(e["status"] == "succeeded" for e in terminal)
+    assert {e["flow"] for e in terminal} == {"bronze", "silver", "gold", "report", "side"}
+    assert all(e["seconds"] is not None and e["error"] is None for e in terminal)
+
+
+def test_halt_on_failure_emits_failed_then_raises(spark):
+    events = []
+    with pytest.raises(RuntimeError, match="silver exploded"):
+        _pipe(fail={"silver"}).run_all(on_event=events.append)
+    failed = [e for e in events if e["status"] == "failed"]
+    assert [e["flow"] for e in failed] == ["silver"]
+    assert "silver exploded" in failed[0]["error"]
+    # nothing downstream ran
+    assert not any(
+        e["flow"] in ("gold", "report") for e in events
+    )
+
+
+def test_continue_mode_skips_transitive_dependents(spark):
+    events = []
+    with pytest.raises(RuntimeError, match="1 failed flow"):
+        _pipe(fail={"silver"}).run_all(
+            on_event=events.append, halt_on_failure=False
+        )
+    by_flow = {
+        e["flow"]: e["status"] for e in events if e["status"] != "running"
+    }
+    # gold depends on the FAILED silver; report depends on the SKIPPED
+    # gold — both must skip (a transitive dependent running against a
+    # missing input would be worse than the original failure)
+    assert by_flow == {
+        "bronze": "succeeded", "silver": "failed",
+        "gold": "skipped", "report": "skipped", "side": "succeeded",
+    }
+
+
+def test_run_report_hook_persists_ledger(spark, tmp_path):
+    cat = Catalog(spark, tmp_path / "wh")
+    hook = run_report_hook(spark, cat, run_id="run-42")
+    with pytest.raises(RuntimeError):
+        _pipe(fail={"gold"}).run_all(on_event=hook, halt_on_failure=False)
+    ledger = cat.table("pipeline_runs").read().collect()
+    by_flow = {r.flow: r for r in ledger}
+    assert by_flow["gold"].status == "failed" and "gold exploded" in by_flow["gold"].error
+    assert by_flow["report"].status == "skipped"
+    assert by_flow["bronze"].status == "succeeded" and by_flow["bronze"].rows == 10
+    assert all(r.run_id == "run-42" for r in ledger)
+    # the alert condition is a query
+    assert cat.table("pipeline_runs").read().filter(
+        "status = 'failed' AND run_id = 'run-42'"
+    ).count() == 1
+
+
+def test_broken_observer_is_loud(spark):
+    def bad_observer(evt):
+        raise IOError("pager down")
+
+    with pytest.raises(IOError, match="pager down"):
+        _pipe().run_all(on_event=bad_observer)
