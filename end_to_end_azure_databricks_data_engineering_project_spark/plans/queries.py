@@ -1091,6 +1091,64 @@ def q_minhash_dedup_cc(spark, sf):
     ).select("doc_id")
 
 
+@_q(
+    "dedup_cluster_stats",
+    "Near-dup dedup QA report: cluster-size histogram of the MinHash-"
+    "LSH connected components (singletons included) — the sanity gate "
+    "before a dedup pass deletes a chunk of the corpus: one giant "
+    "cluster means a pathological shingle/banding config, not real "
+    "duplication. Same CC labels as minhash_dedup_cc, one extra "
+    "rollup; all-integer output",
+    "extension: dedup QA (cluster-size distribution)",
+    _minhash_edges_cte(8, 4, 0.5, recursive=True) + r""",
+    r(node, m) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.m FROM edges e JOIN r ON e.v = r.node
+    ),
+    labels AS (SELECT node, min(m) AS component FROM r GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+    ),
+    sizes AS (
+      SELECT component, count(*) AS cluster_size FROM assigned GROUP BY component
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def q_dedup_cluster_stats(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+        connected_components,
+        minhash_near_dup_pairs,
+    )
+
+    d = _t(spark, sf, "documents")
+    pairs = minhash_near_dup_pairs(
+        d, num_hashes=8, bands=4, shingle_n=3
+    ).filter(F.col("est_jaccard") >= 0.5)
+    comp = connected_components(pairs, "id_a", "id_b")
+    assigned = d.select("doc_id").join(
+        comp, F.col("doc_id") == F.col("node"), "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+    sizes = assigned.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+    ).select(
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        F.col("n_clusters").cast("bigint").alias("n_clusters"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
 # =====================================================================
 # LLM-data extensions: similarity search
 # =====================================================================
