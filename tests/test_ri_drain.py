@@ -218,3 +218,44 @@ def test_ri_stream_e2e_late_dim_cures(spark, tmp_path):
     # batch drain (sentinel identity) must now be refused
     with pytest.raises(ValueError, match="ri_stream_id"):
         _drain(cat, spark, 99, [(13, 4, 8.0)], [4])
+
+
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+slices_st = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=6), min_size=0, max_size=12),
+    st.lists(st.integers(min_value=0, max_value=6), min_size=0, max_size=5),
+    st.integers(min_value=1, max_value=4),  # number of drain epochs
+)
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=slices_st)
+def test_ri_drain_orphans_invariant_under_slicing(spark, tmp_path_factory, data):
+    """Idempotent-monoid property, hypothesis-driven: however children
+    and parents are sliced across drain epochs, the final orphan state
+    equals the one-shot anti-join of all children vs all parents."""
+    child_keys, parent_keys, n_epochs = data
+    cat = Catalog(spark, tmp_path_factory.mktemp("wh"))
+    children = [(100 + i, k, float(i)) for i, k in enumerate(child_keys)]
+    # deal rows round-robin into epochs (any deterministic slicing works)
+    c_slices = [children[e::n_epochs] for e in range(n_epochs)]
+    p_slices = [parent_keys[e::n_epochs] for e in range(n_epochs)]
+    for e in range(n_epochs):
+        _drain(cat, spark, e + 1, c_slices[e], p_slices[e])
+    if cat.table("ri_orphans").exists():
+        got = sorted(
+            (r.order_id, r.custkey)
+            for r in cat.table("ri_orphans").read().collect()
+        )
+    else:
+        got = []
+    want = sorted(
+        (oid, ck) for oid, ck, _ in children if ck not in set(parent_keys)
+    )
+    assert got == want
