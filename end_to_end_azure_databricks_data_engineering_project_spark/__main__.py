@@ -31,6 +31,7 @@ from end_to_end_azure_databricks_data_engineering_project_spark.sources.ingest i
 from end_to_end_azure_databricks_data_engineering_project_spark.sources.watermark import WatermarkStore
 from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import (
     build_medallion_pipeline,
+    run_report_hook,
 )
 
 CLEANSERS = {
@@ -62,8 +63,6 @@ def run_all(workdir: str, scale: float = 0.2) -> None:
             str(root / "state"), CLEANSERS,
         )
         # run ledger + failure events (≙ reference readme.md:8 alerting)
-        from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import run_report_hook
-
         flow_rows = pipe.run_all(
             on_event=run_report_hook(spark, catalog, run_id=phase_name)
         )

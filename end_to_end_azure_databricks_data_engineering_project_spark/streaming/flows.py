@@ -1232,6 +1232,19 @@ def prune_islands(catalog: Catalog, cutoff: int) -> int:
     return n
 
 
+def _checkpoint_generation(ckpt: Path) -> str:
+    """The Structured-Streaming checkpoint's own query id (its
+    ``metadata`` file, written by Spark at stream start — it exists by
+    the time any foreachBatch sink runs). A GENERATION marker: stable
+    across restarts of the same checkpoint, different when the
+    checkpoint is deleted and recreated at the same path — which
+    restarts epoch numbering, the renumbering a path-only binding
+    cannot see."""
+    import json as _json
+
+    return _json.loads((Path(ckpt) / "metadata").read_text())["id"]
+
+
 def metric_stream(
     spark: SparkSession,
     source_dir: str,
@@ -1264,7 +1277,11 @@ def metric_stream(
         run_auc_drain(
             catalog, batch_df, epoch=epoch_id,
             score_bin_col=score_bin_col, positive_col=positive_col,
-            binning=binning, stream_id=str(ckpt),
+            binning=binning,
+            # path catches relocation; the checkpoint's query id
+            # catches delete-and-recreate at the SAME path (which
+            # restarts epoch numbering invisibly to a path binding)
+            stream_id=f"{ckpt}#{_checkpoint_generation(ckpt)}",
         )
 
     return (
@@ -1351,6 +1368,7 @@ def run_ri_drain(
     parent_key: str,
     ri_spec: str,
     stream_id: str | None = None,
+    parents_epoch: int | None = None,
 ) -> dict:
     """One exactly-once drain of a streaming DEFERRED referential-
     integrity check — the late-arriving-dimension problem every star-
@@ -1378,12 +1396,20 @@ def run_ri_drain(
     Commit choreography (three tables cannot commit atomically — the
     order + per-table epoch guards make every crash window replayable):
 
-      1. cured append: stored orphans semi-joined to THIS batch's
-         parent keys — deterministic from (pre-drain orphan state,
-         batch), so a replay recomputes it identically and the epoch
-         guard makes the append exactly-once;
-      2. parent-keys drain: distinct union (an IDEMPOTENT monoid —
-         the epoch guard just skips work on replay);
+      1. parent-keys drain: distinct union (an IDEMPOTENT monoid).
+         Its epoch defaults to ``epoch`` but callers whose parent
+         batches have their OWN progression pass ``parents_epoch``
+         (``ri_stream`` passes the dims table's version): a replayed
+         fact epoch carrying NEWER dim rows then still folds them —
+         with a shared epoch the guard would drop those dim keys
+         forever (the fold is keyed to fact progress it does not
+         follow);
+      2. cured append: stored orphans semi-joined to the COMMITTED
+         parent set (only parents folded since the last orphan drain
+         can match — earlier ones were anti-joined away at park time),
+         keyed to the PARENTS epoch so every folded dim's cures are
+         logged exactly once even when the fold rode a replayed fact
+         epoch;
       3. orphan drain: (stored ∪ batch children) anti-join the
          COMMITTED parent keys (now including this batch). Also
          idempotent given steps 1-2, but epoch-guarded so a replay
@@ -1400,7 +1426,9 @@ def run_ri_drain(
     checkpoint path, direct-batch callers bind the ``"__direct__"``
     sentinel — a renumbered checkpoint colliding with the stored epoch
     watermark would otherwise make the orphan drain silently skip NEW
-    batches (the cure log would quietly miss cures).
+    batches (the cure log would quietly miss cures). Tables with
+    drained epochs but NO bound identity (pre-binding history) refuse
+    a streaming attach outright, mirroring ``run_auc_drain``.
 
     Returns {"orphans": n, "cured": k, "parents": p} (counts after the
     drain), with ``orphans=-1`` when the whole epoch was already
@@ -1411,6 +1439,8 @@ def run_ri_drain(
     parents_t = catalog.table("ri_parent_keys")
     orphans_t = catalog.table("ri_orphans")
     cured_t = catalog.table("ri_cured")
+    _EPOCH_KEYS = {"ri_parent_keys": "ri_parents", "ri_orphans": "ri_orphans",
+                   "ri_cured": "ri_cured"}
     for t in (parents_t, orphans_t, cured_t):
         for prop, want in props.items():
             bound = t.table_prop(prop)
@@ -1421,29 +1451,28 @@ def run_ri_drain(
                     "FK definition / epoch authority must never mix "
                     "with another's)"
                 )
+        if (
+            stream_id is not None
+            and t.table_prop("ri_stream_id") is None
+            and t.applied_epoch(_EPOCH_KEYS[t.name]) is not None
+        ):
+            # pre-binding history: drained epochs under an unrecorded
+            # numbering authority — a checkpoint restarting at 0 would
+            # silently collide with the stored watermark
+            raise ValueError(
+                f"{t.name} table has drained epochs but no bound stream "
+                f"identity (pre-binding history); refusing to attach "
+                f"streaming checkpoint {sid!r} — drain into fresh tables"
+            )
     pkeys = parents.select(F.col(parent_key).alias("__pk")).distinct()
 
-    # 1. cure: stored orphans whose parent arrived IN THIS BATCH
-    cured_n = 0
-    stored_cured = cured_t.applied_epoch("ri_cured")
-    if orphans_t.exists():
-        cured = orphans_t.read().join(
-            F.broadcast(pkeys),
-            F.col(child_key) == F.col("__pk"),
-            "left_semi",
-        ).withColumn("__cured_epoch", F.lit(epoch).cast("bigint"))
-        if stored_cured is None or epoch > stored_cured:
-            cured = cured.localCheckpoint(eager=True)  # pin pre-drain state
-            cured_n = cured.count()
-            if cured_n:
-                cured_t.append(
-                    cured, epoch=epoch, epoch_key="ri_cured",
-                    set_props=props, expect_props=props, evolve=True,
-                )
+    p_epoch = parents_epoch if parents_epoch is not None else epoch
 
-    # 2. parent keys: distinct-union monoid
+    # 1. parent keys: distinct-union monoid, under ITS OWN epoch
+    # authority (see the choreography note — a replayed fact epoch
+    # carrying newer dim rows must still fold them)
     parents_n = _merge_state_drain(
-        catalog, "ri_parent_keys", epoch, "ri_parents",
+        catalog, "ri_parent_keys", p_epoch, "ri_parents",
         build=lambda: pkeys,
         merge=lambda stored, batch_keys: stored.unionByName(batch_keys).distinct(),
         props=props,
@@ -1451,6 +1480,31 @@ def run_ri_drain(
     )
     if parents_n < 0:
         parents_n = parents_t.read().count() if parents_t.exists() else 0
+
+    # 2. cure: stored orphans now matched by the COMMITTED parent set.
+    # Computing against all committed parents (not just this batch's
+    # keys) keeps the cure log complete across crash replays: orphans
+    # were anti-joined at park time, so only parents folded since the
+    # last orphan drain can match — and keying the append to the
+    # PARENTS epoch means a replay that folded extra dims still logs
+    # their cures exactly once.
+    cured_n = 0
+    stored_cured = cured_t.applied_epoch("ri_cured")
+    if orphans_t.exists() and parents_t.exists() and (
+        stored_cured is None or p_epoch > stored_cured
+    ):
+        cured = orphans_t.read().join(
+            parents_t.read(),
+            F.col(child_key) == F.col("__pk"),
+            "left_semi",
+        ).withColumn("__cured_epoch", F.lit(p_epoch).cast("bigint"))
+        cured = cured.localCheckpoint(eager=True)  # pin pre-drain state
+        cured_n = cured.count()
+        if cured_n:
+            cured_t.append(
+                cured, epoch=p_epoch, epoch_key="ri_cured",
+                set_props=props, expect_props=props, evolve=True,
+            )
 
     # 3. orphans: (stored ∪ new children) minus all committed parents.
     # NULL FKs are OPTIONAL, not violations (the fk_orphans semantic,
@@ -1520,33 +1574,38 @@ def ri_stream(
     checkpoint path binds as the epoch-numbering authority).
 
     Parent batches are INCREMENTAL: each micro-batch folds only the dim
-    rows appended since the last drained dim version
-    (``appended_since``), falling back to the full dim snapshot when
-    the delta is not derivable (no cursor yet, or a snapshot
-    rewrite/merge barrier). The cursor lives in a sidecar next to the
-    checkpoint; over-reading after a crash is harmless because the
-    parent-key union is idempotent — the cursor is an optimization,
-    never a correctness input. availableNow drain; returns the
-    StreamingQuery."""
-    import json as _json
-
+    rows appended since the last FOLDED dim version — the cursor is the
+    parents table's own commit-atomic epoch watermark (``ri_parents``
+    records the dims version each fold committed at, because
+    ``run_ri_drain`` is called with ``parents_epoch`` = that version),
+    so the cursor can never run ahead of the fold it stands for: no
+    sidecar, no crash window. Falls back to the full dim snapshot when
+    the delta is not derivable (no fold yet, or a snapshot
+    rewrite/merge barrier) — safe either way, the parent-key union is
+    idempotent. The stream binds BOTH the resolved checkpoint path and
+    the checkpoint's own query id (``ri_stream_gen``, from the
+    checkpoint ``metadata`` file) as epoch authorities: a RELOCATED
+    checkpoint fails on the path, a deleted-and-recreated one at the
+    same path fails on the generation — either would renumber epochs
+    against the stored watermark and silently drop batches.
+    availableNow drain; returns the StreamingQuery."""
     from end_to_end_azure_databricks_data_engineering_project_spark.sources.autoload import stream_source
 
     df = stream_source(spark, facts_dir, schema).drop(RESCUE_COL)
     ckpt = Path(checkpoint_root).resolve() / "ri"
-    ckpt.mkdir(parents=True, exist_ok=True)
-    cursor_p = ckpt / "dims_cursor.json"
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         dims = catalog.table(dims_table)
         cur_v = dims.current_version()
-        last = (
-            _json.loads(cursor_p.read_text())["v"] if cursor_p.exists() else None
-        )
+        parents_t = catalog.table("ri_parent_keys")
+        wm = parents_t.applied_epoch("ri_parents")
+        # the watermark records dims version + 1 (see parents_epoch
+        # below); appended_since wants the last FOLDED version
+        last = wm - 1 if wm is not None else None
         parents = None
         if cur_v >= 0:
             parents = dims.appended_since(last, until=cur_v)
-            if parents is None:  # no cursor yet / rebuild barrier
+            if parents is None:  # no fold yet / rebuild barrier
                 parents = dims.read()
         if parents is None:  # dims table not created yet
             parents = batch_df.select(
@@ -1555,11 +1614,13 @@ def ri_stream(
         run_ri_drain(
             catalog, batch_df, parents, epoch=epoch_id,
             child_key=child_key, parent_key=parent_key,
-            ri_spec=ri_spec, stream_id=str(ckpt),
+            ri_spec=ri_spec,
+            stream_id=f"{ckpt}#{_checkpoint_generation(ckpt)}",
+            # +1 shifts the no-table sentinel (-1) to 0 so the first
+            # real dims version (0) folds at epoch 1 > the empty
+            # watermark instead of colliding with it
+            parents_epoch=cur_v + 1,
         )
-        tmp = cursor_p.with_suffix(f".tmp.{os.getpid()}")
-        tmp.write_text(_json.dumps({"v": cur_v}))
-        os.replace(tmp, cursor_p)
 
     return (
         df.writeStream.foreachBatch(sink)

@@ -163,8 +163,6 @@ def test_ri_stream_e2e_late_dim_cures(spark, tmp_path):
     run_ri_drain with checkpointed epoch ids; dims fold in incrementally
     via the version cursor, and a dim arriving AFTER its fact cures the
     parked orphan on the next drain."""
-    import json as _json
-
     from pyspark.sql import types as T
 
     from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import ri_stream
@@ -193,10 +191,10 @@ def test_ri_stream_e2e_late_dim_cures(spark, tmp_path):
     )
     drain()
     assert {r.custkey for r in cat.table("ri_orphans").read().collect()} == {2}
-    cursor = _json.loads(
-        (tmp_path / "ck" / "ri" / "dims_cursor.json").read_text()
+    # the fold cursor IS the parents table's commit-atomic watermark
+    assert cat.table("ri_parent_keys").applied_epoch("ri_parents") == (
+        dims.current_version() + 1
     )
-    assert cursor["v"] == dims.current_version()
 
     # dim 2 arrives (appended to the dims table), plus a new fact file
     # for customer 3 (still parentless)
@@ -219,8 +217,6 @@ def test_ri_stream_e2e_late_dim_cures(spark, tmp_path):
     with pytest.raises(ValueError, match="ri_stream_id"):
         _drain(cat, spark, 99, [(13, 4, 8.0)], [4])
 
-
-import itertools
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -259,3 +255,77 @@ def test_ri_drain_orphans_invariant_under_slicing(spark, tmp_path_factory, data)
         (oid, ck) for oid, ck, _ in children if ck not in set(parent_keys)
     )
     assert got == want
+
+
+def test_replayed_fact_epoch_still_folds_newer_parents(spark, tmp_path):
+    """The review-caught crash window: fact epoch 1 fully applies, the
+    stream crashes before committing offsets, dims advance, epoch 1
+    replays carrying the NEWER dim rows. The parents fold rides its own
+    epoch authority (parents_epoch), so those dims still fold and their
+    cures still log — with a shared epoch they would be dropped forever."""
+    cat = Catalog(spark, tmp_path / "wh")
+    run_ri_drain(
+        cat, _children(spark, [(10, 1, 5.0), (11, 2, 6.0)]),
+        _parents(spark, []), epoch=1, parents_epoch=1,
+        child_key="custkey", parent_key="custkey", ri_spec=SPEC,
+    )
+    assert {r.custkey for r in cat.table("ri_orphans").read().collect()} == {1, 2}
+    # replay of fact epoch 1, but dims advanced (parents_epoch 2, dim 1)
+    got = run_ri_drain(
+        cat, _children(spark, [(10, 1, 5.0), (11, 2, 6.0)]),
+        _parents(spark, [1]), epoch=1, parents_epoch=2,
+        child_key="custkey", parent_key="custkey", ri_spec=SPEC,
+    )
+    assert got["orphans"] == -1  # fact epoch replay: orphan drain no-op
+    assert got["parents"] == 1  # but the newer dim FOLDED
+    assert got["cured"] == 1    # and its cure is logged exactly once
+    assert [r.custkey for r in cat.table("ri_cured").read().collect()] == [1]
+    # the next real drain reconciles the orphan state via the anti-join
+    got = run_ri_drain(
+        cat, _children(spark, []), _parents(spark, []),
+        epoch=2, parents_epoch=2,
+        child_key="custkey", parent_key="custkey", ri_spec=SPEC,
+    )
+    assert {r.custkey for r in cat.table("ri_orphans").read().collect()} == {2}
+    # and the cure was NOT double-logged
+    assert cat.table("ri_cured").read().count() == 1
+
+
+def test_recreated_checkpoint_fails_loudly(spark, tmp_path):
+    """Delete-and-recreate of the SAME checkpoint path restarts epoch
+    numbering invisibly to a path-only binding — the bound checkpoint
+    GENERATION (query id) turns that into a loud refusal."""
+    import shutil
+
+    from pyspark.sql import types as T
+    from pyspark.errors import StreamingQueryException
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import ri_stream
+
+    schema = T.StructType([
+        T.StructField("order_id", T.LongType()),
+        T.StructField("custkey", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+    ])
+    src = tmp_path / "facts"
+    cat = Catalog(spark, tmp_path / "wh")
+    cat.table("silver_customer").overwrite(_parents(spark, [1]))
+    spark.createDataFrame([(10, 1, 5.0), (11, 2, 6.0)], schema).write.parquet(
+        str(src / "run=1")
+    )
+
+    def drain():
+        q = ri_stream(
+            spark, str(src), schema, cat, str(tmp_path / "ck"),
+            dims_table="silver_customer", child_key="custkey",
+            parent_key="custkey", ri_spec=SPEC,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert {r.custkey for r in cat.table("ri_orphans").read().collect()} == {2}
+    # operator wipes the checkpoint to "reprocess" — epochs restart at 0
+    shutil.rmtree(tmp_path / "ck")
+    spark.createDataFrame([(12, 3, 7.0)], schema).write.parquet(str(src / "run=2"))
+    with pytest.raises(StreamingQueryException, match="ri_stream_id"):
+        drain()
