@@ -130,6 +130,16 @@ def main() -> None:
             docs.select("doc_id", F.col("n_chars").alias("v")), "v", "doc_id"
         ).count()
 
+    def t_bpe(docs, emb):
+        # learn 4 merges on the corpus, then encode the whole corpus:
+        # the Heaps-law claim under test is that the merge rounds and
+        # the replay run on the distinct-word relation, so total cost
+        # tracks the two corpus passes (word count + join-back)
+        from end_to_end_azure_databricks_data_engineering_project_spark.operators.bpe import bpe_encode, bpe_learn_merges
+
+        rules = bpe_learn_merges(docs, n_merges=4)
+        return bpe_encode(docs, rules).count()
+
     def t_ivfpq(docs, emb):
         cents = kmeans_fit(emb, k=4, n_iter=2)
         enc, cbs = ivfpq_encode(emb, cents, m=2, k_sub=4, n_iter=2, dim=64)
@@ -147,6 +157,7 @@ def main() -> None:
         ("bm25_topk", t_bm25, None),
         ("lsq_sketch", t_lsq, None),
         ("ann_topk_ivfpq", t_ivfpq, None),
+        ("bpe_learn+encode", t_bpe, None),
     ]
     print(f"{'operator':26s} " + " ".join(f"{'x' + str(m):>18s}" for m in scales))
     results: dict[str, list[tuple[int, float, int]]] = {}
