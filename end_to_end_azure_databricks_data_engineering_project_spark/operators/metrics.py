@@ -30,6 +30,8 @@ __all__ = [
     "per_bin_counts",
     "merge_bin_counts",
     "auc_from_bins",
+    "grouped_per_bin_counts",
+    "grouped_auc_from_bins",
     "pr_curve_from_bins",
     "average_precision_from_bins",
     "threshold_metrics_from_bins",
@@ -126,6 +128,77 @@ def auc_from_bins(bins: DataFrame) -> DataFrame:
             F.col("u2").cast("double")
             / (2 * F.col("n_pos").cast(_DEC) * F.col("n_neg").cast(_DEC)).cast("double"),
         ).alias("auc"),
+    )
+
+
+def grouped_per_bin_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    score_bin_col: str | Column,
+    positive_col: str | Column,
+) -> DataFrame:
+    """Per-(segment, score-bin) (pos, neg) counts — the mergeable state
+    for SLICED evaluation (per-language / per-source / per-cohort AUC,
+    the model-governance requirement that a global metric hides
+    regressions in). Same NULL semantics as ``per_bin_counts``; one
+    map-side-combinable groupBy onto ≤ |segments|·|bins| rows."""
+    bin_c = F.col(score_bin_col) if isinstance(score_bin_col, str) else score_bin_col
+    pos_c = F.col(positive_col) if isinstance(positive_col, str) else positive_col
+    return (
+        df.select(
+            *group_cols,
+            bin_c.cast("bigint").alias("bin"),
+            pos_c.cast("int").alias("_p"),
+        )
+        .filter(F.col("bin").isNotNull() & F.col("_p").isNotNull())
+        .groupBy(*group_cols, "bin")
+        .agg(
+            F.sum("_p").alias("pos"),
+            F.sum(F.lit(1) - F.col("_p")).alias("neg"),
+        )
+    )
+
+
+def grouped_auc_from_bins(bins: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Finish exact per-segment ROC-AUC from a grouped (group…, bin,
+    pos, neg) relation — ``auc_from_bins``' math per segment, with the
+    window PARTITIONED BY the segment columns: unlike the global
+    finisher's single-partition window, this one parallelizes across
+    segments, so sliced eval is actually CHEAPER per segment at scale
+    than one global AUC. Same exact-arithmetic discipline
+    (decimal(38,0) accumulation, one IEEE division per segment, NULL
+    for one-class segments). Returns one row per segment:
+    (group…, n_pos, n_neg, auc)."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = bins.withColumn(
+        "_neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0))
+    )
+    return (
+        scored.groupBy(*group_cols)
+        .agg(
+            F.sum("pos").alias("n_pos"),
+            F.sum("neg").alias("n_neg"),
+            F.sum(
+                F.col("pos").cast(_DEC)
+                * (2 * F.col("_neg_below") + F.col("neg")).cast(_DEC)
+            ).cast(_DEC).alias("_u2"),
+        )
+        .select(
+            *group_cols,
+            "n_pos",
+            "n_neg",
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.col("_u2").cast("double")
+                / (
+                    2 * F.col("n_pos").cast(_DEC) * F.col("n_neg").cast(_DEC)
+                ).cast("double"),
+            ).alias("auc"),
+        )
     )
 
 

@@ -6715,6 +6715,59 @@ def q_average_precision(spark, sf):
 
 
 @_q(
+    "auc_by_segment",
+    "Sliced model evaluation: exact per-segment ROC-AUC (segments = "
+    "label buckets; score = quantized e1, positive = e2 > 0) over the "
+    "grouped per-bin-count monoid — the model-governance report a "
+    "global AUC hides regressions in. Scale shape BEATS the global "
+    "finisher: the cumulative window is PARTITIONED BY segment, so "
+    "sliced eval parallelizes across segments instead of funneling "
+    "through one partition",
+    "extension: eval metrics (per-segment / sliced AUC)",
+    """
+    WITH b AS (
+      SELECT label AS segment,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS bin,
+             CASE WHEN CAST(embedding[2] AS DOUBLE) > 0 THEN 1 ELSE 0 END AS p
+      FROM embeddings
+      WHERE embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL
+        AND label IS NOT NULL
+    ), per AS (
+      SELECT segment, bin, sum(p) AS pos, sum(1 - p) AS neg
+      FROM b GROUP BY segment, bin
+    ), cum AS (
+      SELECT segment, pos, neg,
+             coalesce(sum(neg) OVER (PARTITION BY segment ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+      FROM per
+    )
+    SELECT segment,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+             CAST(sum(pos * (2 * neg_below + neg)) AS DOUBLE)
+               / CAST(2 * sum(pos) * sum(neg) AS DOUBLE)
+           END AS auc
+    FROM cum GROUP BY segment
+    """,
+)
+def q_auc_by_segment(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import (
+        grouped_auc_from_bins,
+        grouped_per_bin_counts,
+    )
+
+    e = _t(spark, sf, "embeddings").withColumn("segment", F.col("label"))
+    bins = grouped_per_bin_counts(
+        e,
+        ["segment"],
+        F.floor(F.element_at("embedding", 1).cast("double") * 1000),
+        F.element_at("embedding", 2).cast("double") > 0,
+    )
+    return grouped_auc_from_bins(bins, ["segment"])
+
+
+@_q(
     "threshold_metrics",
     "Confusion-matrix scorecard per score-bin threshold from the same "
     "per-bin-count monoid: exact cumulative tp/fp/fn/tn plus accuracy, "

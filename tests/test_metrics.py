@@ -217,3 +217,55 @@ def test_threshold_metrics_one_class_guards(spark):
     for r in rows:
         assert r.recall_ is None and r.f1 is None  # no actual positives
         assert r.precision_ == 0.0  # predicted positives exist, all wrong
+
+
+def test_grouped_auc_matches_per_slice_global(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import (
+        binned_auc,
+        grouped_auc_from_bins,
+        grouped_per_bin_counts,
+    )
+
+    rows = [
+        ("a", (i * 7) % 13, (i * 3) % 2 == 0) for i in range(60)
+    ] + [
+        ("b", (i * 5) % 9, (i * 7) % 3 == 0) for i in range(40)
+    ] + [
+        ("c", i % 4, True) for i in range(10)  # one-class segment
+    ]
+    df = spark.createDataFrame(rows, "seg string, score long, positive boolean")
+    got = {
+        r.seg: (r.n_pos, r.n_neg, r.auc)
+        for r in grouped_auc_from_bins(
+            grouped_per_bin_counts(df, ["seg"], "score", "positive"), ["seg"]
+        ).collect()
+    }
+    for seg in ("a", "b", "c"):
+        want = binned_auc(
+            df.filter(F.col("seg") == seg), "score", "positive"
+        ).collect()[0]
+        assert got[seg] == (want.n_pos, want.n_neg, want.auc), seg
+    assert got["c"][2] is None  # one-class guard per segment
+
+
+def test_grouped_auc_segment_isolation(spark):
+    # a segment's rows must never leak into another's cumulative sums:
+    # permuting OTHER segments' data leaves each segment's AUC unchanged
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import (
+        grouped_auc_from_bins,
+        grouped_per_bin_counts,
+    )
+
+    base = [("x", i % 11, i % 2 == 0) for i in range(50)]
+    noise1 = [("y", 5, True)] * 30
+    noise2 = [("y", i % 3, i % 5 == 0) for i in range(80)]
+    schema = "seg string, score long, positive boolean"
+
+    def auc_x(rows):
+        df = spark.createDataFrame(rows, schema)
+        out = grouped_auc_from_bins(
+            grouped_per_bin_counts(df, ["seg"], "score", "positive"), ["seg"]
+        )
+        return out.filter("seg = 'x'").collect()[0].auc
+
+    assert auc_x(base + noise1) == auc_x(base + noise2)

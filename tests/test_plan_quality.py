@@ -145,3 +145,13 @@ def test_threshold_metrics_single_scan_no_joins(spark):
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
     assert len(scans) == 1
     assert "Join" not in plan
+
+
+def test_grouped_auc_no_single_partition_funnel(spark):
+    # the whole point of the grouped finisher: the cumulative window is
+    # partitioned by segment — a SinglePartition exchange means sliced
+    # eval funnels through one task like the global finisher
+    plan = _plan(spark, "auc_by_segment")
+    assert "SinglePartition" not in plan
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 1
