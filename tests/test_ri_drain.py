@@ -329,3 +329,44 @@ def test_recreated_checkpoint_fails_loudly(spark, tmp_path):
     spark.createDataFrame([(12, 3, 7.0)], schema).write.parquet(str(src / "run=2"))
     with pytest.raises(StreamingQueryException, match="ri_stream_id"):
         drain()
+
+
+def test_ri_stream_dims_rebuild_barrier_falls_back_to_full_read(spark, tmp_path):
+    """A dims OVERWRITE (snapshot rewrite) between drains breaks the
+    appended_since delta — the fold must fall back to the full dim
+    snapshot and still cure, never silently miss the rewritten keys."""
+    from pyspark.sql import types as T
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import ri_stream
+
+    schema = T.StructType([
+        T.StructField("order_id", T.LongType()),
+        T.StructField("custkey", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+    ])
+    src = tmp_path / "facts"
+    cat = Catalog(spark, tmp_path / "wh")
+    dims = cat.table("silver_customer")
+    dims.overwrite(_parents(spark, [1]))
+
+    def drain():
+        q = ri_stream(
+            spark, str(src), schema, cat, str(tmp_path / "ck"),
+            dims_table="silver_customer", child_key="custkey",
+            parent_key="custkey", ri_spec=SPEC,
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(10, 1, 5.0), (11, 2, 6.0)], schema).write.parquet(
+        str(src / "run=1")
+    )
+    drain()
+    assert {r.custkey for r in cat.table("ri_orphans").read().collect()} == {2}
+
+    # dims REBUILT (overwrite = snapshot barrier, delta not derivable)
+    # with the missing parent now present
+    dims.overwrite(_parents(spark, [1, 2]))
+    spark.createDataFrame([(12, 3, 7.0)], schema).write.parquet(str(src / "run=2"))
+    drain()
+    assert {r.custkey for r in cat.table("ri_orphans").read().collect()} == {3}
+    assert [r.custkey for r in cat.table("ri_cured").read().collect()] == [2]
