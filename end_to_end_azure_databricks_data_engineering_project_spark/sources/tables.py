@@ -490,6 +490,54 @@ class ManagedTable:
         finally:
             self._release_commit_lock(fd)
 
+    def history(self) -> DataFrame:
+        """Delta ``DESCRIBE HISTORY`` analog: one row per delta commit,
+        read from the transaction log's commitInfo actions (version,
+        timestamp, operation, the ManagedTable version it maps to, and
+        file count). Metadata-sized driver read — the log is bounded by
+        commit count, never by data."""
+        rows = []
+        d = deltalog.log_dir(self.dir)
+        for p in sorted(d.glob("*.json")):
+            v = int(p.stem)
+            for a in deltalog.read_actions(self.dir, v):
+                if "commitInfo" in a:
+                    ci = a["commitInfo"]
+                    rows.append((
+                        v, ci["timestamp"], ci["operation"],
+                        ci.get("mtVersion"),
+                        int(ci.get("operationMetrics", {}).get("numFiles", -1)),
+                    ))
+        return self.spark.createDataFrame(
+            rows,
+            "version long, timestamp long, operation string,"
+            " mt_version long, num_files int",
+        )
+
+    def detail(self) -> dict:
+        """Delta ``DESCRIBE DETAIL`` analog: current-snapshot facts as a
+        plain dict (no Spark job — stats come from the committed
+        manifest and file stats)."""
+        v = self.current_version()
+        if v < 0:
+            raise FileNotFoundError(f"table {self.name} has no committed version")
+        vdir = self._version_dir(v)
+        files = list(vdir.glob("*.parquet"))
+        stats = self.file_stats(v) or {}
+        schema = self.table_schema(v)
+        rec = self._pointer_state().get("delta") or {}
+        return {
+            "name": self.name,
+            "location": str(self.dir),
+            "mt_version": v,
+            "delta_version": rec.get("version"),
+            "table_id": rec.get("table_id"),
+            "num_files": len(files),
+            "size_bytes": sum(f.stat().st_size for f in files),
+            "num_rows": sum(e.get("rows", 0) for e in stats.values()) or None,
+            "schema": schema.json() if schema is not None else None,
+        }
+
     def write_delta_checkpoint(self) -> Path:
         """Opt-in maintenance (call like ``compact``/``vacuum``): write
         a classic Delta checkpoint for the current delta commit so a

@@ -427,3 +427,22 @@ def test_concurrent_appends_keep_log_contiguous(spark, tmp_path):
     assert len(vs) == 7  # initial + 6 appends
     assert _replay_live_set(t) == _snapshot_paths(t)
     assert t.read().count() == 40
+
+
+def test_history_and_detail(spark, tmp_path):
+    t = ManagedTable(spark, tmp_path / "wh", "orders")
+    t.overwrite(_df(spark, 0, 30))
+    t.append(_df(spark, 30, 30))
+    t.compact(target_partitions=1)
+    hist = t.history().orderBy("version").collect()
+    assert [r.operation for r in hist] == ["WRITE", "WRITE", "OPTIMIZE"]
+    assert [r.version for r in hist] == [0, 1, 2]
+    assert all(r.timestamp > 0 and r.num_files >= 1 for r in hist)
+    # mt mapping is monotone and matches the pointer at the tip
+    assert hist[-1].mt_version == t.current_version()
+
+    d = t.detail()
+    assert d["name"] == "orders" and d["mt_version"] == t.current_version()
+    assert d["delta_version"] == 2 and d["num_files"] == 1
+    assert d["num_rows"] == 60 and d["size_bytes"] > 0
+    assert "id" in d["schema"]
