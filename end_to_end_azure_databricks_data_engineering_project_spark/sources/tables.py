@@ -1153,6 +1153,8 @@ class ManagedTable:
         self,
         target_partitions: int | None = None,
         cluster_by: Sequence[str] | None = None,
+        zorder_by: Sequence[str] | None = None,
+        zorder_bits: int = 10,
     ) -> int:
         """Rewrite the current snapshot with bin-packed files (small-file
         compaction — appends accumulate one file set per batch; compaction
@@ -1164,10 +1166,23 @@ class ManagedTable:
         index into sharp data skipping (``read_pruned``) and keeps
         ``merge_keyed`` touching few files per incremental batch.
 
+        ``zorder_by``: the open equivalent of Delta's OPTIMIZE ZORDER
+        BY — exactly TWO numeric columns, each range-bucketed to
+        ``zorder_bits`` and Morton-interleaved
+        (``operators/skew.py::zorder_key``), then range-partitioned +
+        sorted by the Z-value so every file covers a tight rectangle in
+        BOTH dimensions: ``read_pruned`` skips files on EITHER
+        predicate, where ``cluster_by`` only prunes its leading column.
+        The per-column min/max come from one model-sized aggregate over
+        the snapshot (compaction is maintenance — the extra scan is the
+        point). Mutually exclusive with ``cluster_by``.
+
         Content-preserving by contract, so the commit carries
         ``expected_version`` = the snapshot it read: a concurrent append
         landing mid-compaction raises ConcurrentWriteError (re-run the
         compaction) instead of being silently discarded by the rewrite."""
+        if cluster_by and zorder_by:
+            raise ValueError("compact: cluster_by and zorder_by are mutually exclusive")
         v = self.current_version()
         df = self.read()
         if target_partitions is None:
@@ -1176,6 +1191,42 @@ class ManagedTable:
         if cluster_by:
             df = df.repartitionByRange(target_partitions, *cluster_by).sortWithinPartitions(
                 *cluster_by
+            )
+        elif zorder_by:
+            from end_to_end_azure_databricks_data_engineering_project_spark.operators.skew import zorder_key
+
+            if len(zorder_by) != 2:
+                raise ValueError(
+                    f"compact: zorder_by takes exactly two columns, got {list(zorder_by)}"
+                )
+            xc, yc = zorder_by
+            b = self.spark.createDataFrame(
+                df.agg(
+                    F.min(xc).alias("xmin"), F.max(xc).alias("xmax"),
+                    F.min(yc).alias("ymin"), F.max(yc).alias("ymax"),
+                ).collect()
+            )  # 1-row broadcast relation, never an expression-tree literal
+            n_buckets = F.lit(2 ** zorder_bits - 1)
+
+            def bucket(c, lo, hi):
+                # span 0 (constant column) → everything in bucket 0
+                span = F.col(hi) - F.col(lo)
+                return F.when(span > 0,
+                              F.floor((F.col(c) - F.col(lo)).cast("double")
+                                      / span.cast("double")
+                                      * n_buckets.cast("double"))
+                              .cast("bigint")).otherwise(F.lit(0))
+
+            df = (
+                df.crossJoin(F.broadcast(b))
+                .withColumn(
+                    "__z",
+                    zorder_key(bucket(xc, "xmin", "xmax"),
+                               bucket(yc, "ymin", "ymax"), zorder_bits),
+                )
+                .repartitionByRange(target_partitions, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z", "xmin", "xmax", "ymin", "ymax")
             )
         else:
             df = df.coalesce(target_partitions)

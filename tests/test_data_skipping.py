@@ -145,3 +145,51 @@ def test_stats_json_is_invisible_to_plain_reads(spark, table):
     assert table.read().count() == 10
     vdir = table._version_dir(table.current_version())
     assert json.loads((vdir / "_stats.json").read_text())
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    """compact(zorder_by=[x, y]) = open OPTIMIZE ZORDER: every file
+    covers a tight rectangle in BOTH dimensions, so read_pruned skips
+    files on EITHER predicate — where cluster_by only prunes its
+    leading column."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import ManagedTable
+
+    df = spark.range(20_000).selectExpr(
+        "id", "CAST(id % 100 AS BIGINT) AS x",
+        "CAST((id * 37) % 100 AS BIGINT) AS y",
+    ).repartition(32)
+    t = ManagedTable(spark, tmp_path / "wh", "points")
+    t.overwrite(df)
+
+    t.compact(target_partitions=16, zorder_by=["x", "y"])
+    n_files = len(list(t._version_dir(t.current_version()).glob("*.parquet")))
+    pruned_x = len(t.pruned_files({"x": (0, 5)}))
+    pruned_y = len(t.pruned_files({"y": (0, 5)}))
+    # a 6% slice of either dimension must skip most files
+    assert pruned_x <= n_files // 2, (pruned_x, n_files)
+    assert pruned_y <= n_files // 2, (pruned_y, n_files)
+    # content preserved exactly
+    assert t.read().count() == 20_000
+    assert t.read().agg({"id": "sum"}).collect()[0][0] == sum(range(20_000))
+    # exact reads through the pruned path agree with a full filter
+    got = t.read_pruned({"y": (0, 5)}).count()
+    want = t.read().filter("y >= 0 AND y <= 5").count()
+    assert got == want
+
+    # contrast: single-column clustering cannot prune the OTHER dim
+    t.compact(target_partitions=16, cluster_by=["x"])
+    clustered_y = len(t.pruned_files({"y": (0, 5)}))
+    assert clustered_y > pruned_y, (clustered_y, pruned_y)
+
+
+def test_zorder_compaction_guards(spark, tmp_path):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import ManagedTable
+
+    t = ManagedTable(spark, tmp_path / "wh", "points")
+    t.overwrite(spark.range(10).selectExpr("id", "id AS x", "id AS y"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        t.compact(cluster_by=["x"], zorder_by=["x", "y"])
+    with _pytest.raises(ValueError, match="exactly two"):
+        t.compact(zorder_by=["x"])
