@@ -29,6 +29,7 @@ __all__ = [
     "binned_auc",
     "per_bin_counts",
     "merge_bin_counts",
+    "merge_grouped_bin_counts",
     "auc_from_bins",
     "grouped_per_bin_counts",
     "grouped_auc_from_bins",
@@ -59,27 +60,25 @@ def per_bin_counts(
     One map-side-combinable groupBy onto ≤ |bins| rows; counts merge
     across batches/tables by summing per bin. Returns (bin, pos, neg).
     """
-    bin_c = F.col(score_bin_col) if isinstance(score_bin_col, str) else score_bin_col
-    pos_c = F.col(positive_col) if isinstance(positive_col, str) else positive_col
-    return (
-        df.select(bin_c.cast("bigint").alias("bin"), pos_c.cast("int").alias("_p"))
-        .filter(F.col("bin").isNotNull() & F.col("_p").isNotNull())
-        .groupBy("bin")
-        .agg(
-            F.sum("_p").alias("pos"),
-            F.sum(F.lit(1) - F.col("_p")).alias("neg"),
-        )
-    )
+    return grouped_per_bin_counts(df, [], score_bin_col, positive_col)
 
 
 def merge_bin_counts(*bins: DataFrame) -> DataFrame:
     """Merge per-bin count relations by summing per bin — the monoid
     op that makes AUC maintainable incrementally (state stays ≤ |bins|
-    rows forever)."""
+    rows forever). GLOBAL state only: grouped (sliced) state must merge
+    by (group…, bin) — use ``merge_grouped_bin_counts``, or this would
+    silently pool every segment into one."""
+    return merge_grouped_bin_counts([], *bins)
+
+
+def merge_grouped_bin_counts(group_cols: list[str], *bins: DataFrame) -> DataFrame:
+    """Merge grouped per-bin count relations by summing per
+    (group…, bin) — the sliced-eval monoid op."""
     out = bins[0]
     for b in bins[1:]:
         out = out.unionByName(b)
-    return out.groupBy("bin").agg(
+    return out.groupBy(*group_cols, "bin").agg(
         F.sum("pos").alias("pos"), F.sum("neg").alias("neg")
     )
 
@@ -105,29 +104,45 @@ def auc_from_bins(bins: DataFrame) -> DataFrame:
     Returns one row: n_pos (bigint), n_neg (bigint), u2 (decimal(38,0)),
     auc (double).
     """
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    st = _auc_state(bins, [])
+    return st.select(
+        "n_pos",
+        "n_neg",
+        F.col("_u2").alias("u2"),
+        # one-class input → AUC undefined → NULL on BOTH engines (an
+        # unguarded division diverges: ANSI Spark throws DIVIDE_BY_ZERO,
+        # DuckDB returns inf/nan)
+        _auc_div().alias("auc"),
+    )
+
+
+def _auc_state(bins: DataFrame, group_cols: list[str]) -> DataFrame:
+    """ONE home for the Mann-Whitney accumulation (global finisher =
+    grouped finisher with no partition columns — the exact-arithmetic
+    discipline lives here once). Returns (group…, n_pos, n_neg, _u2)."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     scored = bins.withColumn(
         "_neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0))
     )
-    return scored.agg(
+    return scored.groupBy(*group_cols).agg(
         F.sum("pos").alias("n_pos"),
         F.sum("neg").alias("n_neg"),
         F.sum(
             F.col("pos").cast(_DEC)
             * (2 * F.col("_neg_below") + F.col("neg")).cast(_DEC)
-        ).cast(_DEC).alias("u2"),
-    ).select(
-        "n_pos",
-        "n_neg",
-        "u2",
-        # one-class input → AUC undefined → NULL on BOTH engines (an
-        # unguarded division diverges: ANSI Spark throws DIVIDE_BY_ZERO,
-        # DuckDB returns inf/nan)
-        F.when(
-            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-            F.col("u2").cast("double")
-            / (2 * F.col("n_pos").cast(_DEC) * F.col("n_neg").cast(_DEC)).cast("double"),
-        ).alias("auc"),
+        ).cast(_DEC).alias("_u2"),
+    )
+
+
+def _auc_div() -> Column:
+    return F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.col("_u2").cast("double")
+        / (2 * F.col("n_pos").cast(_DEC) * F.col("n_neg").cast(_DEC)).cast("double"),
     )
 
 
@@ -140,22 +155,24 @@ def grouped_per_bin_counts(
     """Per-(segment, score-bin) (pos, neg) counts — the mergeable state
     for SLICED evaluation (per-language / per-source / per-cohort AUC,
     the model-governance requirement that a global metric hides
-    regressions in). Same NULL semantics as ``per_bin_counts``; one
-    map-side-combinable groupBy onto ≤ |segments|·|bins| rows."""
+    regressions in). Same NULL semantics as ``per_bin_counts`` — rows
+    with a NULL bin, label, OR segment value are excluded (an
+    unassignable row can't contribute to any slice, and NULL ordering
+    diverges cross-engine). One map-side-combinable groupBy onto
+    ≤ |segments|·|bins| rows; merge across batches with
+    ``merge_grouped_bin_counts``."""
     bin_c = F.col(score_bin_col) if isinstance(score_bin_col, str) else score_bin_col
     pos_c = F.col(positive_col) if isinstance(positive_col, str) else positive_col
-    return (
-        df.select(
-            *group_cols,
-            bin_c.cast("bigint").alias("bin"),
-            pos_c.cast("int").alias("_p"),
-        )
-        .filter(F.col("bin").isNotNull() & F.col("_p").isNotNull())
-        .groupBy(*group_cols, "bin")
-        .agg(
-            F.sum("_p").alias("pos"),
-            F.sum(F.lit(1) - F.col("_p")).alias("neg"),
-        )
+    out = df.select(
+        *group_cols,
+        bin_c.cast("bigint").alias("bin"),
+        pos_c.cast("int").alias("_p"),
+    ).filter(F.col("bin").isNotNull() & F.col("_p").isNotNull())
+    for g in group_cols:
+        out = out.filter(F.col(g).isNotNull())
+    return out.groupBy(*group_cols, "bin").agg(
+        F.sum("_p").alias("pos"),
+        F.sum(F.lit(1) - F.col("_p")).alias("neg"),
     )
 
 
@@ -169,36 +186,8 @@ def grouped_auc_from_bins(bins: DataFrame, group_cols: list[str]) -> DataFrame:
     (decimal(38,0) accumulation, one IEEE division per segment, NULL
     for one-class segments). Returns one row per segment:
     (group…, n_pos, n_neg, auc)."""
-    w = (
-        Window.partitionBy(*group_cols)
-        .orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    scored = bins.withColumn(
-        "_neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0))
-    )
-    return (
-        scored.groupBy(*group_cols)
-        .agg(
-            F.sum("pos").alias("n_pos"),
-            F.sum("neg").alias("n_neg"),
-            F.sum(
-                F.col("pos").cast(_DEC)
-                * (2 * F.col("_neg_below") + F.col("neg")).cast(_DEC)
-            ).cast(_DEC).alias("_u2"),
-        )
-        .select(
-            *group_cols,
-            "n_pos",
-            "n_neg",
-            F.when(
-                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-                F.col("_u2").cast("double")
-                / (
-                    2 * F.col("n_pos").cast(_DEC) * F.col("n_neg").cast(_DEC)
-                ).cast("double"),
-            ).alias("auc"),
-        )
+    return _auc_state(bins, group_cols).select(
+        *group_cols, "n_pos", "n_neg", _auc_div().alias("auc")
     )
 
 

@@ -534,7 +534,10 @@ class ManagedTable:
             "table_id": rec.get("table_id"),
             "num_files": len(files),
             "size_bytes": sum(f.stat().st_size for f in files),
-            "num_rows": sum(e.get("rows", 0) for e in stats.values()) or None,
+            "num_rows": (
+                sum(e.get("rows", 0) for e in stats.values())
+                if self.file_stats(v) is not None else None
+            ),
             "schema": schema.json() if schema is not None else None,
         }
 
@@ -1199,17 +1202,34 @@ class ManagedTable:
                 raise ValueError(
                     f"compact: zorder_by takes exactly two columns, got {list(zorder_by)}"
                 )
+            if not 1 <= zorder_bits <= 31:
+                # zorder_key interleaves into int64: 2*bits must stay
+                # <= 62 — fail at the API boundary, not deep in the
+                # expression builder with a literal-overflow error
+                raise ValueError(
+                    f"compact: zorder_bits must be in [1, 31], got {zorder_bits}"
+                )
+            reserved = ("__z", "__zx_lo", "__zx_hi", "__zy_lo", "__zy_hi")
+            clash = [c for c in reserved if c in df.columns]
+            if clash:
+                # withColumn would silently OVERWRITE a user column and
+                # drop it — a content-preserving op must refuse instead
+                raise ValueError(
+                    f"compact: zorder_by reserves column name(s) {clash}; "
+                    "rename them before z-ordering"
+                )
             xc, yc = zorder_by
-            b = self.spark.createDataFrame(
-                df.agg(
-                    F.min(xc).alias("xmin"), F.max(xc).alias("xmax"),
-                    F.min(yc).alias("ymin"), F.max(yc).alias("ymax"),
-                ).collect()
-            )  # 1-row broadcast relation, never an expression-tree literal
+            # bounds ride the plan as a 1-row broadcast aggregate — no
+            # driver round-trip, and an empty or all-NULL column simply
+            # yields NULL bounds (bucket()'s otherwise-0 branch)
+            b = df.agg(
+                F.min(xc).alias("__zx_lo"), F.max(xc).alias("__zx_hi"),
+                F.min(yc).alias("__zy_lo"), F.max(yc).alias("__zy_hi"),
+            )
             n_buckets = F.lit(2 ** zorder_bits - 1)
 
             def bucket(c, lo, hi):
-                # span 0 (constant column) → everything in bucket 0
+                # span 0 (constant column) or NULL bounds → bucket 0
                 span = F.col(hi) - F.col(lo)
                 return F.when(span > 0,
                               F.floor((F.col(c) - F.col(lo)).cast("double")
@@ -1221,12 +1241,12 @@ class ManagedTable:
                 df.crossJoin(F.broadcast(b))
                 .withColumn(
                     "__z",
-                    zorder_key(bucket(xc, "xmin", "xmax"),
-                               bucket(yc, "ymin", "ymax"), zorder_bits),
+                    zorder_key(bucket(xc, "__zx_lo", "__zx_hi"),
+                               bucket(yc, "__zy_lo", "__zy_hi"), zorder_bits),
                 )
                 .repartitionByRange(target_partitions, "__z")
                 .sortWithinPartitions("__z")
-                .drop("__z", "xmin", "xmax", "ymin", "ymax")
+                .drop(*reserved)
             )
         else:
             df = df.coalesce(target_partitions)
