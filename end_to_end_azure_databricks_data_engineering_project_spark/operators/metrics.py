@@ -354,6 +354,7 @@ def retrieval_eval(
     rank_col: str = "rank",
     rel_query_col: str = "query_id",
     rel_item_col: str = "item_id",
+    query_universe: DataFrame | None = None,
 ) -> DataFrame:
     """Exact retrieval metrics (hits@k, micro precision@k, MRR@k) for a
     ranked result list against a relevance set — the QA gate for the
@@ -374,6 +375,15 @@ def retrieval_eval(
     list). Queries with NO relevant item count toward the MRR/precision
     denominator with contribution 0 (the standard harsh-macro
     convention, stated so oracle replays agree).
+
+    Denominator caveat: with the default ``query_universe=None``,
+    ``n_queries`` counts DISTINCT queries present in ``ranked`` (at
+    rank ≤ k) — a query for which the retriever returned zero rows, or
+    only rows deeper than k, drops out and silently inflates
+    precision@k and MRR. Pass ``query_universe`` (one query-id column,
+    named ``query_col``; e.g. the evaluated query set, or
+    ``relevant.select(...)``) to fix the denominator: universe queries
+    absent from the ranked list contribute 0 to every numerator.
 
     Returns one row: n_queries, hits_at_k, mrr_num, mrr_scale,
     precision_at_k (double), mrr (double).
@@ -411,6 +421,15 @@ def retrieval_eval(
         F.sum(F.when(F.col("_rel").isNotNull(), 1).otherwise(0)).alias("_hits"),
         F.min(F.when(F.col("_rel").isNotNull(), F.col("_r"))).alias("_first"),
     )
+    if query_universe is not None:
+        # fix the denominator: the universe DEFINES the evaluated query
+        # set — universe queries the retriever returned nothing for (or
+        # only rows past k) re-enter with 0 hits and no first-relevant
+        # rank instead of silently dropping out, and ranked queries
+        # outside the universe are excluded. Both sides are eval-sized
+        # aggregated relations (per_q is post-groupBy); no hint needed.
+        uni = query_universe.select(F.col(query_col).alias("_q")).distinct()
+        per_q = uni.join(per_q, ["_q"], "left")
     joined = per_q.agg(
         F.count(F.lit(1)).alias("n_queries"),
         F.sum(F.coalesce(F.col("_hits"), F.lit(0))).alias("hits_at_k"),

@@ -92,6 +92,20 @@ def commit_path(table_dir: Path, delta_version: int) -> Path:
     return log_dir(table_dir) / f"{delta_version:020d}.json"
 
 
+def commit_files(table_dir: Path) -> list[Path]:
+    """Every REAL commit file in ``_delta_log/``, sorted by version:
+    exactly 20 digits + ``.json``, the shape ``commit_path`` writes. A
+    stray non-commit .json dropped in the dir (editor artifact, user
+    note) must neither inflate the heal path's completeness count —
+    masking a genuinely missing earlier commit — nor crash
+    ``history()``'s ``int(p.stem)``."""
+    return sorted(
+        p
+        for p in log_dir(table_dir).glob("*.json")
+        if len(p.stem) == 20 and p.stem.isdigit()
+    )
+
+
 def schema_fingerprint(schema_string: str | None) -> str | None:
     if schema_string is None:
         return None

@@ -236,6 +236,35 @@ class ManagedTable:
         atomic with the commit that established it), or None."""
         return self._pointer_state().get("props", {}).get(key)
 
+    def migrate_prop(self, key: str, old, new) -> bool:
+        """One-time property REBIND under the commit lock: if ``key``
+        is currently bound to exactly ``old``, rebind it to ``new``
+        (pointer write, no version bump). For format upgrades of an
+        identity property — e.g. a stream binding whose encoding
+        changed between engine revisions — where the normal
+        first-binder-wins guard would otherwise refuse the table's own
+        still-valid state forever. Returns True iff the rebind
+        happened (False: key unbound or already ``new``); raises if
+        the key is bound to some THIRD value — that is a genuine
+        identity conflict the migration must not paper over."""
+        fd = self._acquire_commit_lock()
+        try:
+            state = self._pointer_state()
+            have = state.get("props", {}).get(key)
+            if have is None or have == new:
+                return False
+            if have != old:
+                raise ConcurrentWriteError(
+                    f"table {self.name}: property {key}={have!r} matches "
+                    f"neither the migration source {old!r} nor target "
+                    f"{new!r}; refusing to rebind a foreign identity"
+                )
+            state["props"][key] = new
+            self._write_pointer_locked(state)
+            return True
+        finally:
+            self._release_commit_lock(fd)
+
     def _commit(
         self,
         v: int,
@@ -441,8 +470,10 @@ class ManagedTable:
         latest_missing = not deltalog.commit_path(self.dir, rec["version"]).exists()
         # one readdir, not O(history) stats per commit: commits 0..D are
         # complete iff exactly D+1 (- the possibly-missing latest) files
-        # exist — any deletion shrinks the count
-        n_log_files = len(list(deltalog.log_dir(self.dir).glob("*.json")))
+        # exist — any deletion shrinks the count. Counted over VALIDATED
+        # commit filenames (20-digit stems) only: a stray .json dropped
+        # in the log dir must not mask a genuinely missing commit.
+        n_log_files = len(deltalog.commit_files(self.dir))
         history_missing = n_log_files < rec["version"] + (0 if latest_missing else 1)
         if not latest_missing and not history_missing:
             return
@@ -497,8 +528,7 @@ class ManagedTable:
         file count). Metadata-sized driver read — the log is bounded by
         commit count, never by data."""
         rows = []
-        d = deltalog.log_dir(self.dir)
-        for p in sorted(d.glob("*.json")):
+        for p in deltalog.commit_files(self.dir):
             v = int(p.stem)
             for a in deltalog.read_actions(self.dir, v):
                 if "commitInfo" in a:

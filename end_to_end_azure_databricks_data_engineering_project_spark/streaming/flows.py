@@ -1274,14 +1274,28 @@ def metric_stream(
     ckpt = Path(checkpoint_root).resolve() / "auc_metric"
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # path catches relocation; the checkpoint's query id catches
+        # delete-and-recreate at the SAME path (which restarts epoch
+        # numbering invisibly to a path binding)
+        sid = f"{ckpt}#{_checkpoint_generation(ckpt)}"
+        # One-time migration of the pre-generation binding (engine
+        # revisions before the '#<query id>' suffix bound str(ckpt)
+        # alone): a table built then holds a still-valid checkpoint —
+        # same path, same live metadata/query id — that the exact-match
+        # guard would refuse forever. Rebinding is safe precisely
+        # because the legacy id IS this id's path prefix: the epochs
+        # were numbered by this same (never recreated — its metadata
+        # survives) checkpoint. Runs under the commit lock inside
+        # migrate_prop; a third value still refuses loudly.
+        if catalog.table("auc_bins").table_prop("auc_stream_id") == str(ckpt):
+            catalog.table("auc_bins").migrate_prop(
+                "auc_stream_id", str(ckpt), sid
+            )
         run_auc_drain(
             catalog, batch_df, epoch=epoch_id,
             score_bin_col=score_bin_col, positive_col=positive_col,
             binning=binning,
-            # path catches relocation; the checkpoint's query id
-            # catches delete-and-recreate at the SAME path (which
-            # restarts epoch numbering invisibly to a path binding)
-            stream_id=f"{ckpt}#{_checkpoint_generation(ckpt)}",
+            stream_id=sid,
         )
 
     return (
@@ -1497,7 +1511,30 @@ def run_ri_drain(
             parents_t.read(),
             F.col(child_key) == F.col("__pk"),
             "left_semi",
-        ).withColumn("__cured_epoch", F.lit(p_epoch).cast("bigint"))
+        )
+        # Anti-join against rows ALREADY cured: after a replayed fact
+        # epoch folds newer parents, step 3's orphan drain no-ops on
+        # its (fact-)epoch guard, so just-cured rows stay parked in
+        # ri_orphans — a subsequent drain at a HIGHER parents epoch
+        # would re-match them here and append them to ri_cured again,
+        # duplicating the downstream fact replay. Identity = child key
+        # + __orphan_since (an orphan row is parked exactly once per
+        # fact epoch, so the pair is a stable cure identity).
+        if cured_t.exists():
+            prior_cured = cured_t.read().select(
+                F.col(child_key).alias("__cured_k"),
+                F.col("__orphan_since").alias("__cured_since"),
+            ).distinct()
+            # no broadcast hint: the cure log grows with cured-orphan
+            # count and can exceed broadcast size; AQE picks the
+            # strategy from runtime stats
+            cured = cured.join(
+                prior_cured,
+                (F.col(child_key) == F.col("__cured_k"))
+                & (F.col("__orphan_since") == F.col("__cured_since")),
+                "left_anti",
+            )
+        cured = cured.withColumn("__cured_epoch", F.lit(p_epoch).cast("bigint"))
         cured = cured.localCheckpoint(eager=True)  # pin pre-drain state
         cured_n = cured.count()
         if cured_n:

@@ -446,3 +446,23 @@ def test_history_and_detail(spark, tmp_path):
     assert d["delta_version"] == 2 and d["num_files"] == 1
     assert d["num_rows"] == 60 and d["size_bytes"] > 0
     assert "id" in d["schema"]
+
+
+def test_stray_json_does_not_mask_missing_commit(spark, tmp_path):
+    """Hole detection counts VALIDATED commit filenames only: a stray
+    non-commit .json dropped in _delta_log/ used to keep the bare file
+    count equal while an earlier commit was actually missing, skipping
+    the restart path — a stock reader then saw a log with holes. The
+    same stray file also crashed history() on int(p.stem)."""
+    t = ManagedTable(spark, tmp_path / "wh", "orders")
+    t.overwrite(_df(spark, 0, 20))
+    t.append(_df(spark, 20, 20))
+    (deltalog.log_dir(t.dir) / "notes.json").write_text("{}")
+    assert t.history().count() == 2  # stray file ignored, no crash
+    deltalog.commit_path(t.dir, 0).unlink()  # real hole, count still 2
+    t.append(_df(spark, 40, 20))  # must detect the hole and restart
+    vs = [int(p.stem) for p in deltalog.commit_files(t.dir)]
+    assert vs == [0, 1], vs  # restarted log + this commit
+    actions0 = deltalog.read_actions(t.dir, 0)
+    assert any("protocol" in a for a in actions0)
+    assert _replay_live_set(t) == _snapshot_paths(t)

@@ -370,3 +370,47 @@ def test_ri_stream_dims_rebuild_barrier_falls_back_to_full_read(spark, tmp_path)
     drain()
     assert {r.custkey for r in cat.table("ri_orphans").read().collect()} == {3}
     assert [r.custkey for r in cat.table("ri_cured").read().collect()] == [2]
+
+
+def test_higher_parents_epoch_does_not_double_log_cures(spark, tmp_path):
+    """Review-caught double-cure window: after a replayed fact epoch
+    folds newer parents (step 3's orphan drain no-ops on its epoch
+    guard, so the just-cured row stays PARKED in ri_orphans), a later
+    drain at a HIGHER parents epoch re-runs the cure step against the
+    committed parent set — without the already-cured anti-join it would
+    re-match the parked row and append it to ri_cured again, and the
+    downstream fact replay would duplicate the row."""
+    cat = Catalog(spark, tmp_path / "wh")
+    run_ri_drain(
+        cat, _children(spark, [(10, 1, 5.0), (11, 2, 6.0)]),
+        _parents(spark, []), epoch=1, parents_epoch=1,
+        child_key="custkey", parent_key="custkey", ri_spec=SPEC,
+    )
+    # replayed fact epoch carrying a newer dim: cure logs, orphan 1
+    # stays parked (fact-epoch guard no-ops the orphan drain)
+    run_ri_drain(
+        cat, _children(spark, [(10, 1, 5.0), (11, 2, 6.0)]),
+        _parents(spark, [1]), epoch=1, parents_epoch=2,
+        child_key="custkey", parent_key="custkey", ri_spec=SPEC,
+    )
+    assert cat.table("ri_cured").read().count() == 1
+    assert {r.custkey for r in cat.table("ri_orphans").read().collect()} == {1, 2}
+    # subsequent drain at a higher parents epoch: must NOT re-cure
+    got = run_ri_drain(
+        cat, _children(spark, []), _parents(spark, []),
+        epoch=2, parents_epoch=3,
+        child_key="custkey", parent_key="custkey", ri_spec=SPEC,
+    )
+    assert got["cured"] == 0
+    cured = cat.table("ri_cured").read().collect()
+    assert [(r["order_id"], r["__cured_epoch"]) for r in cured] == [(10, 2)]
+    # the orphan drain (fresh fact epoch) reconciles the parked row
+    assert {r.custkey for r in cat.table("ri_orphans").read().collect()} == {2}
+    # and a GENUINELY new orphan cured later still logs exactly once
+    got = run_ri_drain(
+        cat, _children(spark, []), _parents(spark, [2]),
+        epoch=3, parents_epoch=4,
+        child_key="custkey", parent_key="custkey", ri_spec=SPEC,
+    )
+    assert got["cured"] == 1
+    assert cat.table("ri_cured").read().count() == 2

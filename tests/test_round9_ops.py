@@ -118,6 +118,22 @@ def test_retrieval_eval_duplicate_relevance_rows_collapse(spark):
     assert (r.hits_at_k, r.mrr_num, r.mrr_scale) == (1, 2, 2)
 
 
+def test_retrieval_eval_query_universe_fixes_denominator(spark):
+    """A query the retriever returned NOTHING for (or only rows past k)
+    drops out of the default denominator, inflating precision@k/MRR —
+    query_universe re-enters it with contribution 0, and ranked queries
+    outside the universe are excluded."""
+    ranked = _ranked(spark, [(1, 10, 1), (9, 90, 1)])  # q2 absent, q9 foreign
+    rel = _rel(spark, [(1, 10), (2, 20), (9, 90)])
+    uni = _rel(spark, [(1, 0), (2, 0)]).select("query_id")
+    base = retrieval_eval(ranked, rel, k=2).collect()[0]
+    assert base.n_queries == 2  # q2 silently missing, q9 counted
+    r = retrieval_eval(ranked, rel, k=2, query_universe=uni).collect()[0]
+    assert (r.n_queries, r.hits_at_k, r.mrr_num, r.mrr_scale) == (2, 1, 2, 2)
+    assert r.precision_at_k == 1 / 4
+    assert r.mrr == 2 / (2 * 2)
+
+
 # --------------------------------------------------- cohens_kappa
 
 def test_kappa_textbook_example(spark):
