@@ -123,13 +123,39 @@ def zorder_key(x: Column, y: Column, bits: int = 10) -> Column:
     intrinsics) so the exact value is replayable in any SQL engine —
     the ``zorder_cluster`` catalog oracle recomputes it in DuckDB.
     Inputs must already be reduced to ``bits``-wide buckets (use
-    ``pmod``); 2*bits ≤ 62 keeps everything in int64.
+    ``pmod``); 2*bits ≤ 62 keeps everything in int64. Two-column
+    convenience wrapper over ``zorder_key_n`` (bit-identical layout:
+    x at even positions, y at odd).
     """
+    return zorder_key_n([x, y], bits)
+
+
+def zorder_key_n(cols: "list[Column]", bits: int = 10) -> Column:
+    """N-way Morton (Z-order) interleave of non-negative bucket ids —
+    the general form behind Delta's OPTIMIZE ZORDER BY (col1, ..,
+    colN): bit ``i`` of column ``j`` lands at position ``n*i + j``, so
+    sorting by the Z-value keeps rows adjacent in EVERY dimension and
+    per-file min/max stats prune on ANY of the columns.
+
+    Same replayable pure-integer arithmetic as ``zorder_key``. Inputs
+    must already be reduced to ``bits``-wide buckets; ``len(cols) *
+    bits`` must stay ≤ 62 to fit int64 — more dimensions trade depth
+    per dimension (the usual Z-order curse: past ~4 columns each gets
+    too few bits to prune well, exactly as Delta's docs warn).
+    """
+    n = len(cols)
+    if n < 1:
+        raise ValueError("zorder_key_n: need at least one column")
+    if n * bits > 62:
+        raise ValueError(
+            f"zorder_key_n: {n} columns x {bits} bits = {n * bits} "
+            "interleaved bits exceeds the int64 budget (62)"
+        )
     z = F.lit(0).cast("bigint")
     for i in range(bits):
-        xbit = (x.cast("bigint") / F.lit(2**i)).cast("bigint") % 2
-        ybit = (y.cast("bigint") / F.lit(2**i)).cast("bigint") % 2
-        z = z + xbit * F.lit(2 ** (2 * i)) + ybit * F.lit(2 ** (2 * i + 1))
+        for j, c in enumerate(cols):
+            bit = (c.cast("bigint") / F.lit(2**i)).cast("bigint") % 2
+            z = z + bit * F.lit(2 ** (n * i + j))
     return z
 
 

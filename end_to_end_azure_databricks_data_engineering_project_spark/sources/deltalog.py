@@ -31,17 +31,19 @@ Design, and why it differs from delta-spark's own writer:
   each ``commitInfo`` records the MT version it maps to; the pointer
   state carries ``{"delta": {"version": D, "mt_version": V, ...}}``.
 
-- **Every commit re-adds the full snapshot** (``remove`` of all paths
-  added by commit D-1 + ``add`` of every parquet file in the new
-  version dir). ManagedTable snapshots hardlink carried-over files
-  under new names (``prior_*`` in a new ``vN/`` dir), so there is no
-  stable path an incremental encoding could keep referencing. The log
-  is O(live files) per commit rather than O(changed files) — the same
-  order as Delta's own periodic checkpoints — and stays exactly
-  correct: replaying adds/removes yields precisely the current
-  snapshot's file set. ``dataChange`` is false only for ``compact``
-  (OPTIMIZE), mirroring delta-spark — RESTORE and CLONE change the
-  visible data and must stay true for CDF-style consumers.
+- **Commits are TRUE incremental deltas** (``add`` for this commit's
+  new files, ``remove`` for the files it dropped), exactly like
+  delta-spark's own writer. ManagedTable data files live in a shared
+  immutable store (``_data/``) under globally-unique names referenced
+  by per-version manifests, so every path is stable across versions
+  and an append commit costs O(new files) log lines — independent of
+  table file count. Replaying adds/removes from commit 0 yields
+  precisely the current snapshot's file set (``replay_live``).
+  ``dataChange`` is false only for ``compact`` (OPTIMIZE), mirroring
+  delta-spark — RESTORE and CLONE change the visible data and must
+  stay true for CDF-style consumers. (Legacy pre-manifest commits
+  re-added the full snapshot each time; ``replay_live`` handles both
+  encodings, since full re-add is just a degenerate delta.)
 
 - **Pre-existing tables** (created before log emission) start their
   log at commit 0 = the table as-of enablement (protocol + metaData +
@@ -122,24 +124,44 @@ def read_actions(table_dir: Path, delta_version: int) -> list[dict]:
 
 
 def read_adds(table_dir: Path, delta_version: int) -> list[dict]:
-    """The ``add`` actions of commit D. Because every commit re-adds
-    the full snapshot, this IS the live file set as of D."""
+    """The ``add`` actions of commit D alone (NOT the live set — commits
+    are incremental deltas; use ``replay_live`` for the live set)."""
     return [a["add"] for a in read_actions(table_dir, delta_version) if "add" in a]
 
 
+def replay_live(table_dir: Path, delta_version: int) -> dict[str, dict]:
+    """The live file set as of commit D: replay adds/removes of commits
+    0..D in order (Delta's snapshot-reconstruction rule — last action
+    per path wins). Returns {path: add-action dict}. Works for both the
+    incremental encoding and legacy full-re-add commits (a full re-add
+    is a degenerate delta)."""
+    live: dict[str, dict] = {}
+    for d in range(delta_version + 1):
+        for a in read_actions(table_dir, d):
+            if "remove" in a:
+                live.pop(a["remove"]["path"], None)
+            if "add" in a:
+                live[a["add"]["path"]] = a["add"]
+    return live
+
+
 def build_commit(
-    vdir: Path,
     delta_version: int,
     op: str,
     table_id: str,
     table_name: str,
     schema_string: str | None,
     emit_metadata: bool,
-    prior_add_paths: list[str],
+    adds: list[dict],
+    remove_paths: list[str],
     mt_version: int,
+    n_live: int,
 ) -> list[dict]:
-    """Pure assembly of one commit's action list (no IO beyond statting
-    the immutable snapshot files)."""
+    """Pure assembly of one commit's action list (no IO — callers stat
+    the immutable store files). ``adds``: {path, size, modificationTime,
+    and optionally partitionValues} per NEW file; ``remove_paths``:
+    paths this commit drops; ``n_live``: live file count AFTER the
+    commit (commitInfo metric)."""
     now_ms = int(time.time() * 1000)
     data_change = op not in _NO_DATA_CHANGE_OPS
     actions: list[dict] = []
@@ -159,7 +181,7 @@ def build_commit(
                 }
             }
         )
-    for p in prior_add_paths:
+    for p in sorted(remove_paths):
         actions.append(
             {
                 "remove": {
@@ -169,16 +191,14 @@ def build_commit(
                 }
             }
         )
-    files = sorted(Path(vdir).glob("*.parquet"))
-    for f in files:
-        st = f.stat()
+    for a in sorted(adds, key=lambda x: x["path"]):
         actions.append(
             {
                 "add": {
-                    "path": f"{Path(vdir).name}/{f.name}",
-                    "partitionValues": {},
-                    "size": st.st_size,
-                    "modificationTime": int(st.st_mtime * 1000),
+                    "path": a["path"],
+                    "partitionValues": a.get("partitionValues", {}),
+                    "size": a["size"],
+                    "modificationTime": a["modificationTime"],
                     "dataChange": data_change,
                 }
             }
@@ -189,7 +209,11 @@ def build_commit(
                 "timestamp": now_ms,
                 "operation": _OP_NAMES.get(op, op.upper()),
                 "operationParameters": {},
-                "operationMetrics": {"numFiles": str(len(files))},
+                "operationMetrics": {
+                    "numFiles": str(n_live),
+                    "numAddedFiles": str(len(adds)),
+                    "numRemovedFiles": str(len(remove_paths)),
+                },
                 "engineInfo": "managedtable-deltalog/1",
                 "mtVersion": mt_version,
             }
@@ -218,8 +242,7 @@ def write_checkpoint(table_dir: Path, delta_version: int) -> Path:
     protocol + latest metaData + every live add), plus the
     ``_last_checkpoint`` pointer. A stock reader then replays
     checkpoint + later JSON commits instead of the whole log — which
-    matters here because every ManagedTable commit re-adds the full
-    snapshot, so raw-log replay cost grows O(commits x files).
+    bounds raw-log replay cost for long commit histories.
 
     OPT-IN maintenance (call like ``compact``/``vacuum``), not wired
     into the commit path: checkpoint parquet has a reader-expected
@@ -233,9 +256,9 @@ def write_checkpoint(table_dir: Path, delta_version: int) -> Path:
     checkpoint), so do NOT apply Delta-style pre-checkpoint log
     cleanup to these tables.
 
-    Because every commit is self-contained (full re-add), the live
-    state at D is exactly commit D's adds, and the latest protocol /
-    metaData are found by walking back from D."""
+    The live state at D comes from ``replay_live`` (commits are
+    incremental deltas), and the latest protocol / metaData are found
+    by walking back from D."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -254,7 +277,8 @@ def write_checkpoint(table_dir: Path, delta_version: int) -> Path:
             f"delta log at {table_dir} has no protocol/metaData at or "
             f"below commit {delta_version}; cannot checkpoint"
         )
-    adds = read_adds(table_dir, delta_version)
+    live = replay_live(table_dir, delta_version)
+    adds = [live[p] for p in sorted(live)]
 
     meta_struct = {
         "id": meta["id"],

@@ -10,15 +10,38 @@ snapshots plus a ``_latest`` pointer file that is swapped atomically
 (``os.replace``). Readers always see a complete snapshot; a crashed
 writer leaves an orphaned version directory, never a torn table.
 
-Scale posture: ``merge_keyed`` gives Delta-MERGE-style file pruning on
-plain parquet — an incremental batch rewrites ONLY the data files that
-contain a touched key and hardlinks every other file into the new
-snapshot unchanged. A daily 300-row CDC batch against a 100 TB fact
-touches the few files holding those keys, not the table. Writer safety:
-each version directory is claimed with an exclusive mkdir, so a losing
-concurrent writer fails loudly instead of corrupting the snapshot, and
-commits carry an optional (epoch_key, epoch) watermark making
-at-least-once foreachBatch replays idempotent.
+Scale posture — STABLE FILE IDENTITIES: data files are immutable,
+globally-unique-named parquet in a shared per-table store
+(``_data/``); each version directory holds only METADATA (an
+``_op`` marker, the committed ``_schema.json``, and a
+``_manifest.json`` recording this commit's added/removed store files
+plus footer stats for the added ones). A snapshot's member list is
+the manifest chain resolved back to the nearest full manifest
+(rewrites are natural full manifests; long append chains rebase every
+``manifest_rebase_depth`` commits), so:
+
+- ``append`` costs O(new files) in metadata — no per-file hardlink
+  syscalls, no O(live files) anything. A streaming sink committing
+  every micro-batch into a million-file table pays for its own files
+  only.
+- ``merge_keyed`` gives Delta-MERGE-style file pruning — an
+  incremental batch rewrites ONLY the data files containing a touched
+  key; every untouched file is carried by reference (same store path,
+  zero IO). A daily 300-row CDC batch against a 100 TB fact touches
+  the few files holding those keys, not the table.
+- the Delta transaction log (``sources/deltalog.py``) emits TRUE
+  incremental add/remove actions, since paths are stable across
+  versions.
+- ``restore`` and shallow ``clone_to`` are pure metadata.
+
+Writer safety: each version directory is claimed with an exclusive
+mkdir, so a losing concurrent writer fails loudly instead of
+corrupting the snapshot, and commits carry an optional (epoch_key,
+epoch) watermark making at-least-once foreachBatch replays
+idempotent. Tables written by pre-manifest engine revisions (data
+files inside version dirs, carried files hardlinked as ``prior_*``)
+stay readable everywhere; the first new write upgrades them by
+linking the prior snapshot into the store once.
 """
 
 from __future__ import annotations
@@ -107,19 +130,28 @@ class ManagedTable:
     """
 
     # merge_keyed falls back to a full rewrite (no driver-side file
-    # manifest, no hardlinks) once a batch touches more than this
-    # fraction of the snapshot's files — or more than the absolute
+    # manifest, no carried references) once a batch touches more than
+    # this fraction of the snapshot's files — or more than the absolute
     # manifest cap, which is what actually bounds driver memory on
     # million-file tables (the fraction alone would still collect
     # O(table) rows).
     merge_full_rewrite_fraction = 0.8
     merge_manifest_max_files = 100_000
 
+    # Incremental manifests record only added/removed store files and
+    # chain to the previous committed version; a chain longer than this
+    # is REBASED (the commit writes the resolved full member list too),
+    # bounding snapshot resolution to O(rebase_depth) small JSON reads
+    # while keeping the per-commit metadata O(changed files) amortized.
+    manifest_rebase_depth = 32
+
     def __init__(self, spark: SparkSession, root: str | os.PathLike[str], name: str):
         self.spark = spark
         self.dir = Path(root) / name
         self.name = name
         self.dir.mkdir(parents=True, exist_ok=True)
+        # shared immutable data-file store; version dirs only reference it
+        self.store = self.dir / "_data"
 
     # -- pointer management -------------------------------------------------
     def _pointer(self) -> Path:
@@ -354,10 +386,12 @@ class ManagedTable:
             # gap). Pointer first — it is the source of truth — then
             # the log file; the crash window in between is healed by
             # the next commit (see _heal_delta_log).
-            emit_meta, prior_paths = self._prepare_delta(state, v, schema_string)
+            emit_meta, adds, removes, n_live = self._prepare_delta(
+                state, v, schema_string
+            )
             self._write_pointer_locked(state)
             self._write_delta_commit(
-                state["delta"], v, emit_meta, schema_string, prior_paths
+                state["delta"], v, emit_meta, schema_string, adds, removes, n_live
             )
             return True
         finally:
@@ -401,16 +435,28 @@ class ManagedTable:
         except Exception:
             return None
 
+    def _delta_file_entries(self, mt_v: int) -> dict[str, Path]:
+        """{log-relative path: filesystem path} for snapshot ``mt_v``:
+        stable ``_data/<name>`` paths for manifest versions,
+        version-local paths for legacy ones."""
+        res = self._resolve(mt_v)
+        if res is not None:
+            return {f"_data/{n}": self.store / n for n in res[0]}
+        vdir = self._version_dir(mt_v)
+        return {f"{vdir.name}/{f.name}": f for f in sorted(vdir.glob("*.parquet"))}
+
     def _prepare_delta(self, state: dict, v: int, schema_string: str | None):
         """Advance ``state['delta']`` for the commit of MT version ``v``
         (call under the commit lock, before the pointer write;
         ``schema_string`` is resolved by the caller OUTSIDE the lock —
         the legacy fallback runs a Spark job). Returns what the
-        post-pointer log write needs: whether to emit metaData and the
-        previous commit's add paths (read back from the previous log
-        file — self-contained, vacuum-proof)."""
+        post-pointer log write needs: (emit metaData?, adds {path:
+        fs path}, remove paths, live file count) — a TRUE incremental
+        delta, diffed against the superseded snapshot (the pointer
+        version, which can never have been vacuumed at commit time)."""
         prior = state.get("delta")
         md5 = deltalog.schema_fingerprint(schema_string)
+        new_entries = self._delta_file_entries(v)
         if prior is None:
             state["delta"] = {
                 "version": 0,
@@ -418,27 +464,34 @@ class ManagedTable:
                 "table_id": deltalog.new_table_id(),
                 "schema_md5": md5,
             }
-            return schema_string is not None, []
+            return schema_string is not None, new_entries, [], len(new_entries)
         emit_meta = schema_string is not None and md5 != prior.get("schema_md5")
-        prior_paths = [
-            a["path"] for a in deltalog.read_adds(self.dir, prior["version"])
-        ]
+        prior_paths = set(self._delta_file_entries(prior["mt_version"]))
+        adds = {p: fp for p, fp in new_entries.items() if p not in prior_paths}
+        removes = sorted(prior_paths - set(new_entries))
         state["delta"] = {
             "version": prior["version"] + 1,
             "mt_version": v,
             "table_id": prior["table_id"],
             "schema_md5": md5 if md5 is not None else prior.get("schema_md5"),
         }
-        return emit_meta, prior_paths
+        return emit_meta, adds, removes, len(new_entries)
 
     def _write_delta_commit(
-        self, rec: dict, v: int, emit_meta: bool,
-        schema_string: str | None, prior_paths: list[str],
+        self, rec: dict, v: int, emit_meta: bool, schema_string: str | None,
+        adds: dict[str, Path], removes: list[str], n_live: int,
     ) -> None:
+        add_dicts = []
+        for p, fp in adds.items():
+            st = fp.stat()
+            add_dicts.append({
+                "path": p,
+                "size": st.st_size,
+                "modificationTime": int(st.st_mtime * 1000),
+            })
         actions = deltalog.build_commit(
-            self._version_dir(v), rec["version"], self._op(v),
-            rec["table_id"], self.name, schema_string, emit_meta,
-            prior_paths, v,
+            rec["version"], self._op(v), rec["table_id"], self.name,
+            schema_string, emit_meta, add_dicts, removes, v, n_live,
         )
         deltalog.write_commit(self.dir, rec["version"], actions)
 
@@ -448,11 +501,11 @@ class ManagedTable:
 
         1. Only the LATEST commit file is missing (crash between
            pointer write and log write — the designed window): rewrite
-           it from immutable on-disk state — the snapshot dir (it is
-           the pointer version, never vacuumed), its ``_op`` /
-           ``_schema.json``, and the previous commit's adds. Healed
-           commits always re-emit metaData (harmless — replay takes
-           the latest).
+           it from immutable on-disk state — the snapshot's manifest
+           (it is the pointer version, never vacuumed), its ``_op`` /
+           ``_schema.json``, and the prior live set replayed from the
+           surviving commits 0..D-1. Healed commits always re-emit
+           metaData (harmless — replay takes the latest).
 
         2. Any EARLIER commit file is missing too (user-deleted log
            dir or files): a log with holes is unreadable by a stock
@@ -497,18 +550,23 @@ class ManagedTable:
             }
             state["delta"] = rec
             self._write_pointer_locked(state)
+            entries = self._delta_file_entries(v)
             self._write_delta_commit(
-                rec, v, schema_string is not None, schema_string, []
+                rec, v, schema_string is not None, schema_string,
+                entries, [], len(entries),
             )
             return
-        prior_paths: list[str] = []
-        if rec["version"] > 0:
-            prior_paths = [
-                a["path"]
-                for a in deltalog.read_adds(self.dir, rec["version"] - 1)
-            ]
+        new_entries = self._delta_file_entries(v)
+        prior_live = (
+            deltalog.replay_live(self.dir, rec["version"] - 1)
+            if rec["version"] > 0
+            else {}
+        )
+        adds = {p: fp for p, fp in new_entries.items() if p not in prior_live}
+        removes = sorted(set(prior_live) - set(new_entries))
         self._write_delta_commit(
-            rec, v, schema_string is not None, schema_string, prior_paths
+            rec, v, schema_string is not None, schema_string,
+            adds, removes, len(new_entries),
         )
 
     def heal_delta_log(self) -> None:
@@ -551,9 +609,8 @@ class ManagedTable:
         v = self.current_version()
         if v < 0:
             raise FileNotFoundError(f"table {self.name} has no committed version")
-        vdir = self._version_dir(v)
-        files = list(vdir.glob("*.parquet"))
-        stats = self.file_stats(v) or {}
+        files = self.data_files(v)
+        stats = self.file_stats(v)
         schema = self.table_schema(v)
         rec = self._pointer_state().get("delta") or {}
         return {
@@ -566,7 +623,7 @@ class ManagedTable:
             "size_bytes": sum(f.stat().st_size for f in files),
             "num_rows": (
                 sum(e.get("rows", 0) for e in stats.values())
-                if self.file_stats(v) is not None else None
+                if stats is not None else None
             ),
             "schema": schema.json() if schema is not None else None,
         }
@@ -672,13 +729,32 @@ class ManagedTable:
         return out, commit_schema
 
     # -- read/write ----------------------------------------------------------
-    def read(self) -> DataFrame:
-        v = self.current_version()
-        if v < 0:
-            raise FileNotFoundError(f"table {self.name} has no committed version")
+    def _read_version(self, v: int, names: list[str] | None) -> DataFrame:
+        """Read snapshot ``v`` pinned to its committed schema. ``names``
+        = resolved store members, or None for a legacy version (read
+        the version dir directly, exactly as before manifests)."""
         schema = self.table_schema(v)
         reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
-        return reader.parquet(str(self._version_dir(v)))
+        if names is None:
+            return reader.parquet(str(self._version_dir(v)))
+        if not names:
+            if schema is None:
+                from pyspark.sql.types import StructType
+
+                schema = StructType([])
+            return self.spark.createDataFrame([], schema)
+        # basePath reconstructs hive partition columns from the store
+        # paths (Delta-style: partitioned data files omit the partition
+        # columns); harmless for unpartitioned (flat) layouts
+        return reader.option("basePath", str(self.store)).parquet(
+            *[str(self.store / n) for n in names]
+        )
+
+    def read(self) -> DataFrame:
+        v, names, _ = self._resolve_current()
+        if v < 0:
+            raise FileNotFoundError(f"table {self.name} has no committed version")
+        return self._read_version(v, names)
 
     def read_or_empty(self, like: DataFrame) -> DataFrame:
         """Current snapshot, or an empty frame with ``like``'s schema."""
@@ -689,25 +765,200 @@ class ManagedTable:
     def _write_op_marker(self, v: int, op: str) -> None:
         (self._version_dir(v) / "_op").write_text(op)
 
-    # -- file statistics / data skipping ------------------------------------
-    def _collect_stats(self, vdir: Path, prior_stats: dict | None = None) -> dict:
-        """Record per-file min/max column stats in ``_stats.json``.
+    # -- per-version manifests over the shared file store --------------------
+    #
+    # _manifest.json per version dir:
+    #   base:       previous committed version this delta chains to (or None)
+    #   depth:      chain hops to the nearest full manifest (0 when full)
+    #   added:      store file names NEW in this commit (commit order)
+    #   removed:    store file names this commit drops vs base
+    #   stats:      footer stats for ADDED files only
+    #   files:      full member list — present on rewrites and rebases
+    #   stats_full: full stats map — present iff files is
+    #   upgrade:    True when this commit migrated a legacy snapshot into
+    #               the store (changes_since treats it as a barrier)
+    def _manifest_path(self, v: int) -> Path:
+        return self._version_dir(v) / "_manifest.json"
 
-        Metadata-only: stats come from parquet FOOTERS (pyarrow), no data
-        scan — the same information Delta keeps in its transaction log.
-        Hardlinked ``prior_*`` files inherit the previous version's entry
-        (zero IO); only freshly written files read a footer. A column
-        with any stats-less row group (or an unsafe type, see
-        ``_stat_value``) gets no entry and therefore never prunes."""
+    def _manifest(self, v: int) -> dict | None:
+        p = self._manifest_path(v)
+        if not p.exists():
+            return None
+        return json.loads(p.read_text())
+
+    def _write_manifest_file(self, v: int, manifest: dict) -> None:
+        tmp = self._version_dir(v) / f"._manifest.tmp.{os.getpid()}"
+        tmp.write_text(json.dumps(manifest))
+        os.replace(tmp, self._manifest_path(v))
+
+    def _resolve(self, v: int) -> tuple[list[str], dict] | None:
+        """Snapshot membership for version ``v``: (store file names in
+        commit order, full per-file stats map). None when ``v``
+        predates manifests (legacy layout: data files live inside the
+        version dir). Walks the base chain to the nearest full
+        manifest — bounded by ``manifest_rebase_depth``."""
+        m = self._manifest(v)
+        if m is None:
+            return None
+        chain = [m]
+        while "files" not in chain[-1]:
+            base = chain[-1]["base"]
+            bm = self._manifest(base) if base is not None else None
+            if bm is None:
+                raise FileNotFoundError(
+                    f"table {self.name}: version {v}'s manifest chain "
+                    f"needs version {base}, which is missing (vacuumed "
+                    "mid-read? re-read the current version) "
+                )
+            chain.append(bm)
+        files = dict.fromkeys(chain[-1]["files"])  # ordered set
+        stats = dict(chain[-1].get("stats_full") or {})
+        for m in reversed(chain[:-1]):
+            for r in m.get("removed", ()):
+                files.pop(r, None)
+                stats.pop(r, None)
+            for a in m.get("added", ()):
+                files[a] = None
+            stats.update(m.get("stats", {}))
+        return list(files), stats
+
+    def _resolve_current(self) -> tuple[int, list[str], dict] | tuple[int, None, None]:
+        """(version, names, stats) for the current snapshot, retrying
+        once if a concurrent vacuum rebased/pruned the chain mid-walk
+        (the retry re-reads the pointer — the new head resolves)."""
+        v = self.current_version()
+        try:
+            res = self._resolve(v)
+        except FileNotFoundError:
+            v = self.current_version()
+            res = self._resolve(v)
+        if res is None:
+            return v, None, None
+        return v, res[0], res[1]
+
+    def data_files(self, v: int | None = None) -> list[Path]:
+        """Absolute paths of the snapshot's data files (store paths for
+        manifest versions; version-dir parquet for legacy ones)."""
+        if v is None:
+            v = self.current_version()
+        res = self._resolve(v)
+        if res is None:
+            return sorted(self._version_dir(v).glob("*.parquet"))
+        return [self.store / n for n in res[0]]
+
+    def _materialize(
+        self, v: int, df: DataFrame, partition_by: Sequence[str] | None = None
+    ) -> list[str]:
+        """Write ``df`` through the claimed version dir, then move the
+        part files into the shared store under globally-unique names
+        (``f{version}-{index}-{token}``: the exclusive version claim
+        makes the prefix unique per table; the random token keeps
+        names unique across clones and reclaimed orphan versions).
+        With ``partition_by``, the hive directory layout
+        (``col=value/``) is PRESERVED inside the store — exactly like
+        Delta, the data files then omit the partition columns and
+        readers reconstruct them from the path (``basePath``).
+        Returns store-relative names in deterministic part order."""
+        vdir = self._version_dir(v)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(vdir))
+        self.store.mkdir(exist_ok=True)
+        import uuid as _uuid
+
+        token = _uuid.uuid4().hex[:8]
+        names: list[str] = []
+        for i, f in enumerate(sorted(vdir.rglob("*.parquet"))):
+            rel = f.relative_to(vdir).parent
+            name = f"f{v:06d}-{i:05d}-{token}.parquet"
+            if rel.parts:
+                (self.store / rel).mkdir(parents=True, exist_ok=True)
+                names.append(str(rel / name))
+            else:
+                names.append(name)
+            os.replace(f, self.store / names[-1])
+        if partition_by:  # clear the emptied hive dirs (metadata-only dir)
+            for d in sorted(
+                (p for p in vdir.rglob("*") if p.is_dir()), reverse=True
+            ):
+                try:
+                    d.rmdir()
+                except OSError:
+                    pass
+        return names
+
+    @staticmethod
+    def _partition_values(name: str) -> dict[str, str]:
+        """Hive partition values encoded in a store-relative name
+        (``a=1/b=x/file.parquet`` → {'a': '1', 'b': 'x'}), URL-decoded
+        the way Spark/Hive escape them."""
+        from urllib.parse import unquote
+
+        out: dict[str, str] = {}
+        for part in Path(name).parent.parts:
+            if "=" in part:
+                k, _, val = part.partition("=")
+                out[unquote(k)] = unquote(val)
+        return out
+
+    def _partition_stat_entries(
+        self, name: str, partition_by: Sequence[str], schema
+    ) -> dict:
+        """min==max stats entries for a file's partition values, typed
+        through the table schema so ``pruned_files`` prunes partition
+        columns with the SAME machinery as footer stats — partition
+        pruning at file-listing time. Unparseable or null values get
+        no entry (the file is simply never pruned on that column)."""
+        import datetime as _dt
+
+        from pyspark.sql.types import (
+            ByteType, DateType, DoubleType, FloatType, IntegerType,
+            LongType, ShortType, StringType,
+        )
+
+        vals = self._partition_values(name)
+        types = {f.name: f.dataType for f in schema.fields} if schema else {}
+        out: dict[str, dict] = {}
+        for c in partition_by:
+            raw = vals.get(c)
+            if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+                continue
+            t = types.get(c)
+            try:
+                if isinstance(t, (ByteType, ShortType, IntegerType, LongType)):
+                    val = int(raw)
+                elif isinstance(t, (FloatType, DoubleType)):
+                    val = float(raw)
+                elif isinstance(t, DateType):
+                    val = _dt.date.fromisoformat(raw).isoformat()
+                elif isinstance(t, StringType):
+                    val = raw
+                else:  # timestamps/decimals/etc: never prune (safe)
+                    continue
+            except ValueError:
+                continue
+            out[c] = {"min": val, "max": val}
+        return out
+
+    def _collect_stats_for(
+        self,
+        names: list[str],
+        partition_by: Sequence[str] | None = None,
+        schema=None,
+    ) -> dict:
+        """Footer min/max stats for the given store files (pyarrow
+        metadata only — no data scan; same information Delta keeps in
+        its log). A column with any stats-less row group or an unsafe
+        type (see ``_stat_value``) gets no entry and never prunes.
+        For partitioned tables, each file's partition values join the
+        map as exact (min==max) entries — listing-time partition
+        pruning through the same index."""
         import pyarrow.parquet as pq
 
         stats: dict[str, dict] = {}
-        for f in sorted(vdir.glob("*.parquet")):
-            if prior_stats is not None and f.name.startswith("prior_"):
-                src = prior_stats.get(f.name[len("prior_"):])
-                if src is not None:
-                    stats[f.name] = src
-                    continue
+        for name in names:
+            f = self.store / name
             try:
                 md = pq.ParquetFile(str(f)).metadata
             except Exception:  # unreadable footer → file never prunes
@@ -717,35 +968,125 @@ class ManagedTable:
                 rg = md.row_group(rg_i)
                 for c_i in range(rg.num_columns):
                     col = rg.column(c_i)
-                    name = col.path_in_schema
-                    if "." in name or (name in cols and cols[name] is None):
+                    cname = col.path_in_schema
+                    if "." in cname or (cname in cols and cols[cname] is None):
                         continue
                     st = col.statistics
                     if st is None or not st.has_min_max:
-                        cols[name] = None
+                        cols[cname] = None
                         continue
                     mn, mx = _stat_value(st.min), _stat_value(st.max)
                     if mn is None or mx is None:
-                        cols[name] = None
+                        cols[cname] = None
                         continue
-                    if name not in cols:
-                        cols[name] = {"min": mn, "max": mx}
+                    if cname not in cols:
+                        cols[cname] = {"min": mn, "max": mx}
                     else:
-                        e = cols[name]
+                        e = cols[cname]
                         e["min"] = min(e["min"], mn)
                         e["max"] = max(e["max"], mx)
-            stats[f.name] = {
-                "rows": md.num_rows,
-                "cols": {k: v for k, v in cols.items() if v is not None},
-            }
-        (vdir / "_stats.json").write_text(json.dumps(stats))
+            entry_cols = {k: val for k, val in cols.items() if val is not None}
+            if partition_by:
+                entry_cols.update(
+                    self._partition_stat_entries(name, partition_by, schema)
+                )
+            stats[name] = {"rows": md.num_rows, "cols": entry_cols}
         return stats
 
+    def _link_legacy_into_store(self, v: int) -> tuple[list[str], dict]:
+        """One-time upgrade of a legacy snapshot: hardlink version
+        ``v``'s data files into the store under unique names (copy
+        fallback), remapping its stats entries to the new names.
+        O(files) ONCE per table — every later commit is O(changed)."""
+        import uuid as _uuid
+
+        vdir = self._version_dir(v)
+        self.store.mkdir(exist_ok=True)
+        token = _uuid.uuid4().hex[:8]
+        old_stats = self.file_stats(v) or {}
+        names: list[str] = []
+        stats: dict[str, dict] = {}
+        legacy = sorted(vdir.glob("*.parquet"))
+        for i, f in enumerate(legacy):
+            name = f"u{v:06d}-{i:05d}-{token}.parquet"
+            try:
+                os.link(f, self.store / name)
+            except OSError:
+                shutil.copy2(f, self.store / name)
+            names.append(name)
+            if f.name in old_stats:
+                stats[name] = old_stats[f.name]
+        if not stats and legacy:
+            # legacy version predating stats collection: read footers
+            # now so skipping keeps working after the upgrade
+            stats = self._collect_stats_for(names)
+        return names, stats
+
+    def _snapshot_members(self, v: int) -> tuple[list[str], dict, bool]:
+        """(names, stats, upgraded) for building a child manifest on top
+        of version ``v``: the resolved manifest members, or — legacy —
+        the snapshot linked into the store once (upgraded=True)."""
+        res = self._resolve(v)
+        if res is not None:
+            return res[0], res[1], False
+        names, stats = self._link_legacy_into_store(v)
+        return names, stats, True
+
+    def _manifest_depth(self, v: int) -> int:
+        m = self._manifest(v)
+        return m.get("depth", 0) if m is not None else 0
+
+    def _build_child_manifest(
+        self,
+        base_v: int,
+        added: list[str],
+        removed: list[str],
+        stats: dict,
+        base_names: list[str] | None = None,
+        base_stats: dict | None = None,
+        upgrade: bool = False,
+    ) -> dict:
+        """An incremental manifest on ``base_v`` — rebased to a full one
+        when the chain would exceed ``manifest_rebase_depth`` or when
+        the base was just upgraded from legacy (its members exist only
+        in ``base_names``, not in any base manifest)."""
+        depth = self._manifest_depth(base_v) + 1
+        m: dict = {
+            "base": base_v,
+            "depth": depth,
+            "added": added,
+            "removed": removed,
+            "stats": stats,
+        }
+        if upgrade or depth > self.manifest_rebase_depth:
+            if base_names is None:
+                base_names, base_stats = self._resolve(base_v)
+            files = dict.fromkeys(base_names)
+            full_stats = dict(base_stats or {})
+            for r in removed:
+                files.pop(r, None)
+                full_stats.pop(r, None)
+            for a in added:
+                files[a] = None
+            full_stats.update(stats)
+            m["files"] = list(files)
+            m["stats_full"] = full_stats
+            m["depth"] = 0
+            if upgrade:
+                m["upgrade"] = True
+        return m
+
+    # -- file statistics / data skipping ------------------------------------
     def file_stats(self, v: int | None = None) -> dict | None:
         """The committed per-file stats map for version ``v`` (default
-        current), or None when the version predates stats collection."""
+        current), or None when the version predates stats collection.
+        Manifest versions resolve it through the manifest chain; legacy
+        versions read their ``_stats.json``."""
         if v is None:
             v = self.current_version()
+        res = self._resolve(v)
+        if res is not None:
+            return res[1]
         p = self._version_dir(v) / "_stats.json"
         if not p.exists():
             return None
@@ -756,14 +1097,21 @@ class ManagedTable:
         contain a row satisfying ``{col: (lo, hi)}`` range predicates
         (either bound may be None). Files without usable stats are kept
         — pruning is always a superset of the true answer."""
-        vdir = self._version_dir(self.current_version())
-        stats = self.file_stats()
+        v, names, stats = self._resolve_current()
+        if names is None:  # legacy layout (stats keyed by basename)
+            pairs = [
+                (f.name, f)
+                for f in sorted(self._version_dir(v).glob("*.parquet"))
+            ]
+            stats = self.file_stats(v)
+        else:  # manifest layout (stats keyed by store-relative name)
+            pairs = [(n, self.store / n) for n in names]
         norm = {
             c: (_stat_value(lo), _stat_value(hi)) for c, (lo, hi) in predicates.items()
         }
         keep: list[Path] = []
-        for f in sorted(vdir.glob("*.parquet")):
-            entry = stats.get(f.name) if stats else None
+        for key, f in pairs:
+            entry = stats.get(key) if stats else None
             if entry is None:
                 keep.append(f)
                 continue
@@ -803,6 +1151,12 @@ class ManagedTable:
                 if schema is not None
                 else self.spark.read
             )
+            # basePath: reconstruct hive partition columns for
+            # partitioned tables (no-op for flat store layouts; must be
+            # omitted for legacy version-dir paths, which the store
+            # path does not prefix)
+            if self.store in files[0].parents:
+                reader = reader.option("basePath", str(self.store))
             df = reader.parquet(*[str(f) for f in files])
         for c, (lo, hi) in predicates.items():
             if lo is not None:
@@ -847,10 +1201,10 @@ class ManagedTable:
         caller must fall back to a full read or rebuild.
 
         This is what makes a ManagedTable usable as a delta LOG: each
-        append's own files (the non-``prior_`` ones) are exactly that
-        commit's new rows, so a consumer can fold increments by version
-        cursor with no data-column watermark (and none of the strict-'>'
-        boundary losses a value watermark has).
+        append's own files (the manifest's ``added`` list) are exactly
+        that commit's new rows, so a consumer can fold increments by
+        version cursor with no data-column watermark (and none of the
+        strict-'>' boundary losses a value watermark has).
 
         ``until``: optional INCLUSIVE upper bound — pass the version you
         read BEFORE deriving your cursor so a commit landing between
@@ -870,11 +1224,15 @@ class ManagedTable:
         for vv in versions:
             if self._op(vv) != "append":
                 return None
-            files.extend(
-                str(f)
-                for f in self._version_dir(vv).glob("*.parquet")
-                if not f.name.startswith("prior_")
-            )
+            m = self._manifest(vv)
+            if m is not None:
+                files.extend(str(self.store / n) for n in m["added"])
+            else:  # legacy layout: new rows = the non-carried files
+                files.extend(
+                    str(f)
+                    for f in self._version_dir(vv).glob("*.parquet")
+                    if not f.name.startswith("prior_")
+                )
         if not files:
             return self.spark.createDataFrame([], self.read().schema)
         schema = self.table_schema(cur)
@@ -925,6 +1283,28 @@ class ManagedTable:
         deletes: list[DataFrame] = []
         for i, vv in enumerate(versions):
             op = self._op(vv)
+            m = self._manifest(vv)
+            if m is not None:
+                new_files = [str(self.store / n) for n in m["added"]]
+                if op == "append":
+                    inserts.append(_read(new_files))
+                elif op == "merge":
+                    if m.get("upgrade"):
+                        # legacy→store upgrade commit: its removed list
+                        # names pre-store identities — not derivable
+                        return None
+                    # removed store files stay on disk (vacuum's GC
+                    # keeps files referenced by retained manifests'
+                    # removed lists) — the touched-file diff reads them
+                    # directly, no prior-version reconstruction needed
+                    old_files = [str(self.store / n) for n in m["removed"]]
+                    old_rows, new_rows = _read(old_files), _read(new_files)
+                    deletes.append(old_rows.exceptAll(new_rows))
+                    inserts.append(new_rows.exceptAll(old_rows))
+                else:  # snapshot rewrite / compaction / unknown
+                    return None
+                continue
+            # legacy layout (pre-manifest commits)
             vdir = self._version_dir(vv)
             new_files = [str(f) for f in vdir.glob("*.parquet") if not f.name.startswith("prior_")]
             if op == "append":
@@ -978,18 +1358,6 @@ class ManagedTable:
         pure_del = dels.join(b, key_cols, "left_anti")
         return pure_ins.unionAll(pure_del).unionAll(upd_pre).unionAll(upd_post)
 
-    def _link_prior(self, src_dir: Path, new_dir: Path, skip: set[str] | None = None) -> None:
-        """Hardlink prior snapshot files into the new version (no data
-        rewrite; copy fallback for filesystems without hardlinks)."""
-        for f in src_dir.glob("*.parquet"):
-            if skip and f.name in skip:
-                continue
-            target = new_dir / f"prior_{f.name}"
-            try:
-                os.link(f, target)
-            except OSError:
-                shutil.copy2(f, target)
-
     def overwrite(
         self, df: DataFrame, epoch=None, epoch_key=None,
         expected_version: int | None = None,
@@ -1028,10 +1396,14 @@ class ManagedTable:
                 "re-read and retry"
             )
         v = self._claim_next_version()
-        df.write.mode("overwrite").parquet(str(self._version_dir(v)))
+        names = self._materialize(v, df)
+        stats = self._collect_stats_for(names)
+        self._write_manifest_file(v, {
+            "base": None, "depth": 0, "added": names, "removed": [],
+            "stats": stats, "files": names, "stats_full": stats,
+        })
         self._write_op_marker(v, op)
         self._write_schema(self._version_dir(v), df.schema)
-        self._collect_stats(self._version_dir(v))
         if not self._commit(
             v, epoch, epoch_key, expected_version, set_props, expect_props
         ):
@@ -1074,15 +1446,34 @@ class ManagedTable:
         if self._epoch_already_applied(epoch, epoch_key):
             return None
         v = self.current_version()
+        if v < 0:
+            # first write: a full manifest; expected_version=-1 keeps
+            # the old loud-failure contract if a concurrent writer
+            # commits v0 in between (an append must never replace it)
+            return self.overwrite(
+                df, epoch, epoch_key, expected_version=-1,
+                set_props=set_props, expect_props=expect_props, op="append",
+            )
         df, schema = self._align(df, evolve)
         new_v = self._claim_next_version()
         new_dir = self._version_dir(new_v)
-        df.write.mode("overwrite").parquet(str(new_dir))
-        if v >= 0:
-            self._link_prior(self._version_dir(v), new_dir)
+        names = self._materialize(new_v, df)
+        stats = self._collect_stats_for(names)
+        # O(new files) metadata: an incremental manifest chaining to v.
+        # No per-file syscalls over the carried snapshot — the one
+        # exception is the FIRST write over a legacy (pre-manifest)
+        # table, which links its snapshot into the store once.
+        if self._manifest(v) is not None:
+            manifest = self._build_child_manifest(v, names, [], stats)
+        else:
+            base_names, base_stats, _ = self._snapshot_members(v)
+            manifest = self._build_child_manifest(
+                v, names, [], stats,
+                base_names=base_names, base_stats=base_stats, upgrade=True,
+            )
+        self._write_manifest_file(new_v, manifest)
         self._write_op_marker(new_v, "append")
         self._write_schema(new_dir, schema)
-        self._collect_stats(new_dir, self.file_stats(v) if v >= 0 else None)
         if not self._commit(
             new_v, epoch, epoch_key, expected_version=v,
             set_props=set_props, expect_props=expect_props,
@@ -1127,17 +1518,21 @@ class ManagedTable:
         driver memory constant even on million-file tables. A batch
         touching more than the cap has no pruning value left — the
         merge falls back to a full rewrite (subset = whole snapshot,
-        nothing hardlinked) without ever materializing the manifest."""
+        nothing carried) without ever materializing the manifest."""
         if self._epoch_already_applied(epoch, epoch_key):
             return None
         if not self.exists():
             empty = self.spark.createDataFrame([], batch.schema)
             return self.overwrite(merge_fn(empty, batch), epoch, epoch_key)
         v = self.current_version()
-        vdir = self._version_dir(v)
+        res = self._resolve(v)
+        legacy_base = res is None
         cur = self.read()
         bkeys = batch.select(*keys).distinct()
-        n_files = sum(1 for _ in vdir.glob("*.parquet"))
+        n_files = (
+            len(res[0]) if res is not None
+            else sum(1 for _ in self._version_dir(v).glob("*.parquet"))
+        )
         cap = max(
             1,
             min(
@@ -1160,24 +1555,65 @@ class ManagedTable:
         )
         new_v = self._claim_next_version()
         new_dir = self._version_dir(new_v)
+        src_dir = self.store if not legacy_base else self._version_dir(v)
         if full_rewrite:
             subset = cur
         elif touched_files:
             stored = self.table_schema(v)
             reader = self.spark.read.schema(stored) if stored is not None else self.spark.read
-            subset = reader.parquet(*[str(vdir / f) for f in sorted(touched_files)])
+            subset = reader.parquet(*[str(src_dir / f) for f in sorted(touched_files)])
         else:
             subset = self.spark.createDataFrame([], cur.schema)
         # Schema is enforced on the merge OUTPUT (the batch legitimately
         # differs — e.g. CDC batches lack the SCD bookkeeping columns
         # that merge_fn itself adds).
         merged, schema = self._align(merge_fn(subset, batch), evolve=False)
-        merged.write.mode("overwrite").parquet(str(new_dir))
-        if not full_rewrite:
-            self._link_prior(vdir, new_dir, skip=touched_files)
+        names = self._materialize(new_v, merged)
+        stats = self._collect_stats_for(names)
+        if full_rewrite:
+            prior_names = res[0] if res is not None else []
+            manifest = {
+                "base": v, "depth": 0, "added": names,
+                # removed = the whole prior snapshot, so the change feed
+                # can still diff a full-rewrite merge (legacy base: the
+                # upgrade flag below forces the rebuild fallback instead)
+                "removed": prior_names,
+                "stats": stats, "files": names, "stats_full": stats,
+            }
+            if legacy_base:
+                manifest["upgrade"] = True
+        elif legacy_base:
+            # one-time upgrade: link the UNTOUCHED legacy files into the
+            # store; the touched ones were rewritten above. Marked
+            # upgrade=True — removed refers to pre-store identities, so
+            # changes_since must rebuild across this commit.
+            base_names, base_stats, _ = self._snapshot_members(v)
+            legacy_order = [
+                f.name for f in sorted(self._version_dir(v).glob("*.parquet"))
+            ]
+            kept = [
+                n for n, lf in zip(base_names, legacy_order)
+                if lf not in touched_files
+            ]
+            manifest = {
+                "base": v, "depth": 0, "added": names,
+                "removed": sorted(touched_files),
+                "stats": stats,
+                "files": kept + names,
+                "stats_full": {
+                    **{n: base_stats[n] for n in kept if n in base_stats},
+                    **stats,
+                },
+                "upgrade": True,
+            }
+        else:
+            manifest = self._build_child_manifest(
+                v, names, sorted(touched_files), stats,
+                base_names=res[0], base_stats=res[1],
+            )
+        self._write_manifest_file(new_v, manifest)
         self._write_op_marker(new_v, "merge")
         self._write_schema(new_dir, schema)
-        self._collect_stats(new_dir, self.file_stats(v) if not full_rewrite else None)
         if not self._commit(new_v, epoch, epoch_key, expected_version=v):
             return None  # lost the replay race: nothing committed
         return new_v
@@ -1200,12 +1636,14 @@ class ManagedTable:
         ``merge_keyed`` touching few files per incremental batch.
 
         ``zorder_by``: the open equivalent of Delta's OPTIMIZE ZORDER
-        BY — exactly TWO numeric columns, each range-bucketed to
-        ``zorder_bits`` and Morton-interleaved
-        (``operators/skew.py::zorder_key``), then range-partitioned +
-        sorted by the Z-value so every file covers a tight rectangle in
-        BOTH dimensions: ``read_pruned`` skips files on EITHER
-        predicate, where ``cluster_by`` only prunes its leading column.
+        BY — N numeric columns (N ≥ 1; N × ``zorder_bits`` ≤ 62), each
+        range-bucketed to ``zorder_bits`` and Morton-interleaved
+        (``operators/skew.py::zorder_key_n``), then range-partitioned +
+        sorted by the Z-value so every file covers a tight hyper-box in
+        EVERY dimension: ``read_pruned`` skips files on ANY of the
+        predicates, where ``cluster_by`` only prunes its leading
+        column. More columns trade pruning depth per dimension (the
+        usual Z-order trade-off — Delta's docs make the same warning).
         The per-column min/max come from one model-sized aggregate over
         the snapshot (compaction is maintenance — the extra scan is the
         point). Mutually exclusive with ``cluster_by``.
@@ -1219,27 +1657,29 @@ class ManagedTable:
         v = self.current_version()
         df = self.read()
         if target_partitions is None:
-            n_files = len(list(self._version_dir(v).glob("*.parquet")))
-            target_partitions = max(1, n_files // 8)
+            target_partitions = max(1, len(self.data_files(v)) // 8)
         if cluster_by:
             df = df.repartitionByRange(target_partitions, *cluster_by).sortWithinPartitions(
                 *cluster_by
             )
         elif zorder_by:
-            from end_to_end_azure_databricks_data_engineering_project_spark.operators.skew import zorder_key
+            from end_to_end_azure_databricks_data_engineering_project_spark.operators.skew import zorder_key_n
 
-            if len(zorder_by) != 2:
-                raise ValueError(
-                    f"compact: zorder_by takes exactly two columns, got {list(zorder_by)}"
-                )
-            if not 1 <= zorder_bits <= 31:
-                # zorder_key interleaves into int64: 2*bits must stay
+            n = len(zorder_by)
+            if n < 1:
+                raise ValueError("compact: zorder_by needs at least one column")
+            if zorder_bits < 1 or n * zorder_bits > 62:
+                # zorder_key_n interleaves into int64: n*bits must stay
                 # <= 62 — fail at the API boundary, not deep in the
                 # expression builder with a literal-overflow error
                 raise ValueError(
-                    f"compact: zorder_bits must be in [1, 31], got {zorder_bits}"
+                    f"compact: {n} zorder columns x zorder_bits="
+                    f"{zorder_bits} = {n * zorder_bits} interleaved bits; "
+                    "must be >= 1 and <= 62"
                 )
-            reserved = ("__z", "__zx_lo", "__zx_hi", "__zy_lo", "__zy_hi")
+            reserved = ("__z",) + tuple(
+                f"__zb{j}_{side}" for j in range(n) for side in ("lo", "hi")
+            )
             clash = [c for c in reserved if c in df.columns]
             if clash:
                 # withColumn would silently OVERWRITE a user column and
@@ -1248,14 +1688,14 @@ class ManagedTable:
                     f"compact: zorder_by reserves column name(s) {clash}; "
                     "rename them before z-ordering"
                 )
-            xc, yc = zorder_by
             # bounds ride the plan as a 1-row broadcast aggregate — no
             # driver round-trip, and an empty or all-NULL column simply
             # yields NULL bounds (bucket()'s otherwise-0 branch)
-            b = df.agg(
-                F.min(xc).alias("__zx_lo"), F.max(xc).alias("__zx_hi"),
-                F.min(yc).alias("__zy_lo"), F.max(yc).alias("__zy_hi"),
-            )
+            b = df.agg(*[
+                agg for j, c in enumerate(zorder_by)
+                for agg in (F.min(c).alias(f"__zb{j}_lo"),
+                            F.max(c).alias(f"__zb{j}_hi"))
+            ])
             n_buckets = F.lit(2 ** zorder_bits - 1)
 
             def bucket(c, lo, hi):
@@ -1271,8 +1711,11 @@ class ManagedTable:
                 df.crossJoin(F.broadcast(b))
                 .withColumn(
                     "__z",
-                    zorder_key(bucket(xc, "__zx_lo", "__zx_hi"),
-                               bucket(yc, "__zy_lo", "__zy_hi"), zorder_bits),
+                    zorder_key_n(
+                        [bucket(c, f"__zb{j}_lo", f"__zb{j}_hi")
+                         for j, c in enumerate(zorder_by)],
+                        zorder_bits,
+                    ),
                 )
                 .repartitionByRange(target_partitions, "__z")
                 .sortWithinPartitions("__z")
@@ -1282,17 +1725,57 @@ class ManagedTable:
             df = df.coalesce(target_partitions)
         return self.overwrite(df, expected_version=v, op="compact")
 
+    def _rebase_manifest(self, v: int) -> None:
+        """Rewrite version ``v``'s manifest with its resolved full
+        member list (content-identical — pure metadata), so its chain
+        no longer crosses versions a vacuum is about to delete. Atomic
+        replace; concurrent readers mid-walk retry via
+        ``_resolve_current``."""
+        m = self._manifest(v)
+        if m is None or "files" in m:
+            return
+        names, stats = self._resolve(v)
+        m["files"] = names
+        m["stats_full"] = stats
+        m["depth"] = 0
+        self._write_manifest_file(v, m)
+
     def vacuum(self, keep: int = 2) -> None:
         """Drop snapshot dirs older than the newest ``keep`` versions,
-        and prune their ledger entries (recording the prune point in
-        ``committed_floor``) — otherwise a long-lived streaming sink
-        table would re-parse an ever-growing committed list on every
-        pointer read."""
+        prune their ledger entries (recording the prune point in
+        ``committed_floor``), and garbage-collect store files no
+        surviving version references — otherwise a long-lived streaming
+        sink table would re-parse an ever-growing committed list on
+        every pointer read and the shared store would grow forever.
+
+        Store GC keeps every file referenced by a surviving version's
+        resolved member list OR its ``removed`` list (the change feed
+        reads removed files of retained merge commits), plus any file
+        whose name embeds a version above the pointer — those belong
+        to an in-flight writer whose commit hasn't landed yet, so GC
+        is safe to run alongside active writers."""
         cur = self.current_version()
+        keep_from_rebase = cur - keep + 1
+        # retained manifests must not chain below the deletion horizon
+        for d in sorted(self.dir.glob("v*")):
+            v = int(d.name[1:])
+            if v >= keep_from_rebase:
+                m = self._manifest(v)
+                if m is not None and "files" not in m and (
+                    m["base"] is None or m["base"] < keep_from_rebase
+                ):
+                    try:
+                        self._rebase_manifest(v)
+                    except FileNotFoundError:
+                        # an old aborted writer's orphan whose chain was
+                        # already pruned — never readable; GC falls back
+                        # to its raw added/files keys
+                        pass
         for d in sorted(self.dir.glob("v*")):
             v = int(d.name[1:])
             if v <= cur - keep:
                 shutil.rmtree(d, ignore_errors=True)
+        self._gc_store(cur)
         fd = self._acquire_commit_lock()
         try:
             state = self._pointer_state()
@@ -1319,14 +1802,54 @@ class ManagedTable:
         finally:
             self._release_commit_lock(fd)
 
+    def _gc_store(self, pointer: int) -> None:
+        """Delete store files no surviving version references. Safe
+        alongside active writers: a file whose name embeds a version
+        ABOVE the pointer belongs to a writer whose commit hasn't
+        landed (its manifest may not exist yet) and is skipped; once
+        that commit lands its files are referenced, and if the writer
+        lost its race or crashed, a later pass (pointer having moved
+        past its claimed version) collects them."""
+        if not self.store.exists():
+            return
+        referenced: set[str] = set()
+        for d in self.dir.glob("v*"):
+            m = self._manifest(int(d.name[1:]))
+            if m is None:
+                continue
+            try:
+                names, _ = self._resolve(int(d.name[1:]))
+                referenced.update(names)
+            except FileNotFoundError:  # unresolvable orphan: raw keys
+                referenced.update(m.get("files", ()))
+                referenced.update(m.get("added", ()))
+            # the change feed reads RETAINED merge commits' removed
+            # files — keep them until their version is vacuumed
+            referenced.update(m.get("removed", ()))
+        for f in self.store.glob("*.parquet"):
+            if f.name in referenced:
+                continue
+            try:
+                embedded_v = int(f.name[1:7])
+            except ValueError:
+                continue  # foreign file: never ours to delete
+            if embedded_v > pointer:
+                continue  # in-flight writer's file
+            f.unlink(missing_ok=True)
+
     def vacuum_uncommitted(self) -> None:
         """Remove orphan version dirs left by crashed or losing writers
-        (claimed-but-never-committed dirs above the pointer). Only call
-        when no writer is active on this table."""
+        (claimed-but-never-committed dirs above the pointer), then
+        sweep the store files only they referenced. Only call when no
+        writer is active on this table."""
         cur = self.current_version()
         for d in sorted(self.dir.glob("v*")):
             if int(d.name[1:]) > cur:
                 shutil.rmtree(d, ignore_errors=True)
+        # with the orphan manifests gone their files are unreferenced;
+        # pointer bound = +inf because the no-active-writer contract
+        # makes every above-pointer leftover garbage by definition
+        self._gc_store(float("inf"))
 
     def _require_complete(self, version: int) -> None:
         """Reject version dirs that are not committed history. Primary
@@ -1371,49 +1894,48 @@ class ManagedTable:
         the schema as of that version, so post-evolution columns don't
         appear retroactively."""
         self._require_complete(version)
-        vdir = self._version_dir(version)
-        schema = self.table_schema(version)
-        reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
-        return reader.parquet(str(vdir))
+        res = self._resolve(version)
+        return self._read_version(version, res[0] if res is not None else None)
 
-    def _link_snapshot_into(self, src: Path, dst: Path) -> None:
-        """Hardlink every data file of snapshot ``src`` into ``dst``
-        under its ORIGINAL name (copy fallback), carrying the schema and
-        the per-file stats manifest along — stats keys are file names,
-        which are preserved, so skipping keeps working with zero IO."""
-        for f in src.glob("*.parquet"):
-            try:
-                os.link(f, dst / f.name)
-            except OSError:
-                shutil.copy2(f, dst / f.name)
-        for meta in ("_schema.json", "_stats.json"):
-            if (src / meta).exists():
-                shutil.copy2(src / meta, dst / meta)
+    def _copy_schema(self, src_v: int, dst_dir: Path) -> None:
+        src = self._version_dir(src_v) / "_schema.json"
+        if src.exists():
+            shutil.copy2(src, dst_dir / "_schema.json")
 
     def restore(self, version: int) -> int:
         """Delta-RESTORE semantics: commit a NEW version whose content
         is snapshot ``version``. History only moves forward — the
         versions being rolled past stay readable for audit/time travel
-        until vacuumed — and no data is rewritten (hardlinks).
+        until vacuumed — and no data moves at all: the restore commit
+        is a full manifest referencing the old snapshot's store files
+        (a legacy source snapshot is linked into the store once).
 
         The restore commit is a snapshot barrier for ``appended_since``
         (op marker != append), so incremental consumers correctly fall
         back to a rebuild instead of silently missing the rollback."""
         self._require_complete(version)
-        src = self._version_dir(version)
+        names, stats, upgraded = self._snapshot_members(version)
         new_v = self._claim_next_version()
-        self._link_snapshot_into(src, self._version_dir(new_v))
+        manifest: dict = {
+            "base": None, "depth": 0, "added": [], "removed": [],
+            "stats": {}, "files": names, "stats_full": stats,
+        }
+        if upgraded:
+            manifest["upgrade"] = True
+        self._write_manifest_file(new_v, manifest)
+        self._copy_schema(version, self._version_dir(new_v))
         self._write_op_marker(new_v, "restore")
         self._commit(new_v)
         return new_v
 
     def clone_to(self, target: "ManagedTable") -> int:
         """Shallow clone (Delta SHALLOW CLONE): commit the current
-        snapshot's files into ``target`` by hardlink — zero data copy,
-        stats and schema carried over, and the clone's history starts
-        fresh at its own v0+. Writers to either table never interfere:
-        version dirs are never mutated in place, so shared inodes are
-        safe. Target must be empty (a clone is a create, not a merge)."""
+        snapshot into ``target`` by hardlinking its store files — zero
+        data copy, stats and schema carried over, and the clone's
+        history starts fresh at its own v0+. Store names are globally
+        unique (per-commit random token), so source and target stores
+        never collide; files are immutable, so shared inodes are safe.
+        Target must be empty (a clone is a create, not a merge)."""
         if target.exists():
             raise ValueError(
                 f"clone target {target.name} already has committed versions"
@@ -1421,8 +1943,19 @@ class ManagedTable:
         cur = self.current_version()
         if cur < 0:
             raise FileNotFoundError(f"table {self.name} has no committed version")
+        names, stats, _ = self._snapshot_members(cur)
         new_v = target._claim_next_version()
-        self._link_snapshot_into(self._version_dir(cur), target._version_dir(new_v))
+        target.store.mkdir(exist_ok=True)
+        for n in names:
+            try:
+                os.link(self.store / n, target.store / n)
+            except OSError:
+                shutil.copy2(self.store / n, target.store / n)
+        target._write_manifest_file(new_v, {
+            "base": None, "depth": 0, "added": list(names), "removed": [],
+            "stats": stats, "files": list(names), "stats_full": stats,
+        })
+        self._copy_schema(cur, target._version_dir(new_v))
         target._write_op_marker(new_v, "clone")
         target._commit(new_v)
         return new_v

@@ -1,7 +1,7 @@
 """File-level data skipping on ManagedTable: per-file min/max stats
-recorded from parquet footers at commit time (_stats.json — the same
-information Delta keeps in its log), a pruned read path, and
-cluster-by compaction that makes the skipping sharp.
+recorded from parquet footers at commit time (the manifest's stats
+map — the same information Delta keeps in its log), a pruned read
+path, and cluster-by compaction that makes the skipping sharp.
 
 Scale rationale: at 100 TB / millions of files, answering a range
 predicate from a manifest instead of opening every file's footer is the
@@ -38,10 +38,12 @@ def test_append_collects_stats_and_prunes(spark, table):
 
     stats = table.file_stats()
     assert stats is not None
-    data_files = [k for k in stats if k.endswith(".parquet")]
-    assert len(data_files) == 4
-    # prior_-linked files inherited entries (no footer re-read needed)
-    assert sum(k.startswith("prior_") for k in data_files) == 3
+    assert len(stats) == 4
+    # carried files inherit entries through the manifest chain — each
+    # append's OWN stats cover only the files it added (no footer
+    # re-read, no O(table) stats rewrite per commit)
+    m = table._manifest(table.current_version())
+    assert set(m["stats"]) == set(m["added"]) and len(m["added"]) == 1
 
     # id range hitting one batch → exactly one file survives pruning
     pruned = table.pruned_files({"id": (150, 160)})
@@ -120,10 +122,15 @@ def test_merge_preserves_stats_for_untouched_files(spark, table):
 
 
 def test_missing_stats_keeps_all_files(spark, table):
+    import json as _json
+
     table.append(_batch(spark, 0, 100, 1))
-    vdir = table._version_dir(table.current_version())
-    (vdir / "_stats.json").unlink()
-    assert len(table.pruned_files({"id": (0, 1)})) == len(list(vdir.glob("*.parquet")))
+    v = table.current_version()
+    m = table._manifest(v)
+    m["stats"] = {}
+    m["stats_full"] = {}
+    table._write_manifest_file(v, m)
+    assert len(table.pruned_files({"id": (0, 1)})) == len(table.data_files(v))
     assert table.read_pruned({"id": (0, 1)}).count() == 2
 
 
@@ -140,11 +147,13 @@ def test_unsafe_column_types_never_prune_but_stay_correct(spark, table):
     assert table.read_pruned({"id": (10, 12)}).count() == 3
 
 
-def test_stats_json_is_invisible_to_plain_reads(spark, table):
+def test_manifest_metadata_is_invisible_to_plain_reads(spark, table):
     table.append(_batch(spark, 0, 10, 1))
     assert table.read().count() == 10
     vdir = table._version_dir(table.current_version())
-    assert json.loads((vdir / "_stats.json").read_text())
+    assert json.loads((vdir / "_manifest.json").read_text())["stats"]
+    # the version dir holds METADATA only; data lives in the store
+    assert not list(vdir.glob("*.parquet"))
 
 
 def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
@@ -162,7 +171,7 @@ def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
     t.overwrite(df)
 
     t.compact(target_partitions=16, zorder_by=["x", "y"])
-    n_files = len(list(t._version_dir(t.current_version()).glob("*.parquet")))
+    n_files = len(t.data_files())
     pruned_x = len(t.pruned_files({"x": (0, 5)}))
     pruned_y = len(t.pruned_files({"y": (0, 5)}))
     # a 6% slice of either dimension must skip most files
@@ -191,5 +200,36 @@ def test_zorder_compaction_guards(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="mutually exclusive"):
         t.compact(cluster_by=["x"], zorder_by=["x", "y"])
-    with _pytest.raises(ValueError, match="exactly two"):
-        t.compact(zorder_by=["x"])
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.skew import zorder_key_n
+
+    with _pytest.raises(ValueError, match="at least one"):
+        zorder_key_n([])
+    with _pytest.raises(ValueError, match="interleaved bits"):
+        t.compact(zorder_by=["x", "y"], zorder_bits=32)  # 64 > 62
+    with _pytest.raises(ValueError, match="interleaved bits"):
+        t.compact(zorder_by=["x", "y"], zorder_bits=0)
+
+
+def test_zorder_compaction_three_columns(spark, tmp_path):
+    """compact(zorder_by=[x, y, w]) — n-way OPTIMIZE ZORDER: a narrow
+    slice of ANY of the three dimensions skips files."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import ManagedTable
+
+    df = spark.range(30_000).selectExpr(
+        "id", "CAST(id % 64 AS BIGINT) AS x",
+        "CAST((id * 37) % 64 AS BIGINT) AS y",
+        "CAST((id * 101) % 64 AS BIGINT) AS w",
+    ).repartition(32)
+    t = ManagedTable(spark, tmp_path / "wh", "points3")
+    t.overwrite(df)
+    t.compact(target_partitions=16, zorder_by=["x", "y", "w"], zorder_bits=6)
+    n_files = len(t.data_files())
+    for col in ("x", "y", "w"):
+        pruned = len(t.pruned_files({col: (0, 3)}))
+        assert pruned <= n_files // 2, (col, pruned, n_files)
+        got = t.read_pruned({col: (0, 3)}).count()
+        want = t.read().filter(f"{col} >= 0 AND {col} <= 3").count()
+        assert got == want, col
+    # content preserved exactly
+    assert t.read().count() == 30_000
+    assert t.read().agg({"id": "sum"}).collect()[0][0] == sum(range(30_000))

@@ -47,8 +47,11 @@ def _replay_live_set(table):
 
 
 def _snapshot_paths(table):
-    vdir = table._version_dir(table.current_version())
-    return {f"{vdir.name}/{f.name}" for f in vdir.glob("*.parquet")}
+    # log-relative paths of the current snapshot (store layout; legacy
+    # versions would be vN-relative, but new commits always manifest)
+    return {
+        f"{f.parent.name}/{f.name}" for f in table.data_files()
+    }
 
 
 def test_first_commit_protocol_metadata_adds(spark, tmp_path):
@@ -81,11 +84,16 @@ def test_first_commit_protocol_metadata_adds(spark, tmp_path):
 def test_append_accounting_and_readback(spark, tmp_path):
     t = ManagedTable(spark, tmp_path / "wh", "orders")
     t.overwrite(_df(spark, 0, 50))
+    v0_adds = {a["path"] for a in deltalog.read_adds(t.dir, 0)}
     t.append(_df(spark, 50, 30))
     assert _log_versions(t) == [0, 1]
     actions = deltalog.read_actions(t.dir, 1)
-    removes = {a["remove"]["path"] for a in actions if "remove" in a}
-    assert removes == {a["path"] for a in deltalog.read_adds(t.dir, 0)}
+    # TRUE incremental encoding: an append removes nothing and adds
+    # ONLY its own files — commit size independent of table size
+    assert not any("remove" in a for a in actions)
+    v1_adds = {a["path"] for a in deltalog.read_adds(t.dir, 1)}
+    assert v1_adds and not (v1_adds & v0_adds)
+    assert v0_adds | v1_adds == _snapshot_paths(t)
     assert _replay_live_set(t) == _snapshot_paths(t)
     # non-evolving append must NOT re-emit metaData
     assert not any("metaData" in a for a in actions)

@@ -42,8 +42,7 @@ def _invariants(t: ManagedTable) -> None:
             if "add" in a:
                 live.add(a["add"]["path"])
     assert len(ids) == 1  # stable table id (no restart happened here)
-    vdir = t._version_dir(t.current_version())
-    snap = {f"{vdir.name}/{f.name}" for f in vdir.glob("*.parquet")}
+    snap = {f"{f.parent.name}/{f.name}" for f in t.data_files()}
     assert live == snap
 
 

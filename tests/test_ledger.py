@@ -119,24 +119,43 @@ def test_vacuum_on_preledger_table_records_floor(spark, tmp_path):
     assert v0 == 0  # silence unused warning; v0 vacuumed by design
 
 
+def _legacy_commit(t, df, op):
+    """Fabricate a PRE-MANIFEST (legacy-layout) commit exactly as old
+    engine revisions wrote it: the full snapshot's parquet inside the
+    version dir, an _op marker, and a pointer bump with NO ledger and
+    NO manifest. Used to test compatibility paths — new code never
+    writes this layout."""
+    v = t._claim_next_version()
+    vdir = t._version_dir(v)
+    df.write.mode("overwrite").parquet(str(vdir))
+    (vdir / "_op").write_text(op)
+    p = t._pointer()
+    state = json.loads(p.read_text()) if p.exists() else {"version": -1, "epochs": {}}
+    state["version"] = v
+    state.pop("committed", None)
+    state.pop("committed_floor", None)
+    p.write_text(json.dumps(state))
+    return v
+
+
 def test_preledger_vacuumed_under_old_code_seeds_floor(spark, tmp_path):
-    """The advisor's exact reproduction: a pre-ledger table vacuumed by
-    OLD code (dirs gone, no floor recorded), upgraded, then appended.
-    Seeding must set committed_floor = min(seeded) so the cursor range
-    crossing the gap returns None (rebuild) instead of delta rows that
-    silently omit the vacuumed commits."""
+    """The advisor's exact reproduction: a pre-ledger LEGACY-layout
+    table vacuumed by OLD code (dirs gone, no floor recorded),
+    upgraded, then appended. Seeding must set committed_floor =
+    min(seeded) so the cursor range crossing the gap returns None
+    (rebuild) instead of delta rows that silently omit the vacuumed
+    commits."""
     import shutil
 
     t = _t(spark, tmp_path)
-    t.overwrite(_ids(spark, 0, 2))  # v0
-    cursor = t.append(_ids(spark, 2, 3))  # v1
-    for lo in range(3, 8):
-        t.append(_ids(spark, lo, lo + 1))  # v2..v6
-    _strip_ledger(t)
+    _legacy_commit(t, _ids(spark, 0, 2), "snapshot")  # v0
+    cursor = 1
+    for v in range(1, 7):  # v1..v6: legacy appends (full snapshots)
+        _legacy_commit(t, _ids(spark, 0, v + 2), "append")
     # old-code vacuum(keep=2): remove dirs v<=4, record nothing
     for v in range(0, 5):
         shutil.rmtree(t._version_dir(v))
-    t.append(_ids(spark, 8, 9))  # v7 — seeds the ledger
+    t.append(_ids(spark, 8, 9))  # v7 — seeds the ledger + upgrades layout
     state = t._pointer_state()
     assert state["committed_floor"] == 5  # min of surviving dirs v5,v6
     assert t.appended_since(cursor) is None  # was [5,6,7] pre-fix: data loss
@@ -144,6 +163,7 @@ def test_preledger_vacuumed_under_old_code_seeds_floor(spark, tmp_path):
     # above the floor, incremental folding still works
     delta = t.appended_since(6)
     assert delta is not None and sorted(r.k for r in delta.collect()) == [8]
+    assert t.read().count() == 9
 
 
 def test_commit_lock_survives_crashed_holder(spark, tmp_path):

@@ -1,10 +1,12 @@
 """ManagedTable incremental commit machinery: file-pruned keyed merge,
 epoch-idempotent appends, exclusive version claims.
 
-Acceptance (round-1 verdict item 3): an incremental batch touching k
-keys must leave every untouched data file physically identical
-(hardlink / same inode) across versions, with reference CDC semantics
-unchanged (tests/test_cdc*.py stay green on the same apply_changes).
+Acceptance (round-1 verdict item 3, tightened by the round-9 verdict's
+stable-file-identity refactor): an incremental batch touching k keys
+must leave every untouched data file physically identical — now the
+SAME store file carried by reference (same path, same inode), with
+zero per-file syscalls — with reference CDC semantics unchanged
+(tests/test_cdc*.py stay green on the same apply_changes).
 """
 
 from __future__ import annotations
@@ -30,8 +32,8 @@ def table(spark, tmp_path):
     return Catalog(spark, tmp_path / "wh").table("t")
 
 
-def _files(d):
-    return {f.name: os.stat(f).st_ino for f in d.glob("*.parquet")}
+def _files(table, v=None):
+    return {f.name: os.stat(f).st_ino for f in table.data_files(v)}
 
 
 def test_merge_keyed_rewrites_only_touched_files(spark, table):
@@ -39,22 +41,23 @@ def test_merge_keyed_rewrites_only_touched_files(spark, table):
         F.col("id").alias("k"), F.lit("old").alias("val"), F.lit(1).alias("seq")
     )
     table.overwrite(base.repartition(8, "k"))
-    v0_files = _files(table._version_dir(table.current_version()))
+    v0 = table.current_version()
+    v0_files = _files(table, v0)
     assert len(v0_files) == 8
 
     batch = spark.createDataFrame([(3, "new", 2)], "k long, val string, seq int")
     table.merge_keyed(
         batch, ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq")
     )
-    v1_dir = table._version_dir(table.current_version())
-    prior = {
-        name[len("prior_"):]: ino
-        for name, ino in _files(v1_dir).items()
-        if name.startswith("prior_")
-    }
-    # 7 of 8 files carried over as hardlinks — byte-identical, same inode
-    assert len(prior) == 7
-    assert all(v0_files[name] == ino for name, ino in prior.items())
+    v1_files = _files(table)
+    # 7 of 8 files carried over BY REFERENCE — the same store file
+    carried = {n: i for n, i in v1_files.items() if n in v0_files}
+    assert len(carried) == 7
+    assert all(v0_files[name] == ino for name, ino in carried.items())
+    # and the commit's own metadata is O(changed files)
+    m = table._manifest(table.current_version())
+    assert len(m["removed"]) == 1 and m["removed"][0] in v0_files
+    assert set(m["added"]) == set(v1_files) - set(v0_files)
     # semantics: merged row updated, everything else untouched
     got = {r.k: r.val for r in table.read().collect()}
     assert got[3] == "new"
@@ -67,12 +70,12 @@ def test_merge_keyed_all_new_keys_links_everything(spark, table):
         F.col("id").alias("k"), F.lit("old").alias("val"), F.lit(1).alias("seq")
     )
     table.overwrite(base.repartition(4, "k"))
-    v0_files = _files(table._version_dir(table.current_version()))
+    v0_files = _files(table, table.current_version())
     batch = spark.createDataFrame([(5000, "ins", 2)], "k long, val string, seq int")
     table.merge_keyed(batch, ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq"))
-    v1_dir = table._version_dir(table.current_version())
-    prior = {n[len("prior_"):] for n in _files(v1_dir) if n.startswith("prior_")}
-    assert prior == set(v0_files)  # nothing existing was touched
+    v1_files = _files(table)
+    assert set(v0_files) <= set(v1_files)  # nothing existing was touched
+    assert table._manifest(table.current_version())["removed"] == []
     assert table.read().count() == 101
 
 
@@ -88,25 +91,26 @@ def test_merge_keyed_full_table_batch_falls_back_to_rewrite(spark, table):
         F.col("id").alias("k"), F.lit("new").alias("val"), F.lit(2).alias("seq")
     )
     table.merge_keyed(batch, ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq"))
-    v1_dir = table._version_dir(table.current_version())
-    # full rewrite: no hardlinked prior_ files at all
-    assert not any(n.startswith("prior_") for n in _files(v1_dir))
+    # full rewrite: nothing carried — a fresh full manifest
+    m = table._manifest(table.current_version())
+    assert set(m["files"]) == set(m["added"])
     got = {r.k: r.val for r in table.read().collect()}
     assert len(got) == 1000 and set(got.values()) == {"new"}
 
 
 def test_merge_keyed_fraction_boundary_still_prunes(spark, table):
     """Touching one of 8 files stays far below the default 0.8 cap —
-    the pruned path (manifest + hardlinks) must still engage."""
+    the pruned path (incremental manifest, carried references) must
+    still engage."""
     base = spark.range(1000).select(
         F.col("id").alias("k"), F.lit("old").alias("val"), F.lit(1).alias("seq")
     )
     table.overwrite(base.repartition(8, "k"))
+    v0_files = _files(table, table.current_version())
     batch = spark.createDataFrame([(7, "new", 2)], "k long, val string, seq int")
     table.merge_keyed(batch, ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq"))
-    v1_dir = table._version_dir(table.current_version())
-    prior = [n for n in _files(v1_dir) if n.startswith("prior_")]
-    assert len(prior) == 7
+    carried = set(v0_files) & set(_files(table))
+    assert len(carried) == 7
 
 
 def test_apply_changes_scd2_prunes_files(spark, table):
@@ -117,18 +121,14 @@ def test_apply_changes_scd2_prunes_files(spark, table):
     # spread history over several files so pruning is observable
     table.overwrite(table.read().repartition(6, "k"))
     v_before = table.current_version()
-    before = _files(table._version_dir(v_before))
+    before = _files(table, v_before)
 
     upd = spark.createDataFrame([(7, "v7b", 2)], ["k", "val", "seq"])
     apply_changes(table, upd, keys=["k"], sequence_by="seq", scd_type=2)
-    after_dir = table._version_dir(table.current_version())
-    prior = {
-        n[len("prior_"):]: ino
-        for n, ino in _files(after_dir).items()
-        if n.startswith("prior_")
-    }
-    assert len(prior) == 5  # one of six files rewritten
-    assert all(before[n] == ino for n, ino in prior.items())
+    after = _files(table)
+    carried = {n: i for n, i in after.items() if n in before}
+    assert len(carried) == 5  # one of six files rewritten
+    assert all(before[n] == ino for n, ino in carried.items())
     hist = table.read().filter("k = 7").orderBy("seq").collect()
     assert [r.val for r in hist] == ["v7", "v7b"]
     assert hist[0]["__END_AT"] == 2 and hist[1]["__END_AT"] is None

@@ -66,7 +66,7 @@ def test_managed_table_time_travel_and_vacuum(spark, tmp_path):
     assert (v0, v1) == (0, 1)
     # current sees both; old snapshot dir still readable (time travel)
     assert t.read().count() == 2
-    old = spark.read.parquet(str(t._version_dir(0)))
+    old = t.read_at(0)
     assert old.count() == 1
     # vacuum keeps the latest `keep` versions
     t.overwrite(df1)  # v2
@@ -91,9 +91,9 @@ def test_managed_table_compact(spark, tmp_path):
     for i in range(4):
         batch = spark.createDataFrame([(i * 10 + j,) for j in range(10)], "id int")
         t.append(batch) if t.exists() else t.overwrite(batch)
-    files_before = len(list(t._version_dir(t.current_version()).glob("*.parquet")))
+    files_before = len(t.data_files())
     t.compact(target_partitions=1)
-    files_after = len(list(t._version_dir(t.current_version()).glob("*.parquet")))
+    files_after = len(t.data_files())
     assert files_after < files_before
     assert t.read().count() == 40
 

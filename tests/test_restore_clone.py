@@ -92,11 +92,9 @@ def test_clone_is_shallow_and_isolated(spark, tmp_path):
     src.overwrite(spark.range(10).select(F.col("id").alias("k")))
     src.clone_to(dst)
     assert _rows(dst.read()) == _rows(src.read())
-    # shallow: shared inodes, no data copy
-    src_files = {f.name: os.stat(f).st_ino
-                 for f in src._version_dir(src.current_version()).glob("*.parquet")}
-    dst_files = {f.name: os.stat(f).st_ino
-                 for f in dst._version_dir(dst.current_version()).glob("*.parquet")}
+    # shallow: shared inodes, no data copy (store-to-store hardlinks)
+    src_files = {f.name: os.stat(f).st_ino for f in src.data_files()}
+    dst_files = {f.name: os.stat(f).st_ino for f in dst.data_files()}
     assert src_files == dst_files and src_files
     # diverging writes don't interfere
     dst.append(spark.range(10, 12).select(F.col("id").alias("k")))
