@@ -156,6 +156,7 @@ def build_commit(
     remove_paths: list[str],
     mt_version: int,
     n_live: int,
+    partition_columns: list[str] | None = None,
 ) -> list[dict]:
     """Pure assembly of one commit's action list (no IO — callers stat
     the immutable store files). ``adds``: {path, size, modificationTime,
@@ -175,7 +176,7 @@ def build_commit(
                     "name": table_name,
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema_string,
-                    "partitionColumns": [],
+                    "partitionColumns": list(partition_columns or []),
                     "configuration": {},
                     "createdTime": now_ms,
                 }

@@ -481,17 +481,26 @@ class ManagedTable:
         self, rec: dict, v: int, emit_meta: bool, schema_string: str | None,
         adds: dict[str, Path], removes: list[str], n_live: int,
     ) -> None:
+        pcols = (self._manifest(v) or {}).get("partition_columns", [])
         add_dicts = []
         for p, fp in adds.items():
             st = fp.stat()
+            vals = self._partition_values(p)
             add_dicts.append({
                 "path": p,
                 "size": st.st_size,
                 "modificationTime": int(st.st_mtime * 1000),
+                # Delta encodes a null partition value as JSON null
+                "partitionValues": {
+                    c: (None if vals[c] == "__HIVE_DEFAULT_PARTITION__"
+                        else vals[c])
+                    for c in pcols if c in vals
+                },
             })
         actions = deltalog.build_commit(
             rec["version"], self._op(v), rec["table_id"], self.name,
             schema_string, emit_meta, add_dicts, removes, v, n_live,
+            partition_columns=pcols,
         )
         deltalog.write_commit(self.dir, rec["version"], actions)
 
@@ -1237,6 +1246,12 @@ class ManagedTable:
             return self.spark.createDataFrame([], self.read().schema)
         schema = self.table_schema(cur)
         reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
+        store_prefix = str(self.store) + os.sep
+        if all(f.startswith(store_prefix) for f in files):
+            # partitioned store files need the partition columns
+            # reconstructed from their hive paths (legacy files never
+            # do — legacy tables predate partitioning)
+            reader = reader.option("basePath", str(self.store))
         return reader.parquet(*sorted(files))
 
     def changes_since(
@@ -1272,6 +1287,9 @@ class ManagedTable:
             if not paths:
                 return self.spark.createDataFrame([], schema or self.read().schema)
             reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
+            store_prefix = str(self.store) + os.sep
+            if all(p.startswith(store_prefix) for p in paths):
+                reader = reader.option("basePath", str(self.store))
             return reader.parquet(*sorted(paths))
 
         if v >= cur:
@@ -1358,12 +1376,19 @@ class ManagedTable:
         pure_del = dels.join(b, key_cols, "left_anti")
         return pure_ins.unionAll(pure_del).unionAll(upd_pre).unionAll(upd_post)
 
+    def partition_columns(self) -> list[str]:
+        """The table's bound partition columns (fixed at creation,
+        Delta-style), or [] when unpartitioned."""
+        raw = self.table_prop("partition_columns")
+        return json.loads(raw) if raw else []
+
     def overwrite(
         self, df: DataFrame, epoch=None, epoch_key=None,
         expected_version: int | None = None,
         set_props: dict | None = None,
         expect_props: dict | None = None,
         op: str = "snapshot",
+        partition_by: Sequence[str] | None = None,
     ) -> int | None:
         """Write a full new snapshot and atomically repoint ``_latest``.
 
@@ -1377,6 +1402,18 @@ class ManagedTable:
         lock) if the pointer moved since the caller read the table at
         that version; for read-modify-overwrite patterns where silently
         replacing an interleaved commit's data would lose it.
+
+        ``partition_by``: hive-partition the table on these columns
+        (Delta semantics: fixed at creation — bound as a commit-atomic
+        table property that later writes must match; omitted, the
+        bound partitioning applies automatically). Data files land
+        under ``_data/col=value/...`` WITHOUT the partition columns
+        (readers reconstruct them from the path), partition values
+        join the stats index as exact entries (listing-time partition
+        pruning through ``read_pruned``), and the Delta log carries
+        ``partitionValues``/``partitionColumns``. Mirrors the
+        reference's directory-layout pruning (``readme.md:27``,
+        folder-per-table/file-per-run bronze).
 
         Returns the committed version, or **None when nothing was
         committed** (the epoch was already applied — caught by the
@@ -1395,12 +1432,24 @@ class ManagedTable:
                 f"(read at v{expected_version}, pointer now at v{cur}) — "
                 "re-read and retry"
             )
+        pcols = list(partition_by) if partition_by else self.partition_columns()
+        if pcols:
+            missing = [c for c in pcols if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"table {self.name}: partition column(s) {missing} "
+                    "not in the batch"
+                )
+            pj = json.dumps(pcols)
+            set_props = {**(set_props or {}), "partition_columns": pj}
+            expect_props = {**(expect_props or {}), "partition_columns": pj}
         v = self._claim_next_version()
-        names = self._materialize(v, df)
-        stats = self._collect_stats_for(names)
+        names = self._materialize(v, df, pcols)
+        stats = self._collect_stats_for(names, pcols, df.schema)
         self._write_manifest_file(v, {
             "base": None, "depth": 0, "added": names, "removed": [],
             "stats": stats, "files": names, "stats_full": stats,
+            "partition_columns": pcols,
         })
         self._write_op_marker(v, op)
         self._write_schema(self._version_dir(v), df.schema)
@@ -1457,8 +1506,9 @@ class ManagedTable:
         df, schema = self._align(df, evolve)
         new_v = self._claim_next_version()
         new_dir = self._version_dir(new_v)
-        names = self._materialize(new_v, df)
-        stats = self._collect_stats_for(names)
+        pcols = self.partition_columns()  # bound partitioning applies
+        names = self._materialize(new_v, df, pcols)
+        stats = self._collect_stats_for(names, pcols, schema)
         # O(new files) metadata: an incremental manifest chaining to v.
         # No per-file syscalls over the carried snapshot — the one
         # exception is the FIRST write over a legacy (pre-manifest)
@@ -1471,6 +1521,7 @@ class ManagedTable:
                 v, names, [], stats,
                 base_names=base_names, base_stats=base_stats, upgrade=True,
             )
+        manifest["partition_columns"] = pcols
         self._write_manifest_file(new_v, manifest)
         self._write_op_marker(new_v, "append")
         self._write_schema(new_dir, schema)
@@ -1549,18 +1600,30 @@ class ManagedTable:
             .collect()
         )
         full_rewrite = len(touched) > cap
-        touched_files = (
+        touched_base = (
             set() if full_rewrite
             else {os.path.basename(r["__file"]) for r in touched}
         )
+        # store names may be nested (hive partition dirs): map the
+        # input_file_name basenames — globally unique — back to the
+        # manifest's store-relative names
+        if res is not None:
+            by_base = {os.path.basename(n): n for n in res[0]}
+            touched_files = {by_base[b] for b in touched_base}
+        else:
+            touched_files = touched_base
         new_v = self._claim_next_version()
         new_dir = self._version_dir(new_v)
         src_dir = self.store if not legacy_base else self._version_dir(v)
+        pcols = self.partition_columns()
         if full_rewrite:
             subset = cur
         elif touched_files:
             stored = self.table_schema(v)
             reader = self.spark.read.schema(stored) if stored is not None else self.spark.read
+            if not legacy_base:
+                # reconstruct hive partition columns of store files
+                reader = reader.option("basePath", str(self.store))
             subset = reader.parquet(*[str(src_dir / f) for f in sorted(touched_files)])
         else:
             subset = self.spark.createDataFrame([], cur.schema)
@@ -1568,8 +1631,8 @@ class ManagedTable:
         # differs — e.g. CDC batches lack the SCD bookkeeping columns
         # that merge_fn itself adds).
         merged, schema = self._align(merge_fn(subset, batch), evolve=False)
-        names = self._materialize(new_v, merged)
-        stats = self._collect_stats_for(names)
+        names = self._materialize(new_v, merged, pcols)
+        stats = self._collect_stats_for(names, pcols, schema)
         if full_rewrite:
             prior_names = res[0] if res is not None else []
             manifest = {
@@ -1611,6 +1674,7 @@ class ManagedTable:
                 v, names, sorted(touched_files), stats,
                 base_names=res[0], base_stats=res[1],
             )
+        manifest["partition_columns"] = pcols
         self._write_manifest_file(new_v, manifest)
         self._write_op_marker(new_v, "merge")
         self._write_schema(new_dir, schema)
@@ -1826,8 +1890,8 @@ class ManagedTable:
             # the change feed reads RETAINED merge commits' removed
             # files — keep them until their version is vacuumed
             referenced.update(m.get("removed", ()))
-        for f in self.store.glob("*.parquet"):
-            if f.name in referenced:
+        for f in self.store.rglob("*.parquet"):
+            if str(f.relative_to(self.store)) in referenced:
                 continue
             try:
                 embedded_v = int(f.name[1:7])
@@ -1836,6 +1900,14 @@ class ManagedTable:
             if embedded_v > pointer:
                 continue  # in-flight writer's file
             f.unlink(missing_ok=True)
+        # sweep hive partition dirs the GC emptied
+        for d in sorted(
+            (p for p in self.store.rglob("*") if p.is_dir()), reverse=True
+        ):
+            try:
+                d.rmdir()
+            except OSError:
+                pass
 
     def vacuum_uncommitted(self) -> None:
         """Remove orphan version dirs left by crashed or losing writers
@@ -1915,10 +1987,12 @@ class ManagedTable:
         back to a rebuild instead of silently missing the rollback."""
         self._require_complete(version)
         names, stats, upgraded = self._snapshot_members(version)
+        src_m = self._manifest(version) or {}
         new_v = self._claim_next_version()
         manifest: dict = {
             "base": None, "depth": 0, "added": [], "removed": [],
             "stats": {}, "files": names, "stats_full": stats,
+            "partition_columns": src_m.get("partition_columns", []),
         }
         if upgraded:
             manifest["upgrade"] = True
@@ -1944,20 +2018,29 @@ class ManagedTable:
         if cur < 0:
             raise FileNotFoundError(f"table {self.name} has no committed version")
         names, stats, _ = self._snapshot_members(cur)
+        pcols = self.partition_columns()
         new_v = target._claim_next_version()
         target.store.mkdir(exist_ok=True)
         for n in names:
+            dst = target.store / n
+            dst.parent.mkdir(parents=True, exist_ok=True)
             try:
-                os.link(self.store / n, target.store / n)
+                os.link(self.store / n, dst)
             except OSError:
-                shutil.copy2(self.store / n, target.store / n)
+                shutil.copy2(self.store / n, dst)
         target._write_manifest_file(new_v, {
             "base": None, "depth": 0, "added": list(names), "removed": [],
             "stats": stats, "files": list(names), "stats_full": stats,
+            "partition_columns": pcols,
         })
         self._copy_schema(cur, target._version_dir(new_v))
         target._write_op_marker(new_v, "clone")
-        target._commit(new_v)
+        target._commit(
+            new_v,
+            set_props=(
+                {"partition_columns": json.dumps(pcols)} if pcols else None
+            ),
+        )
         return new_v
 
 
