@@ -1695,3 +1695,72 @@ def run_report_hook(
         table.append(row, evolve=True)
 
     return on_event
+
+
+def alert_hook(
+    spark: SparkSession,
+    catalog: Catalog,
+    run_id: str,
+    notify: Callable[[dict], None] | None = None,
+    statuses: Sequence[str] = ("failed",),
+) -> Callable[[dict], None]:
+    """The in-engine alert SINK that closes the reference's failure-
+    alerting loop (readme.md:8: ADF failure → Logic App → email; C10):
+    an ``on_event`` observer that, for every flow outcome in
+    ``statuses`` (default: failures only — skipped dependents are
+    collateral of the same root cause), lands exactly ONE alert row in
+    an ``alerts`` ManagedTable and THEN invokes ``notify(alert)`` —
+    the pluggable delivery channel (email/webhook/pager is the only
+    platform wiring left).
+
+    Exactly-once: the alert append is epoch-keyed by (run_id, flow),
+    so a retried ``run_all`` with the SAME run_id (an at-least-once
+    orchestrator re-invoking a crashed driver) cannot double-alert,
+    and ``notify`` fires only when the row actually committed — the
+    alert artifact and the notification can't diverge. A new attempt
+    that should re-alert uses a new run_id (same correlation contract
+    as ``run_report_hook``). Notify exceptions propagate AFTER the
+    alert row is durable: a broken delivery channel loses the page,
+    never the record.
+
+    Compose with the run ledger:
+        ``on_event=compose_hooks(run_report_hook(...), alert_hook(...))``
+    """
+    table = catalog.table("alerts")
+
+    def on_event(evt: dict) -> None:
+        if evt["status"] not in statuses:
+            return
+        row = spark.createDataFrame(
+            [(
+                run_id, evt["flow"], evt["status"],
+                evt["error"], evt["seconds"],
+            )],
+            "run_id string, flow string, status string, error string,"
+            " seconds double",
+        ).withColumn("alerted_at", F.current_timestamp())
+        committed = table.append(
+            row, epoch=1, epoch_key=f"alert:{run_id}:{evt['flow']}",
+            evolve=True,
+        )
+        if committed is not None and notify is not None:
+            notify({
+                "run_id": run_id, "flow": evt["flow"],
+                "status": evt["status"], "error": evt["error"],
+                "seconds": evt["seconds"],
+            })
+
+    return on_event
+
+
+def compose_hooks(
+    *hooks: Callable[[dict], None],
+) -> Callable[[dict], None]:
+    """Fan one ``run_all`` event stream out to several observers (run
+    ledger + alert sink being the canonical pair), preserving order."""
+
+    def on_event(evt: dict) -> None:
+        for h in hooks:
+            h(evt)
+
+    return on_event

@@ -97,3 +97,68 @@ def test_broken_observer_is_loud(spark):
 
     with pytest.raises(IOError, match="pager down"):
         _pipe().run_all(on_event=bad_observer)
+
+
+def test_alert_hook_lands_exactly_one_alert_and_notifies(spark, tmp_path):
+    """VERDICT r9 item 4: a failed flow produces exactly one alert
+    artifact (row in the alerts table) plus one notify() call, and a
+    retried run_all with the SAME run_id cannot double-alert — the
+    alert append is epoch-keyed by (run_id, flow)."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import alert_hook, compose_hooks
+
+    cat = Catalog(spark, tmp_path / "wh")
+    pages = []
+    hook = compose_hooks(
+        run_report_hook(spark, cat, run_id="r1"),
+        alert_hook(spark, cat, run_id="r1", notify=pages.append),
+    )
+    with pytest.raises(RuntimeError, match="silver exploded"):
+        _pipe(fail={"silver"}).run_all(on_event=hook)
+    alerts = cat.table("alerts").read().collect()
+    assert [(a.run_id, a.flow, a.status) for a in alerts] == [("r1", "silver", "failed")]
+    assert "silver exploded" in alerts[0].error
+    assert [p["flow"] for p in pages] == ["silver"]
+    # at-least-once orchestrator retries the same logical run: no dup
+    with pytest.raises(RuntimeError, match="silver exploded"):
+        _pipe(fail={"silver"}).run_all(on_event=hook)
+    assert cat.table("alerts").read().count() == 1
+    assert len(pages) == 1  # notify gated on the committed append
+    # ...and the run ledger still recorded both attempts' outcomes
+    assert cat.table("pipeline_runs").read().filter("flow = 'silver'").count() == 2
+    # a NEW attempt id re-alerts by design
+    hook2 = alert_hook(spark, cat, run_id="r2", notify=pages.append)
+    with pytest.raises(RuntimeError, match="silver exploded"):
+        _pipe(fail={"silver"}).run_all(on_event=hook2)
+    assert cat.table("alerts").read().count() == 2
+    assert len(pages) == 2
+
+
+def test_alert_hook_optional_skipped_coverage_and_quiet_success(spark, tmp_path):
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import alert_hook
+
+    cat = Catalog(spark, tmp_path / "wh")
+    # success: no alerts table at all (nothing ever written)
+    _pipe().run_all(on_event=alert_hook(spark, cat, run_id="ok"))
+    assert not cat.table("alerts").exists()
+    # continue-mode failure with skipped coverage opted in
+    hook = alert_hook(spark, cat, run_id="r1", statuses=("failed", "skipped"))
+    with pytest.raises(RuntimeError, match="failed flow"):
+        _pipe(fail={"silver"}).run_all(on_event=hook, halt_on_failure=False)
+    got = {(a.flow, a.status) for a in cat.table("alerts").read().collect()}
+    assert got == {("silver", "failed"), ("gold", "skipped"), ("report", "skipped")}
+
+
+def test_alert_row_durable_before_broken_notify(spark, tmp_path):
+    """A broken delivery channel must lose the page, never the record:
+    notify raises AFTER the alert row committed."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import alert_hook
+
+    cat = Catalog(spark, tmp_path / "wh")
+
+    def broken(alert):
+        raise ConnectionError("webhook down")
+
+    hook = alert_hook(spark, cat, run_id="r1", notify=broken)
+    with pytest.raises(ConnectionError, match="webhook down"):
+        _pipe(fail={"silver"}).run_all(on_event=hook)
+    assert cat.table("alerts").read().count() == 1
