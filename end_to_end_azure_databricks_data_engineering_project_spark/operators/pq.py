@@ -336,14 +336,31 @@ def ivfpq_encode(
 
     At 100 TB the indexed output persists partitioned by ``cluster``
     with ``codes`` as the only payload queries touch: file pruning from
-    the probe list + m bytes per vector."""
+    the probe list + m bytes per vector.
+
+    The assign+residual relation is materialized ONCE
+    (``localCheckpoint``) and shared by the codebook fit AND the
+    returned encoded index: without it the O(k·dim) coarse-assign +
+    residual HOF subtree is re-analyzed, re-codegen-compiled, and
+    re-executed in the fit, then AGAIN inside every downstream search
+    over ``encoded`` (r9 bench: the recompute+recompile was ~40% of
+    the ivfpq chain's wall-clock). The checkpoint is the in-session
+    analog of persisting the index table — which is what a real
+    deployment does anyway (``ann_index_drain``)."""
     assigned = ivf_assign(df, coarse_centroids, vec_col=vec_col)
-    res = residuals(assigned, coarse_centroids, vec_col=vec_col)
+    res = residuals(assigned, coarse_centroids, vec_col=vec_col).localCheckpoint(
+        eager=True
+    )
     codebooks = pq_fit(
         res, vec_col="residual", id_col=id_col, m=m, k_sub=k_sub,
         n_iter=n_iter, dim=dim,
     )
-    return ivfpq_encode_with(df, coarse_centroids, codebooks, vec_col, dim), codebooks
+    sd = _check_geometry(dim, m)
+    j = _with_codebooks(res, codebooks)
+    encoded = j.withColumn(
+        "codes", pq_codes(F.col("residual"), F.col(_CB), m, sd)
+    ).drop(_CB, "residual")
+    return encoded, codebooks
 
 
 def ivfpq_encode_with(
