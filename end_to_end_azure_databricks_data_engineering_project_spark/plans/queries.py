@@ -7437,6 +7437,285 @@ def q_divergent_tokens_chi2(spark, sf):
     return divergent_tokens(docs, in_a=F.col("lang") == "en", top_k=20)
 
 
+# =====================================================================
+# Round 10: stable-file-store table features (partition pruning, CDF,
+# delta-log round-trip), n-way Z-order, retrieval denominator fix
+# =====================================================================
+
+@_q(
+    "zorder3_cluster",
+    "THREE-dimensional Z-order (Morton) layout key over (suppkey, "
+    "partkey, quantity) buckets and the per-range clustering profile: "
+    "each of 32 Z-ranges covers a tight box in ALL THREE dimensions — "
+    "the n-way generalization behind compact(zorder_by=[x, y, w]) "
+    "(Delta's OPTIMIZE ZORDER BY takes n columns)",
+    "extension: data layout (n-dimensional clustering; "
+    "operators/skew.py::zorder_key_n)",
+    """
+    WITH z AS (
+      SELECT l_orderkey * 10 + l_linenumber AS rid,
+             l_suppkey % 64 AS xb, l_partkey % 64 AS yb,
+             CAST(l_quantity AS BIGINT) % 64 AS wb
+      FROM lineitem
+    ), zv AS (
+      SELECT rid, xb, yb, wb,
+             (SELECT SUM(((xb // CAST(POW(2, i) AS BIGINT)) % 2) * CAST(POW(8, i) AS BIGINT)
+                       + ((yb // CAST(POW(2, i) AS BIGINT)) % 2) * 2 * CAST(POW(8, i) AS BIGINT)
+                       + ((wb // CAST(POW(2, i) AS BIGINT)) % 2) * 4 * CAST(POW(8, i) AS BIGINT))
+                FROM range(6) r(i)) AS zval
+      FROM z
+    ), buckets AS (
+      SELECT xb, yb, wb,
+             CAST(ntile(32) OVER (ORDER BY zval, rid) AS INT) AS zbucket
+      FROM zv
+    )
+    SELECT zbucket, count(*) AS n,
+           min(xb) AS min_x, max(xb) AS max_x,
+           min(yb) AS min_y, max(yb) AS max_y,
+           min(wb) AS min_w, max(wb) AS max_w
+    FROM buckets
+    GROUP BY zbucket
+    """,
+)
+def q_zorder3_cluster(spark, sf):
+    """Pure integer interleave (bit i of column j at position 3i+j) —
+    the oracle recomputes it exactly; rid breaks ntile ties."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.skew import zorder_key_n
+
+    li = _t(spark, sf, "lineitem")
+    zv = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        (F.col("l_suppkey") % 64).alias("xb"),
+        (F.col("l_partkey") % 64).alias("yb"),
+        (F.col("l_quantity").cast("bigint") % 64).alias("wb"),
+    ).withColumn(
+        "zval",
+        zorder_key_n([F.col("xb"), F.col("yb"), F.col("wb")], bits=6),
+    )
+    zbucket = F.ntile(32).over(Window.orderBy("zval", "rid"))
+    return (
+        zv.select("xb", "yb", "wb", zbucket.alias("zbucket"))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("xb").alias("min_x"), F.max("xb").alias("max_x"),
+            F.min("yb").alias("min_y"), F.max("yb").alias("max_y"),
+            F.min("wb").alias("min_w"), F.max("wb").alias("max_w"),
+        )
+    )
+
+
+@_q(
+    "partition_prune_year",
+    "Hive-partitioned ManagedTable (partition_by=['o_year']) read "
+    "through listing-time partition pruning: only the two probed "
+    "years' files are ever opened (the reference's folder-per-run "
+    "bronze pruning, readme.md:27, as a first-class table feature), "
+    "then a per-year rollup — exact-integer cent sums, one final "
+    "division",
+    "extension: partitioned tables (sources/tables.py partition_by)",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS sum_price
+    FROM orders
+    WHERE year(o_orderdate) BETWEEN 1996 AND 1997
+    GROUP BY 1
+    """,
+)
+def q_partition_prune_year(spark, sf):
+    """Builds the partitioned table in a temp warehouse, reads through
+    read_pruned — the partition-value stats entries skip every file
+    outside 1996-97 at LISTING time — and aggregates. The partition
+    column itself is reconstructed from the hive paths (data files
+    omit it, Delta-style)."""
+    import tempfile
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    o = _t(spark, sf, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    t = Catalog(spark, tempfile.mkdtemp(prefix="q_part_")).table("orders_by_year")
+    t.overwrite(o, partition_by=["o_year"])
+    pruned = t.read_pruned({"o_year": (1996, 1997)})
+    return pruned.groupBy("o_year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("double") / F.lit(100.0)
+        ).alias("sum_price"),
+    )
+
+
+@_q(
+    "change_feed_updates",
+    "Delta-CDF-style change feed off a file-pruned keyed merge: "
+    "upsert a batch (+100 balance on 15 keys, one brand-new key) into "
+    "a ManagedTable, then changes_since(v0) pairs the delete+insert of "
+    "each touched key into update_pre/update_post and flags the new "
+    "key as insert — computed from ONLY the files the merge touched",
+    "extension: change data feed (sources/tables.py changes_since)",
+    """
+    WITH touched AS (SELECT * FROM customer WHERE c_custkey <= 15)
+    SELECT c_custkey, 'update_pre' AS _change_type,
+           round(c_acctbal, 9) AS acctbal
+    FROM touched
+    UNION ALL
+    SELECT c_custkey, 'update_post', round(c_acctbal + 100.0, 9)
+    FROM touched
+    UNION ALL
+    SELECT 999999, 'insert',
+           round((SELECT c_acctbal FROM customer WHERE c_custkey = 1) + 100.0, 9)
+    """,
+)
+def q_change_feed_updates(spark, sf):
+    import tempfile
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    c = _t(spark, sf, "customer")
+    t = Catalog(spark, tempfile.mkdtemp(prefix="q_cdf_")).table("dim_customer")
+    t.overwrite(c.repartition(8, "c_custkey"))
+    v0 = t.current_version()
+    batch = c.filter("c_custkey <= 15").unionByName(
+        c.filter("c_custkey = 1").withColumn(
+            "c_custkey", F.lit(999999).cast("long")
+        )
+    ).withColumn("c_acctbal", F.col("c_acctbal") + F.lit(100.0))
+    t.merge_keyed(
+        batch, ["c_custkey"],
+        lambda cur, b: cur.join(
+            b.select("c_custkey"), "c_custkey", "left_anti"
+        ).unionByName(b),
+    )
+    feed = t.changes_since(v0, keys=["c_custkey"])
+    return feed.select(
+        "c_custkey", "_change_type", F.round("c_acctbal", 9).alias("acctbal")
+    )
+
+
+@_q(
+    "delta_log_roundtrip",
+    "Full Delta transaction-log round-trip through an INDEPENDENT "
+    "reader: overwrite + append + classic checkpoint + keyed merge on "
+    "a ManagedTable, then read the result back via sources/deltareader "
+    "(public protocol only: _last_checkpoint -> checkpoint parquet -> "
+    "tail commits — never the engine's own pointer) and verify the "
+    "content against plain SQL",
+    "S6 (silver_Dimensions.py:55 format('delta')) — offline stand-in "
+    "for the delta-spark read-back",
+    """
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey = 3 THEN 'UPDATED' ELSE n_name END AS n_name,
+           n_regionkey
+    FROM (
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+      UNION ALL
+      SELECT n_nationkey + 100, n_name, n_regionkey FROM nation
+    )
+    """,
+)
+def q_delta_log_roundtrip(spark, sf):
+    import tempfile
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.deltareader import read_delta
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    n = _t(spark, sf, "nation")
+    t = Catalog(spark, tempfile.mkdtemp(prefix="q_dlr_")).table("nation_t")
+    t.overwrite(n)
+    t.append(n.withColumn(
+        "n_nationkey", (F.col("n_nationkey") + 100).cast("int")
+    ))
+    t.write_delta_checkpoint()  # reader must PREFER this and replay the tail
+    upd = n.filter("n_nationkey = 3").withColumn("n_name", F.lit("UPDATED"))
+    t.merge_keyed(
+        upd, ["n_nationkey"],
+        lambda cur, b: cur.join(
+            b.select("n_nationkey"), "n_nationkey", "left_anti"
+        ).unionByName(b),
+    )
+    return read_delta(spark, t.dir).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@_q(
+    "retrieval_eval_universe",
+    "Retrieval scorecard with a FIXED query universe: the retriever "
+    "only returned results for 8 of 10 evaluated queries — the "
+    "universe re-enters the empty-result queries with contribution 0 "
+    "instead of silently inflating precision@k/MRR (the r9-advisor "
+    "denominator fix, exercised end to end)",
+    "extension: retrieval evaluation (operators/metrics.py "
+    "retrieval_eval query_universe)",
+    """
+    WITH q8 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+    uni AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10),
+    qrel AS (SELECT vec_id, label FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT q8.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, len(q8.embedding) + 1),
+               i -> CAST(q8.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a,b) -> a + b)
+             / (sqrt(list_reduce(list_transform(range(1, len(q8.embedding) + 1),
+                  i -> CAST(q8.embedding[i] AS DOUBLE) * CAST(q8.embedding[i] AS DOUBLE)), (a,b) -> a + b))
+                * sqrt(list_reduce(list_transform(range(1, len(c.embedding) + 1),
+                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a,b) -> a + b)))
+               AS cos_sim
+      FROM q8 JOIN embeddings c ON q8.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM pairs
+    ),
+    rel AS (
+      SELECT qrel.vec_id AS query_id, c.vec_id AS item_id
+      FROM qrel JOIN embeddings c ON qrel.label = c.label AND qrel.vec_id <> c.vec_id
+    ),
+    per_q AS (
+      SELECT r.query_id,
+             count(rel.item_id) AS hits,
+             min(CASE WHEN rel.item_id IS NOT NULL THEN r.rank END) AS first_rel
+      FROM ranked r LEFT JOIN rel
+        ON r.query_id = rel.query_id AND r.neighbor_id = rel.item_id
+      WHERE r.rank <= 10
+      GROUP BY r.query_id
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             CAST(coalesce(sum(coalesce(hits, 0)), 0) AS BIGINT) AS hits_at_k,
+             CAST(coalesce(sum(CAST(2520 / first_rel AS BIGINT)), 0) AS BIGINT) AS mrr_num
+      FROM uni LEFT JOIN per_q ON uni.query_id = per_q.query_id
+    )
+    SELECT n_queries, hits_at_k, mrr_num,
+           CAST(2520 AS BIGINT) AS mrr_scale,
+           CAST(hits_at_k AS DOUBLE) / CAST(n_queries * 10 AS DOUBLE) AS precision_at_k,
+           CAST(mrr_num AS DOUBLE) / CAST(n_queries * 2520 AS DOUBLE) AS mrr
+    FROM agg
+    """,
+)
+def q_retrieval_eval_universe(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import retrieval_eval
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf, "embeddings")
+    uni = emb.filter("vec_id < 10").select(F.col("vec_id").alias("query_id"))
+    ranked = brute_force_topk(emb, emb.filter("vec_id < 8"), k=10)
+    rel = (
+        emb.filter("vec_id < 10")
+        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("_ql"))
+        .join(
+            emb.select(F.col("vec_id").alias("item_id"), F.col("label").alias("_cl")),
+            F.col("_ql") == F.col("_cl"),
+        )
+        .filter(F.col("query_id") != F.col("item_id"))
+        .select("query_id", "item_id")
+    )
+    return retrieval_eval(ranked, rel, k=10, query_universe=uni)
+
+
 
 # ---------------------------------------------------------------------
 
@@ -7581,8 +7860,29 @@ _R8_GREEN = {
 
 #: green-evidence rounds, oldest first — ordering sorts proven entries
 #: by the LAST round that checked them (stalest evidence first).
+_R9_GREEN = {
+    "ann_topk_ivf", "ann_topk_ivfpq", "ann_topk_pq", "ann_topk_srp",
+    "auc_by_segment", "average_precision", "benford_first_digit",
+    "bpe_encode", "bpe_token_estimate", "bucketize", "calendar",
+    "cohens_kappa", "corpus_ngram_overlap", "cube_agg",
+    "dedup_cluster_stats", "divergent_tokens_chi2",
+    "diversity_sample_srp", "doc_repetition_ratio", "embedding_stats",
+    "exact_median", "forward_fill_locf", "full_outer_join",
+    "grouped_dataset_split", "grouping_sets", "hard_negative_mining",
+    "integrity_report_tpch", "lag_lead_delta", "left_outer_join",
+    "media_features", "minhash_dedup_cc", "monthly_revenue_growth",
+    "null_predicate", "ordered_string_agg", "pandas_grouped_rank",
+    "percent_rank_cume", "pr_curve", "project_drop",
+    "quantile_hist_merge", "range_frame_window", "range_join",
+    "regexp_clean", "retrieval_eval_mrr", "sorted_neighborhood_pairs",
+    "stats_moments", "string_toolkit", "table_diff",
+    "threshold_metrics", "time_weighted_average", "union_all_counts",
+    "upper_trim",
+}
+
 _GREEN_ROUNDS: list[set[str]] = [
     _R3_GREEN, _R4_GREEN, _R5_GREEN, _R6_GREEN, _R7_GREEN, _R8_GREEN,
+    _R9_GREEN,
 ]
 
 
