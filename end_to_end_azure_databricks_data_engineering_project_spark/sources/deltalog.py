@@ -157,17 +157,26 @@ def build_commit(
     mt_version: int,
     n_live: int,
     partition_columns: list[str] | None = None,
+    cdc: list[dict] | None = None,
+    configuration: dict | None = None,
 ) -> list[dict]:
     """Pure assembly of one commit's action list (no IO — callers stat
     the immutable store files). ``adds``: {path, size, modificationTime,
     and optionally partitionValues} per NEW file; ``remove_paths``:
     paths this commit drops; ``n_live``: live file count AFTER the
-    commit (commitInfo metric)."""
+    commit (commitInfo metric); ``cdc``: change-data files (the CDF
+    protocol — emitting any requires writer version 4, which this
+    builder bumps to automatically)."""
     now_ms = int(time.time() * 1000)
     data_change = op not in _NO_DATA_CHANGE_OPS
     actions: list[dict] = []
     if delta_version == 0:
-        actions.append({"protocol": dict(PROTOCOL)})
+        proto = dict(PROTOCOL)
+        if (configuration or {}).get("delta.enableChangeDataFeed") == "true":
+            # CDF is a writer-protocol feature (PROTOCOL.md): tables
+            # that will emit cdc actions declare minWriterVersion 4
+            proto["minWriterVersion"] = 4
+        actions.append({"protocol": proto})
     if emit_metadata and schema_string is not None:
         actions.append(
             {
@@ -177,7 +186,7 @@ def build_commit(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema_string,
                     "partitionColumns": list(partition_columns or []),
-                    "configuration": {},
+                    "configuration": dict(configuration or {}),
                     "createdTime": now_ms,
                 }
             }
@@ -201,6 +210,20 @@ def build_commit(
                     "size": a["size"],
                     "modificationTime": a["modificationTime"],
                     "dataChange": data_change,
+                }
+            }
+        )
+    for c in sorted(cdc or [], key=lambda x: x["path"]):
+        # change-data files are NOT part of the snapshot (never replayed
+        # into the live set) — readers consume them only for
+        # readChangeFeed; dataChange is false by protocol
+        actions.append(
+            {
+                "cdc": {
+                    "path": c["path"],
+                    "partitionValues": c.get("partitionValues", {}),
+                    "size": c["size"],
+                    "dataChange": False,
                 }
             }
         )

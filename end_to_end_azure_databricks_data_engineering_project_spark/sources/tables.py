@@ -497,10 +497,22 @@ class ManagedTable:
                     for c in pcols if c in vals
                 },
             })
+        cdc_dicts = []
+        for name in (self._manifest(v) or {}).get("cdc", ()):
+            fp = self.dir / "_change_data" / name
+            cdc_dicts.append({
+                "path": f"_change_data/{name}",
+                "size": fp.stat().st_size if fp.exists() else 0,
+            })
         actions = deltalog.build_commit(
             rec["version"], self._op(v), rec["table_id"], self.name,
             schema_string, emit_meta, add_dicts, removes, v, n_live,
             partition_columns=pcols,
+            cdc=cdc_dicts,
+            configuration=(
+                {"delta.enableChangeDataFeed": "true"}
+                if self.cdf_enabled() else None
+            ),
         )
         deltalog.write_commit(self.dir, rec["version"], actions)
 
@@ -895,6 +907,31 @@ class ManagedTable:
                     d.rmdir()
                 except OSError:
                     pass
+        return names
+
+    def cdf_enabled(self) -> bool:
+        """Whether this table records a change data feed (bound at
+        creation via ``overwrite(enable_cdf=True)``, Delta's
+        ``delta.enableChangeDataFeed``)."""
+        return self.table_prop("enable_cdf") == "true"
+
+    def _materialize_cdc(self, v: int, cdc_df: DataFrame) -> list[str]:
+        """Write a commit's change-data rows into ``_change_data/``
+        (Delta CDF layout: files referenced by ``cdc`` actions, never
+        part of the snapshot). Returns the change-file names."""
+        import uuid as _uuid
+
+        stage = self._version_dir(v) / "_cdc_stage"
+        cdc_df.write.mode("overwrite").parquet(str(stage))
+        out_dir = self.dir / "_change_data"
+        out_dir.mkdir(exist_ok=True)
+        token = _uuid.uuid4().hex[:8]
+        names: list[str] = []
+        for i, f in enumerate(sorted(stage.glob("*.parquet"))):
+            name = f"cdc-{v:06d}-{i:05d}-{token}.parquet"
+            os.replace(f, out_dir / name)
+            names.append(name)
+        shutil.rmtree(stage, ignore_errors=True)
         return names
 
     @staticmethod
@@ -1311,6 +1348,35 @@ class ManagedTable:
                         # legacy→store upgrade commit: its removed list
                         # names pre-store identities — not derivable
                         return None
+                    if m.get("cdc"):
+                        # CDF fast path: the merge MATERIALIZED its
+                        # row-level changes (_change_data/, Delta cdc
+                        # actions) — read them instead of re-diffing
+                        # the touched files; raw delete/insert rows
+                        # feed the shared pairing below so the
+                        # caller's `keys` semantics stay identical
+                        from pyspark.sql.types import StringType, StructField, StructType
+
+                        base_schema = schema or self.read().schema
+                        cs = StructType(
+                            list(base_schema.fields)
+                            + [StructField("_change_type", StringType(), True)]
+                        )
+                        cdc_rows = self.spark.read.schema(cs).parquet(
+                            *[str(self.dir / "_change_data" / n) for n in m["cdc"]]
+                        )
+                        cols = [f.name for f in base_schema.fields]
+                        deletes.append(
+                            cdc_rows.filter(
+                                F.col("_change_type").isin("delete", "update_preimage")
+                            ).select(*cols)
+                        )
+                        inserts.append(
+                            cdc_rows.filter(
+                                F.col("_change_type").isin("insert", "update_postimage")
+                            ).select(*cols)
+                        )
+                        continue
                     # removed store files stay on disk (vacuum's GC
                     # keeps files referenced by retained manifests'
                     # removed lists) — the touched-file diff reads them
@@ -1389,6 +1455,7 @@ class ManagedTable:
         expect_props: dict | None = None,
         op: str = "snapshot",
         partition_by: Sequence[str] | None = None,
+        enable_cdf: bool = False,
     ) -> int | None:
         """Write a full new snapshot and atomically repoint ``_latest``.
 
@@ -1432,6 +1499,11 @@ class ManagedTable:
                 f"(read at v{expected_version}, pointer now at v{cur}) — "
                 "re-read and retry"
             )
+        if enable_cdf:
+            # Delta's delta.enableChangeDataFeed: set at CREATION so the
+            # log's commit-0 protocol (writer v4) and metaData
+            # configuration carry it; merges then materialize cdc files
+            set_props = {**(set_props or {}), "enable_cdf": "true"}
         pcols = list(partition_by) if partition_by else self.partition_columns()
         if pcols:
             missing = [c for c in pcols if c not in df.columns]
@@ -1674,6 +1746,46 @@ class ManagedTable:
                 v, names, sorted(touched_files), stats,
                 base_names=res[0], base_stats=res[1],
             )
+        if self.cdf_enabled() and not (legacy_base and not full_rewrite):
+            # Delta change data feed: materialize this commit's row-
+            # level changes into _change_data/ (referenced by cdc log
+            # actions). Old = the touched files' pre-merge rows, new =
+            # the freshly written files — both immutable, so the diff
+            # is deterministic and costs one extra pass over the
+            # TOUCHED scope only. _change_type uses Delta's protocol
+            # naming (update_preimage/update_postimage); for
+            # partitioned tables the partition columns ride INLINE in
+            # the cdc files (actions carry empty partitionValues).
+            reader = self.spark.read.schema(schema).option(
+                "basePath", str(self.store)
+            )
+            new_rows = (
+                reader.parquet(*[str(self.store / n) for n in names])
+                if names else self.spark.createDataFrame([], schema)
+            )
+            dels = subset.select(*[f.name for f in schema.fields]).exceptAll(new_rows)
+            ins = new_rows.exceptAll(subset.select(*[f.name for f in schema.fields]))
+            key_cols = list(keys)
+            upd = F.broadcast(
+                ins.select(*key_cols).intersect(dels.select(*key_cols))
+            )
+            cdc_df = (
+                ins.join(upd, key_cols, "left_anti")
+                .withColumn("_change_type", F.lit("insert"))
+                .unionByName(
+                    dels.join(upd, key_cols, "left_anti")
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+                .unionByName(
+                    dels.join(upd, key_cols, "left_semi")
+                    .withColumn("_change_type", F.lit("update_preimage"))
+                )
+                .unionByName(
+                    ins.join(upd, key_cols, "left_semi")
+                    .withColumn("_change_type", F.lit("update_postimage"))
+                )
+            )
+            manifest["cdc"] = self._materialize_cdc(new_v, cdc_df)
         manifest["partition_columns"] = pcols
         self._write_manifest_file(new_v, manifest)
         self._write_op_marker(new_v, "merge")
@@ -1890,6 +2002,11 @@ class ManagedTable:
             # the change feed reads RETAINED merge commits' removed
             # files — keep them until their version is vacuumed
             referenced.update(m.get("removed", ()))
+        cdc_referenced: set[str] = set()
+        for d in self.dir.glob("v*"):
+            m = self._manifest(int(d.name[1:]))
+            if m is not None:
+                cdc_referenced.update(m.get("cdc", ()))
         for f in self.store.rglob("*.parquet"):
             if str(f.relative_to(self.store)) in referenced:
                 continue
@@ -1900,6 +2017,19 @@ class ManagedTable:
             if embedded_v > pointer:
                 continue  # in-flight writer's file
             f.unlink(missing_ok=True)
+        # change-data files age out with the version that recorded them
+        cdir = self.dir / "_change_data"
+        if cdir.exists():
+            for f in cdir.glob("cdc-*.parquet"):
+                if f.name in cdc_referenced:
+                    continue
+                try:
+                    embedded_v = int(f.name[4:10])
+                except ValueError:
+                    continue
+                if embedded_v > pointer:
+                    continue
+                f.unlink(missing_ok=True)
         # sweep hive partition dirs the GC emptied
         for d in sorted(
             (p for p in self.store.rglob("*") if p.is_dir()), reverse=True
