@@ -355,12 +355,22 @@ def ivfpq_encode(
         res, vec_col="residual", id_col=id_col, m=m, k_sub=k_sub,
         n_iter=n_iter, dim=dim,
     )
+    return _encode_residuals(res, codebooks, dim), codebooks
+
+
+def _encode_residuals(
+    res: DataFrame, codebooks: list[list[list[float]]], dim: int
+) -> DataFrame:
+    """Code a prepared residual relation against fitted codebooks — the
+    shared encode tail of ``ivfpq_encode`` (fit-time) and
+    ``ivfpq_encode_with`` (frozen-model incremental), kept in ONE place
+    so the two index paths cannot diverge."""
+    m = len(codebooks)
     sd = _check_geometry(dim, m)
     j = _with_codebooks(res, codebooks)
-    encoded = j.withColumn(
+    return j.withColumn(
         "codes", pq_codes(F.col("residual"), F.col(_CB), m, sd)
     ).drop(_CB, "residual")
-    return encoded, codebooks
 
 
 def ivfpq_encode_with(
@@ -374,14 +384,9 @@ def ivfpq_encode_with(
     path: new vectors are assigned + residual-coded against the stored
     centroids/codebooks so old codes never need recomputation. Same
     scan-stage, shuffle-free plan as ``pq_encode``."""
-    m = len(codebooks)
-    sd = _check_geometry(dim, m)
     assigned = ivf_assign(df, coarse_centroids, vec_col=vec_col)
     res = residuals(assigned, coarse_centroids, vec_col=vec_col)
-    j = _with_codebooks(res, codebooks)
-    return j.withColumn(
-        "codes", pq_codes(F.col("residual"), F.col(_CB), m, sd)
-    ).drop(_CB, "residual")
+    return _encode_residuals(res, codebooks, dim)
 
 
 def ivfpq_topk(

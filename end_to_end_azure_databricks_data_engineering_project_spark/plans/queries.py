@@ -123,6 +123,26 @@ class CatalogQuery:
 _CATALOG: list[CatalogQuery] = []
 
 
+def _scratch_warehouse(name: str, sf: str) -> str:
+    """Bounded scratch dir for catalog entries that build ManagedTables
+    in-query: a FIXED path per (entry, sf input), wiped at the start of
+    each call — repeated parity/bench/driver runs reuse one footprint
+    instead of leaking a table copy per invocation (mkdtemp would)."""
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    root = (
+        Path(tempfile.gettempdir())
+        / "spark_graft_catalog"
+        / f"{name}-{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    root.mkdir(parents=True, exist_ok=True)
+    return str(root)
+
+
 def _q(name, description, survey_ref, oracle):
     def deco(fn):
         _CATALOG.append(CatalogQuery(name, description, survey_ref, fn, oracle))
@@ -7530,14 +7550,12 @@ def q_partition_prune_year(spark, sf):
     outside 1996-97 at LISTING time — and aggregates. The partition
     column itself is reconstructed from the hive paths (data files
     omit it, Delta-style)."""
-    import tempfile
-
     from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
 
     o = _t(spark, sf, "orders").withColumn(
         "o_year", F.year("o_orderdate").cast("int")
     )
-    t = Catalog(spark, tempfile.mkdtemp(prefix="q_part_")).table("orders_by_year")
+    t = Catalog(spark, _scratch_warehouse("q_part", sf)).table("orders_by_year")
     t.overwrite(o, partition_by=["o_year"])
     pruned = t.read_pruned({"o_year": (1996, 1997)})
     return pruned.groupBy("o_year").agg(
@@ -7571,12 +7589,10 @@ def q_partition_prune_year(spark, sf):
     """,
 )
 def q_change_feed_updates(spark, sf):
-    import tempfile
-
     from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
 
     c = _t(spark, sf, "customer")
-    t = Catalog(spark, tempfile.mkdtemp(prefix="q_cdf_")).table("dim_customer")
+    t = Catalog(spark, _scratch_warehouse("q_cdf", sf)).table("dim_customer")
     t.overwrite(c.repartition(8, "c_custkey"))
     v0 = t.current_version()
     batch = c.filter("c_custkey <= 15").unionByName(
@@ -7618,13 +7634,11 @@ def q_change_feed_updates(spark, sf):
     """,
 )
 def q_delta_log_roundtrip(spark, sf):
-    import tempfile
-
     from end_to_end_azure_databricks_data_engineering_project_spark.sources.deltareader import read_delta
     from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
 
     n = _t(spark, sf, "nation")
-    t = Catalog(spark, tempfile.mkdtemp(prefix="q_dlr_")).table("nation_t")
+    t = Catalog(spark, _scratch_warehouse("q_dlr", sf)).table("nation_t")
     t.overwrite(n)
     t.append(n.withColumn(
         "n_nationkey", (F.col("n_nationkey") + 100).cast("int")

@@ -767,9 +767,22 @@ class ManagedTable:
         # basePath reconstructs hive partition columns from the store
         # paths (Delta-style: partitioned data files omit the partition
         # columns); harmless for unpartitioned (flat) layouts
-        return reader.option("basePath", str(self.store)).parquet(
+        out = reader.option("basePath", str(self.store)).parquet(
             *[str(self.store / n) for n in names]
         )
+        return self._schema_order(out, schema)
+
+    def _schema_order(self, df: DataFrame, schema) -> DataFrame:
+        """Restore committed column ORDER: Spark relocates path-derived
+        partition columns to the END of the frame even under an
+        explicit user schema, so a partitioned read would break every
+        positional consumer (tuple compares, unionAll, exceptAll) and
+        the 'pinned to its committed schema' contract. No-op select
+        for unpartitioned layouts."""
+        if schema is None:
+            return df
+        want = [f.name for f in schema.fields]
+        return df if df.columns == want else df.select(*want)
 
     def read(self) -> DataFrame:
         v, names, _ = self._resolve_current()
@@ -1203,7 +1216,9 @@ class ManagedTable:
             # path does not prefix)
             if self.store in files[0].parents:
                 reader = reader.option("basePath", str(self.store))
-            df = reader.parquet(*[str(f) for f in files])
+            df = self._schema_order(
+                reader.parquet(*[str(f) for f in files]), schema
+            )
         for c, (lo, hi) in predicates.items():
             if lo is not None:
                 df = df.filter(F.col(c) >= F.lit(lo))
@@ -1289,7 +1304,7 @@ class ManagedTable:
             # reconstructed from their hive paths (legacy files never
             # do — legacy tables predate partitioning)
             reader = reader.option("basePath", str(self.store))
-        return reader.parquet(*sorted(files))
+        return self._schema_order(reader.parquet(*sorted(files)), schema)
 
     def changes_since(
         self,
@@ -1327,7 +1342,7 @@ class ManagedTable:
             store_prefix = str(self.store) + os.sep
             if all(p.startswith(store_prefix) for p in paths):
                 reader = reader.option("basePath", str(self.store))
-            return reader.parquet(*sorted(paths))
+            return self._schema_order(reader.parquet(*sorted(paths)), schema)
 
         if v >= cur:
             return _read([]).withColumn("_change_type", F.lit("insert")).limit(0)
@@ -1696,7 +1711,10 @@ class ManagedTable:
             if not legacy_base:
                 # reconstruct hive partition columns of store files
                 reader = reader.option("basePath", str(self.store))
-            subset = reader.parquet(*[str(src_dir / f) for f in sorted(touched_files)])
+            subset = self._schema_order(
+                reader.parquet(*[str(src_dir / f) for f in sorted(touched_files)]),
+                stored,
+            )
         else:
             subset = self.spark.createDataFrame([], cur.schema)
         # Schema is enforced on the merge OUTPUT (the batch legitimately
@@ -1760,7 +1778,10 @@ class ManagedTable:
                 "basePath", str(self.store)
             )
             new_rows = (
-                reader.parquet(*[str(self.store / n) for n in names])
+                self._schema_order(
+                    reader.parquet(*[str(self.store / n) for n in names]),
+                    schema,
+                )
                 if names else self.spark.createDataFrame([], schema)
             )
             dels = subset.select(*[f.name for f in schema.fields]).exceptAll(new_rows)
@@ -2011,7 +2032,11 @@ class ManagedTable:
             if str(f.relative_to(self.store)) in referenced:
                 continue
             try:
-                embedded_v = int(f.name[1:7])
+                # f/u/c prefix up to the first '-' (NOT a fixed-width
+                # slice: past version 999,999 the zero-padding widens
+                # and a 6-char slice would misparse LOW, defeating the
+                # in-flight guard and deleting a live writer's files)
+                embedded_v = int(f.name.split("-", 1)[0][1:])
             except ValueError:
                 continue  # foreign file: never ours to delete
             if embedded_v > pointer:
@@ -2024,8 +2049,8 @@ class ManagedTable:
                 if f.name in cdc_referenced:
                     continue
                 try:
-                    embedded_v = int(f.name[4:10])
-                except ValueError:
+                    embedded_v = int(f.name.split("-")[1])
+                except (ValueError, IndexError):
                     continue
                 if embedded_v > pointer:
                     continue
@@ -2149,6 +2174,15 @@ class ManagedTable:
             raise FileNotFoundError(f"table {self.name} has no committed version")
         names, stats, _ = self._snapshot_members(cur)
         pcols = self.partition_columns()
+        # Delta SHALLOW CLONE carries table properties: ALL committed
+        # props copy over — partitioning and enable_cdf keep the
+        # clone's write behavior identical, and semantic bindings
+        # (auc_binning, stream identities) carrying over means a
+        # mismatched drain against the cloned DATA refuses loudly
+        # instead of silently co-mingling under a fresh first-binder.
+        # Epoch watermarks (transaction state) intentionally do NOT
+        # carry — the clone's history starts fresh.
+        src_props = dict(self._pointer_state().get("props", {}))
         new_v = target._claim_next_version()
         target.store.mkdir(exist_ok=True)
         for n in names:
@@ -2165,12 +2199,7 @@ class ManagedTable:
         })
         self._copy_schema(cur, target._version_dir(new_v))
         target._write_op_marker(new_v, "clone")
-        target._commit(
-            new_v,
-            set_props=(
-                {"partition_columns": json.dumps(pcols)} if pcols else None
-            ),
-        )
+        target._commit(new_v, set_props=src_props or None)
         return new_v
 
 

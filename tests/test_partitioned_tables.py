@@ -165,3 +165,61 @@ def test_null_partition_values_roundtrip(spark, table):
     adds = deltalog.read_adds(table.dir, 0)
     vals = {a["partitionValues"]["grp"] for a in adds}
     assert None in vals and "a" in vals
+
+
+def test_partition_column_mid_schema_keeps_committed_order(spark, table):
+    """Review-caught bug class: Spark relocates path-derived partition
+    columns to the END of a frame even under an explicit schema, so a
+    partition column that is NOT schema-last used to misalign every
+    positional consumer (tuple compares, unionAll/exceptAll in the
+    change feed, CDF diffs). Every read path must restore the
+    committed column order."""
+    import datetime as dt2
+
+    df = spark.createDataFrame(
+        [(i, dt2.date(2024, 1, 1 + i % 3), f"v{i}", float(i)) for i in range(60)],
+        "k long, d date, val string, amount double",  # d is column 2 of 4
+    )
+    table.overwrite(df.repartition(2, "k"), partition_by=["d"], enable_cdf=True)
+    v0 = table.current_version()
+    assert table.read().columns == ["k", "d", "val", "amount"]
+    assert sorted(tuple(r) for r in table.read().collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    assert table.read_pruned(
+        {"d": (dt2.date(2024, 1, 2), dt2.date(2024, 1, 2))}
+    ).columns == ["k", "d", "val", "amount"]
+    # append + incremental consumers
+    extra = spark.createDataFrame(
+        [(100, dt2.date(2024, 2, 1), "new", 1.5)],
+        "k long, d date, val string, amount double",
+    )
+    table.append(extra)
+    delta = table.appended_since(v0)
+    assert delta.columns == ["k", "d", "val", "amount"]
+    assert [tuple(r) for r in delta.collect()] == [
+        (100, dt2.date(2024, 2, 1), "new", 1.5)
+    ]
+    # merge + change feed + CDF diff (exceptAll is positional)
+    v1 = table.current_version()
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.cdc import scd1_merge
+
+    batch = spark.createDataFrame(
+        [(7, dt2.date(2024, 1, 2), "upd", -1.0)],
+        "k long, d date, val string, amount double",
+    ).withColumn("seq", F.lit(2))
+    table.merge_keyed(
+        batch.drop("seq"), ["k"],
+        lambda cur, b: cur.join(b.select("k"), "k", "left_anti").unionByName(b),
+    )
+    feed = table.changes_since(v1, keys=["k"])
+    got = {(r["_change_type"], r.k, r.val, str(r.d)) for r in feed.collect()}
+    assert ("update_post", 7, "upd", "2024-01-02") in got
+    assert any(t == "update_pre" and k == 7 and v == "v7" for t, k, v, _ in got)
+    # the materialized CDF files carry the right values too
+    m = table._manifest(table.current_version())
+    cdc = spark.read.parquet(
+        *[str(table.dir / "_change_data" / n) for n in m["cdc"]]
+    )
+    pre = cdc.filter("_change_type = 'update_preimage'").collect()
+    assert [(r.k, r.val) for r in pre] == [(7, "v7")]
