@@ -125,19 +125,23 @@ _CATALOG: list[CatalogQuery] = []
 
 def _scratch_warehouse(name: str, sf: str) -> str:
     """Bounded scratch dir for catalog entries that build ManagedTables
-    in-query: a FIXED path per (entry, sf input), wiped at the start of
-    each call — repeated parity/bench/driver runs reuse one footprint
-    instead of leaking a table copy per invocation (mkdtemp would)."""
+    in-query: a fixed path per (entry, sf input, PROCESS), wiped at the
+    start of each call and removed at interpreter exit — repeated
+    parity/bench/driver runs reuse one footprint per process instead
+    of leaking a table copy per invocation (mkdtemp would), and the
+    pid component keeps concurrent harness processes from rmtree'ing
+    each other's live tables (which a shared fixed path would)."""
+    import atexit
     import hashlib
+    import os
     import shutil
     import tempfile
     from pathlib import Path
 
-    root = (
-        Path(tempfile.gettempdir())
-        / "spark_graft_catalog"
-        / f"{name}-{hashlib.md5(sf.encode()).hexdigest()[:8]}"
-    )
+    base = Path(tempfile.gettempdir()) / f"spark_graft_catalog-{os.getpid()}"
+    if not base.exists():
+        atexit.register(shutil.rmtree, str(base), True)
+    root = base / f"{name}-{hashlib.md5(sf.encode()).hexdigest()[:8]}"
     shutil.rmtree(root, ignore_errors=True)
     root.mkdir(parents=True, exist_ok=True)
     return str(root)

@@ -2169,7 +2169,13 @@ class ManagedTable:
             raise ValueError(
                 f"clone target {target.name} already has committed versions"
             )
-        cur = self.current_version()
+        # ONE pointer-state read supplies both the cloned version and
+        # the carried props: reading them separately would let a
+        # concurrent commit slip a NEWER prop (e.g. a drain-WAL digest)
+        # onto a clone of OLDER data, silently skipping that batch's
+        # replay into the clone.
+        state = self._pointer_state()
+        cur = state["version"]
         if cur < 0:
             raise FileNotFoundError(f"table {self.name} has no committed version")
         names, stats, _ = self._snapshot_members(cur)
@@ -2182,7 +2188,7 @@ class ManagedTable:
         # instead of silently co-mingling under a fresh first-binder.
         # Epoch watermarks (transaction state) intentionally do NOT
         # carry — the clone's history starts fresh.
-        src_props = dict(self._pointer_state().get("props", {}))
+        src_props = dict(state.get("props", {}))
         new_v = target._claim_next_version()
         target.store.mkdir(exist_ok=True)
         for n in names:

@@ -174,10 +174,8 @@ def test_partition_column_mid_schema_keeps_committed_order(spark, table):
     positional consumer (tuple compares, unionAll/exceptAll in the
     change feed, CDF diffs). Every read path must restore the
     committed column order."""
-    import datetime as dt2
-
     df = spark.createDataFrame(
-        [(i, dt2.date(2024, 1, 1 + i % 3), f"v{i}", float(i)) for i in range(60)],
+        [(i, dt.date(2024, 1, 1 + i % 3), f"v{i}", float(i)) for i in range(60)],
         "k long, d date, val string, amount double",  # d is column 2 of 4
     )
     table.overwrite(df.repartition(2, "k"), partition_by=["d"], enable_cdf=True)
@@ -187,29 +185,27 @@ def test_partition_column_mid_schema_keeps_committed_order(spark, table):
         tuple(r) for r in df.collect()
     )
     assert table.read_pruned(
-        {"d": (dt2.date(2024, 1, 2), dt2.date(2024, 1, 2))}
+        {"d": (dt.date(2024, 1, 2), dt.date(2024, 1, 2))}
     ).columns == ["k", "d", "val", "amount"]
     # append + incremental consumers
     extra = spark.createDataFrame(
-        [(100, dt2.date(2024, 2, 1), "new", 1.5)],
+        [(100, dt.date(2024, 2, 1), "new", 1.5)],
         "k long, d date, val string, amount double",
     )
     table.append(extra)
     delta = table.appended_since(v0)
     assert delta.columns == ["k", "d", "val", "amount"]
     assert [tuple(r) for r in delta.collect()] == [
-        (100, dt2.date(2024, 2, 1), "new", 1.5)
+        (100, dt.date(2024, 2, 1), "new", 1.5)
     ]
     # merge + change feed + CDF diff (exceptAll is positional)
     v1 = table.current_version()
-    from end_to_end_azure_databricks_data_engineering_project_spark.operators.cdc import scd1_merge
-
     batch = spark.createDataFrame(
-        [(7, dt2.date(2024, 1, 2), "upd", -1.0)],
+        [(7, dt.date(2024, 1, 2), "upd", -1.0)],
         "k long, d date, val string, amount double",
-    ).withColumn("seq", F.lit(2))
+    )
     table.merge_keyed(
-        batch.drop("seq"), ["k"],
+        batch, ["k"],
         lambda cur, b: cur.join(b.select("k"), "k", "left_anti").unionByName(b),
     )
     feed = table.changes_since(v1, keys=["k"])
