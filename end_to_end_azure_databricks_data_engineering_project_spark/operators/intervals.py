@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["merge_intervals", "interval_coverage", "coverage_from_islands"]
+__all__ = ["merge_intervals", "interval_coverage", "coverage_from_islands", "resample_ffill"]
 
 
 def merge_intervals(
@@ -101,4 +101,88 @@ def coverage_from_islands(islands: DataFrame, key_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_islands"),
         F.sum(span).alias("covered"),
         F.max(span).alias("longest"),
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    sec_col,
+    value_col: str,
+    step: int,
+    order_col: str | None = None,
+    out_sec: str = "grid_sec",
+) -> DataFrame:
+    """Per-key regular-grid resampling with forward fill — the as-of
+    view of an irregular series: one row per ``step``-second grid
+    point between the key's first and last observation (grid aligned
+    to multiples of ``step``), carrying the MOST RECENT observation's
+    ``value_col`` at or before that point. The time-series resample
+    every feature pipeline needs before joining event-derived signals
+    onto a fixed cadence.
+
+    Scale shape: bounds = one map-side-combinable groupBy(key); the
+    grid is a bounded sequence-explode (span/step rows per key); the
+    fill is ONE window over the key partition ordered by (sec,
+    is_grid, order) — the naive as-of formulation is a per-grid-point
+    range join against the observations (quadratic per key); this is
+    a union + single sort. Skewed keys degrade to a sort, never a
+    cross product.
+
+    Determinism: ties at the same second resolve by ``order_col``
+    (REQUIRED if several observations can share a second — without it
+    the carried value is partition-order-dependent). NULL observation
+    values do not overwrite (last ignorenulls); a grid point before
+    the key's first non-null observation is NULL.
+
+    ``sec_col``: integral epoch seconds (column or Column expression —
+    quantize timestamps with ``F.unix_micros(ts)/1e6`` floored).
+    Returns (key_col, out_sec, value_col).
+    """
+    sec = F.col(sec_col) if isinstance(sec_col, str) else sec_col
+    obs = df.select(
+        F.col(key_col),
+        sec.cast("bigint").alias("__sec"),
+        F.col(value_col).alias("__v"),
+        F.lit(0).alias("__is_grid"),
+        (F.col(order_col) if order_col else F.lit(0)).alias("__ord"),
+    )
+    # grid bounds: first grid point = ceil(min/step)*step (guaranteed
+    # >= an observation, so it carries a value), last = floor(max/step)
+    # *step; exact in double while sec < 2^53
+    bounds = obs.groupBy(key_col).agg(
+        (F.ceil(F.min("__sec") / F.lit(step)) * step).cast("bigint").alias("__lo"),
+        (F.floor(F.max("__sec") / F.lit(step)) * step).cast("bigint").alias("__hi"),
+    )
+    grid = (
+        bounds.filter(F.col("__hi") >= F.col("__lo"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step).cast("bigint"))
+            ).alias("__sec"),
+        )
+        .withColumn("__v", F.lit(None).cast(obs.schema["__v"].dataType))
+        .withColumn("__is_grid", F.lit(1))
+        .withColumn("__ord", F.lit(None).cast(obs.schema["__ord"].dataType))
+    )
+    # observations sort BEFORE the grid marker at the same second
+    # (__is_grid 0 < 1), so a point-in-time grid row sees same-second
+    # observations; __ord breaks same-second observation ties. NULL
+    # ordering never decides anything: grid rows are unique per (key,
+    # sec) and observation __ord is caller-guaranteed discriminating.
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__sec", "__is_grid", "__ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        obs.unionByName(grid)
+        .withColumn("__f", F.last("__v", ignorenulls=True).over(w))
+        .filter(F.col("__is_grid") == 1)
+        .select(
+            key_col,
+            F.col("__sec").alias(out_sec),
+            F.col("__f").alias(value_col),
+        )
     )

@@ -336,6 +336,64 @@ def binned_auc(
     return auc_from_bins(per_bin_counts(df, score_bin_col, positive_col))
 
 
+def brier_from_bins(bins: DataFrame, scale: int = 1000) -> DataFrame:
+    """EXACT Brier score from the per-bin (pos, neg) monoid: for the
+    quantized prediction p̂ = bin/scale, mean squared error vs the
+    binary label is
+
+        brier = [ Σ_b pos_b·(scale − b)² + neg_b·b² ] / (scale²·n)
+
+    — a RATIONAL function of integer counts (module house rule), so
+    everything accumulates exactly (decimal(38,0): pos·(scale−b)² can
+    pass int64 at ~1e13 rows) and the ONLY float is one final IEEE
+    division, bit-identical on any engine. Calibration's quadratic
+    twin to ``auc_from_bins``'s ranking view, riding the SAME
+    mergeable drain state (``run_auc_drain`` / ``metric_stream``) —
+    one streaming accumulator funds both metrics.
+
+    Returns one row: n, brier_num (decimal), brier (double; NULL when
+    the state is empty)."""
+    agg = bins.agg(
+        F.coalesce(
+            F.sum((F.col("pos") + F.col("neg")).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("n"),
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("pos").cast("decimal(38,0)")
+                    * F.pow(F.lit(scale) - F.col("bin"), 2).cast("decimal(38,0)")
+                    + F.col("neg").cast("decimal(38,0)")
+                    * F.pow(F.col("bin"), 2).cast("decimal(38,0)")
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("brier_num"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("brier_num"),
+        F.when(
+            F.col("n") > 0,
+            F.col("brier_num").cast("double")
+            / (F.lit(float(scale * scale)) * F.col("n").cast("double")),
+        ).alias("brier"),
+    )
+
+
+def binned_brier(
+    df: DataFrame,
+    score_bin_col: str | Column,
+    positive_col: str | Column,
+    scale: int = 1000,
+) -> DataFrame:
+    """``brier_from_bins`` ∘ ``per_bin_counts`` — exact Brier score of
+    a quantized score against a binary label in one map-side-
+    combinable pass (NULL bins/labels excluded, same semantics as
+    ``binned_auc``)."""
+    return brier_from_bins(per_bin_counts(df, score_bin_col, positive_col), scale)
+
+
 def _lcm_1_to(k: int) -> int:
     from math import gcd
 

@@ -7734,6 +7734,101 @@ def q_retrieval_eval_universe(spark, sf):
     return retrieval_eval(ranked, rel, k=10, query_universe=uni)
 
 
+@_q(
+    "brier_score",
+    "EXACT Brier score (mean squared error of a quantized probability "
+    "vs a binary label) from the SAME per-bin (pos, neg) monoid as the "
+    "exact AUC — calibration's quadratic view and ranking's AUC view "
+    "funded by one mergeable streaming accumulator; all integer "
+    "arithmetic until one final IEEE division",
+    "extension: eval metrics (exact Brier over the bin monoid)",
+    """
+    WITH b AS (
+      SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS bin,
+             CASE WHEN label >= 5 THEN 1 ELSE 0 END AS p
+      FROM embeddings
+      WHERE embedding[1] IS NOT NULL AND label IS NOT NULL
+    ), per AS (
+      SELECT bin, sum(p) AS pos, sum(1 - p) AS neg FROM b GROUP BY bin
+    )
+    SELECT CAST(sum(pos) + sum(neg) AS BIGINT) AS n,
+           CAST(sum(pos * (1000 - bin) * (1000 - bin) + neg * bin * bin)
+                AS BIGINT) AS brier_num,
+           CAST(sum(pos * (1000 - bin) * (1000 - bin) + neg * bin * bin)
+                AS DOUBLE)
+             / (1000000.0 * CAST(sum(pos) + sum(neg) AS DOUBLE)) AS brier
+    FROM per
+    """,
+)
+def q_brier_score(spark, sf):
+    """Score = embedding[0] quantized to 3 decimals, positive = label
+    >= 5 (the binary_auc_exact conventions — deliberately, so the two
+    metrics demonstrably share one drain state). brier_num rides
+    decimal(38,0) in the operator (int64-safe past ~1e13 rows); cast
+    to bigint here only for the driver's pandas hashing."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import binned_brier
+
+    e = _t(spark, sf, "embeddings")
+    score_bin = F.floor(F.element_at("embedding", 1).cast("double") * 1000)
+    out = binned_brier(e, score_bin, F.col("label") >= 5)
+    return out.withColumn("brier_num", F.col("brier_num").cast("bigint"))
+
+
+@_q(
+    "resample_ffill_daily",
+    "Per-user daily-grid resample with forward fill (the as-of view "
+    "of an irregular event series): one row per day between a user's "
+    "first and last event carrying the most recent event's value — "
+    "grid explode + ONE key-partitioned window, never the quadratic "
+    "per-point as-of range join",
+    "extension: time-series resampling (operators/intervals.py "
+    "resample_ffill)",
+    """
+    WITH obs AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec,
+             value, event_id
+      FROM events
+    ),
+    bounds AS (
+      SELECT user_id,
+             CAST(ceil(CAST(min(sec) AS DOUBLE) / 86400) AS BIGINT) * 86400 AS lo,
+             CAST(floor(CAST(max(sec) AS DOUBLE) / 86400) AS BIGINT) * 86400 AS hi
+      FROM obs GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(range(lo, hi + 1, 86400)) AS sec
+      FROM bounds WHERE hi >= lo
+    ),
+    u AS (
+      SELECT user_id, sec, value, 0 AS is_grid, event_id FROM obs
+      UNION ALL
+      SELECT user_id, sec, NULL, 1, NULL FROM grid
+    ),
+    f AS (
+      SELECT user_id, sec, is_grid,
+             last_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY sec, is_grid, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+      FROM u
+    )
+    SELECT user_id, sec AS grid_sec, value FROM f WHERE is_grid = 1
+    """,
+)
+def q_resample_ffill_daily(spark, sf):
+    """Epoch seconds = floor(unix_micros/1e6) (exact in double);
+    same-second ties resolve by event_id both engines."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.intervals import resample_ffill
+
+    e = _t(spark, sf, "events")
+    sec = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000)
+    ).cast("bigint")
+    return resample_ffill(
+        e, "user_id", sec, "value", step=86400, order_col="event_id"
+    )
+
+
 
 # ---------------------------------------------------------------------
 

@@ -49,6 +49,7 @@ ALLOW_CARTESIAN = {
     # broadcast queries non-equi-joined onto the corpus (the corpus
     # never shuffles) — same designed BNLJ as cosine_topk/ann_topk_srp.
     "retrieval_eval_mrr",
+    "retrieval_eval_universe",  # same brute_force_topk scalar broadcast
     # 1-row bloom-bitmap relation broadcast onto the corpus scan.
     "bloom_decontaminate",
     # broadcast-queries pattern (tiny labeled query slice, same shape

@@ -63,3 +63,42 @@ def test_tie_on_start_is_deterministic(spark):
     # row oid=1 [0,5] first, oid=2 [0,10] continues island; [11,12] is
     # beyond max end 10 → new island
     assert _islands(spark, rows) == [("a", 0, 10, 2), ("a", 11, 12, 1)]
+
+
+# ------------------------------------------------- resample_ffill
+
+def _rs(spark, rows):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.intervals import resample_ffill
+
+    df = spark.createDataFrame(rows, "k string, sec long, v double, oid long")
+    return resample_ffill(df, "k", "sec", "v", step=10, order_col="oid")
+
+
+def test_resample_carries_last_value_forward(spark):
+    out = _rs(spark, [("a", 5, 1.0, 1), ("a", 17, 2.0, 2), ("a", 38, 3.0, 3)])
+    got = sorted((r.grid_sec, r.v) for r in out.collect())
+    # grid aligned to multiples of 10 within [ceil(5/10)*10, floor(38/10)*10]
+    assert got == [(10, 1.0), (20, 2.0), (30, 2.0)]
+
+
+def test_resample_same_second_ties_break_by_order(spark):
+    out = _rs(spark, [("a", 10, 1.0, 1), ("a", 10, 9.0, 2), ("a", 25, 5.0, 3)])
+    got = dict((r.grid_sec, r.v) for r in out.collect())
+    assert got[10] == 9.0  # the higher-order observation wins
+    assert got[20] == 9.0
+
+
+def test_resample_null_values_do_not_overwrite(spark):
+    out = _rs(spark, [("a", 8, 4.0, 1), ("a", 19, None, 2), ("a", 30, 7.0, 3)])
+    got = dict((r.grid_sec, r.v) for r in out.collect())
+    # the NULL at 19 does not clobber 4.0; the 7.0 lands exactly ON
+    # grid point 30 (observations sort before the marker at a second)
+    assert got == {10: 4.0, 20: 4.0, 30: 7.0}
+
+
+def test_resample_short_span_and_key_independence(spark):
+    out = _rs(spark, [("a", 12, 1.0, 1), ("a", 13, 2.0, 2),  # span < step
+                      ("b", 0, 5.0, 3), ("b", 20, 6.0, 4)])
+    rows = sorted((r.k, r.grid_sec, r.v) for r in out.collect())
+    # key a: ceil(12/10)*10=20 > floor(13/10)*10=10 -> no grid rows
+    assert rows == [("b", 0, 5.0), ("b", 10, 5.0), ("b", 20, 6.0)]

@@ -269,3 +269,62 @@ def test_grouped_auc_segment_isolation(spark):
         return out.filter("seg = 'x'").collect()[0].auc
 
     assert auc_x(base + noise1) == auc_x(base + noise2)
+
+
+# ------------------------------------------------- brier_from_bins
+
+def test_brier_hand_computed(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import binned_brier
+
+    # p-hat in {0.0, 0.5, 1.0} via scale=2: brier = mean((p-y)^2)
+    rows = [
+        (0, True),   # (0/2 - 1)^2 = 1
+        (1, True),   # (1/2 - 1)^2 = 0.25
+        (1, False),  # (1/2 - 0)^2 = 0.25
+        (2, True),   # (2/2 - 1)^2 = 0
+        (2, False),  # (2/2 - 0)^2 = 1
+    ]
+    df = spark.createDataFrame(rows, "sbin long, pos boolean")
+    r = binned_brier(df, "sbin", "pos", scale=2).collect()[0]
+    assert (r.n, int(r.brier_num)) == (5, 10)  # scale^2 * sum = 4*2.5
+    assert r.brier == 10 / (4 * 5)
+
+
+def test_brier_rides_the_same_drain_state_as_auc(spark, tmp_path):
+    """One streaming accumulator funds BOTH metrics: drain batches into
+    auc_bins, finish with auc_from_bins AND brier_from_bins, and both
+    must equal their one-shot batch computation."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import (
+        auc_from_bins,
+        binned_auc,
+        binned_brier,
+        brier_from_bins,
+    )
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import run_auc_drain
+
+    rows = [(i % 997, i % 3 == 0) for i in range(4000)]
+    full = spark.createDataFrame(rows, "sbin long, pos boolean")
+    cat = Catalog(spark, tmp_path / "wh")
+    for e in range(4):
+        batch = spark.createDataFrame(rows[e::4], "sbin long, pos boolean")
+        run_auc_drain(cat, batch, epoch=e, score_bin_col="sbin",
+                      positive_col="pos", binning="identity")
+    state = cat.table("auc_bins").read()
+    assert auc_from_bins(state).collect() == binned_auc(full, "sbin", "pos").collect()
+    got = brier_from_bins(state).collect()[0]
+    want = binned_brier(full, "sbin", "pos").collect()[0]
+    assert (got.n, got.brier_num, got.brier) == (want.n, want.brier_num, want.brier)
+
+
+def test_brier_empty_and_null_exclusion(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.metrics import binned_brier
+
+    empty = spark.createDataFrame([], "sbin long, pos boolean")
+    r = binned_brier(empty, "sbin", "pos").collect()[0]
+    assert (r.n, r.brier) == (0, None)
+    withnulls = spark.createDataFrame(
+        [(None, True), (500, None), (1000, True)], "sbin long, pos boolean"
+    )
+    r = binned_brier(withnulls, "sbin", "pos").collect()[0]
+    assert (r.n, r.brier) == (1, 0.0)  # only the (1000, True) row counts
