@@ -186,3 +186,74 @@ def resample_ffill(
             F.col("__f").alias(value_col),
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_sec_col: str,
+    right_sec_col: str,
+    value_cols: "list[str]",
+    order_col: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: attach to every left row the LATEST right
+    row with the same key and right time <= left time (inclusive) —
+    the point-in-time lookup behind feature joins ("the user's last
+    click before this purchase"), quote/trade alignment, and SCD
+    state-at-event reads.
+
+    Scale shape: the classic formulation is a per-row range join
+    (quadratic per key); this is the union trick — tag both sides,
+    ONE window over the key partition ordered by (sec, side, order)
+    carrying the right payload forward — so each key streams through
+    a single sort, exactly like ``resample_ffill``.
+
+    Determinism: right rows sharing (key, sec) resolve by
+    ``order_col`` (required when such ties are possible); right rows
+    AT the left row's second count as "<=" (right sorts before left
+    at the same second). Right rows where EVERY value column is NULL
+    still advance the as-of state (they are a real observation).
+    Returns the left rows plus ``<value_col><suffix>`` columns (NULL
+    when no right row precedes).
+    """
+    payload = F.struct(*[F.col(c) for c in value_cols])
+    r = right.select(
+        F.col(key_col),
+        F.col(right_sec_col).cast("bigint").alias("__sec"),
+        payload.alias("__p"),
+        F.lit(0).alias("__side"),
+        (F.col(order_col) if order_col else F.lit(0)).alias("__ord"),
+        *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        F.col(key_col),
+        F.col(left_sec_col).cast("bigint").alias("__sec"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__ord"].dataType).alias("__ord"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    # align the null-literal left-column placeholders on the right side
+    # to the real left column types (positional unionByName cast)
+    r = r.select(
+        key_col, "__sec", "__p", "__side", "__ord",
+        *[
+            F.col(f"__l_{c}").cast(dict(l.dtypes)[f"__l_{c}"]).alias(f"__l_{c}")
+            for c in left.columns
+        ],
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__sec", "__side", "__ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        r.unionByName(l)
+        .withColumn("__state", F.last("__p", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    keep = [F.col(f"__l_{c}").alias(c) for c in left.columns]
+    vals = [F.col("__state")[c].alias(f"{c}{suffix}") for c in value_cols]
+    return out.select(*keep, *vals)

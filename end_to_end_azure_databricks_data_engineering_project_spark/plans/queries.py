@@ -7829,6 +7829,68 @@ def q_resample_ffill_daily(spark, sf):
     )
 
 
+@_q(
+    "asof_join_click",
+    "Backward AS-OF join: attach to every purchase the user's most "
+    "recent click value at or before it (point-in-time feature "
+    "lookup) — the union trick: tag both sides, ONE key-partitioned "
+    "window carries the right payload forward, so each key streams "
+    "through a single sort instead of the quadratic per-row range "
+    "join",
+    "extension: as-of / point-in-time join (operators/intervals.py "
+    "asof_join)",
+    """
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec,
+             event_id, value, event_type
+      FROM events
+    ),
+    u AS (
+      SELECT user_id, sec, 0 AS side, event_id AS ord,
+             struct_pack(v := value) AS p,
+             NULL::BIGINT AS l_event_id, NULL::DOUBLE AS l_value
+      FROM e WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, sec, 1, NULL, NULL, event_id, value
+      FROM e WHERE event_type = 'purchase'
+    ),
+    f AS (
+      SELECT user_id, sec, side, l_event_id, l_value,
+             last_value(p IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY sec, side, ord
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st
+      FROM u
+    )
+    SELECT user_id, sec, l_event_id AS event_id, l_value AS value,
+           st.v AS value_click
+    FROM f WHERE side = 1
+    """,
+)
+def q_asof_join_click(spark, sf):
+    """Right rows at the purchase's own second count as <= (right side
+    sorts before left at a tie); same-second click ties resolve by
+    event_id in BOTH engines."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.intervals import asof_join
+
+    e = _t(spark, sf, "events").withColumn(
+        "sec",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000)
+        ).cast("bigint"),
+    )
+    purchases = e.filter("event_type = 'purchase'").select(
+        "user_id", "sec", "event_id", "value"
+    )
+    clicks = e.filter("event_type = 'click'").select(
+        "user_id", "sec", "event_id", "value"
+    )
+    return asof_join(
+        purchases, clicks, "user_id", "sec", "sec",
+        value_cols=["value"], order_col="event_id", suffix="_click",
+    )
+
+
 
 # ---------------------------------------------------------------------
 

@@ -102,3 +102,51 @@ def test_resample_short_span_and_key_independence(spark):
     rows = sorted((r.k, r.grid_sec, r.v) for r in out.collect())
     # key a: ceil(12/10)*10=20 > floor(13/10)*10=10 -> no grid rows
     assert rows == [("b", 0, 5.0), ("b", 10, 5.0), ("b", 20, 6.0)]
+
+
+# ------------------------------------------------- asof_join
+
+def _aj(spark, lrows, rrows):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.intervals import asof_join
+
+    l = spark.createDataFrame(lrows, "k string, sec long, lid long")
+    r = spark.createDataFrame(rrows, "k string, sec long, rid long, v double")
+    return asof_join(l, r, "k", "sec", "sec",
+                     value_cols=["v", "rid"], order_col="rid")
+
+
+def test_asof_picks_latest_at_or_before(spark):
+    out = _aj(spark,
+              [("a", 10, 1), ("a", 25, 2), ("a", 5, 3)],
+              [("a", 10, 100, 1.0), ("a", 20, 101, 2.0), ("a", 30, 102, 3.0)])
+    got = {r.lid: (r.v_asof, r.rid_asof) for r in out.collect()}
+    assert got == {
+        1: (1.0, 100),   # right AT the left second counts (<=)
+        2: (2.0, 101),
+        3: (None, None),  # nothing precedes
+    }
+
+
+def test_asof_same_second_right_ties_break_by_order(spark):
+    out = _aj(spark, [("a", 10, 1)],
+              [("a", 10, 100, 1.0), ("a", 10, 101, 9.0)])
+    r = out.collect()[0]
+    assert (r.v_asof, r.rid_asof) == (9.0, 101)
+
+
+def test_asof_null_right_value_still_advances_state(spark):
+    out = _aj(spark, [("a", 30, 1)],
+              [("a", 10, 100, 4.0), ("a", 20, 101, None)])
+    r = out.collect()[0]
+    # the null-valued observation at 20 IS the latest state (unlike
+    # resample_ffill's per-column fill, the as-of payload is the row)
+    assert (r.v_asof, r.rid_asof) == (None, 101)
+
+
+def test_asof_keys_are_independent_and_left_preserved(spark):
+    out = _aj(spark,
+              [("a", 10, 1), ("b", 10, 2)],
+              [("a", 5, 100, 1.0)])
+    got = {r.lid: r.rid_asof for r in out.collect()}
+    assert got == {1: 100, 2: None}
+    assert set(out.columns) == {"k", "sec", "lid", "v_asof", "rid_asof"}
