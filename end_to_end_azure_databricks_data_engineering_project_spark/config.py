@@ -28,6 +28,11 @@ class TableConfig:
     scd_type: int = 2  # gold modeling: 2 = history dim, 1 = upsert fact
     from_date: str = ""  # backfill override of the stored watermark
     expectations: dict[str, str] = field(default_factory=dict)
+    # hive-partition the SILVER table on these columns (creation-time
+    # declaration, Delta semantics — the reference's bronze relies on
+    # directory layout for pruning, readme.md:27; this makes the same
+    # layout a first-class silver feature with listing-time pruning)
+    partition_by: tuple[str, ...] = ()
 
     @property
     def qualified_name(self) -> str:

@@ -1554,6 +1554,7 @@ class ManagedTable:
         evolve: bool = False,
         set_props: dict | None = None,
         expect_props: dict | None = None,
+        partition_by: Sequence[str] | None = None,
     ) -> int | None:
         """Append = new snapshot directory: new files land next to
         hardlinked prior files (cheap, no data rewrite). Epoch watermark
@@ -1585,10 +1586,21 @@ class ManagedTable:
         if v < 0:
             # first write: a full manifest; expected_version=-1 keeps
             # the old loud-failure contract if a concurrent writer
-            # commits v0 in between (an append must never replace it)
+            # commits v0 in between (an append must never replace it).
+            # partition_by only matters here — it is a CREATION-time
+            # declaration (Delta semantics); the bound property drives
+            # every later append automatically.
             return self.overwrite(
                 df, epoch, epoch_key, expected_version=-1,
                 set_props=set_props, expect_props=expect_props, op="append",
+                partition_by=partition_by,
+            )
+        if partition_by is not None and list(partition_by) != self.partition_columns():
+            raise ValueError(
+                f"table {self.name}: declared partition_by "
+                f"{list(partition_by)} conflicts with the table's bound "
+                f"partitioning {self.partition_columns()} (fixed at "
+                "creation)"
             )
         df, schema = self._align(df, evolve)
         new_v = self._claim_next_version()

@@ -249,6 +249,8 @@ def silver_flow(
             df, epoch=epoch, epoch_key="autoload_drain",
             set_props={"autoload_drain_wal": digest},
             evolve=bool(promote),
+            # creation-time partitioning declaration (no-op once bound)
+            partition_by=list(cfg.partition_by) or None,
         )
         if committed is None:
             # Epoch already applied. Two distinct cases:

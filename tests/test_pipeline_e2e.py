@@ -330,3 +330,42 @@ def test_streaming_silver_quarantine_routes_bad_rows(spark, tmp_path):
     got = {r.user_name: sorted(r["_failed_expectations"]) for r in quar.collect()}
     assert got == {"b": ["known_tier"], "c": ["valid_key"]}
     assert "_failed_expectations" not in silver.columns
+
+
+def test_partitioned_silver_flow(spark, tmp_path, sources_phase1):
+    """TableConfig.partition_by: the silver table is created hive-
+    partitioned (the reference's directory-layout pruning as a silver
+    feature); incremental drains append into the bound partitioning
+    automatically and listing-time pruning works on the result."""
+    import dataclasses
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import silver_flow
+
+    cfg = dataclasses.replace(TABLE_BY_NAME["dim_user"], partition_by=("country",))
+    store = WatermarkStore(tmp_path / "state")
+    ingest_all(spark, [cfg], {"dim_user": sources_phase1["dim_user"]},
+               str(tmp_path / "bronze"), store)
+    cat = Catalog(spark, tmp_path / "wh")
+    run = silver_flow(spark, cfg, str(tmp_path / "bronze"), cat,
+                      str(tmp_path / "state"))
+    assert run() == 10
+    t = cat.table("silver_dim_user")
+    assert t.partition_columns() == ["country"]
+    names = t._resolve(t.current_version())[0]
+    assert names and all(n.startswith("country=US/") for n in names)
+
+    # incremental batch from a new country drains into its own partition
+    users2 = spark.createDataFrame(
+        [(100 + i, f"user {100 + i}", "DE", "Premium", None, None, T1)
+         for i in range(3)],
+        "user_id int, user_name string, country string, subscription_type"
+        " string, start_date date, end_date date, updated_at timestamp",
+    )
+    ingest_all(spark, [cfg], {"dim_user": users2}, str(tmp_path / "bronze"), store)
+    assert run() == 3
+    assert t.read().count() == 13
+    pruned = t.pruned_files({"country": ("DE", "DE")})
+    assert len(pruned) < len(t.data_files())
+    got = t.read_pruned({"country": ("DE", "DE")})
+    assert got.count() == 3 and set(got.columns) == set(t.read().columns)
