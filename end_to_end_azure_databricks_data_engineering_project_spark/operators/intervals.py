@@ -140,13 +140,16 @@ def resample_ffill(
     Returns (key_col, out_sec, value_col).
     """
     sec = F.col(sec_col) if isinstance(sec_col, str) else sec_col
+    # NULL-second rows are DROPPED: Spark's ascending window puts NULLS
+    # FIRST, so an unfiltered null-ts observation would forward-fill as
+    # the "earliest" state (and diverge from NULLS LAST engines)
     obs = df.select(
         F.col(key_col),
         sec.cast("bigint").alias("__sec"),
         F.col(value_col).alias("__v"),
         F.lit(0).alias("__is_grid"),
         (F.col(order_col) if order_col else F.lit(0)).alias("__ord"),
-    )
+    ).filter(F.col("__sec").isNotNull())
     # grid bounds: first grid point = ceil(min/step)*step (guaranteed
     # >= an observation, so it carries a value), last = floor(max/step)
     # *step; exact in double while sec < 2^53
@@ -218,15 +221,31 @@ def asof_join(
     Returns the left rows plus ``<value_col><suffix>`` columns (NULL
     when no right row precedes).
     """
+    clashes = [c for c in value_cols if f"{c}{suffix}" in left.columns]
+    if clashes or len(set(value_cols)) != len(value_cols):
+        # a silent duplicate column surfaces later as AMBIGUOUS_REFERENCE
+        # far from the cause — fail at the call site instead
+        raise ValueError(
+            f"asof_join: output column(s) "
+            f"{[f'{c}{suffix}' for c in clashes] or value_cols} collide; "
+            "pass a different suffix"
+        )
     payload = F.struct(*[F.col(c) for c in value_cols])
+    # NULL-second rows are DROPPED on both sides: Spark's NULLS FIRST
+    # window order would make a null-ts right row the baseline state
+    # for EVERY left row ("<= any time"), and a null-ts left row's
+    # result would be engine-ordering-dependent
     r = right.select(
         F.col(key_col),
         F.col(right_sec_col).cast("bigint").alias("__sec"),
         payload.alias("__p"),
         F.lit(0).alias("__side"),
         (F.col(order_col) if order_col else F.lit(0)).alias("__ord"),
-        *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
-    )
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+            for c in left.columns
+        ],
+    ).filter(F.col("__sec").isNotNull())
     l = left.select(
         F.col(key_col),
         F.col(left_sec_col).cast("bigint").alias("__sec"),
@@ -234,16 +253,7 @@ def asof_join(
         F.lit(1).alias("__side"),
         F.lit(None).cast(r.schema["__ord"].dataType).alias("__ord"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
-    )
-    # align the null-literal left-column placeholders on the right side
-    # to the real left column types (positional unionByName cast)
-    r = r.select(
-        key_col, "__sec", "__p", "__side", "__ord",
-        *[
-            F.col(f"__l_{c}").cast(dict(l.dtypes)[f"__l_{c}"]).alias(f"__l_{c}")
-            for c in left.columns
-        ],
-    )
+    ).filter(F.col("__sec").isNotNull())
     w = (
         Window.partitionBy(key_col)
         .orderBy("__sec", "__side", "__ord")

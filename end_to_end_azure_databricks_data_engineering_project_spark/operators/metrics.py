@@ -360,11 +360,17 @@ def brier_from_bins(bins: DataFrame, scale: int = 1000) -> DataFrame:
         ).alias("n"),
         F.coalesce(
             F.sum(
+                # squares as DECIMAL multiplies, never F.pow: pow is an
+                # IEEE double and rounds past 2^53, silently breaking
+                # the exact-integer contract (and parity with the SQL
+                # twin's exact product) for large quantized bins
                 (
                     F.col("pos").cast("decimal(38,0)")
-                    * F.pow(F.lit(scale) - F.col("bin"), 2).cast("decimal(38,0)")
+                    * (F.lit(scale) - F.col("bin")).cast("decimal(38,0)")
+                    * (F.lit(scale) - F.col("bin")).cast("decimal(38,0)")
                     + F.col("neg").cast("decimal(38,0)")
-                    * F.pow(F.col("bin"), 2).cast("decimal(38,0)")
+                    * F.col("bin").cast("decimal(38,0)")
+                    * F.col("bin").cast("decimal(38,0)")
                 )
             ),
             F.lit(0).cast("decimal(38,0)"),

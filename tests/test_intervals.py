@@ -150,3 +150,27 @@ def test_asof_keys_are_independent_and_left_preserved(spark):
     got = {r.lid: r.rid_asof for r in out.collect()}
     assert got == {1: 100, 2: None}
     assert set(out.columns) == {"k", "sec", "lid", "v_asof", "rid_asof"}
+
+
+def test_resample_and_asof_drop_null_seconds(spark):
+    """Review-caught: Spark sorts NULLS FIRST ascending, so an
+    unfiltered null-second row would become the 'earliest' state and
+    forward-fill everything (and diverge from NULLS LAST engines)."""
+    out = _rs(spark, [("a", None, 99.0, 1), ("a", 8, 4.0, 2), ("a", 21, 5.0, 3)])
+    got = dict((r.grid_sec, r.v) for r in out.collect())
+    assert got == {10: 4.0, 20: 4.0}  # 99.0 never surfaces
+    out2 = _aj(spark, [("a", 10, 1), ("a", None, 2)],
+               [("a", None, 100, 7.0), ("a", 30, 101, 8.0)])
+    rows = {r.lid: r.v_asof for r in out2.collect()}
+    assert rows == {1: None}  # null-sec right never baselines; null-sec left dropped
+
+
+def test_asof_suffix_collision_refused(spark):
+    import pytest as _pytest
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.intervals import asof_join
+
+    l = spark.createDataFrame([("a", 1, 2.0)], "k string, sec long, v_asof double")
+    r = spark.createDataFrame([("a", 1, 3.0)], "k string, sec long, v double")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(l, r, "k", "sec", "sec", value_cols=["v"])
