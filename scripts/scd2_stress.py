@@ -64,10 +64,12 @@ def _batch(spark, n_rows: int, n_keys: int, seq_base: int, hot_key_rows: int = 0
 
 
 def _file_split(table: ManagedTable) -> tuple[int, int]:
-    vdir = table._version_dir(table.current_version())
-    names = [f.name for f in vdir.glob("*.parquet")]
-    carried = sum(1 for n in names if n.startswith("prior_"))
-    return len(names) - carried, carried
+    # stable-file-store layout: the manifest records exactly what this
+    # commit wrote (added) vs carried by reference (members - added)
+    m = table._manifest(table.current_version())
+    total = len(table._resolve(table.current_version())[0])
+    rewrote = len(m["added"])
+    return rewrote, total - rewrote
 
 
 def _merge(table, batch, label):
