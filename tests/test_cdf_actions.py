@@ -110,3 +110,50 @@ def test_vacuum_ages_out_change_data_with_its_version(spark, tmp_path):
     _merge(t, spark, [(50, "c", 9)])
     feed = t.changes_since(v, keys=["k"])
     assert {r["_change_type"] for r in feed.collect()} == {"update_pre", "update_post"}
+
+
+def test_streaming_cdc_into_cdf_table_emits_change_feed(spark, tmp_path):
+    """End-to-end: a TRUE streaming CDC pipeline (bronze file stream ->
+    foreachBatch SCD2 merge) against a CDF-enabled gold table — every
+    merge micro-batch materializes cdc files + protocol actions, and
+    the engine feed off them matches the SCD2 history."""
+    import datetime as dt
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.config import TABLE_BY_NAME
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import cdc_stream
+
+    T0 = dt.datetime(2025, 1, 1)
+    T1 = dt.datetime(2025, 6, 1)
+    cfg = TABLE_BY_NAME["dim_artist"]
+    src = tmp_path / "bronze" / "dim_artist"
+    cat = Catalog(spark, tmp_path / "wh")
+    # pre-create the gold table CDF-enabled (empty, the stream merges in)
+    gold = cat.table("gold_dim_artist")
+    gold.overwrite(
+        spark.createDataFrame([(0, "seed", "Pop", "US", T0)], cfg.spark_schema)
+        .withColumn("__START_AT", F.col("updated_at"))
+        .withColumn("__END_AT", F.lit(None).cast("timestamp")),
+        enable_cdf=True,
+    )
+    spark.createDataFrame(
+        [(1, "a", "Pop", "US", T0)], cfg.spark_schema
+    ).write.parquet(str(src / "run=1"))
+    q = cdc_stream(spark, cfg, str(tmp_path / "bronze"), cat, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    v_after_first = gold.current_version()
+    spark.createDataFrame(
+        [(1, "a", "Jazz", "US", T1)], cfg.spark_schema
+    ).write.parquet(str(src / "run=2"))
+    q = cdc_stream(spark, cfg, str(tmp_path / "bronze"), cat, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    # the SCD2 update merge materialized a change feed
+    m = gold._manifest(gold.current_version())
+    assert m.get("cdc"), "streaming merge on a CDF table must emit cdc files"
+    d = gold._pointer_state()["delta"]["version"]
+    assert any("cdc" in a for a in deltalog.read_actions(gold.dir, d))
+    feed = gold.changes_since(v_after_first, keys=["artist_id", "__START_AT"])
+    got = {(r.artist_id, r.genre, r["_change_type"]) for r in feed.collect()}
+    # closing the old version = update (same key+start, END_AT set);
+    # the new open version = insert
+    assert (1, "Jazz", "insert") in got
+    assert (1, "Pop", "update_pre") in got and (1, "Pop", "update_post") in got
