@@ -48,6 +48,10 @@ EXTENDED = [
     "bpe_learn_merges",    # tokenizer induction (4 merge rounds)
     "bpe_encode",          # tokenizer application (vocab replay + join-back)
     "interval_islands",    # interval algebra monoid
+    # r10 table machinery: partitioned build + listing-time prune, and
+    # the full delta-log round-trip (write ops + independent replay)
+    "partition_prune_year",
+    "delta_log_roundtrip",
 ]
 
 
