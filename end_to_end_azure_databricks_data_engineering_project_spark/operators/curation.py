@@ -68,6 +68,75 @@ def sequence_packing(
     )
 
 
+def pack_segments(
+    docs: DataFrame,
+    budget: int = 256,
+    shard_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Segment-level sequence packing — the dataloader's view of
+    concat-and-chunk: lay each shard's documents out end to end in
+    ``id_col`` order and cut the token stream every ``budget`` tokens;
+    emit one row per (document × pack it crosses) with the
+    DOC-RELATIVE token slice that lands in that pack. Where
+    ``sequence_packing`` summarizes packs, this materializes the
+    assignment a training job actually reads: packs are reassembled by
+    grouping on (shard, seq_id) and slicing each doc's tokens
+    [off_from, off_to).
+
+    Scale shape: the running token sum is a window PARTITIONED BY the
+    shard column (each shard packs independently — no global sort, no
+    single-partition window), and a document's segment rows come from
+    a bounded sequence-explode over the packs it spans (a doc of T
+    tokens crosses at most T/budget + 1 packs). All arithmetic is
+    exact integers. NULL/blank-text documents are excluded (nothing to
+    pack — and a zero-length doc must not reach the explode, where an
+    inverted sequence bound would fabricate phantom segments)."""
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(shard_col).alias("shard"),
+            F.col(id_col),
+            token_count(F.col(text_col)).cast("bigint").alias("_cnt"),
+        )
+        .filter(F.col("_cnt") > 0)
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    laid = base.withColumn(
+        "_start", F.coalesce(F.sum("_cnt").over(w), F.lit(0))
+    )
+    b = F.lit(budget)
+    seg = laid.select(
+        "shard",
+        id_col,
+        "_cnt",
+        "_start",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_start") / b).cast("bigint"),
+                F.floor((F.col("_start") + F.col("_cnt") - 1) / b).cast("bigint"),
+            )
+        ).alias("seq_id"),
+    )
+    return seg.select(
+        "shard",
+        "seq_id",
+        id_col,
+        (
+            F.greatest(F.col("_start"), F.col("seq_id") * b) - F.col("_start")
+        ).cast("bigint").alias("off_from"),
+        (
+            F.least(F.col("_start") + F.col("_cnt"), (F.col("seq_id") + 1) * b)
+            - F.col("_start")
+        ).cast("bigint").alias("off_to"),
+    )
+
+
 def quota_per_group(
     docs: DataFrame,
     group_col: str = "source",

@@ -7891,6 +7891,47 @@ def q_asof_join_click(spark, sf):
     )
 
 
+@_q(
+    "pack_segments_2048",
+    "Segment-level sequence packing (the dataloader's view of GPT-"
+    "style concat-and-chunk): per-lang document streams cut every "
+    "2048 tokens, one row per (document x pack it crosses) with the "
+    "doc-relative token slice — the materialized assignment a "
+    "training job reads, exact integers throughout",
+    "extension: training-data curation (operators/curation.py "
+    "pack_segments)",
+    r"""
+    WITH d AS (
+      SELECT lang, doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS cnt
+      FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    c AS (
+      SELECT lang, doc_id, cnt,
+             coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+      FROM d
+    ),
+    seg AS (
+      SELECT lang, doc_id, cnt, st,
+             unnest(range(CAST(st // 2048 AS BIGINT),
+                          CAST((st + cnt - 1) // 2048 + 1 AS BIGINT))) AS seq_id
+      FROM c
+    )
+    SELECT lang AS shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(greatest(st, seq_id * 2048) - st AS BIGINT) AS off_from,
+           CAST(least(st + cnt, (seq_id + 1) * 2048) - st AS BIGINT) AS off_to
+    FROM seg
+    """,
+)
+def q_pack_segments_2048(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.curation import pack_segments
+
+    docs = _t(spark, sf, "documents")
+    return pack_segments(docs, budget=2048, shard_col="lang")
+
+
 
 # ---------------------------------------------------------------------
 

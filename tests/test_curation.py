@@ -283,3 +283,39 @@ def test_temperature_mixture_upweights_small_domains(spark):
     # determinism under repartition
     again = temperature_mixture_sample(docs.repartition(7), "source", target_total=90)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_pack_segments_slices_and_conservation(spark):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.curation import pack_segments
+
+    # shard "x": 3+4+5 = 12 tokens, budget 5 -> packs [0..5),[5..10),[10..12)
+    rows = [
+        ("x", 1, "a b c"),            # start 0, [0,3) in pack 0
+        ("x", 2, "d e f g"),          # start 3, [3,5) p0 + [5,7) p1
+        ("x", 3, "h i j k l"),        # start 7, [7,10) p1 + [10,12) p2
+        ("y", 9, "z z z z z z"),      # own shard: 6 tokens -> p0 + p1
+        ("y", 10, "",),               # blank: excluded entirely
+        ("y", 11, None),              # null: excluded entirely
+    ]
+    docs = spark.createDataFrame(rows, "lang string, doc_id long, text string")
+    out = pack_segments(docs, budget=5, shard_col="lang").collect()
+    got = sorted((r.shard, r.seq_id, r.doc_id, r.off_from, r.off_to) for r in out)
+    assert got == [
+        ("x", 0, 1, 0, 3),
+        ("x", 0, 2, 0, 2),
+        ("x", 1, 2, 2, 4),
+        ("x", 1, 3, 0, 3),
+        ("x", 2, 3, 3, 5),
+        ("y", 0, 9, 0, 5),
+        ("y", 1, 9, 5, 6),
+    ]
+    # conservation: every doc's segments tile its tokens exactly, and
+    # every pack except a shard's last holds exactly `budget` tokens
+    per_doc = {}
+    per_pack = {}
+    for s_, q, d, a, b in got:
+        per_doc[d] = per_doc.get(d, 0) + (b - a)
+        per_pack[(s_, q)] = per_pack.get((s_, q), 0) + (b - a)
+    assert per_doc == {1: 3, 2: 4, 3: 5, 9: 6}
+    assert per_pack == {("x", 0): 5, ("x", 1): 5, ("x", 2): 2,
+                        ("y", 0): 5, ("y", 1): 1}
