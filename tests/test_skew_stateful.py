@@ -153,3 +153,40 @@ def test_running_user_stats_transformwithstate(spark, tmp_path):
         for u in (0, 1, 2)
     }
     assert got == expected
+
+
+def test_distributed_row_number_matches_global_window(spark):
+    """Range-partitioned ranking with per-range offsets must assign
+    EXACTLY row_number() over a global orderBy — independent of where
+    the range sampler places boundaries — without the single-partition
+    window (the r9 verdict's last design flag, closed in bpe_encode)."""
+    from pyspark.sql import Window
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.skew import distributed_row_number
+
+    df = spark.range(5000).selectExpr(
+        "concat('tok_', CAST((id * 2654435761) % 100000 AS STRING), '_', id) AS token"
+    )
+    got = {
+        r.token: r.rank
+        for r in distributed_row_number(df, ["token"], n_ranges=13).collect()
+    }
+    w = Window.partitionBy().orderBy("token")
+    import pyspark.sql.functions as F2
+
+    want = {
+        r.token: r.rank
+        for r in df.withColumn("rank", F2.row_number().over(w)).collect()
+    }
+    assert got == want
+    # partitioning-independent
+    got2 = {
+        r.token: r.rank
+        for r in distributed_row_number(
+            df.repartition(17), ["token"], n_ranges=5
+        ).collect()
+    }
+    assert got2 == want
+    # empty input
+    empty = spark.createDataFrame([], "token string")
+    assert distributed_row_number(empty, ["token"]).count() == 0
