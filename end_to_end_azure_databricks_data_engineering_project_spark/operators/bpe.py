@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import tokens
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.skew import distributed_row_number
 
 __all__ = [
     "bpe_word_counts",
@@ -220,7 +221,9 @@ def bpe_encode(
     ``skew.distributed_row_number`` — range-partitioned parallel
     ranking with per-range offsets, so even a vocabulary far past
     Heaps-law expectations never funnels through one sort task (the
-    r9 verdict's last design flag).
+    r9 verdict's last design flag). NOTE this makes the call EAGER:
+    the offsets collect materializes the distinct-word replay (vocab-
+    sized checkpoint) when bpe_encode() returns, not at first action.
     """
     rule_rows = sorted(
         rules.select("merge_rank", "lhs", "rhs").collect(),
@@ -247,8 +250,6 @@ def bpe_encode(
     if not rule_rows:
         out = words.select("w", _padded_sym(F.col("w")).alias("_sym"))
     toked = out.select("w", F.split(F.trim("_sym"), " ").alias("_toks"))
-    from end_to_end_azure_databricks_data_engineering_project_spark.operators.skew import distributed_row_number
-
     vocab = distributed_row_number(
         toked.select(F.explode("_toks").alias("token")).distinct(),
         ["token"],

@@ -75,7 +75,7 @@ def pack_segments(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Segment-level sequence packing — the dataloader's view of
+    r"""Segment-level sequence packing — the dataloader's view of
     concat-and-chunk: lay each shard's documents out end to end in
     ``id_col`` order and cut the token stream every ``budget`` tokens;
     emit one row per (document × pack it crosses) with the
@@ -92,13 +92,21 @@ def pack_segments(
     tokens crosses at most T/budget + 1 packs). All arithmetic is
     exact integers. NULL/blank-text documents are excluded (nothing to
     pack — and a zero-length doc must not reach the explode, where an
-    inverted sequence bound would fabricate phantom segments)."""
+    inverted sequence bound would fabricate phantom segments). Tokens
+    are non-whitespace runs (``\S+`` extraction, NOT a split): a
+    whitespace-only doc counts 0 — split-based counting sees 2 phantom
+    boundary tokens on e.g. "\n" and would shift every later doc's
+    prefix sum in the shard."""
+    if budget < 1:
+        raise ValueError(f"pack_segments: budget must be >= 1, got {budget}")
     base = (
         docs.filter(F.col(text_col).isNotNull())
         .select(
             F.col(shard_col).alias("shard"),
             F.col(id_col),
-            token_count(F.col(text_col)).cast("bigint").alias("_cnt"),
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+            ).cast("bigint").alias("_cnt"),
         )
         .filter(F.col("_cnt") > 0)
     )

@@ -206,6 +206,18 @@ def distributed_row_number(
     not contain NULLs (range partitioning on a NULL key is
     engine-defined).
     """
+    reserved = {"__pid", out_col}
+    bad = sorted(
+        {c for c in df.columns if c in reserved}
+        | ({out_col} if out_col in ("__pid", *order_cols) else set())
+    )
+    if bad:
+        # a silent withColumn overwrite (then drop) would eat a user
+        # column — a generic public helper must refuse instead
+        raise ValueError(
+            f"distributed_row_number: column name(s) {bad} collide with "
+            "the helper's working/output columns — rename before ranking"
+        )
     parts = (
         df.repartitionByRange(n_ranges, *[F.col(c).asc() for c in order_cols])
         .withColumn("__pid", F.spark_partition_id())
@@ -224,7 +236,24 @@ def distributed_row_number(
         omap = F.create_map(
             *[x for pid, off in sorted(offsets.items()) for x in (F.lit(pid), F.lit(off))]
         )
-        off_expr = F.coalesce(omap[F.col("__pid")], F.lit(0))
+        # a pid MISSING from the map means the ranking job saw a
+        # different boundary draw than the counts job — the pinned-
+        # checkpoint invariant was broken. Coalescing to 0 would
+        # silently duplicate range 0's ids; fail loudly instead.
+        off_expr = F.when(
+            omap[F.col("__pid")].isNotNull(), omap[F.col("__pid")]
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "distributed_row_number: partition id absent from "
+                        "the counts map (boundary draw changed between "
+                        "jobs?) pid="
+                    ),
+                    F.col("__pid").cast("string"),
+                )
+            )
+        )
     else:  # empty relation: no offsets to attach
         off_expr = F.lit(0)
     w = Window.partitionBy("__pid").orderBy(*[F.col(c).asc() for c in order_cols])

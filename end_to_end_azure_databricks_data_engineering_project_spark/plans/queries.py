@@ -7903,9 +7903,9 @@ def q_asof_join_click(spark, sf):
     r"""
     WITH d AS (
       SELECT lang, doc_id,
-             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS cnt
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS cnt
       FROM documents
-      WHERE text IS NOT NULL AND trim(text) <> ''
+      WHERE text IS NOT NULL
     ),
     c AS (
       SELECT lang, doc_id, cnt,
@@ -7917,7 +7917,7 @@ def q_asof_join_click(spark, sf):
       SELECT lang, doc_id, cnt, st,
              unnest(range(CAST(st // 2048 AS BIGINT),
                           CAST((st + cnt - 1) // 2048 + 1 AS BIGINT))) AS seq_id
-      FROM c
+      FROM c WHERE cnt > 0
     )
     SELECT lang AS shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
            CAST(greatest(st, seq_id * 2048) - st AS BIGINT) AS off_from,

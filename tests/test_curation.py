@@ -319,3 +319,27 @@ def test_pack_segments_slices_and_conservation(spark):
     assert per_doc == {1: 3, 2: 4, 3: 5, 9: 6}
     assert per_pack == {("x", 0): 5, ("x", 1): 5, ("x", 2): 2,
                         ("y", 0): 5, ("y", 1): 1}
+
+
+def test_pack_segments_whitespace_only_docs_excluded(spark):
+    """Review-caught: split-based counting sees 2 phantom boundary
+    tokens on a whitespace-only doc ("\\n" -> ["", ""]), shifting every
+    later doc's prefix sum — \\S+ extraction counts 0 and excludes it."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.curation import pack_segments
+
+    rows = [
+        ("x", 1, "a b"),
+        ("x", 2, "\n"),       # whitespace-only: must not shift doc 3
+        ("x", 3, " \t "),     # ditto
+        ("x", 4, "c d e"),
+    ]
+    docs = spark.createDataFrame(rows, "lang string, doc_id long, text string")
+    out = sorted(
+        (r.doc_id, r.seq_id, r.off_from, r.off_to)
+        for r in pack_segments(docs, budget=5, shard_col="lang").collect()
+    )
+    assert out == [(1, 0, 0, 2), (4, 0, 0, 3)]  # 2+3 = exactly pack 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        pack_segments(docs, budget=0)
