@@ -198,6 +198,7 @@ def bpe_encode(
     rules: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    distributed_vocab_ranking: bool = True,
 ) -> DataFrame:
     """Tokenize a corpus with learned BPE merge rules. Returns the
     exploded token stream ``(id_col, widx, tpos, token, token_id)`` —
@@ -223,7 +224,14 @@ def bpe_encode(
     Heaps-law expectations never funnels through one sort task (the
     r9 verdict's last design flag). NOTE this makes the call EAGER:
     the offsets collect materializes the distinct-word replay (vocab-
-    sized checkpoint) when bpe_encode() returns, not at first action.
+    sized checkpoint) when bpe_encode() returns, not at first action —
+    and localCheckpoint state does not survive executor loss. Callers
+    that need LAZY plan construction (speculative pipelines) and know
+    the token vocabulary is small can pass
+    ``distributed_vocab_ranking=False`` to rank it with a plain
+    single-partition window instead — fully lazy, but the one sort
+    task caps vocabulary scale (that trade, per caller, is exactly
+    why the distributed form is the default).
     """
     rule_rows = sorted(
         rules.select("merge_rank", "lhs", "rhs").collect(),
@@ -250,11 +258,16 @@ def bpe_encode(
     if not rule_rows:
         out = words.select("w", _padded_sym(F.col("w")).alias("_sym"))
     toked = out.select("w", F.split(F.trim("_sym"), " ").alias("_toks"))
-    vocab = distributed_row_number(
-        toked.select(F.explode("_toks").alias("token")).distinct(),
-        ["token"],
-        out_col="token_id",
-    ).withColumn("token_id", F.col("token_id").cast("int"))
+    distinct_tokens = toked.select(F.explode("_toks").alias("token")).distinct()
+    if distributed_vocab_ranking:
+        vocab = distributed_row_number(
+            distinct_tokens, ["token"], out_col="token_id"
+        ).withColumn("token_id", F.col("token_id").cast("int"))
+    else:  # lazy small-vocab path: one sort task, no materialization
+        vocab = distinct_tokens.withColumn(
+            "token_id",
+            F.row_number().over(Window.orderBy(F.col("token").asc())).cast("int"),
+        )
     return (
         stream.join(toked, "w")
         .select(

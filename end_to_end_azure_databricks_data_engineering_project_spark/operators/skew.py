@@ -137,11 +137,19 @@ def zorder_key_n(cols: "list[Column]", bits: int = 10) -> Column:
     sorting by the Z-value keeps rows adjacent in EVERY dimension and
     per-file min/max stats prune on ANY of the columns.
 
-    Same replayable pure-integer arithmetic as ``zorder_key``. Inputs
-    must already be reduced to ``bits``-wide buckets; ``len(cols) *
-    bits`` must stay ≤ 62 to fit int64 — more dimensions trade depth
-    per dimension (the usual Z-order curse: past ~4 columns each gets
-    too few bits to prune well, exactly as Delta's docs warn).
+    Replayable integer arithmetic (``(x >> i) % 2`` — DuckDB spells it
+    ``(x // 2^i) % 2``; both are exact over the full int64 range).
+    Inputs must already be reduced to ``bits``-wide buckets;
+    ``len(cols) * bits`` must stay ≤ 62 to fit int64 — more dimensions
+    trade depth per dimension (the usual Z-order curse: past ~4 columns
+    each gets too few bits to prune well, exactly as Delta's docs warn).
+
+    Bit extraction uses ``F.shiftright`` (exact 64-bit integer shift),
+    NOT double division ``c / 2^i`` — IEEE doubles round past 2^53, so
+    a single-column call with bits in 54..62 would silently compute
+    wrong Z-values under the divide form. For bits ≤ 53 the two forms
+    are bit-identical (the DuckDB oracles recompute via integer ``//``,
+    which agrees with the shift everywhere).
     """
     n = len(cols)
     if n < 1:
@@ -154,7 +162,7 @@ def zorder_key_n(cols: "list[Column]", bits: int = 10) -> Column:
     z = F.lit(0).cast("bigint")
     for i in range(bits):
         for j, c in enumerate(cols):
-            bit = (c.cast("bigint") / F.lit(2**i)).cast("bigint") % 2
+            bit = F.shiftright(c.cast("bigint"), i) % 2
             z = z + bit * F.lit(2 ** (n * i + j))
     return z
 

@@ -1949,7 +1949,12 @@ class ManagedTable:
         m["depth"] = 0
         self._write_manifest_file(v, m)
 
-    def vacuum(self, keep: int = 2) -> None:
+    def vacuum(
+        self,
+        keep: int = 2,
+        prune_epoch_prefixes: Sequence[str] = (),
+        keep_epochs: int = 64,
+    ) -> None:
         """Drop snapshot dirs older than the newest ``keep`` versions,
         prune their ledger entries (recording the prune point in
         ``committed_floor``), and garbage-collect store files no
@@ -1962,7 +1967,20 @@ class ManagedTable:
         reads removed files of retained merge commits), plus any file
         whose name embeds a version above the pointer — those belong
         to an in-flight writer whose commit hasn't landed yet, so GC
-        is safe to run alongside active writers."""
+        is safe to run alongside active writers.
+
+        ``prune_epoch_prefixes``: bound per-event epoch-key namespaces
+        (e.g. ``("alert:",)`` — ``alert_hook`` records one write-once
+        key per (run_id, flow), so a long-lived alerts table's pointer
+        state would otherwise grow without bound and every pointer read
+        would reparse it). For each prefix, all matching keys EXCEPT
+        the ``keep_epochs`` most recently recorded ones are dropped
+        from the pointer's epochs map. Replays of runs older than the
+        retained window lose their idempotence guard (vacuum declares
+        them settled) — the same durability contract as the snapshot
+        prune itself. Cursor-style epoch keys (one monotonic watermark
+        per stream) are naturally bounded and must NOT be pruned —
+        never pass their prefixes here."""
         cur = self.current_version()
         keep_from_rebase = cur - keep + 1
         # retained manifests must not chain below the deletion horizon
@@ -2002,11 +2020,23 @@ class ManagedTable:
                 )
                 self._write_pointer_locked(state)
             committed = state["committed"]
+            dirty = False
             if any(x < keep_from for x in committed):
                 state["committed"] = [x for x in committed if x >= keep_from]
                 state["committed_floor"] = max(
                     state.get("committed_floor", 0), keep_from
                 )
+                dirty = True
+            # bound namespaced per-event epoch keys: JSON object order is
+            # insertion order and these keys are write-once, so the tail
+            # of the iteration order IS the most recently recorded set
+            for prefix in prune_epoch_prefixes:
+                matching = [k for k in state["epochs"] if k.startswith(prefix)]
+                drop = matching[:-keep_epochs] if keep_epochs > 0 else matching
+                for k in drop:
+                    del state["epochs"][k]
+                    dirty = True
+            if dirty:
                 self._write_pointer_locked(state)
         finally:
             self._release_commit_lock(fd)
@@ -2173,10 +2203,18 @@ class ManagedTable:
         """Shallow clone (Delta SHALLOW CLONE): commit the current
         snapshot into ``target`` by hardlinking its store files — zero
         data copy, stats and schema carried over, and the clone's
-        history starts fresh at its own v0+. Store names are globally
-        unique (per-commit random token), so source and target stores
-        never collide; files are immutable, so shared inodes are safe.
-        Target must be empty (a clone is a create, not a merge)."""
+        history starts fresh at its own v0+. Files are immutable, so
+        shared inodes are safe. Target must be empty (a clone is a
+        create, not a merge).
+
+        Linked files are RENAMED to embed the TARGET's claimed version
+        (``f{new_v}-{i}-{token}``, fresh token — collision-free like
+        every store name): the source's names embed ITS possibly much
+        higher versions, and ``_gc_store``'s in-flight guard (name-
+        embedded version > pointer ⇒ spare) would otherwise retain
+        such files long after the clone commit itself was vacuumed —
+        a conservative but unbounded storage leak on clones of
+        long-histories tables."""
         if target.exists():
             raise ValueError(
                 f"clone target {target.name} already has committed versions"
@@ -2203,16 +2241,27 @@ class ManagedTable:
         src_props = dict(state.get("props", {}))
         new_v = target._claim_next_version()
         target.store.mkdir(exist_ok=True)
-        for n in names:
-            dst = target.store / n
+        import uuid as _uuid
+
+        token = _uuid.uuid4().hex[:8]
+        new_names: list[str] = []
+        new_stats: dict[str, dict] = {}
+        for i, n in enumerate(names):
+            sub = str(Path(n).parent)  # keep the hive partition dirs
+            base = f"f{new_v:06d}-{i:05d}-{token}.parquet"
+            nn = base if sub == "." else f"{sub}/{base}"
+            dst = target.store / nn
             dst.parent.mkdir(parents=True, exist_ok=True)
             try:
                 os.link(self.store / n, dst)
             except OSError:
                 shutil.copy2(self.store / n, dst)
+            new_names.append(nn)
+            if n in stats:
+                new_stats[nn] = stats[n]
         target._write_manifest_file(new_v, {
-            "base": None, "depth": 0, "added": list(names), "removed": [],
-            "stats": stats, "files": list(names), "stats_full": stats,
+            "base": None, "depth": 0, "added": new_names, "removed": [],
+            "stats": new_stats, "files": new_names, "stats_full": new_stats,
             "partition_columns": pcols,
         })
         self._copy_schema(cur, target._version_dir(new_v))

@@ -1727,6 +1727,14 @@ def alert_hook(
 
     Compose with the run ledger:
         ``on_event=compose_hooks(run_report_hook(...), alert_hook(...))``
+
+    Maintenance: each alerted (run_id, flow) records one write-once
+    epoch key in the alerts table's pointer state. Bound the map on a
+    long-lived deployment with
+    ``catalog.table("alerts").vacuum(prune_epoch_prefixes=("alert:",))``
+    — it keeps the most recent ``keep_epochs`` alert keys, trading the
+    idempotence guard for runs older than that window (vacuum declares
+    them settled, same contract as the snapshot prune itself).
     """
     table = catalog.table("alerts")
 

@@ -157,3 +157,26 @@ def test_bloom_words_are_signed64(spark):
     assert isinstance(bloom, BloomFilter)
     assert all(-(1 << 63) <= w < (1 << 63) for w in bloom.words)
     assert bloom.m == 64 * len(bloom.words)
+
+
+def test_zorder_key_high_bits_exact(spark):
+    """Bit extraction must be exact INTEGER arithmetic: IEEE-double
+    division rounds past 2^53, so a 1-column interleave with bits in
+    54..62 silently corrupted Z-values under the old (c / 2^i) form
+    (r10 advisor finding). Check against Python's arbitrary-precision
+    ints at the int64 edge."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.skew import zorder_key_n
+
+    bits = 60
+    vals = [0, 1, (1 << 53) + 1, (1 << 57) + 12345, (1 << 60) - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "x: long")
+    got = {
+        r["x"]: r["z"]
+        for r in df.select(
+            "x", zorder_key_n([F.col("x")], bits).alias("z")
+        ).collect()
+    }
+    # n=1 interleave is the identity permutation of the low `bits` bits
+    for v in vals:
+        expect = sum(((v >> i) % 2) * (1 << i) for i in range(bits))
+        assert got[v] == expect == v, (v, got[v])

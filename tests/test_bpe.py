@@ -183,3 +183,18 @@ def test_encode_ids_assembles_document_order(spark):
     # vocab over slice: a=1, b=2
     assert ids[0] == [1, 2, 1, 1]
     assert ids[1] == [2, 1]
+
+
+def test_encode_lazy_vocab_ranking_matches_distributed(spark):
+    """distributed_vocab_ranking=False (the lazy small-vocab opt-out,
+    r10 advisor note on bpe_encode's eagerness) must assign the exact
+    same token ids — both rank the lexicographically ordered vocab."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.bpe import bpe_encode
+
+    docs = _docs(spark, ["low lower lowest low", "new newer newest"])
+    rules = bpe_learn_merges(docs, n_merges=3)
+    a = sorted(map(tuple, bpe_encode(docs, rules).collect()))
+    b = sorted(map(tuple, bpe_encode(
+        docs, rules, distributed_vocab_ranking=False
+    ).collect()))
+    assert a == b and a

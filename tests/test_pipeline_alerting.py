@@ -162,3 +162,37 @@ def test_alert_row_durable_before_broken_notify(spark, tmp_path):
     with pytest.raises(ConnectionError, match="webhook down"):
         _pipe(fail={"silver"}).run_all(on_event=hook)
     assert cat.table("alerts").read().count() == 1
+
+
+def test_vacuum_bounds_alert_epoch_keys(spark, tmp_path):
+    """alert_hook records one write-once epoch key per (run_id, flow);
+    vacuum(prune_epoch_prefixes=("alert:",)) must bound the pointer's
+    epochs map to the most recent keep_epochs alert keys (r10 advisor:
+    unbounded growth, every pointer read reparsing it) while leaving
+    cursor-style keys and the retained keys' idempotence intact."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import alert_hook
+
+    cat = Catalog(spark, tmp_path / "wh")
+    for i in range(7):
+        hook = alert_hook(spark, cat, run_id=f"r{i:02d}")
+        hook({"flow": "gold", "status": "failed",
+              "error": "boom", "seconds": 0.1})
+    alerts = cat.table("alerts")
+    assert alerts.read().count() == 7
+    # a foreign (cursor-style) epoch key must survive the prune
+    alerts.append(
+        alerts.read().limit(1), epoch=99, epoch_key="stream_cursor"
+    )
+    state = alerts._pointer_state()
+    assert sum(k.startswith("alert:") for k in state["epochs"]) == 7
+    alerts.vacuum(keep=2, prune_epoch_prefixes=("alert:",), keep_epochs=3)
+    state = alerts._pointer_state()
+    kept = [k for k in state["epochs"] if k.startswith("alert:")]
+    assert len(kept) == 3
+    assert kept == ["alert:r04:gold", "alert:r05:gold", "alert:r06:gold"]
+    assert state["epochs"]["stream_cursor"] == 99
+    # retained keys still dedup: replaying a retained run is a no-op
+    hook = alert_hook(spark, cat, run_id="r06")
+    hook({"flow": "gold", "status": "failed", "error": "boom",
+          "seconds": 0.1})
+    assert alerts.read().filter("run_id = 'r06'").count() == 1

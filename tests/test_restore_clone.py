@@ -92,10 +92,18 @@ def test_clone_is_shallow_and_isolated(spark, tmp_path):
     src.overwrite(spark.range(10).select(F.col("id").alias("k")))
     src.clone_to(dst)
     assert _rows(dst.read()) == _rows(src.read())
-    # shallow: shared inodes, no data copy (store-to-store hardlinks)
-    src_files = {f.name: os.stat(f).st_ino for f in src.data_files()}
-    dst_files = {f.name: os.stat(f).st_ino for f in dst.data_files()}
-    assert src_files == dst_files and src_files
+    # shallow: shared inodes, no data copy (store-to-store hardlinks).
+    # Names differ by design: clones rename to embed the TARGET's
+    # version, else _gc_store's in-flight guard (embedded v > pointer)
+    # would retain source-named files long after the clone commit is
+    # vacuumed (r10 advisor finding).
+    src_inodes = sorted(os.stat(f).st_ino for f in src.data_files())
+    dst_inodes = sorted(os.stat(f).st_ino for f in dst.data_files())
+    assert src_inodes == dst_inodes and src_inodes
+    assert all(
+        int(f.name.split("-", 1)[0][1:]) <= dst.current_version()
+        for f in dst.data_files()
+    )
     # diverging writes don't interfere
     dst.append(spark.range(10, 12).select(F.col("id").alias("k")))
     assert src.read().count() == 10 and dst.read().count() == 12
@@ -121,3 +129,26 @@ def test_read_at_pins_schema_before_evolution(spark, tmp_path):
     )
     assert "extra" in t.read().columns
     assert t.read_at(v0).columns == ["k"]  # pre-evolution schema pinned
+
+
+def test_vacuumed_clone_files_are_collected(spark, tmp_path):
+    """The r10 advisor leak: cloned files used to keep the SOURCE's
+    name-embedded versions, so _gc_store's in-flight guard (embedded
+    version > pointer => spare) retained them on the target long after
+    the clone commit was vacuumed. With clone-time renaming, replacing
+    the clone's content and vacuuming must actually free the store."""
+    cat = Catalog(spark, tmp_path / "wh")
+    src, dst = cat.table("src3"), cat.table("dst3")
+    src.overwrite(spark.range(10).select(F.col("id").alias("k")))
+    # push the SOURCE's version (and so its store-file names) high
+    for _ in range(4):
+        src.overwrite(spark.range(10).select(F.col("id").alias("k")))
+    src.clone_to(dst)
+    cloned = {f.name for f in dst.data_files()}
+    assert cloned
+    dst.overwrite(spark.range(3).select(F.col("id").alias("k")))
+    dst.vacuum(keep=1)  # clone commit dropped -> its files unreferenced
+    left = {f.name for f in dst.store.glob("*.parquet")}
+    assert not (cloned & left), "vacuum must GC the vacuumed clone's files"
+    # source untouched (hardlinked inodes are per-store directory entries)
+    assert src.read().count() == 10

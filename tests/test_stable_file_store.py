@@ -132,12 +132,17 @@ def test_restore_and_clone_are_metadata_only(spark, tmp_path):
     # restore moved NO data: store unchanged, snapshot = v0's files
     assert len(list(src.store.glob("*.parquet"))) == n_store
     assert sorted(r.k for r in src.read().collect()) == list(range(10))
-    # clone: hardlinks only (shared inodes), stats carried
+    # clone: hardlinks only (shared inodes), stats carried; names are
+    # REWRITTEN to embed the target's version (GC in-flight guard)
     dst = cat.table("dst")
     src.clone_to(dst)
-    assert {f.name: os.stat(f).st_ino for f in dst.data_files()} == {
-        f.name: os.stat(f).st_ino for f in src.data_files()
-    }
+    assert sorted(os.stat(f).st_ino for f in dst.data_files()) == sorted(
+        os.stat(f).st_ino for f in src.data_files()
+    )
+    assert all(
+        int(f.name.split("-", 1)[0][1:]) <= dst.current_version()
+        for f in dst.data_files()
+    )
     assert dst.file_stats() is not None
     # diverge freely
     dst.append(_ids(spark, 500, 502))
