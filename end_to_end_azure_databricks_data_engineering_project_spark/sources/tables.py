@@ -1168,25 +1168,29 @@ class ManagedTable:
         norm = {
             c: (_stat_value(lo), _stat_value(hi)) for c, (lo, hi) in predicates.items()
         }
-        keep: list[Path] = []
-        for key, f in pairs:
-            entry = stats.get(key) if stats else None
-            if entry is None:
-                keep.append(f)
+        return [
+            f
+            for key, f in pairs
+            if self._stats_overlap(stats.get(key) if stats else None, norm)
+        ]
+
+    @staticmethod
+    def _stats_overlap(entry: dict | None, norm: dict) -> bool:
+        """Whether a file's stats entry can contain a row satisfying the
+        NORMALIZED ``{col: (lo, hi)}`` range predicates — False only on
+        a provable miss (missing entry/column stats never prune; always
+        a superset of the true answer)."""
+        if entry is None:
+            return True
+        for c, (lo, hi) in norm.items():
+            ci = entry["cols"].get(c)
+            if ci is None:
                 continue
-            drop = False
-            for c, (lo, hi) in norm.items():
-                ci = entry["cols"].get(c)
-                if ci is None:
-                    continue
-                if (lo is not None and ci["max"] < lo) or (
-                    hi is not None and ci["min"] > hi
-                ):
-                    drop = True
-                    break
-            if not drop:
-                keep.append(f)
-        return keep
+            if (lo is not None and ci["max"] < lo) or (
+                hi is not None and ci["min"] > hi
+            ):
+                return False
+        return True
 
     def read_pruned(self, predicates: dict) -> DataFrame:
         """Range-predicate read through the file-stats index: opens only
@@ -1631,6 +1635,51 @@ class ManagedTable:
             return None
         return new_v
 
+    def _merge_candidate_files(
+        self,
+        res: tuple[list[str], dict] | None,
+        batch: DataFrame,
+        keys: Sequence[str],
+    ) -> list[str] | None:
+        """Stats-pruned candidate set for ``merge_keyed``'s touched-file
+        discovery: store-relative names whose per-file min/max stats
+        (the same manifest index behind ``read_pruned``) intersect the
+        BATCH's key bounds on every key column — a file outside the
+        bounds provably contains no batch key and need never be opened.
+        Returns None when pruning has nothing to offer (legacy layout,
+        no normalizable bound on any key, or nothing pruned), in which
+        case discovery scans the full snapshot as before.
+
+        The bounds ride ONE model-sized aggregate over the batch (a
+        1-row driver read, like the touched-file cap manifest); the
+        intersection itself is a driver-side walk of the already-
+        resolved stats map — O(files) dict lookups, no IO. Sharp when
+        the table is key-clustered (``compact(cluster_by=keys)``) —
+        exactly the layout the merge docstring prescribes at scale —
+        and conservatively a superset otherwise (files lacking stats
+        on a key column are always kept)."""
+        if res is None:
+            return None
+        aggs = [
+            a
+            for i, k in enumerate(keys)
+            for a in (
+                F.min(F.col(k)).alias(f"__lo{i}"),
+                F.max(F.col(k)).alias(f"__hi{i}"),
+            )
+        ]
+        bounds = batch.agg(*aggs).first()
+        norm = {}
+        for i, k in enumerate(keys):
+            lo, hi = _stat_value(bounds[f"__lo{i}"]), _stat_value(bounds[f"__hi{i}"])
+            if lo is not None or hi is not None:
+                norm[k] = (lo, hi)
+        if not norm:  # no normalizable bound (e.g. all-NULL / unsafe type)
+            return None
+        names, stats = res
+        cand = [n for n in names if self._stats_overlap(stats.get(n), norm)]
+        return cand if len(cand) < len(names) else None
+
     def merge_keyed(
         self,
         batch: DataFrame,
@@ -1655,11 +1704,16 @@ class ManagedTable:
         into the new snapshot byte-identical. Untouched keys co-located
         in touched files flow through ``merge_fn`` unchanged.
 
-        Physical shape: one semi-join of the current snapshot against
-        the (broadcast) distinct batch keys to find touched files, then
-        the merge itself over just those files' rows. At 100 TB with the
-        table clustered by key this touches a handful of files per
-        incremental batch instead of the whole table.
+        Physical shape: discovery first PRUNES the candidate file set
+        with the manifest's per-file min/max key stats against the
+        batch's key bounds (``_merge_candidate_files`` — on a key-
+        clustered table the incremental batch's bounds intersect a
+        handful of files, so discovery OPENS only those instead of
+        reading every file's key column), then one semi-join of the
+        candidates against the (broadcast) distinct batch keys finds
+        the truly touched files, and the merge itself runs over just
+        those files' rows. At 100 TB this makes the whole merge —
+        discovery included — O(touched), not O(table).
 
         The driver-side touched-file manifest is BOUNDED: it is
         collected through a ``limit(cap + 1)`` where cap =
@@ -1677,7 +1731,6 @@ class ManagedTable:
         v = self.current_version()
         res = self._resolve(v)
         legacy_base = res is None
-        cur = self.read()
         bkeys = batch.select(*keys).distinct()
         n_files = (
             len(res[0]) if res is not None
@@ -1690,14 +1743,39 @@ class ManagedTable:
                 self.merge_manifest_max_files,
             ),
         )
-        touched = (
-            cur.withColumn("__file", F.input_file_name())
-            .join(F.broadcast(bkeys), list(keys), "left_semi")
-            .select("__file")
-            .distinct()
-            .limit(cap + 1)
-            .collect()
-        )
+        cand = self._merge_candidate_files(res, batch, keys)
+        if cand is not None and not cand:
+            # bounds exclude every file: provably nothing touched — no
+            # discovery job at all
+            touched: list = []
+        else:
+            # NOTE the full-snapshot frame (self.read()) is built only
+            # on the unpruned path: constructing it lists every member
+            # path into the driver's file index, an O(table) cost the
+            # pruned path must not pay just for an unused plan branch
+            if cand is None:  # no stats pruning available: scan it all
+                discover = self.read()
+            else:
+                stored = self.table_schema(v)
+                reader = (
+                    self.spark.read.schema(stored)
+                    if stored is not None
+                    else self.spark.read
+                )
+                discover = self._schema_order(
+                    reader.option("basePath", str(self.store)).parquet(
+                        *[str(self.store / n) for n in sorted(cand)]
+                    ),
+                    stored,
+                )
+            touched = (
+                discover.withColumn("__file", F.input_file_name())
+                .join(F.broadcast(bkeys), list(keys), "left_semi")
+                .select("__file")
+                .distinct()
+                .limit(cap + 1)
+                .collect()
+            )
         full_rewrite = len(touched) > cap
         touched_base = (
             set() if full_rewrite
@@ -1716,7 +1794,7 @@ class ManagedTable:
         src_dir = self.store if not legacy_base else self._version_dir(v)
         pcols = self.partition_columns()
         if full_rewrite:
-            subset = cur
+            subset = self.read()
         elif touched_files:
             stored = self.table_schema(v)
             reader = self.spark.read.schema(stored) if stored is not None else self.spark.read
@@ -1728,7 +1806,10 @@ class ManagedTable:
                 stored,
             )
         else:
-            subset = self.spark.createDataFrame([], cur.schema)
+            stored = self.table_schema(v)
+            subset = self.spark.createDataFrame(
+                [], stored if stored is not None else self.read().schema
+            )
         # Schema is enforced on the merge OUTPUT (the batch legitimately
         # differs — e.g. CDC batches lack the SCD bookkeeping columns
         # that merge_fn itself adds).

@@ -173,3 +173,75 @@ def test_orphan_claim_never_blocks_and_vacuums(spark, table):
     table.vacuum(keep=1)
     assert not table._version_dir(orphan2).exists()
     assert table._version_dir(v).exists()
+
+
+def test_merge_discovery_prunes_candidate_files(spark, table):
+    """r10 verdict #1: on a key-clustered table, touched-file discovery
+    must intersect the batch's key bounds with the manifest's per-file
+    min/max stats and OPEN only the overlapping files — not read every
+    file's key column. Merge results stay byte-identical."""
+    base = spark.range(800).select(
+        F.col("id").alias("k"), F.lit("old").alias("val"), F.lit(1).alias("seq")
+    )
+    table.overwrite(base.repartitionByRange(8, "k").sortWithinPartitions("k"))
+    v0 = table.current_version()
+    res = table._resolve(v0)
+    batch = spark.createDataFrame(
+        [(3, "new", 2), (7, "new", 2)], "k long, val string, seq int"
+    )
+    cand = table._merge_candidate_files(res, batch, ["k"])
+    # disjoint ranges: the batch's [3, 7] bounds hit exactly one file
+    assert cand is not None and len(cand) == 1
+    st = res[1][cand[0]]["cols"]["k"]
+    assert st["min"] <= 3 and st["max"] >= 7
+    v0_files = _files(table, v0)
+    table.merge_keyed(
+        batch, ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq")
+    )
+    got = {(r.k, r.val) for r in table.read().collect()}
+    assert len(got) == 800 and (3, "new") in got and (7, "new") in got
+    assert sum(1 for k, v in got if v == "old") == 798
+    # 7 of 8 files carried by reference; the one candidate was rewritten
+    m = table._manifest(table.current_version())
+    assert m["removed"] == cand
+    assert len(_files(table)) == 8 - 1 + len(m["added"])
+
+
+def test_merge_discovery_disjoint_bounds_touch_nothing(spark, table):
+    """Batch keys entirely outside every file's range: the stats prove
+    zero candidates, discovery opens NO files, and the merge carries
+    the whole prior snapshot by reference (removed = [])."""
+    base = spark.range(100).select(
+        F.col("id").alias("k"), F.lit("old").alias("val"), F.lit(1).alias("seq")
+    )
+    table.overwrite(base.repartitionByRange(4, "k").sortWithinPartitions("k"))
+    v0_files = _files(table)
+    res = table._resolve(table.current_version())
+    batch = spark.createDataFrame([(1000, "new", 2)], "k long, val string, seq int")
+    assert table._merge_candidate_files(res, batch, ["k"]) == []
+    table.merge_keyed(
+        batch, ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq")
+    )
+    m = table._manifest(table.current_version())
+    assert m["removed"] == []
+    carried = {n: i for n, i in _files(table).items() if n in v0_files}
+    assert carried == v0_files  # every prior file carried by reference
+    assert table.read().count() == 101
+
+
+def test_merge_discovery_falls_back_when_ranges_overlap(spark, table):
+    """Hash-partitioned layout: every file spans ~the full key range,
+    so pruning has nothing to offer — _merge_candidate_files returns
+    None and discovery scans the snapshot exactly as before."""
+    base = spark.range(400).select(
+        F.col("id").alias("k"), F.lit("old").alias("val"), F.lit(1).alias("seq")
+    )
+    table.overwrite(base.repartition(4, "k"))
+    res = table._resolve(table.current_version())
+    batch = spark.createDataFrame([(200, "new", 2)], "k long, val string, seq int")
+    assert table._merge_candidate_files(res, batch, ["k"]) is None
+    table.merge_keyed(
+        batch, ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq")
+    )
+    got = {(r.k, r.val) for r in table.read().collect()}
+    assert (200, "new") in got and len(got) == 400
