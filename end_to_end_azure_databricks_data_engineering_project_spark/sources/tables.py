@@ -1192,6 +1192,193 @@ class ManagedTable:
                 return False
         return True
 
+    # -- per-file key Bloom filters (optional data-skipping index) ----------
+    # probe hash count; fixed per binding (recorded in each entry so a
+    # future default change cannot silently mis-probe old files)
+    bloom_hash_count = 5
+    # candidate-bloom broadcast bound for the probe join: past this the
+    # broadcast would dominate (~2 KB/file at the default 16384 bits),
+    # so the probe is skipped and range candidates stand (conservative)
+    bloom_probe_max_files = 65536
+
+    def bind_bloom_filters(self, columns: Sequence[str], bits: int = 16384) -> None:
+        """Opt-in per-file Bloom index — the engine's analog of Delta's
+        ``delta.bloomFilter.<col>`` table properties. Once bound, every
+        later write also records, per NEW data file, a Bloom filter of
+        each listed column's non-null values in the manifest stats
+        (one extra column-pruned pass over the new files only), and
+        ``merge_keyed``'s touched-file discovery probes them with the
+        batch's keys — pruning candidates on HIGH-CARDINALITY keys
+        whose min/max ranges don't prune (hash-clustered or unclustered
+        layouts, where range intersection keeps every file).
+
+        Files written before binding carry no bloom and stay
+        conservative candidates; rewrite them (``compact``) to index
+        the whole table. ``bits`` sizes each filter (multiple of 64;
+        with k=5 hashes, ~1% false positives at ~bits/10 distinct
+        values per file — false positives cost discovery IO, never
+        correctness). First binder wins: rebinding with a different
+        column set or size raises (a mixed-parameter index would
+        probe incorrectly)."""
+        if bits < 64 or bits % 64 or bits > (1 << 24):
+            raise ValueError(
+                f"bind_bloom_filters: bits={bits} must be a multiple of "
+                "64 in [64, 2^24]"
+            )
+        cols = json.dumps(sorted(set(columns)))
+        fd = self._acquire_commit_lock()
+        try:
+            state = self._pointer_state()
+            props = state.setdefault("props", {})
+            have_cols, have_bits = props.get("bloom_columns"), props.get("bloom_bits")
+            if have_cols is None:
+                props["bloom_columns"] = cols
+                props["bloom_bits"] = bits
+                self._write_pointer_locked(state)
+            elif have_cols != cols or int(have_bits) != bits:
+                raise ConcurrentWriteError(
+                    f"table {self.name}: bloom filters already bound to "
+                    f"{have_cols}/{have_bits} bits; refusing to rebind to "
+                    f"{cols}/{bits} (a mixed index would mis-probe)"
+                )
+        finally:
+            self._release_commit_lock(fd)
+
+    def _attach_blooms(self, names: list[str], stats: dict, schema) -> None:
+        """Record per-file Bloom filters for the bound columns in the
+        NEW files' stats entries (mutated in place before the manifest
+        is written, so the blooms ride the same chain ``_resolve``
+        already carries). One column-pruned Spark pass over the new
+        files; the driver receives at most ``len(names) × cols × m``
+        distinct bit positions — O(new files), like the stats walk.
+        A file whose column is all-NULL gets an EMPTY bloom (provably
+        matches no key — NULL never equi-joins); files predating the
+        binding simply lack the entry and never prune."""
+        raw = self.table_prop("bloom_columns")
+        if not raw or not names:
+            return
+        pset = set(self.partition_columns())
+        fields = {f.name for f in schema.fields}
+        # partition values ride the path, not the file, and their
+        # min==max stats entries already prune exactly
+        cols = [c for c in json.loads(raw) if c in fields and c not in pset]
+        if not cols:
+            return
+        bits = int(self.table_prop("bloom_bits") or 16384)
+        k = self.bloom_hash_count
+        reader = self.spark.read.schema(schema).option("basePath", str(self.store))
+        df = reader.parquet(*[str(self.store / n) for n in names])
+        entries = F.array(*[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.when(
+                    F.col(c).isNotNull(),
+                    # seed literal is an INT (matches the probe SQL's
+                    # bare {i} literal — xxhash64 hashes by type)
+                    F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(bits)).cast("int"),
+                ).alias("pos"),
+            )
+            for c in cols
+            for i in range(k)
+        ])
+        rows = (
+            df.select(F.input_file_name().alias("__f"), F.explode(entries).alias("e"))
+            .select("__f", "e.col", "e.pos")
+            .where(F.col("pos").isNotNull())
+            .distinct()
+            .groupBy("__f", "col")
+            .agg(F.collect_set("pos").alias("ps"))
+            .collect()
+        )
+        by_base = {os.path.basename(n): n for n in names}
+        got: dict[tuple[str, str], list[int]] = {}
+        for r in rows:
+            name = by_base.get(os.path.basename(r["__f"]))
+            if name is not None:
+                got[(name, r["col"])] = r["ps"]
+        n_words = bits // 64
+        for n in names:
+            e = stats.get(n)
+            if e is None:  # unreadable footer: stays conservative
+                continue
+            blooms = {}
+            for c in cols:
+                words = [0] * n_words
+                for p in got.get((n, c), ()):
+                    words[p >> 6] |= 1 << (p & 63)
+                blooms[c] = {
+                    "m": bits,
+                    "k": k,
+                    "hex": "".join(f"{w:016x}" for w in words),
+                }
+            e["blooms"] = blooms
+
+    def _bloom_prune(
+        self, cand: list[str], stats: dict, batch: DataFrame, keys: Sequence[str]
+    ) -> list[str]:
+        """Shrink the range-pruned candidate set with the per-file key
+        blooms: a candidate survives a bloom'd key column only if SOME
+        batch value hits all k bit positions of its filter (files
+        without a bloom for the column always survive — conservative).
+        One broadcast probe join per bloom'd key column: |distinct
+        batch values| × |candidates| pure-compute combinations, no IO;
+        skipped entirely past ``bloom_probe_max_files`` candidates."""
+        raw = self.table_prop("bloom_columns")
+        if not raw or not cand or len(cand) > self.bloom_probe_max_files:
+            return cand
+        bloom_cols = [c for c in json.loads(raw) if c in keys]
+        survivors = set(cand)
+        for c in bloom_cols:
+            rows, passing = [], set()
+            mk: tuple[int, int] | None = None
+            for n in sorted(survivors):
+                b = (stats.get(n) or {}).get("blooms", {}).get(c)
+                if b is None:
+                    passing.add(n)  # pre-binding file: always a candidate
+                    continue
+                if mk is None:
+                    mk = (b["m"], b["k"])
+                elif mk != (b["m"], b["k"]):
+                    return cand  # mixed parameters: refuse to probe
+                h = b["hex"]
+                words = [
+                    (w - (1 << 64) if (w := int(h[j * 16:(j + 1) * 16], 16))
+                     >= (1 << 63) else w)
+                    for j in range(len(h) // 16)
+                ]
+                rows.append((n, words))
+            if not rows:
+                continue
+            m, k = mk
+            blooms_df = self.spark.createDataFrame(
+                rows, "name string, words array<bigint>"
+            )
+            # SQL shiftright accepts a COLUMN shift amount (the Python
+            # wrapper doesn't); seeds are bare INT literals to hash
+            # identically to the build side's F.lit(i)
+            conds = []
+            for i in range(k):
+                pos = f"pmod(xxhash64(__v, {i}), {m})"
+                conds.append(
+                    f"(shiftright(element_at(words, cast(shiftright({pos}, 6)"
+                    f" as int) + 1), cast(pmod({pos}, 64) as int)) % 2) != 0"
+                )
+            vals = (
+                batch.select(F.col(c).alias("__v"))
+                .where(F.col("__v").isNotNull())
+                .distinct()
+            )
+            hits = {
+                r["name"]
+                for r in vals.crossJoin(F.broadcast(blooms_df))
+                .where(F.expr(" AND ".join(conds)))
+                .select("name")
+                .distinct()
+                .collect()
+            }
+            survivors = passing | hits
+        return [n for n in cand if n in survivors]
+
     def read_pruned(self, predicates: dict) -> DataFrame:
         """Range-predicate read through the file-stats index: opens only
         files whose [min, max] overlaps every bound, then applies the
@@ -1537,6 +1724,7 @@ class ManagedTable:
         v = self._claim_next_version()
         names = self._materialize(v, df, pcols)
         stats = self._collect_stats_for(names, pcols, df.schema)
+        self._attach_blooms(names, stats, df.schema)
         self._write_manifest_file(v, {
             "base": None, "depth": 0, "added": names, "removed": [],
             "stats": stats, "files": names, "stats_full": stats,
@@ -1612,6 +1800,7 @@ class ManagedTable:
         pcols = self.partition_columns()  # bound partitioning applies
         names = self._materialize(new_v, df, pcols)
         stats = self._collect_stats_for(names, pcols, schema)
+        self._attach_blooms(names, stats, schema)
         # O(new files) metadata: an incremental manifest chaining to v.
         # No per-file syscalls over the carried snapshot — the one
         # exception is the FIRST write over a legacy (pre-manifest)
@@ -1674,10 +1863,12 @@ class ManagedTable:
             lo, hi = _stat_value(bounds[f"__lo{i}"]), _stat_value(bounds[f"__hi{i}"])
             if lo is not None or hi is not None:
                 norm[k] = (lo, hi)
-        if not norm:  # no normalizable bound (e.g. all-NULL / unsafe type)
-            return None
         names, stats = res
-        cand = [n for n in names if self._stats_overlap(stats.get(n), norm)]
+        if norm:
+            cand = [n for n in names if self._stats_overlap(stats.get(n), norm)]
+        else:  # no normalizable bound (all-NULL / unsafe key type):
+            cand = list(names)  # ranges can't prune — blooms still may
+        cand = self._bloom_prune(cand, stats, batch, keys)
         return cand if len(cand) < len(names) else None
 
     def merge_keyed(
@@ -1816,6 +2007,7 @@ class ManagedTable:
         merged, schema = self._align(merge_fn(subset, batch), evolve=False)
         names = self._materialize(new_v, merged, pcols)
         stats = self._collect_stats_for(names, pcols, schema)
+        self._attach_blooms(names, stats, schema)
         if full_rewrite:
             prior_names = res[0] if res is not None else []
             manifest = {

@@ -79,10 +79,58 @@ try:
             "merge_sec": round(wall, 3),
         })
         print(json.dumps(results[-1]), flush=True)
+    # adversarial layout: HASH-clustered (every file spans the full key
+    # range, min/max prunes nothing) + the bound per-file Bloom index —
+    # blooms must pin discovery where ranges cannot. Bloom sizing rule:
+    # ~bits/10 distinct values per file keeps FP ~1% per probed value
+    # (a probe survives if ANY batch value false-positives, so undersized
+    # blooms — bits << 10x rows/file — stop pruning); sized here for the
+    # dimension-table shape the index targets.
+    ROWS_PER_FILE_BLOOM = 2_000
+    for n_files in (64, 512):
+        cat = Catalog(spark, root / f"whb{n_files}")
+        t = cat.table("dim")
+        t.bind_bloom_filters(["k"], bits=65536)
+        n_rows = ROWS_PER_FILE_BLOOM * n_files
+        base = spark.range(n_rows).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), (F.xxhash64("id") % 1000)).alias("val"),
+            F.lit(0).alias("seq"),
+        )
+        t.overwrite(base.repartition(n_files, "k"))
+        # FEW spread keys: hash routing puts each in a different file,
+        # so the true touched set is ~n_bloom_keys of n_files — exactly
+        # what blooms must recover and ranges cannot
+        n_bloom_keys = 16
+        batch = spark.range(n_bloom_keys).select(
+            (F.col("id") * (n_rows // n_bloom_keys)).alias("k"),  # spread keys
+            F.lit("updated").alias("val"),
+            F.lit(1).alias("seq"),
+        )
+        res = t._resolve(t.current_version())
+        t0 = time.perf_counter()
+        cand = t._merge_candidate_files(res, batch, ["k"])
+        disc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        t.merge_keyed(batch, ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq"))
+        wall = time.perf_counter() - t0
+        m = t._manifest(t.current_version())
+        assert t.read().filter("val = 'updated'").count() == n_bloom_keys
+        results.append({
+            "layout": "hash+bloom",
+            "files": n_files,
+            "rows": n_rows,
+            "candidates": len(cand) if cand is not None else n_files,
+            "touched": len(m["removed"]),
+            "probe_sec": round(disc, 3),
+            "merge_sec": round(wall, 3),
+        })
+        print(json.dumps(results[-1]), flush=True)
 finally:
     shutil.rmtree(root, ignore_errors=True)
 
 print("\nsummary:")
 for r in results:
-    print(f"  files={r['files']:5d} rows={r['rows']:9d} candidates={r['candidates']:3d} "
-          f"touched={r['touched']:3d} merge_sec={r['merge_sec']}")
+    print(f"  layout={r.get('layout', 'range-clustered'):15s} files={r['files']:5d} "
+          f"rows={r['rows']:9d} candidates={r['candidates']:4d} "
+          f"touched={r['touched']:4d} merge_sec={r['merge_sec']}")

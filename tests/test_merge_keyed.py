@@ -245,3 +245,89 @@ def test_merge_discovery_falls_back_when_ranges_overlap(spark, table):
     )
     got = {(r.k, r.val) for r in table.read().collect()}
     assert (200, "new") in got and len(got) == 400
+
+
+def test_bloom_filters_prune_hash_clustered_layout(spark, table):
+    """Per-file key blooms (r10 verdict #1, optional half): on a
+    hash-partitioned table the min/max ranges overlap everything, but
+    the bound bloom index still pins discovery to the files actually
+    holding the batch's keys — and merge results stay identical."""
+    table.bind_bloom_filters(["k"], bits=4096)
+    base = spark.range(4000).select(
+        F.col("id").alias("k"), F.lit("old").alias("val"), F.lit(1).alias("seq")
+    )
+    table.overwrite(base.repartition(8, "k"))
+    res = table._resolve(table.current_version())
+    # every file carries a bloom entry for k
+    assert all("k" in res[1][n].get("blooms", {}) for n in res[0])
+    batch = spark.createDataFrame([(77, "new", 2)], "k long, val string, seq int")
+    cand = table._merge_candidate_files(res, batch, ["k"])
+    # ranges alone keep all 8; the bloom pins the true file (hash
+    # routing puts k=77 in exactly one) — false positives may add a
+    # couple more, never all
+    assert cand is not None and 1 <= len(cand) < 8
+    st = res[1]
+    v0_files = _files(table)
+    table.merge_keyed(
+        batch, ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq")
+    )
+    got = {(r.k, r.val) for r in table.read().collect()}
+    assert (77, "new") in got and len(got) == 4000
+    m = table._manifest(table.current_version())
+    assert len(m["removed"]) == 1 and m["removed"][0] in cand
+
+
+def test_bloom_all_null_column_gets_empty_bloom(spark, table):
+    """A file whose bloom column is all-NULL must store an EMPTY bloom
+    (provably matches no key: NULL never equi-joins) — distinct from a
+    pre-binding file, which has NO entry and always survives."""
+    table.bind_bloom_filters(["name"], bits=256)
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "k long, name string"
+    )
+    table.overwrite(df.coalesce(1))
+    res = table._resolve(table.current_version())
+    b = res[1][res[0][0]]["blooms"]["name"]
+    assert set(b["hex"]) == {"0"}  # all-zero bitmap
+    batch = spark.createDataFrame([("zed", 9)], "name string, k long")
+    assert table._merge_candidate_files(res, batch, ["name"]) == []
+
+
+def test_bloom_binding_is_first_binder_wins(spark, table):
+    table.bind_bloom_filters(["k"], bits=1024)
+    table.bind_bloom_filters(["k"], bits=1024)  # idempotent re-bind ok
+    with pytest.raises(ConcurrentWriteError):
+        table.bind_bloom_filters(["k"], bits=2048)
+    with pytest.raises(ConcurrentWriteError):
+        table.bind_bloom_filters(["other"], bits=1024)
+    with pytest.raises(ValueError):
+        ManagedTable(spark, table.dir.parent, "t2").bind_bloom_filters(["k"], bits=100)
+
+
+def test_bloom_pre_binding_files_stay_candidates(spark, table):
+    """Files written BEFORE the binding have no bloom entry and must
+    always survive the probe (conservative), while post-binding files
+    prune."""
+    base = spark.range(100).select(
+        F.col("id").alias("k"), F.lit("old").alias("val"), F.lit(1).alias("seq")
+    )
+    table.overwrite(base.coalesce(1))  # pre-binding file
+    table.bind_bloom_filters(["k"], bits=1024)
+    table.append(
+        spark.range(100, 200).select(
+            F.col("id").alias("k"), F.lit("old").alias("val"), F.lit(1).alias("seq")
+        ).coalesce(1)
+    )
+    res = table._resolve(table.current_version())
+    pre, post = res[0][0], res[0][1]
+    assert "blooms" not in res[1][pre] and "blooms" in res[1][post]
+    # batch key lives in NEITHER range... k=50 is in pre's range; pick a
+    # key in pre's range so ranges keep pre, and bloom drops post
+    batch = spark.createDataFrame([(50, "new", 2)], "k long, val string, seq int")
+    cand = table._merge_candidate_files(res, batch, ["k"])
+    assert cand == [pre]
+    table.merge_keyed(
+        batch, ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq")
+    )
+    got = {(r.k, r.val) for r in table.read().collect()}
+    assert (50, "new") in got and len(got) == 200
