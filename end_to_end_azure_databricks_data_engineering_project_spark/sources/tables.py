@@ -1450,7 +1450,11 @@ class ManagedTable:
         after version ``v``. Returns None when the delta is not
         derivable — ``v`` is None (no cursor yet) or some commit in
         (v, current] was a snapshot rewrite/merge — in which case the
-        caller must fall back to a full read or rebuild.
+        caller must fall back to a full read or rebuild. COMPACTION
+        commits are transparent (skipped, zero delta): they are
+        content-identical by contract and dataChange=false in the
+        Delta log, so routine OPTIMIZE maintenance never breaks the
+        incremental chain.
 
         This is what makes a ManagedTable usable as a delta LOG: each
         append's own files (the manifest's ``added`` list) are exactly
@@ -1467,14 +1471,35 @@ class ManagedTable:
         )
         if v is None:
             return None
+
+        def _empty() -> DataFrame:
+            # committed schema directly: building the full-snapshot
+            # frame just for .schema costs an O(table) driver file
+            # listing (legacy pre-schema tables still fall back)
+            s = self.table_schema(cur)
+            return self.spark.createDataFrame(
+                [], s if s is not None else self.read().schema
+            )
+
         if v >= cur:
-            return self.spark.createDataFrame([], self.read().schema)
+            return _empty()
         versions = self._committed_in_range(v, cur)
         if versions is None:
             return None
         files: list[str] = []
         for vv in versions:
-            if self._op(vv) != "append":
+            op = self._op(vv)
+            if op == "compact":
+                # dataChange=false (Delta OPTIMIZE semantics): content-
+                # identical by compact()'s contract, so it contributes
+                # no delta — routine maintenance must NOT break the
+                # append chain and force consumers into a full re-read.
+                # The skipped-past appends' own files stay readable:
+                # compaction removes nothing from the store (only
+                # vacuum does, and vacuum's ledger floor forces the
+                # rebuild fallback for ranges it pruned).
+                continue
+            if op != "append":
                 return None
             m = self._manifest(vv)
             if m is not None:
@@ -1486,7 +1511,7 @@ class ManagedTable:
                     if not f.name.startswith("prior_")
                 )
         if not files:
-            return self.spark.createDataFrame([], self.read().schema)
+            return _empty()
         schema = self.table_schema(cur)
         reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
         store_prefix = str(self.store) + os.sep
@@ -1512,10 +1537,13 @@ class ManagedTable:
         Where ``appended_since`` gives up on any non-append commit, this
         feed also spans MERGE commits — computed by diffing only the
         files the merge touched (small, thanks to file-pruned merges),
-        never the whole table. Returns None when the delta is not
-        derivable (no cursor, or a full-snapshot rewrite/compaction in
-        the range — those are rewrites of everything, so a diff would
-        cost a full table comparison anyway; rebuild instead).
+        never the whole table — and is TRANSPARENT across COMPACTION
+        commits (content-identical, dataChange=false: zero row-level
+        changes, same skip as ``appended_since``). Returns None when
+        the delta is not derivable (no cursor, or a full-snapshot
+        rewrite/restore in the range — those replace everything, so a
+        diff would cost a full table comparison anyway; rebuild
+        instead).
 
         Exactly-once consumption: fold the result, then store ``v`` =
         ``current_version()`` read BEFORE calling (same cursor contract
@@ -1544,6 +1572,10 @@ class ManagedTable:
         deletes: list[DataFrame] = []
         for i, vv in enumerate(versions):
             op = self._op(vv)
+            if op == "compact":
+                # dataChange=false: content-identical rearrangement —
+                # zero row-level changes (same skip as appended_since)
+                continue
             m = self._manifest(vv)
             if m is not None:
                 new_files = [str(self.store / n) for n in m["added"]]

@@ -291,7 +291,21 @@ def gold_flow(
     previous max are never lost (the strict-'>' boundary bug a value
     watermark has at second-granularity timestamps). A crash between
     apply_changes and the cursor write replays the delta — safe, because
-    SCD merges drop stale/duplicate sequence rows (idempotent)."""
+    SCD merges drop stale/duplicate sequence rows (idempotent).
+
+    Incremental ACROSS maintenance and merges (r10 verdict #2 — DLT's
+    continuous apply-changes done end-to-end): silver COMPACTION is
+    transparent to ``appended_since`` (dataChange=false, zero delta),
+    and when a silver MERGE breaks the append chain the drain consumes
+    the CHANGE FEED instead — ``changes_since`` yields the merge's
+    row-level changes from the touched files (or the materialized CDF
+    files on cdf-enabled tables), whose insert/post-image rows are
+    exactly the new row states the SCD apply needs. Deletes don't
+    propagate through this path (the reference's auto-CDC gold flows
+    are upsert-only; route deletes through ``cdc_stream``'s
+    apply-as-delete instead). Only a genuine snapshot replacement
+    (overwrite / restore) still falls back to the full re-read, which
+    stays safe under the SCD merges' stale-drop + no-op suppression."""
 
     def run() -> int:
         silver = catalog.table(f"silver_{cfg.table}")
@@ -300,12 +314,19 @@ def gold_flow(
         marker = Path(state_root) / f"gold_{cfg.table}.applied_v"
         last_v = int(marker.read_text()) if marker.exists() else None
         cur_v = silver.current_version()
-        src = silver.appended_since(last_v)
+        src = silver.appended_since(last_v, until=cur_v)
+        if src is None and last_v is not None:
+            # merge in range: row-level change feed instead of O(table)
+            changes = silver.changes_since(last_v, until=cur_v)
+            if changes is not None:
+                src = changes.filter(
+                    F.col("_change_type") == "insert"
+                ).drop("_change_type")
         if src is None:
-            # No cursor yet, or a non-append commit (compaction /
-            # overwrite / merge) broke the append chain: fall back to a
-            # full read. Replaying already-applied rows is a no-op under
-            # the SCD merges' stale-drop + no-op suppression.
+            # No cursor yet, or a snapshot replacement (overwrite /
+            # restore / legacy upgrade) in range: full read. Replaying
+            # already-applied rows is a no-op under the SCD merges'
+            # stale-drop + no-op suppression.
             src = silver.read()
         # The gated batch feeds three consumers (count, key discovery,
         # merge write) — cache it so the silver scan + expectation filter

@@ -75,9 +75,40 @@ def test_feed_spans_append_then_merge(spark, table):
 
 def test_snapshot_rewrite_not_derivable(spark, table):
     v0 = table.current_version()
-    table.compact()
+    table.overwrite(
+        spark.createDataFrame([(1, "x", 9)], "k long, val string, seq int")
+    )
     assert table.changes_since(v0) is None
     assert table.changes_since(None) is None
+
+
+def test_compaction_is_transparent_to_the_feed(spark, table):
+    """r11 (verdict r10 #2): compact() is content-identical and
+    dataChange=false — it must contribute ZERO row-level changes and
+    must NOT break the feed (or appended_since) for the commits around
+    it. Routine OPTIMIZE maintenance can't force consumers into full
+    re-reads."""
+    v0 = table.current_version()
+    table.append(spark.createDataFrame([(200, "new", 2)], "k long, val string, seq int"))
+    table.compact()
+    table.append(spark.createDataFrame([(201, "new2", 2)], "k long, val string, seq int"))
+    # change feed spans the compaction, carrying only the real changes
+    assert _feed(table, v0) == {(200, "new", "insert"), (201, "new2", "insert")}
+    # append chain too
+    delta = table.appended_since(v0)
+    assert delta is not None
+    assert {(r.k, r.val) for r in delta.collect()} == {(200, "new"), (201, "new2")}
+    # compaction-only range: empty (not None) delta for both feeds
+    v_pre = table.current_version()
+    table.compact(target_partitions=2)
+    assert table.appended_since(v_pre).count() == 0
+    assert table.changes_since(v_pre).count() == 0
+    # ... and a merge after the compaction still flows as changes
+    batch = spark.createDataFrame([(0, "upd", 3)], "k long, val string, seq int")
+    table.merge_keyed(batch, ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq"))
+    assert _feed(table, v_pre, keys=["k"]) == {
+        (0, "old", "update_pre"), (0, "upd", "update_post")
+    }
 
 
 def test_cursor_at_head_is_empty_feed(spark, table):
