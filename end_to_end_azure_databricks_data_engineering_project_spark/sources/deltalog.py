@@ -129,20 +129,109 @@ def read_adds(table_dir: Path, delta_version: int) -> list[dict]:
     return [a["add"] for a in read_actions(table_dir, delta_version) if "add" in a]
 
 
+def checkpoint_files(table_dir: Path) -> list[Path]:
+    """Every classic checkpoint parquet in ``_delta_log/``, sorted by
+    version (20-digit stems only, like ``commit_files``)."""
+    return sorted(
+        p
+        for p in log_dir(table_dir).glob("*.checkpoint.parquet")
+        if len(p.name) == len("00000000000000000000.checkpoint.parquet")
+        and p.name[:20].isdigit()
+    )
+
+
+def latest_checkpoint_at_or_below(table_dir: Path, delta_version: int) -> int | None:
+    """Version of the newest checkpoint ≤ ``delta_version``, or None."""
+    best = None
+    for p in checkpoint_files(table_dir):
+        v = int(p.name[:20])
+        if v <= delta_version:
+            best = v
+    return best
+
+
+def read_checkpoint(table_dir: Path, delta_version: int) -> tuple[dict, dict, dict[str, dict]]:
+    """Parse a classic checkpoint parquet back into (protocol,
+    metaData, live adds {path: add dict}) — pyarrow map columns are
+    normalized back to dicts (they round-trip as key/value pair
+    lists)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        log_dir(table_dir) / f"{delta_version:020d}.checkpoint.parquet"
+    )
+    proto: dict = {}
+    meta: dict = {}
+    adds: dict[str, dict] = {}
+    for row in tbl.to_pylist():
+        if row.get("protocol"):
+            proto = row["protocol"]
+        if row.get("metaData"):
+            m = dict(row["metaData"])
+            if isinstance(m.get("configuration"), list):
+                m["configuration"] = dict(m["configuration"])
+            if isinstance(m.get("format"), dict) and isinstance(
+                m["format"].get("options"), list
+            ):
+                m["format"] = {**m["format"], "options": dict(m["format"]["options"])}
+            meta = m
+        if row.get("add"):
+            a = dict(row["add"])
+            if isinstance(a.get("partitionValues"), list):
+                a["partitionValues"] = dict(a["partitionValues"])
+            adds[a["path"]] = a
+        if row.get("remove"):
+            adds.pop(row["remove"]["path"], None)
+    return proto, meta, adds
+
+
 def replay_live(table_dir: Path, delta_version: int) -> dict[str, dict]:
-    """The live file set as of commit D: replay adds/removes of commits
-    0..D in order (Delta's snapshot-reconstruction rule — last action
-    per path wins). Returns {path: add-action dict}. Works for both the
+    """The live file set as of commit D (Delta's snapshot-
+    reconstruction rule — last action per path wins). Seeds from the
+    newest checkpoint ≤ D when one exists — mandatory once log
+    retention has expired the pre-checkpoint JSON commits, and an
+    O(tail) speedup otherwise — then replays the remaining commits in
+    order. Returns {path: add-action dict}. Works for both the
     incremental encoding and legacy full-re-add commits (a full re-add
     is a degenerate delta)."""
     live: dict[str, dict] = {}
-    for d in range(delta_version + 1):
+    start = 0
+    ck = latest_checkpoint_at_or_below(table_dir, delta_version)
+    if ck is not None:
+        _, _, live = read_checkpoint(table_dir, ck)
+        start = ck + 1
+    for d in range(start, delta_version + 1):
         for a in read_actions(table_dir, d):
             if "remove" in a:
                 live.pop(a["remove"]["path"], None)
             if "add" in a:
                 live[a["add"]["path"]] = a["add"]
     return live
+
+
+def expire_log(table_dir: Path, floor: int) -> int:
+    """Protocol-conformant log retention: delete commit JSONs and older
+    checkpoints BELOW ``floor``, which MUST be an existing checkpoint
+    version (readers then replay checkpoint + tail — exactly what
+    ``_last_checkpoint`` already points them at). Returns the number of
+    files removed. The caller is responsible for recording the new
+    floor wherever its heal logic needs it."""
+    ckpt = log_dir(table_dir) / f"{floor:020d}.checkpoint.parquet"
+    if not ckpt.exists():
+        raise ValueError(
+            f"expire_log: no checkpoint at version {floor} in {table_dir} "
+            "— expiring commits below a non-checkpoint would strand readers"
+        )
+    n = 0
+    for p in commit_files(table_dir):
+        if int(p.stem) < floor:
+            p.unlink()
+            n += 1
+    for p in checkpoint_files(table_dir):
+        if int(p.name[:20]) < floor:
+            p.unlink()
+            n += 1
+    return n
 
 
 def build_commit(
@@ -268,27 +357,32 @@ def write_checkpoint(table_dir: Path, delta_version: int) -> Path:
     checkpoint + later JSON commits instead of the whole log — which
     bounds raw-log replay cost for long commit histories.
 
-    OPT-IN maintenance (call like ``compact``/``vacuum``), not wired
-    into the commit path: checkpoint parquet has a reader-expected
-    nested schema, and with no ``delta-spark`` installable offline the
-    shape is validated structurally only — a malformed checkpoint
-    would be PREFERRED by readers and break an otherwise-readable
-    JSON log, so emitting one is the operator's explicit choice.
-    The JSON commits stay authoritative and untouched either way —
-    and must STAY on disk: this engine's heal treats a missing
-    earlier JSON as corruption and restarts the log (deleting the
-    checkpoint), so do NOT apply Delta-style pre-checkpoint log
-    cleanup to these tables.
+    Written AUTOMATICALLY every ``ManagedTable.delta_checkpoint_interval``
+    commits (Delta's own 10-commit default) and still callable as
+    explicit maintenance. The checkpoint shape is validated offline by
+    the independent reader (``deltareader.py``), which replays it the
+    way a stock reader would (checkpoint-preferred), and the
+    ``delta_log_roundtrip`` driver oracle re-checks it every round.
+    Pre-checkpoint commit JSONs may then be EXPIRED (``expire_log``,
+    run by ``ManagedTable.vacuum``) — the heal completeness check
+    counts from the recorded retention floor, so Delta-style log
+    cleanup is fully supported.
 
-    The live state at D comes from ``replay_live`` (commits are
-    incremental deltas), and the latest protocol / metaData are found
-    by walking back from D."""
+    The live state at D comes from ``replay_live`` (checkpoint-seeded
+    incremental replay), and the latest protocol / metaData are found
+    by walking back from D — falling back to the previous checkpoint
+    once the walk hits the retention floor."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     proto = None
     meta = None
+    existing = {int(p.stem) for p in commit_files(table_dir)}
     for d in range(delta_version, -1, -1):
+        if d not in existing:
+            # below the retention floor: the prior checkpoint (below)
+            # carries the latest protocol/metaData as of its version
+            break
         for a in read_actions(table_dir, d):
             if meta is None and "metaData" in a:
                 meta = a["metaData"]
@@ -296,6 +390,12 @@ def write_checkpoint(table_dir: Path, delta_version: int) -> Path:
                 proto = a["protocol"]
         if proto is not None and meta is not None:
             break
+    if proto is None or meta is None:
+        ck = latest_checkpoint_at_or_below(table_dir, delta_version)
+        if ck is not None:
+            ck_proto, ck_meta, _ = read_checkpoint(table_dir, ck)
+            proto = proto or ck_proto or None
+            meta = meta or ck_meta or None
     if proto is None or meta is None:
         raise ValueError(
             f"delta log at {table_dir} has no protocol/metaData at or "

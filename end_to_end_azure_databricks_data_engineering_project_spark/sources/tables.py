@@ -145,6 +145,14 @@ class ManagedTable:
     # while keeping the per-commit metadata O(changed files) amortized.
     manifest_rebase_depth = 32
 
+    # Classic Delta checkpoint cadence: every Nth delta commit also
+    # writes <v>.checkpoint.parquet + _last_checkpoint (Delta's own
+    # default is 10), so a stock reader replays checkpoint + tail
+    # instead of the whole log, and vacuum can expire pre-checkpoint
+    # commit files (log retention). 0 disables automatic checkpoints
+    # (write_delta_checkpoint stays available for manual cadence).
+    delta_checkpoint_interval = 10
+
     def __init__(self, spark: SparkSession, root: str | os.PathLike[str], name: str):
         self.spark = spark
         self.dir = Path(root) / name
@@ -393,6 +401,21 @@ class ManagedTable:
             self._write_delta_commit(
                 state["delta"], v, emit_meta, schema_string, adds, removes, n_live
             )
+            # Automatic checkpoint cadence (Delta writes one every 10th
+            # commit): still under the lock, from the just-completed
+            # immutable log — atomic tmp+rename, so a crash here leaves
+            # the prior checkpoint state valid and the next cadence hit
+            # simply writes the one that was lost. This is what lets a
+            # long-lived streaming sink's log be EXPIRED below the
+            # checkpoint floor (vacuum) instead of growing one commit
+            # file per micro-batch forever.
+            dv = state["delta"]["version"]
+            if (
+                self.delta_checkpoint_interval > 0
+                and dv > 0
+                and dv % self.delta_checkpoint_interval == 0
+            ):
+                deltalog.write_checkpoint(self.dir, dv)
             return True
         finally:
             self._release_commit_lock(fd)
@@ -474,6 +497,9 @@ class ManagedTable:
             "mt_version": v,
             "table_id": prior["table_id"],
             "schema_md5": md5 if md5 is not None else prior.get("schema_md5"),
+            # lowest retained commit file (raised by vacuum's log
+            # retention) — the heal completeness check counts from here
+            "log_floor": prior.get("log_floor", 0),
         }
         return emit_meta, adds, removes, len(new_entries)
 
@@ -542,13 +568,21 @@ class ManagedTable:
         if rec is None:
             return
         latest_missing = not deltalog.commit_path(self.dir, rec["version"]).exists()
-        # one readdir, not O(history) stats per commit: commits 0..D are
-        # complete iff exactly D+1 (- the possibly-missing latest) files
-        # exist — any deletion shrinks the count. Counted over VALIDATED
-        # commit filenames (20-digit stems) only: a stray .json dropped
-        # in the log dir must not mask a genuinely missing commit.
-        n_log_files = len(deltalog.commit_files(self.dir))
-        history_missing = n_log_files < rec["version"] + (0 if latest_missing else 1)
+        # one readdir, not O(history) stats per commit: commits F..D
+        # (F = the retention floor vacuum recorded when it expired the
+        # pre-checkpoint files) are complete iff exactly D-F+1 (- the
+        # possibly-missing latest) files exist at/above F — any deletion
+        # shrinks the count. Counted over VALIDATED commit filenames
+        # (20-digit stems) only: a stray .json dropped in the log dir
+        # must not mask a genuinely missing commit, and a stale
+        # sub-floor leftover must not inflate the count.
+        floor = rec.get("log_floor", 0)
+        n_log_files = sum(
+            1 for p in deltalog.commit_files(self.dir) if int(p.stem) >= floor
+        )
+        history_missing = n_log_files < rec["version"] - floor + (
+            0 if latest_missing else 1
+        )
         if not latest_missing and not history_missing:
             return
         v = rec["mt_version"]
@@ -650,14 +684,15 @@ class ManagedTable:
         }
 
     def write_delta_checkpoint(self) -> Path:
-        """Opt-in maintenance (call like ``compact``/``vacuum``): write
-        a classic Delta checkpoint for the current delta commit so a
-        stock reader replays checkpoint + tail commits instead of the
-        whole log (which grows O(commits x files) here — every commit
-        re-adds the full snapshot). Heals first, and holds the commit
-        lock so the checkpointed version is stable. See
-        ``deltalog.write_checkpoint`` for the offline-validation
-        caveat that keeps this out of the automatic commit path."""
+        """Write a classic Delta checkpoint for the current delta
+        commit so a stock reader replays checkpoint + tail commits
+        instead of the whole log. Checkpoints are also written
+        AUTOMATICALLY every ``delta_checkpoint_interval`` commits by
+        ``_commit``; this explicit entry point remains for manual
+        cadence (e.g. right before handing the directory to an
+        external reader, or with the automatic interval disabled).
+        Heals first, and holds the commit lock so the checkpointed
+        version is stable."""
         fd = self._acquire_commit_lock()
         try:
             state = self._pointer_state()
@@ -2341,6 +2376,31 @@ class ManagedTable:
                 for k in drop:
                     del state["epochs"][k]
                     dirty = True
+            # Delta log retention: expire commit JSONs below the newest
+            # checkpoint (readers replay checkpoint + tail — that is
+            # what _last_checkpoint already points them at), recording
+            # the new floor for the heal completeness check. With the
+            # automatic cadence this bounds a streaming sink's log at
+            # ~checkpoint_interval commit files instead of one per
+            # micro-batch forever.
+            rec = state.get("delta")
+            if rec is not None:
+                self._heal_delta_log(state)  # never expire around a hole
+                rec = state["delta"]  # heal may have restarted the log
+                ck = deltalog.latest_checkpoint_at_or_below(
+                    self.dir, rec["version"]
+                )
+                if ck is not None and ck >= rec.get("log_floor", 0):
+                    # floor durable BEFORE any deletion: a crash in
+                    # between leaves harmless sub-floor leftovers (the
+                    # heal count ignores them; the >= guard lets the
+                    # next vacuum finish sweeping), never a hole the
+                    # heal would misread as corruption
+                    if ck > rec.get("log_floor", 0):
+                        rec["log_floor"] = ck
+                        self._write_pointer_locked(state)
+                        dirty = False
+                    deltalog.expire_log(self.dir, ck)
             if dirty:
                 self._write_pointer_locked(state)
         finally:

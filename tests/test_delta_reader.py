@@ -141,3 +141,77 @@ def test_reader_empty_and_vacuumed_tables(spark, tmp_path):
         t2.append(_df(spark, i * 10, i * 10 + 10))
     t2.vacuum(keep=1)
     _assert_matches(spark, t2)
+
+
+def test_auto_checkpoint_cadence_and_log_retention(spark, tmp_path):
+    """r11 (verdict r10 #3): a 30+-commit history crosses several
+    AUTOMATIC checkpoints (every delta_checkpoint_interval commits);
+    vacuum expires commit JSONs below the checkpoint floor; the
+    independent reader stays identical to table.read() at every step;
+    and the log file count is bounded instead of one file per commit
+    forever."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources import deltalog
+
+    t = Catalog(spark, tmp_path / "wh").table("t")
+    t.overwrite(_df(spark, 0, 8))
+    for i in range(32):
+        lo = 8 + i * 4
+        if i % 9 == 5:
+            t.compact(target_partitions=2)
+        elif i % 9 == 7:
+            batch = _df(spark, lo - 4, lo - 2).withColumn("val", F.lit(-1.0))
+            t.merge_keyed(
+                batch, ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "val")
+            )
+        else:
+            t.append(_df(spark, lo, lo + 4))
+        _assert_matches(spark, t)  # reader == engine at EVERY commit
+    dv = t._pointer_state()["delta"]["version"]
+    assert dv >= 30
+    ckpts = deltalog.checkpoint_files(t.dir)
+    # several cadence hits (10, 20, 30, ...), each replacing none
+    assert len(ckpts) == dv // t.delta_checkpoint_interval
+    assert len(deltalog.commit_files(t.dir)) == dv + 1  # pre-retention
+
+    t.vacuum(keep=2)
+    floor = t._pointer_state()["delta"]["log_floor"]
+    assert floor == (dv // t.delta_checkpoint_interval) * t.delta_checkpoint_interval
+    kept = deltalog.commit_files(t.dir)
+    # bounded: only the checkpoint-to-head tail survives
+    assert all(int(p.stem) >= floor for p in kept)
+    assert len(kept) == dv - floor + 1 <= t.delta_checkpoint_interval + 1
+    assert [int(p.name[:20]) for p in deltalog.checkpoint_files(t.dir)] == [floor]
+    _assert_matches(spark, t)  # reader survives the expiry
+
+    # post-retention writes keep healing/replaying correctly across the
+    # floor (replay_live must seed from the checkpoint, not commit 0)
+    t.append(_df(spark, 500, 504))
+    t.merge_keyed(
+        _df(spark, 500, 501).withColumn("val", F.lit(-2.0)),
+        ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "val"),
+    )
+    _assert_matches(spark, t)
+    # history() reports only the retained tail (documented Delta behavior)
+    hist_versions = sorted(r["version"] for r in t.history().collect())
+    assert hist_versions[0] == floor and hist_versions[-1] == dv + 2
+
+
+def test_crash_heal_works_above_retention_floor(spark, tmp_path):
+    """The designed crash window (pointer written, latest commit JSON
+    lost) must heal from checkpoint-seeded replay even after log
+    expiry removed the pre-floor commits."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources import deltalog
+
+    t = Catalog(spark, tmp_path / "wh").table("t")
+    t.overwrite(_df(spark, 0, 4))
+    for i in range(12):
+        t.append(_df(spark, 4 + i * 2, 6 + i * 2))
+    t.vacuum(keep=2)
+    rec = t._pointer_state()["delta"]
+    assert rec["log_floor"] > 0
+    # simulate the crash: drop the LATEST commit file
+    deltalog.commit_path(t.dir, rec["version"]).unlink()
+    t.heal_delta_log()
+    _assert_matches(spark, t)
+    # healed log is complete again from the floor up
+    assert len(deltalog.commit_files(t.dir)) == rec["version"] - rec["log_floor"] + 1
