@@ -74,6 +74,14 @@ class ConcurrentWriteError(RuntimeError):
     directory is an uncommitted orphan (remove with vacuum())."""
 
 
+class OptimisticConcurrencyError(ConcurrentWriteError):
+    """The pointer moved past the version this writer read its inputs
+    at (``expected_version`` mismatch). Subclass so ``append`` can
+    RESOLVE the conflict logically (Delta semantics: two blind appends
+    don't conflict — rebase and re-commit) while every other
+    ``ConcurrentWriteError`` stays a hard loud failure."""
+
+
 class SchemaMismatchError(ValueError):
     """An incoming batch's schema is incompatible with the table's
     committed schema (Delta-style schema ENFORCEMENT). Raised for type
@@ -197,17 +205,23 @@ class ManagedTable:
 
         Candidate = max(committed pointer, any existing version dir) + 1,
         so an orphan left by a crashed writer never blocks progress; the
-        atomic mkdir guarantees exactly one writer owns each version —
-        a concurrent loser raises instead of clobbering files mid-write."""
+        atomic mkdir guarantees exactly one writer owns each version.
+        Two writers racing for the same candidate is a SUPPORTED pattern
+        (concurrent appends rebase-commit since r11), so the loser
+        simply claims the next number — never clobbering the winner's
+        files, and bounded against a pathological claim storm."""
         existing = [int(d.name[1:]) for d in self.dir.glob("v*") if d.name[1:].isdigit()]
         v = max([self.current_version(), *existing, -1]) + 1
-        try:
-            self._version_dir(v).mkdir(parents=False, exist_ok=False)
-        except FileExistsError as exc:  # pragma: no cover - race window
-            raise ConcurrentWriteError(
-                f"table {self.name}: version {v} already claimed by another writer"
-            ) from exc
-        return v
+        for _ in range(1000):
+            try:
+                self._version_dir(v).mkdir(parents=False, exist_ok=False)
+                return v
+            except FileExistsError:  # lost the claim race: next number
+                v += 1
+        raise ConcurrentWriteError(  # pragma: no cover - claim storm
+            f"table {self.name}: could not claim a version after 1000 "
+            "attempts"
+        )
 
     def _acquire_commit_lock(self) -> int:
         """Advisory flock serializing pointer read-modify-write:
@@ -354,7 +368,7 @@ class ManagedTable:
                 expected_version is not None
                 and state["version"] != expected_version
             ):
-                raise ConcurrentWriteError(
+                raise OptimisticConcurrencyError(
                     f"table {self.name}: optimistic concurrency check failed "
                     f"(read at v{expected_version}, pointer now at "
                     f"v{state['version']}) — re-read and retry"
@@ -1884,12 +1898,105 @@ class ManagedTable:
         self._write_manifest_file(new_v, manifest)
         self._write_op_marker(new_v, "append")
         self._write_schema(new_dir, schema)
-        if not self._commit(
-            new_v, epoch, epoch_key, expected_version=v,
-            set_props=set_props, expect_props=expect_props,
-        ):  # lost the replay race
-            return None
-        return new_v
+        # Logical conflict resolution (Delta write-serializable
+        # semantics): a BLIND append has no read dependency, so an
+        # interleaved append/compact commit doesn't actually conflict —
+        # instead of raising, REBASE: re-resolve the head, verify the
+        # interleave is append/compact-only with an identical schema,
+        # relink this append's already-materialized files under the new
+        # claim, and re-commit atop. Anything else in the interleave
+        # (merge/overwrite/restore — real content changes this append
+        # never saw) keeps the loud failure.
+        base_v = v
+        for _ in range(5):
+            try:
+                if not self._commit(
+                    new_v, epoch, epoch_key, expected_version=base_v,
+                    set_props=set_props, expect_props=expect_props,
+                ):  # lost the replay race
+                    return None
+                return new_v
+            except OptimisticConcurrencyError:
+                new_v, base_v = self._rebase_append(new_v, base_v, schema)
+        raise ConcurrentWriteError(
+            f"table {self.name}: append could not commit after 5 rebases "
+            "(sustained concurrent write pressure) — retry"
+        )
+
+    def _rebase_append(
+        self, claimed_v: int, base_v: int, schema
+    ) -> tuple[int, int]:
+        """Move an already-materialized append from ``base_v`` onto the
+        current head: verify every interleaved commit is append/compact
+        with the schema unchanged (else re-raise the conflict), claim a
+        fresh version, HARDLINK the staged store files under names
+        embedding it (the in-flight GC guard keys off the name-embedded
+        claim — under the old names a concurrent vacuum could collect
+        them the moment the pointer passed the dead claim), rewrite the
+        manifest as a child of the new head, and drop the dead claim
+        dir. Returns (new claimed version, new base). Pure metadata +
+        O(new files) link syscalls — the data is never rewritten."""
+        head = self.current_version()
+        interleaved = self._committed_in_range(base_v, head)
+        if interleaved is None:
+            raise OptimisticConcurrencyError(
+                f"table {self.name}: interleaved history (v{base_v}, "
+                f"v{head}] was vacuumed mid-append; cannot prove the "
+                "rebase safe — retry the append"
+            )
+        bad = [vv for vv in interleaved if self._op(vv) not in ("append", "compact")]
+        if bad:
+            raise OptimisticConcurrencyError(
+                f"table {self.name}: interleaved commit(s) {bad} are not "
+                "append/compact — a content change this append never saw; "
+                "re-read and retry"
+            )
+        head_schema = self.table_schema(head)
+        # compare names + types, NOT nullability: a parquet read is
+        # always nullable, so a content-identical compact widens the
+        # committed nullability — benign for a blind append (its files
+        # were written under the stricter schema)
+        if head_schema is None or [
+            (f.name, f.dataType) for f in head_schema.fields
+        ] != [(f.name, f.dataType) for f in schema.fields]:
+            raise OptimisticConcurrencyError(
+                f"table {self.name}: schema changed by an interleaved "
+                "commit; re-align and retry the append"
+            )
+        res = self._resolve(head)
+        if res is None:  # legacy head: no manifest chain to rebase onto
+            raise OptimisticConcurrencyError(
+                f"table {self.name}: head v{head} predates manifests; "
+                "cannot rebase — retry the append"
+            )
+        old_m = self._manifest(claimed_v)
+        nv = self._claim_next_version()
+        import uuid as _uuid
+
+        token = _uuid.uuid4().hex[:8]
+        new_names: list[str] = []
+        new_stats: dict[str, dict] = {}
+        for i, n in enumerate(old_m["added"]):
+            sub = str(Path(n).parent)
+            base = f"f{nv:06d}-{i:05d}-{token}.parquet"
+            nn = base if sub == "." else f"{sub}/{base}"
+            os.link(self.store / n, self.store / nn)
+            new_names.append(nn)
+            if n in old_m["stats"]:
+                new_stats[nn] = old_m["stats"][n]
+        manifest = self._build_child_manifest(
+            head, new_names, [], new_stats,
+            base_names=res[0], base_stats=res[1],
+        )
+        manifest["partition_columns"] = old_m.get("partition_columns", [])
+        self._write_manifest_file(nv, manifest)
+        self._write_op_marker(nv, "append")
+        self._write_schema(self._version_dir(nv), schema)
+        # drop the dead claim only after the new one is fully staged
+        for n in old_m["added"]:
+            (self.store / n).unlink(missing_ok=True)
+        shutil.rmtree(self._version_dir(claimed_v), ignore_errors=True)
+        return nv, head
 
     def _merge_candidate_files(
         self,

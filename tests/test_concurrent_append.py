@@ -1,0 +1,173 @@
+"""Logical conflict resolution for concurrent appends (r11; verdict
+r10 #4 — Delta write-serializable semantics): two blind appends don't
+conflict — the loser REBASES its already-materialized files onto the
+new head and re-commits — while merges still conflict whenever real
+content changed underneath them.
+
+Deterministic races: a spy on ``ManagedTable._commit`` injects an
+interleaved commit through a SECOND table handle right before the
+outer append's commit runs, forcing the optimistic-concurrency path
+without timing luck. A real multi-threaded test closes the loop.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.operators.cdc import scd1_merge
+from end_to_end_azure_databricks_data_engineering_project_spark.sources import deltalog
+from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import (
+    Catalog,
+    ConcurrentWriteError,
+    ManagedTable,
+    OptimisticConcurrencyError,
+)
+
+
+def _ids(spark, lo, hi, val="x"):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(val).alias("val"), F.lit(1).alias("seq")
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = Catalog(spark, tmp_path / "wh").table("t")
+    t.overwrite(_ids(spark, 0, 10))
+    return t
+
+
+def _inject_before_commit(monkeypatch, spark, table, action):
+    """Run ``action(second_handle)`` once, right before the next
+    ``_commit`` on ``table`` executes — an interleaved commit the outer
+    writer never saw."""
+    orig = ManagedTable._commit
+    state = {"armed": True}
+
+    def spy(self, v, *a, **kw):
+        if state["armed"] and self.name == table.name:
+            state["armed"] = False
+            action(ManagedTable(spark, table.dir.parent, table.name))
+        return orig(self, v, *a, **kw)
+
+    monkeypatch.setattr(ManagedTable, "_commit", spy)
+
+
+def test_append_rebases_over_interleaved_append(spark, table, monkeypatch):
+    _inject_before_commit(
+        monkeypatch, spark, table, lambda t2: t2.append(_ids(spark, 100, 105, "other"))
+    )
+    committed = table.append(_ids(spark, 200, 203, "mine"))
+    assert committed == table.current_version()
+    got = {(r.k, r.val) for r in table.read().collect()}
+    assert got == (
+        {(i, "x") for i in range(10)}
+        | {(i, "other") for i in range(100, 105)}
+        | {(i, "mine") for i in range(200, 203)}
+    )
+    # delta log contiguous, one commit per committed version
+    state = table._pointer_state()
+    dv = state["delta"]["version"]
+    assert [int(p.stem) for p in deltalog.commit_files(table.dir)] == list(range(dv + 1))
+    assert len(state["committed"]) == 3
+    # the dead claim left nothing behind: no orphan dir, no stray files
+    committed_dirs = {table._version_dir(v).name for v in state["committed"]}
+    assert {d.name for d in table.dir.glob("v*")} == committed_dirs
+    live = {n for v in state["committed"] for n in (table._resolve(v) or [[]])[0]}
+    assert {str(f.relative_to(table.store)) for f in table.store.rglob("*.parquet")} == set(
+        table._resolve(table.current_version())[0]
+    ) | set((table._resolve(state["committed"][1]) or [[]])[0])
+
+
+def test_append_rebases_over_interleaved_compact(spark, table, monkeypatch):
+    _inject_before_commit(
+        monkeypatch, spark, table, lambda t2: t2.compact(target_partitions=1)
+    )
+    table.append(_ids(spark, 50, 53, "mine"))
+    got = {(r.k, r.val) for r in table.read().collect()}
+    assert got == {(i, "x") for i in range(10)} | {(i, "mine") for i in range(50, 53)}
+
+
+def test_append_vs_interleaved_merge_still_conflicts(spark, table, monkeypatch):
+    def do_merge(t2):
+        t2.merge_keyed(
+            _ids(spark, 0, 1, "upd").withColumn("seq", F.lit(2)),
+            ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq"),
+        )
+
+    _inject_before_commit(monkeypatch, spark, table, do_merge)
+    with pytest.raises(OptimisticConcurrencyError, match="not append/compact"):
+        table.append(_ids(spark, 300, 303))
+    # the merge won; the failed append left no committed trace
+    got = {(r.k, r.val) for r in table.read().collect()}
+    assert (0, "upd") in got and not any(k >= 300 for k, _ in got)
+
+
+def test_append_vs_interleaved_overwrite_still_conflicts(spark, table, monkeypatch):
+    _inject_before_commit(
+        monkeypatch, spark, table, lambda t2: t2.overwrite(_ids(spark, 0, 2, "re"))
+    )
+    with pytest.raises(OptimisticConcurrencyError):
+        table.append(_ids(spark, 300, 303))
+    assert table.read().count() == 2
+
+
+def test_append_vs_schema_evolving_append_conflicts(spark, table, monkeypatch):
+    def evolve(t2):
+        t2.append(
+            _ids(spark, 100, 101).withColumn("extra", F.lit("e")), evolve=True
+        )
+
+    _inject_before_commit(monkeypatch, spark, table, evolve)
+    with pytest.raises(OptimisticConcurrencyError, match="schema changed"):
+        table.append(_ids(spark, 300, 303))
+
+
+def test_merge_vs_interleaved_append_still_conflicts(spark, table, monkeypatch):
+    """The other half of the matrix: a merge READS the snapshot, so an
+    interleaved append is a real conflict (its rows would be dropped by
+    the rewrite) — unchanged loud failure."""
+    _inject_before_commit(
+        monkeypatch, spark, table, lambda t2: t2.append(_ids(spark, 100, 103))
+    )
+    with pytest.raises(ConcurrentWriteError):
+        table.merge_keyed(
+            _ids(spark, 0, 1, "upd").withColumn("seq", F.lit(2)),
+            ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq"),
+        )
+    assert table.read().count() == 13  # the append won, nothing lost
+
+
+def test_threaded_appends_all_commit(spark, tmp_path):
+    t = Catalog(spark, tmp_path / "wh").table("t")
+    t.overwrite(_ids(spark, 0, 5))
+    barrier = threading.Barrier(4)
+    errors: list[Exception] = []
+
+    def worker(i):
+        try:
+            h = ManagedTable(spark, t.dir.parent, "t")
+            df = _ids(spark, 1000 + i * 10, 1005 + i * 10, f"w{i}")
+            barrier.wait()
+            h.append(df)
+        except Exception as exc:  # pragma: no cover - must not happen
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert t.read().count() == 5 + 4 * 5
+    state = t._pointer_state()
+    assert len(state["committed"]) == 5
+    dv = state["delta"]["version"]
+    assert [int(p.stem) for p in deltalog.commit_files(t.dir)] == list(range(dv + 1))
+    # independent protocol reader agrees
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.deltareader import read_delta
+
+    assert read_delta(spark, t.dir).count() == 25

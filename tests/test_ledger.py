@@ -321,13 +321,15 @@ def test_ledger_randomized_model(spark, tmp_path):
         assert not any(9000 <= k < 9005 for k in got)  # no orphan leakage
 
 
-def test_concurrent_append_fails_loudly_not_lossy(spark, tmp_path, monkeypatch):
-    """A writer whose append races past an interleaved commit must raise
-    ConcurrentWriteError (re-read and retry), never publish a snapshot
-    that silently omits the interleaved commit's rows."""
+def test_concurrent_append_rebases_not_lossy(spark, tmp_path, monkeypatch):
+    """A writer whose append races past an interleaved APPEND must never
+    publish a snapshot that silently omits the interleaved commit's
+    rows. Since r11 that resolves LOGICALLY (Delta write-serializable
+    semantics): the loser rebases onto the new head and commits — both
+    appends land, the reader sees the union. (The full allowed/refused
+    interleave matrix lives in tests/test_concurrent_append.py.)"""
     from end_to_end_azure_databricks_data_engineering_project_spark.sources import tables as tbl
     from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import (
-        ConcurrentWriteError,
         ManagedTable,
     )
 
@@ -344,13 +346,10 @@ def test_concurrent_append_fails_loudly_not_lossy(spark, tmp_path, monkeypatch):
         return real_claim(self)
 
     monkeypatch.setattr(tbl.ManagedTable, "_claim_next_version", claim)
-    with pytest.raises(ConcurrentWriteError, match="optimistic"):
-        t.append(_ids(spark, 5, 7))
-    # the interleaved commit's rows survive; retry then succeeds
-    assert sorted(r.k for r in t.read().collect()) == [0, 1, 2, 3, 4]
-    monkeypatch.setattr(tbl.ManagedTable, "_claim_next_version", real_claim)
-    t.append(_ids(spark, 5, 7))
-    assert t.read().count() == 7
+    committed = t.append(_ids(spark, 5, 7))
+    assert committed == t.current_version()
+    # BOTH appends' rows present — nothing lost, no retry needed
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 2, 3, 4, 5, 6]
 
 
 def test_register_views_skips_stray_files(spark, tmp_path):
