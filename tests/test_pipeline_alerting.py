@@ -196,3 +196,99 @@ def test_vacuum_bounds_alert_epoch_keys(spark, tmp_path):
     hook({"flow": "gold", "status": "failed", "error": "boom",
           "seconds": 0.1})
     assert alerts.read().filter("run_id = 'r06'").count() == 1
+
+
+class _SimCrash(RuntimeError):
+    """Simulated driver death mid-choreography."""
+
+
+@pytest.mark.parametrize("_", [0])  # keep pytest param naming stable
+def test_crash_replay_alert_ledger_agreement_property(spark, tmp_path, _):
+    """r11 (verdict r10 #6), hypothesis over crash points: the run
+    ledger (pipeline_runs) and the alert sink (alerts) must never end
+    up DISAGREEING about a failed flow after any sequence of
+    mid-choreography crashes followed by an at-least-once replay with
+    the same run_id — and the exactly-one-alert invariant must hold:
+    exactly 1 alert row, at most 1 notify (a crash between the
+    committed alert append and notify loses the page, never the
+    record)."""
+    import shutil
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import ManagedTable
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import (
+        alert_hook,
+        compose_hooks,
+    )
+
+    # one clean attempt performs 3 appends: bronze report, silver
+    # report, silver alert (halt_on_failure stops after the failure
+    # event fires its hooks). k=4 = crash never fires (clean attempt).
+    crash_st = st.tuples(
+        st.integers(min_value=1, max_value=4), st.sampled_from(["pre", "post"])
+    )
+
+    @settings(
+        max_examples=20, deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow, HealthCheck.function_scoped_fixture,
+        ],
+    )
+    @given(crashes=st.lists(crash_st, min_size=0, max_size=2))
+    def run_property(crashes):
+        root = tempfile.mkdtemp(prefix="alert_prop_")
+        orig_append = ManagedTable.append
+        try:
+            cat = Catalog(spark, root)
+            pages: list[dict] = []
+
+            def hook():
+                return compose_hooks(
+                    run_report_hook(spark, cat, run_id="r1"),
+                    alert_hook(spark, cat, run_id="r1", notify=pages.append),
+                )
+
+            def attempt(crash):
+                calls = {"n": 0}
+
+                def patched(self, df, *a, **kw):
+                    calls["n"] += 1
+                    if crash is not None and calls["n"] == crash[0]:
+                        if crash[1] == "pre":
+                            raise _SimCrash("died before the commit")
+                        orig_append(self, df, *a, **kw)
+                        raise _SimCrash("died after the commit")
+                    return orig_append(self, df, *a, **kw)
+
+                ManagedTable.append = patched
+                try:
+                    with pytest.raises((RuntimeError,)):  # flow failure or crash
+                        _pipe(fail={"silver"}).run_all(on_event=hook())
+                finally:
+                    ManagedTable.append = orig_append
+
+            for crash in crashes:
+                attempt(crash)
+            attempt(None)  # the at-least-once orchestrator's clean replay
+
+            alerts = cat.table("alerts").read().collect()
+            runs = cat.table("pipeline_runs").read().collect()
+            # exactly ONE alert row for the failed flow, ever
+            assert [(a.run_id, a.flow, a.status) for a in alerts] == [
+                ("r1", "silver", "failed")
+            ], crashes
+            # the ledger AGREES: at least one failed record for the flow
+            failed = [r for r in runs if r.flow == "silver" and r.status == "failed"]
+            assert failed, crashes
+            # no alert for flows that didn't fail
+            assert all(a.flow == "silver" for a in alerts), crashes
+            # at most one page; a lost page never loses the record
+            assert len(pages) <= 1, crashes
+        finally:
+            ManagedTable.append = orig_append
+            shutil.rmtree(root, ignore_errors=True)
+
+    run_property()
