@@ -116,16 +116,19 @@ def bpe_learn_merges(
     take the (count DESC, lhs ASC, rhs ASC) argmax as a 1-row broadcast
     relation → rewrite every word with ``replace`` (boundary-padded,
     greedy single scan — see module docstring). Each round's vocabulary
-    is cached: both the next round's pair count AND its rewrite
-    reference it, so uncached chaining would double the plan subtree
-    per round (2^n growth — the kmeans_fit lesson, ivf.py). The ONLY
-    driver-side state is the final n_merges-row collect (model-sized,
-    like kmeans centroids), returned re-parallelized so every cache can
-    be released before returning."""
+    is ``localCheckpoint``-ed, NOT merely cached: both the next round's
+    pair count AND its rewrite reference it, and a cache leaves the
+    LOGICAL plan nesting — the subtree doubles per round (2^n: the r11
+    rule-count stress measured a 2 GB plan string at 8 rounds before
+    this fix; caching only dedups execution, not analysis). The
+    checkpoint truncates lineage so round r's plan is O(1) regardless
+    of r — the kmeans_fit lesson (ivf.py) taken to its conclusion. The
+    ONLY driver-side state is the final n_merges-row collect
+    (model-sized, like kmeans centroids)."""
     if n_merges < 1:
         raise ValueError(f"bpe_learn_merges: n_merges must be >= 1, got {n_merges}")
-    vocab = bpe_word_counts(docs, text_col).cache()
-    caches = [vocab]
+    vocab = bpe_word_counts(docs, text_col).localCheckpoint(eager=True)
+    caches = []
     out: DataFrame | None = None
     try:
         for r in range(1, n_merges + 1):
@@ -162,9 +165,8 @@ def bpe_learn_merges(
                     ).alias("sym"),
                     "wfreq",
                 )
-                .cache()
+                .localCheckpoint(eager=True)
             )
-            caches.append(vocab)
         if out is None:  # zero merges learnable (all-single-symbol corpus)
             return docs.sparkSession.createDataFrame(
                 [], "merge_rank int, lhs string, rhs string, pair_count bigint"
@@ -188,9 +190,16 @@ def _padded_sym(word: Column) -> Column:
 
 
 # nested-replace chain depth per projection; beyond this the chain is
-# split across stacked selects so a 32k-rule tokenizer neither builds
-# one expression tree of depth 32k nor trips Janino's 64KB method limit
+# split across stacked selects to bound per-projection expression depth
 _APPLY_CHUNK = 16
+
+# rule count past which the native replace chain is abandoned for the
+# Arrow path: whole-stage codegen FUSES the stacked projections back
+# into one generated evaluator, so runtime expression depth is ~n_rules
+# regardless of the select structure — measured java.lang.
+# StackOverflowError in executor tasks at 1024 rules (sf0.001 corpus,
+# r11 stress). 256 is the last proven-stable count with headroom.
+_NATIVE_APPLY_MAX = 256
 
 
 def bpe_encode(
@@ -212,13 +221,17 @@ def bpe_encode(
     token stream — two corpus passes total (one feeding the distinct-
     word vocabulary, one joined back word→tokens; persist the word
     stream between them in a real pipeline to make it one). Rules
-    replay rank-by-rank as chained literal ``replace`` projections
-    (greedy single scan — byte-identical to how ``bpe_learn_merges``
-    rewrote its vocabulary, so duplicate pairs at different ranks
-    reproduce exactly; see the learn return contract). The rule table
-    is the only driver-side state (model-sized, like centroids); the
-    chain is split every ``_APPLY_CHUNK`` rules across stacked selects
-    to bound expression depth. The token-id vocabulary is ranked with
+    replay rank-by-rank with greedy single-scan replaces — byte-
+    identical to how ``bpe_learn_merges`` rewrote its vocabulary, so
+    duplicate pairs at different ranks reproduce exactly (see the learn
+    return contract). The rule table is the only driver-side state
+    (model-sized, like centroids). TWO replay strategies, same
+    semantics: up to ``_NATIVE_APPLY_MAX`` rules the merges run as
+    chained literal ``replace`` projections (pure JVM, chunked every
+    ``_APPLY_CHUNK``); past it — real tokenizers carry 32k+ rules, and
+    codegen fusion makes the native chain's runtime expression depth
+    ~n_rules (measured StackOverflowError at 1k) — they run as ONE
+    Arrow-batched ``mapInPandas`` pass over the distinct words. The token-id vocabulary is ranked with
     ``skew.distributed_row_number`` — range-partitioned parallel
     ranking with per-range offsets, so even a vocabulary far past
     Heaps-law expectations never funnels through one sort task (the
@@ -244,19 +257,47 @@ def bpe_encode(
         id_col, (F.col("_wi") + 1).alias("widx"), "w"
     )
     words = stream.select("w").distinct()
-    sym = _padded_sym(F.col("w"))
-    out = words
-    for i, r in enumerate(rule_rows):
-        sym = F.replace(
-            sym,
-            F.lit(f" {r['lhs']} {r['rhs']} "),
-            F.lit(f" {r['lhs']}{r['rhs']} "),
+    if len(rule_rows) > _NATIVE_APPLY_MAX:
+        # Production-vocabulary path (32k-rule tokenizers): the native
+        # chain's runtime expression depth is ~n_rules after codegen
+        # fusion (StackOverflowError past ~1k — see _NATIVE_APPLY_MAX),
+        # so replay the rules in an Arrow-batched mapInPandas over the
+        # DISTINCT-WORD relation instead: vocab-sized Python cost, and
+        # pandas' non-regex str.replace scans the SOURCE left-to-right
+        # exactly like Spark's F.replace, so the greedy single-scan
+        # semantics (and duplicate-rank replay) stay byte-identical —
+        # asserted cross-path in tests/test_bpe.py.
+        import pandas as pd  # noqa: F401 — executor-side import
+
+        reps = [
+            (f" {r['lhs']} {r['rhs']} ", f" {r['lhs']}{r['rhs']} ")
+            for r in rule_rows
+        ]
+
+        def _apply_rules(batches):
+            for pdf in batches:
+                syms = pdf["_sym"]
+                for pat, rep in reps:
+                    syms = syms.str.replace(pat, rep, regex=False)
+                yield pdf.assign(_sym=syms)
+
+        out = words.select("w", _padded_sym(F.col("w")).alias("_sym")).mapInPandas(
+            _apply_rules, "w string, _sym string"
         )
-        if (i + 1) % _APPLY_CHUNK == 0 or i == len(rule_rows) - 1:
-            out = out.select("w", sym.alias("_sym"))
-            sym = F.col("_sym")
-    if not rule_rows:
-        out = words.select("w", _padded_sym(F.col("w")).alias("_sym"))
+    else:
+        sym = _padded_sym(F.col("w"))
+        out = words
+        for i, r in enumerate(rule_rows):
+            sym = F.replace(
+                sym,
+                F.lit(f" {r['lhs']} {r['rhs']} "),
+                F.lit(f" {r['lhs']}{r['rhs']} "),
+            )
+            if (i + 1) % _APPLY_CHUNK == 0 or i == len(rule_rows) - 1:
+                out = out.select("w", sym.alias("_sym"))
+                sym = F.col("_sym")
+        if not rule_rows:
+            out = words.select("w", _padded_sym(F.col("w")).alias("_sym"))
     toked = out.select("w", F.split(F.trim("_sym"), " ").alias("_toks"))
     distinct_tokens = toked.select(F.explode("_toks").alias("token")).distinct()
     if distributed_vocab_ranking:

@@ -198,3 +198,30 @@ def test_encode_lazy_vocab_ranking_matches_distributed(spark):
         docs, rules, distributed_vocab_ranking=False
     ).collect()))
     assert a == b and a
+
+
+def test_encode_pandas_path_matches_native(spark, monkeypatch):
+    """The large-rule-set Arrow path (mapInPandas replay past
+    _NATIVE_APPLY_MAX — the native chain StackOverflows near 1k rules
+    under codegen fusion) must be byte-identical to the native replace
+    chain: pandas' non-regex str.replace and Spark's F.replace both
+    scan the SOURCE left-to-right (greedy single scan)."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators import bpe as bpe_mod
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.bpe import bpe_encode
+
+    docs = _docs(spark, ["low lower lowest low low", "aaaa abab newer"])
+    real = bpe_learn_merges(docs, n_merges=6)
+    # pad with never-matching synthetic rules to cross the threshold
+    pad = spark.createDataFrame(
+        [(100 + i, f"q{i}", f"z{i}", 1) for i in range(30)],
+        "merge_rank int, lhs string, rhs string, pair_count bigint",
+    )
+    rules = real.unionByName(pad)
+    monkeypatch.setattr(bpe_mod, "_NATIVE_APPLY_MAX", 10_000)
+    native = sorted(map(tuple, bpe_encode(docs, rules).collect()))
+    monkeypatch.setattr(bpe_mod, "_NATIVE_APPLY_MAX", 8)
+    arrow = sorted(map(tuple, bpe_encode(docs, rules).collect()))
+    assert native == arrow and native
+    # overlapping-occurrence semantics preserved across paths: 'aaaa'
+    # tokens must match whatever the learn's greedy scan produced
+    assert any(t[3] not in ("a",) for t in native)  # merges really applied
