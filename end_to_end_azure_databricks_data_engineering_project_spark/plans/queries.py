@@ -7933,6 +7933,80 @@ def q_pack_segments_2048(spark, sf):
 
 
 
+@_q(
+    "merge_bloom_pruned",
+    "Keyed merge through the per-file Bloom index (r11): the dimension "
+    "is HASH-laid-out so min/max ranges prune nothing, the bound "
+    "blooms pin touched-file discovery to the files actually holding "
+    "the batch's spread keys, and the merged content must be "
+    "byte-identical to the plain SQL last-write semantics — proving "
+    "the probe path is a pure IO optimization",
+    "J1 (DimUser.py:20-29 CDC merge) + Delta delta.bloomFilter.* "
+    "analog (sources/tables.py bind_bloom_filters)",
+    """
+    SELECT c_custkey, c_name,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT)
+             + CASE WHEN c_custkey % 71 = 3 THEN 100000 ELSE 0 END AS cents
+    FROM customer
+    """,
+)
+def q_merge_bloom_pruned(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    t = Catalog(spark, _scratch_warehouse("q_mbp", sf)).table("dim_customer")
+    t.bind_bloom_filters(["c_custkey"], bits=16384)
+    t.overwrite(c.repartition(8, "c_custkey"))  # hash layout: ranges useless
+    batch = c.filter(F.pmod(F.col("c_custkey"), F.lit(71)) == 3).withColumn(
+        "cents", F.col("cents") + F.lit(100000)
+    )
+    t.merge_keyed(
+        batch, ["c_custkey"],
+        lambda cur, b: cur.join(
+            b.select("c_custkey"), "c_custkey", "left_anti"
+        ).unionByName(b),
+    )
+    return t.read()
+
+
+@_q(
+    "delta_retention_roundtrip",
+    "Delta log RETENTION round-trip (r11): 12 commits cross the "
+    "automatic 10-commit checkpoint cadence, vacuum expires the "
+    "commit JSONs below the checkpoint floor, and the INDEPENDENT "
+    "public-protocol reader (checkpoint -> tail commits, never the "
+    "engine's pointer) must still reconstruct the exact table content "
+    "— the bounded-log contract a long-lived streaming sink relies on",
+    "S6 (silver_Dimensions.py:55 format('delta')) — log retention + "
+    "checkpoint cadence",
+    """
+    SELECT CAST(n_nationkey + 100 * r.i AS INT) AS n_nationkey,
+           n_name, n_regionkey
+    FROM nation, range(CAST(0 AS BIGINT), CAST(12 AS BIGINT)) AS r(i)
+    """,
+)
+def q_delta_retention_roundtrip(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.deltareader import read_delta
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    n = _t(spark, sf, "nation")
+    t = Catalog(spark, _scratch_warehouse("q_drr", sf)).table("nation_t")
+
+    def slice_i(i: int):
+        return n.withColumn(
+            "n_nationkey", (F.col("n_nationkey") + 100 * i).cast("int")
+        )
+
+    t.overwrite(slice_i(0).coalesce(1))
+    for i in range(1, 12):  # delta commits 1..11 — checkpoint lands at 10
+        t.append(slice_i(i).coalesce(1))
+    t.vacuum(keep=2)  # expires commit JSONs below the checkpoint floor
+    return read_delta(spark, t.dir).select("n_nationkey", "n_name", "n_regionkey")
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at
@@ -8096,9 +8170,31 @@ _R9_GREEN = {
     "upper_trim",
 }
 
+
+# Entries with a green row in CORRECTNESS_r10.json.
+_R10_GREEN = {
+    "anti_join", "array_toolkit", "asof_join_click", "bm25_topk",
+    "brier_score", "broadcast_dim_join", "change_feed_updates",
+    "coalesce_nullif", "concat_naming", "contamination_check",
+    "dataset_split", "dedup_distinct", "delta_log_roundtrip",
+    "deterministic_sample", "doc_chunking", "dsir_importance_select",
+    "embedding_normalize", "explode_unnest", "filtered_agg",
+    "first_last_in_group", "histogram_bins", "hll_distinct_by_group",
+    "lang_adaptive_filter", "lateral_topn_join", "latest_per_key",
+    "levenshtein_match", "local_supplier_volume", "max_watermark",
+    "pack_segments_2048", "partition_prune_year", "pii_redaction",
+    "pivot_manual", "pricing_summary", "quality_gate",
+    "regexp_extract_groups", "resample_ffill_daily",
+    "retrieval_eval_universe", "rollup_hierarchy", "rowcount_gate",
+    "scd1_latest_state", "semi_join", "sessionize", "star_join_revenue",
+    "temperature_mixture_sample", "topk_customers", "unpivot_measures",
+    "watermark_filter", "window_running_sum", "zorder3_cluster",
+    "zscore_normalize",
+}
+
 _GREEN_ROUNDS: list[set[str]] = [
     _R3_GREEN, _R4_GREEN, _R5_GREEN, _R6_GREEN, _R7_GREEN, _R8_GREEN,
-    _R9_GREEN,
+    _R9_GREEN, _R10_GREEN,
 ]
 
 
