@@ -124,7 +124,16 @@ def bpe_learn_merges(
     checkpoint truncates lineage so round r's plan is O(1) regardless
     of r — the kmeans_fit lesson (ivf.py) taken to its conclusion. The
     ONLY driver-side state is the final n_merges-row collect
-    (model-sized, like kmeans centroids)."""
+    (model-sized, like kmeans centroids).
+
+    Storage trade-off (documented, not fixable from PySpark): local-
+    checkpoint blocks have no public release API (``unpersist`` on the
+    frame or its ``.rdd`` does not touch them — verified empirically),
+    so the per-round vocabularies (O(n_merges × Heaps-law vocab),
+    MEMORY_AND_DISK so pressure spills rather than OOMs) are freed
+    asynchronously by the ContextCleaner once the driver GCs the
+    frames — the cache()-based alternative released deterministically
+    but made ANALYSIS cost 2^n_merges, which is the far worse trade."""
     if n_merges < 1:
         raise ValueError(f"bpe_learn_merges: n_merges must be >= 1, got {n_merges}")
     vocab = bpe_word_counts(docs, text_col).localCheckpoint(eager=True)

@@ -107,6 +107,42 @@ def _fallback_lock_for(table_dir: Path) -> threading.Lock:
         return lock
 
 
+def _relink_store_files(
+    src_store: Path,
+    names: Sequence[str],
+    stats: dict,
+    dst_store: Path,
+    new_v: int,
+) -> tuple[list[str], dict]:
+    """Hardlink store files under fresh names embedding ``new_v``
+    (``f{new_v}-{i}-{token}``, hive subdirs preserved, stats rekeyed)
+    — the shared rename-and-link step of shallow CLONE and the
+    concurrent-append REBASE. The name rewrite is what keeps
+    ``_gc_store``'s in-flight guard honest (it keys off the
+    name-embedded claim version); the ``copy2`` fallback covers
+    filesystems without hardlink support, same as the legacy upgrade
+    path."""
+    import uuid as _uuid
+
+    token = _uuid.uuid4().hex[:8]
+    new_names: list[str] = []
+    new_stats: dict[str, dict] = {}
+    for i, n in enumerate(names):
+        sub = str(Path(n).parent)  # keep the hive partition dirs
+        base = f"f{new_v:06d}-{i:05d}-{token}.parquet"
+        nn = base if sub == "." else f"{sub}/{base}"
+        dst = dst_store / nn
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        try:
+            os.link(src_store / n, dst)
+        except OSError:
+            shutil.copy2(src_store / n, dst)
+        new_names.append(nn)
+        if n in stats:
+            new_stats[nn] = stats[n]
+    return new_names, new_stats
+
+
 def _stat_value(v):
     """Normalize a parquet-footer statistic (or a query bound) to a
     JSON-safe, totally-ordered value. Returns None for types where
@@ -353,6 +389,7 @@ class ManagedTable:
         # deadline on a busy cluster
         schema_string = self._schema_string_for(v)
         fd = self._acquire_commit_lock()
+        ckpt_v: int | None = None
         try:
             state = self._pointer_state()  # read INSIDE the lock
             # heal first: if the previous committer crashed between its
@@ -415,24 +452,36 @@ class ManagedTable:
             self._write_delta_commit(
                 state["delta"], v, emit_meta, schema_string, adds, removes, n_live
             )
-            # Automatic checkpoint cadence (Delta writes one every 10th
-            # commit): still under the lock, from the just-completed
-            # immutable log — atomic tmp+rename, so a crash here leaves
-            # the prior checkpoint state valid and the next cadence hit
-            # simply writes the one that was lost. This is what lets a
-            # long-lived streaming sink's log be EXPIRED below the
-            # checkpoint floor (vacuum) instead of growing one commit
-            # file per micro-batch forever.
             dv = state["delta"]["version"]
             if (
                 self.delta_checkpoint_interval > 0
                 and dv > 0
                 and dv % self.delta_checkpoint_interval == 0
             ):
-                deltalog.write_checkpoint(self.dir, dv)
-            return True
+                ckpt_v = dv
         finally:
             self._release_commit_lock(fd)
+        if ckpt_v is not None:
+            # Automatic checkpoint cadence (Delta writes one every 10th
+            # commit) — OUTSIDE the lock: the replay reads only already-
+            # written immutable log files, and building it while holding
+            # the flock would stall every concurrent writer into the
+            # 15s lock deadline on large tables (the O(live files)
+            # parquet write). Atomic tmp+rename, so nothing partial is
+            # ever visible. Failure is TOLERATED by design: the commit
+            # above is already durable (pointer + log published), so
+            # raising here would make a succeeded write look failed and
+            # an at-least-once caller would double-apply; a missed
+            # cadence hit just means the next one (or write_delta_
+            # checkpoint) writes the checkpoint instead. This is what
+            # lets a long-lived streaming sink's log be EXPIRED below
+            # the checkpoint floor (vacuum) instead of growing one
+            # commit file per micro-batch forever.
+            try:
+                deltalog.write_checkpoint(self.dir, ckpt_v)
+            except Exception:
+                pass
+        return True
 
     def _seed_ledger(self, state: dict) -> None:
         """Seed the committed-version ledger on a pre-ledger table from
@@ -1235,10 +1284,16 @@ class ManagedTable:
             ci = entry["cols"].get(c)
             if ci is None:
                 continue
-            if (lo is not None and ci["max"] < lo) or (
-                hi is not None and ci["min"] > hi
-            ):
-                return False
+            try:
+                if (lo is not None and ci["max"] < lo) or (
+                    hi is not None and ci["min"] > hi
+                ):
+                    return False
+            except TypeError:
+                # cross-type bound (e.g. a string-keyed batch against
+                # numeric footer stats): Python refuses the order —
+                # pruning on it would be a guess, so don't (conservative)
+                continue
         return True
 
     # -- per-file key Bloom filters (optional data-skipping index) ----------
@@ -1376,8 +1431,42 @@ class ManagedTable:
         if not raw or not cand or len(cand) > self.bloom_probe_max_files:
             return cand
         bloom_cols = [c for c in json.loads(raw) if c in keys]
+        # xxhash64 hashes BY TYPE: the build side hashed the committed
+        # column type (the files were written under it), so the probe
+        # must hash the batch value as that SAME type. A width-
+        # compatible batch (int batch on a bigint column — the joins
+        # coerce it everywhere else) would otherwise hash to different
+        # positions and FALSE-NEGATIVE-prune truly touched files —
+        # a silent duplicate-key merge (r11 review, reproduced). Safe
+        # lossless widenings are cast up; anything else skips the
+        # probe for that column (conservative, never wrong).
+        tschema = self.table_schema()
+        ttypes = (
+            {f.name: f.dataType for f in tschema.fields}
+            if tschema is not None else {}
+        )
+        btypes = {f.name: f.dataType for f in batch.schema.fields}
+        _INT_W = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+        _FRAC_W = {"float": 0, "double": 1}
+
+        def _probe_type(c):
+            bt, tt = btypes.get(c), ttypes.get(c)
+            if bt is None or tt is None:
+                return None
+            if bt == tt:
+                return tt
+            bn, tn = bt.simpleString(), tt.simpleString()
+            if bn in _INT_W and tn in _INT_W and _INT_W[bn] <= _INT_W[tn]:
+                return tt
+            if bn in _FRAC_W and tn in _FRAC_W and _FRAC_W[bn] <= _FRAC_W[tn]:
+                return tt
+            return None  # not a lossless widening: don't probe
+
         survivors = set(cand)
         for c in bloom_cols:
+            probe_t = _probe_type(c)
+            if probe_t is None:
+                continue
             rows, passing = [], set()
             mk: tuple[int, int] | None = None
             for n in sorted(survivors):
@@ -1413,7 +1502,7 @@ class ManagedTable:
                     f" as int) + 1), cast(pmod({pos}, 64) as int)) % 2) != 0"
                 )
             vals = (
-                batch.select(F.col(c).alias("__v"))
+                batch.select(F.col(c).cast(probe_t).alias("__v"))
                 .where(F.col("__v").isNotNull())
                 .distinct()
             )
@@ -1970,20 +2059,19 @@ class ManagedTable:
                 "cannot rebase — retry the append"
             )
         old_m = self._manifest(claimed_v)
+        if old_m is None:
+            # the staged claim dir vanished underneath us (an external
+            # vacuum_uncommitted run violating its no-active-writer
+            # contract, or manual cleanup) — the staged files are gone
+            # too; nothing to rebase
+            raise ConcurrentWriteError(
+                f"table {self.name}: staged claim v{claimed_v} vanished "
+                "mid-append (external cleanup?) — retry the append"
+            )
         nv = self._claim_next_version()
-        import uuid as _uuid
-
-        token = _uuid.uuid4().hex[:8]
-        new_names: list[str] = []
-        new_stats: dict[str, dict] = {}
-        for i, n in enumerate(old_m["added"]):
-            sub = str(Path(n).parent)
-            base = f"f{nv:06d}-{i:05d}-{token}.parquet"
-            nn = base if sub == "." else f"{sub}/{base}"
-            os.link(self.store / n, self.store / nn)
-            new_names.append(nn)
-            if n in old_m["stats"]:
-                new_stats[nn] = old_m["stats"][n]
+        new_names, new_stats = _relink_store_files(
+            self.store, old_m["added"], old_m["stats"], self.store, nv
+        )
         manifest = self._build_child_manifest(
             head, new_names, [], new_stats,
             base_names=res[0], base_stats=res[1],
@@ -2445,9 +2533,26 @@ class ManagedTable:
                         # already pruned — never readable; GC falls back
                         # to its raw added/files keys
                         pass
+        # Deletion scope: committed history at/below the horizon, plus
+        # manifest-LESS uncommitted claims (empty dirs from writers
+        # that died right after claiming — they age out here as
+        # always). A claimed-but-uncommitted dir WITH a staged manifest
+        # is spared: it may be an IN-FLIGHT append racing interleaved
+        # commits (its claim number is below the pointer precisely
+        # because others outran it — the r11 rebase-commit path), and
+        # rmtree'ing it (then GC'ing its staged store files, which only
+        # its manifest references) would crash that writer mid-rebase.
+        # Such dead-but-staged orphans are vacuum_uncommitted's job,
+        # which requires the no-active-writer contract for exactly this
+        # reason. Legacy tables (no ledger) keep the old behavior.
+        committed_set = self._pointer_state().get("committed")
         for d in sorted(self.dir.glob("v*")):
             v = int(d.name[1:])
-            if v <= cur - keep:
+            if v <= cur - keep and (
+                committed_set is None
+                or v in committed_set
+                or not self._manifest_path(v).exists()
+            ):
                 shutil.rmtree(d, ignore_errors=True)
         self._gc_store(cur)
         fd = self._acquire_commit_lock()
@@ -2713,24 +2818,9 @@ class ManagedTable:
         src_props = dict(state.get("props", {}))
         new_v = target._claim_next_version()
         target.store.mkdir(exist_ok=True)
-        import uuid as _uuid
-
-        token = _uuid.uuid4().hex[:8]
-        new_names: list[str] = []
-        new_stats: dict[str, dict] = {}
-        for i, n in enumerate(names):
-            sub = str(Path(n).parent)  # keep the hive partition dirs
-            base = f"f{new_v:06d}-{i:05d}-{token}.parquet"
-            nn = base if sub == "." else f"{sub}/{base}"
-            dst = target.store / nn
-            dst.parent.mkdir(parents=True, exist_ok=True)
-            try:
-                os.link(self.store / n, dst)
-            except OSError:
-                shutil.copy2(self.store / n, dst)
-            new_names.append(nn)
-            if n in stats:
-                new_stats[nn] = stats[n]
+        new_names, new_stats = _relink_store_files(
+            self.store, names, stats, target.store, new_v
+        )
         target._write_manifest_file(new_v, {
             "base": None, "depth": 0, "added": new_names, "removed": [],
             "stats": new_stats, "files": new_names, "stats_full": new_stats,

@@ -331,3 +331,41 @@ def test_bloom_pre_binding_files_stay_candidates(spark, table):
     )
     got = {(r.k, r.val) for r in table.read().collect()}
     assert (50, "new") in got and len(got) == 200
+
+
+def test_bloom_probe_width_compatible_batch_types(spark, table):
+    """xxhash64 hashes BY TYPE: an int batch on a bigint key column
+    (coerced losslessly everywhere else) must not hash to different
+    bloom positions and false-negative-prune the truly touched file —
+    that silently committed DUPLICATE keys before the r11 review fix.
+    Lossless widenings cast up before probing; incompatible types skip
+    the probe (conservative)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType, StringType
+
+    table.bind_bloom_filters(["k"], bits=4096)
+    base = spark.range(4000).select(
+        F.col("id").alias("k"), F.lit("old").alias("val"), F.lit(1).alias("seq")
+    )
+    table.overwrite(base.repartition(8, "k"))  # k is BIGINT
+    batch = spark.createDataFrame(
+        [(5, "new", 2)],
+        StructType([
+            StructField("k", IntegerType()),  # INT batch key
+            StructField("val", StringType()),
+            StructField("seq", IntegerType()),
+        ]),
+    )
+    res = table._resolve(table.current_version())
+    cand = table._merge_candidate_files(res, batch, ["k"])
+    assert cand is not None and 1 <= len(cand) < 8  # widened probe prunes
+    table.merge_keyed(
+        batch, ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq")
+    )
+    rows = table.read().filter("k = 5").collect()
+    assert [(r.k, r.val) for r in rows] == [(5, "new")]  # no duplicate key
+    assert table.read().count() == 4000
+    # incompatible batch type: probe skipped, candidates stay (never 0)
+    sbatch = spark.createDataFrame([("5", "x", 3)], "k string, val string, seq int")
+    assert table._merge_candidate_files(
+        table._resolve(table.current_version()), sbatch, ["k"]
+    ) is None  # string-vs-bigint: no range norm pruning either -> None
