@@ -1266,11 +1266,89 @@ class ManagedTable:
         norm = {
             c: (_stat_value(lo), _stat_value(hi)) for c, (lo, hi) in predicates.items()
         }
-        return [
-            f
+        survivors = [
+            (key, f)
             for key, f in pairs
             if self._stats_overlap(stats.get(key) if stats else None, norm)
         ]
+        # EQUALITY predicates additionally probe the per-file key
+        # blooms when bound (Delta's delta.bloomFilter read-side use):
+        # point lookups on high-cardinality columns prune where ranges
+        # can't (hash/unclustered layouts)
+        points = {
+            c: lo
+            for c, (lo, hi) in predicates.items()
+            if lo is not None and lo == hi
+        }
+        if points and stats:
+            survivors = self._bloom_point_prune(survivors, stats, points)
+        return [f for _, f in survivors]
+
+    def _bloom_point_prune(
+        self, survivors: list, stats: dict, points: dict
+    ) -> list:
+        """Drop files whose Bloom filter proves an equality predicate's
+        value absent. The literal's k bit positions come from ONE
+        k-column, 1-row Spark job per probed column — the hash MUST be
+        computed engine-side with the value cast to the COMMITTED
+        column type, because xxhash64 hashes by type and the build side
+        hashed the stored type (the merge-probe lesson). Files without
+        a bloom (or with foreign parameters), uncastable literals, and
+        NULL literals never prune — always a superset."""
+        raw = self.table_prop("bloom_columns")
+        if not raw or not survivors:
+            return survivors
+        bloom_cols = [c for c in json.loads(raw) if c in points]
+        if not bloom_cols:
+            return survivors
+        tschema = self.table_schema()
+        ttypes = (
+            {f.name: f.dataType for f in tschema.fields}
+            if tschema is not None else {}
+        )
+        for c in bloom_cols:
+            tt = ttypes.get(c)
+            if tt is None:
+                continue
+            mk = None
+            for key, _ in survivors:
+                b = (stats.get(key) or {}).get("blooms", {}).get(c)
+                if b is not None:
+                    if mk is None:
+                        mk = (b["m"], b["k"])
+                    elif mk != (b["m"], b["k"]):
+                        mk = None  # mixed parameters: refuse to probe
+                        break
+            if mk is None:
+                continue
+            m, k = mk
+            try:
+                row = self.spark.range(1).select(*[
+                    F.pmod(
+                        F.xxhash64(F.lit(points[c]).cast(tt), F.lit(i)),
+                        F.lit(m),
+                    ).cast("int").alias(f"p{i}")
+                    for i in range(k)
+                ]).first()
+            except Exception:  # uncastable literal: cannot prune safely
+                continue
+            positions = [row[f"p{i}"] for i in range(k)]
+            if any(p is None for p in positions):
+                continue  # NULL literal never equi-matches; range pass rules
+            kept = []
+            for key, f in survivors:
+                b = (stats.get(key) or {}).get("blooms", {}).get(c)
+                if b is None or (b["m"], b["k"]) != (m, k):
+                    kept.append((key, f))
+                    continue
+                h = b["hex"]
+                if all(
+                    (int(h[(p >> 6) * 16:(p >> 6) * 16 + 16], 16) >> (p & 63)) & 1
+                    for p in positions
+                ):
+                    kept.append((key, f))
+            survivors = kept
+        return survivors
 
     @staticmethod
     def _stats_overlap(entry: dict | None, norm: dict) -> bool:

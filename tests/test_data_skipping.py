@@ -16,6 +16,7 @@ import datetime as dt
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
 
@@ -233,3 +234,32 @@ def test_zorder_compaction_three_columns(spark, tmp_path):
     # content preserved exactly
     assert t.read().count() == 30_000
     assert t.read().agg({"id": "sum"}).collect()[0][0] == sum(range(30_000))
+
+
+def test_bloom_point_predicate_pruning(spark, tmp_path):
+    """Equality predicates probe the bound per-file blooms (Delta's
+    delta.bloomFilter read-side use): on a hash layout where min/max
+    ranges keep every file, a point lookup opens ~1 file — and
+    read_pruned results stay exact."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    t = Catalog(spark, tmp_path / "wh").table("t")
+    t.bind_bloom_filters(["k"], bits=8192)
+    df = spark.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    t.overwrite(df.repartition(8, "k"))  # hash layout: ranges useless
+    all_files = t.data_files()
+    assert len(all_files) == 8
+    hit = t.pruned_files({"k": (777, 777)})
+    assert 1 <= len(hit) < 8  # bloom pinned the file (maybe +FPs)
+    got = t.read_pruned({"k": (777, 777)}).collect()
+    assert [(r.k, r.v) for r in got] == [(777, 777 % 97)]
+    # absent value: provably nowhere (bar false positives, usually 0)
+    assert len(t.pruned_files({"k": (999999, 999999)})) <= 1
+    assert t.read_pruned({"k": (999999, 999999)}).count() == 0
+    # range predicates and bloom-less columns untouched by the probe
+    assert len(t.pruned_files({"v": (5, 5)})) == 8
+    assert t.read_pruned({"v": (5, 5)}).count() == df.filter("v = 5").count()
+    # NULL-valued equality never probes (and returns nothing exact-side)
+    assert len(t.pruned_files({"k": (None, None)})) == 8
