@@ -2612,24 +2612,25 @@ class ManagedTable:
                         # to its raw added/files keys
                         pass
         # Deletion scope: committed history at/below the horizon, plus
-        # manifest-LESS uncommitted claims (empty dirs from writers
-        # that died right after claiming — they age out here as
-        # always). A claimed-but-uncommitted dir WITH a staged manifest
-        # is spared: it may be an IN-FLIGHT append racing interleaved
-        # commits (its claim number is below the pointer precisely
-        # because others outran it — the r11 rebase-commit path), and
-        # rmtree'ing it (then GC'ing its staged store files, which only
-        # its manifest references) would crash that writer mid-rebase.
-        # Such dead-but-staged orphans are vacuum_uncommitted's job,
-        # which requires the no-active-writer contract for exactly this
-        # reason. Legacy tables (no ledger) keep the old behavior.
+        # EMPTY uncommitted claims (bare dirs from writers that died
+        # right after claiming — they age out here as always). A
+        # claimed-but-uncommitted dir with CONTENT (a staged manifest,
+        # or write leftovers mid-materialize) is spared: it may be an
+        # IN-FLIGHT append racing interleaved commits — its claim
+        # number is below the pointer precisely because others outran
+        # it (the r11 rebase-commit path) — and rmtree'ing it (then
+        # GC'ing its staged store files, which only its presence
+        # protects) would crash that writer mid-rebase. Dead-but-staged
+        # orphans are vacuum_uncommitted's job, which requires the
+        # no-active-writer contract for exactly this reason. Legacy
+        # tables (no ledger) keep the old behavior.
         committed_set = self._pointer_state().get("committed")
         for d in sorted(self.dir.glob("v*")):
             v = int(d.name[1:])
             if v <= cur - keep and (
                 committed_set is None
                 or v in committed_set
-                or not self._manifest_path(v).exists()
+                or not any(d.iterdir())
             ):
                 shutil.rmtree(d, ignore_errors=True)
         self._gc_store(cur)
@@ -2700,16 +2701,23 @@ class ManagedTable:
         """Delete store files no surviving version references. Safe
         alongside active writers: a file whose name embeds a version
         ABOVE the pointer belongs to a writer whose commit hasn't
-        landed (its manifest may not exist yet) and is skipped; once
-        that commit lands its files are referenced, and if the writer
-        lost its race or crashed, a later pass (pointer having moved
-        past its claimed version) collects them."""
+        landed (its manifest may not exist yet) and is skipped — and so
+        is a file whose embedded version matches a claimed dir that has
+        no manifest YET even when the pointer has already moved past it
+        (interleaved commits outrunning a slow writer between its
+        store move and its manifest write — the rebase-commit pattern
+        makes sub-pointer claims a live state, not just dead orphans).
+        Once the commit lands its files are referenced; if the writer
+        lost its race or crashed, a later pass (after vacuum aged out
+        the manifest-less claim dir) collects them."""
         if not self.store.exists():
             return
+        claimed_unmanifested: set[int] = set()
         referenced: set[str] = set()
         for d in self.dir.glob("v*"):
             m = self._manifest(int(d.name[1:]))
             if m is None:
+                claimed_unmanifested.add(int(d.name[1:]))
                 continue
             try:
                 names, _ = self._resolve(int(d.name[1:]))
@@ -2736,7 +2744,7 @@ class ManagedTable:
                 embedded_v = int(f.name.split("-", 1)[0][1:])
             except ValueError:
                 continue  # foreign file: never ours to delete
-            if embedded_v > pointer:
+            if embedded_v > pointer or embedded_v in claimed_unmanifested:
                 continue  # in-flight writer's file
             f.unlink(missing_ok=True)
         # change-data files age out with the version that recorded them

@@ -171,3 +171,41 @@ def test_threaded_appends_all_commit(spark, tmp_path):
     from end_to_end_azure_databricks_data_engineering_project_spark.sources.deltareader import read_delta
 
     assert read_delta(spark, t.dir).count() == 25
+
+
+def test_gc_spares_subpointer_unmanifested_claim_files(spark, tmp_path):
+    """The materialize window: a writer has moved its files into the
+    store but not yet written its manifest, while interleaved commits
+    pushed the pointer past its claim. _gc_store must treat files whose
+    embedded version matches a manifest-LESS claim dir as in-flight —
+    before r11's fix the embedded-version-vs-pointer guard alone would
+    collect them mid-write."""
+    t = Catalog(spark, tmp_path / "wh").table("t")
+    t.overwrite(_ids(spark, 0, 5))
+    claim = t._claim_next_version()
+    df, schema = t._align(_ids(spark, 100, 103), False)
+    names = t._materialize(claim, df, [])      # files now in the store...
+    # ...but NO manifest yet; meanwhile others outrun the claim
+    t.append(_ids(spark, 10, 12))
+    t.append(_ids(spark, 12, 14))
+    assert t.current_version() > claim
+    # keep enough ledger for the later rebase to prove its interleave;
+    # the GC pass runs regardless and, pre-fix, collected the claim's
+    # staged files (embedded version 1 <= pointer, unreferenced)
+    t.vacuum(keep=3)
+    assert all((t.store / n).exists() for n in names), (
+        "GC collected an in-flight writer's staged files"
+    )
+    # the writer finishes staging and rebase-commits successfully (the
+    # path append itself takes on OptimisticConcurrencyError)
+    stats = t._collect_stats_for(names, [], schema)
+    m = t._build_child_manifest(0, names, [], stats)
+    m["partition_columns"] = []
+    t._write_manifest_file(claim, m)
+    t._write_op_marker(claim, "append")
+    t._write_schema(t._version_dir(claim), schema)
+    nv, head = t._rebase_append(claim, 0, schema)
+    assert t._commit(nv, expected_version=head)
+    assert sorted(r.k for r in t.read().collect()) == [
+        0, 1, 2, 3, 4, 10, 11, 12, 13, 100, 101, 102
+    ]
