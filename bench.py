@@ -52,6 +52,10 @@ EXTENDED = [
     # the full delta-log round-trip (write ops + independent replay)
     "partition_prune_year",
     "delta_log_roundtrip",
+    # r11 table machinery: bloom-index build + probe through a merge,
+    # and the checkpoint-cadence + log-retention round-trip
+    "merge_bloom_pruned",
+    "delta_retention_roundtrip",
 ]
 
 
