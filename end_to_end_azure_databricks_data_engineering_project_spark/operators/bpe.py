@@ -276,8 +276,6 @@ def bpe_encode(
         # exactly like Spark's F.replace, so the greedy single-scan
         # semantics (and duplicate-rank replay) stay byte-identical —
         # asserted cross-path in tests/test_bpe.py.
-        import pandas as pd  # noqa: F401 — executor-side import
-
         reps = [
             (f" {r['lhs']} {r['rhs']} ", f" {r['lhs']}{r['rhs']} ")
             for r in rule_rows
@@ -290,8 +288,14 @@ def bpe_encode(
                     syms = syms.str.replace(pat, rep, regex=False)
                 yield pdf.assign(_sym=syms)
 
-        out = words.select("w", _padded_sym(F.col("w")).alias("_sym")).mapInPandas(
-            _apply_rules, "w string, _sym string"
+        # lazy localCheckpoint: the replayed words feed BOTH the vocab
+        # ranking and the stream join-back — without it the n_rules
+        # Python replay (the dominant cost at 8k+ rules) would execute
+        # once per consumer instead of once per call
+        out = (
+            words.select("w", _padded_sym(F.col("w")).alias("_sym"))
+            .mapInPandas(_apply_rules, "w string, _sym string")
+            .localCheckpoint(eager=False)
         )
     else:
         sym = _padded_sym(F.col("w"))

@@ -474,7 +474,19 @@ def write_checkpoint(table_dir: Path, delta_version: int) -> Path:
     tmp = d / f".{ckpt.name}.tmp.{os.getpid()}.{time.monotonic_ns()}"
     pq.write_table(tbl, tmp)
     os.replace(tmp, ckpt)
+    # NEVER move _last_checkpoint backwards: cadence checkpoints are
+    # written OUTSIDE the commit lock, so a stalled writer resuming its
+    # version-10 checkpoint after others already published version 20
+    # must not repoint readers at the older file — vacuum keys its
+    # expiry floor off the newest checkpoint FILE and would then delete
+    # the one _last_checkpoint names, stranding every stock reader
+    lc = d / "_last_checkpoint"
+    try:
+        if lc.exists() and json.loads(lc.read_text())["version"] > delta_version:
+            return ckpt
+    except (ValueError, KeyError):
+        pass  # unreadable pointer: overwrite it with a valid one
     last_tmp = d / f"._last_checkpoint.tmp.{os.getpid()}.{time.monotonic_ns()}"
     last_tmp.write_text(json.dumps({"version": delta_version, "size": n}))
-    os.replace(last_tmp, d / "_last_checkpoint")
+    os.replace(last_tmp, lc)
     return ckpt

@@ -44,6 +44,18 @@ def _checkpoint_state(log: Path) -> tuple[int, dict, dict, dict] | None:
     if not lc.exists():
         return None
     v = json.loads(lc.read_text())["version"]
+    if not (log / f"{v:020d}.checkpoint.parquet").exists():
+        # dangling pointer (externally deleted file): fall back to the
+        # newest checkpoint parquet actually present — the protocol's
+        # "use _last_checkpoint as a HINT" stance
+        have = sorted(
+            int(p.name[:20])
+            for p in log.glob("*.checkpoint.parquet")
+            if p.name[:20].isdigit()
+        )
+        if not have:
+            return None
+        v = have[-1]
     tbl = pq.read_table(log / f"{v:020d}.checkpoint.parquet")
     adds: dict[str, dict] = {}
     meta: dict = {}

@@ -479,8 +479,20 @@ class ManagedTable:
             # commit file per micro-batch forever.
             try:
                 deltalog.write_checkpoint(self.dir, ckpt_v)
-            except Exception:
-                pass
+            except Exception as exc:
+                # tolerated, but never SILENT: a systematically failing
+                # checkpoint (permissions, missing pyarrow) would also
+                # freeze vacuum's log-retention floor — surface why
+                import warnings
+
+                warnings.warn(
+                    f"table {self.name}: cadence checkpoint at delta "
+                    f"commit {ckpt_v} failed ({type(exc).__name__}: "
+                    f"{exc}); the commit itself is durable and the "
+                    "next cadence hit will retry",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         return True
 
     def _seed_ledger(self, state: dict) -> None:
@@ -1292,9 +1304,16 @@ class ManagedTable:
         k-column, 1-row Spark job per probed column — the hash MUST be
         computed engine-side with the value cast to the COMMITTED
         column type, because xxhash64 hashes by type and the build side
-        hashed the stored type (the merge-probe lesson). Files without
-        a bloom (or with foreign parameters), uncastable literals, and
-        NULL literals never prune — always a superset."""
+        hashed the stored type (the merge-probe lesson). The literal is
+        probed ONLY when its Python type belongs to the column's own
+        family (int→integral, float→fractional, str→string, date/
+        datetime→date/timestamp): a cross-family literal that merely
+        CASTS (e.g. int 777 on a string column) can hash differently
+        from stored values the exact filter's COERCION would still
+        match ('0777' = 777 is true numerically) — probing it would
+        silently drop matching files. Files without a bloom (or with
+        foreign parameters), unprobeable/uncastable literals, and NULL
+        literals never prune — always a superset."""
         raw = self.table_prop("bloom_columns")
         if not raw or not survivors:
             return survivors
@@ -1306,9 +1325,27 @@ class ManagedTable:
             {f.name: f.dataType for f in tschema.fields}
             if tschema is not None else {}
         )
+        import datetime as _dt
+
+        def _same_family(value, tt) -> bool:
+            tn = tt.simpleString()
+            if isinstance(value, bool):  # bool is an int subclass: first
+                return False
+            if isinstance(value, int):
+                return tn in ("tinyint", "smallint", "int", "bigint")
+            if isinstance(value, float):
+                return tn in ("float", "double")
+            if isinstance(value, str):
+                return tn == "string"
+            if isinstance(value, _dt.datetime):  # datetime is a date: first
+                return tn.startswith("timestamp")
+            if isinstance(value, _dt.date):
+                return tn == "date"
+            return False
+
         for c in bloom_cols:
             tt = ttypes.get(c)
-            if tt is None:
+            if tt is None or not _same_family(points[c], tt):
                 continue
             mk = None
             for key, _ in survivors:
@@ -1980,9 +2017,15 @@ class ManagedTable:
         })
         self._write_op_marker(v, op)
         self._write_schema(self._version_dir(v), df.schema)
-        if not self._commit(
-            v, epoch, epoch_key, expected_version, set_props, expect_props
-        ):
+        try:
+            committed = self._commit(
+                v, epoch, epoch_key, expected_version, set_props, expect_props
+            )
+        except ConcurrentWriteError:
+            self._discard_claim(v)  # loser cleans its own staging
+            raise
+        if not committed:
+            self._discard_claim(v)
             return None  # lost the replay race: nothing committed
         return v
 
@@ -2081,14 +2124,46 @@ class ManagedTable:
                     new_v, epoch, epoch_key, expected_version=base_v,
                     set_props=set_props, expect_props=expect_props,
                 ):  # lost the replay race
+                    self._discard_claim(new_v)
                     return None
                 return new_v
             except OptimisticConcurrencyError:
-                new_v, base_v = self._rebase_append(new_v, base_v, schema)
+                try:
+                    new_v, base_v = self._rebase_append(new_v, base_v, schema)
+                except ConcurrentWriteError:
+                    # rebase refused (real conflict / pruned history /
+                    # vanished claim): this append is dead — free its
+                    # staging before surfacing the conflict
+                    self._discard_claim(new_v)
+                    raise
+            except ConcurrentWriteError:
+                self._discard_claim(new_v)  # non-rebaseable conflict
+                raise
+        self._discard_claim(new_v)
         raise ConcurrentWriteError(
             f"table {self.name}: append could not commit after 5 rebases "
             "(sustained concurrent write pressure) — retry"
         )
+
+    def _discard_claim(self, v: int) -> None:
+        """Remove a never-committed claim's staging: ITS OWN store
+        files (the manifest's ``added`` — carried members belong to
+        committed history), its change-data files, and the claim dir.
+        Losing writers call this on every no-commit exit (replay-race
+        loss, conflict raise), so contention does not accrete orphan
+        snapshots that only ``vacuum_uncommitted`` (no-active-writer
+        contract) could reclaim — the r11 vacuum guard spares staged
+        dirs precisely because live ones are indistinguishable from
+        dead ones, which makes self-cleanup the only leak-free
+        discipline. Crashed processes still leak until
+        ``vacuum_uncommitted``; that is the unavoidable residue."""
+        m = self._manifest(v)
+        if m is not None:
+            for n in m.get("added", ()):
+                (self.store / n).unlink(missing_ok=True)
+            for n in m.get("cdc", ()):
+                (self.dir / "_change_data" / n).unlink(missing_ok=True)
+        shutil.rmtree(self._version_dir(v), ignore_errors=True)
 
     def _rebase_append(
         self, claimed_v: int, base_v: int, schema
@@ -2436,7 +2511,13 @@ class ManagedTable:
         self._write_manifest_file(new_v, manifest)
         self._write_op_marker(new_v, "merge")
         self._write_schema(new_dir, schema)
-        if not self._commit(new_v, epoch, epoch_key, expected_version=v):
+        try:
+            committed = self._commit(new_v, epoch, epoch_key, expected_version=v)
+        except ConcurrentWriteError:
+            self._discard_claim(new_v)  # loser cleans its own staging
+            raise
+        if not committed:
+            self._discard_claim(new_v)
             return None  # lost the replay race: nothing committed
         return new_v
 

@@ -209,3 +209,47 @@ def test_gc_spares_subpointer_unmanifested_claim_files(spark, tmp_path):
     assert sorted(r.k for r in t.read().collect()) == [
         0, 1, 2, 3, 4, 10, 11, 12, 13, 100, 101, 102
     ]
+
+
+def test_losing_writers_discard_their_staging(spark, table, monkeypatch):
+    """No-commit exits must not accrete orphan snapshots: an append
+    whose rebase is refused (interleaved merge) and a merge that loses
+    its OCC race both clean up their claim dir and their own staged
+    store files — only committed members remain."""
+    def do_merge(t2):
+        t2.merge_keyed(
+            _ids(spark, 0, 1, "upd").withColumn("seq", F.lit(2)),
+            ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq"),
+        )
+
+    _inject_before_commit(monkeypatch, spark, table, do_merge)
+    with pytest.raises(OptimisticConcurrencyError):
+        table.append(_ids(spark, 300, 303))
+    state = table._pointer_state()
+    committed_dirs = {table._version_dir(v).name for v in state["committed"]}
+    assert {d.name for d in table.dir.glob("v*")} == committed_dirs
+    live = {
+        n for v in state["committed"]
+        for n in (table._resolve(v) or [[], {}])[0]
+    } | {
+        n for v in state["committed"]
+        for n in (table._manifest(v) or {}).get("removed", ())
+    }
+    on_disk = {
+        str(f.relative_to(table.store)) for f in table.store.rglob("*.parquet")
+    }
+    assert on_disk <= live, on_disk - live  # no stray staged files
+
+    # merge losing to an interleaved append: same discipline
+    monkeypatch.undo()
+    _inject_before_commit(
+        monkeypatch, spark, table, lambda t2: t2.append(_ids(spark, 400, 402))
+    )
+    with pytest.raises(ConcurrentWriteError):
+        table.merge_keyed(
+            _ids(spark, 1, 2, "upd2").withColumn("seq", F.lit(3)),
+            ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq"),
+        )
+    state = table._pointer_state()
+    committed_dirs = {table._version_dir(v).name for v in state["committed"]}
+    assert {d.name for d in table.dir.glob("v*")} == committed_dirs

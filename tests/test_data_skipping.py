@@ -263,3 +263,33 @@ def test_bloom_point_predicate_pruning(spark, tmp_path):
     assert t.read_pruned({"v": (5, 5)}).count() == df.filter("v = 5").count()
     # NULL-valued equality never probes (and returns nothing exact-side)
     assert len(t.pruned_files({"k": (None, None)})) == 8
+
+
+def test_bloom_point_prune_refuses_cross_family_literals(spark, tmp_path):
+    """A literal that merely CASTS to the column type can hash
+    differently from stored values the exact filter's coercion would
+    match ('0777' = 777 numerically) — cross-family probes are refused,
+    so results through read_pruned stay exact."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    t = Catalog(spark, tmp_path / "wh").table("t")
+    t.bind_bloom_filters(["k"], bits=4096)
+    df = spark.createDataFrame(
+        [("0777", 1), ("777", 2), ("99", 3)], "k string, v int"
+    )
+    t.overwrite(df.repartition(2, "k"))
+    # int literal on a string column: probe must be skipped entirely
+    assert len(t.pruned_files({"k": (777, 777)})) == len(t.data_files())
+    got = {tuple(r) for r in t.read_pruned({"k": (777, 777)}).collect()}
+    want = {tuple(r) for r in df.filter(F.col("k") == F.lit(777)).collect()}
+    assert got == want and got  # coercion matches BOTH '0777' and '777'
+    assert got == {("0777", 1), ("777", 2)}
+    # same-family string literal still probes (and stays exact)
+    assert {tuple(r) for r in t.read_pruned({"k": ("99", "99")}).collect()} == {
+        ("99", 3)
+    }
+    # bool literal on an int column: refused (bool is an int subclass)
+    t2 = Catalog(spark, tmp_path / "wh").table("t2")
+    t2.bind_bloom_filters(["b"], bits=256)
+    t2.overwrite(spark.createDataFrame([(1,), (0,)], "b int").coalesce(1))
+    assert len(t2.pruned_files({"b": (True, True)})) == 1

@@ -474,3 +474,32 @@ def test_stray_json_does_not_mask_missing_commit(spark, tmp_path):
     actions0 = deltalog.read_actions(t.dir, 0)
     assert any("protocol" in a for a in actions0)
     assert _replay_live_set(t) == _snapshot_paths(t)
+
+
+def test_last_checkpoint_never_regresses(spark, tmp_path):
+    """Cadence checkpoints write OUTSIDE the commit lock, so a stalled
+    writer can finish an OLD version's checkpoint after a newer one
+    published — _last_checkpoint must keep pointing at the newest
+    (vacuum keys log expiry off the newest checkpoint FILE and would
+    otherwise strand readers on a deleted one), and the independent
+    reader must survive even a dangling pointer."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.deltareader import read_delta
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    t = Catalog(spark, tmp_path / "wh").table("t")
+    t.overwrite(spark.range(4).select(F.col("id").alias("k")))
+    for i in range(12):
+        t.append(spark.range(10 + i, 11 + i).select(F.col("id").alias("k")))
+    lc = deltalog.log_dir(t.dir) / "_last_checkpoint"
+    assert json.loads(lc.read_text())["version"] == 10
+    # a stalled writer re-publishing an OLD checkpoint: pointer holds
+    deltalog.write_checkpoint(t.dir, 5)
+    assert json.loads(lc.read_text())["version"] == 10
+    assert (deltalog.log_dir(t.dir) / f"{5:020d}.checkpoint.parquet").exists()
+    # a NEWER one still advances it
+    deltalog.write_checkpoint(t.dir, 12)
+    assert json.loads(lc.read_text())["version"] == 12
+    # dangling pointer (externally deleted file): reader falls back to
+    # the newest checkpoint actually present
+    (deltalog.log_dir(t.dir) / f"{12:020d}.checkpoint.parquet").unlink()
+    assert read_delta(spark, t.dir).count() == t.read().count() == 16
