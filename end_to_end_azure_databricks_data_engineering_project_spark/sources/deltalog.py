@@ -350,12 +350,26 @@ def new_table_id() -> str:
 
 
 def write_checkpoint(table_dir: Path, delta_version: int) -> Path:
-    """Write a classic Delta checkpoint for commit ``delta_version``:
-    one parquet file holding the reconstructed snapshot state (latest
-    protocol + latest metaData + every live add), plus the
-    ``_last_checkpoint`` pointer. A stock reader then replays
-    checkpoint + later JSON commits instead of the whole log — which
-    bounds raw-log replay cost for long commit histories.
+    """``write_checkpoint_file`` + ``publish_last_checkpoint`` in one
+    call — for manual maintenance and tests. ManagedTable's automatic
+    cadence uses the two halves separately: the parquet build runs
+    outside the commit lock (it only reads immutable log files), the
+    pointer publish runs INSIDE it (see ``_commit``), which is what
+    makes the monotonicity guard race-free among engine writers."""
+    ckpt, n = write_checkpoint_file(table_dir, delta_version)
+    publish_last_checkpoint(table_dir, delta_version, n)
+    return ckpt
+
+
+def write_checkpoint_file(table_dir: Path, delta_version: int) -> tuple[Path, int]:
+    """Write a classic Delta checkpoint PARQUET for commit
+    ``delta_version`` — one file holding the reconstructed snapshot
+    state (latest protocol + latest metaData + every live add) —
+    WITHOUT touching ``_last_checkpoint`` (the caller publishes the
+    pointer; see ``publish_last_checkpoint``). A stock reader then
+    replays checkpoint + later JSON commits instead of the whole log —
+    which bounds raw-log replay cost for long commit histories.
+    Returns (checkpoint path, row count for the pointer's ``size``).
 
     Written AUTOMATICALLY every ``ManagedTable.delta_checkpoint_interval``
     commits (Delta's own 10-commit default) and still callable as
@@ -474,19 +488,32 @@ def write_checkpoint(table_dir: Path, delta_version: int) -> Path:
     tmp = d / f".{ckpt.name}.tmp.{os.getpid()}.{time.monotonic_ns()}"
     pq.write_table(tbl, tmp)
     os.replace(tmp, ckpt)
-    # NEVER move _last_checkpoint backwards: cadence checkpoints are
-    # written OUTSIDE the commit lock, so a stalled writer resuming its
-    # version-10 checkpoint after others already published version 20
-    # must not repoint readers at the older file — vacuum keys its
-    # expiry floor off the newest checkpoint FILE and would then delete
-    # the one _last_checkpoint names, stranding every stock reader
-    lc = d / "_last_checkpoint"
+    return ckpt, n
+
+
+def publish_last_checkpoint(table_dir: Path, delta_version: int, size: int) -> bool:
+    """Point ``_last_checkpoint`` at ``delta_version`` UNLESS a newer
+    one is already published (monotonic): cadence checkpoints are
+    written outside the engine's commit lock, so a stalled writer
+    resuming its version-10 checkpoint after others published 20 must
+    not repoint readers at the older file — vacuum keys its expiry
+    floor off the newest checkpoint FILE and would then delete the one
+    ``_last_checkpoint`` names, stranding every stock reader. The
+    check-then-replace here is itself racy between two bare callers;
+    ManagedTable therefore re-publishes under its commit flock (see
+    ``_commit``'s cadence path), which serializes every engine writer
+    — this standalone form only backs tests and external tooling.
+    Returns True iff the pointer was (re)written."""
+    lc = log_dir(table_dir) / "_last_checkpoint"
     try:
-        if lc.exists() and json.loads(lc.read_text())["version"] > delta_version:
-            return ckpt
-    except (ValueError, KeyError):
-        pass  # unreadable pointer: overwrite it with a valid one
-    last_tmp = d / f"._last_checkpoint.tmp.{os.getpid()}.{time.monotonic_ns()}"
-    last_tmp.write_text(json.dumps({"version": delta_version, "size": n}))
+        if lc.exists() and json.loads(lc.read_text())["version"] >= delta_version:
+            return False
+    except (ValueError, KeyError, TypeError):
+        pass  # unreadable/wrong-shaped pointer: overwrite with a valid one
+    last_tmp = (
+        log_dir(table_dir)
+        / f"._last_checkpoint.tmp.{os.getpid()}.{time.monotonic_ns()}"
+    )
+    last_tmp.write_text(json.dumps({"version": delta_version, "size": size}))
     os.replace(last_tmp, lc)
-    return ckpt
+    return True

@@ -47,15 +47,12 @@ def _checkpoint_state(log: Path) -> tuple[int, dict, dict, dict] | None:
     if not (log / f"{v:020d}.checkpoint.parquet").exists():
         # dangling pointer (externally deleted file): fall back to the
         # newest checkpoint parquet actually present — the protocol's
-        # "use _last_checkpoint as a HINT" stance
-        have = sorted(
-            int(p.name[:20])
-            for p in log.glob("*.checkpoint.parquet")
-            if p.name[:20].isdigit()
-        )
+        # "use _last_checkpoint as a HINT" stance. (Validated names via
+        # deltalog.checkpoint_files, not a loose digit-prefix glob.)
+        have = deltalog.checkpoint_files(log.parent)
         if not have:
-            return None
-        v = have[-1]
+            return None  # snapshot_state's contiguity check takes over
+        v = int(have[-1].name[:20])
     tbl = pq.read_table(log / f"{v:020d}.checkpoint.parquet")
     adds: dict[str, dict] = {}
     meta: dict = {}
@@ -98,6 +95,24 @@ def snapshot_state(table_dir: Path) -> tuple[dict, dict]:
         start, adds, meta, _ = ck
         start += 1
     versions = [int(p.stem) for p in deltalog.commit_files(table_dir)]
+    # replay only over a CONTIGUOUS tail: an expired log with no usable
+    # checkpoint (or a hole above the chosen one) cannot be replayed —
+    # silently skipping missing commits would return a partial snapshot
+    # (files added before the hole vanish); fail loudly instead
+    tail = [v for v in versions if v >= start]
+    if tail and tail != list(range(tail[0], tail[-1] + 1)):
+        raise ValueError(
+            f"delta log at {table_dir} has holes above commit {start}: "
+            f"{tail} — cannot reconstruct a consistent snapshot"
+        )
+    if tail and tail[0] != start:
+        # ck present: the tail must begin right after it; ck absent
+        # (start=0): the tail must begin at 0 (full replay)
+        raise ValueError(
+            f"delta log at {table_dir} starts at commit {tail[0]} but "
+            f"replay needs commit {start} (expired log, checkpoint "
+            "missing?) — cannot reconstruct a consistent snapshot"
+        )
     for v in versions:
         if v < start:
             continue

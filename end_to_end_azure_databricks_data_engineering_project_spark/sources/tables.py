@@ -463,22 +463,34 @@ class ManagedTable:
             self._release_commit_lock(fd)
         if ckpt_v is not None:
             # Automatic checkpoint cadence (Delta writes one every 10th
-            # commit) — OUTSIDE the lock: the replay reads only already-
-            # written immutable log files, and building it while holding
-            # the flock would stall every concurrent writer into the
-            # 15s lock deadline on large tables (the O(live files)
-            # parquet write). Atomic tmp+rename, so nothing partial is
-            # ever visible. Failure is TOLERATED by design: the commit
-            # above is already durable (pointer + log published), so
-            # raising here would make a succeeded write look failed and
-            # an at-least-once caller would double-apply; a missed
-            # cadence hit just means the next one (or write_delta_
-            # checkpoint) writes the checkpoint instead. This is what
-            # lets a long-lived streaming sink's log be EXPIRED below
-            # the checkpoint floor (vacuum) instead of growing one
-            # commit file per micro-batch forever.
+            # commit). The PARQUET build runs OUTSIDE the lock — it
+            # reads only already-written immutable log files, and
+            # building it while holding the flock would stall every
+            # concurrent writer into the 15s lock deadline on large
+            # tables (the O(live files) parquet write). The
+            # _last_checkpoint POINTER publish then takes the lock
+            # briefly: the monotonicity guard (never point readers at
+            # an older checkpoint — vacuum's expiry floor keys off the
+            # newest FILE and would delete the one a regressed pointer
+            # names) is check-then-replace, race-free only when every
+            # engine writer serializes it. Atomic tmp+rename, so
+            # nothing partial is ever visible. Failure is TOLERATED by
+            # design: the commit above is already durable (pointer +
+            # log published), so raising here would make a succeeded
+            # write look failed and an at-least-once caller would
+            # double-apply; a missed cadence hit just means the next
+            # one (or write_delta_checkpoint) writes the checkpoint
+            # instead. This is what lets a long-lived streaming sink's
+            # log be EXPIRED below the checkpoint floor (vacuum)
+            # instead of growing one commit file per micro-batch
+            # forever.
             try:
-                deltalog.write_checkpoint(self.dir, ckpt_v)
+                _, n_rows = deltalog.write_checkpoint_file(self.dir, ckpt_v)
+                fd2 = self._acquire_commit_lock()
+                try:
+                    deltalog.publish_last_checkpoint(self.dir, ckpt_v, n_rows)
+                finally:
+                    self._release_commit_lock(fd2)
             except Exception as exc:
                 # tolerated, but never SILENT: a systematically failing
                 # checkpoint (permissions, missing pyarrow) would also
@@ -1326,6 +1338,7 @@ class ManagedTable:
             if tschema is not None else {}
         )
         import datetime as _dt
+        import decimal as _decimal
 
         def _same_family(value, tt) -> bool:
             tn = tt.simpleString()
@@ -1336,11 +1349,19 @@ class ManagedTable:
             if isinstance(value, float):
                 return tn in ("float", "double")
             if isinstance(value, str):
-                return tn == "string"
+                # varchar/char are string-family (stored as string)
+                return tn == "string" or tn.startswith(("varchar", "char"))
             if isinstance(value, _dt.datetime):  # datetime is a date: first
                 return tn.startswith("timestamp")
             if isinstance(value, _dt.date):
                 return tn == "date"
+            if isinstance(value, _decimal.Decimal):
+                # a literal representable at the column's scale casts
+                # exactly (so hashes match); one that isn't matches no
+                # stored value anyway — safe either way
+                return tn.startswith("decimal")
+            if isinstance(value, (bytes, bytearray)):
+                return tn == "binary"
             return False
 
         for c in bloom_cols:
@@ -2940,7 +2961,14 @@ class ManagedTable:
         self._write_manifest_file(new_v, manifest)
         self._copy_schema(version, self._version_dir(new_v))
         self._write_op_marker(new_v, "restore")
-        self._commit(new_v)
+        try:
+            self._commit(new_v)
+        except ConcurrentWriteError:
+            # loser self-cleanup (added is empty — the restore manifest
+            # only references committed snapshots' files, so only the
+            # claim dir itself goes)
+            self._discard_claim(new_v)
+            raise
         return new_v
 
     def clone_to(self, target: "ManagedTable") -> int:
@@ -2995,7 +3023,14 @@ class ManagedTable:
         })
         self._copy_schema(cur, target._version_dir(new_v))
         target._write_op_marker(new_v, "clone")
-        target._commit(new_v, set_props=src_props or None)
+        try:
+            target._commit(new_v, set_props=src_props or None)
+        except ConcurrentWriteError:
+            # loser self-cleanup: the relinked target-store files embed
+            # a version above the target's pointer, so _gc_store's
+            # in-flight guard would otherwise spare them indefinitely
+            target._discard_claim(new_v)
+            raise
         return new_v
 
 
