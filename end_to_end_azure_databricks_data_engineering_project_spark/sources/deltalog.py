@@ -80,6 +80,8 @@ _OP_NAMES = {
     "snapshot": "WRITE",
     "append": "WRITE",
     "merge": "MERGE",
+    "delete": "DELETE",
+    "update": "UPDATE",
     "compact": "OPTIMIZE",
     "restore": "RESTORE",
     "clone": "CLONE",

@@ -1,0 +1,338 @@
+"""Predicate DML on ManagedTable: ``delete_where`` / ``update_where``.
+
+Delta Lake's DML surface is MERGE + DELETE + UPDATE; ``merge_keyed``
+covered the first, these verbs complete the triad (reference gold-layer
+contract: `silver_Dimensions.py:55` format("delta") tables are mutated
+by apply-changes deletes/updates, `DimUser.py:20-29`). Acceptance:
+
+- rows matching the condition are removed/updated; NULL conditions
+  match nothing (SQL three-valued logic);
+- ONLY files containing a matching row are rewritten — untouched files
+  carry by reference (same inode), discovery is stats/Bloom-pruned;
+- CDF-enabled tables materialize exact ``delete`` /
+  ``update_preimage``/``update_postimage`` change rows, and
+  ``changes_since`` spans DML commits so downstream drains stay
+  incremental;
+- the Delta log records DELETE/UPDATE commits (remove+add,
+  dataChange=true) that an independent protocol reader replays;
+- concurrency/idempotence match merge (expected_version, epoch skip).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import (
+    Catalog,
+    ConcurrentWriteError,
+    ManagedTable,
+)
+from end_to_end_azure_databricks_data_engineering_project_spark.sources import deltareader
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return Catalog(spark, tmp_path / "wh").table("t")
+
+
+def _files(table, v=None):
+    return {f.name: os.stat(f).st_ino for f in table.data_files(v)}
+
+
+def _clustered(spark, table, n=800, files=8, cdf=False):
+    base = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("g"),
+        F.lit("old").alias("val"),
+    )
+    table.overwrite(
+        base.repartitionByRange(files, "k").sortWithinPartitions("k"),
+        enable_cdf=cdf,
+    )
+    return table.current_version()
+
+
+# -- semantics ------------------------------------------------------------
+
+
+def test_delete_where_removes_matching_rows(spark, table):
+    _clustered(spark, table)
+    v = table.delete_where("k >= 100 AND k < 150")
+    assert v == table.current_version()
+    got = sorted(r.k for r in table.read().collect())
+    assert got == [k for k in range(800) if not (100 <= k < 150)]
+    assert table._op(v) == "delete"
+
+
+def test_update_where_sets_matching_rows(spark, table):
+    _clustered(spark, table)
+    table.update_where("k % 2 = 0 AND k < 10", {"val": "concat(val, '!')"})
+    got = {r.k: r.val for r in table.read().filter("k < 12").collect()}
+    assert got == {
+        k: ("old!" if k % 2 == 0 and k < 10 else "old") for k in range(12)
+    }
+
+
+def test_update_assignments_are_simultaneous(spark, table):
+    """SET a=b, b=a must swap (both expressions read PRE-update values,
+    one projection), not chain."""
+    table.overwrite(spark.createDataFrame([(1, 10, 20)], "k int, a int, b int"))
+    table.update_where("k = 1", {"a": "b", "b": "a"})
+    r = table.read().first()
+    assert (r.a, r.b) == (20, 10)
+
+
+def test_null_condition_rows_are_not_matched(spark, table):
+    table.overwrite(
+        spark.createDataFrame([(1, None), (2, 5), (3, 20)], "k int, x int")
+    )
+    table.delete_where("x > 10")
+    assert sorted(r.k for r in table.read().collect()) == [1, 2]
+    table.update_where("x > 1", {"x": "x + 1"})
+    got = {r.k: r.x for r in table.read().collect()}
+    assert got == {1: None, 2: 6}  # NULL row untouched
+
+
+def test_no_match_is_a_no_op_without_commit(spark, table):
+    v0 = _clustered(spark, table)
+    assert table.delete_where("k = -5") is None
+    assert table.update_where("k = -5", {"val": "'x'"}) is None
+    assert table.current_version() == v0
+
+
+def test_update_casts_to_committed_type_and_overflows_loudly(spark, table):
+    table.overwrite(spark.createDataFrame([(1, 5)], "k int, x int"))
+    table.update_where("k = 1", {"x": "x + 1"})  # bigint expr → cast to int
+    assert table.table_schema()["x"].dataType.simpleString() == "int"
+    assert table.read().first().x == 6
+    claims_before = {p.name for p in table.dir.glob("v*")}
+    with pytest.raises(Exception):
+        table.update_where("k = 1", {"x": "x + 10000000000"})
+    # ANSI overflow fails the write AND cleans up its claim dir
+    assert {p.name for p in table.dir.glob("v*")} == claims_before
+    assert table.read().first().x == 6
+
+
+def test_update_unknown_set_column_raises(spark, table):
+    table.overwrite(spark.createDataFrame([(1, 5)], "k int, x int"))
+    with pytest.raises(ValueError, match="unknown column"):
+        table.update_where("k = 1", {"nope": "1"})
+
+
+def test_delete_column_condition_objects_work(spark, table):
+    _clustered(spark, table, n=50, files=2)
+    table.delete_where(F.col("k") < 10)
+    assert table.read().count() == 40
+
+
+# -- physical shape: pruned discovery, reference-carried files ------------
+
+
+def test_delete_rewrites_only_touched_files(spark, table):
+    v0 = _clustered(spark, table)
+    v0_files = _files(table, v0)
+    assert len(v0_files) == 8
+    v = table.delete_where("k >= 100 AND k < 150")  # one 100-row file
+    m = table._manifest(v)
+    assert len(m["removed"]) == 1
+    carried = {n: i for n, i in _files(table).items() if n in v0_files}
+    assert carried == {
+        n: i for n, i in v0_files.items() if n not in set(m["removed"])
+    }  # untouched files: same store path, same inode
+
+
+def test_dml_bounds_prune_candidates_before_discovery(spark, table):
+    """The derived [100, 150) bounds must intersect exactly one file of
+    the range-clustered layout — discovery opens 1 of 8."""
+    v0 = _clustered(spark, table)
+    names, stats = table._resolve(v0)
+    bounds = table._dml_bounds("k >= 100 AND k < 150")
+    assert bounds == {"k": (100, 150)}
+    cand = [n for n in names if table._stats_overlap(stats.get(n), bounds)]
+    assert len(cand) <= 2  # boundary 150 may graze the next file
+    assert any(stats[n]["cols"]["k"]["min"] <= 100 <= stats[n]["cols"]["k"]["max"] for n in cand)
+
+
+def test_dml_bounds_bail_on_disjunctions(spark, table):
+    assert table._dml_bounds("k = 1 OR k = 5") == {}
+    assert table._dml_bounds("NOT (k = 1)") == {}
+    assert table._dml_bounds("k in (1, 2)") == {}
+    assert table._dml_bounds("upper(val) = 'X'") == {}
+    # unparseable conjunct contributes nothing; parseable one still does
+    assert table._dml_bounds("k >= 3 AND val like 'a%'") == {"k": (3, None)}
+
+
+def test_explicit_prune_hint_intersects_derived(spark, table):
+    """An OR condition derives nothing, but the caller's hint still
+    prunes; results must be identical to the unpruned path."""
+    v0 = _clustered(spark, table)
+    v = table.delete_where("k = 3 OR k = 7", prune={"k": (3, 7)})
+    m = table._manifest(v)
+    assert len(m["removed"]) == 1  # both keys live in file [0,100)
+    assert table.read().count() == 798
+
+
+def test_stats_proving_no_candidates_is_a_noop(spark, table):
+    v0 = _clustered(spark, table)
+    assert table.delete_where("k = 99999") is None
+    assert table.current_version() == v0
+
+
+def test_update_moves_rows_across_partitions(spark, table):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k int, p string, x int"
+    )
+    table.overwrite(df, partition_by=["p"])
+    table.update_where("k = 1", {"p": "'b'"})
+    got = {(r.k, r.p) for r in table.read().collect()}
+    assert got == {(1, "b"), (2, "b")}
+    assert table.read_pruned({"p": ("b", "b")}).count() == 2
+    assert table.read_pruned({"p": ("a", "a")}).count() == 0
+
+
+# -- CDF + change feed ----------------------------------------------------
+
+
+def test_delete_emits_exact_cdf_rows(spark, table):
+    v0 = _clustered(spark, table, cdf=True)
+    table.delete_where("k < 3")
+    cf = table.changes_since(v0)
+    got = sorted((r.k, r._change_type) for r in cf.collect())
+    assert got == [(0, "delete"), (1, "delete"), (2, "delete")]
+
+
+def test_update_emits_pre_post_pairs(spark, table):
+    v0 = _clustered(spark, table, cdf=True)
+    table.update_where("k = 5", {"val": "'new'"})
+    cf = table.changes_since(v0, keys=["k"])
+    got = sorted((r.k, r.val, r._change_type) for r in cf.collect())
+    assert got == [(5, "new", "update_post"), (5, "old", "update_pre")]
+
+
+def test_changes_since_spans_append_delete_update_chain(spark, table):
+    v0 = _clustered(spark, table, n=10, files=1, cdf=True)
+    table.append(
+        spark.createDataFrame([(100, 1, "new")], "k long, g long, val string")
+    )
+    table.delete_where("k = 3")
+    table.update_where("k = 4", {"val": "'upd'"})
+    cf = table.changes_since(v0, keys=["k"])
+    got = sorted((r.k, r._change_type) for r in cf.collect())
+    assert got == [
+        (3, "delete"), (4, "update_post"), (4, "update_pre"), (100, "insert")
+    ]
+
+
+def test_appended_since_breaks_on_dml(spark, table):
+    """DELETE/UPDATE change existing rows — the append-only fast path
+    must refuse (None → caller rebuilds), never silently skip them."""
+    v0 = _clustered(spark, table, n=10, files=1)
+    table.delete_where("k = 3")
+    assert table.appended_since(v0) is None
+
+
+def test_non_cdf_table_diffs_removed_vs_added(spark, table):
+    """Without CDF materialization the change feed falls back to the
+    touched-file diff — same rows, derived not stored."""
+    v0 = _clustered(spark, table, n=10, files=1, cdf=False)
+    table.update_where("k = 4", {"val": "'upd'"})
+    cf = table.changes_since(v0, keys=["k"])
+    got = sorted((r.k, r.val, r._change_type) for r in cf.collect())
+    assert got == [(4, "old", "update_pre"), (4, "upd", "update_post")]
+
+
+# -- Delta log + independent reader ---------------------------------------
+
+
+def test_delta_log_records_dml_and_reader_replays(spark, table):
+    _clustered(spark, table, cdf=True)
+    table.delete_where("k >= 700")
+    table.update_where("k = 0", {"val": "'zero'"})
+    hist = {r.version: r.operation for r in table.history().collect()}
+    assert "DELETE" in hist.values() and "UPDATE" in hist.values()
+    got = {(r.k, r.val) for r in deltareader.read_delta(spark, table.dir).collect()}
+    want = {(r.k, r.val) for r in table.read().collect()}
+    assert got == want and len(want) == 700
+    # remove+add actions present and dataChange stays true for DML
+    import json
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources import deltalog
+
+    commits = deltalog.commit_files(table.dir)
+    dml_actions = [
+        json.loads(line)
+        for p in commits[-2:]
+        for line in p.read_text().splitlines()
+    ]
+    removes = [a["remove"] for a in dml_actions if "remove" in a]
+    adds = [a["add"] for a in dml_actions if "add" in a]
+    assert removes and adds
+    assert all(r["dataChange"] for r in removes)
+    assert all(a["dataChange"] for a in adds)
+    cdcs = [a["cdc"] for a in dml_actions if "cdc" in a]
+    assert cdcs  # CDF-enabled DML ships cdc actions
+
+
+def test_dml_survives_vacuum_and_time_travel(spark, table):
+    v0 = _clustered(spark, table, n=20, files=2)
+    v1 = table.delete_where("k < 5")
+    assert sorted(r.k for r in table.read_at(v0).collect()) == list(range(20))
+    table.vacuum(keep=1)
+    assert table.read().count() == 15
+    with pytest.raises(Exception):
+        table.read_at(v0).collect()
+
+
+# -- concurrency + idempotence --------------------------------------------
+
+
+def test_dml_conflicts_with_interleaved_commit(spark, table):
+    _clustered(spark, table, n=10, files=1)
+    v = table.current_version()
+    claims_before = len(list(table.dir.glob("v*")))
+    # interleave an append AFTER the delete read its inputs: simulate by
+    # committing between read and commit via a second handle
+    other = ManagedTable(spark, table.dir.parent, table.name)
+    orig_claim = table._claim_next_version
+
+    def _claim_with_interleave():
+        other.append(
+            spark.createDataFrame([(500, 0, "zz")], "k long, g long, val string")
+        )
+        return orig_claim()
+
+    table._claim_next_version = _claim_with_interleave
+    try:
+        with pytest.raises((ConcurrentWriteError, Exception)) as ei:
+            table.delete_where("k = 3")
+        assert "concurrency" in str(ei.value).lower() or "Concurrent" in type(ei.value).__name__
+    finally:
+        table._claim_next_version = orig_claim
+    # loser cleaned its claim; the interleaved append's row survived
+    assert table.read().filter("k = 500").count() == 1
+    assert table.read().filter("k = 3").count() == 1
+
+
+def test_dml_epoch_replay_is_skipped(spark, table):
+    _clustered(spark, table, n=10, files=1)
+    v1 = table.delete_where("k = 3", epoch=7, epoch_key="job:delete")
+    assert v1 is not None
+    assert table.delete_where("k = 4", epoch=7, epoch_key="job:delete") is None
+    assert table.read().filter("k = 4").count() == 1  # replay did nothing
+    assert table.delete_where("k = 4", epoch=8, epoch_key="job:delete") is not None
+
+
+def test_full_rewrite_fallback_when_everything_matches(spark, table):
+    """A condition touching every file exceeds the manifest cap path or
+    not — either way results are exact and the manifest stays coherent."""
+    _clustered(spark, table, n=400, files=8)
+    table.merge_manifest_max_files = 2  # force the cap
+    v = table.update_where("k >= 0", {"val": "'all'"})
+    m = table._manifest(v)
+    assert sorted(m["removed"]) == m["removed"] and len(m["removed"]) == 8
+    assert m["files"] == m["added"]  # full rewrite: snapshot = new files
+    got = {r.val for r in table.read().collect()}
+    assert got == {"all"} and table.read().count() == 400
