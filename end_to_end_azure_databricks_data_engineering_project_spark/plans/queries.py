@@ -7659,6 +7659,85 @@ def q_delta_log_roundtrip(spark, sf):
 
 
 @_q(
+    "dml_delete_update",
+    "Predicate DML on a ManagedTable (Delta's DELETE/UPDATE verbs, "
+    "completing the MERGE triad): DELETE low-value finished orders, "
+    "then UPDATE urgent orders' price in place — both as stats-pruned "
+    "file rewrites (only files holding a matching row are rewritten; "
+    "data-skipping bounds auto-derived from the condition) — and read "
+    "the final state back",
+    "extension: predicate DML (sources/tables.py delete_where/"
+    "update_where; reference gold DML surface DimUser.py:20-29)",
+    """
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           round(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN o_totalprice + 100000.0
+                      ELSE o_totalprice END, 9) AS price
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+    """,
+)
+def q_dml_delete_update(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    o = _t(spark, sf, "orders")
+    t = Catalog(spark, _scratch_warehouse("q_dml", sf)).table("orders_t")
+    t.overwrite(
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions("o_orderkey")
+    )
+    t.delete_where("o_orderstatus = 'F' AND o_totalprice < 50000")
+    t.update_where(
+        "o_orderpriority = '1-URGENT'",
+        {"o_totalprice": "o_totalprice + 100000.0"},
+    )
+    return t.read().select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        F.round("o_totalprice", 9).alias("price"),
+    )
+
+
+@_q(
+    "dml_change_feed",
+    "Change feed across a DELETE + UPDATE chain: a CDF-enabled "
+    "ManagedTable materializes EXACT row-level change files per DML "
+    "commit (no diffing — the matched set IS the change set), and "
+    "changes_since(v0) drains delete rows plus update_pre/update_post "
+    "pairs, the rows an incremental gold consumer folds",
+    "extension: CDF over predicate DML (sources/tables.py "
+    "changes_since; T6/DLT apply-changes deletes DimUser.py:20-29)",
+    """
+    SELECT n_nationkey, 'delete' AS _change_type,
+           round(n_acctbal_like, 9) AS val
+    FROM (SELECT n_nationkey, CAST(n_nationkey * 10 AS DOUBLE) AS n_acctbal_like
+          FROM nation WHERE n_regionkey = 2)
+    UNION ALL
+    SELECT n_nationkey, 'update_pre', round(CAST(n_nationkey * 10 AS DOUBLE), 9)
+    FROM nation WHERE n_regionkey = 0
+    UNION ALL
+    SELECT n_nationkey, 'update_post',
+           round(CAST(n_nationkey * 10 AS DOUBLE) + 5.0, 9)
+    FROM nation WHERE n_regionkey = 0
+    """,
+)
+def q_dml_change_feed(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    n = _t(spark, sf, "nation").select(
+        "n_nationkey", "n_regionkey",
+        (F.col("n_nationkey") * 10).cast("double").alias("bal"),
+    )
+    t = Catalog(spark, _scratch_warehouse("q_dmlcf", sf)).table("nation_t")
+    t.overwrite(n, enable_cdf=True)
+    v0 = t.current_version()
+    t.delete_where("n_regionkey = 2")
+    t.update_where("n_regionkey = 0", {"bal": "bal + 5.0"})
+    feed = t.changes_since(v0, keys=["n_nationkey"])
+    return feed.select(
+        "n_nationkey", "_change_type", F.round("bal", 9).alias("val")
+    )
+
+
+@_q(
     "retrieval_eval_universe",
     "Retrieval scorecard with a FIXED query universe: the retriever "
     "only returned results for 8 of 10 evaluated queries — the "
