@@ -26,6 +26,8 @@ op_st = st.one_of(
     st.tuples(st.just("append"), st.just(0)),
     st.tuples(st.just("overwrite"), st.just(0)),
     st.tuples(st.just("merge"), st.integers(min_value=0, max_value=3)),
+    st.tuples(st.just("delete"), st.integers(min_value=0, max_value=3)),
+    st.tuples(st.just("update"), st.integers(min_value=0, max_value=3)),
     st.tuples(st.just("compact"), st.just(0)),
     st.tuples(st.just("restore"), st.just(0)),
     st.tuples(st.just("vacuum"), st.integers(min_value=1, max_value=3)),
@@ -94,6 +96,35 @@ def test_table_content_matches_model_under_any_sequence(
             assert v is not None
             model.update(batch)
             snapshots[v] = dict(model)
+        elif op == "delete":
+            # predicate DML: delete a contiguous id range of existing keys
+            keys = sorted(model)[: arg + 1]
+            v = t.delete_where(f"id >= {keys[0]} AND id <= {keys[-1]}")
+            assert v is not None
+            for k in list(model):
+                if keys[0] <= k <= keys[-1]:
+                    del model[k]
+            if not model:  # table may not go empty: re-seed
+                new = _rows(n)
+                n += 1
+                epoch += 1
+                v = t.append(df(new).coalesce(1), epoch=epoch, epoch_key="s")
+                model.update(new)
+            snapshots[v] = dict(model)
+        elif op == "update":
+            # predicate DML: residue-class update, may match nothing
+            v = t.update_where(
+                f"id % 4 = {arg}", {"user": "'U'", "amount": "amount + 0.5"}
+            )
+            matched = {k for k in model if k % 4 == arg}
+            if matched:
+                assert v is not None
+                for k in matched:
+                    i, u, a = model[k]
+                    model[k] = (i, "U", a + 0.5)
+                snapshots[v] = dict(model)
+            else:
+                assert v is None  # no-match DML never commits
         elif op == "compact":
             v = t.compact(target_partitions=1)
             snapshots[v] = dict(model)  # content-identical
