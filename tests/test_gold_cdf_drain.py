@@ -133,3 +133,52 @@ def test_silver_overwrite_still_falls_back_to_full_read(
     assert catalog.table("gold_dim_user").read().filter(
         F.col(END_AT).isNull()
     ).count() == 5
+
+
+def test_silver_update_where_propagates_incrementally(
+    spark, medallion, monkeypatch
+):
+    """Predicate UPDATE on silver (r11 DML): the change feed carries the
+    post-image rows, so the gold drain folds exactly the updated keys —
+    no full silver re-read."""
+    pipe, catalog = medallion
+    silver = catalog.table("silver_dim_user")
+    silver.update_where(
+        "user_id = 2",
+        {"subscription_type": "'Premium'", "updated_at": f"timestamp'{T1}'"},
+    )
+
+    calls = _spy_reads(monkeypatch)
+    assert pipe.flows["gold_dim_user"].run() == 1
+    assert "silver_dim_user" not in calls, (
+        "gold drain fell back to a full silver read across update_where"
+    )
+    hist = catalog.table("gold_dim_user").read().filter("user_id = 2").collect()
+    assert len(hist) == 2
+    cur = [r for r in hist if r[END_AT] is None]
+    assert len(cur) == 1 and cur[0]["subscription_type"] == "Premium"
+
+
+def test_silver_delete_where_keeps_drain_incremental_and_upsert_only(
+    spark, medallion, monkeypatch
+):
+    """Predicate DELETE on silver: the gold auto-CDC flow is upsert-only
+    (DLT default — deletes route through cdc_stream's apply-as-deletes),
+    so the drain must fold a ZERO delta — but WITHOUT falling back to a
+    full silver read, and without disturbing gold history."""
+    pipe, catalog = medallion
+    silver = catalog.table("silver_dim_user")
+    gold_before = sorted(
+        tuple(r) for r in catalog.table("gold_dim_user").read().collect()
+    )
+    silver.delete_where("user_id = 3")
+
+    calls = _spy_reads(monkeypatch)
+    assert pipe.flows["gold_dim_user"].run() == 0
+    assert "silver_dim_user" not in calls, (
+        "gold drain fell back to a full silver read across delete_where"
+    )
+    gold_after = sorted(
+        tuple(r) for r in catalog.table("gold_dim_user").read().collect()
+    )
+    assert gold_after == gold_before
