@@ -1015,6 +1015,7 @@ class ManagedTable:
         Delta, the data files then omit the partition columns and
         readers reconstruct them from the path (``basePath``).
         Returns store-relative names in deterministic part order."""
+        df = self._constraint_guard(df, partition_by)
         vdir = self._version_dir(v)
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -3230,6 +3231,179 @@ class ManagedTable:
         self._require_complete(version)
         res = self._resolve(version)
         return self._read_version(version, res[0] if res is not None else None)
+
+    def read_as_of(self, ts) -> DataFrame:
+        """Delta ``TIMESTAMP AS OF`` time travel: the snapshot of the
+        latest commit whose (monotonically adjusted) commit timestamp
+        is <= ``ts``. Accepts a ``datetime``, an ISO-8601 string, or
+        epoch milliseconds. Commit timestamps come from the transaction
+        log's commitInfo actions and are adjusted exactly like Delta's
+        reader — a commit stamped earlier than its predecessor (clock
+        skew) is treated as predecessor+1ms, so the mapping from time
+        to version is always monotone. Raises when ``ts`` predates the
+        earliest RETAINED commit (log files below the checkpoint floor
+        are expired by vacuum — same retention contract as
+        ``read_at``)."""
+        import datetime as _dt
+
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        if isinstance(ts, _dt.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            target_ms = int(ts.timestamp() * 1000)
+        else:
+            target_ms = int(ts)
+        candidate = None
+        adjusted = -1
+        earliest = None
+        for p in deltalog.commit_files(self.dir):
+            v = int(p.stem)
+            for a in deltalog.read_actions(self.dir, v):
+                ci = a.get("commitInfo")
+                if ci is None:
+                    continue
+                adjusted = max(ci["timestamp"], adjusted + 1)
+                if earliest is None:
+                    earliest = adjusted
+                if adjusted <= target_ms:
+                    candidate = ci.get("mtVersion")
+                break
+        if candidate is None:
+            raise ValueError(
+                f"table {self.name}: no commit at or before {target_ms} ms"
+                + (
+                    f" (earliest retained commit is at {earliest} ms)"
+                    if earliest is not None
+                    else " (no transaction log)"
+                )
+            )
+        return self.read_at(candidate)
+
+    # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT) ---------------
+    def constraints(self) -> dict:
+        """The table's committed CHECK constraints, ``{name: sql_expr}``."""
+        return dict(self.table_prop("constraints") or {})
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """Delta ``ALTER TABLE ADD CONSTRAINT name CHECK (expr)``: first
+        VALIDATES the current snapshot (one scan; any row where ``expr``
+        is FALSE fails the add — NULL passes, SQL CHECK semantics), then
+        binds the constraint as a committed table property under the
+        commit lock. Every subsequent write (append / overwrite / merge
+        / DML rewrite) enforces it IN the write itself — a per-row
+        guard expression rides the output projection (no extra pass),
+        raising before any violating file can land.
+
+        Known race (documented, Delta closes it with metadata-version
+        conflict checks): a writer already PAST its output projection
+        when the constraint binds — including an append rebasing across
+        interleaved commits — commits unchecked rows; the validation
+        scan covers only data committed at bind time."""
+        if self.exists():
+            viol = (
+                self.read()
+                .filter(~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)))
+                .limit(1)
+                .count()
+            )
+            if viol:
+                raise ValueError(
+                    f"cannot add CHECK constraint {name} ({expr}) to table "
+                    f"{self.name}: existing rows violate it"
+                )
+        fd = self._acquire_commit_lock()
+        try:
+            state = self._pointer_state()
+            cons = state.setdefault("props", {}).setdefault("constraints", {})
+            have = cons.get(name)
+            if have is not None and have != expr:
+                raise ConcurrentWriteError(
+                    f"table {self.name}: CHECK constraint {name} already "
+                    f"bound to ({have}); drop it first"
+                )
+            cons[name] = expr
+            self._write_pointer_locked(state)
+        finally:
+            self._release_commit_lock(fd)
+
+    def drop_constraint(self, name: str, if_exists: bool = False) -> None:
+        """Delta ``ALTER TABLE DROP CONSTRAINT``."""
+        fd = self._acquire_commit_lock()
+        try:
+            state = self._pointer_state()
+            cons = state.get("props", {}).get("constraints", {})
+            if name not in cons:
+                if if_exists:
+                    return
+                raise KeyError(
+                    f"table {self.name} has no CHECK constraint {name}"
+                )
+            del cons[name]
+            self._write_pointer_locked(state)
+        finally:
+            self._release_commit_lock(fd)
+
+    def _constraint_guard(
+        self, df: DataFrame, partition_by: Sequence[str] | None
+    ) -> DataFrame:
+        """Weave the committed CHECK constraints into ``df``'s output
+        projection: a violating row raises (with the row's JSON) before
+        it can be written — zero extra passes, Delta's write-side
+        enforcement. The guard wraps one atomic-typed column with a
+        ``CASE WHEN violated THEN raise_error(...) ELSE value END`` that
+        preserves the value and type for every compliant row; a frame
+        with no atomic column falls back to an eager one-row violation
+        probe (extra job, but such schemas are vanishingly rare)."""
+        cons = self._pointer_state().get("props", {}).get("constraints") or {}
+        if not cons:
+            return df
+        from pyspark.sql.types import (
+            BooleanType, DateType, NumericType, StringType, TimestampNTZType,
+            TimestampType,
+        )
+
+        def _violation(cexpr: str):
+            return ~F.coalesce(F.expr(cexpr).cast("boolean"), F.lit(True))
+
+        pset = set(partition_by or [])
+        atomic = (
+            StringType, NumericType, BooleanType, DateType, TimestampType,
+            TimestampNTZType,
+        )
+        target = next(
+            (
+                f.name
+                for f in df.schema.fields
+                if f.name not in pset and isinstance(f.dataType, atomic)
+            ),
+            None,
+        )
+        if target is None:  # eager fallback: probe for one violation
+            for cname, cexpr in sorted(cons.items()):
+                if df.filter(_violation(cexpr)).limit(1).count():
+                    raise ValueError(
+                        f"CHECK constraint {cname} ({cexpr}) violated on "
+                        f"write to table {self.name}"
+                    )
+            return df
+        ttype = df.schema[target].dataType
+        guard = F.col(target)
+        row_json = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+        for cname, cexpr in sorted(cons.items()):
+            guard = F.when(
+                _violation(cexpr),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"CHECK constraint {cname} ({cexpr}) violated "
+                            f"on write to table {self.name} by row: "
+                        ),
+                        row_json,
+                    )
+                ).cast(ttype),
+            ).otherwise(guard)
+        return df.withColumn(target, guard)
 
     def _copy_schema(self, src_v: int, dst_dir: Path) -> None:
         src = self._version_dir(src_v) / "_schema.json"

@@ -1,0 +1,201 @@
+"""CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT) and timestamp
+time travel (Delta TIMESTAMP AS OF) on ManagedTable.
+
+Constraint enforcement is WRITE-SIDE and zero-pass: the guard rides the
+output projection of every write path (append / overwrite / merge /
+predicate DML), so a violating row raises before any file lands —
+never a post-hoc scan. Validation at ADD time scans once, like Delta.
+``read_as_of`` maps a wall-clock instant to the latest commit at or
+before it via the transaction log's commitInfo timestamps with Delta's
+monotonic adjustment, honoring the same retention floor as ``read_at``.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import (
+    Catalog,
+    ConcurrentWriteError,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return Catalog(spark, tmp_path / "wh").table("t")
+
+
+def _base(spark, table):
+    table.overwrite(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, bal double")
+    )
+    table.add_constraint("bal_pos", "bal >= 0")
+    return table
+
+
+# -- CHECK constraints ------------------------------------------------------
+
+
+def test_violating_append_raises_and_leaves_table_unchanged(spark, table):
+    _base(spark, table)
+    v = table.current_version()
+    with pytest.raises(Exception, match="bal_pos"):
+        table.append(spark.createDataFrame([(3, -1.0)], "k int, bal double"))
+    assert table.current_version() == v
+    assert table.read().count() == 2
+
+
+def test_compliant_writes_pass_and_null_passes(spark, table):
+    _base(spark, table)
+    table.append(spark.createDataFrame([(3, 5.0)], "k int, bal double"))
+    # SQL CHECK three-valued logic: NULL satisfies the constraint
+    table.append(spark.createDataFrame([(4, None)], "k int, bal double"))
+    assert table.read().count() == 4
+
+
+def test_constraint_enforced_on_merge_and_dml(spark, table):
+    _base(spark, table)
+    bad = spark.createDataFrame([(1, -5.0)], "k int, bal double")
+    with pytest.raises(Exception, match="bal_pos"):
+        table.merge_keyed(
+            bad, ["k"],
+            lambda cur, b: cur.join(b.select("k"), "k", "left_anti").unionByName(b),
+        )
+    with pytest.raises(Exception, match="bal_pos"):
+        table.update_where("k = 1", {"bal": "-99.0"})
+    assert table.read().filter("bal < 0").count() == 0
+
+
+def test_add_constraint_validates_existing_rows(spark, table):
+    _base(spark, table)
+    with pytest.raises(ValueError, match="existing rows violate"):
+        table.add_constraint("k_small", "k < 2")
+    assert "k_small" not in table.constraints()
+
+
+def test_add_conflicting_definition_raises_drop_then_rebind(spark, table):
+    _base(spark, table)
+    table.add_constraint("bal_pos", "bal >= 0")  # idempotent re-add: same expr
+    with pytest.raises(ConcurrentWriteError, match="already"):
+        table.add_constraint("bal_pos", "bal > 5")
+    table.drop_constraint("bal_pos")
+    with pytest.raises(KeyError):
+        table.drop_constraint("bal_pos")
+    table.drop_constraint("bal_pos", if_exists=True)
+    table.append(spark.createDataFrame([(9, -1.0)], "k int, bal double"))
+    assert table.read().filter("bal < 0").count() == 1
+
+
+def test_constraint_persists_across_handles(spark, table, tmp_path):
+    _base(spark, table)
+    t2 = Catalog(spark, tmp_path / "wh").table("t")
+    assert t2.constraints() == {"bal_pos": "bal >= 0"}
+    with pytest.raises(Exception, match="bal_pos"):
+        t2.append(spark.createDataFrame([(3, -1.0)], "k int, bal double"))
+
+
+def test_constraint_on_partitioned_table(spark, table):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 6.0)], "k int, p string, bal double"
+    )
+    table.overwrite(df, partition_by=["p"])
+    table.add_constraint("bal_pos", "bal >= 0")
+    table.append(
+        spark.createDataFrame([(3, "a", 7.0)], "k int, p string, bal double")
+    )
+    with pytest.raises(Exception, match="bal_pos"):
+        table.append(
+            spark.createDataFrame([(4, "c", -1.0)], "k int, p string, bal double")
+        )
+    assert table.read().count() == 3
+
+
+def test_constraint_eager_fallback_for_non_atomic_schema(spark, table):
+    """A frame with no atomic column can't host the inline guard — the
+    eager one-row probe must still reject violations."""
+    df = spark.createDataFrame([([1, 2],), ([3],)], "arr array<int>")
+    table.overwrite(df)
+    table.add_constraint("nonempty", "size(arr) > 0")
+    table.append(spark.createDataFrame([([7],)], "arr array<int>"))
+    with pytest.raises(Exception, match="nonempty"):
+        table.append(spark.createDataFrame([([],)], "arr array<int>"))
+    assert table.read().count() == 3
+
+
+def test_multiple_constraints_all_enforced(spark, table):
+    _base(spark, table)
+    table.add_constraint("k_range", "k BETWEEN 0 AND 100")
+    with pytest.raises(Exception, match="k_range"):
+        table.append(spark.createDataFrame([(500, 1.0)], "k int, bal double"))
+    with pytest.raises(Exception, match="bal_pos"):
+        table.append(spark.createDataFrame([(50, -1.0)], "k int, bal double"))
+    table.append(spark.createDataFrame([(50, 1.0)], "k int, bal double"))
+    assert table.read().count() == 3
+
+
+# -- TIMESTAMP AS OF --------------------------------------------------------
+
+
+def test_read_as_of_maps_instants_to_versions(spark, table):
+    table.overwrite(spark.createDataFrame([(1,)], "k int"))
+    table.append(spark.createDataFrame([(2,)], "k int"))
+    table.append(spark.createDataFrame([(3,)], "k int"))
+    hist = sorted((r.timestamp, r.mt_version) for r in table.history().collect())
+    # exactly AT a commit's timestamp → that commit's snapshot
+    assert table.read_as_of(hist[0][0]).count() == 1
+    assert table.read_as_of(hist[1][0]).count() == 2
+    # far future → head
+    assert table.read_as_of(int(time.time() * 1000) + 10_000).count() == 3
+
+
+def test_read_as_of_before_first_commit_raises(spark, table):
+    table.overwrite(spark.createDataFrame([(1,)], "k int"))
+    first_ts = table.history().agg(F.min("timestamp")).first()[0]
+    with pytest.raises(ValueError, match="no commit at or before"):
+        table.read_as_of(first_ts - 60_000)
+
+
+def test_read_as_of_accepts_iso_and_datetime(spark, table):
+    import datetime as dt
+
+    table.overwrite(spark.createDataFrame([(1,)], "k int"))
+    now = dt.datetime.now(dt.timezone.utc)
+    assert table.read_as_of(now).count() == 1
+    assert table.read_as_of(now.isoformat()).count() == 1
+
+
+def test_read_as_of_honors_log_retention_floor(spark, table):
+    """After vacuum expires pre-checkpoint log files, instants older
+    than the earliest RETAINED commit raise instead of silently
+    resolving to a wrong version."""
+    table.delta_checkpoint_interval = 2
+    table.overwrite(spark.createDataFrame([(0,)], "k int"))
+    first_ts = table.history().agg(F.min("timestamp")).first()[0]
+    for i in range(1, 7):
+        table.append(spark.createDataFrame([(i,)], "k int"))
+    table.vacuum(keep=1)
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources import deltalog
+
+    floor_v = int(deltalog.commit_files(table.dir)[0].stem)
+    if floor_v > 0:  # expiry actually happened
+        with pytest.raises(ValueError, match="earliest retained"):
+            table.read_as_of(first_ts - 1)
+    # head is always reachable
+    assert table.read_as_of(int(time.time() * 1000) + 10_000).count() == 7
+
+
+def test_same_millisecond_commits_resolve_to_latest(spark, table):
+    """Delta's monotonic adjustment: commits stamped in the same ms are
+    ordered v, v+1ms, ... — an instant at that ms resolves to the LAST
+    commit whose adjusted stamp fits."""
+    table.overwrite(spark.createDataFrame([(0,)], "k int"))
+    for i in range(1, 4):
+        table.append(spark.createDataFrame([(i,)], "k int"))
+    hist = sorted((r.timestamp, r.mt_version, r.version) for r in table.history().collect())
+    last_ts = hist[-1][0]
+    # an instant comfortably past every raw stamp (adjustment adds at
+    # most len(hist) ms) must resolve to the head
+    assert table.read_as_of(last_ts + len(hist) + 1).count() == 4
