@@ -56,6 +56,8 @@ EXTENDED = [
     # and the checkpoint-cadence + log-retention round-trip
     "merge_bloom_pruned",
     "delta_retention_roundtrip",
+    # r11 predicate DML: stats-pruned DELETE+UPDATE rewrite + read-back
+    "dml_delete_update",
 ]
 
 

@@ -7738,6 +7738,86 @@ def q_dml_change_feed(spark, sf):
 
 
 @_q(
+    "check_constraint_gate",
+    "Write-side CHECK constraint enforcement (Delta ALTER TABLE ADD "
+    "CONSTRAINT): bind acctbal >= -1000 on a ManagedTable, append a "
+    "compliant batch (lands), then a violating batch — rejected IN the "
+    "write projection (raise_error guard, no extra validation pass) "
+    "with the table left exactly at its pre-violation state",
+    "extension: CHECK constraints (sources/tables.py add_constraint/"
+    "_constraint_guard; P6 expectations done at the storage layer)",
+    """
+    SELECT c_custkey, c_mktsegment, round(c_acctbal, 9) AS bal FROM customer
+    UNION ALL
+    SELECT c_custkey + 1000000, c_mktsegment, 0.0 FROM customer
+    WHERE c_custkey < 5
+    """,
+)
+def q_check_constraint_gate(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    c = _t(spark, sf, "customer")
+    t = Catalog(spark, _scratch_warehouse("q_ckc", sf)).table("cust_t")
+    t.overwrite(c)
+    t.add_constraint("bal_floor", "c_acctbal >= -1000")
+    ok = c.filter("c_custkey < 5").withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(1000000)
+    ).withColumn("c_acctbal", F.lit(0.0))
+    t.append(ok)
+    bad = ok.withColumn("c_acctbal", F.lit(-999999.0)).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(1000000)
+    )
+    try:
+        t.append(bad)
+        raise AssertionError("CHECK constraint failed to reject the batch")
+    except Exception as exc:  # noqa: BLE001 — the guard raises in-job
+        if "bal_floor" not in str(exc):
+            raise
+    return t.read().select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 9).alias("bal")
+    )
+
+
+@_q(
+    "time_travel_asof",
+    "TIMESTAMP AS OF time travel: three commits on a ManagedTable "
+    "(overwrite + two appends), then read_as_of(second commit's "
+    "log timestamp) reconstructs exactly the two-commit snapshot — the "
+    "instant-to-version mapping comes from commitInfo timestamps with "
+    "Delta's monotonic adjustment, never the engine pointer",
+    "extension: time travel (sources/tables.py read_as_of; "
+    "delta-protocol commitInfo)",
+    """
+    SELECT r_regionkey, r_name FROM region
+    UNION ALL
+    SELECT r_regionkey + 100, r_name FROM region
+    """,
+)
+def q_time_travel_asof(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    r = _t(spark, sf, "region").select("r_regionkey", "r_name")
+    t = Catalog(spark, _scratch_warehouse("q_asof", sf)).table("region_t")
+    t.overwrite(r)
+    t.append(r.withColumn(
+        "r_regionkey", (F.col("r_regionkey") + 100).cast("int")
+    ))
+    t.append(r.withColumn(
+        "r_regionkey", (F.col("r_regionkey") + 200).cast("int")
+    ))
+    # pick the ADJUSTED stamp of the second commit (same monotonic
+    # adjustment read_as_of applies), so the mapping is exact even if
+    # two commits land in the same millisecond
+    stamps = [ts for _, ts in sorted(
+        (row.version, row.timestamp) for row in t.history().collect()
+    )]
+    adj: list[int] = []
+    for raw in stamps:
+        adj.append(max(raw, adj[-1] + 1) if adj else raw)
+    return t.read_as_of(adj[1]).select("r_regionkey", "r_name")
+
+
+@_q(
     "retrieval_eval_universe",
     "Retrieval scorecard with a FIXED query universe: the retriever "
     "only returned results for 8 of 10 evaluated queries — the "
