@@ -2843,6 +2843,87 @@ class ManagedTable:
             condition, "update", _rewrite, _cdc, prune, epoch, epoch_key
         )
 
+    def compact_small(
+        self,
+        max_file_bytes: int = 128 << 20,
+        epoch=None,
+        epoch_key=None,
+    ) -> int | None:
+        """Incremental bin-packing OPTIMIZE (Delta's default compaction
+        semantics): rewrite ONLY the current snapshot's files smaller
+        than ``max_file_bytes``, coalesced into ~target-sized files,
+        and carry every already-right-sized file by reference. Where
+        ``compact()`` rewrites the whole table (the right tool when
+        re-CLUSTERING), this is the routine maintenance verb — cost is
+        O(small files), so a streaming sink accumulating one small file
+        per micro-batch can compact continuously without ever paying an
+        O(table) rewrite. At 100 TB that is the difference between a
+        nightly maintenance job and an impossible one.
+
+        Content-identical by contract → op marker ``compact``:
+        dataChange=false in the Delta log, transparent to
+        ``appended_since``/``changes_since`` (zero delta), so routine
+        bin-packing never breaks a downstream incremental drain.
+        Commits with ``expected_version`` like compact(); returns the
+        committed version, or None when fewer than two small files
+        exist (nothing to pack — no commit)."""
+        if self._epoch_already_applied(epoch, epoch_key):
+            return None
+        v = self.current_version()
+        res = self._resolve(v)
+        if res is None:
+            # legacy layout: no per-file reference-carry possible —
+            # full compact() is the upgrade path
+            return self.compact()
+        names, stats = res
+        sizes = {n: (self.store / n).stat().st_size for n in names}
+        small = sorted(n for n in names if sizes[n] < max_file_bytes)
+        if len(small) < 2:
+            return None
+        stored = self.table_schema(v)
+        pcols = self.partition_columns()
+        reader = (
+            self.spark.read.schema(stored) if stored is not None else self.spark.read
+        ).option("basePath", str(self.store))
+        subset = self._schema_order(
+            reader.parquet(*[str(self.store / n) for n in small]), stored
+        )
+        total = sum(sizes[n] for n in small)
+        n_out = max(1, -(-total // max_file_bytes))  # ceil
+        if not pcols:
+            # coalesce: pure bin-packing needs no shuffle at all
+            subset = subset.coalesce(int(n_out))
+        else:
+            # hive layout: co-locate each partition value's rows so the
+            # writer emits ~one packed file per value per task instead
+            # of re-fragmenting (one shuffle over the SMALL files only)
+            subset = subset.repartition(int(n_out), *pcols)
+        new_v = self._claim_next_version()
+        try:
+            out, schema = self._align(subset, evolve=False)
+            new_names = self._materialize(new_v, out, pcols)
+        except Exception:
+            self._discard_claim(new_v)
+            raise
+        new_stats = self._collect_stats_for(new_names, pcols, schema)
+        self._attach_blooms(new_names, new_stats, schema)
+        manifest = self._build_child_manifest(
+            v, new_names, small, new_stats, base_names=names, base_stats=stats
+        )
+        manifest["partition_columns"] = pcols
+        self._write_manifest_file(new_v, manifest)
+        self._write_op_marker(new_v, "compact")
+        self._write_schema(self._version_dir(new_v), schema)
+        try:
+            committed = self._commit(new_v, epoch, epoch_key, expected_version=v)
+        except ConcurrentWriteError:
+            self._discard_claim(new_v)
+            raise
+        if not committed:
+            self._discard_claim(new_v)
+            return None
+        return new_v
+
     def compact(
         self,
         target_partitions: int | None = None,
