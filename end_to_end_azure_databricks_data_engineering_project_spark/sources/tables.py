@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import threading
 import time
@@ -3612,3 +3613,77 @@ class Catalog:
             t = ManagedTable(self.spark, self.root, d.name)
             if t.exists():
                 t.read().createOrReplaceTempView(d.name)
+
+    # statement shapes sql() routes to the DML verbs (Delta SQL DML on
+    # managed tables — Spark's parser rejects DELETE/UPDATE against
+    # temp views, so the catalog dispatches them itself)
+    _DELETE_RE = re.compile(
+        r"^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+WHERE\s+(.+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _UPDATE_RE = re.compile(
+        r"^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+?)"
+        r"\s+WHERE\s+(.+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    @staticmethod
+    def _split_assignments(clause: str) -> dict:
+        """Split ``a = expr, b = expr`` on TOP-LEVEL commas (commas
+        inside parentheses or single-quoted strings don't split)."""
+        parts: list[str] = []
+        depth = 0
+        quoted = False
+        cur = []
+        i = 0
+        while i < len(clause):
+            ch = clause[i]
+            if quoted:
+                if ch == "'":
+                    if i + 1 < len(clause) and clause[i + 1] == "'":
+                        cur.append("''")
+                        i += 2
+                        continue
+                    quoted = False
+            elif ch == "'":
+                quoted = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+                i += 1
+                continue
+            cur.append(ch)
+            i += 1
+        parts.append("".join(cur))
+        out = {}
+        for p in parts:
+            col, eq, expr = p.partition("=")
+            if not eq or not col.strip() or not expr.strip():
+                raise ValueError(f"unparseable SET assignment: {p.strip()!r}")
+            out[col.strip()] = expr.strip()
+        return out
+
+    def sql(self, statement: str):
+        """Ad-hoc SQL over the catalog (S10), extended with Delta SQL
+        DML: ``DELETE FROM t WHERE …`` and ``UPDATE t SET … WHERE …``
+        route to the table's ``delete_where``/``update_where`` (stats-
+        pruned file rewrites, CDF, transaction log — identical to the
+        Python verbs) and return the committed version (None when
+        nothing matched). Everything else re-registers the views and
+        runs through ``spark.sql`` unchanged, returning its DataFrame."""
+        m = self._DELETE_RE.match(statement)
+        if m:
+            name, cond = m.group(1), m.group(2)
+            return self.table(name).delete_where(cond)
+        m = self._UPDATE_RE.match(statement)
+        if m:
+            name, sets, cond = m.group(1), m.group(2), m.group(3)
+            return self.table(name).update_where(
+                cond, self._split_assignments(sets)
+            )
+        self.register_views()
+        return self.spark.sql(statement)

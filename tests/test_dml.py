@@ -336,3 +336,33 @@ def test_full_rewrite_fallback_when_everything_matches(spark, table):
     assert m["files"] == m["added"]  # full rewrite: snapshot = new files
     got = {r.val for r in table.read().collect()}
     assert got == {"all"} and table.read().count() == 400
+
+
+# -- SQL DML routing through the catalog -----------------------------------
+
+
+def test_catalog_sql_routes_delete_and_update(spark, table):
+    _clustered(spark, table, n=20, files=2)
+    cat = Catalog(spark, table.dir.parent)
+    v = cat.sql("DELETE FROM t WHERE k < 5")
+    assert v is not None and table.read().count() == 15
+    cat.sql("UPDATE t SET val = concat(val, '!'), g = g + 100 WHERE k = 10")
+    r = table.read().filter("k = 10").first()
+    assert r.val == "old!" and r.g >= 100
+    # plain SELECT still flows through spark.sql over fresh views
+    out = cat.sql("SELECT count(*) AS n FROM t").first()
+    assert out.n == 15
+
+
+def test_catalog_sql_set_splitter_respects_nesting(spark, table):
+    cat = Catalog(spark, table.dir.parent)
+    got = cat._split_assignments(
+        "a = concat('x,y', val), b = coalesce(g, 0), c = 'it''s, fine'"
+    )
+    assert got == {
+        "a": "concat('x,y', val)",
+        "b": "coalesce(g, 0)",
+        "c": "'it''s, fine'",
+    }
+    with pytest.raises(ValueError, match="unparseable"):
+        cat._split_assignments("a = 1, nonsense")
