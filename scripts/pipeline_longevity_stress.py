@@ -64,6 +64,7 @@ cfgs = [TABLE_BY_NAME["dim_user"]]
 store = WatermarkStore(root / "state")
 pipe = catalog = None
 timings = []
+deleted_ranges: list[tuple[int, int]] = []
 try:
     for day in range(DAYS):
         t0 = time.perf_counter()
@@ -99,6 +100,21 @@ try:
         if day and day % 5 == 0:
             silver.compact(target_partitions=4)  # transparent to gold
             note += " +compact"
+        elif day and day % 3 == 0:
+            # routine bin-packing (r11 compact_small): O(small files),
+            # dataChange=false — also transparent to the gold drain
+            if silver.compact_small(max_file_bytes=1 << 20) is not None:
+                note += " +pack"
+        if day and day % 9 == 0:
+            # GDPR-style erasure (r11 predicate DML): a contiguous slice
+            # of day-old users leaves via delete_where — stats-pruned
+            # rewrite, and the gold drain stays incremental (zero delta
+            # under the upsert-only auto-CDC contract)
+            lo = (day - 1) * NEW_PER_DAY + 150
+            silver.delete_where(f"user_id >= {lo} AND user_id < {lo + 5}")
+            deleted_ranges.append((lo, lo + 5))
+            pipe.flows["gold_dim_user"].run()
+            note += " +delete"
         if day and day % 10 == 0:
             silver.vacuum(keep=3)  # log retention engages here
             catalog.table("gold_dim_user").vacuum(keep=3)
@@ -125,5 +141,17 @@ try:
     print(f"silver log files at day {DAYS-1}: {timings[-1][2]} "
           "(bounded by checkpoint cadence + retention)")
     print(f"gold current rows exact: {cur_rows} == {n_users}")
+    sread = catalog.table("silver_dim_user").read()
+    n_deleted = sum(hi - lo for lo, hi in deleted_ranges)
+    for lo, hi in deleted_ranges:
+        left = sread.filter(f"user_id >= {lo} AND user_id < {hi}").count()
+        assert left == 0, (lo, hi, left)
+    distinct_users = sread.select("user_id").distinct().count()
+    assert distinct_users == n_users - n_deleted, (distinct_users, n_users, n_deleted)
+    print(f"silver: all {n_deleted} GDPR-deleted ids absent; "
+          f"distinct users exact: {distinct_users}")
+    n_files = len(catalog.table("silver_dim_user").data_files())
+    print(f"silver data files at day {DAYS-1}: {n_files} "
+          "(bin-packed by compact_small)")
 finally:
     shutil.rmtree(root, ignore_errors=True)
