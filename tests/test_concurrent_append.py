@@ -253,3 +253,31 @@ def test_losing_writers_discard_their_staging(spark, table, monkeypatch):
     state = table._pointer_state()
     committed_dirs = {table._version_dir(v).name for v in state["committed"]}
     assert {d.name for d in table.dir.glob("v*")} == committed_dirs
+
+
+def test_append_vs_interleaved_delete_still_conflicts(spark, table, monkeypatch):
+    """Predicate DML is a content change the rebasing append never saw:
+    the conservative conflict matrix refuses to rebase across it."""
+    _inject_before_commit(
+        monkeypatch, spark, table, lambda t2: t2.delete_where("k = 0")
+    )
+    with pytest.raises(OptimisticConcurrencyError, match="not append/compact"):
+        table.append(_ids(spark, 300, 303))
+    got = {r.k for r in table.read().collect()}
+    assert 0 not in got and not any(k >= 300 for k in got)
+
+
+def test_append_rebases_over_interleaved_compact_small(spark, table, monkeypatch):
+    """compact_small is content-identical (op marker 'compact'): a blind
+    append must rebase across it like any OPTIMIZE, not conflict."""
+    for i in range(3):  # a few small files to pack
+        table.append(_ids(spark, 50 + i, 51 + i).coalesce(1))
+
+    _inject_before_commit(
+        monkeypatch, spark, table,
+        lambda t2: t2.compact_small(max_file_bytes=1 << 20),
+    )
+    committed = table.append(_ids(spark, 300, 303, "mine"))
+    assert committed is not None
+    got = {r.k for r in table.read().collect()}
+    assert {300, 301, 302} <= got and {50, 51, 52} <= got
