@@ -29,6 +29,7 @@ op_st = st.one_of(
     st.tuples(st.just("delete"), st.integers(min_value=0, max_value=3)),
     st.tuples(st.just("update"), st.integers(min_value=0, max_value=3)),
     st.tuples(st.just("compact"), st.just(0)),
+    st.tuples(st.just("pack"), st.just(0)),
     st.tuples(st.just("restore"), st.just(0)),
     st.tuples(st.just("vacuum"), st.integers(min_value=1, max_value=3)),
     st.tuples(st.just("replay"), st.just(0)),
@@ -128,6 +129,11 @@ def test_table_content_matches_model_under_any_sequence(
         elif op == "compact":
             v = t.compact(target_partitions=1)
             snapshots[v] = dict(model)  # content-identical
+        elif op == "pack":
+            # bin-packing OPTIMIZE: content-identical, may be a no-op
+            v = t.compact_small(max_file_bytes=1 << 20)
+            if v is not None:
+                snapshots[v] = dict(model)
         elif op == "restore":
             committed = t._pointer_state()["committed"]
             targets = [v for v in committed[:-1] if v in snapshots]
