@@ -2034,7 +2034,15 @@ class ManagedTable:
             set_props = {**(set_props or {}), "partition_columns": pj}
             expect_props = {**(expect_props or {}), "partition_columns": pj}
         v = self._claim_next_version()
-        names = self._materialize(v, df, pcols)
+        try:
+            names = self._materialize(v, df, pcols)
+        except Exception:
+            # a failed write (constraint guard, ANSI cast, executor
+            # loss) must not leave its claim dir: vacuum deliberately
+            # SPARES non-empty uncommitted claims (in-flight writers),
+            # so rejected batches would otherwise accumulate forever
+            self._discard_claim(v)
+            raise
         stats = self._collect_stats_for(names, pcols, df.schema)
         self._attach_blooms(names, stats, df.schema)
         self._write_manifest_file(v, {
@@ -2116,7 +2124,14 @@ class ManagedTable:
         new_v = self._claim_next_version()
         new_dir = self._version_dir(new_v)
         pcols = self.partition_columns()  # bound partitioning applies
-        names = self._materialize(new_v, df, pcols)
+        try:
+            names = self._materialize(new_v, df, pcols)
+        except Exception:
+            # see overwrite: a rejected batch (constraint guard, cast)
+            # cleans its own claim instead of leaving a vacuum-immune
+            # orphan per retry
+            self._discard_claim(new_v)
+            raise
         stats = self._collect_stats_for(names, pcols, schema)
         self._attach_blooms(names, stats, schema)
         # O(new files) metadata: an incremental manifest chaining to v.
@@ -2447,7 +2462,11 @@ class ManagedTable:
         # differs — e.g. CDC batches lack the SCD bookkeeping columns
         # that merge_fn itself adds).
         merged, schema = self._align(merge_fn(subset, batch), evolve=False)
-        names = self._materialize(new_v, merged, pcols)
+        try:
+            names = self._materialize(new_v, merged, pcols)
+        except Exception:
+            self._discard_claim(new_v)  # see overwrite: no orphan per retry
+            raise
         stats = self._collect_stats_for(names, pcols, schema)
         self._attach_blooms(names, stats, schema)
         if full_rewrite:
@@ -2561,15 +2580,54 @@ class ManagedTable:
         always a superset, never wrong). ``<`` / ``>`` widen to their
         inclusive bound (supersets again); ``=`` binds an exact point,
         which additionally unlocks the per-file key Blooms."""
-        import re as _re
-
-        if _re.search(r"(?i)\bor\b|\bnot\b|\bin\b|[()|]", condition):
-            return {}
-        cmp_pat = _re.compile(
+        # quote-aware pre-pass: bail tokens and the AND split must only
+        # see text OUTSIDE single-quoted literals — a value like
+        # 'x AND k = 5' must neither split the conjunction nor feed the
+        # comparison parser (bounds derived from literal content would
+        # NOT be implied by the condition: silent wrong-file pruning)
+        conjuncts: list[str] = []
+        cur: list[str] = []
+        quoted = False
+        i = 0
+        n_chars = len(condition)
+        while i < n_chars:
+            ch = condition[i]
+            if quoted:
+                cur.append(ch)
+                if ch == "'":
+                    if i + 1 < n_chars and condition[i + 1] == "'":
+                        cur.append("'")
+                        i += 2
+                        continue
+                    quoted = False
+                i += 1
+                continue
+            if ch == "'":
+                quoted = True
+                cur.append(ch)
+                i += 1
+                continue
+            if ch in "()|":
+                return {}  # sub-expressions / OR syntax: unprovable
+            m = re.match(r"(?i)(or|not|in|and)\b", condition[i:])
+            if m and (i == 0 or not (condition[i - 1].isalnum() or condition[i - 1] == "_")):
+                word = m.group(1).lower()
+                if word != "and":
+                    return {}
+                conjuncts.append("".join(cur))
+                cur = []
+                i += m.end()
+                continue
+            cur.append(ch)
+            i += 1
+        if quoted:
+            return {}  # unterminated literal: parse nothing
+        conjuncts.append("".join(cur))
+        cmp_pat = re.compile(
             r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|==|=|<|>)\s*"
             r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*$"
         )
-        rev_pat = _re.compile(
+        rev_pat = re.compile(
             r"^\s*('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*(<=|>=|==|=|<|>)\s*"
             r"([A-Za-z_][A-Za-z0-9_]*)\s*$"
         )
@@ -2581,7 +2639,7 @@ class ManagedTable:
             return float(tok) if "." in tok else int(tok)
 
         bounds: dict = {}
-        for conjunct in _re.split(r"(?i)\band\b", condition):
+        for conjunct in conjuncts:
             m = cmp_pat.match(conjunct)
             if m:
                 col, op, tok = m.group(1), m.group(2), m.group(3)
@@ -2881,6 +2939,17 @@ class ManagedTable:
         small = sorted(n for n in names if sizes[n] < max_file_bytes)
         if len(small) < 2:
             return None
+        total = sum(sizes[n] for n in small)
+        n_out = max(1, -(-total // max_file_bytes))  # ceil
+        if n_out >= len(small):
+            # CONVERGENCE guard: packing can't reduce the file count —
+            # the small set is already ~target-sized chunks (its own
+            # outputs are always sub-threshold, so without this check
+            # every later call would re-pack the same bytes into the
+            # same number of files forever: O(sub-threshold bytes) of
+            # useless churn per maintenance cycle plus a no-progress
+            # commit each time)
+            return None
         stored = self.table_schema(v)
         pcols = self.partition_columns()
         reader = (
@@ -2889,8 +2958,6 @@ class ManagedTable:
         subset = self._schema_order(
             reader.parquet(*[str(self.store / n) for n in small]), stored
         )
-        total = sum(sizes[n] for n in small)
-        n_out = max(1, -(-total // max_file_bytes))  # ceil
         if not pcols:
             # coalesce: pure bin-packing needs no shuffle at all
             subset = subset.coalesce(int(n_out))
@@ -3332,7 +3399,11 @@ class ManagedTable:
             ts = _dt.datetime.fromisoformat(ts)
         if isinstance(ts, _dt.datetime):
             if ts.tzinfo is None:
-                ts = ts.replace(tzinfo=_dt.timezone.utc)
+                # naive instants are LOCAL wall-clock (Delta resolves a
+                # naive TIMESTAMP AS OF in the session timezone; a UTC
+                # reinterpretation would silently shift the target by
+                # the zone offset)
+                ts = ts.astimezone()
             target_ms = int(ts.timestamp() * 1000)
         else:
             target_ms = int(ts)
@@ -3622,10 +3693,39 @@ class Catalog:
         re.IGNORECASE | re.DOTALL,
     )
     _UPDATE_RE = re.compile(
-        r"^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+?)"
-        r"\s+WHERE\s+(.+?)\s*;?\s*$",
+        r"^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+?)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
+
+    @staticmethod
+    def _split_on_where(text: str) -> tuple[str, str] | None:
+        """Split at the FIRST top-level WHERE keyword — outside
+        single-quoted literals and parentheses, so a SET value like
+        ``'use where needed'`` or a scalar subquery never splits."""
+        depth = 0
+        quoted = False
+        i = 0
+        n = len(text)
+        while i < n:
+            ch = text[i]
+            if quoted:
+                if ch == "'":
+                    if i + 1 < n and text[i + 1] == "'":
+                        i += 2
+                        continue
+                    quoted = False
+            elif ch == "'":
+                quoted = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                m = re.match(r"(?i)where\b", text[i:])
+                if m and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")):
+                    return text[:i].rstrip(), text[i + m.end():].lstrip()
+            i += 1
+        return None
 
     @staticmethod
     def _split_assignments(clause: str) -> dict:
@@ -3681,7 +3781,14 @@ class Catalog:
             return self.table(name).delete_where(cond)
         m = self._UPDATE_RE.match(statement)
         if m:
-            name, sets, cond = m.group(1), m.group(2), m.group(3)
+            name, rest = m.group(1), m.group(2)
+            parts = self._split_on_where(rest)
+            if parts is None:
+                raise ValueError(
+                    f"UPDATE on managed table {name} requires a WHERE "
+                    "clause (full-table updates: pass condition 'true')"
+                )
+            sets, cond = parts
             return self.table(name).update_where(
                 cond, self._split_assignments(sets)
             )

@@ -114,3 +114,17 @@ def test_epoch_replay_skipped(spark, table):
     assert table.compact_small(
         max_file_bytes=64 << 10, epoch=1, epoch_key="maint"
     ) is None
+
+
+def test_compact_small_converges(spark, table):
+    """Review finding: once the small set is already ~target-sized
+    chunks, repacking must be refused — not an endless rewrite of the
+    same bytes every maintenance cycle."""
+    _seed(spark, table)
+    v = table.compact_small(max_file_bytes=64 << 10)
+    assert v is not None
+    # second pass: nothing to improve — no commit
+    assert table.compact_small(max_file_bytes=64 << 10) is None
+    assert table.current_version() == v
+    # and packing N small files into >= N outputs is refused up front
+    assert table.compact_small(max_file_bytes=1) is None

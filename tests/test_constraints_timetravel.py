@@ -143,10 +143,17 @@ def test_read_as_of_maps_instants_to_versions(spark, table):
     table.overwrite(spark.createDataFrame([(1,)], "k int"))
     table.append(spark.createDataFrame([(2,)], "k int"))
     table.append(spark.createDataFrame([(3,)], "k int"))
-    hist = sorted((r.timestamp, r.mt_version) for r in table.history().collect())
-    # exactly AT a commit's timestamp → that commit's snapshot
-    assert table.read_as_of(hist[0][0]).count() == 1
-    assert table.read_as_of(hist[1][0]).count() == 2
+    stamps = [ts for _, ts in sorted(
+        (r.version, r.timestamp) for r in table.history().collect()
+    )]
+    # ADJUSTED stamps (same monotonic rule read_as_of applies) so the
+    # mapping is exact even if two commits land in the same millisecond
+    adj: list[int] = []
+    for raw in stamps:
+        adj.append(max(raw, adj[-1] + 1) if adj else raw)
+    # exactly AT a commit's (adjusted) timestamp → that commit's snapshot
+    assert table.read_as_of(adj[0]).count() == 1
+    assert table.read_as_of(adj[1]).count() == 2
     # far future → head
     assert table.read_as_of(int(time.time() * 1000) + 10_000).count() == 3
 

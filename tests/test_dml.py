@@ -366,3 +366,66 @@ def test_catalog_sql_set_splitter_respects_nesting(spark, table):
     }
     with pytest.raises(ValueError, match="unparseable"):
         cat._split_assignments("a = 1, nonsense")
+
+
+def test_dml_bounds_are_quote_aware(spark, table):
+    """Review finding: AND inside a string literal must not split the
+    conjunction — bounds derived from literal content are NOT implied
+    by the condition and would prune the wrong files."""
+    b = table._dml_bounds
+    got = b("val = 'a AND k = 5 AND b'")
+    assert got == {"val": ("a AND k = 5 AND b", "a AND k = 5 AND b")}
+    assert "k" not in got
+    # OR inside a literal no longer bails the whole parse
+    assert b("note = 'use or abuse'") == {
+        "note": ("use or abuse", "use or abuse")
+    }
+    # keywords as substrings of identifiers are not keywords
+    assert b("android = 5 AND brand = 'x'") == {
+        "android": (5, 5), "brand": ("x", "x")
+    }
+    assert b("val = 'unterminated") == {}
+
+
+def test_delete_matching_literal_with_and_inside(spark, table):
+    """End-to-end: the row whose value CONTAINS ' AND k = 5 ' must be
+    found and deleted even though no file contains k = 5-adjacent
+    bounds — the literal never leaks into pruning."""
+    table.overwrite(spark.createDataFrame(
+        [(100, "a AND k = 5 AND b"), (200, "plain")], "k int, val string"
+    ))
+    v = table.delete_where("val = 'a AND k = 5 AND b'")
+    assert v is not None
+    assert [r.k for r in table.read().collect()] == [200]
+
+
+def test_failed_append_under_constraint_cleans_claim(spark, table):
+    """Review finding: rejected batches must not accumulate
+    vacuum-immune orphan claim dirs on the append/overwrite/merge
+    paths (DML already cleaned its own)."""
+    table.overwrite(spark.createDataFrame([(1, 5.0)], "k int, bal double"))
+    table.add_constraint("bal_pos", "bal >= 0")
+    claims = {p.name for p in table.dir.glob("v*")}
+    for _ in range(3):  # a retrying pipeline
+        with pytest.raises(Exception, match="bal_pos"):
+            table.append(
+                spark.createDataFrame([(2, -1.0)], "k int, bal double")
+            )
+    assert {p.name for p in table.dir.glob("v*")} == claims
+    with pytest.raises(Exception, match="bal_pos"):
+        table.merge_keyed(
+            spark.createDataFrame([(1, -9.0)], "k int, bal double"), ["k"],
+            lambda cur, b: cur.join(b.select("k"), "k", "left_anti").unionByName(b),
+        )
+    assert {p.name for p in table.dir.glob("v*")} == claims
+
+
+def test_catalog_sql_where_inside_literal(spark, table):
+    """Review finding: a SET value containing ' where ' must not split
+    the statement early."""
+    table.overwrite(spark.createDataFrame([(1, "x")], "k int, note string"))
+    cat = Catalog(spark, table.dir.parent)
+    cat.sql("UPDATE t SET note = 'use where needed' WHERE k = 1")
+    assert table.read().first().note == "use where needed"
+    with pytest.raises(ValueError, match="WHERE"):
+        cat.sql("UPDATE t SET note = 'no cond'")
