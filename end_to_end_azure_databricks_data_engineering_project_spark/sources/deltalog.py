@@ -250,6 +250,7 @@ def build_commit(
     partition_columns: list[str] | None = None,
     cdc: list[dict] | None = None,
     configuration: dict | None = None,
+    extra_metrics: dict | None = None,
 ) -> list[dict]:
     """Pure assembly of one commit's action list (no IO — callers stat
     the immutable store files). ``adds``: {path, size, modificationTime,
@@ -328,6 +329,10 @@ def build_commit(
                     "numFiles": str(n_live),
                     "numAddedFiles": str(len(adds)),
                     "numRemovedFiles": str(len(remove_paths)),
+                    # row-count metrics (numAddedRows / numRemovedRows /
+                    # numDeletedRows) ride in from the manifest's
+                    # per-file stats when derivable — zero extra passes
+                    **{k: str(v) for k, v in (extra_metrics or {}).items()},
                 },
                 "engineInfo": "managedtable-deltalog/1",
                 "mtVersion": mt_version,

@@ -627,8 +627,50 @@ class ManagedTable:
                 {"delta.enableChangeDataFeed": "true"}
                 if self.cdf_enabled() else None
             ),
+            extra_metrics=self._row_metrics(v),
         )
         deltalog.write_commit(self.dir, rec["version"], actions)
+
+    def _row_metrics(self, v: int) -> dict:
+        """Delta-style row-count operationMetrics for commit ``v``,
+        derived ENTIRELY from the manifest's per-file stats (no Spark
+        job, no file IO beyond the already-written metadata): rows in
+        the commit's added files, rows in its removed files (from the
+        base snapshot's resolved stats), and for DELETE commits the net
+        ``numDeletedRows``. Omits anything not derivable — metrics are
+        a courtesy, never a second pass."""
+        m = self._manifest(v)
+        if m is None:
+            return {}
+
+        def _rows(names, smap):
+            total = 0
+            for n in names:
+                r = (smap.get(n) or {}).get("rows")
+                if r is None:
+                    return None
+                total += r
+            return total
+
+        out: dict = {}
+        added = _rows(m.get("added", []), m.get("stats") or {})
+        if added is not None:
+            out["numAddedRows"] = added
+        removed_names = m.get("removed", [])
+        if m.get("upgrade"):
+            # removed lists pre-store identities: row counts unknowable
+            removed = None
+        elif removed_names:
+            base = m.get("base")
+            base_stats = self.file_stats(base) if base is not None else None
+            removed = _rows(removed_names, base_stats or {})
+        else:
+            removed = 0
+        if removed is not None:
+            out["numRemovedRows"] = removed
+            if self._op(v) == "delete" and added is not None:
+                out["numDeletedRows"] = removed - added
+        return out
 
     def _heal_delta_log(self, state: dict) -> None:
         """Repair ``_delta_log/`` to match the pointer (call under the

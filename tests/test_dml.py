@@ -429,3 +429,32 @@ def test_catalog_sql_where_inside_literal(spark, table):
     assert table.read().first().note == "use where needed"
     with pytest.raises(ValueError, match="WHERE"):
         cat.sql("UPDATE t SET note = 'no cond'")
+
+
+def test_commit_info_carries_row_metrics(spark, table):
+    """Delta operationMetrics parity: row counts derived from manifest
+    stats alone (no extra pass) — numAddedRows on appends,
+    numDeletedRows on deletes."""
+    import json
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources import deltalog
+
+    _clustered(spark, table, n=40, files=2)
+    table.append(spark.createDataFrame(
+        [(900, 0, "x"), (901, 0, "x")], "k long, g long, val string"
+    ))
+    table.delete_where("k >= 10 AND k < 15")
+
+    def metrics(dv):
+        for line in deltalog.commit_path(table.dir, dv).read_text().splitlines():
+            a = json.loads(line)
+            if "commitInfo" in a:
+                return a["commitInfo"]["operationMetrics"]
+
+    assert metrics(0)["numAddedRows"] == "40"
+    m_append = metrics(1)
+    assert m_append["numAddedRows"] == "2" and m_append["numRemovedRows"] == "0"
+    m_del = metrics(2)
+    # one 20-row file rewritten to 15 rows: 5 deleted
+    assert m_del["numDeletedRows"] == "5"
+    assert int(m_del["numRemovedRows"]) - int(m_del["numAddedRows"]) == 5
