@@ -458,3 +458,31 @@ def test_commit_info_carries_row_metrics(spark, table):
     # one 20-row file rewritten to 15 rows: 5 deleted
     assert m_del["numDeletedRows"] == "5"
     assert int(m_del["numRemovedRows"]) - int(m_del["numAddedRows"]) == 5
+
+
+def test_dml_crash_before_commit_leaves_table_unchanged(spark, table, monkeypatch):
+    """Crash drill: a writer dying AFTER staging (files + manifest + op
+    marker written) but BEFORE the pointer commit must leave readers on
+    the old snapshot; the orphan claim is reclaimable and a retry
+    applies cleanly."""
+    _clustered(spark, table, n=20, files=2)
+    v0 = table.current_version()
+
+    orig = ManagedTable._commit
+
+    def boom(self, *a, **kw):
+        raise OSError("simulated crash before pointer write")
+
+    monkeypatch.setattr(ManagedTable, "_commit", boom)
+    with pytest.raises(OSError):
+        table.delete_where("k < 5")
+    monkeypatch.setattr(ManagedTable, "_commit", orig)
+    # reader sees the old snapshot through a fresh handle
+    t2 = ManagedTable(spark, table.dir.parent, table.name)
+    assert t2.current_version() == v0
+    assert t2.read().count() == 20
+    # the crashed claim is invisible to history readers and vacuumable
+    t2.vacuum_uncommitted()
+    # retry applies cleanly
+    assert t2.delete_where("k < 5") is not None
+    assert t2.read().count() == 15
