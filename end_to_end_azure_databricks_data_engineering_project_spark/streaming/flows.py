@@ -39,7 +39,10 @@ from end_to_end_azure_databricks_data_engineering_project_spark.sources.autoload
     promote_rescued,
     read_new_files,
 )
-from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import (
+    Catalog,
+    ConcurrentWriteError,
+)
 
 Transform = Callable[[DataFrame], DataFrame]
 
@@ -1780,6 +1783,53 @@ def alert_hook(
                 "status": evt["status"], "error": evt["error"],
                 "seconds": evt["seconds"],
             })
+
+    return on_event
+
+
+def auto_maintenance_hook(
+    catalog: Catalog,
+    max_file_bytes: int = 32 << 20,
+    vacuum_every: int = 0,
+    vacuum_keep: int = 3,
+) -> Callable[[dict], None]:
+    """DLT auto-compaction as a ``run_all`` observer (Databricks
+    enables autoOptimize/autoCompact on streaming-table sinks by
+    default — `silver_Dimensions.py:55`'s managed tables get this for
+    free on the platform, so the engine provides it too): after every
+    SUCCEEDED flow, bin-pack the flow's sink table with
+    ``compact_small``. The convergence guard makes the per-run cost a
+    driver-side stat scan when there is nothing to pack, so calling it
+    every run is safe — a streaming sink accumulating one small file
+    per micro-batch stays packed continuously instead of degrading
+    until a scheduled OPTIMIZE.
+
+    ``vacuum_every=N`` additionally vacuums the table (with
+    ``vacuum_keep`` retained versions) every Nth successful run of its
+    flow — the log-retention + store-GC half of routine maintenance.
+
+    A ``ConcurrentWriteError`` from the pack (another writer landed
+    between the flow's commit and the pack) is swallowed: maintenance
+    is opportunistic, the next run retries. Compose with the alerting
+    hooks via ``compose_hooks``."""
+    counts: dict[str, int] = {}
+
+    def on_event(evt: dict) -> None:
+        if evt.get("status") != "succeeded":
+            return
+        name = evt["flow"]
+        if not (catalog.root / name).is_dir():
+            return  # flow has no sink table (never create one here)
+        t = catalog.table(name)
+        if not t.exists():
+            return
+        try:
+            t.compact_small(max_file_bytes=max_file_bytes)
+        except ConcurrentWriteError:
+            pass  # opportunistic: a racing writer wins, next run packs
+        counts[name] = counts.get(name, 0) + 1
+        if vacuum_every and counts[name] % vacuum_every == 0:
+            t.vacuum(keep=vacuum_keep)
 
     return on_event
 
