@@ -7738,6 +7738,44 @@ def q_dml_change_feed(spark, sf):
 
 
 @_q(
+    "bin_packing_roundtrip",
+    "Incremental bin-packing OPTIMIZE (Delta auto-compact semantics): "
+    "a base snapshot plus four small micro-batch appends, then "
+    "compact_small rewrites ONLY the sub-threshold files into one "
+    "packed file (right-sized files carried by reference, "
+    "dataChange=false commit) — content must be byte-identical to the "
+    "plain union",
+    "extension: small-file maintenance (sources/tables.py "
+    "compact_small; DLT autoOptimize on silver_Dimensions.py:55 sinks)",
+    """
+    SELECT s_suppkey, s_name, s_nationkey FROM supplier
+    UNION ALL
+    SELECT s_suppkey + 100000 * b, s_name, s_nationkey
+    FROM supplier, (SELECT UNNEST([1,2,3,4]) AS b)
+    WHERE s_suppkey < 5
+    """,
+)
+def q_bin_packing_roundtrip(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    t = Catalog(spark, _scratch_warehouse("q_pack", sf)).table("supplier_t")
+    t.overwrite(s)
+    for b in (1, 2, 3, 4):
+        t.append(
+            s.filter("s_suppkey < 5").withColumn(
+                "s_suppkey", F.col("s_suppkey") + F.lit(100000 * b)
+            ).coalesce(1)
+        )
+    n_before = len(t.data_files())
+    t.compact_small(max_file_bytes=64 << 10)
+    # the pack must actually have packed (else the entry silently
+    # stops exercising the path when testdata sizes drift)
+    assert len(t.data_files()) < n_before, "compact_small packed nothing"
+    return t.read().select("s_suppkey", "s_name", "s_nationkey")
+
+
+@_q(
     "check_constraint_gate",
     "Write-side CHECK constraint enforcement (Delta ALTER TABLE ADD "
     "CONSTRAINT): bind acctbal >= -1000 on a ManagedTable, append a "
