@@ -3435,6 +3435,19 @@ class ManagedTable:
         earliest RETAINED commit (log files below the checkpoint floor
         are expired by vacuum — same retention contract as
         ``read_at``)."""
+        return self.read_at(self._version_as_of(ts))
+
+    def restore_as_of(self, ts) -> int:
+        """Delta ``RESTORE TABLE t TO TIMESTAMP AS OF``: roll the table
+        back to the snapshot live at instant ``ts`` (same resolution
+        rules as ``read_as_of``) — committed as a NEW forward version
+        like ``restore(v)``, zero rewrite."""
+        return self.restore(self._version_as_of(ts))
+
+    def _version_as_of(self, ts) -> int:
+        """Resolve an instant (datetime / ISO string / epoch ms) to the
+        ManagedTable version of the latest commit whose monotonically
+        adjusted commitInfo timestamp is <= ``ts``."""
         import datetime as _dt
 
         if isinstance(ts, str):
@@ -3473,7 +3486,7 @@ class ManagedTable:
                     else " (no transaction log)"
                 )
             )
-        return self.read_at(candidate)
+        return candidate
 
     # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT) ---------------
     def constraints(self) -> dict:

@@ -206,3 +206,21 @@ def test_same_millisecond_commits_resolve_to_latest(spark, table):
     # an instant comfortably past every raw stamp (adjustment adds at
     # most len(hist) ms) must resolve to the head
     assert table.read_as_of(last_ts + len(hist) + 1).count() == 4
+
+
+def test_restore_as_of_rolls_back_to_instant(spark, table):
+    """RESTORE TO TIMESTAMP: forward-committed rollback to the snapshot
+    live at the instant; the rolled-past history stays auditable."""
+    table.overwrite(spark.createDataFrame([(1,)], "k int"))
+    table.append(spark.createDataFrame([(2,)], "k int"))
+    stamps = [ts for _, ts in sorted(
+        (r.version, r.timestamp) for r in table.history().collect()
+    )]
+    adj: list[int] = []
+    for raw in stamps:
+        adj.append(max(raw, adj[-1] + 1) if adj else raw)
+    table.append(spark.createDataFrame([(3,)], "k int"))
+    v = table.restore_as_of(adj[1])  # instant of the 2-row snapshot
+    assert v == table.current_version()
+    assert sorted(r.k for r in table.read().collect()) == [1, 2]
+    assert table._op(v) == "restore"
