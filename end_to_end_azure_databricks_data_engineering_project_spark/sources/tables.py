@@ -566,7 +566,19 @@ class ManagedTable:
         delta, diffed against the superseded snapshot (the pointer
         version, which can never have been vacuumed at commit time)."""
         prior = state.get("delta")
-        md5 = deltalog.schema_fingerprint(schema_string)
+        # the metaData fingerprint covers schema + table configuration
+        # (CDF flag, CHECK constraints): a constraint add/drop re-emits
+        # metaData on the NEXT data commit, so a stock reader sees
+        # delta.constraints.* keys current as of that commit (Delta
+        # emits a metadata-only commit immediately; our delta versions
+        # are 1:1 with table commits, so the re-emission is deferred —
+        # documented in add_constraint)
+        md5 = deltalog.schema_fingerprint(
+            None
+            if schema_string is None
+            else schema_string
+            + json.dumps(self._delta_configuration(state), sort_keys=True)
+        )
         new_entries = self._delta_file_entries(v)
         if prior is None:
             state["delta"] = {
@@ -623,13 +635,23 @@ class ManagedTable:
             schema_string, emit_meta, add_dicts, removes, v, n_live,
             partition_columns=pcols,
             cdc=cdc_dicts,
-            configuration=(
-                {"delta.enableChangeDataFeed": "true"}
-                if self.cdf_enabled() else None
-            ),
+            configuration=self._delta_configuration(self._pointer_state())
+            or None,
             extra_metrics=self._row_metrics(v),
         )
         deltalog.write_commit(self.dir, rec["version"], actions)
+
+    def _delta_configuration(self, state: dict) -> dict:
+        """The table configuration the Delta metaData action carries:
+        the CDF flag plus one ``delta.constraints.<name>`` entry per
+        CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT storage)."""
+        props = state.get("props", {})
+        cfg: dict = {}
+        if props.get("enable_cdf") == "true":
+            cfg["delta.enableChangeDataFeed"] = "true"
+        for cname, cexpr in sorted((props.get("constraints") or {}).items()):
+            cfg[f"delta.constraints.{cname}"] = cexpr
+        return cfg
 
     def _row_metrics(self, v: int) -> dict:
         """Delta-style row-count operationMetrics for commit ``v``,
@@ -3502,6 +3524,13 @@ class ManagedTable:
         / DML rewrite) enforces it IN the write itself — a per-row
         guard expression rides the output projection (no extra pass),
         raising before any violating file can land.
+
+        The Delta log surfaces the constraint as
+        ``delta.constraints.<name>`` in metaData.configuration — on the
+        NEXT data commit (delta versions here are 1:1 with table
+        commits, so there is no metadata-only commit like Delta's; the
+        engine enforces from the pointer property immediately either
+        way).
 
         Known race (documented, Delta closes it with metadata-version
         conflict checks): a writer already PAST its output projection

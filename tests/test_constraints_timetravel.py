@@ -224,3 +224,42 @@ def test_restore_as_of_rolls_back_to_instant(spark, table):
     assert v == table.current_version()
     assert sorted(r.k for r in table.read().collect()) == [1, 2]
     assert table._op(v) == "restore"
+
+
+def test_constraints_surface_in_delta_metadata(spark, table):
+    """Protocol fidelity: a stock Delta reader sees CHECK constraints as
+    delta.constraints.* in metaData.configuration, re-emitted on the
+    first data commit after every add/drop."""
+    import json
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources import deltalog
+
+    _base(spark, table)
+    table.append(spark.createDataFrame([(3, 1.0)], "k int, bal double"))
+
+    def latest_metadata():
+        meta = None
+        for p in deltalog.commit_files(table.dir):
+            for line in p.read_text().splitlines():
+                a = json.loads(line)
+                if "metaData" in a:
+                    meta = a["metaData"]
+        return meta
+
+    cfg = latest_metadata()["configuration"]
+    assert cfg.get("delta.constraints.bal_pos") == "bal >= 0"
+    table.drop_constraint("bal_pos")
+    table.append(spark.createDataFrame([(4, 1.0)], "k int, bal double"))
+    cfg = latest_metadata()["configuration"]
+    assert "delta.constraints.bal_pos" not in cfg
+    # no further config change: the next commit does NOT re-emit
+    n_meta = sum(
+        1 for p in deltalog.commit_files(table.dir)
+        for line in p.read_text().splitlines() if '"metaData"' in line
+    )
+    table.append(spark.createDataFrame([(5, 1.0)], "k int, bal double"))
+    n_meta_after = sum(
+        1 for p in deltalog.commit_files(table.dir)
+        for line in p.read_text().splitlines() if '"metaData"' in line
+    )
+    assert n_meta_after == n_meta
