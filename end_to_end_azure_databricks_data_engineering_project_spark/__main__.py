@@ -84,13 +84,33 @@ def run_all(workdir: str, scale: float = 0.2) -> None:
     print("== pipeline_runs ledger: failed flows:", failed.count())
 
 
+def run_sql(warehouse: str, statement: str) -> None:
+    """Ad-hoc SQL over an existing warehouse (≙ the reference's ad-hoc
+    notebook queries, ``silver_Dimensions.py:206-215``) — including the
+    Delta DML verbs: ``DELETE FROM t WHERE …`` / ``UPDATE t SET …
+    WHERE …`` route to the table's pruned-rewrite DML and print the
+    committed version; everything else prints its result rows."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    spark = get_spark("sql")
+    out = Catalog(spark, warehouse).sql(statement)
+    if out is None or isinstance(out, int):
+        print(f"committed version: {out}")
+    else:
+        out.show(100, truncate=False)
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "run-all"
-    if cmd != "run-all":
+    if cmd == "run-all":
+        workdir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="medallion_")
+        run_all(workdir)
+    elif cmd == "sql" and len(sys.argv) > 3:
+        run_sql(sys.argv[2], sys.argv[3])
+    else:
         print(__doc__)
+        print("    python -m end_to_end_azure_databricks_data_engineering_project_spark sql <warehouse> <statement>")
         sys.exit(2)
-    workdir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="medallion_")
-    run_all(workdir)
 
 
 if __name__ == "__main__":
