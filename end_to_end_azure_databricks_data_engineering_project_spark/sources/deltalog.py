@@ -67,6 +67,20 @@ from pathlib import Path
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
+
+def required_writer_version(configuration: dict | None) -> int:
+    """The minimum Delta writer version the table's configuration
+    demands (PROTOCOL.md): CDF tables emit cdc actions (writer v4);
+    CHECK constraints must be ENFORCED by any writer (v3) — a v2-only
+    stock writer pointed at a constrained table could otherwise append
+    violating rows without erroring."""
+    cfg = configuration or {}
+    if cfg.get("delta.enableChangeDataFeed") == "true":
+        return 4
+    if any(k.startswith("delta.constraints.") for k in cfg):
+        return 3
+    return PROTOCOL["minWriterVersion"]
+
 # ops that rearrange existing rows without changing table content.
 # ONLY compaction qualifies: RESTORE changes the visible data (that is
 # its purpose — delta-spark RESTORE emits dataChange=true, and a CDF /
@@ -251,6 +265,7 @@ def build_commit(
     cdc: list[dict] | None = None,
     configuration: dict | None = None,
     extra_metrics: dict | None = None,
+    protocol_upgrade: int | None = None,
 ) -> list[dict]:
     """Pure assembly of one commit's action list (no IO — callers stat
     the immutable store files). ``adds``: {path, size, modificationTime,
@@ -262,13 +277,21 @@ def build_commit(
     now_ms = int(time.time() * 1000)
     data_change = op not in _NO_DATA_CHANGE_OPS
     actions: list[dict] = []
+    required = required_writer_version(configuration)
     if delta_version == 0:
         proto = dict(PROTOCOL)
-        if (configuration or {}).get("delta.enableChangeDataFeed") == "true":
-            # CDF is a writer-protocol feature (PROTOCOL.md): tables
-            # that will emit cdc actions declare minWriterVersion 4
-            proto["minWriterVersion"] = 4
+        proto["minWriterVersion"] = max(proto["minWriterVersion"], required)
         actions.append({"protocol": proto})
+    elif protocol_upgrade is not None:
+        # a configuration change raised the writer requirement (e.g. a
+        # CHECK constraint added to a v2 table requires writer v3, so a
+        # stock writer that can't enforce it must refuse to write) —
+        # Delta upgrades protocol via an action in a later commit;
+        # replay takes the latest
+        actions.append({"protocol": {
+            "minReaderVersion": PROTOCOL["minReaderVersion"],
+            "minWriterVersion": protocol_upgrade,
+        }})
     if emit_metadata and schema_string is not None:
         actions.append(
             {

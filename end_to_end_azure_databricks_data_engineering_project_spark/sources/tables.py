@@ -446,12 +446,13 @@ class ManagedTable:
             # gap). Pointer first — it is the source of truth — then
             # the log file; the crash window in between is healed by
             # the next commit (see _heal_delta_log).
-            emit_meta, adds, removes, n_live = self._prepare_delta(
+            emit_meta, adds, removes, n_live, cfg, upgrade = self._prepare_delta(
                 state, v, schema_string
             )
             self._write_pointer_locked(state)
             self._write_delta_commit(
-                state["delta"], v, emit_meta, schema_string, adds, removes, n_live
+                state["delta"], v, emit_meta, schema_string, adds, removes,
+                n_live, cfg, upgrade,
             )
             dv = state["delta"]["version"]
             if (
@@ -566,6 +567,7 @@ class ManagedTable:
         delta, diffed against the superseded snapshot (the pointer
         version, which can never have been vacuumed at commit time)."""
         prior = state.get("delta")
+        cfg = self._delta_configuration(state)
         # the metaData fingerprint covers schema + table configuration
         # (CDF flag, CHECK constraints): a constraint add/drop re-emits
         # metaData on the NEXT data commit, so a stock reader sees
@@ -573,12 +575,8 @@ class ManagedTable:
         # emits a metadata-only commit immediately; our delta versions
         # are 1:1 with table commits, so the re-emission is deferred —
         # documented in add_constraint)
-        md5 = deltalog.schema_fingerprint(
-            None
-            if schema_string is None
-            else schema_string
-            + json.dumps(self._delta_configuration(state), sort_keys=True)
-        )
+        md5 = self._meta_fingerprint(schema_string, cfg)
+        required_wv = deltalog.required_writer_version(cfg)
         new_entries = self._delta_file_entries(v)
         if prior is None:
             state["delta"] = {
@@ -586,28 +584,58 @@ class ManagedTable:
                 "mt_version": v,
                 "table_id": deltalog.new_table_id(),
                 "schema_md5": md5,
+                "writer_version": required_wv,
             }
-            return schema_string is not None, new_entries, [], len(new_entries)
+            return (
+                schema_string is not None, new_entries, [], len(new_entries),
+                cfg, None,
+            )
         emit_meta = schema_string is not None and md5 != prior.get("schema_md5")
         prior_paths = set(self._delta_file_entries(prior["mt_version"]))
         adds = {p: fp for p, fp in new_entries.items() if p not in prior_paths}
         removes = sorted(prior_paths - set(new_entries))
+        # protocol upgrade: a configuration change that RAISED the
+        # writer requirement (constraint added to a v2 table, CDF
+        # enabled later) ships a protocol action in this commit so a
+        # stock writer that can't enforce the new feature refuses to
+        # write instead of silently violating it
+        prior_wv = prior.get("writer_version", deltalog.PROTOCOL["minWriterVersion"])
+        upgrade = required_wv if required_wv > prior_wv else None
         state["delta"] = {
             "version": prior["version"] + 1,
             "mt_version": v,
             "table_id": prior["table_id"],
             "schema_md5": md5 if md5 is not None else prior.get("schema_md5"),
+            "writer_version": max(required_wv, prior_wv),
             # lowest retained commit file (raised by vacuum's log
             # retention) — the heal completeness check counts from here
             "log_floor": prior.get("log_floor", 0),
         }
-        return emit_meta, adds, removes, len(new_entries)
+        return emit_meta, adds, removes, len(new_entries), cfg, upgrade
+
+    @staticmethod
+    def _meta_fingerprint(schema_string: str | None, cfg: dict) -> str | None:
+        """One fingerprint formula for every writer of ``schema_md5``
+        (commit path AND log-restart heal): schema + configuration."""
+        if schema_string is None:
+            return None
+        return deltalog.schema_fingerprint(
+            schema_string + json.dumps(cfg, sort_keys=True)
+        )
 
     def _write_delta_commit(
         self, rec: dict, v: int, emit_meta: bool, schema_string: str | None,
         adds: dict[str, Path], removes: list[str], n_live: int,
+        cfg: dict | None = None, protocol_upgrade: int | None = None,
     ) -> None:
-        pcols = (self._manifest(v) or {}).get("partition_columns", [])
+        # ONE manifest read for partition columns, cdc list, and row
+        # metrics — this runs inside the flock critical section, so no
+        # repeated JSON parses and no pointer re-read (``cfg`` comes
+        # from the caller's in-memory state, the same source the
+        # emit_meta fingerprint used)
+        m = self._manifest(v) or {}
+        op = self._op(v)
+        pcols = m.get("partition_columns", [])
         add_dicts = []
         for p, fp in adds.items():
             st = fp.stat()
@@ -624,20 +652,20 @@ class ManagedTable:
                 },
             })
         cdc_dicts = []
-        for name in (self._manifest(v) or {}).get("cdc", ()):
+        for name in m.get("cdc", ()):
             fp = self.dir / "_change_data" / name
             cdc_dicts.append({
                 "path": f"_change_data/{name}",
                 "size": fp.stat().st_size if fp.exists() else 0,
             })
         actions = deltalog.build_commit(
-            rec["version"], self._op(v), rec["table_id"], self.name,
+            rec["version"], op, rec["table_id"], self.name,
             schema_string, emit_meta, add_dicts, removes, v, n_live,
             partition_columns=pcols,
             cdc=cdc_dicts,
-            configuration=self._delta_configuration(self._pointer_state())
-            or None,
-            extra_metrics=self._row_metrics(v),
+            configuration=cfg or None,
+            extra_metrics=self._row_metrics(m, op),
+            protocol_upgrade=protocol_upgrade,
         )
         deltalog.write_commit(self.dir, rec["version"], actions)
 
@@ -653,16 +681,21 @@ class ManagedTable:
             cfg[f"delta.constraints.{cname}"] = cexpr
         return cfg
 
-    def _row_metrics(self, v: int) -> dict:
-        """Delta-style row-count operationMetrics for commit ``v``,
-        derived ENTIRELY from the manifest's per-file stats (no Spark
-        job, no file IO beyond the already-written metadata): rows in
-        the commit's added files, rows in its removed files (from the
-        base snapshot's resolved stats), and for DELETE commits the net
-        ``numDeletedRows``. Omits anything not derivable — metrics are
-        a courtesy, never a second pass."""
-        m = self._manifest(v)
-        if m is None:
+    def _row_metrics(self, m: dict, op: str) -> dict:
+        """Delta-style row-count operationMetrics, derived ENTIRELY
+        from the manifest's per-file stats (no Spark job, no file IO
+        beyond the already-written metadata). The manifest describes
+        the manifest CHAIN, not always the log diff, so this is
+        op-aware — metrics are a courtesy, never wrong:
+
+        - restore/clone manifests carry no added/removed diff → {};
+        - compact is content-identical → removed rows = added rows;
+        - a base-less manifest (first write OR overwrite replacement)
+          can't distinguish 'nothing existed' from 'everything was
+          replaced' → numAddedRows only;
+        - incremental manifests (append/merge/DML) report both, plus
+          ``numDeletedRows`` for DELETE commits."""
+        if not m or op in ("restore", "clone"):
             return {}
 
         def _rows(names, smap):
@@ -679,18 +712,21 @@ class ManagedTable:
         if added is not None:
             out["numAddedRows"] = added
         removed_names = m.get("removed", [])
-        if m.get("upgrade"):
-            # removed lists pre-store identities: row counts unknowable
+        base = m.get("base")
+        if op == "compact":
+            removed = added  # content-identical by contract
+        elif m.get("upgrade") or base is None:
+            # upgrade: removed lists pre-store identities (unknowable);
+            # base-less: first write vs snapshot replacement ambiguous
             removed = None
         elif removed_names:
-            base = m.get("base")
-            base_stats = self.file_stats(base) if base is not None else None
+            base_stats = self.file_stats(base)
             removed = _rows(removed_names, base_stats or {})
         else:
             removed = 0
         if removed is not None:
             out["numRemovedRows"] = removed
-            if self._op(v) == "delete" and added is not None:
+            if op == "delete" and added is not None:
                 out["numDeletedRows"] = removed - added
         return out
 
@@ -737,6 +773,18 @@ class ManagedTable:
         )
         if not latest_missing and not history_missing:
             return
+        # a heal is a significant event (crashed writer, deleted log):
+        # surface it — silent heals make the next forensic impossible
+        import warnings as _warnings
+
+        _warnings.warn(
+            f"table {self.name}: delta log heal engaged "
+            f"(latest_missing={latest_missing}, "
+            f"history_missing={history_missing}, delta={rec['version']}, "
+            f"retained_files={n_log_files})",
+            RuntimeWarning,
+            stacklevel=3,
+        )
         v = rec["mt_version"]
         schema_string = self._schema_string_for(v)
         if history_missing:
@@ -749,18 +797,23 @@ class ManagedTable:
             for pattern in ("*.json", "*.checkpoint.parquet", "_last_checkpoint"):
                 for stale in ld.glob(pattern):
                     stale.unlink()
+            cfg = self._delta_configuration(state)
             rec = {
                 "version": 0,
                 "mt_version": v,
                 "table_id": deltalog.new_table_id(),
-                "schema_md5": deltalog.schema_fingerprint(schema_string),
+                # SAME fingerprint formula as _prepare_delta — a
+                # divergent formula would spuriously re-emit metaData
+                # on the first data commit after every restart
+                "schema_md5": self._meta_fingerprint(schema_string, cfg),
+                "writer_version": deltalog.required_writer_version(cfg),
             }
             state["delta"] = rec
             self._write_pointer_locked(state)
             entries = self._delta_file_entries(v)
             self._write_delta_commit(
                 rec, v, schema_string is not None, schema_string,
-                entries, [], len(entries),
+                entries, [], len(entries), cfg,
             )
             return
         new_entries = self._delta_file_entries(v)
@@ -771,9 +824,17 @@ class ManagedTable:
         )
         adds = {p: fp for p, fp in new_entries.items() if p not in prior_live}
         removes = sorted(set(prior_live) - set(new_entries))
+        cfg = self._delta_configuration(state)
+        required_wv = deltalog.required_writer_version(cfg)
         self._write_delta_commit(
             rec, v, schema_string is not None, schema_string,
-            adds, removes, len(new_entries),
+            adds, removes, len(new_entries), cfg,
+            # the crashed commit may have been the one carrying a
+            # protocol upgrade: re-emit whenever the configuration
+            # demands more than the base protocol (idempotent — replay
+            # takes the latest protocol action)
+            required_wv if required_wv > deltalog.PROTOCOL["minWriterVersion"]
+            else None,
         )
 
     def heal_delta_log(self) -> None:
@@ -3756,6 +3817,17 @@ class Catalog:
     def table(self, name: str) -> ManagedTable:
         return ManagedTable(self.spark, self.root, name)
 
+    def _existing_table(self, name: str) -> ManagedTable:
+        """A handle to a table that must already exist — checked BEFORE
+        construction, because ``ManagedTable.__init__`` mkdirs its
+        directory: ad-hoc DML against a typo'd table (or a mistyped
+        warehouse path) must fail loudly, not leave phantom dirs."""
+        if not (self.root / name).is_dir():
+            raise ValueError(
+                f"no such table {name!r} in warehouse {self.root}"
+            )
+        return self.table(name)
+
     def register_views(self) -> None:
         """Expose every committed table as a temp view for spark.sql().
 
@@ -3862,7 +3934,7 @@ class Catalog:
         m = self._DELETE_RE.match(statement)
         if m:
             name, cond = m.group(1), m.group(2)
-            return self.table(name).delete_where(cond)
+            return self._existing_table(name).delete_where(cond)
         m = self._UPDATE_RE.match(statement)
         if m:
             name, rest = m.group(1), m.group(2)
@@ -3873,7 +3945,7 @@ class Catalog:
                     "clause (full-table updates: pass condition 'true')"
                 )
             sets, cond = parts
-            return self.table(name).update_where(
+            return self._existing_table(name).update_where(
                 cond, self._split_assignments(sets)
             )
         self.register_views()

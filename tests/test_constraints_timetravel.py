@@ -263,3 +263,36 @@ def test_constraints_surface_in_delta_metadata(spark, table):
         for line in p.read_text().splitlines() if '"metaData"' in line
     )
     assert n_meta_after == n_meta
+
+
+def test_constraint_bumps_writer_protocol(spark, table):
+    """Review finding: a stock v2 writer must be FENCED once constraints
+    exist — the commit after add_constraint carries a protocol action
+    raising minWriterVersion to 3 (PROTOCOL.md CHECK-constraint
+    requirement)."""
+    import json
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources import deltalog
+
+    table.overwrite(spark.createDataFrame([(1, 5.0)], "k int, bal double"))
+    v0_actions = deltalog.read_actions(table.dir, 0)
+    assert [a["protocol"]["minWriterVersion"]
+            for a in v0_actions if "protocol" in a] == [2]
+    table.add_constraint("bal_pos", "bal >= 0")
+    table.append(spark.createDataFrame([(2, 1.0)], "k int, bal double"))
+    protos = [
+        a["protocol"]["minWriterVersion"]
+        for p in deltalog.commit_files(table.dir)
+        for line in p.read_text().splitlines()
+        for a in [json.loads(line)] if "protocol" in a
+    ]
+    assert protos == [2, 3]
+    # no repeated re-emission once upgraded
+    table.append(spark.createDataFrame([(3, 1.0)], "k int, bal double"))
+    protos2 = [
+        a["protocol"]["minWriterVersion"]
+        for p in deltalog.commit_files(table.dir)
+        for line in p.read_text().splitlines()
+        for a in [json.loads(line)] if "protocol" in a
+    ]
+    assert protos2 == [2, 3]

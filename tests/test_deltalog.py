@@ -415,7 +415,7 @@ def test_concurrent_appends_keep_log_contiguous(spark, tmp_path):
 
     def writer(wid):
         for i in range(3):
-            for attempt in range(10):
+            for attempt in range(30):  # generous: pure contention flake
                 try:
                     t.append(_df(spark, 1000 * wid + 10 * i, 5))
                     break
@@ -432,7 +432,17 @@ def test_concurrent_appends_keep_log_contiguous(spark, tmp_path):
     assert not errors, errors
     vs = _log_versions(t)
     assert vs == list(range(len(vs))), vs
-    assert len(vs) == 7  # initial + 6 appends
+    # rich forensics: this has flaked rarely (5 log files instead of 7)
+    # without ever reproducing under instrumentation — if it fires
+    # again, capture everything needed to diagnose
+    forensic = {
+        "log_versions": vs,
+        "pointer_delta": t._pointer_state().get("delta"),
+        "committed": t._pointer_state().get("committed"),
+        "mt_version": t.current_version(),
+        "rows": t.read().count(),
+    }
+    assert len(vs) == 7, forensic  # initial + 6 appends
     assert _replay_live_set(t) == _snapshot_paths(t)
     assert t.read().count() == 40
 

@@ -486,3 +486,46 @@ def test_dml_crash_before_commit_leaves_table_unchanged(spark, table, monkeypatc
     # retry applies cleanly
     assert t2.delete_where("k < 5") is not None
     assert t2.read().count() == 15
+
+
+def test_row_metrics_omitted_when_not_derivable(spark, table):
+    """Review finding: the manifest describes the chain, not always the
+    snapshot diff — overwrite must not claim numRemovedRows=0, restore
+    must carry no row metrics, compact reports removed == added."""
+    import json
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources import deltalog
+
+    _clustered(spark, table, n=30, files=2)
+    table.overwrite(spark.createDataFrame(
+        [(1, 0, "z")], "k long, g long, val string"
+    ))
+
+    def metrics(dv):
+        for line in deltalog.commit_path(table.dir, dv).read_text().splitlines():
+            a = json.loads(line)
+            if "commitInfo" in a:
+                return a["commitInfo"]["operationMetrics"]
+
+    m_over = metrics(1)
+    assert m_over["numAddedRows"] == "1"
+    assert "numRemovedRows" not in m_over  # replaced rows unknowable here
+    table.restore(0)
+    m_rest = metrics(2)
+    assert "numAddedRows" not in m_rest and "numRemovedRows" not in m_rest
+    table.compact(target_partitions=1)
+    m_comp = metrics(3)
+    assert m_comp["numAddedRows"] == m_comp["numRemovedRows"] == "30"
+
+
+def test_catalog_sql_dml_on_missing_table_raises_without_side_effects(spark, tmp_path):
+    """Review finding: DML against a typo'd table name must not create
+    phantom table dirs."""
+    cat = Catalog(spark, tmp_path / "wh")
+    cat.table("t").overwrite(spark.createDataFrame([(1,)], "k int"))
+    before = sorted(p.name for p in (tmp_path / "wh").iterdir())
+    with pytest.raises(ValueError, match="no such table"):
+        cat.sql("DELETE FROM uesrs WHERE k = 1")
+    with pytest.raises(ValueError, match="no such table"):
+        cat.sql("UPDATE tt SET k = 2 WHERE k = 1")
+    assert sorted(p.name for p in (tmp_path / "wh").iterdir()) == before
