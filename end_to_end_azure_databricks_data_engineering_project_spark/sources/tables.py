@@ -2460,8 +2460,15 @@ class ManagedTable:
         merge_fn: Callable[[DataFrame, DataFrame], DataFrame],
         epoch=None,
         epoch_key=None,
+        evolve: bool = False,
     ) -> int | None:
         """File-pruned keyed merge (Delta-MERGE-style on plain parquet).
+
+        ``evolve=True`` ≙ Delta's MERGE WITH SCHEMA EVOLUTION: new
+        nullable columns in the merge OUTPUT widen the committed schema
+        (additive only, like append's evolve); untouched files carry by
+        reference under the old schema and reads pin the evolved one
+        (missing columns read as NULL).
 
         Returns the committed version, or None when nothing was
         committed (epoch already applied). The commit carries
@@ -2586,7 +2593,7 @@ class ManagedTable:
         # Schema is enforced on the merge OUTPUT (the batch legitimately
         # differs — e.g. CDC batches lack the SCD bookkeeping columns
         # that merge_fn itself adds).
-        merged, schema = self._align(merge_fn(subset, batch), evolve=False)
+        merged, schema = self._align(merge_fn(subset, batch), evolve=evolve)
         try:
             names = self._materialize(new_v, merged, pcols)
         except Exception:

@@ -369,3 +369,35 @@ def test_bloom_probe_width_compatible_batch_types(spark, table):
     assert table._merge_candidate_files(
         table._resolve(table.current_version()), sbatch, ["k"]
     ) is None  # string-vs-bigint: no range norm pruning either -> None
+
+
+def test_merge_with_schema_evolution(spark, table):
+    """Delta MERGE WITH SCHEMA EVOLUTION: evolve=True widens the
+    committed schema with the merge output's new nullable columns;
+    untouched carried files read the new column as NULL."""
+    base = spark.range(40).select(
+        F.col("id").alias("k"), F.lit("old").alias("val"), F.lit(1).alias("seq")
+    )
+    table.overwrite(base.repartitionByRange(4, "k").sortWithinPartitions("k"))
+    batch = spark.createDataFrame(
+        [(3, "new", 2, "extra")], "k long, val string, seq int, note string"
+    )
+    # without evolve: loud schema rejection
+    with pytest.raises(Exception):
+        table.merge_keyed(
+            batch, ["k"],
+            lambda cur, b: cur.withColumn("note", F.lit(None).cast("string"))
+            .join(b.select("k"), "k", "left_anti").unionByName(b),
+        )
+    v = table.merge_keyed(
+        batch, ["k"],
+        lambda cur, b: cur.withColumn("note", F.lit(None).cast("string"))
+        .join(b.select("k"), "k", "left_anti").unionByName(b),
+        evolve=True,
+    )
+    assert v is not None
+    got = {r.k: (r.val, r.note) for r in table.read().collect()}
+    assert got[3] == ("new", "extra")
+    assert got[0] == ("old", None)  # carried file: evolved column NULL
+    assert len(got) == 40
+    assert "note" in [f.name for f in table.table_schema().fields]
