@@ -265,3 +265,45 @@ def test_cascading_day_month_mv(spark, tmp_path):
         else:
             recompute[m] = (tot, n, mx)
     assert month_a == recompute
+
+
+def test_mv_retracts_across_predicate_delete(spark, tmp_path):
+    """Composition of r11 DML with the MV delta-fold: a delete_where on
+    the source flows through the change feed as retractions — the MV
+    stays incremental AND exact, including folding away a fully-deleted
+    group."""
+    t0 = dt.datetime(2025, 1, 1)
+    catalog = Catalog(spark, tmp_path / "wh")
+    fact = catalog.table("fact")
+    fact.overwrite(_facts(spark, 0, 200, t0))
+    mv = IncrementalAgg(
+        catalog, "rev_by_grp", "fact", ["grp"],
+        [Measure("total", "amount", "sum"), Measure("n", "amount", "count")],
+    )
+    assert mv.refresh() == 200
+    # delete one group entirely plus a slice of another
+    fact.delete_where("grp = 2")
+    fact.delete_where("grp = 3 AND id < 50")
+    mv.refresh()
+    got = {r.grp: (float(r.total), r.n) for r in mv.read().collect()}
+    full = {
+        r.grp: (float(r.total), r.n)
+        for r in fact.read().groupBy("grp").agg(
+            F.sum(F.col("amount").cast("decimal(28,2)")).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+    }
+    assert got == full
+    assert 2 not in got  # fully-deleted group folded away
+    # an update flows as retraction + re-insert
+    fact.update_where("grp = 1 AND id < 10", {"amount": "amount + 1000.0"})
+    mv.refresh()
+    got = {r.grp: (float(r.total), r.n) for r in mv.read().collect()}
+    full = {
+        r.grp: (float(r.total), r.n)
+        for r in fact.read().groupBy("grp").agg(
+            F.sum(F.col("amount").cast("decimal(28,2)")).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+    }
+    assert got == full
