@@ -2592,9 +2592,12 @@ class ManagedTable:
             )
         # Schema is enforced on the merge OUTPUT (the batch legitimately
         # differs — e.g. CDC batches lack the SCD bookkeeping columns
-        # that merge_fn itself adds).
-        merged, schema = self._align(merge_fn(subset, batch), evolve=evolve)
+        # that merge_fn itself adds). The whole merge_fn→align→write
+        # span discards the claim on ANY failure — a schema rejection
+        # (the probe-then-retry-with-evolve flow) must not accrete one
+        # orphan staging dir per attempt.
         try:
+            merged, schema = self._align(merge_fn(subset, batch), evolve=evolve)
             names = self._materialize(new_v, merged, pcols)
         except Exception:
             self._discard_claim(new_v)  # see overwrite: no orphan per retry
@@ -2662,8 +2665,18 @@ class ManagedTable:
                 )
                 if names else self.spark.createDataFrame([], schema)
             )
-            dels = subset.select(*[f.name for f in schema.fields]).exceptAll(new_rows)
-            ins = new_rows.exceptAll(subset.select(*[f.name for f in schema.fields]))
+            # align the OLD side to the (possibly evolved) committed
+            # schema: after merge_keyed(evolve=True) the pre-merge
+            # subset lacks the new columns — they read as NULL, exactly
+            # what pinned reads of the carried files report
+            subset_cols = set(subset.columns)
+            old_rows = subset.select(*[
+                F.col(f.name) if f.name in subset_cols
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ])
+            dels = old_rows.exceptAll(new_rows)
+            ins = new_rows.exceptAll(old_rows)
             key_cols = list(keys)
             upd = F.broadcast(
                 ins.select(*key_cols).intersect(dels.select(*key_cols))

@@ -398,6 +398,51 @@ def test_merge_with_schema_evolution(spark, table):
     assert v is not None
     got = {r.k: (r.val, r.note) for r in table.read().collect()}
     assert got[3] == ("new", "extra")
-    assert got[0] == ("old", None)  # carried file: evolved column NULL
+    # k=20 lives in an UNTOUCHED range partition — its file carried by
+    # reference under the pre-evolution schema, the pinned read reports
+    # the evolved column as NULL (k=0 shares the touched file with k=3,
+    # so it would pass even via the rewrite path)
+    assert got[20] == ("old", None)
+    assert got[0] == ("old", None)
     assert len(got) == 40
     assert "note" in [f.name for f in table.table_schema().fields]
+
+
+def test_merge_with_schema_evolution_on_cdf_table(spark, table):
+    """evolve=True on a CDF-enabled table: the change-feed diff aligns
+    the pre-merge rows to the evolved schema (new column NULL on the
+    old side) instead of crashing, and the feed reports the evolution
+    as updates."""
+    base = spark.range(20).select(
+        F.col("id").alias("k"), F.lit("old").alias("val"), F.lit(1).alias("seq")
+    )
+    table.overwrite(
+        base.repartitionByRange(2, "k").sortWithinPartitions("k"),
+        enable_cdf=True,
+    )
+    v0 = table.current_version()
+    batch = spark.createDataFrame(
+        [(3, "new", 2, "extra")], "k long, val string, seq int, note string"
+    )
+    v = table.merge_keyed(
+        batch, ["k"],
+        lambda cur, b: cur.withColumn("note", F.lit(None).cast("string"))
+        .join(b.select("k"), "k", "left_anti").unionByName(b),
+        evolve=True,
+    )
+    assert v is not None
+    feed = table.changes_since(v0, keys=["k"])
+    got = {(r.k, r._change_type): r.note for r in feed.collect()}
+    assert got[(3, "update_post")] == "extra"
+    assert got[(3, "update_pre")] is None
+    # schema-rejection retries never accrete orphan claim dirs: probe a
+    # STILL-undeclared column with evolve=False
+    claims = {p.name for p in table.dir.glob("v*")}
+    with pytest.raises(Exception):
+        table.merge_keyed(
+            batch.withColumn("note2", F.lit("x")), ["k"],
+            lambda cur, b: cur.withColumn("note", F.lit(None).cast("string"))
+            .withColumn("note2", F.lit(None).cast("string"))
+            .join(b.select("k"), "k", "left_anti").unionByName(b),
+        )
+    assert {p.name for p in table.dir.glob("v*")} == claims
