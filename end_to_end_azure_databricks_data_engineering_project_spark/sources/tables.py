@@ -2168,15 +2168,22 @@ class ManagedTable:
             # so rejected batches would otherwise accumulate forever
             self._discard_claim(v)
             raise
-        stats = self._collect_stats_for(names, pcols, df.schema)
-        self._attach_blooms(names, stats, df.schema)
-        self._write_manifest_file(v, {
-            "base": None, "depth": 0, "added": names, "removed": [],
-            "stats": stats, "files": names, "stats_full": stats,
-            "partition_columns": pcols,
-        })
-        self._write_op_marker(v, op)
-        self._write_schema(self._version_dir(v), df.schema)
+        try:
+            stats = self._collect_stats_for(names, pcols, df.schema)
+            self._attach_blooms(names, stats, df.schema)
+            self._write_manifest_file(v, {
+                "base": None, "depth": 0, "added": names, "removed": [],
+                "stats": stats, "files": names, "stats_full": stats,
+                "partition_columns": pcols,
+            })
+            self._write_op_marker(v, op)
+            self._write_schema(self._version_dir(v), df.schema)
+        except Exception:
+            # post-materialize bookkeeping (stats/Blooms/CDF/manifest/
+            # schema) failing must not leave a vacuum-immune orphan
+            # claim any more than the data write itself failing does
+            self._discard_claim(v)
+            raise
         try:
             committed = self._commit(
                 v, epoch, epoch_key, expected_version, set_props, expect_props
@@ -2257,24 +2264,31 @@ class ManagedTable:
             # orphan per retry
             self._discard_claim(new_v)
             raise
-        stats = self._collect_stats_for(names, pcols, schema)
-        self._attach_blooms(names, stats, schema)
-        # O(new files) metadata: an incremental manifest chaining to v.
-        # No per-file syscalls over the carried snapshot — the one
-        # exception is the FIRST write over a legacy (pre-manifest)
-        # table, which links its snapshot into the store once.
-        if self._manifest(v) is not None:
-            manifest = self._build_child_manifest(v, names, [], stats)
-        else:
-            base_names, base_stats, _ = self._snapshot_members(v)
-            manifest = self._build_child_manifest(
-                v, names, [], stats,
-                base_names=base_names, base_stats=base_stats, upgrade=True,
-            )
-        manifest["partition_columns"] = pcols
-        self._write_manifest_file(new_v, manifest)
-        self._write_op_marker(new_v, "append")
-        self._write_schema(new_dir, schema)
+        try:
+            stats = self._collect_stats_for(names, pcols, schema)
+            self._attach_blooms(names, stats, schema)
+            # O(new files) metadata: an incremental manifest chaining to v.
+            # No per-file syscalls over the carried snapshot — the one
+            # exception is the FIRST write over a legacy (pre-manifest)
+            # table, which links its snapshot into the store once.
+            if self._manifest(v) is not None:
+                manifest = self._build_child_manifest(v, names, [], stats)
+            else:
+                base_names, base_stats, _ = self._snapshot_members(v)
+                manifest = self._build_child_manifest(
+                    v, names, [], stats,
+                    base_names=base_names, base_stats=base_stats, upgrade=True,
+                )
+            manifest["partition_columns"] = pcols
+            self._write_manifest_file(new_v, manifest)
+            self._write_op_marker(new_v, "append")
+            self._write_schema(new_dir, schema)
+        except Exception:
+            # post-materialize bookkeeping (stats/Blooms/CDF/manifest/
+            # schema) failing must not leave a vacuum-immune orphan
+            # claim any more than the data write itself failing does
+            self._discard_claim(new_v)
+            raise
         # Logical conflict resolution (Delta write-serializable
         # semantics): a BLIND append has no read dependency, so an
         # interleaved append/compact commit doesn't actually conflict —
@@ -2602,106 +2616,113 @@ class ManagedTable:
         except Exception:
             self._discard_claim(new_v)  # see overwrite: no orphan per retry
             raise
-        stats = self._collect_stats_for(names, pcols, schema)
-        self._attach_blooms(names, stats, schema)
-        if full_rewrite:
-            prior_names = res[0] if res is not None else []
-            manifest = {
-                "base": v, "depth": 0, "added": names,
-                # removed = the whole prior snapshot, so the change feed
-                # can still diff a full-rewrite merge (legacy base: the
-                # upgrade flag below forces the rebuild fallback instead)
-                "removed": prior_names,
-                "stats": stats, "files": names, "stats_full": stats,
-            }
-            if legacy_base:
-                manifest["upgrade"] = True
-        elif legacy_base:
-            # one-time upgrade: link the UNTOUCHED legacy files into the
-            # store; the touched ones were rewritten above. Marked
-            # upgrade=True — removed refers to pre-store identities, so
-            # changes_since must rebuild across this commit.
-            base_names, base_stats, _ = self._snapshot_members(v)
-            legacy_order = [
-                f.name for f in sorted(self._version_dir(v).glob("*.parquet"))
-            ]
-            kept = [
-                n for n, lf in zip(base_names, legacy_order)
-                if lf not in touched_files
-            ]
-            manifest = {
-                "base": v, "depth": 0, "added": names,
-                "removed": sorted(touched_files),
-                "stats": stats,
-                "files": kept + names,
-                "stats_full": {
-                    **{n: base_stats[n] for n in kept if n in base_stats},
-                    **stats,
-                },
-                "upgrade": True,
-            }
-        else:
-            manifest = self._build_child_manifest(
-                v, names, sorted(touched_files), stats,
-                base_names=res[0], base_stats=res[1],
-            )
-        if self.cdf_enabled() and not (legacy_base and not full_rewrite):
-            # Delta change data feed: materialize this commit's row-
-            # level changes into _change_data/ (referenced by cdc log
-            # actions). Old = the touched files' pre-merge rows, new =
-            # the freshly written files — both immutable, so the diff
-            # is deterministic and costs one extra pass over the
-            # TOUCHED scope only. _change_type uses Delta's protocol
-            # naming (update_preimage/update_postimage); for
-            # partitioned tables the partition columns ride INLINE in
-            # the cdc files (actions carry empty partitionValues).
-            reader = self.spark.read.schema(schema).option(
-                "basePath", str(self.store)
-            )
-            new_rows = (
-                self._schema_order(
-                    reader.parquet(*[str(self.store / n) for n in names]),
-                    schema,
+        try:
+            stats = self._collect_stats_for(names, pcols, schema)
+            self._attach_blooms(names, stats, schema)
+            if full_rewrite:
+                prior_names = res[0] if res is not None else []
+                manifest = {
+                    "base": v, "depth": 0, "added": names,
+                    # removed = the whole prior snapshot, so the change feed
+                    # can still diff a full-rewrite merge (legacy base: the
+                    # upgrade flag below forces the rebuild fallback instead)
+                    "removed": prior_names,
+                    "stats": stats, "files": names, "stats_full": stats,
+                }
+                if legacy_base:
+                    manifest["upgrade"] = True
+            elif legacy_base:
+                # one-time upgrade: link the UNTOUCHED legacy files into the
+                # store; the touched ones were rewritten above. Marked
+                # upgrade=True — removed refers to pre-store identities, so
+                # changes_since must rebuild across this commit.
+                base_names, base_stats, _ = self._snapshot_members(v)
+                legacy_order = [
+                    f.name for f in sorted(self._version_dir(v).glob("*.parquet"))
+                ]
+                kept = [
+                    n for n, lf in zip(base_names, legacy_order)
+                    if lf not in touched_files
+                ]
+                manifest = {
+                    "base": v, "depth": 0, "added": names,
+                    "removed": sorted(touched_files),
+                    "stats": stats,
+                    "files": kept + names,
+                    "stats_full": {
+                        **{n: base_stats[n] for n in kept if n in base_stats},
+                        **stats,
+                    },
+                    "upgrade": True,
+                }
+            else:
+                manifest = self._build_child_manifest(
+                    v, names, sorted(touched_files), stats,
+                    base_names=res[0], base_stats=res[1],
                 )
-                if names else self.spark.createDataFrame([], schema)
-            )
-            # align the OLD side to the (possibly evolved) committed
-            # schema: after merge_keyed(evolve=True) the pre-merge
-            # subset lacks the new columns — they read as NULL, exactly
-            # what pinned reads of the carried files report
-            subset_cols = set(subset.columns)
-            old_rows = subset.select(*[
-                F.col(f.name) if f.name in subset_cols
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in schema.fields
-            ])
-            dels = old_rows.exceptAll(new_rows)
-            ins = new_rows.exceptAll(old_rows)
-            key_cols = list(keys)
-            upd = F.broadcast(
-                ins.select(*key_cols).intersect(dels.select(*key_cols))
-            )
-            cdc_df = (
-                ins.join(upd, key_cols, "left_anti")
-                .withColumn("_change_type", F.lit("insert"))
-                .unionByName(
-                    dels.join(upd, key_cols, "left_anti")
-                    .withColumn("_change_type", F.lit("delete"))
+            if self.cdf_enabled() and not (legacy_base and not full_rewrite):
+                # Delta change data feed: materialize this commit's row-
+                # level changes into _change_data/ (referenced by cdc log
+                # actions). Old = the touched files' pre-merge rows, new =
+                # the freshly written files — both immutable, so the diff
+                # is deterministic and costs one extra pass over the
+                # TOUCHED scope only. _change_type uses Delta's protocol
+                # naming (update_preimage/update_postimage); for
+                # partitioned tables the partition columns ride INLINE in
+                # the cdc files (actions carry empty partitionValues).
+                reader = self.spark.read.schema(schema).option(
+                    "basePath", str(self.store)
                 )
-                .unionByName(
-                    dels.join(upd, key_cols, "left_semi")
-                    .withColumn("_change_type", F.lit("update_preimage"))
+                new_rows = (
+                    self._schema_order(
+                        reader.parquet(*[str(self.store / n) for n in names]),
+                        schema,
+                    )
+                    if names else self.spark.createDataFrame([], schema)
                 )
-                .unionByName(
-                    ins.join(upd, key_cols, "left_semi")
-                    .withColumn("_change_type", F.lit("update_postimage"))
+                # align the OLD side to the (possibly evolved) committed
+                # schema: after merge_keyed(evolve=True) the pre-merge
+                # subset lacks the new columns — they read as NULL, exactly
+                # what pinned reads of the carried files report
+                subset_cols = set(subset.columns)
+                old_rows = subset.select(*[
+                    F.col(f.name) if f.name in subset_cols
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ])
+                dels = old_rows.exceptAll(new_rows)
+                ins = new_rows.exceptAll(old_rows)
+                key_cols = list(keys)
+                upd = F.broadcast(
+                    ins.select(*key_cols).intersect(dels.select(*key_cols))
                 )
-            )
-            manifest["cdc"] = self._materialize_cdc(new_v, cdc_df)
-        manifest["partition_columns"] = pcols
-        self._write_manifest_file(new_v, manifest)
-        self._write_op_marker(new_v, "merge")
-        self._write_schema(new_dir, schema)
+                cdc_df = (
+                    ins.join(upd, key_cols, "left_anti")
+                    .withColumn("_change_type", F.lit("insert"))
+                    .unionByName(
+                        dels.join(upd, key_cols, "left_anti")
+                        .withColumn("_change_type", F.lit("delete"))
+                    )
+                    .unionByName(
+                        dels.join(upd, key_cols, "left_semi")
+                        .withColumn("_change_type", F.lit("update_preimage"))
+                    )
+                    .unionByName(
+                        ins.join(upd, key_cols, "left_semi")
+                        .withColumn("_change_type", F.lit("update_postimage"))
+                    )
+                )
+                manifest["cdc"] = self._materialize_cdc(new_v, cdc_df)
+            manifest["partition_columns"] = pcols
+            self._write_manifest_file(new_v, manifest)
+            self._write_op_marker(new_v, "merge")
+            self._write_schema(new_dir, schema)
+        except Exception:
+            # post-materialize bookkeeping (stats/Blooms/CDF/manifest/
+            # schema) failing must not leave a vacuum-immune orphan
+            # claim any more than the data write itself failing does
+            self._discard_claim(new_v)
+            raise
         try:
             committed = self._commit(new_v, epoch, epoch_key, expected_version=v)
         except ConcurrentWriteError:
@@ -2729,7 +2750,15 @@ class ManagedTable:
         # see text OUTSIDE single-quoted literals — a value like
         # 'x AND k = 5' must neither split the conjunction nor feed the
         # comparison parser (bounds derived from literal content would
-        # NOT be implied by the condition: silent wrong-file pruning)
+        # NOT be implied by the condition: silent wrong-file pruning).
+        # Spark's parser ALSO accepts double-quoted string literals and
+        # (by default) backslash escapes inside literals — syntax the
+        # scanner below doesn't model, so their mere presence bails the
+        # whole parse: a mis-detected literal boundary would leak
+        # literal content into the AND splitter and derive bounds NOT
+        # implied by the condition (wrong-file pruning = wrong DML).
+        if '"' in condition or "\\" in condition:
+            return {}
         conjuncts: list[str] = []
         cur: list[str] = []
         quoted = False
@@ -2923,30 +2952,37 @@ class ManagedTable:
             # must not leave its claim dir for vacuum to age out
             self._discard_claim(new_v)
             raise
-        new_stats = self._collect_stats_for(new_names, pcols, schema)
-        self._attach_blooms(new_names, new_stats, schema)
-        if full_rewrite:
-            manifest = {
-                "base": v, "depth": 0, "added": new_names,
-                "removed": touched_files,
-                "stats": new_stats, "files": new_names,
-                "stats_full": new_stats,
-            }
-        else:
-            manifest = self._build_child_manifest(
-                v, new_names, touched_files, new_stats,
-                base_names=names, base_stats=stats,
-            )
-        if self.cdf_enabled():
-            # EXACT change rows straight from the predicate — no
-            # exceptAll diff needed (unlike merge, the matched set IS
-            # the change set), costing one extra pass over the touched
-            # scope only
-            manifest["cdc"] = self._materialize_cdc(new_v, cdc_fn(subset))
-        manifest["partition_columns"] = pcols
-        self._write_manifest_file(new_v, manifest)
-        self._write_op_marker(new_v, op)
-        self._write_schema(self._version_dir(new_v), schema)
+        try:
+            new_stats = self._collect_stats_for(new_names, pcols, schema)
+            self._attach_blooms(new_names, new_stats, schema)
+            if full_rewrite:
+                manifest = {
+                    "base": v, "depth": 0, "added": new_names,
+                    "removed": touched_files,
+                    "stats": new_stats, "files": new_names,
+                    "stats_full": new_stats,
+                }
+            else:
+                manifest = self._build_child_manifest(
+                    v, new_names, touched_files, new_stats,
+                    base_names=names, base_stats=stats,
+                )
+            if self.cdf_enabled():
+                # EXACT change rows straight from the predicate — no
+                # exceptAll diff needed (unlike merge, the matched set IS
+                # the change set), costing one extra pass over the touched
+                # scope only
+                manifest["cdc"] = self._materialize_cdc(new_v, cdc_fn(subset))
+            manifest["partition_columns"] = pcols
+            self._write_manifest_file(new_v, manifest)
+            self._write_op_marker(new_v, op)
+            self._write_schema(self._version_dir(new_v), schema)
+        except Exception:
+            # post-materialize bookkeeping (stats/Blooms/CDF/manifest/
+            # schema) failing must not leave a vacuum-immune orphan
+            # claim any more than the data write itself failing does
+            self._discard_claim(new_v)
+            raise
         try:
             committed = self._commit(new_v, epoch, epoch_key, expected_version=v)
         except ConcurrentWriteError:
@@ -3052,6 +3088,7 @@ class ManagedTable:
         max_file_bytes: int = 128 << 20,
         epoch=None,
         epoch_key=None,
+        min_small_files: int = 2,
     ) -> int | None:
         """Incremental bin-packing OPTIMIZE (Delta's default compaction
         semantics): rewrite ONLY the current snapshot's files smaller
@@ -3068,9 +3105,20 @@ class ManagedTable:
         dataChange=false in the Delta log, transparent to
         ``appended_since``/``changes_since`` (zero delta), so routine
         bin-packing never breaks a downstream incremental drain.
+        ``min_small_files``: don't bother packing fewer than this many
+        small files (Delta autoCompact's minNumFiles gate, default 50
+        there). Without it a CONTINUOUS caller (auto_maintenance_hook
+        after every run) pays a rewrite of ALL accumulated small bytes
+        per run — the previous pack's output is itself sub-threshold,
+        so each run would repack it plus the one new file, quadratic
+        I/O over the table's life. With the gate, each byte is
+        repacked at most once per ``min_small_files`` accumulation
+        cycle, and stops being repacked at all once its packed file
+        crosses ``max_file_bytes``.
+
         Commits with ``expected_version`` like compact(); returns the
-        committed version, or None when fewer than two small files
-        exist (nothing to pack — no commit)."""
+        committed version, or None when fewer than ``min_small_files``
+        small files exist (nothing to pack — no commit)."""
         if self._epoch_already_applied(epoch, epoch_key):
             return None
         v = self.current_version()
@@ -3082,7 +3130,7 @@ class ManagedTable:
         names, stats = res
         sizes = {n: (self.store / n).stat().st_size for n in names}
         small = sorted(n for n in names if sizes[n] < max_file_bytes)
-        if len(small) < 2:
+        if len(small) < max(2, min_small_files):
             return None
         total = sum(sizes[n] for n in small)
         n_out = max(1, -(-total // max_file_bytes))  # ceil
@@ -3118,15 +3166,22 @@ class ManagedTable:
         except Exception:
             self._discard_claim(new_v)
             raise
-        new_stats = self._collect_stats_for(new_names, pcols, schema)
-        self._attach_blooms(new_names, new_stats, schema)
-        manifest = self._build_child_manifest(
-            v, new_names, small, new_stats, base_names=names, base_stats=stats
-        )
-        manifest["partition_columns"] = pcols
-        self._write_manifest_file(new_v, manifest)
-        self._write_op_marker(new_v, "compact")
-        self._write_schema(self._version_dir(new_v), schema)
+        try:
+            new_stats = self._collect_stats_for(new_names, pcols, schema)
+            self._attach_blooms(new_names, new_stats, schema)
+            manifest = self._build_child_manifest(
+                v, new_names, small, new_stats, base_names=names, base_stats=stats
+            )
+            manifest["partition_columns"] = pcols
+            self._write_manifest_file(new_v, manifest)
+            self._write_op_marker(new_v, "compact")
+            self._write_schema(self._version_dir(new_v), schema)
+        except Exception:
+            # post-materialize bookkeeping (stats/Blooms/CDF/manifest/
+            # schema) failing must not leave a vacuum-immune orphan
+            # claim any more than the data write itself failing does
+            self._discard_claim(new_v)
+            raise
         try:
             committed = self._commit(new_v, epoch, epoch_key, expected_version=v)
         except ConcurrentWriteError:
@@ -3526,6 +3581,27 @@ class ManagedTable:
         res = self._resolve(version)
         return self._read_version(version, res[0] if res is not None else None)
 
+    def read_delta_version(self, dv: int) -> DataFrame:
+        """Delta ``VERSION AS OF dv`` time travel: ``dv`` is a DELTA
+        LOG version (the contiguous commit count ``history()`` /
+        DESCRIBE HISTORY show — NOT the engine's internal snapshot
+        number, which can gap across aborted writers), resolved through
+        the commit's recorded mtVersion. Raises when the commit is
+        unknown or expired below the checkpoint floor (log retention —
+        same contract as ``read_at``)."""
+        try:
+            for a in deltalog.read_actions(self.dir, dv):
+                ci = a.get("commitInfo")
+                if ci is not None and ci.get("mtVersion") is not None:
+                    return self.read_at(ci["mtVersion"])
+        except FileNotFoundError:
+            pass
+        raise ValueError(
+            f"table {self.name}: no readable delta commit {dv} (never "
+            "committed, or expired by log retention below the checkpoint "
+            "floor)"
+        )
+
     def read_as_of(self, ts) -> DataFrame:
         """Delta ``TIMESTAMP AS OF`` time travel: the snapshot of the
         latest commit whose (monotonically adjusted) commit timestamp
@@ -3613,37 +3689,50 @@ class ManagedTable:
         engine enforces from the pointer property immediately either
         way).
 
-        Known race (documented, Delta closes it with metadata-version
-        conflict checks): a writer already PAST its output projection
-        when the constraint binds — including an append rebasing across
-        interleaved commits — commits unchecked rows; the validation
-        scan covers only data committed at bind time."""
-        if self.exists():
-            viol = (
-                self.read()
-                .filter(~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)))
-                .limit(1)
-                .count()
-            )
-            if viol:
-                raise ValueError(
-                    f"cannot add CHECK constraint {name} ({expr}) to table "
-                    f"{self.name}: existing rows violate it"
+        Validate-then-bind is NOT a TOCTOU hole: the bind re-checks the
+        pointer version UNDER the commit lock and re-validates if a
+        write landed between the scan and the bind (the scan itself
+        never runs inside the lock — it is a Spark job, and holding the
+        flock through it would spin concurrent writers into their lock
+        deadline). The remaining documented race is Delta's own: a
+        writer already PAST its output projection when the constraint
+        binds commits unchecked rows."""
+        for _ in range(8):
+            validated_v = self.current_version() if self.exists() else -1
+            if validated_v >= 0:
+                viol = (
+                    self.read()
+                    .filter(~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)))
+                    .limit(1)
+                    .count()
                 )
-        fd = self._acquire_commit_lock()
-        try:
-            state = self._pointer_state()
-            cons = state.setdefault("props", {}).setdefault("constraints", {})
-            have = cons.get(name)
-            if have is not None and have != expr:
-                raise ConcurrentWriteError(
-                    f"table {self.name}: CHECK constraint {name} already "
-                    f"bound to ({have}); drop it first"
-                )
-            cons[name] = expr
-            self._write_pointer_locked(state)
-        finally:
-            self._release_commit_lock(fd)
+                if viol:
+                    raise ValueError(
+                        f"cannot add CHECK constraint {name} ({expr}) to table "
+                        f"{self.name}: existing rows violate it"
+                    )
+            fd = self._acquire_commit_lock()
+            try:
+                state = self._pointer_state()
+                if state["version"] != validated_v:
+                    continue  # a write landed mid-scan: re-validate at the new head
+                cons = state.setdefault("props", {}).setdefault("constraints", {})
+                have = cons.get(name)
+                if have is not None and have != expr:
+                    raise ConcurrentWriteError(
+                        f"table {self.name}: CHECK constraint {name} already "
+                        f"bound to ({have}); drop it first"
+                    )
+                cons[name] = expr
+                self._write_pointer_locked(state)
+                return
+            finally:
+                self._release_commit_lock(fd)
+        raise ConcurrentWriteError(
+            f"table {self.name}: could not bind CHECK constraint {name} — "
+            "a concurrent writer landed between every validation scan and "
+            "its bind (8 attempts); quiesce writers and retry"
+        )
 
     def drop_constraint(self, name: str, if_exists: bool = False) -> None:
         """Delta ``ALTER TABLE DROP CONSTRAINT``."""
@@ -3862,79 +3951,93 @@ class Catalog:
                 t.read().createOrReplaceTempView(d.name)
 
     # statement shapes sql() routes to the DML verbs (Delta SQL DML on
-    # managed tables — Spark's parser rejects DELETE/UPDATE against
-    # temp views, so the catalog dispatches them itself)
+    # managed tables — Spark's parser rejects DELETE/UPDATE/MERGE
+    # against temp views, so the catalog dispatches them itself).
+    # Verb-first: ANY statement starting with one of these verbs is
+    # handled (or rejected with a precise error) here — never silently
+    # passed to spark.sql to die with an obscure parser error.
+    _DML_VERB_RE = re.compile(r"^\s*(DELETE|UPDATE|MERGE)\b", re.IGNORECASE)
+    _BARE_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
     _DELETE_RE = re.compile(
-        r"^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+WHERE\s+(.+?)\s*;?\s*$",
+        r"^\s*DELETE\s+FROM\s+(\S+)\s*(.*?)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
     _UPDATE_RE = re.compile(
-        r"^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+?)\s*;?\s*$",
+        r"^\s*UPDATE\s+(\S+)\s+SET\s+(.+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _MERGE_RE = re.compile(
+        r"^\s*MERGE\s+INTO\s+(\S+)(?:\s+(?:AS\s+)?(?!USING\b)([A-Za-z_]\w*))?"
+        r"\s+USING\s+(.+?)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
 
     @staticmethod
-    def _split_on_where(text: str) -> tuple[str, str] | None:
-        """Split at the FIRST top-level WHERE keyword — outside
-        single-quoted literals and parentheses, so a SET value like
-        ``'use where needed'`` or a scalar subquery never splits."""
-        depth = 0
-        quoted = False
-        i = 0
+    def _toplevel_mask(text: str, parens: bool = True) -> list[bool]:
+        """Per-character flag: True where the char sits OUTSIDE any
+        string literal at parenthesis depth 0 (``parens=False`` skips
+        the depth requirement — literal-awareness only, for rewrites
+        that must also apply inside subqueries). Models Spark SQL's
+        FULL literal syntax — single- OR double-quoted strings,
+        backslash escapes (the parser default,
+        escapedStringLiterals=false), and quote doubling — so routing
+        splits (WHERE keywords, assignment commas) can never fire
+        inside literal content like ``'use where needed'``, ``"a, b"``,
+        or ``'it\\'s, fine'``."""
         n = len(text)
+        mask = [False] * n
+        depth = 0
+        quote: str | None = None
+        i = 0
         while i < n:
             ch = text[i]
-            if quoted:
-                if ch == "'":
-                    if i + 1 < n and text[i + 1] == "'":
-                        i += 2
+            if quote is not None:
+                if ch == "\\":
+                    i += 2  # escaped char (incl. \' / \") stays literal
+                    continue
+                if ch == quote:
+                    if i + 1 < n and text[i + 1] == quote:
+                        i += 2  # '' / "" doubling
                         continue
-                    quoted = False
-            elif ch == "'":
-                quoted = True
-            elif ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif depth == 0:
-                m = re.match(r"(?i)where\b", text[i:])
-                if m and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")):
-                    return text[:i].rstrip(), text[i + m.end():].lstrip()
-            i += 1
-        return None
-
-    @staticmethod
-    def _split_assignments(clause: str) -> dict:
-        """Split ``a = expr, b = expr`` on TOP-LEVEL commas (commas
-        inside parentheses or single-quoted strings don't split)."""
-        parts: list[str] = []
-        depth = 0
-        quoted = False
-        cur = []
-        i = 0
-        while i < len(clause):
-            ch = clause[i]
-            if quoted:
-                if ch == "'":
-                    if i + 1 < len(clause) and clause[i + 1] == "'":
-                        cur.append("''")
-                        i += 2
-                        continue
-                    quoted = False
-            elif ch == "'":
-                quoted = True
-            elif ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif ch == "," and depth == 0:
-                parts.append("".join(cur))
-                cur = []
+                    quote = None
                 i += 1
                 continue
-            cur.append(ch)
+            if ch in "'\"":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            else:
+                mask[i] = depth == 0 or not parens
             i += 1
-        parts.append("".join(cur))
+        return mask
+
+    @classmethod
+    def _split_on_where(cls, text: str) -> tuple[str, str] | None:
+        """Split at the FIRST top-level WHERE keyword — outside string
+        literals (single/double-quoted, escape-aware) and parentheses,
+        so a SET value like ``'use where needed'`` or a scalar subquery
+        never splits."""
+        mask = cls._toplevel_mask(text)
+        for m in re.finditer(r"(?i)\bwhere\b", text):
+            if mask[m.start()]:
+                return text[: m.start()].rstrip(), text[m.end():].lstrip()
+        return None
+
+    @classmethod
+    def _split_assignments(cls, clause: str) -> dict:
+        """Split ``a = expr, b = expr`` on TOP-LEVEL commas (commas
+        inside parentheses or string literals — single/double-quoted,
+        escape-aware — don't split)."""
+        mask = cls._toplevel_mask(clause)
+        parts: list[str] = []
+        last = 0
+        for i, ch in enumerate(clause):
+            if ch == "," and mask[i]:
+                parts.append(clause[last:i])
+                last = i + 1
+        parts.append(clause[last:])
         out = {}
         for p in parts:
             col, eq, expr = p.partition("=")
@@ -3943,30 +4046,306 @@ class Catalog:
             out[col.strip()] = expr.strip()
         return out
 
-    def sql(self, statement: str):
-        """Ad-hoc SQL over the catalog (S10), extended with Delta SQL
-        DML: ``DELETE FROM t WHERE …`` and ``UPDATE t SET … WHERE …``
-        route to the table's ``delete_where``/``update_where`` (stats-
-        pruned file rewrites, CDF, transaction log — identical to the
-        Python verbs) and return the committed version (None when
-        nothing matched). Everything else re-registers the views and
-        runs through ``spark.sql`` unchanged, returning its DataFrame."""
-        m = self._DELETE_RE.match(statement)
-        if m:
-            name, cond = m.group(1), m.group(2)
-            return self._existing_table(name).delete_where(cond)
-        m = self._UPDATE_RE.match(statement)
-        if m:
-            name, rest = m.group(1), m.group(2)
-            parts = self._split_on_where(rest)
-            if parts is None:
-                raise ValueError(
-                    f"UPDATE on managed table {name} requires a WHERE "
-                    "clause (full-table updates: pass condition 'true')"
-                )
-            sets, cond = parts
-            return self._existing_table(name).update_where(
-                cond, self._split_assignments(sets)
+    @classmethod
+    def _keyword_splits(cls, text: str, word: str) -> list[tuple[int, int]]:
+        """(start, end) spans of every TOP-LEVEL occurrence of keyword
+        ``word`` — outside string literals and parentheses."""
+        mask = cls._toplevel_mask(text)
+        return [
+            (m.start(), m.end())
+            for m in re.finditer(rf"(?i)\b{word}\b", text)
+            if mask[m.start()]
+        ]
+
+    def _dml_table(self, raw: str, verb: str) -> ManagedTable:
+        """Resolve a DML statement's target table name, rejecting the
+        shapes the router can't honor with a PRECISE error (qualified
+        and backquoted names would otherwise fall through to spark.sql
+        and die with an obscure parser error against temp views)."""
+        if not self._BARE_IDENT_RE.match(raw):
+            raise ValueError(
+                f"{verb} on {raw!r}: qualified or backquoted table names "
+                "are not supported by the catalog DML router — use the "
+                "bare managed-table name (tables live in ONE warehouse "
+                "root; there is no multi-schema namespace to qualify)"
             )
+        return self._existing_table(raw)
+
+    def _sql_merge(self, statement: str):
+        """``MERGE INTO t [AS a] USING src [AS s] ON <equi-keys>
+        WHEN MATCHED [AND <src cond>] THEN DELETE /
+        WHEN MATCHED THEN UPDATE SET * /
+        WHEN NOT MATCHED THEN INSERT *``
+        — routed onto ``merge_keyed`` (stats/Bloom-pruned file
+        rewrites, CDF, transaction log — identical to the Python
+        verb). The supported subset is exactly the Databricks
+        upsert/CDC idiom (reference DimUser.py:20-29 semantics);
+        column-list SET/INSERT forms and conditions that need BOTH
+        rows raise with the Python-API pointer instead of
+        mis-executing."""
+        m = self._MERGE_RE.match(statement)
+        if m is None:
+            raise ValueError(
+                "unsupported MERGE shape; expected MERGE INTO <t> [AS a] "
+                "USING <table | (subquery)> [AS s] ON <cond> WHEN ... "
+                "(for anything fancier use ManagedTable.merge_keyed)"
+            )
+        target_raw, target_alias, rest = m.group(1), m.group(2), m.group(3)
+        table = self._dml_table(target_raw, "MERGE INTO")
+        on_spans = self._keyword_splits(rest, "ON")
+        if not on_spans:
+            raise ValueError("MERGE requires an ON <condition> clause")
+        src_part = rest[: on_spans[0][0]].strip()
+        tail = rest[on_spans[0][1]:]
+        when_spans = self._keyword_splits(tail, "WHEN")
+        if not when_spans:
+            raise ValueError(
+                "MERGE requires at least one WHEN MATCHED / WHEN NOT "
+                "MATCHED clause"
+            )
+        on_cond = tail[: when_spans[0][0]].strip()
+        clauses = [
+            tail[e: when_spans[i + 1][0] if i + 1 < len(when_spans) else len(tail)]
+            .strip()
+            for i, (s, e) in enumerate(when_spans)
+        ]
+        # -- source: managed table, temp view, or (subquery) [AS alias]
+        src_alias = None
+        src_name = None
+        if src_part.startswith("("):
+            # the subquery body ends at the LAST close paren; anything
+            # after is the alias
+            close = src_part.rfind(")")
+            inner = src_part[1:close]
+            alias_part = src_part[close + 1:].strip()
+            if alias_part:
+                am = re.match(r"(?i)^(?:AS\s+)?([A-Za-z_]\w*)$", alias_part)
+                if am is None:
+                    raise ValueError(
+                        f"unparseable MERGE source alias {alias_part!r}"
+                    )
+                src_alias = am.group(1)
+            self.register_views()
+            src = self.spark.sql(inner)
+        else:
+            sm = re.match(
+                r"(?i)^(\S+)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?$", src_part
+            )
+            if sm is None:
+                raise ValueError(f"unparseable MERGE source {src_part!r}")
+            src_name, src_alias = sm.group(1), sm.group(2)
+            if self._BARE_IDENT_RE.match(src_name) and (
+                self.root / src_name
+            ).is_dir():
+                src = self.table(src_name).read()
+            else:
+                self.register_views()
+                src = self.spark.table(src_name)
+        # -- ON: conjunction of same-named equi-join keys (a bare
+        # table/view name is its own implicit alias, SQL scoping rules)
+        aliases = {
+            a for a in (target_alias, src_alias, target_raw, src_name) if a
+        }
+        keys: list[str] = []
+        lo = 0
+        conjuncts = []
+        for s, e in self._keyword_splits(on_cond, "AND"):
+            conjuncts.append(on_cond[lo:s])
+            lo = e
+        conjuncts.append(on_cond[lo:])
+        qid = r"(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)"
+        for c in conjuncts:
+            cm = re.match(rf"^\s*{qid}\s*=\s*{qid}\s*$", c)
+            if cm is None:
+                raise ValueError(
+                    f"MERGE ON clause {c.strip()!r}: only a conjunction "
+                    "of column equalities is routable (range/expression "
+                    "joins: use ManagedTable.merge_keyed)"
+                )
+            q1, c1, q2, c2 = cm.groups()
+            if c1 != c2:
+                raise ValueError(
+                    f"MERGE ON {c.strip()!r}: key columns must have the "
+                    "SAME name on both sides (rename in the source "
+                    "subquery)"
+                )
+            for q in (q1, q2):
+                if q is not None and q not in aliases:
+                    raise ValueError(
+                        f"MERGE ON references unknown alias {q!r}"
+                    )
+            keys.append(c1)
+        # -- WHEN clauses (the Databricks upsert/CDC subset)
+        upd = ins = False
+        del_cond: str | None = None
+        has_del = False
+        for c in clauses:
+            if re.match(r"(?is)^MATCHED\s+THEN\s+UPDATE\s+SET\s+\*$", c):
+                upd = True
+            elif re.match(r"(?is)^NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$", c):
+                ins = True
+            else:
+                dm = re.match(
+                    r"(?is)^MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE$", c
+                )
+                if dm:
+                    has_del = True
+                    del_cond = dm.group(1)
+                    continue
+                raise ValueError(
+                    f"unsupported MERGE clause 'WHEN {c}': the router "
+                    "handles WHEN MATCHED THEN UPDATE SET *, WHEN MATCHED "
+                    "[AND <source-row cond>] THEN DELETE, and WHEN NOT "
+                    "MATCHED THEN INSERT * (column lists / both-row "
+                    "conditions: use ManagedTable.merge_keyed)"
+                )
+        if not (upd or ins or has_del):
+            raise ValueError("MERGE needs at least one actionable clause")
+        target_cols = None
+        if table.exists():
+            stored = table.table_schema()
+            if stored is not None:
+                target_cols = [f.name for f in stored.fields]
+
+        def merge_fn(cur: DataFrame, b: DataFrame) -> DataFrame:
+            cols = target_cols or b.columns
+            missing = [c for c in cols if c not in b.columns]
+            if missing:
+                raise ValueError(
+                    f"MERGE ... SET */INSERT *: source lacks target "
+                    f"column(s) {missing}"
+                )
+            # evaluate the delete condition with the source alias in
+            # scope (it typically references it: s.op = 'D'), then the
+            # alias is no longer needed; a bare source table name is
+            # its own implicit alias
+            eff_alias = src_alias or src_name
+            ba = b.alias(eff_alias) if eff_alias else b
+            is_del = (
+                F.coalesce(F.expr(del_cond).cast("boolean"), F.lit(False))
+                if del_cond is not None
+                else F.lit(has_del)  # unconditional MATCHED-DELETE or none
+            )
+            ba = ba.withColumn("__m_del", is_del)
+            cur_keys = F.broadcast(cur.select(*keys))
+            # Delta clause semantics: MATCHED rows take the delete
+            # branch when its condition holds, else UPDATE SET *;
+            # NOT-MATCHED rows take INSERT * regardless of the
+            # matched-only delete condition.
+            matched = ba.join(cur_keys, keys, "left_semi")
+            unmatched = ba.join(cur_keys, keys, "left_anti")
+            drop_keys = cur.select(*keys).limit(0)
+            if has_del:
+                drop_keys = drop_keys.unionByName(
+                    matched.filter(F.col("__m_del")).select(*keys)
+                )
+            upd_rows = (
+                matched.filter(~F.col("__m_del")).select(*cols) if upd else None
+            )
+            if upd_rows is not None:
+                drop_keys = drop_keys.unionByName(upd_rows.select(*keys))
+            out = cur.join(
+                F.broadcast(drop_keys.distinct()), keys, "left_anti"
+            )
+            if upd_rows is not None:
+                out = out.unionByName(upd_rows)
+            if ins:
+                out = out.unionByName(unmatched.select(*cols))
+            return out
+
+        return table.merge_keyed(src, keys, merge_fn)
+
+    _VERSION_AS_OF_RE = re.compile(
+        r"(?i)\b([A-Za-z_]\w*)\s+VERSION\s+AS\s+OF\s+(\d+)"
+    )
+    _TIMESTAMP_AS_OF_RE = re.compile(
+        r"(?i)\b([A-Za-z_]\w*)\s+TIMESTAMP\s+AS\s+OF\s+('(?:[^'\\]|\\.|'')*')"
+    )
+
+    def _rewrite_time_travel(self, statement: str) -> str:
+        """Rewrite ``<table> VERSION AS OF n`` / ``<table> TIMESTAMP AS
+        OF '<ts>'`` references (Delta SQL time travel — Spark's parser
+        rejects them on temp views) into views registered over
+        ``read_delta_version`` / ``read_as_of`` snapshots. Applies at
+        any paren depth (subqueries travel too) but never inside string
+        literals."""
+        out = statement
+        for pat, read in (
+            (self._VERSION_AS_OF_RE,
+             lambda t, arg: t.read_delta_version(int(arg))),
+            (self._TIMESTAMP_AS_OF_RE,
+             lambda t, arg: t.read_as_of(arg[1:-1].replace("''", "'"))),
+        ):
+            while True:
+                mask = self._toplevel_mask(out, parens=False)
+                hit = next(
+                    (m for m in pat.finditer(out)
+                     if mask[m.start()] and (self.root / m.group(1)).is_dir()),
+                    None,
+                )
+                if hit is None:
+                    break
+                name, arg = hit.group(1), hit.group(2)
+                view = f"__tt_{name}_{abs(hash((name, arg))) % 10**8}"
+                read(self._existing_table(name), arg).createOrReplaceTempView(view)
+                out = out[: hit.start()] + view + out[hit.end():]
+        return out
+
+    def sql(self, statement: str):
+        """Ad-hoc SQL over the catalog (S10), extended with the Delta
+        SQL surface Spark's parser rejects on temp views:
+
+        - ``DELETE FROM t [WHERE …]`` / ``UPDATE t SET … [WHERE …]``
+          route to ``delete_where``/``update_where`` (stats-pruned file
+          rewrites, CDF, transaction log — identical to the Python
+          verbs; no WHERE = the whole table, Delta semantics) and
+          return the committed version (None when nothing matched).
+        - ``MERGE INTO t USING s ON … WHEN MATCHED/NOT MATCHED …``
+          routes to ``merge_keyed`` (see ``_sql_merge`` for the
+          supported subset).
+        - ``t VERSION AS OF n`` / ``t TIMESTAMP AS OF '…'`` references
+          in queries are rewritten onto time-travel snapshots.
+
+        Any OTHER statement starting with a DML verb raises a precise
+        error instead of falling through to spark.sql's parser.
+        Everything else re-registers the views and runs through
+        ``spark.sql`` unchanged, returning its DataFrame."""
+        verb = self._DML_VERB_RE.match(statement)
+        if verb:
+            word = verb.group(1).upper()
+            if word == "DELETE":
+                m = self._DELETE_RE.match(statement)
+                if m is None:
+                    raise ValueError(
+                        "unsupported DELETE shape; expected DELETE FROM "
+                        "<table> [WHERE <condition>]"
+                    )
+                table = self._dml_table(m.group(1), "DELETE FROM")
+                rest = m.group(2).strip()
+                if not rest:
+                    return table.delete_where("true")
+                wm = re.match(r"(?is)^WHERE\s+(.+)$", rest)
+                if wm is None:
+                    raise ValueError(
+                        f"unsupported DELETE tail {rest!r}; expected "
+                        "[WHERE <condition>]"
+                    )
+                return table.delete_where(wm.group(1))
+            if word == "UPDATE":
+                m = self._UPDATE_RE.match(statement)
+                if m is None:
+                    raise ValueError(
+                        "unsupported UPDATE shape; expected UPDATE <table> "
+                        "SET a = expr[, …] [WHERE <condition>]"
+                    )
+                table = self._dml_table(m.group(1), "UPDATE")
+                parts = self._split_on_where(m.group(2))
+                if parts is None:  # no WHERE: whole table (Delta semantics)
+                    sets, cond = m.group(2), "true"
+                else:
+                    sets, cond = parts
+                return table.update_where(cond, self._split_assignments(sets))
+            return self._sql_merge(statement)
+        statement = self._rewrite_time_travel(statement)
         self.register_views()
         return self.spark.sql(statement)

@@ -1792,21 +1792,31 @@ def auto_maintenance_hook(
     max_file_bytes: int = 32 << 20,
     vacuum_every: int = 0,
     vacuum_keep: int = 3,
+    min_small_files: int = 8,
 ) -> Callable[[dict], None]:
     """DLT auto-compaction as a ``run_all`` observer (Databricks
     enables autoOptimize/autoCompact on streaming-table sinks by
     default — `silver_Dimensions.py:55`'s managed tables get this for
     free on the platform, so the engine provides it too): after every
     SUCCEEDED flow, bin-pack the flow's sink table with
-    ``compact_small``. The convergence guard makes the per-run cost a
-    driver-side stat scan when there is nothing to pack, so calling it
-    every run is safe — a streaming sink accumulating one small file
-    per micro-batch stays packed continuously instead of degrading
-    until a scheduled OPTIMIZE.
+    ``compact_small``. ``min_small_files`` gates the pack (Delta
+    autoCompact's minNumFiles, 50 there; 8 here suits this engine's
+    smaller per-batch file counts): below the threshold the per-run
+    cost is a driver-side stat scan only — without the gate every run
+    would repack ALL accumulated small bytes plus the one new file
+    (the previous pack's output is itself sub-threshold), quadratic
+    I/O over a long-lived pipeline. So calling it every run is safe —
+    a streaming sink accumulating one small file per micro-batch stays
+    packed continuously instead of degrading until a scheduled
+    OPTIMIZE.
 
     ``vacuum_every=N`` additionally vacuums the table (with
     ``vacuum_keep`` retained versions) every Nth successful run of its
     flow — the log-retention + store-GC half of routine maintenance.
+    The vacuum passes ``prune_epoch_prefixes=("alert:",)``: harmless
+    on flow sinks (no such keys), and on an ``alerts`` sink it bounds
+    ``alert_hook``'s per-(run_id, flow) write-once epoch keys so the
+    ``_latest`` pointer doesn't grow one entry per alerted run forever.
 
     A ``ConcurrentWriteError`` from the pack (another writer landed
     between the flow's commit and the pack) is swallowed: maintenance
@@ -1824,12 +1834,14 @@ def auto_maintenance_hook(
         if not t.exists():
             return
         try:
-            t.compact_small(max_file_bytes=max_file_bytes)
+            t.compact_small(
+                max_file_bytes=max_file_bytes, min_small_files=min_small_files
+            )
         except ConcurrentWriteError:
             pass  # opportunistic: a racing writer wins, next run packs
         counts[name] = counts.get(name, 0) + 1
         if vacuum_every and counts[name] % vacuum_every == 0:
-            t.vacuum(keep=vacuum_keep)
+            t.vacuum(keep=vacuum_keep, prune_epoch_prefixes=("alert:",))
 
     return on_event
 

@@ -163,7 +163,9 @@ def test_auto_maintenance_hook_packs_pipeline_sinks(spark, tmp_path):
                 str(tmp_path / "state"),
             )
             hook = auto_maintenance_hook(
-                catalog, max_file_bytes=1 << 20, vacuum_every=3, vacuum_keep=2
+                catalog, max_file_bytes=1 << 20, vacuum_every=3, vacuum_keep=2,
+                min_small_files=2,  # pack every run: this test wants the
+                # collapse visible within 6 runs (default gate is 8)
             )
         pipe.run_all(on_event=hook)
     silver = catalog.table("silver_dim_user")
@@ -175,3 +177,21 @@ def test_auto_maintenance_hook_packs_pipeline_sinks(spark, tmp_path):
     assert silver._pointer_state().get("committed_floor", 0) > 0
     # gold unaffected and exact
     assert catalog.table("gold_dim_user").read().count() == 30
+
+
+def test_min_small_files_gate_prevents_per_run_repack(spark, table):
+    """Delta autoCompact's minNumFiles analog: below the gate the call
+    is a stat scan + no commit, so a continuous maintenance hook never
+    repacks all accumulated small bytes on every single run."""
+    base = spark.range(100).select(F.col("id").alias("k"))
+    table.overwrite(base.coalesce(1))
+    for i in range(3):
+        table.append(base.limit(5).coalesce(1))
+    # 4 small files < gate of 8: no commit
+    v = table.current_version()
+    assert table.compact_small(max_file_bytes=1 << 20, min_small_files=8) is None
+    assert table.current_version() == v
+    # at/above the gate: packs
+    assert table.compact_small(max_file_bytes=1 << 20, min_small_files=4) is not None
+    assert len(table.data_files()) == 1
+    assert table.read().count() == 115

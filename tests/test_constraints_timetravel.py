@@ -296,3 +296,55 @@ def test_constraint_bumps_writer_protocol(spark, table):
         for a in [json.loads(line)] if "protocol" in a
     ]
     assert protos2 == [2, 3]
+
+
+def test_add_constraint_revalidates_after_concurrent_write(
+    spark, table, tmp_path, monkeypatch
+):
+    """The r11-advisor TOCTOU: a write landing between the validation
+    scan and the pointer bind. The bind re-checks the version UNDER the
+    commit lock and re-validates — a violating interleaved row must
+    fail the add (old behavior: it bound anyway, leaving committed rows
+    that violate the 'validated at bind' contract)."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import ManagedTable
+
+    table.overwrite(spark.createDataFrame([(1, 10.0)], "k int, bal double"))
+    racer = Catalog(spark, tmp_path / "wh").table("t")
+    fired = {"n": 0}
+    orig = ManagedTable.current_version
+
+    def raced(self):
+        v = orig(self)
+        if self is table and fired["n"] == 0:
+            fired["n"] += 1
+            # a writer lands AFTER the validation snapshot was chosen
+            racer.append(spark.createDataFrame([(2, -5.0)], "k int, bal double"))
+        return v
+
+    monkeypatch.setattr(ManagedTable, "current_version", raced)
+    with pytest.raises(ValueError, match="existing rows violate"):
+        table.add_constraint("bal_pos", "bal >= 0")
+    assert fired["n"] == 1  # the retry re-validated at the new head
+    assert table.constraints() == {}
+
+
+def test_add_constraint_retry_binds_when_interleaved_rows_comply(
+    spark, table, tmp_path, monkeypatch
+):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import ManagedTable
+
+    table.overwrite(spark.createDataFrame([(1, 10.0)], "k int, bal double"))
+    racer = Catalog(spark, tmp_path / "wh").table("t")
+    fired = {"n": 0}
+    orig = ManagedTable.current_version
+
+    def raced(self):
+        v = orig(self)
+        if self is table and fired["n"] == 0:
+            fired["n"] += 1
+            racer.append(spark.createDataFrame([(2, 5.0)], "k int, bal double"))
+        return v
+
+    monkeypatch.setattr(ManagedTable, "current_version", raced)
+    table.add_constraint("bal_pos", "bal >= 0")
+    assert table.constraints() == {"bal_pos": "bal >= 0"}

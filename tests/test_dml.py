@@ -427,8 +427,12 @@ def test_catalog_sql_where_inside_literal(spark, table):
     cat = Catalog(spark, table.dir.parent)
     cat.sql("UPDATE t SET note = 'use where needed' WHERE k = 1")
     assert table.read().first().note == "use where needed"
-    with pytest.raises(ValueError, match="WHERE"):
-        cat.sql("UPDATE t SET note = 'no cond'")
+    # no WHERE = whole table (Delta UPDATE semantics)
+    cat.sql("UPDATE t SET note = 'no cond'")
+    assert table.read().first().note == "no cond"
+    # backslash-escaped quote inside a literal must not derail the split
+    cat.sql("UPDATE t SET note = 'it\\'s, a where' WHERE k = 1")
+    assert table.read().first().note == "it's, a where"
 
 
 def test_commit_info_carries_row_metrics(spark, table):
@@ -529,3 +533,33 @@ def test_catalog_sql_dml_on_missing_table_raises_without_side_effects(spark, tmp
     with pytest.raises(ValueError, match="no such table"):
         cat.sql("UPDATE tt SET k = 2 WHERE k = 1")
     assert sorted(p.name for p in (tmp_path / "wh").iterdir()) == before
+
+
+def test_post_materialize_failure_discards_claim(spark, table, monkeypatch):
+    """The r11-advisor leak: a failure in the bookkeeping AFTER the data
+    write (stats collection, CDF materialization, manifest/schema
+    writes) must discard the claim dir like a failed write does —
+    vacuum deliberately spares non-empty uncommitted claims, so these
+    would otherwise accumulate forever."""
+    _clustered(spark, table, n=40, files=2, cdf=True)
+    claims = {p.name for p in table.dir.glob("v*")}
+
+    def boom(self, *a, **k):
+        raise RuntimeError("cdc write exploded")
+
+    monkeypatch.setattr(ManagedTable, "_materialize_cdc", boom)
+    with pytest.raises(RuntimeError, match="cdc write exploded"):
+        table.delete_where("k < 5")
+    assert {p.name for p in table.dir.glob("v*")} == claims
+    monkeypatch.undo()
+
+    monkeypatch.setattr(ManagedTable, "_collect_stats_for", boom)
+    for op in (
+        lambda: table.append(spark.createDataFrame([(900, 0, "x")],
+                                                   "k long, g long, val string")),
+        lambda: table.compact_small(max_file_bytes=1 << 30),
+        lambda: table.update_where("k = 1", {"val": "'y'"}),
+    ):
+        with pytest.raises(RuntimeError):
+            op()
+        assert {p.name for p in table.dir.glob("v*")} == claims

@@ -1,0 +1,226 @@
+"""Catalog.sql routing: the Delta SQL surface Spark's parser rejects
+on temp views — DELETE/UPDATE (incl. no-WHERE full-table forms), MERGE
+INTO mapped onto ``merge_keyed``, time-travel references rewritten onto
+snapshots, and PRECISE errors for unroutable shapes (qualified names,
+unsupported clauses) instead of spark.sql parser noise.
+
+Reference surface: ad-hoc SQL (sample_exploration.py:11-13) + the gold
+merge semantics (DimUser.py:20-29) expressed as Databricks SQL.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import (
+    Catalog,
+    ManagedTable,
+)
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return Catalog(spark, tmp_path / "wh")
+
+
+def _mk(cat, spark, rows="(1, 'a'), (2, 'b')"):
+    t = cat.table("t")
+    t.overwrite(cat.spark.sql(f"SELECT * FROM VALUES {rows} AS v(k, val)"))
+    return t
+
+
+# -- DELETE / UPDATE shapes ------------------------------------------------
+
+
+def test_delete_without_where_clears_table(cat, spark):
+    t = _mk(cat, spark)
+    cat.sql("DELETE FROM t")
+    assert t.read().count() == 0
+
+
+def test_update_without_where_hits_all_rows(cat, spark):
+    t = _mk(cat, spark)
+    cat.sql("UPDATE t SET val = 'z'")
+    assert {r.val for r in t.read().collect()} == {"z"}
+
+
+def test_qualified_table_name_raises_precisely(cat, spark):
+    _mk(cat, spark)
+    with pytest.raises(ValueError, match="qualified or backquoted"):
+        cat.sql("DELETE FROM main.t WHERE k = 1")
+    with pytest.raises(ValueError, match="qualified or backquoted"):
+        cat.sql("UPDATE `t` SET val = 'x' WHERE k = 1")
+
+
+def test_unsupported_delete_tail_raises(cat, spark):
+    _mk(cat, spark)
+    with pytest.raises(ValueError, match="unsupported DELETE"):
+        cat.sql("DELETE FROM t USING s WHERE t.k = s.k")
+
+
+def test_missing_table_raises(cat, spark):
+    with pytest.raises(ValueError, match="no such table"):
+        cat.sql("DELETE FROM nope WHERE k = 1")
+
+
+# -- MERGE INTO --------------------------------------------------------------
+
+
+def test_merge_upsert_roundtrip(cat, spark):
+    t = _mk(cat, spark)
+    src = cat.table("s")
+    src.overwrite(spark.sql(
+        "SELECT * FROM VALUES (2, 'b2'), (3, 'c') AS v(k, val)"
+    ))
+    v = cat.sql(
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert v == t.current_version()
+    got = {(r.k, r.val) for r in t.read().collect()}
+    assert got == {(1, "a"), (2, "b2"), (3, "c")}
+
+
+def test_merge_cdc_with_delete_clause(cat, spark):
+    """The Databricks CDC idiom: op='D' rows delete, others upsert —
+    the delete condition references the SOURCE alias, and the source's
+    extra op column never leaks into the target (SET */INSERT * project
+    the TARGET schema)."""
+    t = _mk(cat, spark)
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'a9', 'D'), (2, 'b2', 'U'), (9, 'i', 'I') "
+        "AS v(k, val, op)"
+    ).createOrReplaceTempView("cdc_feed")
+    cat.sql(
+        "MERGE INTO t USING (SELECT * FROM cdc_feed) s ON t.k = s.k "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {(r.k, r.val) for r in t.read().collect()}
+    assert got == {(2, "b2"), (9, "i")}
+    assert t.read().columns == ["k", "val"]
+
+
+def test_merge_unconditional_delete_only(cat, spark):
+    t = _mk(cat, spark)
+    cat.table("s").overwrite(spark.sql(
+        "SELECT * FROM VALUES (1, 'x'), (7, 'y') AS v(k, val)"
+    ))
+    cat.sql(
+        "MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN DELETE"
+    )
+    got = {(r.k, r.val) for r in t.read().collect()}
+    assert got == {(2, "b")}  # key 7 unmatched: no effect
+
+
+def test_merge_file_pruning_carries_untouched_files(cat, spark):
+    """The SQL route must inherit merge_keyed's physical shape: a
+    1-key merge against a clustered table rewrites one file, the rest
+    carry by reference (same inode)."""
+    import os
+
+    t = cat.table("big")
+    base = spark.range(400).select(
+        F.col("id").alias("k"), F.lit("old").alias("val")
+    )
+    t.overwrite(base.repartitionByRange(8, "k").sortWithinPartitions("k"))
+    before = {f.name: os.stat(f).st_ino for f in t.data_files()}
+    cat.table("delta_src").overwrite(spark.sql(
+        "SELECT * FROM VALUES (3, 'new') AS v(k, val)"
+    ))
+    cat.sql(
+        "MERGE INTO big USING delta_src ON big.k = delta_src.k "
+        "WHEN MATCHED THEN UPDATE SET *"
+    )
+    after = {f.name: os.stat(f).st_ino for f in t.data_files()}
+    carried = {n for n in before if n in after and before[n] == after[n]}
+    assert len(carried) >= 7
+    assert t.read().filter("k = 3").first().val == "new"
+    assert t.read().count() == 400
+
+
+def test_merge_bad_shapes_raise_precisely(cat, spark):
+    _mk(cat, spark)
+    cat.table("s").overwrite(spark.sql("SELECT 1 AS k, 'x' AS val"))
+    with pytest.raises(ValueError, match="unsupported MERGE clause"):
+        cat.sql(
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET val = s.val"
+        )
+    with pytest.raises(ValueError, match="SAME name"):
+        cat.sql(
+            "MERGE INTO t USING s ON t.k = s.kk "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+    with pytest.raises(ValueError, match="column equalities"):
+        cat.sql(
+            "MERGE INTO t USING s ON t.k < s.k "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+
+
+# -- time travel in SELECT routing -------------------------------------------
+
+
+def test_select_version_as_of(cat, spark):
+    t = _mk(cat, spark)
+    cat.sql("DELETE FROM t WHERE k = 1")
+    assert cat.sql("SELECT count(*) AS n FROM t").first().n == 1
+    assert cat.sql(
+        "SELECT count(*) AS n FROM t VERSION AS OF 0"
+    ).first().n == 2
+    # inside a subquery too
+    assert cat.sql(
+        "SELECT (SELECT count(*) FROM t VERSION AS OF 0) AS n"
+    ).first().n == 2
+
+
+def test_select_timestamp_as_of(cat, spark):
+    t = _mk(cat, spark)
+    cat.sql("DELETE FROM t WHERE k = 1")
+    stamps = sorted(r.timestamp for r in t.history().collect())
+    # a literal instant after the last commit resolves to the head
+    import datetime as dt
+
+    iso = dt.datetime.fromtimestamp(stamps[-1] / 1000 + 1).isoformat()
+    assert cat.sql(
+        f"SELECT count(*) AS n FROM t TIMESTAMP AS OF '{iso}'"
+    ).first().n == 1
+
+
+def test_time_travel_never_rewrites_inside_literals(cat, spark):
+    t = _mk(cat, spark)
+    df = cat.sql("SELECT 't VERSION AS OF 0' AS s FROM t LIMIT 1")
+    assert df.first().s == "t VERSION AS OF 0"
+
+
+# -- scanner hardening (the r11 ADVICE medium) --------------------------------
+
+
+def test_dml_bounds_bails_on_escape_syntax():
+    """Backslash escapes / double-quoted literals aren't modeled by the
+    bounds scanner — their presence must bail to {} (no pruning: always
+    a superset), never derive bounds from literal content."""
+    f = ManagedTable._dml_bounds
+    assert f("c = 'a\\' AND x = 5 AND y = \\'b'") == {}
+    assert f('c = "a AND x = 5 AND z"') == {}
+    # the plain forms still derive bounds
+    assert f("x = 5 AND y <= 3") == {"x": (5, 5), "y": (None, 3)}
+    assert f("c = 'it''s fine' AND x > 2") == {
+        "c": ("it's fine", "it's fine"), "x": (2, None),
+    }
+
+
+def test_split_assignments_handles_escaped_quotes():
+    got = Catalog._split_assignments(
+        "a = 'x\\'s, b', c = concat('p,q', d)"
+    )
+    assert got == {"a": "'x\\'s, b'", "c": "concat('p,q', d)"}
+
+
+def test_split_on_where_sees_through_double_quotes():
+    got = Catalog._split_on_where('a = "use where, ok" WHERE k = 1')
+    assert got == ('a = "use where, ok"', "k = 1")
