@@ -33,6 +33,13 @@ class TableConfig:
     # directory layout for pruning, readme.md:27; this makes the same
     # layout a first-class silver feature with listing-time pruning)
     partition_by: tuple[str, ...] = ()
+    # gold handling when the silver change feed carries DELETES
+    # (silver delete_where / merge removals): 'propagate' (DLT
+    # apply_as_deletes — SCD2 closes the open version, SCD1 removes
+    # the row), 'erase' (GDPR right-to-be-forgotten: the key's whole
+    # SCD2 history is purged; close isn't erasure), or 'ignore'
+    # (upsert-only, the pre-r12 behavior)
+    on_delete: str = "propagate"
 
     @property
     def qualified_name(self) -> str:

@@ -53,17 +53,24 @@ def scd1_merge(
     keys: Sequence[str],
     seq: str,
     delete_expr: str | None = None,
+    except_cols: Sequence[str] = (),
+    erase: bool = False,
 ) -> DataFrame:
     """Upsert: one row per key, highest sequence wins; batch wins ties.
 
     ≙ Delta ``MERGE ... whenMatchedUpdateAll whenNotMatchedInsertAll``
     guarded by ``s.seq >= t.seq`` (reference FactStream.py:12-21).
     ``delete_expr`` ≙ apply_as_deletes: if the winning change for a key
-    is a delete, the key is removed."""
-    cols = current.columns
+    is a delete, the key is removed. ``except_cols`` ≙ DLT's
+    except_column_list: batch-only helper columns (e.g. the CDC op
+    flag) visible to ``delete_expr`` but never stored. ``erase`` is
+    accepted for signature parity with ``scd2_apply`` but is a no-op
+    here — SCD1 keeps no history, so close IS erasure."""
+    cols = [c for c in current.columns if c not in set(except_cols)]
     is_del = F.expr(delete_expr) if delete_expr else F.lit(False)
     unioned = (
-        current.withColumn(_EXISTING, F.lit(1)).withColumn("__del", F.lit(False))
+        current.select(*cols)
+        .withColumn(_EXISTING, F.lit(1)).withColumn("__del", F.lit(False))
     ).unionByName(
         # __del computed BEFORE the projection so delete_expr may
         # reference batch-only columns (e.g. a CDC `op` column)
@@ -87,6 +94,8 @@ def scd2_apply(
     seq: str,
     track_history_except: Sequence[str] = (),
     delete_expr: str | None = None,
+    except_cols: Sequence[str] = (),
+    erase: bool = False,
 ) -> DataFrame:
     """Apply a change batch to an SCD2 history table; returns the new
     full history (closed versions + re-derived open/chained versions).
@@ -101,8 +110,28 @@ def scd2_apply(
     ``delete_expr`` ≙ DLT's ``apply_as_deletes``: batch rows satisfying
     the predicate close the key's open version at their sequence without
     opening a new one (history retained; later changes re-open the key).
+    A delete whose sequence TIES the open version still closes it (the
+    change-feed case: silver ``delete_where`` removes a row without
+    bumping its cdc column, so the delete event arrives at the row's own
+    sequence — version order, not the tied value, says it is later); a
+    delete strictly below the watermark stays stale-dropped.
+
+    ``except_cols`` ≙ DLT's except_column_list: batch-only helper
+    columns (the CDC op flag) visible to ``delete_expr``, never stored.
+
+    ``erase=True`` is the GDPR mode: a key whose delete WINS the
+    sequencing (ties with the open version included, same rule as
+    close) has its ENTIRE history removed — close is not erasure. A
+    delete that LOSES to a newer row-state is stale-dropped like any
+    other change: the drain path synthesizes delete rows from change
+    feeds, where a merge collapsing duplicate silver rows emits
+    old-sequence removals that are NOT logical deletes, and replay
+    safety requires a replayed old batch never purge a key that was
+    since re-created. A genuinely backdated erasure request should be
+    applied as a curated batch whose delete carries a current sequence.
     """
-    data_cols = [c for c in batch.columns]
+    exc = set(except_cols)
+    data_cols = [c for c in batch.columns if c not in exc]
     if target is not None:
         # LOUD on a batch missing target data columns (scd1_merge's
         # behavior): projecting history onto the batch's column set
@@ -128,6 +157,7 @@ def scd2_apply(
         batch.withColumn(_ORD, F.col(seq).cast(seq_type))
         .withColumn(_EXISTING, F.lit(0))
         .withColumn("__is_delete", F.coalesce(is_del, F.lit(False)))
+        .drop(*exc)
         .withColumn(START_AT, F.col(seq))
     )
 
@@ -166,14 +196,37 @@ def scd2_apply(
             (F.col(_EXISTING) == 1)
             | F.col("__hwm").isNull()
             | (F.col(_ORD) > F.col("__hwm"))
+            # a delete TYING the open version's sequence still closes it
+            # (version order says it came later); upserts stay strict-'>'
+            # so replayed rows can never resurrect
+            | (F.col("__is_delete") & (F.col(_ORD) >= F.col("__hwm")))
         )
         .drop("__hist_ord", "__hwm")
     )
+    if erase and delete_expr:
+        # GDPR scope = keys whose LAST surviving event is a delete —
+        # computed post-stale-drop so a stale duplicate-collapse
+        # removal can never purge a live key, and pre-suppression so
+        # collapsed back-to-back deletes still count; a later re-insert
+        # in the same batch legitimately re-creates the key (no purge).
+        w_last = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+            F.col(_ORD).desc(), F.col(_EXISTING).asc()
+        )
+        erased = F.broadcast(
+            live.withColumn("__rn", F.row_number().over(w_last))
+            .filter((F.col("__rn") == 1) & F.col("__is_delete"))
+            .select(*keys)
+            .distinct()
+        )
+    else:
+        erased = None
 
     # No-op suppression on TRACKED attrs only; the delete flag is part of
     # the identity so a change after a delete always re-opens, and
-    # back-to-back deletes collapse to one.
-    w_seq = key_part.orderBy(F.col(_ORD).asc())
+    # back-to-back deletes collapse to one. Sequence ties order the
+    # existing open row FIRST (desc on the flag) so a same-sequence
+    # delete closes it rather than racing it.
+    w_seq = key_part.orderBy(F.col(_ORD).asc(), F.col(_EXISTING).desc())
     attrs = F.struct(
         *[F.col(c) for c in tracked_cols], F.col("__is_delete")
     )
@@ -188,7 +241,9 @@ def scd2_apply(
 
     # Chain validity intervals: END_AT = next change's sequence (NULL =
     # open). Delete rows close their predecessor via lead(), then vanish.
-    w_seq2 = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(_ORD).asc())
+    w_seq2 = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(_ORD).asc(), F.col(_EXISTING).desc()
+    )
     versions = (
         live.withColumn(END_AT, F.lead(F.col(seq)).over(w_seq2))
         .filter(~F.col("__is_delete"))
@@ -196,6 +251,9 @@ def scd2_apply(
     )
     if hist is not None:
         versions = hist.select(*data_cols, START_AT, END_AT).unionByName(versions)
+    if erased is not None:
+        # GDPR: purge the key's whole history, closed versions included
+        versions = versions.join(erased, list(keys), "left_anti")
     return versions
 
 
@@ -207,13 +265,23 @@ def apply_changes(
     scd_type: int = 2,
     track_history_except: Sequence[str] = (),
     delete_expr: str | None = None,
+    except_columns: Sequence[str] = (),
+    delete_mode: str = "close",
 ) -> None:
     """≙ dlt.create_auto_cdc_flow: merge ``batch`` into ``table``.
 
     Pure-transform + atomic snapshot swap; callable directly on a batch
     DataFrame or from ``foreachBatch`` on a stream. Optional
-    ``track_history_except`` (≙ track_history_except_column_list) and
-    ``delete_expr`` (≙ apply_as_deletes) mirror the DLT signature.
+    ``track_history_except`` (≙ track_history_except_column_list),
+    ``delete_expr`` (≙ apply_as_deletes) and ``except_columns``
+    (≙ except_column_list: helper columns visible to ``delete_expr``
+    but never stored) mirror the DLT signature.
+
+    ``delete_mode``: ``"close"`` (default, DLT apply_as_deletes — SCD2
+    closes the open version, history retained; SCD1 removes the row by
+    last-write-wins) or ``"erase"`` (GDPR right-to-be-forgotten: the
+    key's ENTIRE history is purged, ignoring sequence ordering — a
+    stale-stamped erasure request still erases).
 
     Sink path: ``ManagedTable.merge_keyed`` — both SCD merges are
     key-local (a key's outcome depends only on its own rows), so the
@@ -221,12 +289,20 @@ def apply_changes(
     hardlinks the rest, exactly like a file-pruned Delta MERGE. An
     incremental batch against a huge table no longer rewrites the
     table."""
+    if delete_mode not in ("close", "erase"):
+        raise ValueError(
+            f"unsupported delete_mode {delete_mode!r} (close | erase)"
+        )
+    erase = delete_mode == "erase"
     if scd_type == 1:
         dedup = _dedup_key_seq(batch, keys, sequence_by)
         table.merge_keyed(
             dedup,
             keys,
-            lambda cur, b: scd1_merge(cur, b, keys, sequence_by, delete_expr),
+            lambda cur, b: scd1_merge(
+                cur, b, keys, sequence_by, delete_expr,
+                except_cols=except_columns, erase=erase,
+            ),
         )
     elif scd_type == 2:
         table.merge_keyed(
@@ -239,6 +315,8 @@ def apply_changes(
                 sequence_by,
                 track_history_except,
                 delete_expr,
+                except_cols=except_columns,
+                erase=erase,
             ),
         )
     else:

@@ -8204,6 +8204,70 @@ def q_delta_retention_roundtrip(spark, sf):
     return read_delta(spark, t.dir).select("n_nationkey", "n_name", "n_regionkey")
 
 
+@_q(
+    "gold_delete_propagation",
+    "Deletes propagate through the gold drain (r12; ≙ DLT "
+    "create_auto_cdc_flow apply_as_deletes): silver UPDATE then DELETE "
+    "via predicate DML, one gold_flow drain folds BOTH from the change "
+    "feed per commit — updated keys close at the new sequence and "
+    "re-open, deleted keys close at their own sequence (history "
+    "retained), nothing re-reads the silver table",
+    "T6/J2 + r11 DML (streaming/flows.py gold_flow; operators/cdc.py "
+    "scd2_apply delete_expr; reference DimUser.py:20-29 "
+    "apply_as_deletes)",
+    """
+    WITH base AS (
+      SELECT c_custkey AS k, c_name AS name,
+             round(CAST(c_acctbal AS DOUBLE), 9) AS bal
+      FROM customer
+    )
+    SELECT k, name, bal, 1.0 AS start_at,
+           CASE WHEN k % 10 = 0 THEN 2.0
+                WHEN k % 7 = 0 THEN 1.0
+                ELSE NULL END AS end_at
+    FROM base
+    UNION ALL
+    SELECT k, name, round(bal + 100, 9), 2.0, NULL
+    FROM base WHERE k % 10 = 0
+    """,
+)
+def q_gold_delete_propagation(spark, sf):
+    from pathlib import Path as _P
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.config import TableConfig
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+    from end_to_end_azure_databricks_data_engineering_project_spark.streaming.flows import gold_flow
+
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+        F.lit(1.0).alias("updated_at"),
+    )
+    wh = _scratch_warehouse("q_golddel", sf)
+    cat = Catalog(spark, wh)
+    silver = cat.table("silver_cust")
+    silver.overwrite(c.repartitionByRange(4, "k").sortWithinPartitions("k"))
+    cfg = TableConfig(
+        schema_name="gold", table="cust", cdc_col="updated_at",
+        keys=("k",), spark_schema=c.schema, scd_type=2,
+    )
+    state = _P(wh) / "_state"
+    state.mkdir(exist_ok=True)
+    flow = gold_flow(spark, cfg, cat, str(state))
+    flow()  # initial full load (no cursor yet)
+    silver.update_where("k % 10 = 0", {"bal": "bal + 100", "updated_at": "2.0"})
+    silver.delete_where("k % 10 <> 0 AND k % 7 = 0")
+    n = flow()  # change-feed drain: update post-images + delete rows
+    assert n > 0, "drain folded nothing — delete propagation not exercised"
+    g = cat.table("gold_cust").read()
+    return g.select(
+        "k", "name", F.round("bal", 9).alias("bal"),
+        F.col("__START_AT").alias("start_at"),
+        F.col("__END_AT").alias("end_at"),
+    )
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at

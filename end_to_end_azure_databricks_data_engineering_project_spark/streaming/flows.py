@@ -299,52 +299,110 @@ def gold_flow(
     Incremental ACROSS maintenance and merges (r10 verdict #2 — DLT's
     continuous apply-changes done end-to-end): silver COMPACTION is
     transparent to ``appended_since`` (dataChange=false, zero delta),
-    and when a silver MERGE breaks the append chain the drain consumes
-    the CHANGE FEED instead — ``changes_since`` yields the merge's
-    row-level changes from the touched files (or the materialized CDF
-    files on cdf-enabled tables), whose insert/post-image rows are
-    exactly the new row states the SCD apply needs. Deletes don't
-    propagate through this path (the reference's auto-CDC gold flows
-    are upsert-only; route deletes through ``cdc_stream``'s
-    apply-as-delete instead). Only a genuine snapshot replacement
-    (overwrite / restore) still falls back to the full re-read, which
-    stays safe under the SCD merges' stale-drop + no-op suppression."""
+    and when a silver MERGE or predicate DML breaks the append chain
+    the drain consumes the CHANGE FEED instead — ``changes_since``
+    yields row-level changes from the touched files (or the
+    materialized CDF files on cdf-enabled tables). DELETES PROPAGATE
+    (r12; the r11 drain was upsert-only): delete change rows route into
+    ``apply_changes(delete_expr=...)`` — ≙ DLT
+    ``create_auto_cdc_flow(apply_as_deletes=...)``, the API surface of
+    DimUser.py:20-29 — per ``cfg.on_delete``: 'propagate' closes the
+    SCD2 open version / removes the SCD1 row, 'erase' purges the key's
+    whole SCD2 history (GDPR — close isn't erasure), 'ignore' keeps
+    the old upsert-only behavior.
+
+    The change-feed leg folds PER SILVER COMMIT, not one union over the
+    whole range: within one commit a delete+insert of the same key IS
+    an update (snapshot-diff pairing is exact), but across commits the
+    pairing loses ordering — an update in commit 3 plus a true delete
+    in commit 5 must not cancel into "update". Per-commit folding costs
+    one feed read per non-append commit in the drained range (usually
+    0–1 per maintenance cadence) and keeps every apply key-local.
+
+    Only a genuine snapshot replacement (overwrite / restore) still
+    falls back to the full re-read, which stays safe under the SCD
+    merges' stale-drop + no-op suppression — though it cannot recover
+    deletes (nothing to diff against); a GDPR pipeline should avoid
+    snapshot-replacing silver between drains."""
+    DEL_FLAG = "__cdc_delete"
+
+    def _apply(gold, batch: DataFrame, with_deletes: bool) -> int:
+        gated = expect_all_or_drop(
+            batch, cfg.expectations, observe=False
+        ).df.cache()
+        # cache: the gated batch feeds count, key discovery and the
+        # merge write — one silver scan + expectation filter, not three
+        try:
+            n = gated.count()
+            if n > 0:
+                apply_changes(
+                    gold, gated,
+                    keys=list(cfg.keys), sequence_by=cfg.cdc_col,
+                    scd_type=cfg.scd_type,
+                    delete_expr=DEL_FLAG if with_deletes else None,
+                    except_columns=(DEL_FLAG,) if with_deletes else (),
+                    delete_mode="erase" if cfg.on_delete == "erase" else "close",
+                )
+        finally:
+            gated.unpersist()
+        return n
 
     def run() -> int:
         silver = catalog.table(f"silver_{cfg.table}")
         if not silver.exists():
             return 0
+        gold = catalog.table(f"gold_{cfg.table}")
         marker = Path(state_root) / f"gold_{cfg.table}.applied_v"
         last_v = int(marker.read_text()) if marker.exists() else None
         cur_v = silver.current_version()
         src = silver.appended_since(last_v, until=cur_v)
-        if src is None and last_v is not None:
-            # merge in range: row-level change feed instead of O(table)
-            changes = silver.changes_since(last_v, until=cur_v)
-            if changes is not None:
-                src = changes.filter(
-                    F.col("_change_type") == "insert"
-                ).drop("_change_type")
-        if src is None:
+        n = None
+        if src is not None:
+            n = _apply(gold, src, False)
+        elif last_v is not None:
+            # merge/DML in range: row-level change feed instead of
+            # O(table), folded per commit (see docstring)
+            vs = silver._committed_in_range(last_v, cur_v)
+            if vs is not None:
+                feeds = []
+                prev = last_v
+                for vv in vs:
+                    feed = silver.changes_since(
+                        prev, keys=list(cfg.keys), until=vv
+                    )
+                    if feed is None:
+                        feeds = None
+                        break
+                    feeds.append(feed)
+                    prev = vv
+                if feeds is not None:
+                    n = 0
+                    for feed in feeds:
+                        if cfg.on_delete == "ignore":
+                            batch = feed.filter(
+                                F.col("_change_type").isin(
+                                    "insert", "update_post"
+                                )
+                            ).drop("_change_type")
+                            n += _apply(gold, batch, False)
+                        else:
+                            batch = (
+                                feed.filter(
+                                    F.col("_change_type") != "update_pre"
+                                )
+                                .withColumn(
+                                    DEL_FLAG,
+                                    F.col("_change_type") == "delete",
+                                )
+                                .drop("_change_type")
+                            )
+                            n += _apply(gold, batch, True)
+        if n is None:
             # No cursor yet, or a snapshot replacement (overwrite /
             # restore / legacy upgrade) in range: full read. Replaying
             # already-applied rows is a no-op under the SCD merges'
             # stale-drop + no-op suppression.
-            src = silver.read()
-        # The gated batch feeds three consumers (count, key discovery,
-        # merge write) — cache it so the silver scan + expectation filter
-        # run once. (Observation can't ride merge_keyed: it allows only
-        # one action over the observed frame, the merge needs two.)
-        gated = expect_all_or_drop(src, cfg.expectations, observe=False).df.cache()
-        try:
-            n = gated.count()
-            if n > 0:
-                apply_changes(
-                    catalog.table(f"gold_{cfg.table}"), gated,
-                    keys=list(cfg.keys), sequence_by=cfg.cdc_col, scd_type=cfg.scd_type,
-                )
-        finally:
-            gated.unpersist()
+            n = _apply(gold, silver.read(), False)
         # Advance the cursor even on an empty delta (skip re-scans).
         # tmp + rename like every other state file: a crash mid-write
         # must not leave a truncated cursor that wedges every later run.

@@ -60,7 +60,12 @@ def users_df(ids, day, country="US"):
     )
 
 
-cfgs = [TABLE_BY_NAME["dim_user"]]
+import dataclasses
+
+# GDPR mode: gold erases a deleted key's WHOLE history (r12 —
+# close isn't erasure); the final assertions check erased ids are
+# absent from GOLD, not just silver
+cfgs = [dataclasses.replace(TABLE_BY_NAME["dim_user"], on_delete="erase")]
 store = WatermarkStore(root / "state")
 pipe = catalog = None
 timings = []
@@ -106,10 +111,11 @@ try:
             if silver.compact_small(max_file_bytes=1 << 20) is not None:
                 note += " +pack"
         if day and day % 9 == 0:
-            # GDPR-style erasure (r11 predicate DML): a contiguous slice
-            # of day-old users leaves via delete_where — stats-pruned
-            # rewrite, and the gold drain stays incremental (zero delta
-            # under the upsert-only auto-CDC contract)
+            # GDPR-style erasure (r11 predicate DML + r12 gold
+            # propagation): a contiguous slice of day-old users leaves
+            # via delete_where — stats-pruned rewrite — and the gold
+            # drain consumes the delete change rows INCREMENTALLY,
+            # erasing the keys' whole gold history (on_delete='erase')
             lo = (day - 1) * NEW_PER_DAY + 150
             silver.delete_where(f"user_id >= {lo} AND user_id < {lo + 5}")
             deleted_ranges.append((lo, lo + 5))
@@ -128,8 +134,15 @@ try:
     # final correctness: replay the whole history against a trivial model
     gold = catalog.table("gold_dim_user").read()
     n_users = DAYS * NEW_PER_DAY
+    n_deleted_total = sum(hi - lo for lo, hi in deleted_ranges)
     cur_rows = gold.filter(F.col(END_AT).isNull()).count()
-    assert cur_rows == n_users, (cur_rows, n_users)
+    assert cur_rows == n_users - n_deleted_total, (
+        cur_rows, n_users, n_deleted_total)
+    # GDPR: erased ids absent from GOLD entirely (open AND history)
+    for lo, hi in deleted_ranges:
+        n_left = gold.filter(f"user_id >= {lo} AND user_id < {hi}").count()
+        assert n_left == 0, (lo, hi, n_left)
+    print(f"gold: all {n_deleted_total} erased ids absent (history purged)")
     # users updated to DE the day after creation (and not later merged)
     # must show exactly 2 history rows; spot-check a few
     sample = gold.filter("user_id IN (0, 1, 2, 205, 206)")
@@ -140,7 +153,7 @@ try:
           f"median={sorted(steady)[len(steady)//2]:.2f}s max={max(steady):.2f}s")
     print(f"silver log files at day {DAYS-1}: {timings[-1][2]} "
           "(bounded by checkpoint cadence + retention)")
-    print(f"gold current rows exact: {cur_rows} == {n_users}")
+    print(f"gold current rows exact: {cur_rows} == {n_users - n_deleted_total}")
     sread = catalog.table("silver_dim_user").read()
     n_deleted = sum(hi - lo for lo, hi in deleted_ranges)
     for lo, hi in deleted_ranges:

@@ -236,3 +236,74 @@ def test_scd2_batch_missing_target_column_fails_loudly(spark):
     bad = spark.createDataFrame([(1, "b", dt.datetime(2025, 2, 1))], "k int, v string, ts timestamp")
     with _pytest.raises(ValueError, match="missing target column"):
         scd2_apply(t, bad, keys=["k"], seq="ts")
+
+
+def test_scd2_erase_purges_history_and_respects_ordering(spark, initial, tmp_path):
+    """delete_mode='erase' (GDPR, r12): a WINNING delete purges the
+    key's whole history — but a STALE delete (older sequence than the
+    open version, e.g. a change-feed duplicate-collapse artifact or a
+    replayed old batch) must NOT purge a since-re-created key."""
+    t = ManagedTable(spark, tmp_path, "dim_user")
+    apply_changes(t, initial, ["user_id"], "updated_at", 2)
+    # build history: ann Free(T0) -> Premium(T1)
+    apply_changes(t, _users(spark, [(1, "ann", "Premium", T1)]),
+                  ["user_id"], "updated_at", 2)
+    assert t.read().filter("user_id = 1").count() == 2
+    # winning delete at T2, erase mode: history gone, others untouched
+    apply_changes(t, _users(spark, [(1, "ann", "__DELETE__", T2)]),
+                  ["user_id"], "updated_at", 2,
+                  delete_expr="plan = '__DELETE__'", delete_mode="erase")
+    assert t.read().filter("user_id = 1").count() == 0
+    assert t.read().filter(f"{END_AT} IS NULL").count() == 2
+    # stale delete for bob (T0 == his open START_AT is a tie → wins and
+    # erases; strictly-older T_old for cat after an update must NOT)
+    apply_changes(t, _users(spark, [(3, "cat", "Gold", T2)]),
+                  ["user_id"], "updated_at", 2)
+    apply_changes(t, _users(spark, [(3, "cat", "__DELETE__", T0)]),
+                  ["user_id"], "updated_at", 2,
+                  delete_expr="plan = '__DELETE__'", delete_mode="erase")
+    assert t.read().filter("user_id = 3").count() == 2  # stale: no purge
+    # delete followed by re-insert in ONE batch: key re-created, no purge
+    apply_changes(
+        t,
+        _users(spark, [(2, "bob", "__DELETE__", T1),
+                       (2, "bob", "Premium", T2)]),
+        ["user_id"], "updated_at", 2,
+        delete_expr="plan = '__DELETE__'", delete_mode="erase",
+    )
+    rows = t.read().filter("user_id = 2").collect()
+    assert any(r[END_AT] is None and r.plan == "Premium" for r in rows)
+
+
+def test_scd1_erase_equals_close(spark, tmp_path):
+    t = ManagedTable(spark, tmp_path, "fact")
+    df = spark.createDataFrame([(1, 10, T0), (2, 20, T0)],
+                               "k int, v int, updated_at timestamp")
+    apply_changes(t, df, ["k"], "updated_at", 1)
+    apply_changes(
+        t,
+        spark.createDataFrame([(1, 0, T1)], "k int, v int, updated_at timestamp"),
+        ["k"], "updated_at", 1, delete_expr="v = 0", delete_mode="erase",
+    )
+    assert sorted(r.k for r in t.read().collect()) == [2]
+
+
+def test_apply_changes_except_columns_never_stored(spark, tmp_path):
+    """≙ DLT except_column_list: the CDC op flag drives delete_expr but
+    must not appear in the stored schema — first load included."""
+    t = ManagedTable(spark, tmp_path, "d")
+    df = spark.createDataFrame(
+        [(1, "ann", "Free", T0, "I"), (2, "bob", "Free", T0, "I")],
+        "user_id int, name string, plan string, updated_at timestamp, op string",
+    )
+    apply_changes(t, df, ["user_id"], "updated_at", 2,
+                  delete_expr="op = 'D'", except_columns=("op",))
+    assert "op" not in t.read().columns
+    batch = spark.createDataFrame(
+        [(1, "ann", "Free", T1, "D")],
+        "user_id int, name string, plan string, updated_at timestamp, op string",
+    )
+    apply_changes(t, batch, ["user_id"], "updated_at", 2,
+                  delete_expr="op = 'D'", except_columns=("op",))
+    assert "op" not in t.read().columns
+    assert t.read().filter(f"user_id = 1 AND {END_AT} IS NULL").count() == 0

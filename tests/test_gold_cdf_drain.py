@@ -159,26 +159,91 @@ def test_silver_update_where_propagates_incrementally(
     assert len(cur) == 1 and cur[0]["subscription_type"] == "Premium"
 
 
-def test_silver_delete_where_keeps_drain_incremental_and_upsert_only(
-    spark, medallion, monkeypatch
-):
-    """Predicate DELETE on silver: the gold auto-CDC flow is upsert-only
-    (DLT default — deletes route through cdc_stream's apply-as-deletes),
-    so the drain must fold a ZERO delta — but WITHOUT falling back to a
-    full silver read, and without disturbing gold history."""
+def test_silver_delete_where_propagates_to_gold(spark, medallion, monkeypatch):
+    """Predicate DELETE on silver propagates through the change feed
+    into the gold SCD2 apply (≙ DLT apply_as_deletes, DimUser.py:20-29):
+    the open version closes, history is retained, and the drain stays
+    incremental — no full silver read."""
     pipe, catalog = medallion
     silver = catalog.table("silver_dim_user")
-    gold_before = sorted(
-        tuple(r) for r in catalog.table("gold_dim_user").read().collect()
-    )
     silver.delete_where("user_id = 3")
 
     calls = _spy_reads(monkeypatch)
-    assert pipe.flows["gold_dim_user"].run() == 0
+    assert pipe.flows["gold_dim_user"].run() == 1  # exactly the delete row
     assert "silver_dim_user" not in calls, (
         "gold drain fell back to a full silver read across delete_where"
     )
-    gold_after = sorted(
-        tuple(r) for r in catalog.table("gold_dim_user").read().collect()
+    gold = catalog.table("gold_dim_user")
+    hist = gold.read().filter("user_id = 3").collect()
+    assert len(hist) == 1 and hist[0][END_AT] is not None  # closed, kept
+    # the delete flag column never lands in the gold schema
+    assert "__cdc_delete" not in gold.read().columns
+    # other keys untouched (still open)
+    assert gold.read().filter(F.col(END_AT).isNull()).count() == 4
+    # idempotent: replaying the drain changes nothing
+    assert pipe.flows["gold_dim_user"].run() == 0
+    assert gold.read().filter("user_id = 3").count() == 1
+
+
+def test_update_then_delete_across_commits_nets_to_delete(
+    spark, medallion, monkeypatch
+):
+    """Ordering across commits: an UPDATE commit followed by a DELETE
+    commit of the SAME key must net to a closed key — per-commit feed
+    folding keeps the true delete from cancelling against the earlier
+    update's pre-image (a whole-range union pairing would classify all
+    three change rows as one 'update')."""
+    pipe, catalog = medallion
+    silver = catalog.table("silver_dim_user")
+    silver.update_where(
+        "user_id = 4",
+        {"country": "'DE'", "updated_at": f"timestamp'{T1}'"},
     )
-    assert gold_after == gold_before
+    silver.delete_where("user_id = 4")
+
+    calls = _spy_reads(monkeypatch)
+    assert pipe.flows["gold_dim_user"].run() == 2  # update row + delete row
+    assert "silver_dim_user" not in calls
+    hist = sorted(
+        catalog.table("gold_dim_user").read().filter("user_id = 4").collect(),
+        key=lambda r: r["__START_AT"],
+    )
+    # v1 (US) closed at T1, v2 (DE) closed by the delete; nothing open
+    assert [r["country"] for r in hist] == ["US", "DE"]
+    assert all(r[END_AT] is not None for r in hist)
+
+
+def test_erase_mode_purges_scd2_history(spark, tmp_path):
+    """GDPR erasure: on_delete='erase' removes the key's ENTIRE gold
+    history (close isn't erasure), and the longevity contract holds —
+    the erased id is absent from gold, not merely closed."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TABLE_BY_NAME["dim_user"], on_delete="erase")
+    users = spark.createDataFrame(
+        [(i, f"user {i}", "US", "Free", None, None, T0) for i in range(1, 4)],
+        "user_id int, user_name string, country string, subscription_type string,"
+        " start_date date, end_date date, updated_at timestamp",
+    )
+    store = WatermarkStore(tmp_path / "state")
+    ingest_all(spark, [cfg], {"dim_user": users}, str(tmp_path / "bronze"), store)
+    pipe, catalog = build_medallion_pipeline(
+        spark, [cfg], str(tmp_path / "bronze"), str(tmp_path / "warehouse"),
+        str(tmp_path / "state"),
+    )
+    pipe.run_all()
+    silver = catalog.table("silver_dim_user")
+    # build history for key 2 first (update), then erase it
+    silver.update_where(
+        "user_id = 2",
+        {"country": "'FR'", "updated_at": f"timestamp'{T1}'"},
+    )
+    pipe.flows["gold_dim_user"].run()
+    gold = catalog.table("gold_dim_user")
+    assert gold.read().filter("user_id = 2").count() == 2  # open + closed
+    silver.delete_where("user_id = 2")
+    pipe.flows["gold_dim_user"].run()
+    assert gold.read().filter("user_id = 2").count() == 0  # history purged
+    assert sorted(
+        r.user_id for r in gold.read().filter(F.col(END_AT).isNull()).collect()
+    ) == [1, 3]
