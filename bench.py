@@ -134,9 +134,42 @@ def _ivfpq_split_seconds(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _load_marker() -> dict:
+    """Contamination guard for round-over-round comparisons: the r11
+    headline drifted to 1.47x the r1 baseline on BYTE-IDENTICAL query
+    code, i.e. ambient box load, not a regression. Recording loadavg
+    and cpu count with every artifact lets a reviewer tell 'slow code'
+    from 'busy box' without re-running."""
+    try:
+        la1, la5, la15 = os.getloadavg()
+    except OSError:
+        la1 = la5 = la15 = -1.0
+    # CUMULATIVE host-steal seconds (/proc/stat field 8): on a VM the
+    # guest's loadavg can't see hypervisor neighbors — a uniform
+    # slowdown across byte-identical queries with low loadavg but a
+    # large before→after steal DELTA is the box being throttled, not a
+    # code regression (exactly the r11→r12 drift signature)
+    steal_s = -1.0
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        if parts and parts[0] == "cpu" and len(parts) > 8:
+            steal_s = int(parts[8]) / os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError):
+        pass
+    return {
+        "loadavg_1m": round(la1, 2),
+        "loadavg_5m": round(la5, 2),
+        "loadavg_15m": round(la15, 2),
+        "cpus": os.cpu_count(),
+        "steal_cum_s": round(steal_s, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_before = _load_marker()
     spark = get_spark("bench")
 
     # JVM/codegen/parquet-reader warmup (not a headline query)
@@ -185,6 +218,12 @@ def main() -> None:
         "extended": extended,
         "extended_total": round(sum(extended.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # quiet-box protocol (r12): pre/post load averages distinguish
+        # a code regression from ambient box contention; loadavg_1m
+        # before ≳ cpus/2 means the total is NOT comparable
+        # round-over-round
+        "load_before": load_before,
+        "load_after": _load_marker(),
     }
     if errors:
         # Make a degraded artifact unmistakable: "value" sums only the

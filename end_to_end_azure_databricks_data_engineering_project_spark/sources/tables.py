@@ -2091,6 +2091,34 @@ class ManagedTable:
         raw = self.table_prop("partition_columns")
         return json.loads(raw) if raw else []
 
+    def _nudge_cdf_for_dml(self) -> dict | None:
+        """Once-per-table advisory when row-mutating DML (merge /
+        delete / update) lands on a table WITHOUT the change data feed:
+        downstream incremental drains (``changes_since``) then pay an
+        exceptAll diff over the commit's touched files instead of
+        reading materialized exact change rows — correct either way,
+        but at 100 TB the CDF costs one extra pass over the TOUCHED
+        scope at write time versus a diff per CONSUMER per drain.
+        Returns ``set_props`` for the committing write so the warning
+        fires exactly once per table (the marker rides the same atomic
+        commit); CDF itself stays a CREATION-time choice
+        (``overwrite(enable_cdf=True)``) because the log's commit-0
+        writer protocol must carry it — auto-flipping it mid-history
+        would rewrite protocol expectations under live readers."""
+        if self.cdf_enabled() or self.table_prop("dml_cdf_warned"):
+            return None
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "table %s: DML (merge/delete/update) on a table without the "
+            "change data feed — incremental consumers will diff touched "
+            "files per drain; consider creating the table with "
+            "overwrite(enable_cdf=True) to materialize exact change rows "
+            "once at write time (warned once per table)",
+            self.name,
+        )
+        return {"dml_cdf_warned": "true"}
+
     def overwrite(
         self, df: DataFrame, epoch=None, epoch_key=None,
         expected_version: int | None = None,
@@ -2724,7 +2752,10 @@ class ManagedTable:
             self._discard_claim(new_v)
             raise
         try:
-            committed = self._commit(new_v, epoch, epoch_key, expected_version=v)
+            committed = self._commit(
+                new_v, epoch, epoch_key, expected_version=v,
+                set_props=self._nudge_cdf_for_dml(),
+            )
         except ConcurrentWriteError:
             self._discard_claim(new_v)  # loser cleans its own staging
             raise
@@ -2984,7 +3015,10 @@ class ManagedTable:
             self._discard_claim(new_v)
             raise
         try:
-            committed = self._commit(new_v, epoch, epoch_key, expected_version=v)
+            committed = self._commit(
+                new_v, epoch, epoch_key, expected_version=v,
+                set_props=self._nudge_cdf_for_dml(),
+            )
         except ConcurrentWriteError:
             self._discard_claim(new_v)
             raise

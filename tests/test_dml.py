@@ -563,3 +563,35 @@ def test_post_materialize_failure_discards_claim(spark, table, monkeypatch):
         with pytest.raises(RuntimeError):
             op()
         assert {p.name for p in table.dir.glob("v*")} == claims
+
+
+def test_dml_without_cdf_warns_once_per_table(spark, table, caplog):
+    """First mutating DML on a non-CDF table emits a once-per-table
+    advisory (downstream drains pay exceptAll diffs); the marker rides
+    the same commit, so later DML stays silent. CDF tables never warn."""
+    import logging
+
+    _clustered(spark, table, n=40, files=2, cdf=False)
+    with caplog.at_level(logging.WARNING):
+        table.delete_where("k < 5")
+    assert any("change data feed" in r.message for r in caplog.records)
+    assert table.table_prop("dml_cdf_warned") == "true"
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        table.update_where("k = 10", {"val": "'x'"})
+        table.merge_keyed(
+            spark.createDataFrame([(10, 0, "y")], "k long, g long, val string"),
+            ["k"],
+            lambda cur, b: cur.join(b.select("k"), "k", "left_anti").unionByName(b),
+        )
+    assert not any("change data feed" in r.message for r in caplog.records)
+
+
+def test_dml_on_cdf_table_never_warns(spark, table, caplog):
+    import logging
+
+    _clustered(spark, table, n=40, files=2, cdf=True)
+    with caplog.at_level(logging.WARNING):
+        table.delete_where("k < 5")
+    assert not any("change data feed" in r.message for r in caplog.records)
+    assert table.table_prop("dml_cdf_warned") is None
