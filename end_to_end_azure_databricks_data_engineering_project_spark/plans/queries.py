@@ -8205,6 +8205,100 @@ def q_delta_retention_roundtrip(spark, sf):
 
 
 @_q(
+    "sql_merge_roundtrip",
+    "MERGE INTO through the SQL router (r12): the Databricks CDC "
+    "idiom — WHEN MATCHED AND s.op='D' THEN DELETE / WHEN MATCHED "
+    "THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT * — parsed "
+    "quote-aware, routed onto merge_keyed (stats/Bloom-pruned file "
+    "rewrites), source op column never stored",
+    "S10 + J1 (sources/tables.py Catalog._sql_merge; reference "
+    "DimUser.py:20-29 semantics as Databricks SQL, "
+    "sample_exploration.py:11-13 ad-hoc SQL)",
+    """
+    SELECT c_custkey, c_mktsegment, round(bal, 9) AS bal FROM (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 10 = 3
+                  THEN CAST(c_acctbal AS DOUBLE) + 1000.0
+                  ELSE CAST(c_acctbal AS DOUBLE) END AS bal
+      FROM customer
+      WHERE NOT (c_custkey % 10 = 7)
+      UNION ALL
+      SELECT c_custkey + 1000000, c_mktsegment, 1.5
+      FROM customer WHERE c_custkey % 10 = 1
+    )
+    """,
+)
+def q_sql_merge_roundtrip(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    cat = Catalog(spark, _scratch_warehouse("q_sqlmerge", sf))
+    t = cat.table("cust")
+    t.overwrite(c.repartitionByRange(4, "c_custkey").sortWithinPartitions("c_custkey"))
+    # CDC feed: %10==7 delete, %10==3 update (+1000), %10==1 insert (new key)
+    feed = (
+        c.filter("c_custkey % 10 = 7").withColumn("op", F.lit("D"))
+        .unionByName(
+            c.filter("c_custkey % 10 = 3")
+            .withColumn("bal", F.col("bal") + 1000.0)
+            .withColumn("op", F.lit("U"))
+        )
+        .unionByName(
+            c.filter("c_custkey % 10 = 1")
+            .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+            .withColumn("bal", F.lit(1.5))
+            .withColumn("op", F.lit("I"))
+        )
+    )
+    feed.createOrReplaceTempView("cdc_feed_sqlmerge")
+    v = cat.sql(
+        "MERGE INTO cust USING (SELECT * FROM cdc_feed_sqlmerge) s "
+        "ON cust.c_custkey = s.c_custkey "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert v == t.current_version(), "SQL MERGE committed nothing"
+    return t.read().select(
+        "c_custkey", "c_mktsegment", F.round("bal", 9).alias("bal")
+    )
+
+
+@_q(
+    "sql_time_travel",
+    "Time travel through the SQL router (r12): DELETE via SQL DML, "
+    "then SELECT ... FROM t VERSION AS OF 0 — the reference rewritten "
+    "onto the pre-delete snapshot resolved through the transaction "
+    "log's commitInfo (delta version -> engine snapshot), Spark's "
+    "parser never sees the AS OF clause",
+    "S10 + extension time travel (sources/tables.py "
+    "_rewrite_time_travel/read_delta_version)",
+    """
+    SELECT s_suppkey, s_name, round(CAST(s_acctbal AS DOUBLE), 9) AS bal
+    FROM supplier
+    """,
+)
+def q_sql_time_travel(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    s = _t(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", F.col("s_acctbal").cast("double").alias("bal")
+    )
+    cat = Catalog(spark, _scratch_warehouse("q_sqltt", sf))
+    t = cat.table("supp")
+    t.overwrite(s)
+    cat.sql("DELETE FROM supp WHERE s_suppkey % 2 = 0")
+    assert t.read().count() < s.count(), "DELETE routed nothing"
+    return cat.sql(
+        "SELECT s_suppkey, s_name, round(bal, 9) AS bal "
+        "FROM supp VERSION AS OF 0"
+    )
+
+
+@_q(
     "gold_delete_propagation",
     "Deletes propagate through the gold drain (r12; ≙ DLT "
     "create_auto_cdc_flow apply_as_deletes): silver UPDATE then DELETE "
