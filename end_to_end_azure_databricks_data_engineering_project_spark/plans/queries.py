@@ -8205,6 +8205,54 @@ def q_delta_retention_roundtrip(spark, sf):
 
 
 @_q(
+    "dv_small_delete",
+    "Deletion vectors (r12): three 1-row DELETEs tombstone their files "
+    "(O(matched rows), ZERO data files rewritten — asserted on inodes) "
+    "while a 20%-selectivity DELETE takes the rewrite path; the mixed "
+    "DV+rewrite history survives a checkpoint + vacuum and is replayed "
+    "by the INDEPENDENT public-protocol reader (remove+add-with-dv "
+    "encoding, tombstones subtracted per file)",
+    "extension: small-delete DV path (sources/tables.py _read_members/"
+    "_resolve_dv; Delta deletionVectors re-expressed as tombstone rows)",
+    """
+    SELECT c_custkey, c_mktsegment, round(CAST(c_acctbal AS DOUBLE), 9) AS bal
+    FROM customer
+    WHERE c_custkey NOT IN (7, 77, 777)
+      AND c_mktsegment <> 'BUILDING'
+    """,
+)
+def q_dv_small_delete(spark, sf):
+    import os as _os
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.deltareader import read_delta
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    t = Catalog(spark, _scratch_warehouse("q_dv", sf)).table("cust")
+    t.overwrite(
+        c.repartitionByRange(4, "c_custkey").sortWithinPartitions("c_custkey")
+    )
+    inodes0 = {f.name: _os.stat(f).st_ino for f in t.data_files()}
+    for k in (7, 77, 777):  # 1-row deletes: DV path, no rewrite
+        v = t.delete_where(f"c_custkey = {k}")
+        assert t._manifest(v).get("dv_added"), "small delete missed the DV path"
+    assert {
+        f.name: _os.stat(f).st_ino for f in t.data_files()
+    } == inodes0, "a DV delete rewrote a data file"
+    v = t.delete_where("c_mktsegment = 'BUILDING'")  # ~20%: rewrite path
+    assert t._manifest(v)["removed"], "large delete missed the rewrite path"
+    t.write_delta_checkpoint()
+    t.vacuum(keep=2)
+    # the INDEPENDENT protocol reader is the returned frame
+    return read_delta(spark, t.dir).select(
+        "c_custkey", "c_mktsegment", F.round("bal", 9).alias("bal")
+    )
+
+
+@_q(
     "sql_merge_roundtrip",
     "MERGE INTO through the SQL router (r12): the Databricks CDC "
     "idiom — WHEN MATCHED AND s.op='D' THEN DELETE / WHEN MATCHED "

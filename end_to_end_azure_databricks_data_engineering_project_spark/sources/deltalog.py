@@ -317,17 +317,21 @@ def build_commit(
             }
         )
     for a in sorted(adds, key=lambda x: x["path"]):
-        actions.append(
-            {
-                "add": {
-                    "path": a["path"],
-                    "partitionValues": a.get("partitionValues", {}),
-                    "size": a["size"],
-                    "modificationTime": a["modificationTime"],
-                    "dataChange": data_change,
-                }
-            }
-        )
+        add = {
+            "path": a["path"],
+            "partitionValues": a.get("partitionValues", {}),
+            "size": a["size"],
+            "modificationTime": a["modificationTime"],
+            "dataChange": data_change,
+        }
+        if a.get("dv"):
+            # engine DV analog (documented protocol EXTENSION: Delta's
+            # own deletionVector descriptor encodes roaring bitmaps;
+            # this engine's tombstone-row files live under
+            # _deletion_vectors/ and readers subtract them per file —
+            # see deltareader.read_delta)
+            add["dv"] = list(a["dv"])
+        actions.append({"add": add})
     for c in sorted(cdc or [], key=lambda x: x["path"]):
         # change-data files are NOT part of the snapshot (never replayed
         # into the live set) — readers consume them only for
@@ -469,6 +473,7 @@ def write_checkpoint_file(table_dir: Path, delta_version: int) -> tuple[Path, in
             "size": a["size"],
             "modificationTime": a["modificationTime"],
             "dataChange": False,  # checkpoint rows never signal change
+            "dv": list(a["dv"]) if a.get("dv") else None,
         }
         for a in adds
     ]
@@ -497,6 +502,8 @@ def write_checkpoint_file(table_dir: Path, delta_version: int) -> tuple[Path, in
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
+            # engine DV analog: tombstone files under _deletion_vectors/
+            ("dv", pa.list_(pa.string())),
         ])),
         ("remove", pa.struct([
             ("path", pa.string()),

@@ -75,7 +75,10 @@ def _checkpoint_state(log: Path) -> tuple[int, dict, dict, dict] | None:
         if row.get("add"):
             a = dict(row["add"])
             pv = a.get("partitionValues")
-            adds[a["path"]] = dict(pv) if isinstance(pv, list) else (pv or {})
+            adds[a["path"]] = {
+                "pv": dict(pv) if isinstance(pv, list) else (pv or {}),
+                "dv": list(a.get("dv") or []),
+            }
         if row.get("remove"):
             adds.pop(row["remove"]["path"], None)
     return v, adds, meta, proto
@@ -83,8 +86,12 @@ def _checkpoint_state(log: Path) -> tuple[int, dict, dict, dict] | None:
 
 def snapshot_state(table_dir: Path) -> tuple[dict, dict]:
     """Reconstruct the latest snapshot from the public log alone:
-    (live adds {path: partitionValues}, latest metaData). Prefers the
-    checkpoint (as stock readers do), then replays tail commits."""
+    (live adds {path: {'pv': partitionValues, 'dv': [tombstone files]}},
+    latest metaData). Prefers the checkpoint (as stock readers do),
+    then replays tail commits. ``dv`` is the engine's deletion-vector
+    analog — tombstone-row parquet under ``_deletion_vectors/`` that a
+    reader must subtract from the file's rows (latest add per path
+    wins, Delta reconciliation)."""
     table_dir = Path(table_dir)
     log = deltalog.log_dir(table_dir)
     start = 0
@@ -122,7 +129,10 @@ def snapshot_state(table_dir: Path) -> tuple[dict, dict]:
             if "remove" in a:
                 adds.pop(a["remove"]["path"], None)
             if "add" in a:
-                adds[a["add"]["path"]] = a["add"].get("partitionValues", {})
+                adds[a["add"]["path"]] = {
+                    "pv": a["add"].get("partitionValues", {}),
+                    "dv": list(a["add"].get("dv") or []),
+                }
     if not meta:
         raise ValueError(f"no metaData found in delta log at {table_dir}")
     return adds, meta
@@ -147,18 +157,52 @@ def read_delta(spark: SparkSession, table_dir: str | Path) -> DataFrame:
     if not adds:
         return spark.createDataFrame([], full)
     groups: dict[tuple, list[str]] = {}
-    for path, pv in adds.items():
+    dv_names: set[str] = set()
+    any_dv = False
+    for path, st in adds.items():
+        pv, dv = st["pv"], st["dv"]
         key = tuple((c, pv.get(c)) for c in pcols)
-        groups.setdefault(key, []).append(str(table_dir / path))
+        groups.setdefault(key, []).append((str(table_dir / path), bool(dv)))
+        if dv:
+            any_dv = True
+            dv_names.update(dv)
+    out_cols = [f.name for f in full.fields]
+    tag = F.element_at(F.split(F.input_file_name(), "/"), -1)
     parts: list[DataFrame] = []
-    for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
-        df = spark.read.schema(data_schema).parquet(*sorted(paths))
-        for c, raw in key:
-            lit = (
-                F.lit(None) if raw is None else F.lit(raw)
-            ).cast(ptypes[c])
-            df = df.withColumn(c, lit)
-        parts.append(df.select(*[f.name for f in full.fields]))
+    dirty_parts: list[DataFrame] = []
+    for key, entries in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        for is_dirty in (False, True):
+            paths = [p for p, d in entries if d == is_dirty]
+            if not paths:
+                continue
+            df = spark.read.schema(data_schema).parquet(*sorted(paths))
+            if is_dirty:
+                # DV'd file: tag rows at SCAN time so the subtract below
+                # scopes each tombstone to ITS file (per-file multiset
+                # exactness — an identical row in another file survives)
+                df = df.withColumn("__dv_file", tag)
+            for c, raw in key:
+                lit = (
+                    F.lit(None) if raw is None else F.lit(raw)
+                ).cast(ptypes[c])
+                df = df.withColumn(c, lit)
+            if is_dirty:
+                dirty_parts.append(df.select(*out_cols, "__dv_file"))
+            else:
+                parts.append(df.select(*out_cols))
+    if any_dv and dirty_parts:
+        from pyspark.sql.types import StringType, StructField
+
+        tomb_schema = StructType(
+            list(full.fields) + [StructField("__dv_file", StringType(), True)]
+        )
+        tombs = spark.read.schema(tomb_schema).parquet(
+            *[str(table_dir / "_deletion_vectors" / d) for d in sorted(dv_names)]
+        ).select(*out_cols, "__dv_file")
+        dirty = dirty_parts[0]
+        for p in dirty_parts[1:]:
+            dirty = dirty.unionByName(p)
+        parts.append(dirty.exceptAll(tombs).drop("__dv_file"))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

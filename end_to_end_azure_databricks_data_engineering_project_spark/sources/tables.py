@@ -557,6 +557,30 @@ class ManagedTable:
         vdir = self._version_dir(mt_v)
         return {f"{vdir.name}/{f.name}": f for f in sorted(vdir.glob("*.parquet"))}
 
+    def _dv_map_cached(self, mt_v: int) -> dict:
+        """Resolved DV map for ``mt_v``, memoized per version (the map
+        is immutable once committed; the delta diff asks per-path)."""
+        cache = self.__dict__.setdefault("_dv_maps", {})
+        if mt_v not in cache:
+            if len(cache) > 8:
+                cache.clear()
+            try:
+                cache[mt_v] = self._resolve_dv(mt_v)
+            except FileNotFoundError:
+                cache[mt_v] = {}
+        return cache[mt_v]
+
+    def _dv_log_names(self, mt_v: int, log_path: str) -> list[str]:
+        """Sorted tombstone-file names for a LOG path (``_data/<name>``)
+        at version ``mt_v`` — the delta diff's per-path DV state."""
+        key = (
+            log_path[len("_data/"):]
+            if log_path.startswith("_data/")
+            else log_path
+        )
+        entries = self._dv_map_cached(mt_v).get(key)
+        return sorted({d for d, _ in entries}) if entries else []
+
     def _prepare_delta(self, state: dict, v: int, schema_string: str | None):
         """Advance ``state['delta']`` for the commit of MT version ``v``
         (call under the commit lock, before the pointer write;
@@ -592,8 +616,24 @@ class ManagedTable:
             )
         emit_meta = schema_string is not None and md5 != prior.get("schema_md5")
         prior_paths = set(self._delta_file_entries(prior["mt_version"]))
-        adds = {p: fp for p, fp in new_entries.items() if p not in prior_paths}
-        removes = sorted(prior_paths - set(new_entries))
+        # a path whose DELETION-VECTOR state changed is re-added
+        # (remove + add of the same path in one commit — the protocol's
+        # DV encoding): a new tombstone (DML), a dropped one (restore to
+        # a pre-delete snapshot), each must reach replaying readers
+        changed = {
+            p
+            for p in new_entries
+            if p in prior_paths
+            and self._dv_log_names(v, p) != self._dv_log_names(
+                prior["mt_version"], p
+            )
+        }
+        adds = {
+            p: fp
+            for p, fp in new_entries.items()
+            if p not in prior_paths or p in changed
+        }
+        removes = sorted((prior_paths - set(new_entries)) | changed)
         # protocol upgrade: a configuration change that RAISED the
         # writer requirement (constraint added to a v2 table, CDF
         # enabled later) ships a protocol action in this commit so a
@@ -636,11 +676,18 @@ class ManagedTable:
         m = self._manifest(v) or {}
         op = self._op(v)
         pcols = m.get("partition_columns", [])
-        add_dicts = []
-        for p, fp in adds.items():
+        # deletion vectors (r12): the log mirrors Delta's DV shape —
+        # any (re-)added path carries its CURRENT ``dv`` tombstone list
+        # (the diff in _prepare_delta/_heal re-adds paths whose DV state
+        # changed: remove + add of one path in one commit, the
+        # protocol's own DV encoding)
+        def _dv_names(p: str) -> list[str] | None:
+            return self._dv_log_names(v, p) or None
+
+        def _add_dict(p: str, fp: Path) -> dict:
             st = fp.stat()
             vals = self._partition_values(p)
-            add_dicts.append({
+            d = {
                 "path": p,
                 "size": st.st_size,
                 "modificationTime": int(st.st_mtime * 1000),
@@ -650,7 +697,13 @@ class ManagedTable:
                         else vals[c])
                     for c in pcols if c in vals
                 },
-            })
+            }
+            names = _dv_names(p)
+            if names:
+                d["dv"] = names
+            return d
+
+        add_dicts = [_add_dict(p, fp) for p, fp in adds.items()]
         cdc_dicts = []
         for name in m.get("cdc", ()):
             fp = self.dir / "_change_data" / name
@@ -724,10 +777,19 @@ class ManagedTable:
             removed = _rows(removed_names, base_stats or {})
         else:
             removed = 0
+        dv_rows = sum(
+            r
+            for entries in (m.get("dv_added") or {}).values()
+            for _, r in entries
+        )
         if removed is not None:
             out["numRemovedRows"] = removed
             if op == "delete" and added is not None:
-                out["numDeletedRows"] = removed - added
+                out["numDeletedRows"] = removed - added + dv_rows
+        elif op == "delete" and dv_rows:
+            out["numDeletedRows"] = dv_rows
+        if dv_rows:
+            out["numDeletionVectorRows"] = dv_rows
         return out
 
     def _heal_delta_log(self, state: dict) -> None:
@@ -822,8 +884,18 @@ class ManagedTable:
             if rec["version"] > 0
             else {}
         )
-        adds = {p: fp for p, fp in new_entries.items() if p not in prior_live}
-        removes = sorted(set(prior_live) - set(new_entries))
+        changed = {
+            p
+            for p in new_entries
+            if p in prior_live
+            and sorted(prior_live[p].get("dv") or []) != self._dv_log_names(v, p)
+        }
+        adds = {
+            p: fp
+            for p, fp in new_entries.items()
+            if p not in prior_live or p in changed
+        }
+        removes = sorted((set(prior_live) - set(new_entries)) | changed)
         cfg = self._delta_configuration(state)
         required_wv = deltalog.required_writer_version(cfg)
         self._write_delta_commit(
@@ -881,6 +953,9 @@ class ManagedTable:
         stats = self.file_stats(v)
         schema = self.table_schema(v)
         rec = self._pointer_state().get("delta") or {}
+        dv_rows = sum(
+            r for entries in self._resolve_dv(v).values() for _, r in entries
+        )
         return {
             "name": self.name,
             "location": str(self.dir),
@@ -890,9 +965,10 @@ class ManagedTable:
             "num_files": len(files),
             "size_bytes": sum(f.stat().st_size for f in files),
             "num_rows": (
-                sum(e.get("rows", 0) for e in stats.values())
+                sum(e.get("rows", 0) for e in stats.values()) - dv_rows
                 if stats is not None else None
             ),
+            "num_deletion_vector_rows": dv_rows,
             "schema": schema.json() if schema is not None else None,
         }
 
@@ -1003,22 +1079,15 @@ class ManagedTable:
         = resolved store members, or None for a legacy version (read
         the version dir directly, exactly as before manifests)."""
         schema = self.table_schema(v)
-        reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
         if names is None:
+            reader = (
+                self.spark.read.schema(schema) if schema is not None else self.spark.read
+            )
             return reader.parquet(str(self._version_dir(v)))
-        if not names:
-            if schema is None:
-                from pyspark.sql.types import StructType
-
-                schema = StructType([])
-            return self.spark.createDataFrame([], schema)
-        # basePath reconstructs hive partition columns from the store
-        # paths (Delta-style: partitioned data files omit the partition
-        # columns); harmless for unpartitioned (flat) layouts
-        out = reader.option("basePath", str(self.store)).parquet(
-            *[str(self.store / n) for n in names]
-        )
-        return self._schema_order(out, schema)
+        # basePath (inside _read_members) reconstructs hive partition
+        # columns from the store paths (Delta-style: partitioned data
+        # files omit the partition columns); deletion vectors fold here
+        return self._read_members(names, schema, self._resolve_dv(v))
 
     def _schema_order(self, df: DataFrame, schema) -> DataFrame:
         """Restore committed column ORDER: Spark relocates path-derived
@@ -1103,6 +1172,138 @@ class ManagedTable:
                 files[a] = None
             stats.update(m.get("stats", {}))
         return list(files), stats
+
+    # -- deletion vectors (r12): small-delete path ----------------------------
+    #
+    # A 1-row DELETE in a 1 GB file must not rewrite the GB. The engine's
+    # DV analog (Delta's deletionVectors feature re-expressed for this
+    # store): the matched rows are materialized as TOMBSTONE parquet in
+    # ``_deletion_vectors/`` (full rows + a ``__dv_file`` column naming
+    # the data file each row belongs to), the manifest maps data file →
+    # [(dv name, rows)], and every read subtracts a file's tombstones
+    # from its rows (multiset-exact ``exceptAll``, scoped per file so a
+    # later re-insert of an identical row elsewhere is never eaten).
+    # Write cost is O(matched rows); the rewrite path remains for large
+    # deletes, and compaction folds tombstones away (the rewritten file
+    # drops its DV entry). Delta's real DVs are roaring bitmaps over row
+    # indexes — the tombstone-row analog keeps the SAME read semantics
+    # with plain parquet machinery, at O(deleted-row bytes) instead of
+    # O(deleted-row bits) storage; fine while DV'd fractions stay small,
+    # which the write-side gate enforces.
+    DV_COL = "__dv_file"
+    dv_max_fraction = 0.1  # DV only when matched <= fraction * file rows
+    dv_max_rows = 10_000  # absolute cap per file per delete
+
+    def _dv_dir(self) -> Path:
+        return self.dir / "_deletion_vectors"
+
+    def _resolve_dv(self, v: int) -> dict[str, list]:
+        """Resolved deletion-vector map for version ``v``:
+        ``{store file name: [[dv name, rows], ...]}``. Walks the same
+        manifest chain as ``_resolve``: depth-0 manifests carry the
+        full map (``dv_full``; absent = none), children contribute
+        their commit's ``dv_added`` and drop entries for removed
+        files. Empty for legacy versions."""
+        m = self._manifest(v)
+        if m is None:
+            return {}
+        chain = [m]
+        while "files" not in chain[-1]:
+            base = chain[-1]["base"]
+            bm = self._manifest(base) if base is not None else None
+            if bm is None:
+                raise FileNotFoundError(
+                    f"table {self.name}: version {v}'s manifest chain "
+                    f"needs version {base}, which is missing"
+                )
+            chain.append(bm)
+        dv: dict[str, list] = {
+            k: list(v_) for k, v_ in (chain[-1].get("dv_full") or {}).items()
+        }
+        for m in reversed(chain[:-1]):
+            for r in m.get("removed", ()):
+                dv.pop(r, None)
+            for f, entries in (m.get("dv_added") or {}).items():
+                dv.setdefault(f, []).extend(entries)
+        return dv
+
+    def _materialize_dv(self, v: int, tomb_df: DataFrame) -> str:
+        """Write one commit's tombstone rows (must carry ``DV_COL``)
+        into ``_deletion_vectors/``; returns the dv file name. Single
+        file — a small-delete's tombstones are small by the write-side
+        gate."""
+        import uuid as _uuid
+
+        stage = self._version_dir(v) / "_dv_stage"
+        tomb_df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        out_dir = self._dv_dir()
+        out_dir.mkdir(exist_ok=True)
+        name = f"dv-{v:06d}-{_uuid.uuid4().hex[:8]}.parquet"
+        part = next(iter(sorted(stage.glob("*.parquet"))))
+        os.replace(part, out_dir / name)
+        shutil.rmtree(stage, ignore_errors=True)
+        return name
+
+    def _read_members(
+        self,
+        names: Sequence[str],
+        schema,
+        dv_map: dict | None = None,
+        keep_tag: bool = False,
+    ) -> DataFrame:
+        """Read store members pinned to ``schema``, folding deletion
+        vectors: files with tombstones are read tagged with their
+        (globally unique) basename and the dv rows subtracted
+        per-file-exactly before the tag is dropped. THE one read path
+        for every consumer that touches file content — read, merge
+        discovery/subset, DML rewrite, compaction, change feed.
+
+        ``keep_tag=True`` returns the frame WITH the ``DV_COL``
+        basename tag on every row (DML discovery groups on it; the tag
+        must be derived at SCAN time — ``input_file_name`` evaluated
+        after the subtract's shuffle would come back empty)."""
+        names = list(names)
+        reader = (
+            self.spark.read.schema(schema) if schema is not None else self.spark.read
+        ).option("basePath", str(self.store))
+        tag = F.element_at(F.split(F.input_file_name(), "/"), -1)
+
+        def _plain(ns):
+            df = self._schema_order(
+                reader.parquet(*[str(self.store / n) for n in ns]), schema
+            )
+            return df.withColumn(self.DV_COL, tag) if keep_tag else df
+
+        dv_map = dv_map or {}
+        dirty = [n for n in names if dv_map.get(n)]
+        if not dirty or schema is None:
+            if not names:
+                if schema is None:
+                    from pyspark.sql.types import StructType
+
+                    schema = StructType([])
+                return self.spark.createDataFrame([], schema)
+            return _plain(names)
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        clean = [n for n in names if not dv_map.get(n)]
+        cols = [f.name for f in schema.fields]
+        tagged = self._schema_order(
+            reader.parquet(*[str(self.store / n) for n in dirty]), schema
+        ).withColumn(self.DV_COL, tag).select(*cols, self.DV_COL)
+        tomb_schema = StructType(
+            list(schema.fields) + [StructField(self.DV_COL, StringType(), True)]
+        )
+        dv_names = sorted({d for n in dirty for d, _ in dv_map[n]})
+        tombs = self.spark.read.schema(tomb_schema).parquet(
+            *[str(self._dv_dir() / d) for d in dv_names]
+        ).select(*cols, self.DV_COL)
+        folded = tagged.exceptAll(tombs)
+        if not keep_tag:
+            folded = folded.drop(self.DV_COL)
+        if not clean:
+            return folded
+        return _plain(clean).unionByName(folded)
 
     def _resolve_current(self) -> tuple[int, list[str], dict] | tuple[int, None, None]:
         """(version, names, stats) for the current snapshot, retrying
@@ -1353,11 +1554,16 @@ class ManagedTable:
         base_names: list[str] | None = None,
         base_stats: dict | None = None,
         upgrade: bool = False,
+        dv_added: dict | None = None,
     ) -> dict:
         """An incremental manifest on ``base_v`` — rebased to a full one
         when the chain would exceed ``manifest_rebase_depth`` or when
         the base was just upgraded from legacy (its members exist only
-        in ``base_names``, not in any base manifest)."""
+        in ``base_names``, not in any base manifest).
+
+        ``dv_added``: this commit's NEW deletion-vector entries
+        ``{file: [[dv name, rows]]}`` (see ``_resolve_dv``); removed
+        files always drop their DV entries (the rewrite folded them)."""
         depth = self._manifest_depth(base_v) + 1
         m: dict = {
             "base": base_v,
@@ -1366,6 +1572,8 @@ class ManagedTable:
             "removed": removed,
             "stats": stats,
         }
+        if dv_added:
+            m["dv_added"] = dv_added
         if upgrade or depth > self.manifest_rebase_depth:
             if base_names is None:
                 base_names, base_stats = self._resolve(base_v)
@@ -1379,6 +1587,15 @@ class ManagedTable:
             full_stats.update(stats)
             m["files"] = list(files)
             m["stats_full"] = full_stats
+            # full manifests pin the RESOLVED dv map (upgraded legacy
+            # bases have none)
+            dv_full = {} if upgrade else self._resolve_dv(base_v)
+            for r in removed:
+                dv_full.pop(r, None)
+            for f, entries in (dv_added or {}).items():
+                dv_full.setdefault(f, []).extend(entries)
+            if dv_full:
+                m["dv_full"] = dv_full
             m["depth"] = 0
             if upgrade:
                 m["upgrade"] = True
@@ -1791,23 +2008,24 @@ class ManagedTable:
         schema = self.table_schema()
         if not files:
             df = self.spark.createDataFrame([], schema or self.read().schema)
+        elif self.store in files[0].parents:
+            # store layout: pin the committed schema like read()/
+            # read_at (mixed pre/post-evolution files) and fold
+            # deletion vectors — a DV'd file's stats are a superset, so
+            # pruning stays correct, but its tombstoned rows must not
+            # surface
+            df = self._read_members(
+                [str(f.relative_to(self.store)) for f in files],
+                schema,
+                self._resolve_dv(self.current_version()),
+            )
         else:
-            # pin the committed schema like read()/read_at: after
-            # evolution the surviving set mixes pre- and post-evolution
-            # files, and an unpinned reader takes an arbitrary footer —
-            # evolved columns would nondeterministically vanish (and the
-            # exact-predicate filter below would throw on them)
             reader = (
                 self.spark.read.schema(schema)
                 if schema is not None
                 else self.spark.read
             )
-            # basePath: reconstruct hive partition columns for
-            # partitioned tables (no-op for flat store layouts; must be
-            # omitted for legacy version-dir paths, which the store
-            # path does not prefix)
-            if self.store in files[0].parents:
-                reader = reader.option("basePath", str(self.store))
+            # legacy version-dir paths: no store prefix, no basePath
             df = self._schema_order(
                 reader.parquet(*[str(f) for f in files]), schema
             )
@@ -2023,11 +2241,37 @@ class ManagedTable:
                     # removed store files stay on disk (vacuum's GC
                     # keeps files referenced by retained manifests'
                     # removed lists) — the touched-file diff reads them
-                    # directly, no prior-version reconstruction needed
-                    old_files = [str(self.store / n) for n in m["removed"]]
-                    old_rows, new_rows = _read(old_files), _read(new_files)
+                    # directly, no prior-version reconstruction needed.
+                    # The OLD side folds the PRIOR version's deletion
+                    # vectors (rows a previous small delete already
+                    # tombstoned were not live before this commit, so
+                    # they must not re-surface as phantom deletes).
+                    prev_v = versions[i - 1] if i > 0 else v
+                    try:
+                        prev_dv = self._resolve_dv(prev_v)
+                    except FileNotFoundError:
+                        return None  # diff base vacuumed: rebuild instead
+                    old_rows = self._read_members(
+                        m["removed"], schema, prev_dv
+                    )
+                    new_rows = _read(new_files)
                     deletes.append(old_rows.exceptAll(new_rows))
                     inserts.append(new_rows.exceptAll(old_rows))
+                    # a DV commit's tombstone rows ARE its deletes —
+                    # exact, no diff needed
+                    dv_names = sorted({
+                        d
+                        for entries in (m.get("dv_added") or {}).values()
+                        for d, _ in entries
+                    })
+                    if dv_names:
+                        base_schema = schema or self.read().schema
+                        cols = [f.name for f in base_schema.fields]
+                        deletes.append(
+                            self.spark.read.schema(base_schema).parquet(
+                                *[str(self._dv_dir() / d) for d in dv_names]
+                            ).select(*cols)
+                        )
                 else:  # snapshot rewrite / compaction / unknown
                     return None
                 continue
@@ -2575,23 +2819,19 @@ class ManagedTable:
             # on the unpruned path: constructing it lists every member
             # path into the driver's file index, an O(table) cost the
             # pruned path must not pay just for an unused plan branch
-            if cand is None:  # no stats pruning available: scan it all
-                discover = self.read()
+            if cand is None and legacy_base:  # legacy: scan it all
+                discover = self.read().withColumn("__file", F.input_file_name())
             else:
-                stored = self.table_schema(v)
-                reader = (
-                    self.spark.read.schema(stored)
-                    if stored is not None
-                    else self.spark.read
-                )
-                discover = self._schema_order(
-                    reader.option("basePath", str(self.store)).parquet(
-                        *[str(self.store / n) for n in sorted(cand)]
-                    ),
-                    stored,
-                )
+                # DV-folding tagged read (r12): a row a small delete
+                # tombstoned must not re-touch its file — and must
+                # never re-surface through the merge rewrite
+                scan = sorted(cand) if cand is not None else res[0]
+                discover = self._read_members(
+                    scan, self.table_schema(v), self._resolve_dv(v),
+                    keep_tag=True,
+                ).withColumnRenamed(self.DV_COL, "__file")
             touched = (
-                discover.withColumn("__file", F.input_file_name())
+                discover
                 .join(F.broadcast(bkeys), list(keys), "left_semi")
                 .select("__file")
                 .distinct()
@@ -2617,12 +2857,15 @@ class ManagedTable:
         pcols = self.partition_columns()
         if full_rewrite:
             subset = self.read()
+        elif touched_files and not legacy_base:
+            # DV-folded subset (r12): rewriting a touched file from raw
+            # content would RESURRECT its tombstoned rows
+            subset = self._read_members(
+                sorted(touched_files), self.table_schema(v), self._resolve_dv(v)
+            )
         elif touched_files:
             stored = self.table_schema(v)
             reader = self.spark.read.schema(stored) if stored is not None else self.spark.read
-            if not legacy_base:
-                # reconstruct hive partition columns of store files
-                reader = reader.option("basePath", str(self.store))
             subset = self._schema_order(
                 reader.parquet(*[str(src_dir / f) for f in sorted(touched_files)]),
                 stored,
@@ -2946,38 +3189,64 @@ class ManagedTable:
         )
         if not cand:
             return None  # stats prove no file holds a matching row
-        reader = (
-            self.spark.read.schema(stored) if stored is not None else self.spark.read
-        ).option("basePath", str(self.store))
-        discover = self._schema_order(
-            reader.parquet(*[str(self.store / n) for n in sorted(cand)]), stored
-        )
+        dv_map = self._resolve_dv(v)
+        # discovery reads tagged with the file's (globally unique)
+        # basename, DVs FOLDED with the tag preserved — a row a prior
+        # small delete already tombstoned must neither re-touch its
+        # file nor be tombstoned twice (a double tombstone would
+        # over-subtract duplicate-valued rows)
+        discover = self._read_members(sorted(cand), stored, dv_map, keep_tag=True)
         touched = (
-            discover.withColumn("__file", F.input_file_name())
-            .filter(cond_true)
-            .select("__file")
-            .distinct()
+            discover.filter(cond_true)
+            .groupBy(self.DV_COL)
+            .count()
             .limit(cap + 1)
             .collect()
         )
         if not touched:
             return None  # condition matches no row: no-op, no commit
         full_rewrite = len(touched) > cap
+        by_base = {os.path.basename(n): n for n in names}
+        match_counts = {
+            by_base[r[self.DV_COL]]: r["count"] for r in touched
+        }
         if full_rewrite:
             touched_files = sorted(names)
         else:
-            by_base = {os.path.basename(n): n for n in names}
-            touched_files = sorted(
-                by_base[os.path.basename(r["__file"])] for r in touched
-            )
+            touched_files = sorted(match_counts)
+        # small-delete DV gate: a DELETE matching a tiny fraction of a
+        # file tombstones it (O(matched rows)) instead of rewriting the
+        # file (O(file)); UPDATE always rewrites (its matched rows
+        # change in place — Delta's DV-update would tombstone + append,
+        # a shape this engine routes through merge instead)
+        dv_files: list[str] = []
+        if op == "delete" and not full_rewrite and stored is not None:
+            for n, cnt in match_counts.items():
+                rows = (stats.get(n) or {}).get("rows")
+                if rows and cnt <= min(
+                    self.dv_max_rows, max(1, int(self.dv_max_fraction * rows))
+                ):
+                    dv_files.append(n)
+        dv_set = set(dv_files)
+        rewrite_files = [n for n in touched_files if n not in dv_set]
         new_v = self._claim_next_version()
         try:
-            subset = self._schema_order(
-                reader.parquet(*[str(self.store / n) for n in touched_files]), stored
-            )
             pcols = self.partition_columns()
-            out, schema = self._align(rewrite_fn(subset), evolve=False)
-            new_names = self._materialize(new_v, out, pcols)
+            dv_added: dict | None = None
+            if dv_files:
+                tombs = self._read_members(
+                    sorted(dv_files), stored, dv_map, keep_tag=True
+                ).filter(cond_true)
+                dv_name = self._materialize_dv(new_v, tombs)
+                dv_added = {
+                    n: [[dv_name, match_counts[n]]] for n in sorted(dv_files)
+                }
+            if rewrite_files:
+                subset = self._read_members(rewrite_files, stored, dv_map)
+                out, schema = self._align(rewrite_fn(subset), evolve=False)
+                new_names = self._materialize(new_v, out, pcols)
+            else:
+                new_names, schema = [], stored
         except Exception:
             # a failed rewrite (e.g. ANSI cast overflow in a SET expr)
             # must not leave its claim dir for vacuum to age out
@@ -2995,15 +3264,18 @@ class ManagedTable:
                 }
             else:
                 manifest = self._build_child_manifest(
-                    v, new_names, touched_files, new_stats,
+                    v, new_names, rewrite_files, new_stats,
                     base_names=names, base_stats=stats,
+                    dv_added=dv_added,
                 )
             if self.cdf_enabled():
                 # EXACT change rows straight from the predicate — no
                 # exceptAll diff needed (unlike merge, the matched set IS
                 # the change set), costing one extra pass over the touched
-                # scope only
-                manifest["cdc"] = self._materialize_cdc(new_v, cdc_fn(subset))
+                # scope only (DV'd files included: their matched rows are
+                # deletes all the same)
+                cdc_subset = self._read_members(touched_files, stored, dv_map)
+                manifest["cdc"] = self._materialize_cdc(new_v, cdc_fn(cdc_subset))
             manifest["partition_columns"] = pcols
             self._write_manifest_file(new_v, manifest)
             self._write_op_marker(new_v, op)
@@ -3162,13 +3434,28 @@ class ManagedTable:
             # full compact() is the upgrade path
             return self.compact()
         names, stats = res
+        dv_map = self._resolve_dv(v)
         sizes = {n: (self.store / n).stat().st_size for n in names}
         small = sorted(n for n in names if sizes[n] < max_file_bytes)
-        if len(small) < max(2, min_small_files):
+        # DV purge (r12): a file whose deletion vectors tombstone >= 10%
+        # of its rows joins the rewrite set regardless of size — the
+        # rewrite folds the tombstones away (the Delta OPTIMIZE rule:
+        # compaction is where DVs get purged). Content-identical at the
+        # TABLE level, so the dataChange=false contract holds.
+        purge = sorted(
+            n for n in names
+            if n not in set(small) and dv_map.get(n)
+            and (stats.get(n) or {}).get("rows")
+            and sum(r for _, r in dv_map[n]) >= 0.1 * stats[n]["rows"]
+        )
+        if len(small) < max(2, min_small_files) and not purge:
+            return None
+        small = sorted(set(small) | set(purge))
+        if len(small) < 1:
             return None
         total = sum(sizes[n] for n in small)
         n_out = max(1, -(-total // max_file_bytes))  # ceil
-        if n_out >= len(small):
+        if n_out >= len(small) and not purge:
             # CONVERGENCE guard: packing can't reduce the file count —
             # the small set is already ~target-sized chunks (its own
             # outputs are always sub-threshold, so without this check
@@ -3179,12 +3466,9 @@ class ManagedTable:
             return None
         stored = self.table_schema(v)
         pcols = self.partition_columns()
-        reader = (
-            self.spark.read.schema(stored) if stored is not None else self.spark.read
-        ).option("basePath", str(self.store))
-        subset = self._schema_order(
-            reader.parquet(*[str(self.store / n) for n in small]), stored
-        )
+        # DV-folded read: the pack output must not resurrect tombstoned
+        # rows (and folding is how the DVs get purged)
+        subset = self._read_members(small, stored, dv_map)
         if not pcols:
             # coalesce: pure bin-packing needs no shuffle at all
             subset = subset.coalesce(int(n_out))
@@ -3343,8 +3627,11 @@ class ManagedTable:
         if m is None or "files" in m:
             return
         names, stats = self._resolve(v)
+        dv = self._resolve_dv(v)
         m["files"] = names
         m["stats_full"] = stats
+        if dv:
+            m["dv_full"] = dv  # resolved BEFORE files lands: chain intact
         m["depth"] = 0
         self._write_manifest_file(v, m)
 
@@ -3515,10 +3802,15 @@ class ManagedTable:
             # files — keep them until their version is vacuumed
             referenced.update(m.get("removed", ()))
         cdc_referenced: set[str] = set()
+        dv_referenced: set[str] = set()
         for d in self.dir.glob("v*"):
             m = self._manifest(int(d.name[1:]))
             if m is not None:
                 cdc_referenced.update(m.get("cdc", ()))
+                for entries in (m.get("dv_added") or {}).values():
+                    dv_referenced.update(n for n, _ in entries)
+                for entries in (m.get("dv_full") or {}).values():
+                    dv_referenced.update(n for n, _ in entries)
         for f in self.store.rglob("*.parquet"):
             if str(f.relative_to(self.store)) in referenced:
                 continue
@@ -3538,6 +3830,20 @@ class ManagedTable:
         if cdir.exists():
             for f in cdir.glob("cdc-*.parquet"):
                 if f.name in cdc_referenced:
+                    continue
+                try:
+                    embedded_v = int(f.name.split("-")[1])
+                except (ValueError, IndexError):
+                    continue
+                if embedded_v > pointer:
+                    continue
+                f.unlink(missing_ok=True)
+        # deletion-vector tombstones age out when no retained manifest
+        # references them (same contract as cdc files)
+        dvdir = self._dv_dir()
+        if dvdir.exists():
+            for f in dvdir.glob("dv-*.parquet"):
+                if f.name in dv_referenced:
                     continue
                 try:
                     embedded_v = int(f.name.split("-")[1])
@@ -3871,6 +4177,12 @@ class ManagedTable:
             "stats": {}, "files": names, "stats_full": stats,
             "partition_columns": src_m.get("partition_columns", []),
         }
+        # the target's deletion-vector state is part of its CONTENT —
+        # restoring files without their tombstones would resurrect
+        # small-deleted rows
+        dv = {} if upgraded else self._resolve_dv(version)
+        if dv:
+            manifest["dv_full"] = dv
         if upgraded:
             manifest["upgrade"] = True
         self._write_manifest_file(new_v, manifest)
@@ -3926,6 +4238,49 @@ class ManagedTable:
         # Epoch watermarks (transaction state) intentionally do NOT
         # carry — the clone's history starts fresh.
         src_props = dict(state.get("props", {}))
+        dv_map = self._resolve_dv(cur)
+        dirty = [n for n in names if dv_map.get(n)]
+        if dirty:
+            # a DV'd file's tombstones tag the SOURCE basenames and live
+            # in the SOURCE's _deletion_vectors/ — hardlinking would
+            # resurrect the deleted rows in the clone. Materialize the
+            # FOLDED content for just those files (bounded: DV'd files
+            # are small-delete targets), hardlink the clean rest.
+            clean = [n for n in names if not dv_map.get(n)]
+            folded = self._read_members(dirty, self.table_schema(cur), dv_map)
+            new_v = target._claim_next_version()
+            target.store.mkdir(exist_ok=True)
+            try:
+                pcols_src = self.partition_columns()
+                mat_names = target._materialize(new_v, folded, pcols_src)
+                mat_stats = target._collect_stats_for(
+                    mat_names, pcols_src, self.table_schema(cur)
+                )
+                link_names, link_stats = _relink_store_files(
+                    self.store,
+                    clean,
+                    {n: stats[n] for n in clean if n in stats},
+                    target.store,
+                    new_v,
+                )
+            except Exception:
+                target._discard_claim(new_v)
+                raise
+            new_names = link_names + mat_names
+            new_stats = {**link_stats, **mat_stats}
+            target._write_manifest_file(new_v, {
+                "base": None, "depth": 0, "added": new_names, "removed": [],
+                "stats": new_stats, "files": new_names, "stats_full": new_stats,
+                "partition_columns": pcols,
+            })
+            self._copy_schema(cur, target._version_dir(new_v))
+            target._write_op_marker(new_v, "clone")
+            try:
+                target._commit(new_v, set_props=src_props or None)
+            except ConcurrentWriteError:
+                target._discard_claim(new_v)
+                raise
+            return new_v
         new_v = target._claim_next_version()
         target.store.mkdir(exist_ok=True)
         new_names, new_stats = _relink_store_files(

@@ -171,7 +171,12 @@ def test_explicit_prune_hint_intersects_derived(spark, table):
     v0 = _clustered(spark, table)
     v = table.delete_where("k = 3 OR k = 7", prune={"k": (3, 7)})
     m = table._manifest(v)
-    assert len(m["removed"]) == 1  # both keys live in file [0,100)
+    # both keys live in file [0,100); a 2-row delete takes the
+    # DELETION-VECTOR path (r12): the file is tombstoned, not rewritten
+    assert not m["removed"] and not m["added"]
+    assert len(m["dv_added"]) == 1
+    (entries,) = m["dv_added"].values()
+    assert entries[0][1] == 2  # tombstoned row count rides the manifest
     assert table.read().count() == 798
 
 
