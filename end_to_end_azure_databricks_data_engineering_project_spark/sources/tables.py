@@ -2582,7 +2582,7 @@ class ManagedTable:
                 return new_v
             except OptimisticConcurrencyError:
                 try:
-                    new_v, base_v = self._rebase_append(new_v, base_v, schema)
+                    new_v, base_v = self._rebase_commit(new_v, base_v, schema)
                 except ConcurrentWriteError:
                     # rebase refused (real conflict / pruned history /
                     # vanished claim): this append is dead — free its
@@ -2616,19 +2616,84 @@ class ManagedTable:
                 (self.store / n).unlink(missing_ok=True)
             for n in m.get("cdc", ()):
                 (self.dir / "_change_data" / n).unlink(missing_ok=True)
+            for entries in (m.get("dv_added") or {}).values():
+                for n, _ in entries:
+                    (self._dv_dir() / n).unlink(missing_ok=True)
         shutil.rmtree(self._version_dir(v), ignore_errors=True)
 
-    def _rebase_append(
-        self, claimed_v: int, base_v: int, schema
+    def _commit_or_rebase(
+        self,
+        new_v: int,
+        base_v: int,
+        schema,
+        op: str,
+        epoch=None,
+        epoch_key=None,
+        set_props: dict | None = None,
+    ) -> int | None:
+        """Commit a staged incremental version, REBASING over disjoint
+        interleaved commits instead of failing (the Delta write-
+        serializable rule — see ``_rebase_commit``); a genuinely
+        conflicting interleave still raises, and the loser always
+        cleans its own staging. Returns the committed version, or None
+        when the epoch was already applied."""
+        for _ in range(5):
+            try:
+                committed = self._commit(
+                    new_v, epoch, epoch_key, expected_version=base_v,
+                    set_props=set_props,
+                )
+                if not committed:
+                    self._discard_claim(new_v)
+                    return None  # lost the replay race: nothing committed
+                return new_v
+            except OptimisticConcurrencyError:
+                try:
+                    new_v, base_v = self._rebase_commit(
+                        new_v, base_v, schema, op
+                    )
+                except ConcurrentWriteError:
+                    self._discard_claim(new_v)
+                    raise
+            except ConcurrentWriteError:
+                self._discard_claim(new_v)  # non-rebaseable conflict
+                raise
+        self._discard_claim(new_v)
+        raise ConcurrentWriteError(
+            f"table {self.name}: {op} could not commit after 5 rebases "
+            "(sustained concurrent write pressure) — retry"
+        )
+
+    def _rebase_commit(
+        self, claimed_v: int, base_v: int, schema, op: str = "append"
     ) -> tuple[int, int]:
-        """Move an already-materialized append from ``base_v`` onto the
-        current head: verify every interleaved commit is append/compact
-        with the schema unchanged (else re-raise the conflict), claim a
-        fresh version, HARDLINK the staged store files under names
-        embedding it (the in-flight GC guard keys off the name-embedded
-        claim — under the old names a concurrent vacuum could collect
-        them the moment the pointer passed the dead claim), rewrite the
-        manifest as a child of the new head, and drop the dead claim
+        """Move an already-materialized commit (append / merge / DML /
+        compact) from ``base_v`` onto the current head — the general
+        Delta write-serializable conflict rule (r12; the r11 rebase
+        covered blind appends only): the loser re-commits iff its READ
+        SET (the files it removed or tombstoned) is DISJOINT from every
+        file the interleaved commits removed or tombstoned, the
+        interleave contains no snapshot replacement (overwrite /
+        restore / clone / legacy upgrade), and the schema is unchanged.
+        A blind append's read set is empty, so it rebases over ANY
+        disjoint content commit — merge and DML included; two merges or
+        DMLs on disjoint files both land; maintenance (compact) rebases
+        over anything it didn't pack. Intersecting read sets keep the
+        loud ``OptimisticConcurrencyError`` — the loser's staged output
+        was derived from content the winner replaced.
+
+        Like Delta's default WriteSerializable isolation, the rebased
+        loser serializes BEFORE interleaved appends it never read: a
+        merge landing after an interleaved append does not fold the
+        appended rows (they remain, untouched — exactly the state the
+        serial order loser-then-append produces).
+
+        Mechanics: claim a fresh version, HARDLINK the staged store
+        files under names embedding it (the in-flight GC guard keys off
+        the name-embedded claim — under the old names a concurrent
+        vacuum could collect them the moment the pointer passed the
+        dead claim), rewrite the manifest as a child of the new head
+        (carrying removed / dv_added / cdc), and drop the dead claim
         dir. Returns (new claimed version, new base). Pure metadata +
         O(new files) link syscalls — the data is never rewritten."""
         head = self.current_version()
@@ -2639,13 +2704,37 @@ class ManagedTable:
                 f"v{head}] was vacuumed mid-append; cannot prove the "
                 "rebase safe — retry the append"
             )
-        bad = [vv for vv in interleaved if self._op(vv) not in ("append", "compact")]
-        if bad:
+        old_m = self._manifest(claimed_v)
+        if old_m is not None and ("files" in old_m or old_m.get("upgrade")):
+            # full-rewrite / legacy-upgrade manifests replace the whole
+            # snapshot: their read set is everything — never rebaseable
             raise OptimisticConcurrencyError(
-                f"table {self.name}: interleaved commit(s) {bad} are not "
-                "append/compact — a content change this append never saw; "
-                "re-read and retry"
+                f"table {self.name}: staged commit v{claimed_v} is a "
+                "snapshot replacement; re-read and retry"
             )
+        read_set = (
+            set(old_m.get("removed", ())) | set(old_m.get("dv_added") or {})
+            if old_m is not None
+            else set()
+        )
+        rebaseable_ops = ("append", "compact", "merge", "delete", "update")
+        for vv in interleaved:
+            iop = self._op(vv)
+            im = self._manifest(vv)
+            if iop not in rebaseable_ops or im is None or im.get("upgrade"):
+                raise OptimisticConcurrencyError(
+                    f"table {self.name}: interleaved commit v{vv} ({iop}) "
+                    "replaced the snapshot — a content change this commit "
+                    "never saw; re-read and retry"
+                )
+            itouched = set(im.get("removed", ())) | set(im.get("dv_added") or {})
+            clash = read_set & itouched
+            if clash:
+                raise OptimisticConcurrencyError(
+                    f"table {self.name}: interleaved commit v{vv} ({iop}) "
+                    f"rewrote file(s) {sorted(clash)[:3]} this commit also "
+                    "read/rewrote — re-read and retry"
+                )
         head_schema = self.table_schema(head)
         # compare names + types, NOT nullability: a parquet read is
         # always nullable, so a content-identical compact widens the
@@ -2664,7 +2753,6 @@ class ManagedTable:
                 f"table {self.name}: head v{head} predates manifests; "
                 "cannot rebase — retry the append"
             )
-        old_m = self._manifest(claimed_v)
         if old_m is None:
             # the staged claim dir vanished underneath us (an external
             # vacuum_uncommitted run violating its no-active-writer
@@ -2672,19 +2760,35 @@ class ManagedTable:
             # too; nothing to rebase
             raise ConcurrentWriteError(
                 f"table {self.name}: staged claim v{claimed_v} vanished "
-                "mid-append (external cleanup?) — retry the append"
+                "mid-commit (external cleanup?) — retry"
+            )
+        # the loser's removed files must still be head members (an
+        # interleave touching them was caught above; this also guards
+        # exotic cases like the same file removed twice)
+        head_members = set(res[0])
+        gone = read_set - head_members
+        if gone:
+            raise OptimisticConcurrencyError(
+                f"table {self.name}: file(s) {sorted(gone)[:3]} this "
+                "commit read are no longer snapshot members — re-read "
+                "and retry"
             )
         nv = self._claim_next_version()
         new_names, new_stats = _relink_store_files(
             self.store, old_m["added"], old_m["stats"], self.store, nv
         )
         manifest = self._build_child_manifest(
-            head, new_names, [], new_stats,
+            head, new_names, list(old_m.get("removed", ())), new_stats,
             base_names=res[0], base_stats=res[1],
+            dv_added=old_m.get("dv_added"),
         )
         manifest["partition_columns"] = old_m.get("partition_columns", [])
+        if old_m.get("cdc"):
+            # the cdc rows were computed from files the interleave
+            # provably did not touch: still exact under the new order
+            manifest["cdc"] = old_m["cdc"]
         self._write_manifest_file(nv, manifest)
-        self._write_op_marker(nv, "append")
+        self._write_op_marker(nv, op)
         self._write_schema(self._version_dir(nv), schema)
         # drop the dead claim only after the new one is fully staged
         for n in old_m["added"]:
@@ -2994,18 +3098,10 @@ class ManagedTable:
             # claim any more than the data write itself failing does
             self._discard_claim(new_v)
             raise
-        try:
-            committed = self._commit(
-                new_v, epoch, epoch_key, expected_version=v,
-                set_props=self._nudge_cdf_for_dml(),
-            )
-        except ConcurrentWriteError:
-            self._discard_claim(new_v)  # loser cleans its own staging
-            raise
-        if not committed:
-            self._discard_claim(new_v)
-            return None  # lost the replay race: nothing committed
-        return new_v
+        return self._commit_or_rebase(
+            new_v, v, schema, "merge", epoch, epoch_key,
+            set_props=self._nudge_cdf_for_dml(),
+        )
 
     # -- predicate DML: DELETE / UPDATE (Delta's remaining DML verbs) --------
     @staticmethod
@@ -3286,18 +3382,10 @@ class ManagedTable:
             # claim any more than the data write itself failing does
             self._discard_claim(new_v)
             raise
-        try:
-            committed = self._commit(
-                new_v, epoch, epoch_key, expected_version=v,
-                set_props=self._nudge_cdf_for_dml(),
-            )
-        except ConcurrentWriteError:
-            self._discard_claim(new_v)
-            raise
-        if not committed:
-            self._discard_claim(new_v)
-            return None
-        return new_v
+        return self._commit_or_rebase(
+            new_v, v, schema, op, epoch, epoch_key,
+            set_props=self._nudge_cdf_for_dml(),
+        )
 
     def delete_where(
         self, condition, prune: dict | None = None, epoch=None, epoch_key=None
@@ -3500,15 +3588,9 @@ class ManagedTable:
             # claim any more than the data write itself failing does
             self._discard_claim(new_v)
             raise
-        try:
-            committed = self._commit(new_v, epoch, epoch_key, expected_version=v)
-        except ConcurrentWriteError:
-            self._discard_claim(new_v)
-            raise
-        if not committed:
-            self._discard_claim(new_v)
-            return None
-        return new_v
+        return self._commit_or_rebase(
+            new_v, v, schema, "compact", epoch, epoch_key
+        )
 
     def compact(
         self,

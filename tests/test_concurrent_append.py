@@ -91,7 +91,10 @@ def test_append_rebases_over_interleaved_compact(spark, table, monkeypatch):
     assert got == {(i, "x") for i in range(10)} | {(i, "mine") for i in range(50, 53)}
 
 
-def test_append_vs_interleaved_merge_still_conflicts(spark, table, monkeypatch):
+def test_append_rebases_over_interleaved_merge(spark, table, monkeypatch):
+    """r12 disjoint-commit resolution: a blind append has an EMPTY read
+    set, so an interleaved merge is not a conflict — BOTH effects land
+    (the r11 matrix raised here)."""
     def do_merge(t2):
         t2.merge_keyed(
             _ids(spark, 0, 1, "upd").withColumn("seq", F.lit(2)),
@@ -99,11 +102,12 @@ def test_append_vs_interleaved_merge_still_conflicts(spark, table, monkeypatch):
         )
 
     _inject_before_commit(monkeypatch, spark, table, do_merge)
-    with pytest.raises(OptimisticConcurrencyError, match="not append/compact"):
-        table.append(_ids(spark, 300, 303))
-    # the merge won; the failed append left no committed trace
+    table.append(_ids(spark, 300, 303))
     got = {(r.k, r.val) for r in table.read().collect()}
-    assert (0, "upd") in got and not any(k >= 300 for k, _ in got)
+    assert (0, "upd") in got                       # the merge's effect
+    assert {(k, v) for k, v in got if k >= 300} == {
+        (300, "x"), (301, "x"), (302, "x")         # and the append's
+    }
 
 
 def test_append_vs_interleaved_overwrite_still_conflicts(spark, table, monkeypatch):
@@ -126,19 +130,22 @@ def test_append_vs_schema_evolving_append_conflicts(spark, table, monkeypatch):
         table.append(_ids(spark, 300, 303))
 
 
-def test_merge_vs_interleaved_append_still_conflicts(spark, table, monkeypatch):
-    """The other half of the matrix: a merge READS the snapshot, so an
-    interleaved append is a real conflict (its rows would be dropped by
-    the rewrite) — unchanged loud failure."""
+def test_merge_rebases_over_interleaved_append(spark, table, monkeypatch):
+    """r12: the merge's read set (its touched files) is disjoint from
+    the append's NEW file, so both land — the merge serializes BEFORE
+    the append (WriteSerializable: the appended rows are not folded,
+    they simply remain). The r11 matrix raised here."""
     _inject_before_commit(
         monkeypatch, spark, table, lambda t2: t2.append(_ids(spark, 100, 103))
     )
-    with pytest.raises(ConcurrentWriteError):
-        table.merge_keyed(
-            _ids(spark, 0, 1, "upd").withColumn("seq", F.lit(2)),
-            ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq"),
-        )
-    assert table.read().count() == 13  # the append won, nothing lost
+    table.merge_keyed(
+        _ids(spark, 0, 1, "upd").withColumn("seq", F.lit(2)),
+        ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq"),
+    )
+    got = {(r.k, r.val) for r in table.read().collect()}
+    assert (0, "upd") in got                         # merge applied
+    assert {k for k, _ in got if k >= 100} == {100, 101, 102}  # append kept
+    assert table.read().count() == 13
 
 
 def test_threaded_appends_all_commit(spark, tmp_path):
@@ -204,7 +211,7 @@ def test_gc_spares_subpointer_unmanifested_claim_files(spark, tmp_path):
     t._write_manifest_file(claim, m)
     t._write_op_marker(claim, "append")
     t._write_schema(t._version_dir(claim), schema)
-    nv, head = t._rebase_append(claim, 0, schema)
+    nv, head = t._rebase_commit(claim, 0, schema)
     assert t._commit(nv, expected_version=head)
     assert sorted(r.k for r in t.read().collect()) == [
         0, 1, 2, 3, 4, 10, 11, 12, 13, 100, 101, 102
@@ -213,16 +220,14 @@ def test_gc_spares_subpointer_unmanifested_claim_files(spark, tmp_path):
 
 def test_losing_writers_discard_their_staging(spark, table, monkeypatch):
     """No-commit exits must not accrete orphan snapshots: an append
-    whose rebase is refused (interleaved merge) and a merge that loses
-    its OCC race both clean up their claim dir and their own staged
-    store files — only committed members remain."""
-    def do_merge(t2):
-        t2.merge_keyed(
-            _ids(spark, 0, 1, "upd").withColumn("seq", F.lit(2)),
-            ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq"),
-        )
-
-    _inject_before_commit(monkeypatch, spark, table, do_merge)
+    whose rebase is refused (interleaved OVERWRITE — a snapshot
+    replacement is never rebaseable) and a merge that loses to an
+    INTERSECTING merge both clean up their claim dir and their own
+    staged store files — only committed members remain."""
+    _inject_before_commit(
+        monkeypatch, spark, table,
+        lambda t2: t2.overwrite(_ids(spark, 0, 10, "re")),
+    )
     with pytest.raises(OptimisticConcurrencyError):
         table.append(_ids(spark, 300, 303))
     state = table._pointer_state()
@@ -240,10 +245,11 @@ def test_losing_writers_discard_their_staging(spark, table, monkeypatch):
     }
     assert on_disk <= live, on_disk - live  # no stray staged files
 
-    # merge losing to an interleaved append: same discipline
+    # merge losing to an interleaved OVERWRITE: same discipline
     monkeypatch.undo()
     _inject_before_commit(
-        monkeypatch, spark, table, lambda t2: t2.append(_ids(spark, 400, 402))
+        monkeypatch, spark, table,
+        lambda t2: t2.overwrite(_ids(spark, 0, 10, "re2")),
     )
     with pytest.raises(ConcurrentWriteError):
         table.merge_keyed(
@@ -255,16 +261,16 @@ def test_losing_writers_discard_their_staging(spark, table, monkeypatch):
     assert {d.name for d in table.dir.glob("v*")} == committed_dirs
 
 
-def test_append_vs_interleaved_delete_still_conflicts(spark, table, monkeypatch):
-    """Predicate DML is a content change the rebasing append never saw:
-    the conservative conflict matrix refuses to rebase across it."""
+def test_append_rebases_over_interleaved_delete(spark, table, monkeypatch):
+    """r12: predicate DML on files the blind append never read is
+    disjoint — both effects land."""
     _inject_before_commit(
         monkeypatch, spark, table, lambda t2: t2.delete_where("k = 0")
     )
-    with pytest.raises(OptimisticConcurrencyError, match="not append/compact"):
-        table.append(_ids(spark, 300, 303))
+    table.append(_ids(spark, 300, 303))
     got = {r.k for r in table.read().collect()}
-    assert 0 not in got and not any(k >= 300 for k in got)
+    assert 0 not in got                          # the delete's effect
+    assert {300, 301, 302} <= got                # and the append's
 
 
 def test_append_rebases_over_interleaved_compact_small(spark, table, monkeypatch):
@@ -281,3 +287,108 @@ def test_append_rebases_over_interleaved_compact_small(spark, table, monkeypatch
     assert committed is not None
     got = {r.k for r in table.read().collect()}
     assert {300, 301, 302} <= got and {50, 51, 52} <= got
+
+
+def test_disjoint_merges_both_land(spark, tmp_path, monkeypatch):
+    """Two merges touching DIFFERENT files both commit (the loser
+    rebases); the reader sees both effects."""
+    t = Catalog(spark, tmp_path / "wh").table("t")
+    t.overwrite(
+        _ids(spark, 0, 200).repartitionByRange(4, "k").sortWithinPartitions("k")
+    )
+
+    def merge_low(t2):
+        t2.merge_keyed(
+            _ids(spark, 0, 1, "low").withColumn("seq", F.lit(2)),
+            ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq"),
+        )
+
+    _inject_before_commit(monkeypatch, spark, t, merge_low)
+    t.merge_keyed(  # touches the top file only — disjoint
+        _ids(spark, 199, 200, "high").withColumn("seq", F.lit(2)),
+        ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq"),
+    )
+    got = {r.k: r.val for r in t.read().collect()}
+    assert got[0] == "low" and got[199] == "high"
+    assert len(got) == 200
+
+
+def test_intersecting_merges_still_conflict(spark, tmp_path, monkeypatch):
+    """Two merges touching the SAME file: the loser's staged output was
+    derived from content the winner replaced — loud failure, winner's
+    effect intact."""
+    t = Catalog(spark, tmp_path / "wh").table("t")
+    t.overwrite(
+        _ids(spark, 0, 200).repartitionByRange(4, "k").sortWithinPartitions("k")
+    )
+
+    def merge_same_file(t2):
+        t2.merge_keyed(
+            _ids(spark, 1, 2, "winner").withColumn("seq", F.lit(2)),
+            ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq"),
+        )
+
+    _inject_before_commit(monkeypatch, spark, t, merge_same_file)
+    with pytest.raises(OptimisticConcurrencyError, match="rewrote file"):
+        t.merge_keyed(
+            _ids(spark, 0, 1, "loser").withColumn("seq", F.lit(2)),
+            ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq"),
+        )
+    got = {r.k: r.val for r in t.read().collect()}
+    assert got[1] == "winner" and got[0] == "x"
+
+
+def test_disjoint_dml_both_land_and_overlapping_raises(
+    spark, tmp_path, monkeypatch
+):
+    t = Catalog(spark, tmp_path / "wh").table("t")
+    t.overwrite(
+        _ids(spark, 0, 200).repartitionByRange(4, "k").sortWithinPartitions("k")
+    )
+    _inject_before_commit(
+        monkeypatch, spark, t, lambda t2: t2.delete_where("k = 0")
+    )
+    assert t.delete_where("k = 199") is not None  # other end: disjoint
+    got = {r.k for r in t.read().collect()}
+    assert 0 not in got and 199 not in got and len(got) == 198
+
+    monkeypatch.undo()
+    _inject_before_commit(
+        monkeypatch, spark, t,
+        lambda t2: t2.update_where("k = 10", {"val": "'w'"}),
+    )
+    with pytest.raises(OptimisticConcurrencyError):
+        # same low file as the interleaved update — must not land on a
+        # snapshot whose file content it never read
+        t.update_where("k = 11", {"val": "'l'"})
+    got = {r.k: r.val for r in t.read().collect()}
+    assert got[10] == "w" and got[11] == "x"
+
+
+def test_maintenance_rebases_over_merge_it_did_not_touch(
+    spark, tmp_path, monkeypatch
+):
+    """auto_maintenance_hook's race (verdict r11 #3): a compact_small
+    packing SMALL files rebases over a merge that rewrote a DIFFERENT
+    (big) file — maintenance lands instead of silently losing."""
+    t = Catalog(spark, tmp_path / "wh").table("t")
+    t.overwrite(
+        _ids(spark, 0, 100_000)  # two ~400 KB files: ABOVE the pack bar
+        .repartitionByRange(2, "k").sortWithinPartitions("k")
+    )
+    for i in range(3):  # small appended files to pack
+        t.append(_ids(spark, 200_000 + i, 200_001 + i).coalesce(1))
+
+    def merge_big(t2):
+        t2.merge_keyed(
+            _ids(spark, 0, 1, "m").withColumn("seq", F.lit(2)),
+            ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq"),
+        )
+
+    _inject_before_commit(monkeypatch, spark, t, merge_big)
+    v = t.compact_small(max_file_bytes=16 << 10, min_small_files=2)
+    assert v is not None  # rebased, landed
+    got = t.read().filter("k in (0, 200000)").collect()
+    vals = {r.k: r.val for r in got}
+    assert vals[0] == "m" and vals[200_000] == "x"
+    assert t.read().count() == 100_003

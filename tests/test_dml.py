@@ -29,6 +29,7 @@ from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables i
     Catalog,
     ConcurrentWriteError,
     ManagedTable,
+    OptimisticConcurrencyError,
 )
 from end_to_end_azure_databricks_data_engineering_project_spark.sources import deltareader
 
@@ -294,31 +295,59 @@ def test_dml_survives_vacuum_and_time_travel(spark, table):
 # -- concurrency + idempotence --------------------------------------------
 
 
-def test_dml_conflicts_with_interleaved_commit(spark, table):
+def test_dml_rebases_over_disjoint_interleave_and_conflicts_on_overlap(
+    spark, table
+):
+    """r12 disjoint-commit resolution: a DELETE racing an append to a
+    DIFFERENT file rebases and BOTH land; a DELETE racing a commit that
+    rewrote ITS file still fails loudly and cleans its staging."""
     _clustered(spark, table, n=10, files=1)
-    v = table.current_version()
-    claims_before = len(list(table.dir.glob("v*")))
-    # interleave an append AFTER the delete read its inputs: simulate by
-    # committing between read and commit via a second handle
     other = ManagedTable(spark, table.dir.parent, table.name)
     orig_claim = table._claim_next_version
 
-    def _claim_with_interleave():
-        other.append(
-            spark.createDataFrame([(500, 0, "zz")], "k long, g long, val string")
-        )
+    armed = {"on": True}
+
+    def _claim_with_append():
+        if armed["on"]:
+            armed["on"] = False  # inject exactly once (rebases re-claim)
+            other.append(
+                spark.createDataFrame(
+                    [(500, 0, "zz")], "k long, g long, val string"
+                )
+            )
         return orig_claim()
 
-    table._claim_next_version = _claim_with_interleave
+    table._claim_next_version = _claim_with_append
     try:
-        with pytest.raises((ConcurrentWriteError, Exception)) as ei:
-            table.delete_where("k = 3")
-        assert "concurrency" in str(ei.value).lower() or "Concurrent" in type(ei.value).__name__
+        assert table.delete_where("k = 3") is not None  # rebased, landed
     finally:
         table._claim_next_version = orig_claim
-    # loser cleaned its claim; the interleaved append's row survived
-    assert table.read().filter("k = 500").count() == 1
-    assert table.read().filter("k = 3").count() == 1
+    assert table.read().filter("k = 500").count() == 1  # append kept
+    assert table.read().filter("k = 3").count() == 0    # delete applied
+
+    # overlap: an interleaved UPDATE rewriting the same file the DELETE
+    # read is a real conflict
+    claims_before = {p.name for p in table.dir.glob("v*")}
+
+    armed2 = {"on": True}
+
+    def _claim_with_update():
+        if armed2["on"]:
+            armed2["on"] = False
+            other.update_where("k = 1", {"val": "'clash'"})
+        return orig_claim()
+
+    table._claim_next_version = _claim_with_update
+    try:
+        with pytest.raises(OptimisticConcurrencyError):
+            table.delete_where("k = 2")
+    finally:
+        table._claim_next_version = orig_claim
+    # loser cleaned its claim (only the winner's new version remains)
+    left = {p.name for p in table.dir.glob("v*")} - claims_before
+    assert len(left) == 1  # the interleaved update's commit
+    assert table.read().filter("k = 1").first().val == "clash"
+    assert table.read().filter("k = 2").count() == 1
 
 
 def test_dml_epoch_replay_is_skipped(spark, table):
