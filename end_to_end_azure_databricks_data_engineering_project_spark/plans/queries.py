@@ -8205,6 +8205,46 @@ def q_delta_retention_roundtrip(spark, sf):
 
 
 @_q(
+    "sql_maintenance_roundtrip",
+    "Databricks SQL maintenance verbs through the router (r12): "
+    "OPTIMIZE packs the small appends (content-identical), VACUUM "
+    "RETAIN 2 VERSIONS prunes history, DESCRIBE HISTORY shows the "
+    "OPTIMIZE commit — and the table content is byte-identical to the "
+    "plain union throughout",
+    "S10 (sources/tables.py Catalog._sql_util; Databricks SQL "
+    "OPTIMIZE/VACUUM/DESCRIBE surface)",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    UNION ALL
+    SELECT s_suppkey + 100000 * b, s_name
+    FROM supplier, (SELECT UNNEST([1,2,3]) AS b)
+    WHERE s_suppkey < 4
+    """,
+)
+def q_sql_maintenance_roundtrip(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    cat = Catalog(spark, _scratch_warehouse("q_sqlmaint", sf))
+    t = cat.table("supp")
+    t.overwrite(s)
+    for b in (1, 2, 3):
+        t.append(
+            s.filter("s_suppkey < 4").withColumn(
+                "s_suppkey", F.col("s_suppkey") + F.lit(100000 * b)
+            ).coalesce(1)
+        )
+    n_before = len(t.data_files())
+    cat.sql("OPTIMIZE supp")
+    assert len(t.data_files()) < n_before, "OPTIMIZE packed nothing"
+    cat.sql("VACUUM supp RETAIN 2 VERSIONS")
+    assert t._pointer_state().get("committed_floor", 0) > 0
+    ops = [r.operation for r in cat.sql("DESCRIBE HISTORY supp").collect()]
+    assert "OPTIMIZE" in ops, ops
+    return t.read().select("s_suppkey", "s_name")
+
+
+@_q(
     "dv_small_delete",
     "Deletion vectors (r12): three 1-row DELETEs tombstone their files "
     "(O(matched rows), ZERO data files rewritten — asserted on inodes) "

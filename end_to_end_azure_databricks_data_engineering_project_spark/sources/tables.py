@@ -4762,6 +4762,95 @@ class Catalog:
                 out = out[: hit.start()] + view + out[hit.end():]
         return out
 
+    _UTIL_VERB_RE = re.compile(
+        r"^\s*(DESCRIBE|OPTIMIZE|VACUUM|RESTORE)\b", re.IGNORECASE
+    )
+    _DESCRIBE_RE = re.compile(
+        r"^\s*DESCRIBE\s+(HISTORY|DETAIL)\s+(\S+)\s*;?\s*$", re.IGNORECASE
+    )
+    _OPTIMIZE_RE = re.compile(
+        r"^\s*OPTIMIZE\s+(\S+)"
+        r"(?:\s+ZORDER\s+BY\s*\(?\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)?)?"
+        r"\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _VACUUM_RE = re.compile(
+        r"^\s*VACUUM\s+(\S+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _RESTORE_RE = re.compile(
+        r"^\s*RESTORE\s+(?:TABLE\s+)?(\S+)\s+TO\s+"
+        r"(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\d+|'(?:[^']|'')*')\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
+    def _sql_util(self, statement: str):
+        """Databricks SQL utility verbs on managed tables (Spark's
+        parser rejects them on temp views): DESCRIBE HISTORY/DETAIL,
+        OPTIMIZE [ZORDER BY …], VACUUM [RETAIN n VERSIONS] (the engine
+        retains by VERSION count, not hours — documented variant), and
+        RESTORE … TO VERSION/TIMESTAMP AS OF. Unroutable shapes raise
+        precise errors."""
+        m = self._DESCRIBE_RE.match(statement)
+        if m:
+            kind, name = m.group(1).upper(), m.group(2)
+            t = self._dml_table(name, f"DESCRIBE {kind}")
+            if kind == "HISTORY":
+                return t.history()
+            d = t.detail()
+            # key/value shape (like Spark's own DESCRIBE output): the
+            # detail dict mixes types and may hold NULLs, which a
+            # single-row inferred frame can't represent
+            return self.spark.createDataFrame(
+                [(k, None if v is None else str(v)) for k, v in d.items()],
+                "info_name string, info_value string",
+            )
+        m = self._OPTIMIZE_RE.match(statement)
+        if m:
+            name, zcols = m.group(1), m.group(2)
+            t = self._dml_table(name, "OPTIMIZE")
+            if zcols:
+                return t.compact(
+                    zorder_by=[c.strip() for c in zcols.split(",")]
+                )
+            return t.compact_small()
+        m = self._VACUUM_RE.match(statement)
+        if m:
+            name, keep = m.group(1), m.group(2)
+            t = self._dml_table(name, "VACUUM")
+            t.vacuum(keep=int(keep) if keep else 2)
+            return None
+        m = self._RESTORE_RE.match(statement)
+        if m:
+            name, kind, arg = m.group(1), m.group(2).upper(), m.group(3)
+            t = self._dml_table(name, "RESTORE")
+            if kind == "TIMESTAMP":
+                return t.restore_as_of(arg[1:-1].replace("''", "'"))
+            # VERSION AS OF n is a DELTA LOG version (what history()
+            # shows) — resolve it through commitInfo like reads do
+            dv = int(arg)
+            try:
+                for a in deltalog.read_actions(t.dir, dv):
+                    ci = a.get("commitInfo")
+                    if ci is not None and ci.get("mtVersion") is not None:
+                        return t.restore(ci["mtVersion"])
+            except FileNotFoundError:
+                pass
+            raise ValueError(
+                f"RESTORE {name}: no readable delta commit {dv} (never "
+                "committed, or expired by log retention)"
+            )
+        verb = self._UTIL_VERB_RE.match(statement).group(1).upper()
+        if verb == "DESCRIBE":
+            # plain DESCRIBE <view> etc. is valid Spark SQL — pass through
+            self.register_views()
+            return self.spark.sql(statement)
+        raise ValueError(
+            f"unsupported {verb} shape; expected "
+            "OPTIMIZE <t> [ZORDER BY (a, b)] / VACUUM <t> [RETAIN n "
+            "VERSIONS] / RESTORE [TABLE] <t> TO VERSION|TIMESTAMP AS OF …"
+        )
+
     def sql(self, statement: str):
         """Ad-hoc SQL over the catalog (S10), extended with the Delta
         SQL surface Spark's parser rejects on temp views:
@@ -4776,11 +4865,16 @@ class Catalog:
           supported subset).
         - ``t VERSION AS OF n`` / ``t TIMESTAMP AS OF '…'`` references
           in queries are rewritten onto time-travel snapshots.
+        - utility verbs: DESCRIBE HISTORY/DETAIL, OPTIMIZE [ZORDER BY],
+          VACUUM [RETAIN n VERSIONS], RESTORE … TO … AS OF
+          (``_sql_util``).
 
         Any OTHER statement starting with a DML verb raises a precise
         error instead of falling through to spark.sql's parser.
         Everything else re-registers the views and runs through
         ``spark.sql`` unchanged, returning its DataFrame."""
+        if self._UTIL_VERB_RE.match(statement):
+            return self._sql_util(statement)
         verb = self._DML_VERB_RE.match(statement)
         if verb:
             word = verb.group(1).upper()

@@ -224,3 +224,47 @@ def test_split_assignments_handles_escaped_quotes():
 def test_split_on_where_sees_through_double_quotes():
     got = Catalog._split_on_where('a = "use where, ok" WHERE k = 1')
     assert got == ('a = "use where, ok"', "k = 1")
+
+
+# -- utility verbs (r12): DESCRIBE / OPTIMIZE / VACUUM / RESTORE --------------
+
+
+def test_describe_history_and_detail(cat, spark):
+    t = _mk(cat, spark)
+    cat.sql("DELETE FROM t WHERE k = 1")
+    hist = cat.sql("DESCRIBE HISTORY t")
+    ops = [r.operation for r in hist.collect()]
+    assert "DELETE" in ops and len(ops) == 2
+    detail = {r.info_name: r.info_value for r in cat.sql("DESCRIBE DETAIL t").collect()}
+    assert detail["name"] == "t" and detail["num_files"] is not None
+
+
+def test_optimize_and_vacuum_route(cat, spark):
+    t = _mk(cat, spark)
+    for i in range(8):
+        t.append(spark.sql(f"SELECT {10 + i} AS k, 'x' AS val").coalesce(1))
+    n_before = len(t.data_files())
+    v = cat.sql("OPTIMIZE t")
+    assert v is not None and len(t.data_files()) < n_before
+    cat.sql("VACUUM t RETAIN 2 VERSIONS")
+    assert t._pointer_state().get("committed_floor", 0) > 0
+    assert t.read().count() == 10
+    # ZORDER form routes to the clustering compact
+    t2 = cat.table("z")
+    t2.overwrite(spark.range(100).selectExpr("id AS a", "id % 7 AS b"))
+    cat.sql("OPTIMIZE z ZORDER BY (a, b)")
+    assert t2.read().count() == 100
+
+
+def test_restore_to_version_as_of(cat, spark):
+    t = _mk(cat, spark)
+    cat.sql("DELETE FROM t WHERE k = 1")
+    assert t.read().count() == 1
+    cat.sql("RESTORE TABLE t TO VERSION AS OF 0")
+    assert t.read().count() == 2
+    # bad shapes raise precisely
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported OPTIMIZE|unsupported"):
+        cat.sql("OPTIMIZE t WHERE k = 1")
+    with _pytest.raises(ValueError, match="no readable delta commit"):
+        cat.sql("RESTORE TABLE t TO VERSION AS OF 99")
