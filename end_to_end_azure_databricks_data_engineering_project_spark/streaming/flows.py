@@ -250,7 +250,14 @@ def silver_flow(
         # rowcount rides the single write action (no separate count scan)
         committed = table.append(
             df, epoch=epoch, epoch_key="autoload_drain",
-            set_props={"autoload_drain_wal": digest},
+            # enable_cdf: DLT enables the change feed on apply-changes
+            # SOURCES by default — silver merges/DML then materialize
+            # exact change rows ONCE at write time (touched scope only)
+            # instead of every gold drain paying an exceptAll diff;
+            # appends cost nothing extra (the feed reads added files
+            # directly). Set on every commit, idempotent; on a pre-r12
+            # table it lands as a protocol upgrade (writer v4).
+            set_props={"autoload_drain_wal": digest, "enable_cdf": "true"},
             evolve=bool(promote),
             # creation-time partitioning declaration (no-op once bound)
             partition_by=list(cfg.partition_by) or None,

@@ -247,3 +247,20 @@ def test_erase_mode_purges_scd2_history(spark, tmp_path):
     assert sorted(
         r.user_id for r in gold.read().filter(F.col(END_AT).isNull()).collect()
     ) == [1, 3]
+
+
+def test_silver_tables_enable_cdf_by_default(spark, medallion):
+    """DLT enables the change feed on apply-changes sources; our silver
+    does too — a silver DML commit MATERIALIZES exact change rows, so
+    the gold drain's feed reads them instead of exceptAll-diffing the
+    touched files on every drain."""
+    pipe, catalog = medallion
+    silver = catalog.table("silver_dim_user")
+    assert silver.cdf_enabled()
+    v = silver.delete_where("user_id = 5")
+    assert silver._manifest(v).get("cdc"), "DML did not materialize CDF rows"
+    assert pipe.flows["gold_dim_user"].run() == 1
+    gold = catalog.table("gold_dim_user")
+    assert gold.read().filter(
+        f"user_id = 5 AND {END_AT} IS NULL"
+    ).count() == 0
