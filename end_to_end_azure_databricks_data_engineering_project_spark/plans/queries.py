@@ -8257,7 +8257,7 @@ def q_sql_maintenance_roundtrip(spark, sf):
     """
     SELECT c_custkey, c_mktsegment, round(CAST(c_acctbal AS DOUBLE), 9) AS bal
     FROM customer
-    WHERE c_custkey NOT IN (7, 77, 777)
+    WHERE c_custkey NOT IN (7, 77, 117)
       AND c_mktsegment <> 'BUILDING'
     """,
 )
@@ -8276,7 +8276,8 @@ def q_dv_small_delete(spark, sf):
         c.repartitionByRange(4, "c_custkey").sortWithinPartitions("c_custkey")
     )
     inodes0 = {f.name: _os.stat(f).st_ino for f in t.data_files()}
-    for k in (7, 77, 777):  # 1-row deletes: DV path, no rewrite
+    for k in (7, 77, 117):  # 1-row deletes: DV path, no rewrite
+        # (keys chosen to exist at every sf incl. sf0.001's 150 rows)
         v = t.delete_where(f"c_custkey = {k}")
         assert t._manifest(v).get("dv_added"), "small delete missed the DV path"
     assert {
@@ -8403,13 +8404,13 @@ def q_sql_time_travel(spark, sf):
              round(CAST(c_acctbal AS DOUBLE), 9) AS bal
       FROM customer
     )
-    SELECT k, name, bal, 1.0 AS start_at,
-           CASE WHEN k % 10 = 0 THEN 2.0
-                WHEN k % 7 = 0 THEN 1.0
-                ELSE NULL END AS end_at
+    SELECT k, name, bal, CAST(1.0 AS DOUBLE) AS start_at,
+           CAST(CASE WHEN k % 10 = 0 THEN 2.0
+                     WHEN k % 7 = 0 THEN 1.0
+                     ELSE NULL END AS DOUBLE) AS end_at
     FROM base
     UNION ALL
-    SELECT k, name, round(bal + 100, 9), 2.0, NULL
+    SELECT k, name, round(bal + 100, 9), CAST(2.0 AS DOUBLE), NULL
     FROM base WHERE k % 10 = 0
     """,
 )
