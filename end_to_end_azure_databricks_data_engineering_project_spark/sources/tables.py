@@ -4677,6 +4677,17 @@ class Catalog:
             stored = table.table_schema()
             if stored is not None:
                 target_cols = [f.name for f in stored.fields]
+        # Delta raises when multiple source rows match one target row
+        # (the merge would be nondeterministic / duplicate keys); same
+        # contract here — one bounded aggregate over the SOURCE (the
+        # small side by construction)
+        if src.groupBy(*keys).count().filter("count > 1").limit(1).count():
+            raise ValueError(
+                "MERGE source has multiple rows per key — nondeterministic "
+                "(Delta raises DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW "
+                "here too); deduplicate the source, e.g. latest-per-key in "
+                "the USING subquery"
+            )
 
         def merge_fn(cur: DataFrame, b: DataFrame) -> DataFrame:
             cols = target_cols or b.columns

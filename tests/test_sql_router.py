@@ -268,3 +268,15 @@ def test_restore_to_version_as_of(cat, spark):
         cat.sql("OPTIMIZE t WHERE k = 1")
     with _pytest.raises(ValueError, match="no readable delta commit"):
         cat.sql("RESTORE TABLE t TO VERSION AS OF 99")
+
+
+def test_merge_duplicate_source_keys_raise(cat, spark):
+    _mk(cat, spark)
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'x'), (1, 'y') AS v(k, val)"
+    ).createOrReplaceTempView("dup_src")
+    with pytest.raises(ValueError, match="multiple rows per key"):
+        cat.sql(
+            "MERGE INTO t USING (SELECT * FROM dup_src) s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
