@@ -4413,7 +4413,11 @@ class Catalog:
 
         Non-directory entries in the root (editor backups, stray
         manifests) are skipped — constructing a ManagedTable on one
-        would hit mkdir(FileExistsError) and abort every registration."""
+        would hit mkdir(FileExistsError) and abort every registration.
+        A not-yet-created warehouse root registers nothing (the first
+        INSERT INTO a fresh catalog must not crash on the listing)."""
+        if not self.root.is_dir():
+            return
         for d in sorted(self.root.iterdir()):
             if not d.is_dir():
                 continue
@@ -4427,7 +4431,13 @@ class Catalog:
     # Verb-first: ANY statement starting with one of these verbs is
     # handled (or rejected with a precise error) here — never silently
     # passed to spark.sql to die with an obscure parser error.
-    _DML_VERB_RE = re.compile(r"^\s*(DELETE|UPDATE|MERGE)\b", re.IGNORECASE)
+    _DML_VERB_RE = re.compile(
+        r"^\s*(DELETE|UPDATE|MERGE|INSERT)\b", re.IGNORECASE
+    )
+    _INSERT_RE = re.compile(
+        r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\S+)\s+(.+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
     _BARE_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
     _DELETE_RE = re.compile(
         r"^\s*DELETE\s+FROM\s+(\S+)\s*(.*?)\s*;?\s*$",
@@ -4921,6 +4931,50 @@ class Catalog:
                 else:
                     sets, cond = parts
                 return table.update_where(cond, self._split_assignments(sets))
+            if word == "INSERT":
+                m = self._INSERT_RE.match(statement)
+                if m is None:
+                    raise ValueError(
+                        "unsupported INSERT shape; expected INSERT "
+                        "INTO|OVERWRITE [TABLE] <table> <SELECT …|VALUES …>"
+                    )
+                mode, name, body = m.group(1).upper(), m.group(2), m.group(3)
+                # the target may not exist yet (INSERT creates it, like
+                # a CTAS) — bare-name validation still applies
+                if not self._BARE_IDENT_RE.match(name):
+                    raise ValueError(
+                        f"INSERT {mode} on {name!r}: qualified or "
+                        "backquoted table names are not supported — use "
+                        "the bare managed-table name"
+                    )
+                body = self._rewrite_time_travel(body)
+                self.register_views()
+                if re.match(r"(?is)^\s*VALUES\b", body):
+                    body = f"SELECT * FROM ({body})"
+                rows = self.spark.sql(body)
+                t = self.table(name)
+                if t.exists():
+                    # positional column resolution + store-assignment
+                    # coercion, SQL INSERT semantics: the SELECT's
+                    # columns map to the table's by ORDER and cast to
+                    # the stored types (ANSI: an unsafe value fails the
+                    # write loudly, like Spark's own INSERT)
+                    stored = t.table_schema()
+                    if stored is not None:
+                        if len(rows.columns) != len(stored.fields):
+                            raise ValueError(
+                                f"INSERT {mode} {name}: query produces "
+                                f"{len(rows.columns)} column(s), table has "
+                                f"{len(stored.fields)}"
+                            )
+                        rows = rows.toDF(*[f.name for f in stored.fields])
+                        rows = rows.select(*[
+                            F.col(f.name).cast(f.dataType).alias(f.name)
+                            for f in stored.fields
+                        ])
+                if mode == "OVERWRITE":
+                    return t.overwrite(rows)
+                return t.append(rows)
             return self._sql_merge(statement)
         statement = self._rewrite_time_travel(statement)
         self.register_views()

@@ -280,3 +280,38 @@ def test_merge_duplicate_source_keys_raise(cat, spark):
             "MERGE INTO t USING (SELECT * FROM dup_src) s ON t.k = s.k "
             "WHEN MATCHED THEN UPDATE SET *"
         )
+
+
+# -- INSERT routing (completes the DML verb set) ------------------------------
+
+
+def test_insert_into_appends_and_overwrite_replaces(cat, spark):
+    t = _mk(cat, spark)
+    v = cat.sql("INSERT INTO t VALUES (3, 'c'), (4, 'd')")
+    assert v == t.current_version()
+    assert t.read().count() == 4
+    # positional column mapping (SQL INSERT semantics)
+    cat.sql("INSERT INTO t SELECT 5, 'e'")
+    assert {(r.k, r.val) for r in t.read().filter("k = 5").collect()} == {(5, "e")}
+    cat.sql("INSERT OVERWRITE t SELECT k, val FROM t WHERE k <= 2")
+    assert t.read().count() == 2
+
+
+def test_insert_into_creates_missing_table(cat, spark):
+    cat.sql("INSERT INTO fresh SELECT 1 AS a, 'x' AS b")
+    assert cat.table("fresh").read().count() == 1
+
+
+def test_insert_column_count_mismatch_raises(cat, spark):
+    _mk(cat, spark)
+    with pytest.raises(ValueError, match="column"):
+        cat.sql("INSERT INTO t SELECT 1")
+    with pytest.raises(ValueError, match="unsupported INSERT"):
+        cat.sql("INSERT INTO t")
+
+
+def test_insert_select_supports_time_travel(cat, spark):
+    t = _mk(cat, spark)
+    cat.sql("DELETE FROM t WHERE k = 1")
+    cat.sql("INSERT INTO t SELECT k, val FROM t VERSION AS OF 0 WHERE k = 1")
+    assert t.read().count() == 2
