@@ -67,6 +67,42 @@ from pathlib import Path
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
+# Named table feature for the engine's deletion-vector extension.
+# The encoding (tombstone-row files listed in a custom ``dv`` field on
+# add actions) is NOT Delta's own deletionVectors descriptor, so when
+# any live add carries it the table protocol is bumped to the table-
+# features form (reader v3 / writer v7, PROTOCOL.md "Table Features")
+# with this feature named in readerFeatures — a stock client that
+# doesn't support the feature then refuses the table LOUDLY instead of
+# silently serving tombstoned (possibly GDPR-erased) rows or
+# resurrecting them on compaction.
+DV_FEATURE = "mt-rowTombstoneDeletionVectors"
+
+# legacy writer features implied by pre-feature writer versions — when
+# a table moves to writer v7, every capability it already used must be
+# spelled out in writerFeatures (PROTOCOL.md feature-migration rule)
+_LEGACY_WRITER_FEATURES = {
+    2: ("appendOnly", "invariants"),
+    3: ("checkConstraints",),
+    4: ("changeDataFeed", "generatedColumns"),
+}
+
+
+def feature_protocol(writer_version: int) -> dict:
+    """The table-features protocol action for a DV-carrying table:
+    reader v3 / writer v7, the DV extension named in BOTH feature
+    lists, plus the legacy writer features ``writer_version`` implied."""
+    wf = {DV_FEATURE}
+    for wv, feats in _LEGACY_WRITER_FEATURES.items():
+        if writer_version >= wv:
+            wf.update(feats)
+    return {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": [DV_FEATURE],
+        "writerFeatures": sorted(wf),
+    }
+
 
 def required_writer_version(configuration: dict | None) -> int:
     """The minimum Delta writer version the table's configuration
@@ -265,7 +301,7 @@ def build_commit(
     cdc: list[dict] | None = None,
     configuration: dict | None = None,
     extra_metrics: dict | None = None,
-    protocol_upgrade: int | None = None,
+    protocol_upgrade: int | dict | None = None,
 ) -> list[dict]:
     """Pure assembly of one commit's action list (no IO — callers stat
     the immutable store files). ``adds``: {path, size, modificationTime,
@@ -278,10 +314,22 @@ def build_commit(
     data_change = op not in _NO_DATA_CHANGE_OPS
     actions: list[dict] = []
     required = required_writer_version(configuration)
+    has_dv = any(a.get("dv") for a in adds)
     if delta_version == 0:
-        proto = dict(PROTOCOL)
-        proto["minWriterVersion"] = max(proto["minWriterVersion"], required)
-        actions.append({"protocol": proto})
+        # commit 0 can carry DV adds (log restart/enablement on a table
+        # that already has tombstones) — it must then open with the
+        # feature protocol, not the legacy one
+        if has_dv:
+            actions.append({"protocol": feature_protocol(required)})
+        else:
+            proto = dict(PROTOCOL)
+            proto["minWriterVersion"] = max(proto["minWriterVersion"], required)
+            actions.append({"protocol": proto})
+    elif isinstance(protocol_upgrade, dict):
+        # full protocol action (table-features form) computed by the
+        # caller — first DV commit, or a feature-list change on an
+        # already-upgraded table
+        actions.append({"protocol": dict(protocol_upgrade)})
     elif protocol_upgrade is not None:
         # a configuration change raised the writer requirement (e.g. a
         # CHECK constraint added to a v2 table requires writer v3, so a
@@ -292,6 +340,12 @@ def build_commit(
             "minReaderVersion": PROTOCOL["minReaderVersion"],
             "minWriterVersion": protocol_upgrade,
         }})
+    elif has_dv:
+        # belt-and-braces: a DV-carrying commit may NEVER publish under
+        # a legacy protocol (a reader-v1 client would silently return
+        # the tombstoned rows) — if the caller didn't send the upgrade,
+        # emit it here; replay takes the latest, so re-emission is safe
+        actions.append({"protocol": feature_protocol(required)})
     if emit_metadata and schema_string is not None:
         actions.append(
             {
@@ -482,6 +536,13 @@ def write_checkpoint_file(table_dir: Path, delta_version: int) -> tuple[Path, in
         ("protocol", pa.struct([
             ("minReaderVersion", pa.int32()),
             ("minWriterVersion", pa.int32()),
+            # table-features form (reader v3 / writer v7): the DV
+            # extension rides in these lists; stripping them in the
+            # checkpoint would hand a stock reader a v3 protocol with
+            # no feature names — or worse, let a legacy-looking
+            # checkpoint mask the gate entirely
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
         ])),
         ("metaData", pa.struct([
             ("id", pa.string()),

@@ -97,9 +97,10 @@ def snapshot_state(table_dir: Path) -> tuple[dict, dict]:
     start = 0
     adds: dict[str, dict] = {}
     meta: dict = {}
+    proto: dict = {}
     ck = _checkpoint_state(log)
     if ck is not None:
-        start, adds, meta, _ = ck
+        start, adds, meta, proto = ck
         start += 1
     versions = [int(p.stem) for p in deltalog.commit_files(table_dir)]
     # replay only over a CONTIGUOUS tail: an expired log with no usable
@@ -124,6 +125,8 @@ def snapshot_state(table_dir: Path) -> tuple[dict, dict]:
         if v < start:
             continue
         for a in deltalog.read_actions(table_dir, v):
+            if "protocol" in a:
+                proto = a["protocol"]
             if "metaData" in a:
                 meta = a["metaData"]
             if "remove" in a:
@@ -135,7 +138,36 @@ def snapshot_state(table_dir: Path) -> tuple[dict, dict]:
                 }
     if not meta:
         raise ValueError(f"no metaData found in delta log at {table_dir}")
+    _check_protocol(proto, table_dir)
     return adds, meta
+
+
+# what THIS reader implements: the base protocol plus the engine's DV
+# extension (it subtracts tombstone rows per file in read_delta)
+_SUPPORTED_READER_VERSION = 3
+_SUPPORTED_READER_FEATURES = {deltalog.DV_FEATURE}
+
+
+def _check_protocol(proto: dict, table_dir: Path) -> None:
+    """The protocol gate every conforming client must run (PROTOCOL.md):
+    refuse the table when it demands a reader version or a named reader
+    feature this client lacks — this is what keeps a DV-carrying table
+    from being read WRONG (tombstoned rows served) by clients that only
+    speak reader v1."""
+    if not proto:
+        return  # legacy/partial log: no protocol action survived — best effort
+    mrv = proto.get("minReaderVersion") or 1
+    if mrv > _SUPPORTED_READER_VERSION:
+        raise ValueError(
+            f"delta table at {table_dir} requires minReaderVersion={mrv}; "
+            f"this reader supports ≤{_SUPPORTED_READER_VERSION}"
+        )
+    missing = set(proto.get("readerFeatures") or ()) - _SUPPORTED_READER_FEATURES
+    if missing:
+        raise ValueError(
+            f"delta table at {table_dir} requires reader features "
+            f"{sorted(missing)} this reader does not support"
+        )
 
 
 def read_delta(spark: SparkSession, table_dir: str | Path) -> DataFrame:

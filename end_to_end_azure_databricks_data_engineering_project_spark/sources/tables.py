@@ -602,6 +602,14 @@ class ManagedTable:
         md5 = self._meta_fingerprint(schema_string, cfg)
         required_wv = deltalog.required_writer_version(cfg)
         new_entries = self._delta_file_entries(v)
+        # DV protocol gate (PROTOCOL.md table features): the first
+        # commit whose snapshot carries deletion vectors must bump the
+        # protocol to reader v3 / writer v7 with the DV extension named
+        # in readerFeatures, so a stock reader-v1 client refuses the
+        # table instead of silently returning tombstoned (possibly
+        # GDPR-erased) rows. Once on, never downgraded — protocol
+        # upgrades are monotonic even after compaction folds every DV.
+        has_dv = bool(self._dv_map_cached(v))
         if prior is None:
             state["delta"] = {
                 "version": 0,
@@ -609,6 +617,7 @@ class ManagedTable:
                 "table_id": deltalog.new_table_id(),
                 "schema_md5": md5,
                 "writer_version": required_wv,
+                "dv_protocol": has_dv,
             }
             return (
                 schema_string is not None, new_entries, [], len(new_entries),
@@ -640,13 +649,27 @@ class ManagedTable:
         # stock writer that can't enforce the new feature refuses to
         # write instead of silently violating it
         prior_wv = prior.get("writer_version", deltalog.PROTOCOL["minWriterVersion"])
-        upgrade = required_wv if required_wv > prior_wv else None
+        prior_dv = bool(prior.get("dv_protocol"))
+        new_wv = max(required_wv, prior_wv)
+        dv_protocol = prior_dv or has_dv
+        upgrade: int | dict | None = None
+        if dv_protocol and (
+            not prior_dv
+            # an already-upgraded table whose writer requirement rose
+            # (constraint/CDF added later) re-emits the feature
+            # protocol so writerFeatures lists the new capability
+            or (new_wv > prior_wv)
+        ):
+            upgrade = deltalog.feature_protocol(new_wv)
+        elif new_wv > prior_wv:
+            upgrade = new_wv
         state["delta"] = {
             "version": prior["version"] + 1,
             "mt_version": v,
             "table_id": prior["table_id"],
             "schema_md5": md5 if md5 is not None else prior.get("schema_md5"),
-            "writer_version": max(required_wv, prior_wv),
+            "writer_version": new_wv,
+            "dv_protocol": dv_protocol,
             # lowest retained commit file (raised by vacuum's log
             # retention) — the heal completeness check counts from here
             "log_floor": prior.get("log_floor", 0),
@@ -666,7 +689,7 @@ class ManagedTable:
     def _write_delta_commit(
         self, rec: dict, v: int, emit_meta: bool, schema_string: str | None,
         adds: dict[str, Path], removes: list[str], n_live: int,
-        cfg: dict | None = None, protocol_upgrade: int | None = None,
+        cfg: dict | None = None, protocol_upgrade: int | dict | None = None,
     ) -> None:
         # ONE manifest read for partition columns, cdc list, and row
         # metrics — this runs inside the flock critical section, so no
@@ -785,7 +808,20 @@ class ManagedTable:
         if removed is not None:
             out["numRemovedRows"] = removed
             if op == "delete" and added is not None:
-                out["numDeletedRows"] = removed - added + dv_rows
+                # a rewritten file may have carried PRIOR deletion
+                # vectors: the rewrite folds those T tombstoned rows
+                # away, so removed - added = T + D — subtract T (already
+                # reported deleted by the earlier DV commit) or this
+                # commit's numDeletedRows double-counts them
+                prior_dv = (
+                    self._dv_map_cached(base) if base is not None else {}
+                )
+                folded = sum(
+                    r
+                    for n in removed_names
+                    for _, r in (prior_dv.get(n) or ())
+                )
+                out["numDeletedRows"] = removed - added + dv_rows - folded
         elif op == "delete" and dv_rows:
             out["numDeletedRows"] = dv_rows
         if dv_rows:
@@ -869,6 +905,11 @@ class ManagedTable:
                 # on the first data commit after every restart
                 "schema_md5": self._meta_fingerprint(schema_string, cfg),
                 "writer_version": deltalog.required_writer_version(cfg),
+                # restart commit 0 opens with the feature protocol when
+                # the current snapshot carries DVs (build_commit emits
+                # it from the adds); record it so later commits don't
+                # downgrade
+                "dv_protocol": bool(self._dv_map_cached(v)),
             }
             state["delta"] = rec
             self._write_pointer_locked(state)
@@ -898,15 +939,19 @@ class ManagedTable:
         removes = sorted((set(prior_live) - set(new_entries)) | changed)
         cfg = self._delta_configuration(state)
         required_wv = deltalog.required_writer_version(cfg)
+        # the crashed commit may have been the one carrying a protocol
+        # upgrade: re-emit whenever the configuration demands more than
+        # the base protocol — and ALWAYS in the feature form when the
+        # table has (ever had) DVs (idempotent — replay takes the
+        # latest protocol action)
+        upgrade: int | dict | None = None
+        if rec.get("dv_protocol") or self._dv_map_cached(v):
+            upgrade = deltalog.feature_protocol(required_wv)
+        elif required_wv > deltalog.PROTOCOL["minWriterVersion"]:
+            upgrade = required_wv
         self._write_delta_commit(
             rec, v, schema_string is not None, schema_string,
-            adds, removes, len(new_entries), cfg,
-            # the crashed commit may have been the one carrying a
-            # protocol upgrade: re-emit whenever the configuration
-            # demands more than the base protocol (idempotent — replay
-            # takes the latest protocol action)
-            required_wv if required_wv > deltalog.PROTOCOL["minWriterVersion"]
-            else None,
+            adds, removes, len(new_entries), cfg, upgrade,
         )
 
     def heal_delta_log(self) -> None:
@@ -2682,11 +2727,18 @@ class ManagedTable:
         loud ``OptimisticConcurrencyError`` — the loser's staged output
         was derived from content the winner replaced.
 
+        Additionally (r13, Delta's ConcurrentAppendException rule): a
+        read-dependent loser (merge/DELETE/UPDATE) rebasing over an
+        interleaved merge/DML winner must also prove the winner's ADDED
+        files could not contain rows its read predicate matches — the
+        staged manifest's ``read_bounds`` envelope against the winner's
+        per-file stats. No envelope, or any overlap → conflict.
+
         Like Delta's default WriteSerializable isolation, the rebased
-        loser serializes BEFORE interleaved appends it never read: a
-        merge landing after an interleaved append does not fold the
-        appended rows (they remain, untouched — exactly the state the
-        serial order loser-then-append produces).
+        loser serializes BEFORE interleaved BLIND appends it never
+        read: a merge landing after an interleaved append does not fold
+        the appended rows (they remain, untouched — exactly the state
+        the serial order loser-then-append produces).
 
         Mechanics: claim a fresh version, HARDLINK the staged store
         files under names embedding it (the in-flight GC guard keys off
@@ -2718,6 +2770,19 @@ class ManagedTable:
             else set()
         )
         rebaseable_ops = ("append", "compact", "merge", "delete", "update")
+        # Delta's WriteSerializable ConcurrentAppendException rule: a
+        # read-dependent loser (merge / DELETE / UPDATE) may serialize
+        # before interleaved BLIND appends and compactions, but NOT
+        # before an interleaved merge/DML whose ADDED files may contain
+        # rows the loser's read predicate should have seen — example:
+        # winner MERGE inserts k=5, loser DELETE WHERE k=5 touched other
+        # files; rebasing the DELETE would let the k=5 rows survive (a
+        # silent under-delete matching no serial order). The loser's
+        # staged manifest records its read-predicate envelope
+        # (``read_bounds``); a winner add overlapping it — or a loser
+        # with no provable envelope — keeps the loud conflict.
+        read_dependent = op in ("merge", "delete", "update")
+        loser_bounds = (old_m.get("read_bounds") or {}) if old_m else {}
         for vv in interleaved:
             iop = self._op(vv)
             im = self._manifest(vv)
@@ -2735,6 +2800,26 @@ class ManagedTable:
                     f"rewrote file(s) {sorted(clash)[:3]} this commit also "
                     "read/rewrote — re-read and retry"
                 )
+            if read_dependent and iop in ("merge", "delete", "update"):
+                iadded = list(im.get("added", ()))
+                if iadded and not loser_bounds:
+                    raise OptimisticConcurrencyError(
+                        f"table {self.name}: interleaved commit v{vv} "
+                        f"({iop}) added files this {op}'s unbounded read "
+                        "predicate may have matched — re-read and retry"
+                    )
+                istats = im.get("stats") or {}
+                hit = [
+                    n for n in iadded
+                    if self._stats_overlap(istats.get(n), loser_bounds)
+                ]
+                if hit:
+                    raise OptimisticConcurrencyError(
+                        f"table {self.name}: interleaved commit v{vv} "
+                        f"({iop}) added file(s) {sorted(hit)[:3]} whose "
+                        f"rows may match this {op}'s read predicate — "
+                        "re-read and retry"
+                    )
         head_schema = self.table_schema(head)
         # compare names + types, NOT nullability: a parquet read is
         # always nullable, so a content-identical compact widens the
@@ -2783,6 +2868,10 @@ class ManagedTable:
             dv_added=old_m.get("dv_added"),
         )
         manifest["partition_columns"] = old_m.get("partition_columns", [])
+        if old_m.get("read_bounds"):
+            # carry the read envelope: a SECOND rebase (another writer
+            # landing during this one) must keep the same precision
+            manifest["read_bounds"] = old_m["read_bounds"]
         if old_m.get("cdc"):
             # the cdc rows were computed from files the interleave
             # provably did not touch: still exact under the new order
@@ -2801,15 +2890,20 @@ class ManagedTable:
         res: tuple[list[str], dict] | None,
         batch: DataFrame,
         keys: Sequence[str],
-    ) -> list[str] | None:
+    ) -> tuple[list[str] | None, dict]:
         """Stats-pruned candidate set for ``merge_keyed``'s touched-file
         discovery: store-relative names whose per-file min/max stats
         (the same manifest index behind ``read_pruned``) intersect the
         BATCH's key bounds on every key column — a file outside the
         bounds provably contains no batch key and need never be opened.
-        Returns None when pruning has nothing to offer (legacy layout,
-        no normalizable bound on any key, or nothing pruned), in which
-        case discovery scans the full snapshot as before.
+        Returns ``(candidates, bounds)``: candidates is None when
+        pruning has nothing to offer (legacy layout, no normalizable
+        bound on any key, or nothing pruned), in which case discovery
+        scans the full snapshot as before; ``bounds`` is the batch's
+        normalized key-range envelope ``{key: (lo, hi)}`` — the merge's
+        READ-PREDICATE bounds, recorded in the staged manifest so a
+        rebase can prove an interleaved writer's added files could not
+        have matched this merge's keys (see ``_rebase_commit``).
 
         The bounds ride ONE model-sized aggregate over the batch (a
         1-row driver read, like the touched-file cap manifest); the
@@ -2820,7 +2914,7 @@ class ManagedTable:
         and conservatively a superset otherwise (files lacking stats
         on a key column are always kept)."""
         if res is None:
-            return None
+            return None, {}
         aggs = [
             a
             for i, k in enumerate(keys)
@@ -2841,7 +2935,7 @@ class ManagedTable:
         else:  # no normalizable bound (all-NULL / unsafe key type):
             cand = list(names)  # ranges can't prune — blooms still may
         cand = self._bloom_prune(cand, stats, batch, keys)
-        return cand if len(cand) < len(names) else None
+        return (cand if len(cand) < len(names) else None), norm
 
     def merge_keyed(
         self,
@@ -2913,7 +3007,7 @@ class ManagedTable:
                 self.merge_manifest_max_files,
             ),
         )
-        cand = self._merge_candidate_files(res, batch, keys)
+        cand, read_bounds = self._merge_candidate_files(res, batch, keys)
         if cand is not None and not cand:
             # bounds exclude every file: provably nothing touched — no
             # discovery job at all
@@ -3035,6 +3129,15 @@ class ManagedTable:
                     v, names, sorted(touched_files), stats,
                     base_names=res[0], base_stats=res[1],
                 )
+                # the merge's read-predicate envelope (batch key min/max
+                # per key column): a rebase over an interleaved merge/DML
+                # winner is provably safe only when the winner's ADDED
+                # files fall outside it (WriteSerializable's
+                # ConcurrentAppendException rule — see _rebase_commit)
+                if read_bounds:
+                    manifest["read_bounds"] = {
+                        c: list(b) for c, b in read_bounds.items()
+                    }
             if self.cdf_enabled() and not (legacy_base and not full_rewrite):
                 # Delta change data feed: materialize this commit's row-
                 # level changes into _change_data/ (referenced by cdc log
@@ -3364,6 +3467,15 @@ class ManagedTable:
                     base_names=names, base_stats=stats,
                     dv_added=dv_added,
                 )
+                # the condition's implied range envelope (same bounds
+                # the pruning used — caller-supplied ``prune`` hints are
+                # contractually implied by the condition too): lets a
+                # rebase prove an interleaved merge/DML winner's added
+                # files could not match this DML's predicate
+                if norm:
+                    manifest["read_bounds"] = {
+                        c: list(b) for c, b in norm.items()
+                    }
             if self.cdf_enabled():
                 # EXACT change rows straight from the predicate — no
                 # exceptAll diff needed (unlike merge, the matched set IS
@@ -4687,17 +4799,30 @@ class Catalog:
             stored = table.table_schema()
             if stored is not None:
                 target_cols = [f.name for f in stored.fields]
-        # Delta raises when multiple source rows match one target row
-        # (the merge would be nondeterministic / duplicate keys); same
-        # contract here — one bounded aggregate over the SOURCE (the
-        # small side by construction)
-        if src.groupBy(*keys).count().filter("count > 1").limit(1).count():
-            raise ValueError(
-                "MERGE source has multiple rows per key — nondeterministic "
-                "(Delta raises DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW "
-                "here too); deduplicate the source, e.g. latest-per-key in "
-                "the USING subquery"
-            )
+        # Delta raises only when multiple source rows match the same
+        # TARGET row (DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW) —
+        # duplicate source keys that match NO target row are legal in
+        # Databricks SQL (they simply all insert). One bounded aggregate
+        # over the SOURCE (the small side by construction) finds
+        # duplicated keys; only on that rare dirty path does a
+        # key-column-pruned semi-join against the target decide whether
+        # any duplicate actually matches (r13 — previously valid
+        # statements with insert-only duplicates were rejected).
+        if table.exists():
+            dup_keys = src.groupBy(*keys).count().filter("count > 1")
+            if dup_keys.limit(1).count() and (
+                table.read().select(*keys)
+                .join(F.broadcast(dup_keys.select(*keys)), keys, "left_semi")
+                .limit(1)
+                .count()
+            ):
+                raise ValueError(
+                    "MERGE source has multiple rows per key matching the "
+                    "same target row — nondeterministic (Delta raises "
+                    "DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW here "
+                    "too); deduplicate the source, e.g. latest-per-key in "
+                    "the USING subquery"
+                )
 
         def merge_fn(cur: DataFrame, b: DataFrame) -> DataFrame:
             cols = target_cols or b.columns

@@ -334,9 +334,27 @@ def gold_flow(
     DEL_FLAG = "__cdc_delete"
 
     def _apply(gold, batch: DataFrame, with_deletes: bool) -> int:
-        gated = expect_all_or_drop(
-            batch, cfg.expectations, observe=False
-        ).df.cache()
+        if with_deletes:
+            # expectation EXEMPTION for delete rows (r13): a delete
+            # change row carries the deleted row's OLD column values;
+            # gating those through expect_all_or_drop would silently
+            # drop the removal whenever the old values fail a rule —
+            # the gold SCD key never closes, and under
+            # on_delete='erase' a GDPR erasure request is silently
+            # skipped. Expectations validate incoming row STATE, not
+            # removals: gate upserts only, pass deletes through.
+            gated = (
+                expect_all_or_drop(
+                    batch.filter(~F.col(DEL_FLAG)), cfg.expectations,
+                    observe=False,
+                ).df
+                .unionByName(batch.filter(F.col(DEL_FLAG)))
+                .cache()
+            )
+        else:
+            gated = expect_all_or_drop(
+                batch, cfg.expectations, observe=False
+            ).df.cache()
         # cache: the gated batch feeds count, key discovery and the
         # merge write — one silver scan + expectation filter, not three
         try:
@@ -537,6 +555,28 @@ def run_neardup_drain(
     return n_pairs, n_new
 
 
+def _clear_orphan_table_location(spark: SparkSession, table_name: str) -> None:
+    """Remove a stale managed-table LOCATION that the metastore no
+    longer (or never) knows about — the leftover a killed ``saveAsTable``
+    run strands under ``spark.sql.warehouse.dir``. Only ever called
+    AFTER ``tableExists`` returned False, so the directory is provably
+    an orphan (deleting a live table's location would corrupt it).
+    Handles bare and ``db.table`` names (``<wh>/<db>.db/<table>``)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    root = Path(urlparse(wh).path or wh)
+    parts = table_name.lower().split(".")
+    loc = (
+        root / parts[0]
+        if len(parts) == 1
+        else root / f"{parts[-2]}.db" / parts[-1]
+    )
+    if loc.is_dir():
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def run_neardup_drain_bucketed(
     spark: SparkSession,
     catalog: Catalog,
@@ -577,7 +617,18 @@ def run_neardup_drain_bucketed(
     )
 
     pairs_table = catalog.table("neardup_pairs")
-    existing = spark.table(index_table) if spark.catalog.tableExists(index_table) else None
+    if spark.catalog.tableExists(index_table):
+        existing = spark.table(index_table)
+    else:
+        existing = None
+        # leftover-robustness (r12 verdict #2): a killed run can leave
+        # the managed LOCATION on disk while the (fresh) metastore has
+        # no table — the next saveAsTable then dies with
+        # LOCATION_ALREADY_EXISTS. The metastore is authoritative here:
+        # no table ⇒ the directory is an orphan; clear it so the drain
+        # heals instead of wedging (every other persistent drain gets
+        # this from ManagedTable's claim/commit protocol).
+        _clear_orphan_table_location(spark, index_table)
     stored = pairs_table.applied_epoch("neardup_drain_bucketed")
     pairs_applied = stored is not None and epoch <= stored
     if pairs_applied:

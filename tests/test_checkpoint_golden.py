@@ -73,4 +73,10 @@ def test_checkpoint_required_fields_present(spark, table):
         "id", "format", "schemaString", "partitionColumns", "configuration",
     } <= meta_fields
     proto_fields = {f.name for f in schema.field("protocol").type}
-    assert {"minReaderVersion", "minWriterVersion"} == proto_fields
+    # readerFeatures/writerFeatures (r13): the table-features protocol
+    # form the DV extension rides on — PROTOCOL.md checkpoint schema
+    # carries them as optional list<string> columns
+    assert {
+        "minReaderVersion", "minWriterVersion",
+        "readerFeatures", "writerFeatures",
+    } == proto_fields

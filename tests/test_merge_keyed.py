@@ -189,7 +189,7 @@ def test_merge_discovery_prunes_candidate_files(spark, table):
     batch = spark.createDataFrame(
         [(3, "new", 2), (7, "new", 2)], "k long, val string, seq int"
     )
-    cand = table._merge_candidate_files(res, batch, ["k"])
+    cand, _ = table._merge_candidate_files(res, batch, ["k"])
     # disjoint ranges: the batch's [3, 7] bounds hit exactly one file
     assert cand is not None and len(cand) == 1
     st = res[1][cand[0]]["cols"]["k"]
@@ -218,7 +218,7 @@ def test_merge_discovery_disjoint_bounds_touch_nothing(spark, table):
     v0_files = _files(table)
     res = table._resolve(table.current_version())
     batch = spark.createDataFrame([(1000, "new", 2)], "k long, val string, seq int")
-    assert table._merge_candidate_files(res, batch, ["k"]) == []
+    assert table._merge_candidate_files(res, batch, ["k"])[0] == []
     table.merge_keyed(
         batch, ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq")
     )
@@ -239,7 +239,7 @@ def test_merge_discovery_falls_back_when_ranges_overlap(spark, table):
     table.overwrite(base.repartition(4, "k"))
     res = table._resolve(table.current_version())
     batch = spark.createDataFrame([(200, "new", 2)], "k long, val string, seq int")
-    assert table._merge_candidate_files(res, batch, ["k"]) is None
+    assert table._merge_candidate_files(res, batch, ["k"])[0] is None
     table.merge_keyed(
         batch, ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq")
     )
@@ -261,7 +261,7 @@ def test_bloom_filters_prune_hash_clustered_layout(spark, table):
     # every file carries a bloom entry for k
     assert all("k" in res[1][n].get("blooms", {}) for n in res[0])
     batch = spark.createDataFrame([(77, "new", 2)], "k long, val string, seq int")
-    cand = table._merge_candidate_files(res, batch, ["k"])
+    cand, _ = table._merge_candidate_files(res, batch, ["k"])
     # ranges alone keep all 8; the bloom pins the true file (hash
     # routing puts k=77 in exactly one) — false positives may add a
     # couple more, never all
@@ -290,7 +290,7 @@ def test_bloom_all_null_column_gets_empty_bloom(spark, table):
     b = res[1][res[0][0]]["blooms"]["name"]
     assert set(b["hex"]) == {"0"}  # all-zero bitmap
     batch = spark.createDataFrame([("zed", 9)], "name string, k long")
-    assert table._merge_candidate_files(res, batch, ["name"]) == []
+    assert table._merge_candidate_files(res, batch, ["name"])[0] == []
 
 
 def test_bloom_binding_is_first_binder_wins(spark, table):
@@ -324,7 +324,7 @@ def test_bloom_pre_binding_files_stay_candidates(spark, table):
     # batch key lives in NEITHER range... k=50 is in pre's range; pick a
     # key in pre's range so ranges keep pre, and bloom drops post
     batch = spark.createDataFrame([(50, "new", 2)], "k long, val string, seq int")
-    cand = table._merge_candidate_files(res, batch, ["k"])
+    cand, _ = table._merge_candidate_files(res, batch, ["k"])
     assert cand == [pre]
     table.merge_keyed(
         batch, ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq")
@@ -356,7 +356,7 @@ def test_bloom_probe_width_compatible_batch_types(spark, table):
         ]),
     )
     res = table._resolve(table.current_version())
-    cand = table._merge_candidate_files(res, batch, ["k"])
+    cand, _ = table._merge_candidate_files(res, batch, ["k"])
     assert cand is not None and 1 <= len(cand) < 8  # widened probe prunes
     table.merge_keyed(
         batch, ["k"], lambda cur, b: scd1_merge(cur, b, ["k"], "seq")
