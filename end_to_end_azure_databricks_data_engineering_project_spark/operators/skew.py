@@ -191,6 +191,131 @@ def write_zordered(
     )
 
 
+def distributed_ranks(
+    df: DataFrame,
+    order_by: "Sequence[str | tuple[str, str]]",
+    *,
+    row_number_col: str | None = None,
+    rank_col: str | None = None,
+    dense_rank_col: str | None = None,
+    ntile: "tuple[int, str] | None" = None,
+    n_ranges: int = 32,
+) -> DataFrame:
+    """Global ``row_number`` / ``rank`` / ``dense_rank`` / ``ntile``
+    over a total ORDER BY WITHOUT a single-partition window — the
+    scale-safe form of ``Window.orderBy(...)`` (whose plan is one
+    WindowExec partition holding the whole relation).
+
+    ``order_by``: column names, optionally ``(name, 'desc')`` tuples.
+    Each requested output names its column; ``ntile=(n, col)``.
+
+    Physical shape: range-shuffle on the FULL order key (parallelism =
+    ``n_ranges``), pin the draw with a ``localCheckpoint`` (the counts
+    job and the ranking job must see the same boundaries — same rule
+    as ``distributed_row_number``), per-range local windows, then add
+    per-range offsets from a driver-side ``n_ranges``-row count list
+    (model-sized). Exactness under ties: a range partitioner sends
+    EQUAL keys to one partition, so a tie group of the full key never
+    spans ranges — local rank + row offset and local dense_rank +
+    distinct-key offset compose to the exact global values. ntile
+    derives from the global row position and total count (SQL ntile:
+    the first ``total % n`` buckets get one extra row). NULLs in the
+    order key are refused (range partitioning on NULL is
+    engine-defined)."""
+    pairs = [
+        (c, "asc") if isinstance(c, str) else (c[0], c[1].lower())
+        for c in order_by
+    ]
+    if any(d not in ("asc", "desc") for _, d in pairs):
+        raise ValueError("order_by directions must be 'asc' or 'desc'")
+    out_cols = [
+        c for c in (row_number_col, rank_col, dense_rank_col) if c
+    ] + ([ntile[1]] if ntile else [])
+    if not out_cols:
+        raise ValueError("distributed_ranks: no output requested")
+    reserved = {"__pid"} | set(out_cols)
+    bad = sorted(c for c in df.columns if c in reserved)
+    if bad:
+        raise ValueError(
+            f"distributed_ranks: column name(s) {bad} collide with the "
+            "helper's working/output columns — rename before ranking"
+        )
+    sort_exprs = [
+        F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in pairs
+    ]
+    parts = (
+        df.repartitionByRange(n_ranges, *sort_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    key = F.struct(*[F.col(c) for c, _ in pairs])
+    stats = {
+        r["__pid"]: (r["n"], r["nd"])
+        for r in parts.groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(key).alias("nd"),
+        )
+        .collect()
+    }
+    row_off: dict[int, int] = {}
+    key_off: dict[int, int] = {}
+    acc_n = acc_d = 0
+    for pid in sorted(stats):
+        row_off[pid] = acc_n
+        key_off[pid] = acc_d
+        acc_n += stats[pid][0]
+        acc_d += stats[pid][1]
+    total = acc_n
+
+    def _off_expr(offsets: dict[int, int]) -> Column:
+        if not offsets:
+            return F.lit(0)
+        omap = F.create_map(
+            *[x for pid, off in sorted(offsets.items())
+              for x in (F.lit(pid), F.lit(off))]
+        )
+        # a pid absent from the map = the two jobs saw different
+        # boundary draws (pinning broken): fail loudly, never rank wrong
+        return F.when(
+            omap[F.col("__pid")].isNotNull(), omap[F.col("__pid")]
+        ).otherwise(
+            F.raise_error(F.concat(
+                F.lit("distributed_ranks: partition id absent from the "
+                      "counts map (boundary draw changed between jobs?) "
+                      "pid="),
+                F.col("__pid").cast("string"),
+            ))
+        )
+
+    w = Window.partitionBy("__pid").orderBy(*sort_exprs)
+    out = parts
+    pos = (F.row_number().over(w) + _off_expr(row_off)).cast("bigint")
+    if row_number_col:
+        out = out.withColumn(row_number_col, pos)
+    if rank_col:
+        out = out.withColumn(
+            rank_col, (F.rank().over(w) + _off_expr(row_off)).cast("bigint")
+        )
+    if dense_rank_col:
+        out = out.withColumn(
+            dense_rank_col,
+            (F.dense_rank().over(w) + _off_expr(key_off)).cast("bigint"),
+        )
+    if ntile:
+        n, col = ntile
+        size, extra = divmod(total, n)
+        cut = extra * (size + 1)  # rows covered by the size+1 buckets
+        p0 = pos - 1
+        out = out.withColumn(
+            col,
+            F.when(p0 < cut, F.floor(p0 / (size + 1)) + 1)
+            .otherwise(extra + F.floor((p0 - cut) / max(size, 1)) + 1)
+            .cast("bigint"),
+        )
+    return out.drop("__pid")
+
+
 def distributed_row_number(
     df: DataFrame,
     order_cols: "list[str]",

@@ -2114,12 +2114,24 @@ def q_topk_per_group(spark, sf):
     """,
 )
 def q_rank_dense_ntile(spark, sf):
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-    return _t(spark, sf, "customer").select(
+    """Two-phase global ranks (r13): the naive ``Window.orderBy(...)``
+    funnels the whole relation through ONE WindowExec partition — the
+    canonical scale-killer. ``distributed_ranks`` range-shuffles on the
+    full order key (ties never span ranges), ranks locally, and adds
+    broadcast per-range offsets — same values, ``n_ranges``-way
+    parallel."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.skew import distributed_ranks
+
+    c = _t(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    ranked = distributed_ranks(
+        c, [("c_acctbal", "desc"), ("c_custkey", "asc")],
+        rank_col="rnk", dense_rank_col="drnk", ntile=(4, "quartile"),
+    )
+    return ranked.select(
         "c_custkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.col("rnk").cast("int").alias("rnk"),
+        F.col("drnk").cast("int").alias("drnk"),
+        F.col("quartile").cast("int").alias("quartile"),
     )
 
 
@@ -4394,9 +4406,17 @@ def q_zorder_cluster(spark, sf):
     zv = o.select(
         "o_orderkey", xb.alias("xb"), yb.cast("bigint").alias("yb")
     ).withColumn("zval", zorder_key(F.col("xb"), F.col("yb"), bits=10))
-    zbucket = F.ntile(32).over(Window.orderBy("zval", "o_orderkey"))
+    # two-phase global ntile (r13): range-shuffled + offset, never one
+    # WindowExec partition over all of orders
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.skew import distributed_ranks
+
+    bucketed = distributed_ranks(
+        zv, [("zval", "asc"), ("o_orderkey", "asc")], ntile=(32, "zb"),
+    )
     return (
-        zv.select("xb", "yb", zbucket.alias("zbucket"))
+        bucketed.select(
+            "xb", "yb", F.col("zb").cast("int").alias("zbucket")
+        )
         .groupBy("zbucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -5243,13 +5263,19 @@ def q_regression_per_group(spark, sf):
     """,
 )
 def q_balanced_shards(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.skew import distributed_ranks
+
     d = _t(spark, sf, "documents")
     t = d.select(
         "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok")
     )
-    w = Window.orderBy(F.col("n_tok").desc(), F.col("doc_id").asc())
+    # two-phase global row_number (r13): range-shuffled + offsets, not
+    # one WindowExec partition over every document
+    ranked = distributed_ranks(
+        t, [("n_tok", "desc"), ("doc_id", "asc")], row_number_col="rk",
+    )
     return (
-        t.withColumn("rk", F.row_number().over(w))
+        ranked
         .groupBy(((F.col("rk") - 1) % 8).cast("bigint").alias("shard_id"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -7516,9 +7542,16 @@ def q_zorder3_cluster(spark, sf):
         "zval",
         zorder_key_n([F.col("xb"), F.col("yb"), F.col("wb")], bits=6),
     )
-    zbucket = F.ntile(32).over(Window.orderBy("zval", "rid"))
+    # two-phase global ntile (r13): no single-partition WindowExec
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.skew import distributed_ranks
+
+    bucketed = distributed_ranks(
+        zv, [("zval", "asc"), ("rid", "asc")], ntile=(32, "zb"),
+    )
     return (
-        zv.select("xb", "yb", "wb", zbucket.alias("zbucket"))
+        bucketed.select(
+            "xb", "yb", "wb", F.col("zb").cast("int").alias("zbucket")
+        )
         .groupBy("zbucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
