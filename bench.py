@@ -166,18 +166,10 @@ def _load_marker() -> dict:
     }
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    load_before = _load_marker()
-    spark = get_spark("bench")
-
-    # JVM/codegen/parquet-reader warmup (not a headline query)
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-
-    # One bad query must not zero out the whole artifact: record the
-    # per-query error, keep timing the survivors, still emit the JSON.
+def _measure(spark, sf_dir) -> tuple[dict, dict, dict]:
+    """One full timing pass: (headline timings, extended timings,
+    errors). One bad query must not zero out the whole artifact —
+    record the per-query error, keep timing the survivors."""
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -206,6 +198,41 @@ def main() -> None:
         extended.update(_ivfpq_split_seconds(spark, sf_dir))
     except Exception as exc:  # noqa: BLE001
         errors["ivfpq_split"] = f"{type(exc).__name__}: {exc}"[:300]
+    return timings, extended, errors
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32") or 32)
+    max_attempts = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "3")))
+    # captured BEFORE the JVM starts: the only loadavg reading that is
+    # not contaminated by the bench's own load
+    load_initial = _load_marker()
+    ambient_busy = load_initial["loadavg_1m"] > cpus / 4
+    spark = get_spark("bench")
+
+    # JVM/codegen/parquet-reader warmup (not a headline query)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    # quiet-box GATE (r13; the r12 artifact of record was a 23.8 s-steal
+    # contaminated run): a pass whose before→after hypervisor-steal
+    # delta exceeds ~2 s — or whose pre-JVM loadavg says the box was
+    # already busy — is re-measured, up to max_attempts. Later attempts
+    # gate on steal only: our own finished pass inflates loadavg_1m for
+    # minutes, so it can't distinguish ambient load from self-load.
+    attempt = 0
+    while True:
+        attempt += 1
+        load_before = _load_marker() if attempt > 1 else load_initial
+        timings, extended, errors = _measure(spark, sf_dir)
+        load_after = _load_marker()
+        sb, sa = load_before["steal_cum_s"], load_after["steal_cum_s"]
+        steal_delta = round(sa - sb, 1) if sb >= 0 and sa >= 0 else -1.0
+        quiet = 0 <= steal_delta <= 2.0 and not (attempt == 1 and ambient_busy)
+        if quiet or attempt >= max_attempts:
+            break
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -218,12 +245,15 @@ def main() -> None:
         "extended": extended,
         "extended_total": round(sum(extended.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # quiet-box protocol (r12): pre/post load averages distinguish
-        # a code regression from ambient box contention; loadavg_1m
-        # before ≳ cpus/2 means the total is NOT comparable
-        # round-over-round
+        # quiet-box protocol (r12/r13): the artifact of record is BY
+        # CONSTRUCTION a gated quiet run (quiet=true) unless every
+        # attempt measured steal — then quiet=false marks the total as
+        # not comparable round-over-round
         "load_before": load_before,
-        "load_after": _load_marker(),
+        "load_after": load_after,
+        "steal_delta_s": steal_delta,
+        "quiet": quiet,
+        "attempts": attempt,
     }
     if errors:
         # Make a degraded artifact unmistakable: "value" sums only the

@@ -8484,6 +8484,49 @@ def q_gold_delete_propagation(spark, sf):
     )
 
 
+@_q(
+    "sql_ddl_roundtrip",
+    "SQL DDL routed onto ManagedTables (r12 verdict missing #3): CTAS "
+    "from a query, INSERT INTO VALUES, ALTER TABLE ADD COLUMNS "
+    "(additive zero-rewrite schema evolution — old files carry by "
+    "reference and read as NULL), UPDATE backfill, final SELECT — the "
+    "Databricks notebook workflow (sample_exploration.py:11-13) "
+    "end-to-end through Catalog.sql",
+    "extension: SQL DDL router (sources/tables.py _sql_ddl)",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer WHERE c_acctbal > 5000
+      UNION ALL
+      SELECT -1, 'manual row', 0.0
+    )
+    SELECT c_custkey, c_name, round(bal, 9) AS bal,
+           CASE WHEN bal >= 7500 THEN 'high' ELSE 'low' END AS tier
+    FROM base
+    """,
+)
+def q_sql_ddl_roundtrip(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    cat = Catalog(spark, _scratch_warehouse("q_ddl", sf))
+    _t(spark, sf, "customer").createOrReplaceTempView("ddl_customer_src")
+    cat.sql(
+        "CREATE TABLE ddl_demo AS SELECT c_custkey, c_name, "
+        "CAST(c_acctbal AS DOUBLE) AS bal FROM ddl_customer_src "
+        "WHERE c_acctbal > 5000"
+    )
+    cat.sql("INSERT INTO ddl_demo VALUES (-1, 'manual row', 0.0)")
+    cat.sql("ALTER TABLE ddl_demo ADD COLUMNS (tier STRING)")
+    cat.sql(
+        "UPDATE ddl_demo SET tier = CASE WHEN bal >= 7500 "
+        "THEN 'high' ELSE 'low' END"
+    )
+    return cat.sql(
+        "SELECT c_custkey, c_name, round(bal, 9) AS bal, tier "
+        "FROM ddl_demo"
+    )
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at

@@ -209,32 +209,33 @@ def read_delta(spark: SparkSession, table_dir: str | Path) -> DataFrame:
                 continue
             df = spark.read.schema(data_schema).parquet(*sorted(paths))
             if is_dirty:
-                # DV'd file: tag rows at SCAN time so the subtract below
-                # scopes each tombstone to ITS file (per-file multiset
-                # exactness — an identical row in another file survives)
-                df = df.withColumn("__dv_file", tag)
+                # DV'd file: tag + row position at SCAN time so the
+                # anti-join below scopes each tombstone to ITS file
+                # and row (positional DV encoding, r13)
+                df = df.withColumn("__dv_file", tag).withColumn(
+                    "__dv_pos", F.col("_metadata.row_index")
+                )
             for c, raw in key:
                 lit = (
                     F.lit(None) if raw is None else F.lit(raw)
                 ).cast(ptypes[c])
                 df = df.withColumn(c, lit)
             if is_dirty:
-                dirty_parts.append(df.select(*out_cols, "__dv_file"))
+                dirty_parts.append(df.select(*out_cols, "__dv_file", "__dv_pos"))
             else:
                 parts.append(df.select(*out_cols))
     if any_dv and dirty_parts:
-        from pyspark.sql.types import StringType, StructField
-
-        tomb_schema = StructType(
-            list(full.fields) + [StructField("__dv_file", StringType(), True)]
-        )
-        tombs = spark.read.schema(tomb_schema).parquet(
+        tombs = spark.read.schema("__dv_file string, __dv_pos bigint").parquet(
             *[str(table_dir / "_deletion_vectors" / d) for d in sorted(dv_names)]
-        ).select(*out_cols, "__dv_file")
+        )
         dirty = dirty_parts[0]
         for p in dirty_parts[1:]:
             dirty = dirty.unionByName(p)
-        parts.append(dirty.exceptAll(tombs).drop("__dv_file"))
+        parts.append(
+            dirty.join(
+                F.broadcast(tombs), ["__dv_file", "__dv_pos"], "left_anti"
+            ).select(*out_cols)
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

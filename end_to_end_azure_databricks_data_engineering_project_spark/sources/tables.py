@@ -1236,6 +1236,7 @@ class ManagedTable:
     # O(deleted-row bits) storage; fine while DV'd fractions stay small,
     # which the write-side gate enforces.
     DV_COL = "__dv_file"
+    DV_POS = "__dv_pos"  # raw in-file row position (_metadata.row_index)
     dv_max_fraction = 0.1  # DV only when matched <= fraction * file rows
     dv_max_rows = 10_000  # absolute cap per file per delete
 
@@ -1273,10 +1274,12 @@ class ManagedTable:
         return dv
 
     def _materialize_dv(self, v: int, tomb_df: DataFrame) -> str:
-        """Write one commit's tombstone rows (must carry ``DV_COL``)
-        into ``_deletion_vectors/``; returns the dv file name. Single
-        file — a small-delete's tombstones are small by the write-side
-        gate."""
+        """Write one commit's tombstone positions (``DV_COL`` file
+        basename + ``DV_POS`` raw row position — the positional DV
+        encoding, r13; Delta's own DVs are roaring bitmaps of the same
+        positions) into ``_deletion_vectors/``; returns the dv file
+        name. Single file — a small-delete's tombstones are small by
+        the write-side gate."""
         import uuid as _uuid
 
         stage = self._version_dir(v) / "_dv_stage"
@@ -1289,35 +1292,84 @@ class ManagedTable:
         shutil.rmtree(stage, ignore_errors=True)
         return name
 
+    def _dv_deleted_rows(self, dv_added: dict, schema) -> DataFrame:
+        """The full content of the rows a DV commit tombstoned —
+        positions semi-joined back onto the raw files (the inverse of
+        the read path's anti-join). Used by the change feed (a DV
+        commit's deletes) — one column-complete pass over the
+        tombstoned FILES only."""
+        dv_names = sorted({
+            d for entries in dv_added.values() for d, _ in entries
+        })
+        cols = [f.name for f in schema.fields]
+        tag = F.element_at(F.split(F.input_file_name(), "/"), -1)
+        raw = (
+            self.spark.read.schema(schema)
+            .option("basePath", str(self.store))
+            .parquet(*[str(self.store / n) for n in sorted(dv_added)])
+            .withColumn(self.DV_COL, tag)
+            .withColumn(self.DV_POS, F.col("_metadata.row_index"))
+        )
+        return raw.join(
+            F.broadcast(self._read_dv_files(dv_names)),
+            [self.DV_COL, self.DV_POS],
+            "left_semi",
+        ).select(*cols)
+
+    def _read_dv_files(self, dv_names: Sequence[str]) -> DataFrame:
+        """Tombstone (file basename, row position) pairs from the named
+        ``_deletion_vectors/`` files — the positional DV encoding
+        (r13): O(deleted rows × 2 narrow columns), never full rows."""
+        return self.spark.read.schema(
+            f"{self.DV_COL} string, {self.DV_POS} bigint"
+        ).parquet(*[str(self._dv_dir() / d) for d in dv_names])
+
     def _read_members(
         self,
         names: Sequence[str],
         schema,
         dv_map: dict | None = None,
         keep_tag: bool = False,
+        keep_pos: bool = False,
     ) -> DataFrame:
         """Read store members pinned to ``schema``, folding deletion
-        vectors: files with tombstones are read tagged with their
-        (globally unique) basename and the dv rows subtracted
-        per-file-exactly before the tag is dropped. THE one read path
-        for every consumer that touches file content — read, merge
-        discovery/subset, DML rewrite, compaction, change feed.
+        vectors: files with tombstones are read with their (globally
+        unique) basename tag and the parquet ``_metadata.row_index``,
+        and the tombstoned POSITIONS are removed by a broadcast
+        anti-join on (file, position) — a scan-stage filter, no
+        exchange on the data side (r13; the r12 fold was a full-row
+        ``exceptAll``, a shuffle over every dirty file's rows on every
+        read). Tombstones are small by the write-side gate
+        (``dv_max_fraction``/``dv_max_rows``), so the broadcast is
+        bounded. THE one read path for every consumer that touches
+        file content — read, merge discovery/subset, DML rewrite,
+        compaction, change feed.
 
         ``keep_tag=True`` returns the frame WITH the ``DV_COL``
         basename tag on every row (DML discovery groups on it; the tag
         must be derived at SCAN time — ``input_file_name`` evaluated
-        after the subtract's shuffle would come back empty)."""
+        after a shuffle would come back empty). ``keep_pos=True`` also
+        keeps ``DV_POS`` (the raw in-file row position) — the DML
+        write path records NEW tombstones by position, and positions
+        must refer to the RAW file so stacked DVs on one file compose."""
         names = list(names)
         reader = (
             self.spark.read.schema(schema) if schema is not None else self.spark.read
         ).option("basePath", str(self.store))
         tag = F.element_at(F.split(F.input_file_name(), "/"), -1)
+        pos = F.col("_metadata.row_index")
+
+        def _decorate(df):
+            if keep_tag:
+                df = df.withColumn(self.DV_COL, tag)
+            if keep_pos:
+                df = df.withColumn(self.DV_POS, pos)
+            return df
 
         def _plain(ns):
-            df = self._schema_order(
+            return _decorate(self._schema_order(
                 reader.parquet(*[str(self.store / n) for n in ns]), schema
-            )
-            return df.withColumn(self.DV_COL, tag) if keep_tag else df
+            ))
 
         dv_map = dv_map or {}
         dirty = [n for n in names if dv_map.get(n)]
@@ -1329,23 +1381,24 @@ class ManagedTable:
                     schema = StructType([])
                 return self.spark.createDataFrame([], schema)
             return _plain(names)
-        from pyspark.sql.types import StringType, StructField, StructType
-
         clean = [n for n in names if not dv_map.get(n)]
-        cols = [f.name for f in schema.fields]
-        tagged = self._schema_order(
-            reader.parquet(*[str(self.store / n) for n in dirty]), schema
-        ).withColumn(self.DV_COL, tag).select(*cols, self.DV_COL)
-        tomb_schema = StructType(
-            list(schema.fields) + [StructField(self.DV_COL, StringType(), True)]
+        out_cols = [f.name for f in schema.fields]
+        if keep_tag:
+            out_cols.append(self.DV_COL)
+        if keep_pos:
+            out_cols.append(self.DV_POS)
+        tagged = (
+            self._schema_order(
+                reader.parquet(*[str(self.store / n) for n in dirty]), schema
+            )
+            .withColumn(self.DV_COL, tag)
+            .withColumn(self.DV_POS, pos)
         )
         dv_names = sorted({d for n in dirty for d, _ in dv_map[n]})
-        tombs = self.spark.read.schema(tomb_schema).parquet(
-            *[str(self._dv_dir() / d) for d in dv_names]
-        ).select(*cols, self.DV_COL)
-        folded = tagged.exceptAll(tombs)
-        if not keep_tag:
-            folded = folded.drop(self.DV_COL)
+        tombs = self._read_dv_files(dv_names)
+        folded = tagged.join(
+            F.broadcast(tombs), [self.DV_COL, self.DV_POS], "left_anti"
+        ).select(*out_cols)
         if not clean:
             return folded
         return _plain(clean).unionByName(folded)
@@ -2302,20 +2355,16 @@ class ManagedTable:
                     new_rows = _read(new_files)
                     deletes.append(old_rows.exceptAll(new_rows))
                     inserts.append(new_rows.exceptAll(old_rows))
-                    # a DV commit's tombstone rows ARE its deletes —
-                    # exact, no diff needed
-                    dv_names = sorted({
-                        d
-                        for entries in (m.get("dv_added") or {}).values()
-                        for d, _ in entries
-                    })
-                    if dv_names:
+                    # a DV commit's tombstoned rows ARE its deletes —
+                    # exact, no diff needed. Positional encoding (r13):
+                    # recover the deleted rows' content by semi-joining
+                    # the (file, position) pairs back onto the raw
+                    # tombstoned files (broadcast — tombstones are
+                    # small by the write gate)
+                    if m.get("dv_added"):
                         base_schema = schema or self.read().schema
-                        cols = [f.name for f in base_schema.fields]
                         deletes.append(
-                            self.spark.read.schema(base_schema).parquet(
-                                *[str(self._dv_dir() / d) for d in dv_names]
-                            ).select(*cols)
+                            self._dv_deleted_rows(m["dv_added"], base_schema)
                         )
                 else:  # snapshot rewrite / compaction / unknown
                     return None
@@ -3433,9 +3482,19 @@ class ManagedTable:
             pcols = self.partition_columns()
             dv_added: dict | None = None
             if dv_files:
-                tombs = self._read_members(
-                    sorted(dv_files), stored, dv_map, keep_tag=True
-                ).filter(cond_true)
+                # positional tombstones (r13): (file, raw row position)
+                # of the matched rows — positions are taken at scan
+                # time on the RAW file (prior DVs folded by position,
+                # so a previously tombstoned row can't re-match), and
+                # the written vector is O(matched) narrow rows
+                tombs = (
+                    self._read_members(
+                        sorted(dv_files), stored, dv_map,
+                        keep_tag=True, keep_pos=True,
+                    )
+                    .filter(cond_true)
+                    .select(self.DV_COL, self.DV_POS)
+                )
                 dv_name = self._materialize_dv(new_v, tombs)
                 dv_added = {
                     n: [[dv_name, match_counts[n]]] for n in sorted(dv_files)
@@ -4908,6 +4967,203 @@ class Catalog:
                 out = out[: hit.start()] + view + out[hit.end():]
         return out
 
+    _DDL_VERB_RE = re.compile(r"^\s*(CREATE|ALTER|DROP)\b", re.IGNORECASE)
+    _CREATE_RE = re.compile(
+        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+"
+        r"(?:(IF\s+NOT\s+EXISTS)\s+)?([^\s(]+)\s*(.*?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _ALTER_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+(\S+)\s+(.+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DROP_RE = re.compile(
+        r"^\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?(\S+)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
+    def _sql_ddl(self, statement: str):
+        """Databricks-style DDL on managed tables (r12 verdict "What's
+        missing" #3 — Spark's own parser cannot create ManagedTables):
+
+        - ``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t (col type, …)
+          [PARTITIONED BY (c, …)] [TBLPROPERTIES (…)]`` — empty table
+          with the declared schema (CDF via the
+          ``delta.enableChangeDataFeed`` property, Delta's own knob);
+        - ``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t AS <query>`` —
+          CTAS (time-travel references in the query travel);
+        - ``ALTER TABLE t ADD COLUMN[S] (c type, …)`` — additive
+          nullable schema evolution (a zero-row evolving append: old
+          files carry by reference, reads null-fill — Delta ADD COLUMN
+          semantics);
+        - ``ALTER TABLE t ADD CONSTRAINT n CHECK (expr)`` /
+          ``DROP CONSTRAINT [IF EXISTS] n``;
+        - ``DROP TABLE [IF EXISTS] t``.
+
+        Unroutable DDL shapes raise precise errors (REPLACE COLUMNS,
+        RENAME, type changes: not supported — additive evolution only,
+        same as this engine's write paths)."""
+        m = self._CREATE_RE.match(statement)
+        if m:
+            replace = bool(m.group(1))
+            if_not_exists = bool(m.group(2))
+            name, tail = m.group(3), m.group(4).strip()
+            if not self._BARE_IDENT_RE.match(name):
+                raise ValueError(
+                    f"CREATE TABLE {name!r}: qualified or backquoted "
+                    "names are not supported — use the bare "
+                    "managed-table name"
+                )
+            t = self.table(name)
+            if t.exists() and not replace:
+                if if_not_exists:
+                    return None  # no-op, SQL semantics
+                raise ValueError(f"table {name} already exists "
+                                 "(use OR REPLACE or IF NOT EXISTS)")
+            am = re.match(r"(?is)^AS\s+(.+)$", tail)
+            if am:  # CTAS
+                body = self._rewrite_time_travel(am.group(1))
+                self.register_views()
+                if re.match(r"(?is)^\s*VALUES\b", body):
+                    body = f"SELECT * FROM ({body})"
+                return t.overwrite(self.spark.sql(body))
+            if not tail.startswith("("):
+                raise ValueError(
+                    "unsupported CREATE TABLE shape; expected CREATE "
+                    "[OR REPLACE] TABLE [IF NOT EXISTS] <t> (col type, …) "
+                    "[PARTITIONED BY (…)] [TBLPROPERTIES (…)] or "
+                    "CREATE TABLE <t> AS <query>"
+                )
+            depth = 0
+            end = -1
+            for i, ch in enumerate(tail):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = i
+                        break
+            if end < 0:
+                raise ValueError("CREATE TABLE: unbalanced column list")
+            cols_ddl = tail[1:end]
+            rest = tail[end + 1:].strip()
+            partition_by = None
+            enable_cdf = False
+            pm = re.match(r"(?is)^PARTITIONED\s+BY\s*\(([^)]*)\)\s*(.*)$", rest)
+            if pm:
+                partition_by = [c.strip() for c in pm.group(1).split(",")]
+                rest = pm.group(2).strip()
+            tm = re.match(r"(?is)^TBLPROPERTIES\s*\(([^)]*)\)\s*$", rest)
+            if tm:
+                for pair in tm.group(1).split(","):
+                    km = re.match(
+                        r"(?is)^\s*'([^']+)'\s*=\s*'([^']*)'\s*$", pair
+                    )
+                    if km is None:
+                        raise ValueError(
+                            f"unparseable TBLPROPERTIES entry {pair!r}"
+                        )
+                    k, val = km.group(1), km.group(2)
+                    if k == "delta.enableChangeDataFeed":
+                        enable_cdf = val.lower() == "true"
+                    else:
+                        raise ValueError(
+                            f"unsupported table property {k!r} (the "
+                            "router honors delta.enableChangeDataFeed)"
+                        )
+            elif rest:
+                raise ValueError(
+                    f"unsupported CREATE TABLE tail {rest!r}; expected "
+                    "[PARTITIONED BY (…)] [TBLPROPERTIES (…)]"
+                )
+            # Spark's DDL parser is the schema authority (types,
+            # NOT NULL, comments all parse exactly as spark.sql would)
+            empty = self.spark.createDataFrame([], cols_ddl)
+            return t.overwrite(
+                empty, partition_by=partition_by, enable_cdf=enable_cdf
+            )
+        m = self._ALTER_RE.match(statement)
+        if m:
+            t = self._dml_table(m.group(1), "ALTER TABLE")
+            action = m.group(2).strip()
+            cm = re.match(
+                r"(?is)^ADD\s+CONSTRAINT\s+([A-Za-z_]\w*)\s+CHECK\s*"
+                r"\((.+)\)\s*$",
+                action,
+            )
+            if cm:
+                t.add_constraint(cm.group(1), cm.group(2).strip())
+                return None
+            dm = re.match(
+                r"(?is)^DROP\s+CONSTRAINT\s+(?:(IF\s+EXISTS)\s+)?"
+                r"([A-Za-z_]\w*)\s*$",
+                action,
+            )
+            if dm:
+                t.drop_constraint(dm.group(2), if_exists=bool(dm.group(1)))
+                return None
+            am = re.match(
+                r"(?is)^ADD\s+COLUMNS?\s+\(?\s*(.+?)\s*\)?\s*$", action
+            )
+            if am:
+                from pyspark.sql.types import StructField, StructType
+
+                new_fields = self.spark.createDataFrame(
+                    [], am.group(1)
+                ).schema.fields
+                stored = t.table_schema()
+                if stored is None:
+                    raise ValueError(
+                        f"ALTER TABLE {t.name}: table has no committed "
+                        "schema to evolve"
+                    )
+                have = {f.name for f in stored.fields}
+                dup = [f.name for f in new_fields if f.name in have]
+                if dup:
+                    raise ValueError(
+                        f"ALTER TABLE {t.name} ADD COLUMN: column(s) "
+                        f"{dup} already exist"
+                    )
+                evolved = StructType(
+                    list(stored.fields)
+                    + [StructField(f.name, f.dataType, True) for f in new_fields]
+                )
+                # zero-row evolving append: widens the canonical schema,
+                # carries every file by reference (reads null-fill)
+                t.append(
+                    self.spark.createDataFrame([], evolved), evolve=True
+                )
+                return None
+            raise ValueError(
+                f"unsupported ALTER TABLE action {action!r}; the router "
+                "handles ADD COLUMN[S] (…), ADD CONSTRAINT n CHECK (…), "
+                "DROP CONSTRAINT [IF EXISTS] n (additive evolution only "
+                "— no RENAME / type changes / REPLACE COLUMNS)"
+            )
+        m = self._DROP_RE.match(statement)
+        if m:
+            if_exists, name = bool(m.group(1)), m.group(2)
+            if not self._BARE_IDENT_RE.match(name):
+                raise ValueError(
+                    f"DROP TABLE {name!r}: use the bare managed-table name"
+                )
+            t = self.table(name)
+            if not t.exists():
+                if if_exists:
+                    return None
+                raise ValueError(f"table {name} does not exist")
+            shutil.rmtree(t.dir)
+            self.spark.catalog.dropTempView(name)
+            return None
+        verb = self._DDL_VERB_RE.match(statement).group(1).upper()
+        raise ValueError(
+            f"unsupported {verb} shape; the DDL router handles CREATE "
+            "[OR REPLACE] TABLE [IF NOT EXISTS] t (cols)|AS query, "
+            "ALTER TABLE t ADD COLUMN[S]/ADD CONSTRAINT/DROP CONSTRAINT, "
+            "DROP TABLE [IF EXISTS] t"
+        )
+
     _UTIL_VERB_RE = re.compile(
         r"^\s*(DESCRIBE|OPTIMIZE|VACUUM|RESTORE)\b", re.IGNORECASE
     )
@@ -5014,6 +5270,9 @@ class Catalog:
         - utility verbs: DESCRIBE HISTORY/DETAIL, OPTIMIZE [ZORDER BY],
           VACUUM [RETAIN n VERSIONS], RESTORE … TO … AS OF
           (``_sql_util``).
+        - DDL: CREATE TABLE (schema or CTAS), ALTER TABLE ADD
+          COLUMN[S]/ADD CONSTRAINT/DROP CONSTRAINT, DROP TABLE
+          (``_sql_ddl``) — all against ManagedTables.
 
         Any OTHER statement starting with a DML verb raises a precise
         error instead of falling through to spark.sql's parser.
@@ -5021,6 +5280,8 @@ class Catalog:
         ``spark.sql`` unchanged, returning its DataFrame."""
         if self._UTIL_VERB_RE.match(statement):
             return self._sql_util(statement)
+        if self._DDL_VERB_RE.match(statement):
+            return self._sql_ddl(statement)
         verb = self._DML_VERB_RE.match(statement)
         if verb:
             word = verb.group(1).upper()

@@ -315,3 +315,81 @@ def test_insert_select_supports_time_travel(cat, spark):
     cat.sql("DELETE FROM t WHERE k = 1")
     cat.sql("INSERT INTO t SELECT k, val FROM t VERSION AS OF 0 WHERE k = 1")
     assert t.read().count() == 2
+
+
+# -- DDL routing (r13: CREATE / ALTER / DROP onto ManagedTables) --------------
+
+
+def test_create_table_with_schema_partitioning_and_cdf(cat, spark):
+    cat.sql(
+        "CREATE TABLE users (user_id BIGINT, country STRING, bal DOUBLE) "
+        "PARTITIONED BY (country) "
+        "TBLPROPERTIES ('delta.enableChangeDataFeed'='true')"
+    )
+    t = cat.table("users")
+    assert t.exists()
+    assert [f.name for f in t.table_schema().fields] == [
+        "user_id", "country", "bal",
+    ]
+    assert t.partition_columns() == ["country"]
+    assert t.cdf_enabled()
+    assert t.read().count() == 0
+    # IF NOT EXISTS: no-op; bare duplicate: precise error
+    assert cat.sql("CREATE TABLE IF NOT EXISTS users (x INT)") is None
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql("CREATE TABLE users (x INT)")
+
+
+def test_ctas_insert_alter_select_roundtrip(cat, spark):
+    _mk(cat, spark)
+    cat.sql("CREATE TABLE t2 AS SELECT k, val FROM t WHERE k = 1")
+    assert cat.sql("SELECT * FROM t2").count() == 1
+    cat.sql("INSERT INTO t2 VALUES (9, 'z')")
+    cat.sql("ALTER TABLE t2 ADD COLUMNS (score INT, note STRING)")
+    sch = cat.table("t2").table_schema()
+    assert [f.name for f in sch.fields] == ["k", "val", "score", "note"]
+    # old rows read as NULL in the evolved columns; no file rewritten
+    got = {r.k: (r.score, r.note) for r in cat.sql("SELECT * FROM t2").collect()}
+    assert got == {1: (None, None), 9: (None, None)}
+    cat.sql("UPDATE t2 SET score = k * 10")
+    got = {r.k: r.score for r in cat.table("t2").read().collect()}
+    assert got == {1: 10, 9: 90}
+
+
+def test_alter_add_column_rejects_duplicates_and_exotic_shapes(cat, spark):
+    _mk(cat, spark)
+    with pytest.raises(ValueError, match="already exist"):
+        cat.sql("ALTER TABLE t ADD COLUMN (val STRING)")
+    with pytest.raises(ValueError, match="unsupported ALTER TABLE action"):
+        cat.sql("ALTER TABLE t RENAME TO t9")
+    with pytest.raises(ValueError, match="unsupported ALTER TABLE action"):
+        cat.sql("ALTER TABLE t ALTER COLUMN val TYPE INT")
+
+
+def test_alter_constraint_verbs_route(cat, spark):
+    _mk(cat, spark)
+    cat.sql("ALTER TABLE t ADD CONSTRAINT k_pos CHECK (k > 0)")
+    with pytest.raises(Exception, match="k_pos"):
+        cat.sql("INSERT INTO t VALUES (-5, 'bad')")
+    cat.sql("ALTER TABLE t DROP CONSTRAINT k_pos")
+    cat.sql("INSERT INTO t VALUES (-5, 'ok now')")
+    assert cat.table("t").read().filter("k = -5").count() == 1
+    cat.sql("ALTER TABLE t DROP CONSTRAINT IF EXISTS nope")  # no-op
+
+
+def test_drop_table_routes(cat, spark):
+    _mk(cat, spark)
+    cat.sql("DROP TABLE t")
+    assert not cat.table("t").exists()
+    assert cat.sql("DROP TABLE IF EXISTS t") is None
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.sql("DROP TABLE t")
+
+
+def test_unroutable_ddl_raises_precisely(cat, spark):
+    with pytest.raises(ValueError, match="unsupported CREATE TABLE shape"):
+        cat.sql("CREATE TABLE x")
+    with pytest.raises(ValueError, match="unsupported CREATE shape"):
+        cat.sql("CREATE VIEW v AS SELECT 1")
+    with pytest.raises(ValueError, match="qualified or backquoted"):
+        cat.sql("CREATE TABLE main.x (k INT)")
