@@ -439,6 +439,54 @@ def gold_flow(
     return run
 
 
+def gold_stream(
+    spark: SparkSession,
+    cfg: TableConfig,
+    catalog: Catalog,
+    state_root: str,
+    checkpoint_root: str,
+    tick_seconds: int = 1,
+):
+    """CONTINUOUS gold (r12 verdict #6): the change-feed drain that
+    ``gold_flow`` runs per call, driven as a true Structured Streaming
+    query — so the whole medallion runs end-to-end like DLT continuous
+    mode (``once=False``, reference DimUser.py:29): bronze autoload →
+    ``silver_stream`` → this.
+
+    A rate source provides the trigger cadence; each micro-batch
+    executes ONE incremental drain — silver commits ``(cursor, head]``
+    consumed through ``appended_since``/``changes_since`` exactly as
+    the batch drain does, deletes propagating per ``cfg.on_delete``.
+    The rate rows themselves are never touched (no action runs on
+    them): the stream is a scheduler, the DRAIN owns correctness.
+
+    Exactly-once does NOT lean on the stream checkpoint: the version
+    cursor lives in the drain's atomic marker file
+    (``<state>/gold_<t>.applied_v``), a replayed/duplicate tick drains
+    an empty delta to a no-op, and the SCD merges drop stale/duplicate
+    sequence rows — so kill/restart at ANY point (with or without the
+    checkpoint dir surviving) converges to the same gold state as the
+    equivalent batch drains. Returns the StreamingQuery; caller stops
+    it."""
+    drain = gold_flow(spark, cfg, catalog, state_root)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        drain()
+
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation",
+            str(Path(checkpoint_root) / f"gold_stream_{cfg.table}"),
+        )
+        .trigger(processingTime=f"{tick_seconds} seconds")
+        .start()
+    )
+
+
 def build_medallion_pipeline(
     spark: SparkSession,
     configs: Sequence[TableConfig],
