@@ -8527,6 +8527,52 @@ def q_sql_ddl_roundtrip(spark, sf):
     )
 
 
+@_q(
+    "stream_table_source",
+    "ManagedTable as a TRUE readStream source (S7 upgraded from "
+    "drain-based): spark.readStream.format('managed_table') over the "
+    "public delta log — offsets are log versions, each data file is "
+    "one executor-side Arrow-batch partition. Builds a table in two "
+    "commits (snapshot + append), drains it availableNow through a "
+    "checkpointed parquet sink, returns the sink content — which must "
+    "equal the table (exactly-once, no loss, no duplication)",
+    "S7 Delta-table streaming source (DimUser.py:7-12)",
+    """
+    SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal
+    FROM customer
+    """,
+)
+def q_stream_table_source(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.streamsource import (
+        ManagedTableDataSource,
+    )
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    from pathlib import Path
+
+    spark.dataSource.register(ManagedTableDataSource)
+    wh = _scratch_warehouse("q_streamsrc", sf)
+    t = Catalog(spark, wh).table("cust_stream")
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("bal")
+    )
+    t.overwrite(c.filter("c_custkey % 2 = 0"))
+    t.append(c.filter("c_custkey % 2 = 1"))
+    out = str(Path(wh) / "_sink")
+    q = (
+        spark.readStream.format("managed_table")
+        .option("path", str(t.dir))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(Path(wh) / "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at

@@ -368,7 +368,7 @@ def test_bloom_probe_width_compatible_batch_types(spark, table):
     sbatch = spark.createDataFrame([("5", "x", 3)], "k string, val string, seq int")
     assert table._merge_candidate_files(
         table._resolve(table.current_version()), sbatch, ["k"]
-    ) is None  # string-vs-bigint: no range norm pruning either -> None
+    )[0] is None  # string-vs-bigint: no range norm pruning either -> None
 
 
 def test_merge_with_schema_evolution(spark, table):
