@@ -8758,9 +8758,52 @@ _R10_GREEN = {
     "zscore_normalize",
 }
 
+
+# Entries green in the round-11 driver sample.
+_R11_GREEN = {
+    "above_avg_orders", "adaptive_quantile_sketch", "approx_analytics",
+    "asof_join", "bigram_lm_score", "bin_packing_roundtrip",
+    "check_constraint_gate", "cosine_topk", "count_distinct_groups",
+    "date_arithmetic", "date_spine_gapfill",
+    "delta_retention_roundtrip", "dml_change_feed", "dml_delete_update",
+    "doc_fingerprint_dedup", "doc_langid", "doc_quality",
+    "doc_token_stats", "duplicated_span_dedup", "embedding_near_dup",
+    "embedding_near_dup_srp", "funnel_conversion", "gopher_rule_report",
+    "having_filter", "in_predicate", "json_extract", "like_filter",
+    "merge_bloom_pruned", "minhash_signatures", "mode_per_group",
+    "moving_average", "ngram_jaccard_pairs", "quota_per_source",
+    "rank_dense_ntile", "scalar_subquery", "scd2_history",
+    "semantic_dedup_pairs", "sequence_packing", "set_ops_except",
+    "set_ops_intersect", "set_ops_union", "shipping_priority",
+    "simhash_fingerprints", "skew_salted_latest", "stratified_sample",
+    "tfidf_top_terms", "time_travel_asof", "token_budget_head",
+    "top_ngrams", "topk_per_group",
+}
+
+# Entries green in the round-12 driver sample.
+_R12_GREEN = {
+    "above_avg_orders", "adaptive_quantile_sketch", "approx_analytics",
+    "asof_join", "bin_packing_roundtrip", "check_constraint_gate",
+    "cosine_topk", "count_distinct_groups", "date_arithmetic",
+    "date_spine_gapfill", "delta_retention_roundtrip",
+    "dml_change_feed", "dml_delete_update", "doc_fingerprint_dedup",
+    "doc_langid", "doc_quality", "doc_token_stats", "dv_small_delete",
+    "embedding_near_dup", "embedding_near_dup_srp", "funnel_conversion",
+    "gold_delete_propagation", "having_filter", "in_predicate",
+    "json_extract", "like_filter", "merge_bloom_pruned",
+    "minhash_signatures", "mode_per_group", "moving_average",
+    "ngram_jaccard_pairs", "rank_dense_ntile", "scalar_subquery",
+    "scd2_history", "semantic_dedup_pairs", "sequence_packing",
+    "set_ops_except", "set_ops_intersect", "set_ops_union",
+    "shipping_priority", "simhash_fingerprints", "skew_salted_latest",
+    "sql_maintenance_roundtrip", "sql_merge_roundtrip",
+    "sql_time_travel", "stratified_sample", "tfidf_top_terms",
+    "time_travel_asof", "top_ngrams", "topk_per_group",
+}
+
 _GREEN_ROUNDS: list[set[str]] = [
     _R3_GREEN, _R4_GREEN, _R5_GREEN, _R6_GREEN, _R7_GREEN, _R8_GREEN,
-    _R9_GREEN, _R10_GREEN,
+    _R9_GREEN, _R10_GREEN, _R11_GREEN, _R12_GREEN,
 ]
 
 
