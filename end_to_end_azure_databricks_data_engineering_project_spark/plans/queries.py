@@ -8573,6 +8573,59 @@ def q_stream_table_source(spark, sf):
     return spark.read.parquet(out)
 
 
+@_q(
+    "sql_table_changes",
+    "Databricks' table_changes() CDF SQL function routed onto the "
+    "change feed: build a CDF-enabled ManagedTable, append a batch, "
+    "merge an update batch (materialized pre/post-image change rows), "
+    "DELETE a slice (deletion-vector commit), then read the whole "
+    "history back via SELECT ... FROM table_changes('t', 1) — every "
+    "commit's row-level changes with Databricks' _change_type / "
+    "_commit_version columns, derived from ONLY each commit's own "
+    "files (nothing rescans the table)",
+    "extension: CDF SQL surface (sources/tables.py table_changes; "
+    "Databricks table_changes() over DimUser.py's streaming-table CDF)",
+    """
+    SELECT n_nationkey + 100 AS n_nationkey, n_name,
+           'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, 'update_preimage', 2
+    FROM nation WHERE n_nationkey <= 4
+    UNION ALL
+    SELECT n_nationkey, 'X' || n_name, 'update_postimage', 2
+    FROM nation WHERE n_nationkey <= 4
+    UNION ALL
+    SELECT n_nationkey + 100, n_name, 'delete', 3
+    FROM nation WHERE n_nationkey >= 20
+    """,
+)
+def q_sql_table_changes(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    cat = Catalog(spark, _scratch_warehouse("q_tcsql", sf))
+    t = cat.table("nation_cdf")
+    t.overwrite(n, enable_cdf=True)                              # delta v0
+    t.append(n.withColumn(                                       # v1
+        "n_nationkey", (F.col("n_nationkey") + 100).cast("int")
+    ))
+    upd = n.filter("n_nationkey <= 4").withColumn(
+        "n_name", F.concat(F.lit("X"), F.col("n_name"))
+    )
+    t.merge_keyed(                                               # v2
+        upd, ["n_nationkey"],
+        lambda cur, b: cur.join(
+            b.select("n_nationkey"), "n_nationkey", "left_anti"
+        ).unionByName(b),
+    )
+    t.delete_where("n_nationkey >= 120")                         # v3
+    return cat.sql(
+        "SELECT n_nationkey, n_name, _change_type, _commit_version "
+        "FROM table_changes('nation_cdf', 1)"
+    )
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at

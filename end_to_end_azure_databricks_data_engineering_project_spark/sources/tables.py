@@ -2423,6 +2423,201 @@ class ManagedTable:
         pure_del = dels.join(b, key_cols, "left_anti")
         return pure_ins.unionAll(pure_del).unionAll(upd_pre).unionAll(upd_post)
 
+    def _delta_commit_index(self) -> list[tuple[int, int | None, str, int]]:
+        """``[(delta_version, mtVersion, operation, adjusted_ts_ms)]``
+        for every RETAINED commit in the public log, in order,
+        timestamps monotonically adjusted exactly like Delta's reader
+        (a commit stamped earlier than its predecessor reads as
+        predecessor + 1 ms) — the shared resolution base for
+        ``table_changes`` version/timestamp boundaries."""
+        out: list[tuple[int, int | None, str, int]] = []
+        adjusted = -1
+        for p in deltalog.commit_files(self.dir):
+            dv = int(p.stem)
+            for a in deltalog.read_actions(self.dir, dv):
+                ci = a.get("commitInfo")
+                if ci is None:
+                    continue
+                adjusted = max(ci["timestamp"], adjusted + 1)
+                out.append(
+                    (dv, ci.get("mtVersion"), ci.get("operation", ""), adjusted)
+                )
+                break
+        return out
+
+    def table_changes(self, start, end=None) -> DataFrame:
+        """Databricks' ``table_changes(t, start [, end])`` CDF
+        table-valued read (the SQL surface over the change data feed;
+        `Catalog.sql` rewrites the function call onto this): row-level
+        changes of every commit in the INCLUSIVE Delta log version
+        range ``[start, end]`` (``end`` defaults to the latest commit),
+        as the table's columns plus Databricks' three CDF metadata
+        columns — ``_change_type`` ('insert' / 'delete' /
+        'update_preimage' / 'update_postimage'), ``_commit_version``
+        (the Delta LOG version ``DESCRIBE HISTORY`` shows) and
+        ``_commit_timestamp``.
+
+        ``start``/``end`` accept Delta versions (int) or commit
+        timestamps (str / datetime / epoch-ms) — a start timestamp
+        resolves to the FIRST commit at-or-after the instant, an end
+        timestamp to the LAST commit at-or-before it (Databricks'
+        boundary rules).
+
+        Commits whose merge/DML materialized change rows (CDF enabled
+        at creation) serve their exact pre/post-image rows straight
+        from ``_change_data``; appends, deletion-vector deletes, and
+        Delta-log version 0 (the table's creation snapshot) derive
+        exactly; a NON-CDF merge/DML commit derives delete+insert by
+        diffing only its touched files (updates appear as
+        delete+insert — Databricks requires CDF for pre/post images at
+        all, so this is strictly more derivable). An overwrite /
+        restore inside the range raises — those replace the table, a
+        row-level delta would cost a full-table diff (Delta's CDF
+        errors on them too).
+
+        Scale: per-commit work is bounded by that commit's own files
+        (manifests name them); nothing here scans the table, and the
+        union is a pure no-shuffle concatenation."""
+        index = self._delta_commit_index()
+        if not index:
+            raise ValueError(f"table {self.name}: no transaction log")
+
+        def _resolve(bound, *, is_start: bool):
+            import datetime as _dt
+
+            if isinstance(bound, bool) or bound is None:
+                raise ValueError(f"table_changes: bad boundary {bound!r}")
+            if isinstance(bound, int):
+                return bound
+            if isinstance(bound, str):
+                bound = _dt.datetime.fromisoformat(bound)
+            if isinstance(bound, _dt.datetime):
+                if bound.tzinfo is None:
+                    bound = bound.astimezone()
+                ms = int(bound.timestamp() * 1000)
+            else:
+                ms = int(bound)
+            if is_start:  # first commit at-or-after the instant
+                for dv, _, _, ts in index:
+                    if ts >= ms:
+                        return dv
+                raise ValueError(
+                    f"table {self.name}: no commit at or after {ms} ms "
+                    "(start timestamp past the latest commit)"
+                )
+            hit = None  # last commit at-or-before the instant
+            for dv, _, _, ts in index:
+                if ts <= ms:
+                    hit = dv
+            if hit is None:
+                raise ValueError(
+                    f"table {self.name}: no commit at or before {ms} ms"
+                )
+            return hit
+
+        lo = _resolve(start, is_start=True)
+        hi = (
+            index[-1][0] if end is None else _resolve(end, is_start=False)
+        )
+        if lo > index[-1][0]:
+            raise ValueError(
+                f"table {self.name}: start version {lo} is past the "
+                f"latest commit {index[-1][0]}"
+            )
+        if hi < lo:
+            raise ValueError(
+                f"table {self.name}: empty range [start {lo}, end {hi}]"
+            )
+
+        latest_schema = self.table_schema() or self.read().schema
+        meta_cols = ["_change_type", "_commit_version", "_commit_timestamp"]
+
+        def _tag(df: DataFrame, dv: int, ts: int) -> DataFrame:
+            return df.withColumn(
+                "_commit_version", F.lit(dv).cast("long")
+            ).withColumn(
+                "_commit_timestamp", F.timestamp_millis(F.lit(ts))
+            )
+
+        parts: list[DataFrame] = []
+        prev_mv: int | None = None
+        for pos, (dv, mv, op, ts) in enumerate(index):
+            if dv > hi:
+                break
+            if dv < lo:
+                prev_mv = mv
+                continue
+            if mv is None:
+                raise ValueError(
+                    f"table {self.name}: commit {dv} carries no snapshot "
+                    "mapping — change feed not derivable"
+                )
+            m = self._manifest(mv)
+            if m is not None and m.get("cdc"):
+                # CDF fast path: exact materialized change rows, with
+                # Databricks' own pre/post-image change types intact
+                from pyspark.sql.types import StringType, StructField, StructType
+
+                base = self.table_schema(mv) or latest_schema
+                cs = StructType(
+                    list(base.fields)
+                    + [StructField("_change_type", StringType(), True)]
+                )
+                cdc_rows = self.spark.read.schema(cs).parquet(
+                    *[str(self.dir / "_change_data" / n) for n in m["cdc"]]
+                )
+                parts.append(_tag(cdc_rows, dv, ts))
+                prev_mv = mv
+                continue
+            if pos == 0 and dv == 0:
+                # creation commit: the initial snapshot rows ARE its
+                # inserts (Databricks serves version 0 the same way)
+                parts.append(_tag(
+                    self.read_at(mv).withColumn(
+                        "_change_type", F.lit("insert")
+                    ),
+                    dv, ts,
+                ))
+                prev_mv = mv
+                continue
+            if prev_mv is None:
+                raise ValueError(
+                    f"table {self.name}: commit {dv} has no retained "
+                    "predecessor (log retention expired the diff base) — "
+                    "start the range later"
+                )
+            delta = self.changes_since(prev_mv, until=mv)
+            if delta is None:
+                raise ValueError(
+                    f"table {self.name}: commit {dv} ({op or self._op(mv)}) "
+                    "replaces the table snapshot — row-level changes are "
+                    "not derivable across it; start the range after it"
+                )
+            parts.append(_tag(delta, dv, ts))
+            prev_mv = mv
+
+        out = None
+        for p in parts:
+            out = p if out is None else out.unionByName(
+                p, allowMissingColumns=True
+            )
+        if out is None:
+            from pyspark.sql.types import (
+                LongType, StringType, StructField, StructType, TimestampType,
+            )
+
+            empty = StructType(
+                list(latest_schema.fields)
+                + [
+                    StructField("_change_type", StringType(), True),
+                    StructField("_commit_version", LongType(), True),
+                    StructField("_commit_timestamp", TimestampType(), True),
+                ]
+            )
+            return self.spark.createDataFrame([], empty)
+        data_cols = [c for c in out.columns if c not in meta_cols]
+        return out.select(*data_cols, *meta_cols)
+
     def partition_columns(self) -> list[str]:
         """The table's bound partition columns (fixed at creation,
         Delta-style), or [] when unpartitioned."""
@@ -4967,6 +5162,55 @@ class Catalog:
                 out = out[: hit.start()] + view + out[hit.end():]
         return out
 
+    _TABLE_CHANGES_RE = re.compile(
+        r"table_changes\s*\(\s*'([^']+)'\s*,\s*"
+        r"('(?:[^']|'')*'|[^,()]+?)\s*"
+        r"(?:,\s*('(?:[^']|'')*'|[^,()]+?)\s*)?\)",
+        re.IGNORECASE,
+    )
+
+    def _rewrite_table_changes(self, statement: str) -> str:
+        """Rewrite ``table_changes('t', start [, end])`` table-valued
+        references (Databricks' CDF SQL function — Spark's parser has
+        no such TVF) into views registered over
+        ``ManagedTable.table_changes``. Boundaries are version
+        integers or quoted timestamps; applies at any paren depth but
+        never inside string literals (same literal mask as time
+        travel)."""
+
+        def _arg(raw: str | None):
+            if raw is None:
+                return None
+            raw = raw.strip()
+            if raw.startswith("'"):
+                return raw[1:-1].replace("''", "'")
+            try:
+                return int(raw)
+            except ValueError:
+                raise ValueError(
+                    f"table_changes: boundary {raw!r} is neither a "
+                    "version integer nor a quoted timestamp"
+                ) from None
+
+        out = statement
+        while True:
+            mask = self._toplevel_mask(out, parens=False)
+            hit = next(
+                (m for m in self._TABLE_CHANGES_RE.finditer(out)
+                 if mask[m.start()] and (self.root / m.group(1)).is_dir()),
+                None,
+            )
+            if hit is None:
+                break
+            name = hit.group(1)
+            start, end = _arg(hit.group(2)), _arg(hit.group(3))
+            view = f"__tc_{name}_{abs(hash((name, start, end))) % 10**8}"
+            self._existing_table(name).table_changes(
+                start, end
+            ).createOrReplaceTempView(view)
+            out = out[: hit.start()] + view + out[hit.end():]
+        return out
+
     _DDL_VERB_RE = re.compile(r"^\s*(CREATE|ALTER|DROP)\b", re.IGNORECASE)
     _CREATE_RE = re.compile(
         r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+"
@@ -5267,6 +5511,10 @@ class Catalog:
           supported subset).
         - ``t VERSION AS OF n`` / ``t TIMESTAMP AS OF '…'`` references
           in queries are rewritten onto time-travel snapshots.
+        - ``table_changes('t', start [, end])`` references are
+          rewritten onto the CDF read (``ManagedTable.table_changes``:
+          table columns + ``_change_type`` / ``_commit_version`` /
+          ``_commit_timestamp``).
         - utility verbs: DESCRIBE HISTORY/DETAIL, OPTIMIZE [ZORDER BY],
           VACUUM [RETAIN n VERSIONS], RESTORE … TO … AS OF
           (``_sql_util``).
@@ -5333,7 +5581,9 @@ class Catalog:
                         "backquoted table names are not supported — use "
                         "the bare managed-table name"
                     )
-                body = self._rewrite_time_travel(body)
+                body = self._rewrite_table_changes(
+                    self._rewrite_time_travel(body)
+                )
                 self.register_views()
                 if re.match(r"(?is)^\s*VALUES\b", body):
                     body = f"SELECT * FROM ({body})"
@@ -5362,6 +5612,8 @@ class Catalog:
                     return t.overwrite(rows)
                 return t.append(rows)
             return self._sql_merge(statement)
-        statement = self._rewrite_time_travel(statement)
+        statement = self._rewrite_table_changes(
+            self._rewrite_time_travel(statement)
+        )
         self.register_views()
         return self.spark.sql(statement)
