@@ -8626,6 +8626,63 @@ def q_sql_table_changes(spark, sf):
     )
 
 
+@_q(
+    "sql_identity_generated",
+    "Databricks identity + generated columns end-to-end through the "
+    "SQL router: CREATE TABLE with GENERATED ALWAYS AS IDENTITY "
+    "(START WITH 10 INCREMENT BY 5) and GENERATED ALWAYS AS (expr), "
+    "INSERT ... SELECT omitting both auto columns, then validate: ids "
+    "allocated map-side (unique, step-aligned, above the start — "
+    "values themselves are partitioning-dependent by Delta's 'unique "
+    "but not consecutive' contract, so the oracle checks the "
+    "INVARIANTS as booleans), generated values computed exactly, high "
+    "water mark committed atomically with the write",
+    "extension: identity/generated columns (sources/tables.py "
+    "_parse_generated_clauses/_apply_column_policies; Databricks "
+    "GENERATED clauses over the reference's dim-table keys, "
+    "DimUser.py:14-17)",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_ids,
+           TRUE AS ids_aligned,
+           TRUE AS ids_above_start,
+           TRUE AS gen_exact,
+           CAST(sum(CAST(round(c_acctbal * 2.0 * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS sum_bal2
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def q_sql_identity_generated(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    cat = Catalog(spark, _scratch_warehouse("q_idgen", sf))
+    _t(spark, sf, "customer").createOrReplaceTempView("idgen_customer_src")
+    cat.sql(
+        "CREATE TABLE dim_acct ("
+        "  id BIGINT GENERATED ALWAYS AS IDENTITY "
+        "    (START WITH 10 INCREMENT BY 5),"
+        "  c_custkey BIGINT,"
+        "  bal DOUBLE,"
+        "  bal2 DOUBLE GENERATED ALWAYS AS (bal * 2.0)"
+        ")"
+    )
+    cat.sql(
+        "INSERT INTO dim_acct SELECT c_custkey, "
+        "CAST(c_acctbal AS DOUBLE) FROM idgen_customer_src "
+        "WHERE c_custkey <= 200"
+    )
+    return cat.sql(
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(count(DISTINCT id) AS BIGINT) AS n_ids, "
+        "bool_and((id - 10) % 5 = 0) AS ids_aligned, "
+        "bool_and(id >= 10) AS ids_above_start, "
+        "bool_and(bal2 = bal * 2.0) AS gen_exact, "
+        "CAST(sum(CAST(round(bal2 * 100) AS BIGINT)) AS DOUBLE) / 100.0 "
+        "  AS sum_bal2 "
+        "FROM dim_acct"
+    )
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at

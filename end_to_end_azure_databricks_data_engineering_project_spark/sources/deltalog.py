@@ -85,6 +85,7 @@ _LEGACY_WRITER_FEATURES = {
     2: ("appendOnly", "invariants"),
     3: ("checkConstraints",),
     4: ("changeDataFeed", "generatedColumns"),
+    6: ("identityColumns",),
 }
 
 
@@ -104,14 +105,28 @@ def feature_protocol(writer_version: int) -> dict:
     }
 
 
-def required_writer_version(configuration: dict | None) -> int:
-    """The minimum Delta writer version the table's configuration
-    demands (PROTOCOL.md): CDF tables emit cdc actions (writer v4);
-    CHECK constraints must be ENFORCED by any writer (v3) — a v2-only
-    stock writer pointed at a constrained table could otherwise append
-    violating rows without erroring."""
+def required_writer_version(
+    configuration: dict | None, schema_string: str | None = None
+) -> int:
+    """The minimum Delta writer version the table's configuration and
+    schema demand (PROTOCOL.md): identity columns must be allocated by
+    any writer (v6 — a v2-5 stock writer would insert NULLs/dupes into
+    the id column); CDF tables emit cdc actions (writer v4); generated
+    columns must be computed/validated by any writer (also v4); CHECK
+    constraints must be ENFORCED by any writer (v3) — a v2-only stock
+    writer pointed at a constrained table could otherwise append
+    violating rows without erroring. Identity/generated definitions
+    live in the schemaString's per-column metadata (Delta's own
+    storage: ``delta.identity.*`` / ``delta.generationExpression``),
+    hence the substring probes."""
     cfg = configuration or {}
-    if cfg.get("delta.enableChangeDataFeed") == "true":
+    ss = schema_string or ""
+    if '"delta.identity.start"' in ss:
+        return 6
+    if (
+        cfg.get("delta.enableChangeDataFeed") == "true"
+        or '"delta.generationExpression"' in ss
+    ):
         return 4
     if any(k.startswith("delta.constraints.") for k in cfg):
         return 3
@@ -313,7 +328,7 @@ def build_commit(
     now_ms = int(time.time() * 1000)
     data_change = op not in _NO_DATA_CHANGE_OPS
     actions: list[dict] = []
-    required = required_writer_version(configuration)
+    required = required_writer_version(configuration, schema_string)
     has_dv = any(a.get("dv") for a in adds)
     if delta_version == 0:
         # commit 0 can carry DV adds (log restart/enablement on a table

@@ -600,7 +600,7 @@ class ManagedTable:
         # are 1:1 with table commits, so the re-emission is deferred —
         # documented in add_constraint)
         md5 = self._meta_fingerprint(schema_string, cfg)
-        required_wv = deltalog.required_writer_version(cfg)
+        required_wv = deltalog.required_writer_version(cfg, schema_string)
         new_entries = self._delta_file_entries(v)
         # DV protocol gate (PROTOCOL.md table features): the first
         # commit whose snapshot carries deletion vectors must bump the
@@ -904,7 +904,9 @@ class ManagedTable:
                 # divergent formula would spuriously re-emit metaData
                 # on the first data commit after every restart
                 "schema_md5": self._meta_fingerprint(schema_string, cfg),
-                "writer_version": deltalog.required_writer_version(cfg),
+                "writer_version": deltalog.required_writer_version(
+                    cfg, schema_string
+                ),
                 # restart commit 0 opens with the feature protocol when
                 # the current snapshot carries DVs (build_commit emits
                 # it from the adds); record it so later commits don't
@@ -938,7 +940,7 @@ class ManagedTable:
         }
         removes = sorted((set(prior_live) - set(new_entries)) | changed)
         cfg = self._delta_configuration(state)
-        required_wv = deltalog.required_writer_version(cfg)
+        required_wv = deltalog.required_writer_version(cfg, schema_string)
         # the crashed commit may have been the one carrying a protocol
         # upgrade: re-emit whenever the configuration demands more than
         # the base protocol — and ALWAYS in the feature form when the
@@ -1111,12 +1113,138 @@ class ManagedTable:
                     f.dataType,
                     f.nullable
                     or (f.name in by_name and by_name[f.name].nullable),
+                    # stored per-field metadata (identity/generated
+                    # definitions, Delta's delta.identity.* keys) must
+                    # survive every append — batches never carry it
+                    f.metadata,
                 )
                 for f in stored.fields
             ]
             + [StructField(f.name, f.dataType, True) for f in extras]
         )
         return out, commit_schema
+
+    def column_policies(self) -> tuple[dict, dict]:
+        """The table's declared column policies, read from the
+        committed schema's per-field metadata (Delta's own storage —
+        ``delta.generationExpression`` for generated columns,
+        ``delta.identity.start/step/allowExplicitInsert`` for identity
+        columns): ``(generated {col: expr}, identity {col: {start,
+        step, always}})``. Empty dicts when the table has none (or no
+        committed schema yet — policies bind at CREATE TABLE and apply
+        from the next write on)."""
+        schema = self.table_schema()
+        gen: dict = {}
+        ident: dict = {}
+        if schema is None:
+            return gen, ident
+        for f in schema.fields:
+            md = f.metadata or {}
+            if "delta.generationExpression" in md:
+                gen[f.name] = md["delta.generationExpression"]
+            if "delta.identity.start" in md:
+                ident[f.name] = {
+                    "start": int(md["delta.identity.start"]),
+                    "step": int(md["delta.identity.step"]),
+                    "always": not md.get(
+                        "delta.identity.allowExplicitInsert", False
+                    ),
+                }
+        return gen, ident
+
+    def _identity_hw_key(self, col: str) -> str:
+        return f"identity_high_water_{col}"
+
+    def _apply_column_policies(self, df: DataFrame):
+        """Enforce the table's generated/identity column policies on an
+        incoming batch (Delta write semantics, applied by ``append`` /
+        ``overwrite`` before schema alignment):
+
+        - a missing GENERATED column is computed from its expression
+          (a provided one is validated by the auto-bound CHECK
+          constraint riding the write projection — Delta fails writes
+          whose explicit values break the generation expression);
+        - a missing IDENTITY column is allocated as ``high_water +
+          step * (monotonically_increasing_id() + 1)`` — unique and
+          step-respecting with GAPS, exactly Delta's identity contract
+          ("values are unique but not guaranteed consecutive"): the
+          per-partition id offsets make allocation a pure map-side
+          expression (zero extra jobs, zero shuffle at any scale);
+        - providing explicit values for a GENERATED ALWAYS AS IDENTITY
+          column raises (BY DEFAULT accepts them and advances the high
+          water mark past their max).
+
+        Returns ``(df, finalize)``. ``finalize(set_props,
+        expect_props)`` must be called AFTER the write job ran: the
+        realized max id rides the write via ``observe`` (no second
+        pass), becomes the new ``identity_high_water_<col>`` in
+        ``set_props``, and the OLD high water is pinned in
+        ``expect_props`` — two concurrent appends allocating from the
+        same high water then conflict in the locked commit (Delta's
+        identity metadata conflict) instead of silently publishing
+        duplicate ids; the loser re-reads and retries. ``finalize`` is
+        None when the table has no policies."""
+        gen, ident = self.column_policies()
+        if not gen and not ident:
+            return df, None
+        stored = self.table_schema()
+        type_of = {f.name: f.dataType for f in stored.fields}
+        for col, expr in gen.items():
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(expr).cast(type_of[col]))
+        from pyspark.sql import Observation
+
+        tracked: list[tuple[str, int, int, object]] = []
+        expects: dict = {}
+        # a zero-partition batch (empty LocalRelation) runs no tasks, so
+        # an Observation on it would never resolve — skip instrumenting:
+        # nothing is allocated, the high water stays put
+        observable = not ident or df.rdd.getNumPartitions() > 0
+        for col, spec in ident.items():
+            key = self._identity_hw_key(col)
+            raw = self.table_prop(key)
+            hw = int(raw) if raw is not None else spec["start"] - spec["step"]
+            step = spec["step"]
+            if col in df.columns:
+                if spec["always"]:
+                    raise ValueError(
+                        f"table {self.name}: column {col} is GENERATED "
+                        "ALWAYS AS IDENTITY — explicit values are not "
+                        "allowed (declare it GENERATED BY DEFAULT to "
+                        "permit them)"
+                    )
+            else:
+                df = df.withColumn(
+                    col,
+                    (
+                        F.lit(hw)
+                        + F.lit(step) * (F.monotonically_increasing_id() + 1)
+                    ).cast("long"),
+                )
+            obs = None
+            if observable:
+                obs = Observation()
+                agg = (F.max(col) if step > 0 else F.min(col)).alias("hw")
+                df = df.observe(obs, agg)
+            tracked.append((key, hw, step, obs))
+            if raw is not None:
+                expects[key] = raw
+
+        def finalize(set_props: dict | None, expect_props: dict | None):
+            sp = dict(set_props or {})
+            for key, hw, step, obs in tracked:
+                got = obs.get.get("hw") if obs is not None else None
+                if got is None:  # empty batch: high water unchanged
+                    new_hw = hw
+                elif step > 0:
+                    new_hw = max(hw, int(got))
+                else:
+                    new_hw = min(hw, int(got))
+                sp[key] = str(new_hw)
+            ep = {**(expect_props or {}), **expects}
+            return (sp or None), (ep or None)
+
+        return df, finalize
 
     # -- read/write ----------------------------------------------------------
     def _read_version(self, v: int, names: list[str] | None) -> DataFrame:
@@ -2660,6 +2788,7 @@ class ManagedTable:
         op: str = "snapshot",
         partition_by: Sequence[str] | None = None,
         enable_cdf: bool = False,
+        _apply_policies: bool = True,
     ) -> int | None:
         """Write a full new snapshot and atomically repoint ``_latest``.
 
@@ -2708,6 +2837,9 @@ class ManagedTable:
             # log's commit-0 protocol (writer v4) and metaData
             # configuration carry it; merges then materialize cdc files
             set_props = {**(set_props or {}), "enable_cdf": "true"}
+        policy_done = None
+        if _apply_policies:
+            df, policy_done = self._apply_column_policies(df)
         pcols = list(partition_by) if partition_by else self.partition_columns()
         if pcols:
             missing = [c for c in pcols if c not in df.columns]
@@ -2745,6 +2877,9 @@ class ManagedTable:
             # claim any more than the data write itself failing does
             self._discard_claim(v)
             raise
+        if policy_done is not None:
+            # realized identity high water rode the write via observe
+            set_props, expect_props = policy_done(set_props, expect_props)
         try:
             committed = self._commit(
                 v, epoch, epoch_key, expected_version, set_props, expect_props
@@ -2766,6 +2901,7 @@ class ManagedTable:
         set_props: dict | None = None,
         expect_props: dict | None = None,
         partition_by: Sequence[str] | None = None,
+        _apply_policies: bool = True,
     ) -> int | None:
         """Append = new snapshot directory: new files land next to
         hardlinked prior files (cheap, no data rewrite). Epoch watermark
@@ -2804,7 +2940,7 @@ class ManagedTable:
             return self.overwrite(
                 df, epoch, epoch_key, expected_version=-1,
                 set_props=set_props, expect_props=expect_props, op="append",
-                partition_by=partition_by,
+                partition_by=partition_by, _apply_policies=_apply_policies,
             )
         if partition_by is not None and list(partition_by) != self.partition_columns():
             raise ValueError(
@@ -2813,6 +2949,9 @@ class ManagedTable:
                 f"partitioning {self.partition_columns()} (fixed at "
                 "creation)"
             )
+        policy_done = None
+        if _apply_policies:
+            df, policy_done = self._apply_column_policies(df)
         df, schema = self._align(df, evolve)
         new_v = self._claim_next_version()
         new_dir = self._version_dir(new_v)
@@ -2859,6 +2998,12 @@ class ManagedTable:
         # claim, and re-commit atop. Anything else in the interleave
         # (merge/overwrite/restore — real content changes this append
         # never saw) keeps the loud failure.
+        if policy_done is not None:
+            # realized identity high water rode the write via observe;
+            # the OLD high water pins as expect_props so a rebase over a
+            # concurrent identity-allocating append conflicts loudly
+            # (duplicate ids) instead of silently double-allocating
+            set_props, expect_props = policy_done(set_props, expect_props)
         base_v = v
         for _ in range(5):
             try:
@@ -5226,6 +5371,101 @@ class Catalog:
         re.IGNORECASE,
     )
 
+    _IDENTITY_RE = re.compile(
+        r"(?is)\bGENERATED\s+(ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY"
+        r"\s*(?:\(([^)]*)\))?"
+    )
+    _GENERATED_EXPR_RE = re.compile(
+        r"(?is)\bGENERATED\s+ALWAYS\s+AS\s*\("
+    )
+
+    @classmethod
+    def _parse_generated_clauses(
+        cls, cols_ddl: str
+    ) -> tuple[str, dict[str, dict]]:
+        """Extract Databricks ``GENERATED`` clauses from a CREATE TABLE
+        column list (Spark's DDL parser rejects them) and return the
+        stripped DDL plus per-column Delta schema metadata:
+
+        - ``c BIGINT GENERATED ALWAYS|BY DEFAULT AS IDENTITY [(START
+          WITH s | INCREMENT BY i …)]`` → ``delta.identity.start/step/
+          allowExplicitInsert`` (Delta's own column-metadata keys);
+        - ``c TYPE GENERATED ALWAYS AS (expr)`` →
+          ``delta.generationExpression``.
+
+        Splits on top-level commas only (DECIMAL(10,2) and expression
+        commas stay intact, string literals are opaque)."""
+        mask = cls._toplevel_mask(cols_ddl)
+        segs: list[str] = []
+        last = 0
+        for i, ch in enumerate(cols_ddl):
+            if ch == "," and mask[i]:
+                segs.append(cols_ddl[last:i])
+                last = i + 1
+        segs.append(cols_ddl[last:])
+        out_segs: list[str] = []
+        meta: dict[str, dict] = {}
+        for seg in segs:
+            nm = re.match(r"\s*([A-Za-z_]\w*)", seg)
+            col = nm.group(1) if nm else None
+            im = cls._IDENTITY_RE.search(seg)
+            if im and col:
+                mode, opts = im.group(1).upper(), im.group(2) or ""
+                start, step = 1, 1
+                sm = re.search(r"(?i)START\s+WITH\s+(-?\d+)", opts)
+                if sm:
+                    start = int(sm.group(1))
+                km = re.search(r"(?i)INCREMENT\s+BY\s+(-?\d+)", opts)
+                if km:
+                    step = int(km.group(1))
+                if step == 0:
+                    raise ValueError(
+                        f"identity column {col}: INCREMENT BY 0 is invalid"
+                    )
+                leftover = re.sub(
+                    r"(?i)START\s+WITH\s+-?\d+|INCREMENT\s+BY\s+-?\d+|,",
+                    "", opts,
+                ).strip()
+                if leftover:
+                    raise ValueError(
+                        f"identity column {col}: unsupported IDENTITY "
+                        f"option(s) {leftover!r} (START WITH n / "
+                        "INCREMENT BY n)"
+                    )
+                meta[col] = {
+                    "delta.identity.start": start,
+                    "delta.identity.step": step,
+                    "delta.identity.allowExplicitInsert": mode != "ALWAYS",
+                }
+                out_segs.append(seg[: im.start()] + seg[im.end():])
+                continue
+            gm = cls._GENERATED_EXPR_RE.search(seg)
+            if gm and col:
+                depth = 1
+                j = gm.end()
+                while j < len(seg) and depth:
+                    if seg[j] == "(":
+                        depth += 1
+                    elif seg[j] == ")":
+                        depth -= 1
+                    j += 1
+                if depth:
+                    raise ValueError(
+                        f"generated column {col}: unbalanced parentheses "
+                        "in the generation expression"
+                    )
+                expr = seg[gm.end(): j - 1].strip()
+                if not expr:
+                    raise ValueError(
+                        f"generated column {col}: empty generation "
+                        "expression"
+                    )
+                meta[col] = {"delta.generationExpression": expr}
+                out_segs.append(seg[: gm.start()] + seg[j:])
+                continue
+            out_segs.append(seg)
+        return ", ".join(s.strip() for s in out_segs), meta
+
     def _sql_ddl(self, statement: str):
         """Databricks-style DDL on managed tables (r12 verdict "What's
         missing" #3 — Spark's own parser cannot create ManagedTables):
@@ -5234,6 +5474,13 @@ class Catalog:
           [PARTITIONED BY (c, …)] [TBLPROPERTIES (…)]`` — empty table
           with the declared schema (CDF via the
           ``delta.enableChangeDataFeed`` property, Delta's own knob);
+          columns may carry Databricks ``GENERATED ALWAYS|BY DEFAULT
+          AS IDENTITY [(START WITH s INCREMENT BY i)]`` (BIGINT only)
+          and ``GENERATED ALWAYS AS (expr)`` clauses — definitions
+          land as Delta per-column schema metadata, ids are allocated
+          map-side on every write with the high water mark riding the
+          commit, and generation expressions are computed when omitted
+          and CHECK-validated when provided;
         - ``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t AS <query>`` —
           CTAS (time-travel references in the query travel);
         - ``ALTER TABLE t ADD COLUMN[S] (c type, …)`` — additive
@@ -5321,12 +5568,54 @@ class Catalog:
                     f"unsupported CREATE TABLE tail {rest!r}; expected "
                     "[PARTITIONED BY (…)] [TBLPROPERTIES (…)]"
                 )
+            # Databricks GENERATED clauses are extracted BEFORE parsing
+            # (Spark's DDL parser rejects them): identity/generation
+            # definitions become per-field Delta metadata on the
+            # committed schema, enforced by every later write
+            cols_ddl, col_meta = self._parse_generated_clauses(cols_ddl)
             # Spark's DDL parser is the schema authority (types,
             # NOT NULL, comments all parse exactly as spark.sql would)
             empty = self.spark.createDataFrame([], cols_ddl)
-            return t.overwrite(
-                empty, partition_by=partition_by, enable_cdf=enable_cdf
+            hw_props: dict = {}
+            gen_checks: list[tuple[str, str]] = []
+            if col_meta:
+                from pyspark.sql.types import LongType, StructField, StructType
+
+                fields = []
+                for f in empty.schema.fields:
+                    md = col_meta.get(f.name)
+                    if md is None:
+                        fields.append(f)
+                        continue
+                    if "delta.identity.start" in md:
+                        if not isinstance(f.dataType, LongType):
+                            raise ValueError(
+                                f"CREATE TABLE {name}: identity column "
+                                f"{f.name} must be BIGINT, got "
+                                f"{f.dataType.simpleString()}"
+                            )
+                        hw_props[f"identity_high_water_{f.name}"] = str(
+                            md["delta.identity.start"]
+                            - md["delta.identity.step"]
+                        )
+                    if "delta.generationExpression" in md:
+                        gen_checks.append(
+                            (f.name, md["delta.generationExpression"])
+                        )
+                    fields.append(
+                        StructField(f.name, f.dataType, f.nullable, md)
+                    )
+                empty = self.spark.createDataFrame([], StructType(fields))
+            committed = t.overwrite(
+                empty, partition_by=partition_by, enable_cdf=enable_cdf,
+                set_props=hw_props or None,
             )
+            for col, expr in gen_checks:
+                # Delta validates explicit values against the generation
+                # expression — bind it as a CHECK constraint so the
+                # validation rides the write projection of every commit
+                t.add_constraint(f"gen_{col}", f"{col} <=> ({expr})")
+            return committed
         m = self._ALTER_RE.match(statement)
         if m:
             t = self._dml_table(m.group(1), "ALTER TABLE")
@@ -5374,9 +5663,13 @@ class Catalog:
                     + [StructField(f.name, f.dataType, True) for f in new_fields]
                 )
                 # zero-row evolving append: widens the canonical schema,
-                # carries every file by reference (reads null-fill)
+                # carries every file by reference (reads null-fill).
+                # Column policies are skipped — the frame necessarily
+                # carries the identity/generated columns (they are part
+                # of the schema being widened), not explicit values
                 t.append(
-                    self.spark.createDataFrame([], evolved), evolve=True
+                    self.spark.createDataFrame([], evolved), evolve=True,
+                    _apply_policies=False,
                 )
                 return None
             raise ValueError(
@@ -5597,16 +5890,31 @@ class Catalog:
                     # write loudly, like Spark's own INSERT)
                     stored = t.table_schema()
                     if stored is not None:
-                        if len(rows.columns) != len(stored.fields):
+                        fields = list(stored.fields)
+                        gen, ident = t.column_policies()
+                        auto = {c for c in (*gen, *ident)}
+                        if auto and len(rows.columns) == len(fields) - len(auto):
+                            # Databricks lets INSERT omit generated /
+                            # identity columns; positional mapping then
+                            # targets the remaining columns and the
+                            # write path fills the omitted ones
+                            fields = [f for f in fields if f.name not in auto]
+                        elif len(rows.columns) != len(fields):
                             raise ValueError(
                                 f"INSERT {mode} {name}: query produces "
                                 f"{len(rows.columns)} column(s), table has "
-                                f"{len(stored.fields)}"
+                                f"{len(fields)}"
+                                + (
+                                    f" ({len(fields) - len(auto)} after "
+                                    f"omitting the generated/identity "
+                                    f"column(s) {sorted(auto)})"
+                                    if auto else ""
+                                )
                             )
-                        rows = rows.toDF(*[f.name for f in stored.fields])
+                        rows = rows.toDF(*[f.name for f in fields])
                         rows = rows.select(*[
                             F.col(f.name).cast(f.dataType).alias(f.name)
-                            for f in stored.fields
+                            for f in fields
                         ])
                 if mode == "OVERWRITE":
                     return t.overwrite(rows)
