@@ -8683,6 +8683,69 @@ def q_sql_identity_generated(spark, sf):
     )
 
 
+@_q(
+    "sql_analyze_stats",
+    "ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS routed onto the "
+    "catalog: build a ManagedTable from orders, analyze three columns "
+    "in ONE aggregation pass (min/max/null count exact, distinct count "
+    "via HLL sketch), read the stats back from the committed "
+    "analyze_stats property — exact fields compared bit-exactly, the "
+    "approximate ndv validated within 10pct of the true distinct count "
+    "(boolean the oracle expects TRUE, the approx_analytics pattern)",
+    "extension: ANALYZE TABLE (sources/tables.py analyze; Spark's own "
+    "ANALYZE verb over the reference's ad-hoc SQL surface, "
+    "sample_exploration.py:11-13)",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           CAST(0 AS BIGINT) AS null_ct_status,
+           CAST(max(length(o_orderstatus)) AS BIGINT) AS maxlen_status,
+           round(min(o_totalprice), 9) AS min_price,
+           round(max(o_totalprice), 9) AS max_price,
+           TRUE AS ndv_key_close
+    FROM orders
+    """,
+)
+def q_sql_analyze_stats(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    cat = Catalog(spark, _scratch_warehouse("q_analyze", sf))
+    t = cat.table("orders_t")
+    t.overwrite(o)
+    cat.sql(
+        "ANALYZE TABLE orders_t COMPUTE STATISTICS "
+        "FOR COLUMNS o_orderkey, o_orderstatus, o_totalprice"
+    )
+    st = t.detail()["analyze_stats"]
+    exact_ndv = o.select("o_orderkey").distinct().count()
+    ndv = st["columns"]["o_orderkey"]["approx_ndv"]
+    row = (
+        st["num_rows"],
+        int(st["columns"]["o_orderkey"]["min"]),
+        int(st["columns"]["o_orderkey"]["max"]),
+        st["columns"]["o_orderstatus"]["null_count"],
+        st["columns"]["o_orderstatus"]["max_len"],
+        float(st["columns"]["o_totalprice"]["min"]),
+        float(st["columns"]["o_totalprice"]["max"]),
+        abs(ndv - exact_ndv) <= 0.1 * exact_ndv,
+    )
+    return spark.createDataFrame([row], (
+        "n_rows bigint, min_key bigint, max_key bigint, "
+        "null_ct_status bigint, maxlen_status bigint, "
+        "min_price double, max_price double, ndv_key_close boolean"
+    )).select(
+        "n_rows", "min_key", "max_key", "null_ct_status", "maxlen_status",
+        F.round("min_price", 9).alias("min_price"),
+        F.round("max_price", 9).alias("max_price"),
+        "ndv_key_close",
+    )
+
+
 # ---------------------------------------------------------------------
 
 # The driver verifies queries() in insertion order and caps its run at

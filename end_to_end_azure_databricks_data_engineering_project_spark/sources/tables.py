@@ -1017,7 +1017,101 @@ class ManagedTable:
             ),
             "num_deletion_vector_rows": dv_rows,
             "schema": schema.json() if schema is not None else None,
+            "analyze_stats": (
+                json.loads(self.table_prop("analyze_stats"))
+                if self.table_prop("analyze_stats") else None
+            ),
         }
+
+    def analyze(self, columns: Sequence[str] | None = None) -> dict:
+        """Spark/Databricks ``ANALYZE TABLE t COMPUTE STATISTICS [FOR
+        COLUMNS a, b | FOR ALL COLUMNS]``: table-level stats (row count
+        and bytes — FREE, from the committed manifest metadata, no
+        Spark job) plus optional per-column stats (min / max / null
+        count / approximate distinct count, avg+max length for
+        strings — Spark's own ANALYZE column set) computed in ONE
+        map-side-combinable aggregation pass: the shuffle is a
+        partial-aggregate merge of one row per partition regardless of
+        table size. Binds the result as the ``analyze_stats`` table
+        property (advisory optimizer/operator metadata, surfaced by
+        ``detail()`` / DESCRIBE DETAIL; ``computed_at_version`` records
+        staleness) and returns the stats dict.
+
+        ``columns=None`` computes table-level stats only; complex-typed
+        columns (array/map/struct/binary) are rejected like Spark's
+        ANALYZE."""
+        d = self.detail()
+        out: dict = {
+            "computed_at_version": d["mt_version"],
+            "num_rows": (
+                d["num_rows"] if d["num_rows"] is not None
+                else self.read().count()
+            ),
+            "size_bytes": d["size_bytes"],
+            "columns": {},
+        }
+        if columns:
+            from pyspark.sql.types import (
+                ArrayType, BinaryType, MapType, StringType, StructType,
+            )
+
+            schema = self.table_schema() or self.read().schema
+            fields = {f.name: f for f in schema.fields}
+            unknown = [c for c in columns if c not in fields]
+            if unknown:
+                raise ValueError(
+                    f"ANALYZE {self.name}: unknown column(s) {unknown}"
+                )
+            bad = [
+                c for c in columns
+                if isinstance(
+                    fields[c].dataType,
+                    (ArrayType, MapType, StructType, BinaryType),
+                )
+            ]
+            if bad:
+                raise ValueError(
+                    f"ANALYZE {self.name}: column(s) {bad} have complex "
+                    "types — Spark column statistics support atomic "
+                    "types only"
+                )
+            aggs = []
+            for c in columns:
+                aggs += [
+                    F.min(c).alias(f"{c}__min"),
+                    F.max(c).alias(f"{c}__max"),
+                    F.count(F.when(F.col(c).isNull(), 1)).alias(
+                        f"{c}__nulls"
+                    ),
+                    F.approx_count_distinct(c).alias(f"{c}__ndv"),
+                ]
+                if isinstance(fields[c].dataType, StringType):
+                    aggs += [
+                        F.avg(F.length(c)).alias(f"{c}__avglen"),
+                        F.max(F.length(c)).alias(f"{c}__maxlen"),
+                    ]
+            row = self.read().agg(*aggs).collect()[0].asDict()
+            for c in columns:
+                st = {
+                    "min": row[f"{c}__min"],
+                    "max": row[f"{c}__max"],
+                    "null_count": row[f"{c}__nulls"],
+                    "approx_ndv": row[f"{c}__ndv"],
+                }
+                if f"{c}__avglen" in row:
+                    st["avg_len"] = row[f"{c}__avglen"]
+                    st["max_len"] = row[f"{c}__maxlen"]
+                out["columns"][c] = st
+        fd = self._acquire_commit_lock()
+        try:
+            state = self._pointer_state()
+            state.setdefault("props", {})["analyze_stats"] = json.dumps(
+                out, default=str
+            )
+            self._write_pointer_locked(state)
+        finally:
+            self._release_commit_lock(fd)
+        return out
 
     def write_delta_checkpoint(self) -> Path:
         """Write a classic Delta checkpoint for the current delta
@@ -5702,7 +5796,12 @@ class Catalog:
         )
 
     _UTIL_VERB_RE = re.compile(
-        r"^\s*(DESCRIBE|OPTIMIZE|VACUUM|RESTORE)\b", re.IGNORECASE
+        r"^\s*(DESCRIBE|OPTIMIZE|VACUUM|RESTORE|ANALYZE)\b", re.IGNORECASE
+    )
+    _ANALYZE_RE = re.compile(
+        r"^\s*ANALYZE\s+TABLE\s+(\S+)\s+COMPUTE\s+STATISTICS"
+        r"(?:\s+FOR\s+(ALL\s+COLUMNS|COLUMNS\s+.+?))?\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
     )
     _DESCRIBE_RE = re.compile(
         r"^\s*DESCRIBE\s+(HISTORY|DETAIL)\s+(\S+)\s*;?\s*$", re.IGNORECASE
@@ -5727,9 +5826,11 @@ class Catalog:
         """Databricks SQL utility verbs on managed tables (Spark's
         parser rejects them on temp views): DESCRIBE HISTORY/DETAIL,
         OPTIMIZE [ZORDER BY …], VACUUM [RETAIN n VERSIONS] (the engine
-        retains by VERSION count, not hours — documented variant), and
-        RESTORE … TO VERSION/TIMESTAMP AS OF. Unroutable shapes raise
-        precise errors."""
+        retains by VERSION count, not hours — documented variant),
+        RESTORE … TO VERSION/TIMESTAMP AS OF, and ANALYZE TABLE …
+        COMPUTE STATISTICS [FOR COLUMNS … | FOR ALL COLUMNS] (bound as
+        the ``analyze_stats`` property, returned as key/value rows).
+        Unroutable shapes raise precise errors."""
         m = self._DESCRIBE_RE.match(statement)
         if m:
             kind, name = m.group(1).upper(), m.group(2)
@@ -5743,6 +5844,47 @@ class Catalog:
             return self.spark.createDataFrame(
                 [(k, None if v is None else str(v)) for k, v in d.items()],
                 "info_name string, info_value string",
+            )
+        m = self._ANALYZE_RE.match(statement)
+        if m:
+            name, what = m.group(1), m.group(2)
+            t = self._dml_table(name, "ANALYZE TABLE")
+            cols: list[str] | None = None
+            if what is not None:
+                if re.match(r"(?is)^ALL\s+COLUMNS$", what.strip()):
+                    from pyspark.sql.types import (
+                        ArrayType, BinaryType, MapType, StructType,
+                    )
+
+                    schema = t.table_schema()
+                    cols = [
+                        f.name for f in (schema.fields if schema else [])
+                        if not isinstance(
+                            f.dataType,
+                            (ArrayType, MapType, StructType, BinaryType),
+                        )
+                    ]
+                else:
+                    cols = [
+                        c.strip()
+                        for c in re.sub(
+                            r"(?is)^COLUMNS\s+", "", what.strip()
+                        ).split(",")
+                    ]
+            stats = t.analyze(cols)
+            # key/value shape like DESCRIBE DETAIL (nested column stats
+            # flatten to '<col>.<stat>' rows)
+            rows: list[tuple[str, str | None]] = [
+                (k, None if v is None else str(v))
+                for k, v in stats.items() if k != "columns"
+            ]
+            for c, st in stats["columns"].items():
+                rows += [
+                    (f"{c}.{k}", None if v is None else str(v))
+                    for k, v in st.items()
+                ]
+            return self.spark.createDataFrame(
+                rows, "info_name string, info_value string"
             )
         m = self._OPTIMIZE_RE.match(statement)
         if m:
@@ -5787,7 +5929,9 @@ class Catalog:
         raise ValueError(
             f"unsupported {verb} shape; expected "
             "OPTIMIZE <t> [ZORDER BY (a, b)] / VACUUM <t> [RETAIN n "
-            "VERSIONS] / RESTORE [TABLE] <t> TO VERSION|TIMESTAMP AS OF …"
+            "VERSIONS] / RESTORE [TABLE] <t> TO VERSION|TIMESTAMP AS OF … "
+            "/ ANALYZE TABLE <t> COMPUTE STATISTICS [FOR COLUMNS a, b | "
+            "FOR ALL COLUMNS]"
         )
 
     def sql(self, statement: str):
