@@ -748,6 +748,83 @@ def exact_jaccard_join(
     return out
 
 
+def exact_containment_join(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT shingle-CONTAINMENT self-join via prefix filtering — the
+    asymmetric sibling of ``exact_jaccard_join`` for quote / near-subset
+    detection: ``C(a→b) = |Sa ∩ Sb| / |Sa| ≥ threshold`` flags document
+    ``a`` as (nearly) contained in ``b`` regardless of how much LARGER
+    ``b`` is — the case Jaccard structurally misses (a 50-token article
+    quoted inside a 5000-token page has J ≈ 0.01 but C = 1.0). The
+    classic crawl-dedup use: drop pages that merely embed another
+    document.
+
+    Prefix filter (set-containment-join form of Bayardo WWW'07): only
+    the CONTAINED side needs a prefix — a pair with C ≥ t shares
+    ≥ ceil(t·|Sa|) shingles, more than fit in a's suffix, so some
+    shared shingle lies in a's df-ascending prefix. Candidates are
+    prefix(a) ⋈ full(b): hot shingles (boilerplate trigrams) are pushed
+    out of every prefix by the df ordering, so they generate ZERO
+    candidates even though the container side is unfiltered.
+
+    Returns DIRECTIONAL rows: (id_contained, id_container, inter,
+    containment) — exact counts, one IEEE division each. Shuffle shape
+    matches ``exact_jaccard_join``: df agg, per-doc rank window,
+    candidate equi-join, verification join; raw text never shuffles."""
+    t = float(threshold)
+    sh = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
+        .select("doc_id", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"))
+    ).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + F.lit(1)
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_contained"),
+            F.col("b.doc_id").alias("id_container"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "id_contained"), "id_contained")
+        .join(
+            sh.select(
+                F.col("doc_id").alias("id_container"),
+                F.col("shingle").alias("_shb"),
+            ),
+            ["id_container"],
+        )
+        .filter(F.col("shingle") == F.col("_shb"))
+        .groupBy("id_contained", "id_container")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "id_contained"), "id_contained"
+        )
+        .withColumn("containment", F.col("inter") / F.col("sz"))
+        .filter(F.col("containment") >= t)
+        .select("id_contained", "id_container", "inter", "containment")
+    )
+
+
 # ----------------------------------------------------- quality-priority --
 def minhash_dedup_keep_best(
     df: DataFrame,

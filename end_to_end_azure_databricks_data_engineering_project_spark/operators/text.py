@@ -146,6 +146,38 @@ def redaction_count(text: Column, patterns: dict[str, str] = PII_PATTERNS) -> Co
     return total.cast("int")
 
 
+# HTML entities decoded by strip_html, in application order (&amp;
+# LAST so '&amp;lt;' decodes to the literal '&lt;', not to '<').
+_HTML_ENTITIES = (
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+)
+
+
+def strip_html(text: Column) -> Column:
+    """Boilerplate-strip an HTML payload to visible text (the crawl →
+    training-text extraction step): drop <script>/<style> blocks and
+    HTML comments wholesale, replace every remaining tag with a space
+    (block boundaries must not glue words), decode the six common
+    entities, collapse whitespace, trim.
+
+    Pure native regexp/replace expressions — one scan-stage projection,
+    no UDF, no shuffle. Patterns stay inside the RE2-compatible subset
+    (no backreferences, explicit (?is) flags) so an external engine can
+    replay the exact transform — the DuckDB oracle for the
+    html_boilerplate_strip catalog entry does, byte-for-byte. Real
+    readability extraction (trafilatura-class DOM scoring) needs an
+    HTML parser library; this is the deterministic streaming-safe core
+    that handles machine-generated boilerplate."""
+    out = F.regexp_replace(text, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 def chunk_tokens(
     df: DataFrame,
     text_col: str = "text",

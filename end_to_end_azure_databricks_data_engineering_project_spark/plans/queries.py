@@ -4697,6 +4697,104 @@ def q_exact_jaccard_pairs(spark, sf):
 
 
 @_q(
+    "containment_pairs",
+    "EXACT corpus-wide trigram-CONTAINMENT self-join (threshold 0.9) — "
+    "the asymmetric dedup Jaccard misses: C(a→b) = |Sa∩Sb|/|Sa| flags "
+    "a document (nearly) quoted inside a much larger one regardless of "
+    "the size gap. Prefix filter on the CONTAINED side only (hot "
+    "shingles leave every prefix, so the unfiltered container side "
+    "still generates no hot-key candidates); oracle brute-forces every "
+    "directional co-occurring pair",
+    "extension: dedup (set-containment join, Bayardo WWW'07 family; "
+    "quote/subset removal for crawl corpora)",
+    "WITH " + _EXACT_TRIGRAM_CO_CTES + """,
+    cod AS (
+      SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+             count(*) AS inter
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_contained, id_container, cod.inter,
+           CAST(cod.inter AS DOUBLE) / x.n AS containment
+    FROM cod JOIN sz x ON x.doc_id = cod.id_contained
+    WHERE CAST(cod.inter AS DOUBLE) / x.n >= 0.9
+    """,
+)
+def q_containment_pairs(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
+        exact_containment_join,
+    )
+
+    return exact_containment_join(
+        _t(spark, sf, "documents"), threshold=0.9, n=3
+    )
+
+
+@_q(
+    "html_boilerplate_strip",
+    "HTML → visible-text extraction (the crawl-to-training-text step): "
+    "wrap each document in synthetic HTML boilerplate (script + style "
+    "+ comment + tags + entities), strip it with native regexp/replace "
+    "expressions in one scan-stage projection — no UDF, no shuffle — "
+    "and emit the cleaned text + token count. Patterns are "
+    "RE2-compatible (no backreferences) so the oracle replays the "
+    "transform byte-for-byte in DuckDB",
+    "extension: text extraction (operators/text.py strip_html; "
+    "boilerplate removal ahead of the doc_quality/dedup stack)",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             '<html><head><style>p {color: red}</style><!-- hdr --></head>'
+             || '<body><h1>Title &amp; &quot;intro&quot;</h1><p>' || text
+             || '</p><script type="text/javascript">var a = 1;</script>'
+             || '</body></html>' AS x
+      FROM documents WHERE doc_id <= 500
+    ), s AS (
+      SELECT doc_id,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(x, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                '(?s)<!--.*?-->', ' ', 'g'),
+              '<[^>]+>', ' ', 'g'),
+            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+            '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+          '\s+', ' ', 'g')) AS clean_text
+      FROM h
+    )
+    SELECT doc_id, clean_text,
+           CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS n_toks
+    FROM s
+    """,
+)
+def q_html_boilerplate_strip(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.text import strip_html
+
+    d = _t(spark, sf, "documents").filter("doc_id <= 500")
+    html = F.concat(
+        F.lit(
+            "<html><head><style>p {color: red}</style><!-- hdr --></head>"
+            '<body><h1>Title &amp; &quot;intro&quot;</h1><p>'
+        ),
+        F.col("text"),
+        F.lit(
+            '</p><script type="text/javascript">var a = 1;</script>'
+            "</body></html>"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        strip_html(html).alias("clean_text"),
+    ).withColumn(
+        "n_toks", F.size(F.split("clean_text", " ")).cast("bigint")
+    )
+
+
+@_q(
     "table_checksum",
     "Order-independent table checksum: XOR of portable per-row md5 "
     "hashes + row count — cross-replica / cross-engine verification "
