@@ -8782,6 +8782,48 @@ def q_sql_identity_generated(spark, sf):
 
 
 @_q(
+    "sql_merge_full_sync",
+    "MERGE with WHEN NOT MATCHED BY SOURCE THEN DELETE (Delta's "
+    "full-sync idiom): snapshot-sync a dim table to a source — "
+    "matched rows update, new rows insert, target rows absent from "
+    "the source DELETE. Routed onto a full-scope merge (every target "
+    "key is a deletion candidate, so batch-key file pruning is "
+    "disabled — Delta reads the whole target for this clause too); "
+    "the commit's change feed still derives exactly",
+    "extension: MERGE BY SOURCE (sources/tables.py _sql_merge/"
+    "merge_keyed full_scope; Databricks full-sync over the "
+    "reference's SCD1 dim maintenance, DimUser.py:20-29)",
+    """
+    SELECT c_custkey, c_name, round(c_acctbal + 1000.0, 9) AS bal
+    FROM customer WHERE c_custkey BETWEEN 51 AND 150
+    """,
+)
+def q_sql_merge_full_sync(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", "c_name",
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    cat = Catalog(spark, _scratch_warehouse("q_fsync", sf))
+    t = cat.table("dim_cust")
+    t.overwrite(c.filter("c_custkey <= 100").repartition(4, "c_custkey"))
+    c.filter("c_custkey BETWEEN 51 AND 150").withColumn(
+        "bal", F.col("bal") + 1000.0
+    ).createOrReplaceTempView("fsync_src")
+    cat.sql(
+        "MERGE INTO dim_cust USING fsync_src ON dim_cust.c_custkey = "
+        "fsync_src.c_custkey "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    return t.read().select(
+        "c_custkey", "c_name", F.round("bal", 9).alias("bal")
+    )
+
+
+@_q(
     "sql_analyze_stats",
     "ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS routed onto the "
     "catalog: build a ManagedTable from orders, analyze three columns "

@@ -3428,8 +3428,19 @@ class ManagedTable:
         epoch=None,
         epoch_key=None,
         evolve: bool = False,
+        full_scope: bool = False,
     ) -> int | None:
         """File-pruned keyed merge (Delta-MERGE-style on plain parquet).
+
+        ``full_scope=True`` skips key discovery entirely and hands
+        ``merge_fn`` the WHOLE table (a full rewrite, nothing carried
+        by reference) — for merge semantics whose output depends on
+        target rows the batch does NOT touch, like Delta's ``WHEN NOT
+        MATCHED BY SOURCE THEN DELETE`` (every target key is a
+        candidate for deletion, so pruning to batch-key files would be
+        wrong; Delta reads the whole target for this clause too). The
+        commit still records removed = the prior snapshot, so the
+        change feed diffs it exactly.
 
         ``evolve=True`` ≙ Delta's MERGE WITH SCHEMA EVOLUTION: new
         nullable columns in the merge OUTPUT widen the committed schema
@@ -3490,35 +3501,45 @@ class ManagedTable:
                 self.merge_manifest_max_files,
             ),
         )
-        cand, read_bounds = self._merge_candidate_files(res, batch, keys)
-        if cand is not None and not cand:
-            # bounds exclude every file: provably nothing touched — no
-            # discovery job at all
-            touched: list = []
+        if full_scope:
+            # whole-table merge semantics: no discovery, no pruning —
+            # and no read_bounds envelope, so a concurrent-writer rebase
+            # conservatively conflicts (the read set IS the table)
+            read_bounds = None
+            touched: list = [None] * (cap + 1)  # > cap ⇒ full-rewrite path
         else:
-            # NOTE the full-snapshot frame (self.read()) is built only
-            # on the unpruned path: constructing it lists every member
-            # path into the driver's file index, an O(table) cost the
-            # pruned path must not pay just for an unused plan branch
-            if cand is None and legacy_base:  # legacy: scan it all
-                discover = self.read().withColumn("__file", F.input_file_name())
+            cand, read_bounds = self._merge_candidate_files(res, batch, keys)
+            if cand is not None and not cand:
+                # bounds exclude every file: provably nothing touched —
+                # no discovery job at all
+                touched = []
             else:
-                # DV-folding tagged read (r12): a row a small delete
-                # tombstoned must not re-touch its file — and must
-                # never re-surface through the merge rewrite
-                scan = sorted(cand) if cand is not None else res[0]
-                discover = self._read_members(
-                    scan, self.table_schema(v), self._resolve_dv(v),
-                    keep_tag=True,
-                ).withColumnRenamed(self.DV_COL, "__file")
-            touched = (
-                discover
-                .join(F.broadcast(bkeys), list(keys), "left_semi")
-                .select("__file")
-                .distinct()
-                .limit(cap + 1)
-                .collect()
-            )
+                # NOTE the full-snapshot frame (self.read()) is built
+                # only on the unpruned path: constructing it lists every
+                # member path into the driver's file index, an O(table)
+                # cost the pruned path must not pay just for an unused
+                # plan branch
+                if cand is None and legacy_base:  # legacy: scan it all
+                    discover = self.read().withColumn(
+                        "__file", F.input_file_name()
+                    )
+                else:
+                    # DV-folding tagged read (r12): a row a small delete
+                    # tombstoned must not re-touch its file — and must
+                    # never re-surface through the merge rewrite
+                    scan = sorted(cand) if cand is not None else res[0]
+                    discover = self._read_members(
+                        scan, self.table_schema(v), self._resolve_dv(v),
+                        keep_tag=True,
+                    ).withColumnRenamed(self.DV_COL, "__file")
+                touched = (
+                    discover
+                    .join(F.broadcast(bkeys), list(keys), "left_semi")
+                    .select("__file")
+                    .distinct()
+                    .limit(cap + 1)
+                    .collect()
+                )
         full_rewrite = len(touched) > cap
         touched_base = (
             set() if full_rewrite
@@ -5265,10 +5286,23 @@ class Catalog:
         upd = ins = False
         del_cond: str | None = None
         has_del = False
+        by_source_del = False
         for c in clauses:
             if re.match(r"(?is)^MATCHED\s+THEN\s+UPDATE\s+SET\s+\*$", c):
                 upd = True
-            elif re.match(r"(?is)^NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$", c):
+            elif re.match(
+                r"(?is)^NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE$", c
+            ):
+                # full-sync idiom: target rows with no source match are
+                # deleted — forces the merge onto the full-scope path
+                # (every target key is a deletion candidate, so
+                # batch-key file pruning would under-delete)
+                by_source_del = True
+            elif re.match(
+                r"(?is)^NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?THEN\s+"
+                r"INSERT\s+\*$",
+                c,
+            ):
                 ins = True
             else:
                 dm = re.match(
@@ -5281,11 +5315,12 @@ class Catalog:
                 raise ValueError(
                     f"unsupported MERGE clause 'WHEN {c}': the router "
                     "handles WHEN MATCHED THEN UPDATE SET *, WHEN MATCHED "
-                    "[AND <source-row cond>] THEN DELETE, and WHEN NOT "
-                    "MATCHED THEN INSERT * (column lists / both-row "
-                    "conditions: use ManagedTable.merge_keyed)"
+                    "[AND <source-row cond>] THEN DELETE, WHEN NOT MATCHED "
+                    "[BY TARGET] THEN INSERT *, and WHEN NOT MATCHED BY "
+                    "SOURCE THEN DELETE (column lists / conditional "
+                    "BY-SOURCE forms: use ManagedTable.merge_keyed)"
                 )
-        if not (upd or ins or has_del):
+        if not (upd or ins or has_del or by_source_del):
             raise ValueError("MERGE needs at least one actionable clause")
         target_cols = None
         if table.exists():
@@ -5357,13 +5392,21 @@ class Catalog:
             out = cur.join(
                 F.broadcast(drop_keys.distinct()), keys, "left_anti"
             )
+            if by_source_del:
+                # NOT MATCHED BY SOURCE THEN DELETE: surviving target
+                # rows must have a source match (source is the small
+                # side — its distinct keys broadcast)
+                out = out.join(
+                    F.broadcast(b.select(*keys).distinct()),
+                    keys, "left_semi",
+                )
             if upd_rows is not None:
                 out = out.unionByName(upd_rows)
             if ins:
                 out = out.unionByName(unmatched.select(*cols))
             return out
 
-        return table.merge_keyed(src, keys, merge_fn)
+        return table.merge_keyed(src, keys, merge_fn, full_scope=by_source_del)
 
     _VERSION_AS_OF_RE = re.compile(
         r"(?i)\b([A-Za-z_]\w*)\s+VERSION\s+AS\s+OF\s+(\d+)"
