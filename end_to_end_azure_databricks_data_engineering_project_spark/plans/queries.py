@@ -8782,6 +8782,92 @@ def q_sql_identity_generated(spark, sf):
 
 
 @_q(
+    "sql_copy_into",
+    "COPY INTO routed onto the catalog (file-level exactly-once batch "
+    "ingest — the reference's ADF copy activity with per-file tracking "
+    "instead of a value watermark): land customer parquet in two "
+    "waves, COPY INTO after each (second run loads ONLY the new "
+    "files), then re-run a third time — a no-op. Ledger reference "
+    "advances atomically with the data commit under the epoch guard, "
+    "so replays and concurrent runs can never double-load a file",
+    "extension: COPY INTO (sources/tables.py copy_into; Databricks "
+    "COPY INTO over incremental_loop.json:42-92's copy semantics)",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows_total,
+           CAST(count(*) FILTER (WHERE c_custkey <= 300) AS BIGINT)
+             AS rows_first,
+           CAST(count(*) FILTER (WHERE c_custkey > 300) AS BIGINT)
+             AS rows_second,
+           TRUE AS third_noop
+    FROM customer WHERE c_custkey <= 400
+    """,
+)
+def q_sql_copy_into(spark, sf):
+    from pathlib import Path
+
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    wh = _scratch_warehouse("q_copy", sf)
+    landing = str(Path(wh) / "landing")
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("bal")
+    )
+    c.filter("c_custkey <= 300").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(landing + "/wave=1")
+    cat = Catalog(spark, wh)
+    r1 = cat.sql(
+        f"COPY INTO cust_copy FROM '{landing}' FILEFORMAT = PARQUET"
+    ).collect()[0]
+    c.filter("c_custkey > 300 AND c_custkey <= 400").repartition(1).write.mode(
+        "overwrite"
+    ).parquet(landing + "/wave=2")
+    r2 = cat.sql(
+        f"COPY INTO cust_copy FROM '{landing}' FILEFORMAT = PARQUET"
+    ).collect()[0]
+    r3 = cat.sql(
+        f"COPY INTO cust_copy FROM '{landing}' FILEFORMAT = PARQUET"
+    ).collect()[0]
+    total = cat.table("cust_copy").read().count()
+    return spark.createDataFrame(
+        [(
+            total,
+            r1.num_rows_loaded,
+            r2.num_rows_loaded,
+            r3.num_files_loaded == 0 and r3.num_rows_loaded == 0,
+        )],
+        "n_rows_total bigint, rows_first bigint, rows_second bigint, "
+        "third_noop boolean",
+    )
+
+
+@_q(
+    "sql_shallow_clone",
+    "CREATE TABLE ... SHALLOW CLONE routed onto the catalog: clone a "
+    "nation-derived table by hardlinking its store files (zero data "
+    "copy — immutable files make shared inodes safe), then DELETE "
+    "from the ORIGINAL — the clone is snapshot-insulated and still "
+    "serves every pre-mutation row",
+    "extension: SHALLOW CLONE (sources/tables.py clone_to; Databricks "
+    "CLONE for dev/test copies of the reference's dim tables)",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def q_sql_shallow_clone(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    cat = Catalog(spark, _scratch_warehouse("q_clone", sf))
+    t = cat.table("nation_src")
+    t.overwrite(_t(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ))
+    cat.sql("CREATE TABLE nation_clone SHALLOW CLONE nation_src")
+    cat.sql("DELETE FROM nation_src WHERE n_nationkey < 10")
+    return cat.table("nation_clone").read()
+
+
+@_q(
     "sql_merge_full_sync",
     "MERGE with WHEN NOT MATCHED BY SOURCE THEN DELETE (Delta's "
     "full-sync idiom): snapshot-sync a dim table to a source — "

@@ -5011,6 +5011,96 @@ class ManagedTable:
             raise
         return new_v
 
+    def copy_into(
+        self,
+        source_dir: str | os.PathLike[str],
+        pattern: str | None = None,
+        file_format: str = "parquet",
+    ) -> dict:
+        """Databricks ``COPY INTO``: idempotent, file-level exactly-once
+        batch load — each source file is loaded AT MOST ONCE into the
+        table no matter how many times the statement re-runs (the
+        retryable-ingest verb; ≙ the reference's ADF copy activity with
+        the watermark replaced by per-file tracking).
+
+        Loaded-file state lives in a ledger sidecar
+        (``_copy_ledger/<gen>-<digest>.json``) referenced by the
+        ``copy_into_ledger`` table property; the reference advances
+        ATOMICALLY with the data commit, and the append rides the epoch
+        guard (epoch = ledger generation), so a crash between any two
+        steps — or two concurrent COPY INTO runs discovering the same
+        files — commits the batch exactly once (the loser's append is
+        skipped in-lock; files it saw that the winner didn't stay
+        unseen and load on the next run). Ledger size is O(total files
+        ever loaded) — the same state Databricks keeps for COPY INTO.
+
+        New files append through the normal write path: schema enforced
+        against the committed one (missing nullable columns null-fill,
+        extras raise), column policies (identity/generated) apply, the
+        transaction log records the commit. A nonexistent table is
+        created from the files' merged schema. Returns
+        ``{num_files_loaded, num_rows_loaded, version}`` (version None
+        when nothing new)."""
+        import fnmatch
+        import hashlib
+
+        if file_format.lower() != "parquet":
+            raise ValueError(
+                f"COPY INTO {self.name}: FILEFORMAT = "
+                f"{file_format.upper()} is not supported (PARQUET only)"
+            )
+        src = Path(source_dir)
+        files = sorted(
+            str(p) for p in src.rglob("*.parquet")
+            if not p.name.startswith(("_", "."))
+        )
+        if pattern is not None:
+            files = [
+                f for f in files
+                if fnmatch.fnmatch(os.path.relpath(f, src), pattern)
+            ]
+        old_ref = self.table_prop("copy_into_ledger")
+        ledger_dir = self.dir / "_copy_ledger"
+        seen: set[str] = set()
+        gen = 0
+        if old_ref:
+            seen = set(json.loads((ledger_dir / old_ref).read_text()))
+            gen = int(old_ref.split("-", 1)[0])
+        new = [f for f in files if f not in seen]
+        if not new:
+            return {
+                "num_files_loaded": 0, "num_rows_loaded": 0, "version": None,
+            }
+        payload = json.dumps(sorted(seen | set(new)))
+        ref = (
+            f"{gen + 1}-"
+            + hashlib.md5(payload.encode()).hexdigest()
+            + ".json"
+        )
+        ledger_dir.mkdir(parents=True, exist_ok=True)
+        (ledger_dir / ref).write_text(payload)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*new)
+        v = self.append(
+            df,
+            epoch=gen + 1,
+            epoch_key="copy_into",
+            set_props={"copy_into_ledger": ref},
+        )
+        if v is None:  # concurrent run won the generation: nothing loaded
+            (ledger_dir / ref).unlink(missing_ok=True)
+            return {
+                "num_files_loaded": 0, "num_rows_loaded": 0, "version": None,
+            }
+        m = self._manifest(v)
+        rows = sum(
+            (m["stats"].get(n) or {}).get("rows") or 0 for n in m["added"]
+        )
+        return {
+            "num_files_loaded": len(new),
+            "num_rows_loaded": rows,
+            "version": v,
+        }
+
 
 class Catalog:
     """Tiny namespace of ManagedTables (≙ Unity Catalog schema binding,
@@ -5058,7 +5148,12 @@ class Catalog:
     # handled (or rejected with a precise error) here — never silently
     # passed to spark.sql to die with an obscure parser error.
     _DML_VERB_RE = re.compile(
-        r"^\s*(DELETE|UPDATE|MERGE|INSERT)\b", re.IGNORECASE
+        r"^\s*(DELETE|UPDATE|MERGE|INSERT|COPY)\b", re.IGNORECASE
+    )
+    _COPY_RE = re.compile(
+        r"^\s*COPY\s+INTO\s+(\S+)\s+FROM\s+'([^']+)'\s+"
+        r"FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*$",
+        re.IGNORECASE,
     )
     _INSERT_RE = re.compile(
         r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\S+)\s+(.+?)\s*;?\s*$",
@@ -5648,6 +5743,14 @@ class Catalog:
                     return None  # no-op, SQL semantics
                 raise ValueError(f"table {name} already exists "
                                  "(use OR REPLACE or IF NOT EXISTS)")
+            scm = re.match(r"(?is)^SHALLOW\s+CLONE\s+(\S+)\s*$", tail)
+            if scm:  # CREATE [OR REPLACE] TABLE t SHALLOW CLONE src
+                src_t = self._existing_table(scm.group(1))
+                if t.exists():  # only reachable with OR REPLACE
+                    shutil.rmtree(t.dir)
+                    t = self.table(name)
+                src_t.clone_to(t)
+                return None
             am = re.match(r"(?is)^AS\s+(.+)$", tail)
             if am:  # CTAS
                 body = self._rewrite_time_travel(am.group(1))
@@ -6106,6 +6209,25 @@ class Catalog:
                 if mode == "OVERWRITE":
                     return t.overwrite(rows)
                 return t.append(rows)
+            if word == "COPY":
+                m = self._COPY_RE.match(statement)
+                if m is None:
+                    raise ValueError(
+                        "unsupported COPY shape; expected COPY INTO <t> "
+                        "FROM '<path>' FILEFORMAT = PARQUET "
+                        "[PATTERN = '<glob>']"
+                    )
+                name, path, fmt, pat = m.groups()
+                if not self._BARE_IDENT_RE.match(name):
+                    raise ValueError(
+                        f"COPY INTO {name!r}: use the bare managed-table "
+                        "name"
+                    )
+                res = self.table(name).copy_into(path, pat, fmt)
+                return self.spark.createDataFrame(
+                    [(res["num_files_loaded"], res["num_rows_loaded"])],
+                    "num_files_loaded bigint, num_rows_loaded bigint",
+                )
             return self._sql_merge(statement)
         statement = self._rewrite_table_changes(
             self._rewrite_time_travel(statement)
