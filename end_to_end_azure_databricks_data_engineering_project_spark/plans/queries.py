@@ -8782,6 +8782,48 @@ def q_sql_identity_generated(spark, sf):
 
 
 @_q(
+    "sql_liquid_clustering",
+    "Liquid clustering end-to-end through SQL: CREATE TABLE ... "
+    "CLUSTER BY (key), INSERT unclustered data, OPTIMIZE "
+    "(range-clusters the rewrite on the bound columns — Databricks' "
+    "incremental-clustering contract: writes stay cheap, maintenance "
+    "makes per-file ranges disjoint so the stats index prunes "
+    "sharply), then answer a key-range query through the pruned read "
+    "path — identical rows to a plain scan (pruning is lossless)",
+    "extension: CLUSTER BY (sources/tables.py cluster_columns/"
+    "set_cluster_columns + compact(cluster_by); Databricks liquid "
+    "clustering, successor of OPTIMIZE ZORDER)",
+    """
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 9) AS price
+    FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+    """,
+)
+def q_sql_liquid_clustering(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    cat = Catalog(spark, _scratch_warehouse("q_liquid", sf))
+    cat.sql(
+        "CREATE TABLE ord_lc (o_orderkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE) CLUSTER BY (o_orderkey)"
+    )
+    _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    ).repartition(16).createOrReplaceTempView("lc_orders_src")
+    cat.sql("INSERT INTO ord_lc SELECT * FROM lc_orders_src")
+    cat.sql("OPTIMIZE ord_lc")
+    t = cat.table("ord_lc")
+    return (
+        t.read_pruned({"o_orderkey": (1000, 5000)})
+        .filter("o_orderkey BETWEEN 1000 AND 5000")
+        .select(
+            "o_orderkey", "o_orderstatus",
+            F.round("o_totalprice", 9).alias("price"),
+        )
+    )
+
+
+@_q(
     "sql_copy_into",
     "COPY INTO routed onto the catalog (file-level exactly-once batch "
     "ingest — the reference's ADF copy activity with per-file tracking "

@@ -5011,6 +5011,47 @@ class ManagedTable:
             raise
         return new_v
 
+    def cluster_columns(self) -> list[str]:
+        """The table's liquid-clustering columns (Databricks ``CLUSTER
+        BY``), or [] when unclustered. Unlike partitioning these are
+        MUTABLE (``ALTER TABLE … CLUSTER BY``) and advisory: writes land
+        unclustered, ``OPTIMIZE`` range-clusters on them — Databricks'
+        own incremental-clustering contract."""
+        raw = self.table_prop("cluster_columns")
+        return json.loads(raw) if raw else []
+
+    def set_cluster_columns(self, cols: Sequence[str] | None) -> None:
+        """Bind (or clear, ``cols=None``) the liquid-clustering columns
+        under the commit lock — Databricks ``ALTER TABLE t CLUSTER BY
+        (…) | NONE``. Columns must exist in the committed schema; takes
+        effect on the next OPTIMIZE (no data rewrite here, matching
+        Databricks: re-clustering is OPTIMIZE's job)."""
+        if cols:
+            schema = self.table_schema()
+            have = {f.name for f in schema.fields} if schema else set()
+            missing = [c for c in cols if c not in have]
+            if missing:
+                raise ValueError(
+                    f"CLUSTER BY on {self.name}: unknown column(s) "
+                    f"{missing}"
+                )
+            if self.partition_columns():
+                raise ValueError(
+                    f"table {self.name}: CLUSTER BY and PARTITIONED BY "
+                    "are mutually exclusive (Databricks rule)"
+                )
+        fd = self._acquire_commit_lock()
+        try:
+            state = self._pointer_state()
+            props = state.setdefault("props", {})
+            if cols:
+                props["cluster_columns"] = json.dumps(list(cols))
+            else:
+                props.pop("cluster_columns", None)
+            self._write_pointer_locked(state)
+        finally:
+            self._release_commit_lock(fd)
+
     def copy_into(
         self,
         source_dir: str | os.PathLike[str],
@@ -5780,11 +5821,21 @@ class Catalog:
             cols_ddl = tail[1:end]
             rest = tail[end + 1:].strip()
             partition_by = None
+            cluster_by = None
             enable_cdf = False
             pm = re.match(r"(?is)^PARTITIONED\s+BY\s*\(([^)]*)\)\s*(.*)$", rest)
             if pm:
                 partition_by = [c.strip() for c in pm.group(1).split(",")]
                 rest = pm.group(2).strip()
+            cm = re.match(r"(?is)^CLUSTER\s+BY\s*\(([^)]*)\)\s*(.*)$", rest)
+            if cm:
+                if partition_by:
+                    raise ValueError(
+                        f"CREATE TABLE {name}: CLUSTER BY and PARTITIONED "
+                        "BY are mutually exclusive (Databricks rule)"
+                    )
+                cluster_by = [c.strip() for c in cm.group(1).split(",")]
+                rest = cm.group(2).strip()
             tm = re.match(r"(?is)^TBLPROPERTIES\s*\(([^)]*)\)\s*$", rest)
             if tm:
                 for pair in tm.group(1).split(","):
@@ -5850,6 +5901,8 @@ class Catalog:
                 empty, partition_by=partition_by, enable_cdf=enable_cdf,
                 set_props=hw_props or None,
             )
+            if cluster_by:
+                t.set_cluster_columns(cluster_by)
             for col, expr in gen_checks:
                 # Delta validates explicit values against the generation
                 # expression — bind it as a CHECK constraint so the
@@ -5875,6 +5928,16 @@ class Catalog:
             )
             if dm:
                 t.drop_constraint(dm.group(2), if_exists=bool(dm.group(1)))
+                return None
+            km = re.match(r"(?is)^CLUSTER\s+BY\s+NONE$", action)
+            if km:
+                t.set_cluster_columns(None)
+                return None
+            km = re.match(r"(?is)^CLUSTER\s+BY\s*\(([^)]*)\)$", action)
+            if km:
+                t.set_cluster_columns(
+                    [c.strip() for c in km.group(1).split(",")]
+                )
                 return None
             am = re.match(
                 r"(?is)^ADD\s+COLUMNS?\s+\(?\s*(.+?)\s*\)?\s*$", action
@@ -6037,9 +6100,21 @@ class Catalog:
             name, zcols = m.group(1), m.group(2)
             t = self._dml_table(name, "OPTIMIZE")
             if zcols:
+                if t.cluster_columns():
+                    raise ValueError(
+                        f"OPTIMIZE {name}: ZORDER BY is not allowed on a "
+                        "CLUSTER BY table (Databricks rule) — OPTIMIZE "
+                        "alone re-clusters on the bound columns"
+                    )
                 return t.compact(
                     zorder_by=[c.strip() for c in zcols.split(",")]
                 )
+            cc = t.cluster_columns()
+            if cc:
+                # liquid clustering: OPTIMIZE range-clusters the rewrite
+                # on the bound columns (disjoint per-file ranges → sharp
+                # stats-index skipping)
+                return t.compact(cluster_by=cc)
             return t.compact_small()
         m = self._VACUUM_RE.match(statement)
         if m:
