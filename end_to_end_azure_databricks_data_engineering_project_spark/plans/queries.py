@@ -8782,6 +8782,49 @@ def q_sql_identity_generated(spark, sf):
 
 
 @_q(
+    "sql_view_roundtrip",
+    "Persistent catalog VIEWs: CREATE VIEW over a ManagedTable, a "
+    "second view stacked on the first (fixpoint registration), INSERT "
+    "more rows into the base table, read through a FRESH catalog "
+    "handle — the views persist in _views.json and re-resolve against "
+    "the CURRENT snapshot on every sql() call, so the stacked "
+    "aggregate reflects the post-view insert",
+    "extension: CREATE/DROP VIEW (sources/tables.py register_views "
+    "fixpoint; the Databricks notebook view workflow, "
+    "sample_exploration.py:11-13)",
+    """
+    SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation WHERE n_nationkey <> 0
+    GROUP BY n_regionkey
+    """,
+)
+def q_sql_view_roundtrip(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    wh = _scratch_warehouse("q_views", sf)
+    cat = Catalog(spark, wh)
+    n = _t(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    t = cat.table("nation_t")
+    t.overwrite(n.filter("n_nationkey < 20"))
+    cat.sql(
+        "CREATE VIEW live_nations AS SELECT * FROM nation_t "
+        "WHERE n_nationkey <> 0"
+    )
+    cat.sql(
+        "CREATE VIEW nations_per_region AS SELECT n_regionkey, "
+        "CAST(count(*) AS BIGINT) AS n_nations FROM live_nations "
+        "GROUP BY n_regionkey"
+    )
+    n.filter("n_nationkey >= 20").createOrReplaceTempView("late_nations")
+    cat.sql("INSERT INTO nation_t SELECT * FROM late_nations")
+    return Catalog(spark, wh).sql(  # FRESH handle: views from disk
+        "SELECT n_regionkey, n_nations FROM nations_per_region"
+    )
+
+
+@_q(
     "sql_liquid_clustering",
     "Liquid clustering end-to-end through SQL: CREATE TABLE ... "
     "CLUSTER BY (key), INSERT unclustered data, OPTIMIZE "

@@ -5166,13 +5166,22 @@ class Catalog:
         return self.table(name)
 
     def register_views(self) -> None:
-        """Expose every committed table as a temp view for spark.sql().
+        """Expose every committed table as a temp view for spark.sql(),
+        then every persisted VIEW definition (``_views.json``) on top.
 
         Non-directory entries in the root (editor backups, stray
         manifests) are skipped — constructing a ManagedTable on one
         would hit mkdir(FileExistsError) and abort every registration.
         A not-yet-created warehouse root registers nothing (the first
-        INSERT INTO a fresh catalog must not crash on the listing)."""
+        INSERT INTO a fresh catalog must not crash on the listing).
+
+        Views re-resolve against the CURRENT table snapshots on every
+        registration (every ``sql()`` call re-registers), so a view
+        always reflects the latest committed data. Views may reference
+        other views — registration iterates to a fixpoint, so
+        definition order never matters; a view whose dependency is
+        gone simply stays unregistered (querying it then fails with
+        Spark's own missing-relation error)."""
         if not self.root.is_dir():
             return
         for d in sorted(self.root.iterdir()):
@@ -5181,6 +5190,30 @@ class Catalog:
             t = ManagedTable(self.spark, self.root, d.name)
             if t.exists():
                 t.read().createOrReplaceTempView(d.name)
+        pending = dict(self._load_views())
+        for _ in range(len(pending)):
+            if not pending:
+                break
+            for name, text in list(pending.items()):
+                try:
+                    self.spark.sql(text).createOrReplaceTempView(name)
+                    del pending[name]
+                except Exception:
+                    continue  # dependency not registered yet — next pass
+
+    @property
+    def _views_path(self) -> Path:
+        return self.root / "_views.json"
+
+    def _load_views(self) -> dict[str, str]:
+        p = self._views_path
+        return json.loads(p.read_text()) if p.exists() else {}
+
+    def _save_views(self, views: dict[str, str]) -> None:
+        self.root.mkdir(parents=True, exist_ok=True)
+        tmp = self._views_path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(views, indent=1, sort_keys=True))
+        tmp.replace(self._views_path)  # atomic swap, like the watermark doc
 
     # statement shapes sql() routes to the DML verbs (Delta SQL DML on
     # managed tables — Spark's parser rejects DELETE/UPDATE/MERGE
@@ -5630,6 +5663,14 @@ class Catalog:
         return out
 
     _DDL_VERB_RE = re.compile(r"^\s*(CREATE|ALTER|DROP)\b", re.IGNORECASE)
+    _CREATE_VIEW_RE = re.compile(
+        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\S+)\s+AS\s+(.+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DROP_VIEW_RE = re.compile(
+        r"^\s*DROP\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?(\S+)\s*;?\s*$",
+        re.IGNORECASE,
+    )
     _CREATE_RE = re.compile(
         r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+"
         r"(?:(IF\s+NOT\s+EXISTS)\s+)?([^\s(]+)\s*(.*?)\s*;?\s*$",
@@ -5766,7 +5807,48 @@ class Catalog:
 
         Unroutable DDL shapes raise precise errors (REPLACE COLUMNS,
         RENAME, type changes: not supported — additive evolution only,
-        same as this engine's write paths)."""
+        same as this engine's write paths).
+
+        ``CREATE [OR REPLACE] VIEW v AS <query>`` / ``DROP VIEW [IF
+        EXISTS] v`` persist plain-SELECT view definitions in the
+        catalog (``_views.json``); views re-resolve against the current
+        snapshots on every ``sql()`` call and may reference each other
+        (fixpoint registration)."""
+        vm = self._CREATE_VIEW_RE.match(statement)
+        if vm:
+            replace, name, body = bool(vm.group(1)), vm.group(2), vm.group(3)
+            if not self._BARE_IDENT_RE.match(name):
+                raise ValueError(
+                    f"CREATE VIEW {name!r}: use a bare view name"
+                )
+            if (self.root / name).is_dir():
+                raise ValueError(
+                    f"CREATE VIEW {name}: a managed TABLE of that name "
+                    "exists"
+                )
+            views = self._load_views()
+            if name in views and not replace:
+                raise ValueError(
+                    f"view {name} already exists (use OR REPLACE)"
+                )
+            self.register_views()
+            df = self.spark.sql(body)  # analyze NOW: bad SQL fails the DDL
+            views[name] = body
+            self._save_views(views)
+            df.createOrReplaceTempView(name)
+            return None
+        vm = self._DROP_VIEW_RE.match(statement)
+        if vm:
+            if_exists, name = bool(vm.group(1)), vm.group(2)
+            views = self._load_views()
+            if name not in views:
+                if if_exists:
+                    return None
+                raise ValueError(f"view {name} does not exist")
+            del views[name]
+            self._save_views(views)
+            self.spark.catalog.dropTempView(name)
+            return None
         m = self._CREATE_RE.match(statement)
         if m:
             replace = bool(m.group(1))
@@ -5777,6 +5859,11 @@ class Catalog:
                     f"CREATE TABLE {name!r}: qualified or backquoted "
                     "names are not supported — use the bare "
                     "managed-table name"
+                )
+            if name in self._load_views():
+                raise ValueError(
+                    f"CREATE TABLE {name}: a VIEW of that name exists "
+                    "(DROP VIEW first)"
                 )
             t = self.table(name)
             if t.exists() and not replace:
