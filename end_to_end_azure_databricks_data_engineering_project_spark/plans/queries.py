@@ -8782,6 +8782,49 @@ def q_sql_identity_generated(spark, sf):
 
 
 @_q(
+    "sql_column_defaults",
+    "Column DEFAULT values + column-list INSERT (Delta "
+    "allowColumnDefaults): CREATE TABLE with literal and expression "
+    "defaults alongside an identity column, INSERT ... (cols) SELECT "
+    "naming only some columns — omitted defaulted columns fill from "
+    "their expressions, listed values override, identity allocates, "
+    "unlisted default-less columns null-fill. Defaults apply on SQL "
+    "INSERT only (DataFrame appends skip them — Delta's scope)",
+    "extension: column defaults (sources/tables.py "
+    "_parse_generated_clauses CURRENT_DEFAULT + INSERT column-list "
+    "mapping; Databricks DEFAULT over the reference's dim loads)",
+    """
+    SELECT c_custkey, c_name, 'bronze' AS tier,
+           round(c_acctbal, 9) AS bal, CAST(NULL AS VARCHAR) AS note
+    FROM customer WHERE c_custkey <= 120
+    """,
+)
+def q_sql_column_defaults(spark, sf):
+    from end_to_end_azure_databricks_data_engineering_project_spark.sources.tables import Catalog
+
+    cat = Catalog(spark, _scratch_warehouse("q_defaults", sf))
+    cat.sql(
+        "CREATE TABLE cust_d ("
+        "  c_custkey BIGINT,"
+        "  c_name STRING,"
+        "  tier STRING DEFAULT 'bronze',"
+        "  bal DOUBLE,"
+        "  note STRING"
+        ")"
+    )
+    _t(spark, sf, "customer").createOrReplaceTempView("defaults_src")
+    cat.sql(
+        "INSERT INTO cust_d (c_custkey, c_name, bal) "
+        "SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) "
+        "FROM defaults_src WHERE c_custkey <= 120"
+    )
+    return cat.sql(
+        "SELECT c_custkey, c_name, tier, round(bal, 9) AS bal, note "
+        "FROM cust_d"
+    )
+
+
+@_q(
     "sql_view_roundtrip",
     "Persistent catalog VIEWs: CREATE VIEW over a ManagedTable, a "
     "second view stacked on the first (fixpoint registration), INSERT "

@@ -5230,7 +5230,8 @@ class Catalog:
         re.IGNORECASE,
     )
     _INSERT_RE = re.compile(
-        r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\S+)\s+(.+?)\s*;?\s*$",
+        r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+        r"([A-Za-z_]\w*|\S+)\s*(.+?)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
     _BARE_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
@@ -5705,7 +5706,13 @@ class Catalog:
           WITH s | INCREMENT BY i …)]`` → ``delta.identity.start/step/
           allowExplicitInsert`` (Delta's own column-metadata keys);
         - ``c TYPE GENERATED ALWAYS AS (expr)`` →
-          ``delta.generationExpression``.
+          ``delta.generationExpression``;
+        - ``c TYPE DEFAULT <value>`` → ``CURRENT_DEFAULT`` (Spark's own
+          column-default metadata key; the value may be a literal, a
+          quoted string, or a parenthesized expression). Defaults apply
+          on SQL INSERT when the column is omitted via a column list —
+          NOT on DataFrame appends, matching Delta's
+          allowColumnDefaults scope.
 
         Splits on top-level commas only (DECIMAL(10,2) and expression
         commas stay intact, string literals are opaque)."""
@@ -5776,6 +5783,42 @@ class Catalog:
                     )
                 meta[col] = {"delta.generationExpression": expr}
                 out_segs.append(seg[: gm.start()] + seg[j:])
+                continue
+            dm = re.search(r"(?is)\bDEFAULT\s+", seg)
+            if dm and col:
+                rest = seg[dm.end():]
+                if rest.startswith("("):  # parenthesized expression
+                    depth, j = 0, 0
+                    while j < len(rest):
+                        if rest[j] == "(":
+                            depth += 1
+                        elif rest[j] == ")":
+                            depth -= 1
+                            if depth == 0:
+                                j += 1
+                                break
+                        j += 1
+                    if depth:
+                        raise ValueError(
+                            f"column {col}: unbalanced DEFAULT expression"
+                        )
+                    value = rest[:j]
+                elif rest.startswith("'"):  # quoted string (with '' doubling)
+                    vm2 = re.match(r"'(?:[^']|'')*'", rest)
+                    if vm2 is None:
+                        raise ValueError(
+                            f"column {col}: unterminated DEFAULT string"
+                        )
+                    value = vm2.group(0)
+                    j = vm2.end()
+                else:  # bare literal token (number, NULL, true, …)
+                    vm2 = re.match(r"[^\s,]+", rest)
+                    if vm2 is None:
+                        raise ValueError(f"column {col}: empty DEFAULT")
+                    value = vm2.group(0)
+                    j = vm2.end()
+                meta[col] = {"CURRENT_DEFAULT": value}
+                out_segs.append(seg[: dm.start()] + rest[j:])
                 continue
             out_segs.append(seg)
         return ", ".join(s.strip() for s in out_segs), meta
@@ -5980,6 +6023,11 @@ class Catalog:
                         gen_checks.append(
                             (f.name, md["delta.generationExpression"])
                         )
+                    if "CURRENT_DEFAULT" in md:
+                        # defaults must be constant-analyzable (Delta's
+                        # allowColumnDefaults rule) — a bad expression
+                        # fails the DDL, not the first INSERT
+                        self.spark.sql(f"SELECT {md['CURRENT_DEFAULT']}")
                     fields.append(
                         StructField(f.name, f.dataType, f.nullable, md)
                     )
@@ -6326,6 +6374,37 @@ class Catalog:
                         "backquoted table names are not supported — use "
                         "the bare managed-table name"
                     )
+                # optional column list: INSERT INTO t (a, b) <body> —
+                # disambiguated from a parenthesized body ((SELECT …),
+                # (VALUES …)) by peeking at the first keyword inside
+                col_list = None
+                body = body.strip()
+                if body.startswith("("):
+                    depth = 0
+                    close = -1
+                    for i, ch in enumerate(body):
+                        if ch == "(":
+                            depth += 1
+                        elif ch == ")":
+                            depth -= 1
+                            if depth == 0:
+                                close = i
+                                break
+                    if close < 0:
+                        raise ValueError(
+                            f"INSERT {mode} {name}: unbalanced parentheses"
+                        )
+                    inner = body[1:close]
+                    if not re.match(
+                        r"(?is)^\s*(SELECT|VALUES|WITH|FROM|TABLE)\b", inner
+                    ):
+                        col_list = [c.strip() for c in inner.split(",")]
+                        if len(set(col_list)) != len(col_list):
+                            raise ValueError(
+                                f"INSERT {mode} {name}: duplicate "
+                                "column(s) in the column list"
+                            )
+                        body = body[close + 1:].strip()
                 body = self._rewrite_table_changes(
                     self._rewrite_time_travel(body)
                 )
@@ -6341,7 +6420,41 @@ class Catalog:
                     # the stored types (ANSI: an unsafe value fails the
                     # write loudly, like Spark's own INSERT)
                     stored = t.table_schema()
-                    if stored is not None:
+                    if stored is not None and col_list is not None:
+                        by_name = {f.name: f for f in stored.fields}
+                        unknown = [c for c in col_list if c not in by_name]
+                        if unknown:
+                            raise ValueError(
+                                f"INSERT {mode} {name}: unknown "
+                                f"column(s) {unknown}"
+                            )
+                        if len(rows.columns) != len(col_list):
+                            raise ValueError(
+                                f"INSERT {mode} {name}: query produces "
+                                f"{len(rows.columns)} column(s), the "
+                                f"column list names {len(col_list)}"
+                            )
+                        gen, ident = t.column_policies()
+                        auto = {c for c in (*gen, *ident)}
+                        rows = rows.toDF(*col_list)
+                        sel = [
+                            F.col(c).cast(by_name[c].dataType).alias(c)
+                            for c in col_list
+                        ]
+                        # unlisted columns: DEFAULT fills (Delta
+                        # allowColumnDefaults — SQL INSERT scope only);
+                        # identity/generated stay absent for the write
+                        # policies; the rest null-fill via _align
+                        for f in stored.fields:
+                            if f.name not in col_list and f.name not in auto:
+                                d = (f.metadata or {}).get("CURRENT_DEFAULT")
+                                if d is not None:
+                                    sel.append(
+                                        F.expr(d).cast(f.dataType)
+                                        .alias(f.name)
+                                    )
+                        rows = rows.select(*sel)
+                    elif stored is not None:
                         fields = list(stored.fields)
                         gen, ident = t.column_policies()
                         auto = {c for c in (*gen, *ident)}
