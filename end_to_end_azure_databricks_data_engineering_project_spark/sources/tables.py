@@ -3856,7 +3856,11 @@ class ManagedTable:
             # change-feed derivability across it is forfeit, like any
             # snapshot op. Op marker stays "snapshot" by design.
             return self.overwrite(
-                rewrite_fn(self.read()), epoch, epoch_key, expected_version=v
+                rewrite_fn(self.read()), epoch, epoch_key,
+                expected_version=v,
+                # rewrite of existing rows: their identity/generated
+                # values carry through, policies must not re-fire
+                _apply_policies=False,
             )
         names, stats = res
         bounds = dict(self._dml_bounds(condition)) if isinstance(condition, str) else {}
@@ -4079,20 +4083,43 @@ class ManagedTable:
         }
         if types:
             set_cols = {c: e.cast(types[c]) for c, e in set_cols.items()}
+        # generated columns not explicitly assigned recompute from the
+        # POST-update row (Delta UPDATE semantics — leaving them stale
+        # would trip their own CHECK constraint); a second projection in
+        # the same scan stage, evaluated after the user assignments
+        gen_exprs, _ = self.column_policies() if self.exists() else ({}, {})
+        gen_sets = {
+            c: (F.expr(e).cast(types[c]) if types else F.expr(e))
+            for c, e in gen_exprs.items() if c not in set
+        }
 
         def _cond_true():
             cond_col = F.expr(condition) if isinstance(condition, str) else condition
             return F.coalesce(cond_col.cast("boolean"), F.lit(False))
 
         def _rewrite(df: DataFrame) -> DataFrame:
-            ct = _cond_true()
-            return df.withColumns(
-                {c: F.when(ct, e).otherwise(F.col(c)) for c, e in set_cols.items()}
+            # the condition must bind to PRE-update values even when an
+            # assignment changes a column it references — tag first
+            out = df.withColumn("__upd", _cond_true()).withColumns(
+                {
+                    c: F.when(F.col("__upd"), e).otherwise(F.col(c))
+                    for c, e in set_cols.items()
+                }
             )
+            if gen_sets:
+                out = out.withColumns(
+                    {
+                        c: F.when(F.col("__upd"), e).otherwise(F.col(c))
+                        for c, e in gen_sets.items()
+                    }
+                )
+            return out.drop("__upd")
 
         def _cdc(df: DataFrame) -> DataFrame:
             pre = df.filter(_cond_true())
             post = pre.withColumns(set_cols)
+            if gen_sets:
+                post = post.withColumns(gen_sets)
             return pre.withColumn(
                 "_change_type", F.lit("update_preimage")
             ).unionByName(
@@ -4323,7 +4350,12 @@ class ManagedTable:
             )
         else:
             df = df.coalesce(target_partitions)
-        return self.overwrite(df, expected_version=v, op="compact")
+        # content-identical rearrangement of EXISTING rows: column
+        # policies must not fire (the frame legitimately carries the
+        # identity/generated columns it is rewriting)
+        return self.overwrite(
+            df, expected_version=v, op="compact", _apply_policies=False
+        )
 
     def _rebase_manifest(self, v: int) -> None:
         """Rewrite version ``v``'s manifest with its resolved full
