@@ -5761,7 +5761,17 @@ class Catalog:
         for seg in segs:
             nm = re.match(r"\s*([A-Za-z_]\w*)", seg)
             col = nm.group(1) if nm else None
+            # keyword probes must never fire inside string literals
+            # (COMMENT 'generated by default', DEFAULT 'use default') —
+            # the same literal mask the statement routers use
+            smask = cls._toplevel_mask(seg, parens=False)
+
+            def _lit_safe(m):
+                return m is not None and smask[m.start()]
+
             im = cls._IDENTITY_RE.search(seg)
+            if not _lit_safe(im):
+                im = None
             if im and col:
                 mode, opts = im.group(1).upper(), im.group(2) or ""
                 start, step = 1, 1
@@ -5793,6 +5803,8 @@ class Catalog:
                 out_segs.append(seg[: im.start()] + seg[im.end():])
                 continue
             gm = cls._GENERATED_EXPR_RE.search(seg)
+            if not _lit_safe(gm):
+                gm = None
             if gm and col:
                 depth = 1
                 j = gm.end()
@@ -5817,6 +5829,8 @@ class Catalog:
                 out_segs.append(seg[: gm.start()] + seg[j:])
                 continue
             dm = re.search(r"(?is)\bDEFAULT\s+", seg)
+            if not _lit_safe(dm):
+                dm = None
             if dm and col:
                 rest = seg[dm.end():]
                 if rest.startswith("("):  # parenthesized expression

@@ -71,6 +71,26 @@ def test_metadata_persists_and_df_appends_skip_defaults(cat, spark):
     assert r.status is None  # DataFrame append: NO default fill
 
 
+def test_keywords_inside_comment_strings_are_inert(cat):
+    """COMMENT text containing DEFAULT / GENERATED must not be parsed
+    as a clause (literal-mask guard)."""
+    cat.sql(
+        "CREATE TABLE cmt ("
+        "  a STRING COMMENT 'the default is none; generated always as "
+        "identity elsewhere',"
+        "  b INT DEFAULT 7"
+        ")"
+    )
+    t = cat.table("cmt")
+    md = {f.name: dict(f.metadata) for f in t.table_schema().fields}
+    assert "CURRENT_DEFAULT" not in md["a"]
+    assert "delta.identity.start" not in md["a"]
+    assert md["b"]["CURRENT_DEFAULT"] == "7"
+    cat.sql("INSERT INTO cmt (a) VALUES ('x')")
+    r = cat.sql("SELECT a, b FROM cmt").collect()[0]
+    assert (r.a, r.b) == ("x", 7)
+
+
 def test_errors(cat):
     with pytest.raises(ValueError, match="unknown column"):
         cat.sql("INSERT INTO ev (nope) VALUES (1)")
