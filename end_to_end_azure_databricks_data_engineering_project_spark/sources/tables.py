@@ -6180,9 +6180,10 @@ class Catalog:
         verb = self._DDL_VERB_RE.match(statement).group(1).upper()
         raise ValueError(
             f"unsupported {verb} shape; the DDL router handles CREATE "
-            "[OR REPLACE] TABLE [IF NOT EXISTS] t (cols)|AS query, "
-            "ALTER TABLE t ADD COLUMN[S]/ADD CONSTRAINT/DROP CONSTRAINT, "
-            "DROP TABLE [IF EXISTS] t"
+            "[OR REPLACE] TABLE [IF NOT EXISTS] t (cols)|AS query|"
+            "SHALLOW CLONE src, CREATE [OR REPLACE] VIEW v AS query, "
+            "ALTER TABLE t ADD COLUMN[S]/ADD CONSTRAINT/DROP CONSTRAINT/"
+            "CLUSTER BY, DROP TABLE|VIEW [IF EXISTS] t"
         )
 
     _UTIL_VERB_RE = re.compile(

@@ -390,6 +390,6 @@ def test_unroutable_ddl_raises_precisely(cat, spark):
     with pytest.raises(ValueError, match="unsupported CREATE TABLE shape"):
         cat.sql("CREATE TABLE x")
     with pytest.raises(ValueError, match="unsupported CREATE shape"):
-        cat.sql("CREATE VIEW v AS SELECT 1")
+        cat.sql("CREATE FUNCTION f AS 'com.example.F'")
     with pytest.raises(ValueError, match="qualified or backquoted"):
         cat.sql("CREATE TABLE main.x (k INT)")
