@@ -6355,12 +6355,21 @@ class Catalog:
           rewritten onto the CDF read (``ManagedTable.table_changes``:
           table columns + ``_change_type`` / ``_commit_version`` /
           ``_commit_timestamp``).
-        - utility verbs: DESCRIBE HISTORY/DETAIL, OPTIMIZE [ZORDER BY],
-          VACUUM [RETAIN n VERSIONS], RESTORE … TO … AS OF
+        - utility verbs: DESCRIBE HISTORY/DETAIL, OPTIMIZE [ZORDER BY]
+          (liquid-clustered tables re-cluster on their bound columns),
+          VACUUM [RETAIN n VERSIONS], RESTORE … TO … AS OF, ANALYZE
+          TABLE … COMPUTE STATISTICS [FOR COLUMNS | FOR ALL COLUMNS]
           (``_sql_util``).
-        - DDL: CREATE TABLE (schema or CTAS), ALTER TABLE ADD
-          COLUMN[S]/ADD CONSTRAINT/DROP CONSTRAINT, DROP TABLE
-          (``_sql_ddl``) — all against ManagedTables.
+        - ``COPY INTO t FROM '<path>' FILEFORMAT = PARQUET [PATTERN =
+          '<glob>']`` — file-level exactly-once batch ingest.
+        - DDL: CREATE TABLE (schema with GENERATED/DEFAULT clauses,
+          CTAS, SHALLOW CLONE; PARTITIONED BY / CLUSTER BY /
+          TBLPROPERTIES tails), CREATE [OR REPLACE] VIEW, ALTER TABLE
+          ADD COLUMN[S]/ADD CONSTRAINT/DROP CONSTRAINT/CLUSTER BY,
+          DROP TABLE/VIEW (``_sql_ddl``) — all against ManagedTables.
+        - INSERT takes an optional column list — omitted DEFAULT
+          columns fill from their expressions, identity/generated
+          columns auto-fill via the write policies.
 
         Any OTHER statement starting with a DML verb raises a precise
         error instead of falling through to spark.sql's parser.
