@@ -462,27 +462,34 @@ def simhash64_from_shingles(sh: Column) -> Column:
     token split per gram (O(tokens²) regex work per row)."""
     hashed = F.transform(sh, lambda s: _hash_shingle(s, 0))
     zeros = F.array_repeat(F.lit(0), 63)
-    # shift amounts must be Python ints (shiftright takes no Column numBits)
-    # → unroll the 63 bit positions at plan-build time
+    # Bit masks as ONE array<bigint> literal (r13 opt): the previous
+    # form unrolled 63 shiftright/when nodes per fold step PLUS a
+    # 63-term addition chain — thousands of py4j calls to BUILD the
+    # expression (~6 s before any task ran) and a codegen source that
+    # grew with the bit width. h & (1<<j) != 0 reads the same bit as
+    # (h >> j) & 1 == 1 for every bigint, so the vote array and the
+    # final weighted fold are bit-identical.
+    masks = F.lit([1 << j for j in range(63)]).cast("array<bigint>")
     sums = F.aggregate(
         hashed,
         zeros,
         lambda acc, h: F.zip_with(
             acc,
-            F.array(
-                *[
-                    F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-                    for j in range(63)
-                ]
+            F.transform(
+                masks,
+                lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
             ),
             lambda a, b: a + b,
         ),
     )
     bits = F.transform(sums, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
-    total = F.lit(0).cast("bigint")
-    for j in range(63):
-        total = total + F.element_at(bits, j + 1).cast("bigint") * F.lit(1 << j).cast("bigint")
-    return total
+    # total = sum over j of bits[j] * 2^j, folded in index order — the
+    # same integer accumulation the unrolled chain performed
+    return F.aggregate(
+        F.zip_with(bits, masks, lambda b, m: b.cast("bigint") * m),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
 
 
 def simhash64(text: Column, shingle_n: int = 2) -> Column:

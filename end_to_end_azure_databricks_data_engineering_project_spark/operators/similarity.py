@@ -128,6 +128,56 @@ def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return key
 
 
+_TABLES = "__srp_tables"
+
+
+def _with_tables(df: DataFrame, tables: list[list[list[float]]]) -> DataFrame:
+    """Attach the full n_tables×n_planes×dim hyperplane set as ONE
+    broadcast one-row column (array<array<array<double>>>) — the
+    ivf._with_centroids pattern (r13 opt): the literal form expanded
+    n_tables·n_planes·dim ``F.lit`` nodes (2 048 at the 8×4×64
+    default), and BUILDING that expression tree (one py4j call per
+    node) measured 3-6 s per SRP entry before a single task ran, plus
+    a codegen source that grows with the table set. As a broadcast
+    relation the plan is constant-size in n_tables·n_planes·dim."""
+    tdf = df.sparkSession.createDataFrame(
+        [([[[float(w) for w in plane] for plane in t] for t in tables],)],
+        f"{_TABLES}: array<array<array<double>>>",
+    )
+    return df.crossJoin(F.broadcast(tdf))
+
+
+def _proj(vec: Column, plane: Column) -> Column:
+    """Sequential left-to-right projection fold — bit-identical to the
+    literal-plane form in ``srp_bucket`` (same zip order, same IEEE
+    ops), just reading the plane from a column."""
+    return F.aggregate(
+        F.zip_with(vec, plane, lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _bucket_from(vec: Column, table: Column, n_planes: int) -> Column:
+    """Sign-bit bucket from a plane-array column: fold planes in index
+    order, adding 2^i when the projection is non-negative — the same
+    integer accumulation ``srp_bucket`` unrolls over literals."""
+    pow2 = F.lit([1 << i for i in range(n_planes)]).cast("array<int>")
+    indexed = F.zip_with(
+        table,
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda plane, i: F.struct(plane.alias("p"), i.alias("i")),
+    )
+    return F.aggregate(
+        indexed,
+        F.lit(0),
+        lambda acc, s: acc
+        + F.when(
+            _proj(vec, s["p"]) >= 0, F.element_at(pow2, s["i"] + 1)
+        ).otherwise(F.lit(0)),
+    )
+
+
 def _srp_banded(
     df: DataFrame,
     tables: list[list[list[float]]],
@@ -141,15 +191,17 @@ def _srp_banded(
     the dominant volume at scale); vectors are re-joined by id AFTER
     candidate dedup (see _with_vectors). The bucket array is projected
     BELOW the explode, so the O(n_tables·n_planes·dim) projection work
-    runs once per input row, not once per exploded row."""
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table_idx"),
-                srp_bucket(F.col(vc), tables[t]).alias("bucket"),
-            )
-            for t in range(len(tables))
-        ]
+    runs once per input row, not once per exploded row. Hyperplanes
+    ride a one-row broadcast relation (``_with_tables``), not literal
+    expression nodes — bit-identical buckets, constant-size plan."""
+    n_planes = len(tables[0])
+    vec = F.col(vc)
+    buckets = F.transform(
+        F.col(_TABLES),
+        lambda tbl, ti: F.struct(
+            ti.alias("table_idx"),
+            _bucket_from(vec, tbl, n_planes).alias("bucket"),
+        ),
     )
     # Loud dim check, per row (one F.size — negligible): with the wrong
     # ``dim``, zip_with NULL-pads the hyperplane products, the fold goes
@@ -166,7 +218,9 @@ def _srp_banded(
             )
         )
     )
-    pre = df.select(F.col(idc).alias(out_id), guarded.alias("_bk"))
+    pre = _with_tables(df, tables).select(
+        F.col(idc).alias(out_id), guarded.alias("_bk")
+    )
     return pre.select(out_id, F.explode("_bk").alias("b")).select(
         out_id, "b.table_idx", "b.bucket"
     )

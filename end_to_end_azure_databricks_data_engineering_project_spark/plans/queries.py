@@ -2406,14 +2406,25 @@ def q_pandas_grouped_rank(spark, sf):
 )
 def q_approx_analytics(spark, sf):
     e = _t(spark, sf, "events")
-    # One shuffle computes both the sketches and their exact twins;
-    # at 100 TB you would drop the exact twins and keep the sketches —
-    # they exist here to make the error bound a checkable contract.
-    agg = e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("_approx_users"),
-        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("_approx_median"),
+    # TWO aggregations joined on the group key, deliberately (r13 opt):
+    # mixing COUNT(DISTINCT) with TypedImperative sketch aggs in ONE
+    # groupBy makes Catalyst rewrite phase 1 to key by (event_type,
+    # user_id) — building a 16k-register HLL and a 10000-bucket
+    # percentile summary PER DISTINCT USER and merging ~25k of them per
+    # group (measured 7.7-12.3 s at sf0.1 vs ~1 s split; the before/
+    # after plans show the per-user ObjectHashAggregate disappear).
+    # Split, each side is one clean two-phase agg; the join is a
+    # |groups|-row broadcast. Null-safe equality keeps a NULL group.
+    exact = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
         F.expr("percentile(value, 0.5)").alias("_exact_median"),
+    )
+    approx = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("_approx_users"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("_approx_median"),
+    ).withColumnRenamed("event_type", "_et")
+    agg = exact.join(
+        F.broadcast(approx), F.col("event_type").eqNullSafe(F.col("_et"))
     )
     return agg.select(
         "event_type",

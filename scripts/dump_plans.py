@@ -24,7 +24,7 @@ def main() -> None:
     outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark("dump_plans")
-    for q in CATALOG:
+    for q in CATALOG.values():
         if wanted is not None and q.name not in wanted:
             continue
         try:

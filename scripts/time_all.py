@@ -49,7 +49,7 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     results: dict[str, dict] = {}
-    for q in CATALOG:
+    for q in CATALOG.values():
         if only and q.name not in only:
             continue
         spark.sparkContext.setJobDescription(f"time_all: {q.name}")

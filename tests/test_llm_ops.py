@@ -326,3 +326,30 @@ def test_simhash_blocking_completeness_guard(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="blocks >= max_hamming"):
         simhash_near_dup_pairs(docs, max_hamming=4, prefix_bits=16)
+
+
+def test_srp_broadcast_banding_matches_literal_buckets(spark, emb):
+    """The r13 broadcast-relation banding (_with_tables/_bucket_from)
+    must produce byte-identical (id, table_idx, bucket) rows to the
+    literal-plane ``srp_bucket`` form it replaced — the frozen SRP
+    bucket stream is part of the oracle contract."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import (
+        _seeded_hyperplanes,
+        _srp_banded,
+        srp_bucket,
+    )
+
+    sub = emb.limit(50)
+    tables = [_seeded_hyperplanes(64, 4, seed=f"srp{t}") for t in range(3)]
+    got = sorted(
+        (r.vid, r.table_idx, r.bucket)
+        for r in _srp_banded(sub, tables, "vec_id", "embedding", "vid").collect()
+    )
+    want = sorted(
+        (r.vec_id, t, r.bucket)
+        for t in range(3)
+        for r in sub.select(
+            "vec_id", srp_bucket(F.col("embedding"), tables[t]).alias("bucket")
+        ).collect()
+    )
+    assert got == want
