@@ -379,10 +379,20 @@ def connected_components(
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
     )
+    from pyspark.sql import Observation
+
     prev: tuple | None = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        row = e.agg(
+        # fixpoint digest rides the checkpoint job via observe (r13
+        # opt): previously each round ran TWO jobs — the eager
+        # localCheckpoint materialization plus a separate digest
+        # collect over the checkpointed edges. The observation computes
+        # the same (count, hash-sum) aggregate over the same rows
+        # DURING the checkpoint pass, halving the per-round job count
+        # (and at scale, removing one full edge-list pass per round).
+        obs = Observation()
+        stepped = _small_star(_large_star(e)).observe(
+            obs,
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
                 # 60-bit hashes summed in decimal(38,0): no ANSI int64
@@ -390,7 +400,9 @@ def connected_components(
                 F.sum(_hash_shingle(F.concat_ws("_", "u", "v"), 0).cast("decimal(38,0)")),
                 F.lit(0).cast("decimal(38,0)"),
             ).alias("digest"),
-        ).collect()[0]
+        )
+        e = stepped.localCheckpoint(eager=True)
+        row = obs.get  # available: the eager checkpoint already ran
         cur = (row["n"], row["digest"])
         if cur == prev:
             break
