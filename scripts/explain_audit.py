@@ -26,6 +26,10 @@ from end_to_end_azure_databricks_data_engineering_project_spark.session import g
 ALLOW_CARTESIAN = {
     "ngram_jaccard_pairs", "embedding_near_dup", "cosine_topk",
     "scalar_subquery", "ann_topk_srp",
+    # 1-row broadcast relation carrying the SRP hyperplane set (r13:
+    # similarity._with_tables — the ivf centroid pattern applied to
+    # banding; the literal form cost a py4j call per plane element).
+    "embedding_near_dup_srp",
     # 1-row scalar broadcasts (a global aggregate cross-joined onto the
     # plan as a single row), not scan cross products.
     "funnel_conversion",
