@@ -254,6 +254,88 @@ def _with_vectors(
     return out
 
 
+def arrow_cosine_scores(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(id_a, id_b, cos_sim) from a pair relation carrying ``va``/``na``
+    /``vb``/``nb`` (the ``_with_vectors`` layout) — the vectorized twin
+    of the HOF cosine for LARGE candidate volumes (r13 opt, guide §4.2).
+
+    Bit-exactness contract: the kernel loops over DIMENSIONS in index
+    order while vectorizing over ROWS (``acc += A[:, j] * B[:, j]`` in
+    float64), so each pair's float64 accumulation SEQUENCE is identical
+    to ``dot()``'s sequential left-to-right fold — same products, same
+    addition order, same final division — and the result is
+    bit-identical to the expression form (asserted by the oracle
+    parity of every entry that uses it, and by
+    tests/test_llm_ops.py::test_arrow_cosine_matches_hof). The HOF fold
+    is interpreted (~µs per 64-dim pair); this runs the same arithmetic
+    through NumPy at vector speed — worth the one Python boundary only
+    when pair volume is large (candidate sets of corpus-scale near-dup
+    joins). Small/latency-sensitive paths (the headline cosine_topk,
+    query-batch ANN) keep the pure-JVM expression form: a Python worker
+    spawn costs more than it saves there.
+
+    Inputs must be dense fixed-dimension vectors (no NULL embeddings,
+    no ragged rows) — violations raise loudly rather than mis-scoring.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    out_fields = [
+        pairs.schema[id_a],
+        pairs.schema[id_b],
+    ]
+    out_schema = (
+        f"{id_a} {out_fields[0].dataType.simpleString()}, "
+        f"{id_b} {out_fields[1].dataType.simpleString()}, "
+        "cos_sim double"
+    )
+
+    def score(batches):
+        for rb in batches:
+            n = rb.num_rows
+            ia, ib = rb.column(id_a), rb.column(id_b)
+            if n == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [ia, ib, pa.array([], type=pa.float64())],
+                    [id_a, id_b, "cos_sim"],
+                )
+                continue
+            va, vb = rb.column("va"), rb.column("vb")
+            if va.null_count or vb.null_count:
+                raise ValueError(
+                    "arrow_cosine_scores: NULL embedding in the pair "
+                    "relation — dense vectors are a precondition"
+                )
+            d = len(va[0])
+            fa, fb = va.flatten(), vb.flatten()
+            if len(fa) != n * d or len(fb) != n * d:
+                raise ValueError(
+                    "arrow_cosine_scores: ragged embedding lengths — "
+                    f"expected {n}x{d} on both sides, got {len(fa)}/{len(fb)}"
+                )
+            A = np.asarray(fa, dtype=np.float64).reshape(n, d)
+            B = np.asarray(fb, dtype=np.float64).reshape(n, d)
+            acc = np.zeros(n, dtype=np.float64)
+            for j in range(d):  # dim order == the HOF fold order
+                acc += A[:, j] * B[:, j]
+            cos = acc / (
+                np.asarray(rb.column("na"), dtype=np.float64)
+                * np.asarray(rb.column("nb"), dtype=np.float64)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ia, ib, pa.array(cos, type=pa.float64())],
+                [id_a, id_b, "cos_sim"],
+            )
+
+    return pairs.select(id_a, id_b, "va", "na", "vb", "nb").mapInArrow(
+        score, out_schema
+    )
+
+
 def srp_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -344,10 +426,13 @@ def near_dup_by_cosine(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # scoring via the vectorized same-order kernel (r13 opt): candidate
+    # volume here is corpus-scale (every bucket-sharing pair), where the
+    # interpreted HOF fold dominated — arrow_cosine_scores runs the
+    # bit-identical arithmetic ~10x faster per pair
     return (
-        _with_vectors(pair_ids, df, id_col, vec_col, ("id_a", "id_b"))
-        .withColumn(
-            "cos_sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        arrow_cosine_scores(
+            _with_vectors(pair_ids, df, id_col, vec_col, ("id_a", "id_b"))
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")

