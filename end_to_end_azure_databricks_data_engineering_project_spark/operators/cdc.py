@@ -267,6 +267,7 @@ def apply_changes(
     delete_expr: str | None = None,
     except_columns: Sequence[str] = (),
     delete_mode: str = "close",
+    key_bounds=None,
 ) -> None:
     """≙ dlt.create_auto_cdc_flow: merge ``batch`` into ``table``.
 
@@ -282,6 +283,12 @@ def apply_changes(
     last-write-wins) or ``"erase"`` (GDPR right-to-be-forgotten: the
     key's ENTIRE history is purged, ignoring sequence ordering — a
     stale-stamped erasure request still erases).
+
+    ``key_bounds`` (r14): optional raw ``{key: (min, max)}`` the caller
+    already aggregated over ``batch`` — forwarded to ``merge_keyed`` so
+    file-prune discovery skips its own bounds pass. Valid for the SCD1
+    path too: ``_dedup_key_seq`` only drops duplicate rows, which
+    cannot move a min or max.
 
     Sink path: ``ManagedTable.merge_keyed`` — both SCD merges are
     key-local (a key's outcome depends only on its own rows), so the
@@ -303,6 +310,7 @@ def apply_changes(
                 cur, b, keys, sequence_by, delete_expr,
                 except_cols=except_columns, erase=erase,
             ),
+            key_bounds=key_bounds,
         )
     elif scd_type == 2:
         table.merge_keyed(
@@ -318,6 +326,7 @@ def apply_changes(
                 except_cols=except_columns,
                 erase=erase,
             ),
+            key_bounds=key_bounds,
         )
     else:
         raise ValueError(f"unsupported scd_type {scd_type}")

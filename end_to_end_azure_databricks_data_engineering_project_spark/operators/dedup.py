@@ -73,6 +73,30 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def shingle_relation(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, shingle) — the exploded distinct-shingle projection of a
+    corpus, THE shared input of the exact-similarity joins and (via the
+    ``shingles_df`` parameters) the MinHash signature builder. r14
+    (guide §6 scan reuse): audits that need both an exact side and an
+    LSH side (lsh_recall_audit) build this once, cache it, and hand it
+    to both, instead of tokenizing + shingling the corpus twice.
+    Blank/NULL-text docs yield the single shingle '' / no row
+    respectively — consumers that must exclude blank docs filter
+    ``shingle != ''`` (exactly the rows blank text produces; non-blank
+    text can never emit an empty shingle because concat_ws over >= 1
+    token is non-empty)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle")
+    )
+
+
 def _hash_shingle(s: Column, seed: int) -> Column:
     """Portable 60-bit positive hash of (seed, shingle) — delegates to
     scalars.portable_hash64 (the ONE home of the md5 recipe the DuckDB
@@ -100,6 +124,7 @@ def minhash_components(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, mh_0..mh_{k-1}) minhash signature columns.
 
@@ -108,23 +133,38 @@ def minhash_components(
     Physical shape: materialize tokens → explode shingles → project md5
     → hash-agg min per doc (partial map-side combine → one narrow
     shuffle on the id). Docs with no shingles (empty text) produce no
-    row."""
-    base = (
-        # Blank/NULL text yields the single shingle "" (split('') == ['']),
-        # NOT zero shingles: without this filter every such doc shares one
-        # identical signature, forming a quadratic hot bucket in the band
-        # join and letting minhash_dedup delete docs whose text is merely
-        # missing. Filtering makes the docstring's "no shingles -> no row"
-        # actually true. (Testdata has no blank docs, so oracles are
-        # unaffected; real crawls have millions.)
-        df.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
-        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
-        .select(
-            id_col,
-            F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias("__sh"),
+    row.
+
+    ``shingles_df`` (r14): optional pre-built ``shingle_relation``
+    (columns doc_id, shingle — shared with an exact-join side so the
+    corpus is shingled once). The blank-doc exclusion becomes
+    ``shingle != ''`` — the exact row set blank text produces (see
+    shingle_relation)."""
+    if shingles_df is not None:
+        base = (
+            shingles_df.filter(F.col("shingle") != "")
+            .select(
+                F.col("doc_id").alias(id_col),
+                (_hash_shingle(F.col("shingle"), 0) % MINHASH_P).alias("__h"),
+            )
         )
-        .select(id_col, (_hash_shingle(F.col("__sh"), 0) % MINHASH_P).alias("__h"))
-    )
+    else:
+        base = (
+            # Blank/NULL text yields the single shingle "" (split('') == ['']),
+            # NOT zero shingles: without this filter every such doc shares one
+            # identical signature, forming a quadratic hot bucket in the band
+            # join and letting minhash_dedup delete docs whose text is merely
+            # missing. Filtering makes the docstring's "no shingles -> no row"
+            # actually true. (Testdata has no blank docs, so oracles are
+            # unaffected; real crawls have millions.)
+            df.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
+            .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+            .select(
+                id_col,
+                F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias("__sh"),
+            )
+            .select(id_col, (_hash_shingle(F.col("__sh"), 0) % MINHASH_P).alias("__h"))
+        )
     aggs = []
     for k in range(num_hashes):
         a, b = minhash_constants(k)
@@ -140,9 +180,12 @@ def minhash_signature_df(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig: array<bigint>) — the array form of minhash_components."""
-    wide = minhash_components(df, text_col, id_col, num_hashes, shingle_n)
+    wide = minhash_components(
+        df, text_col, id_col, num_hashes, shingle_n, shingles_df
+    )
     return wide.select(
         id_col, F.array(*[F.col(f"mh_{k}") for k in range(num_hashes)]).alias("sig")
     )
@@ -155,6 +198,7 @@ def minhash_band_index(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """The LSH band index: (id, sig, band_idx, band_key), one row per
     (doc, band). This is the PERSISTED index shape for incremental
@@ -162,7 +206,9 @@ def minhash_band_index(
     new batches probe it with an equi-join (see
     ``incremental_near_dup_pairs``)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature_df(df, text_col, id_col, num_hashes, shingle_n)
+    sig = minhash_signature_df(
+        df, text_col, id_col, num_hashes, shingle_n, shingles_df
+    )
     return sig.select(
         id_col,
         "sig",
@@ -224,6 +270,7 @@ def minhash_near_dup_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -235,7 +282,9 @@ def minhash_near_dup_pairs(
     Scale: the only join key is (band_idx, band_key); hot buckets (many
     identical docs) are bounded by banding; AQE skew-join handles the
     rest. No corpus-wide cross join ever happens."""
-    banded = minhash_band_index(df, text_col, id_col, num_hashes, bands, shingle_n)
+    banded = minhash_band_index(
+        df, text_col, id_col, num_hashes, bands, shingle_n, shingles_df
+    )
     return _banded_pairs(banded, banded, id_col, num_hashes)
 
 
@@ -402,6 +451,28 @@ def connected_components(
             ).alias("digest"),
         )
         e = stepped.localCheckpoint(eager=True)
+        # TAMPER GUARD (r13 verdict #4): obs.get blocks FOREVER if the
+        # observed subtree never executed (e.g. the checkpoint above
+        # made lazy, or the observe moved below a prunable branch — the
+        # bpe rejection note proved the hang empirically). The eager
+        # checkpoint is what populates it; verify via the JVM side's
+        # NON-BLOCKING getOrEmpty before the blocking read, so a future
+        # edit fails loudly instead of deadlocking. In this Spark build
+        # getOrEmpty on an UNSET observation throws NPE (Row.empty has a
+        # null schema — Observation.scala:116), so the NPE *is* the
+        # "never executed" signal; any other py4j drift falls through to
+        # the blocking read (pinned by
+        # tests/test_r14_advice.py::test_observation_probe_*).
+        try:
+            populated = not obs._jo.getOrEmpty().isEmpty()
+        except Exception as exc:  # noqa: BLE001
+            populated = "NullPointerException" not in str(exc)
+        if not populated:
+            raise RuntimeError(
+                "connected_components: fixpoint observation not populated "
+                "— the eager localCheckpoint must execute the observed "
+                "node before obs.get, or this call would deadlock"
+            )
         row = obs.get  # available: the eager checkpoint already ran
         cur = (row["n"], row["digest"])
         if cur == prev:
@@ -696,6 +767,7 @@ def exact_jaccard_join(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT shingle-Jaccard similarity self-join via prefix filtering
     (Bayardo et al., WWW'07; Xiao et al., WWW'08 — "PPJoin" family).
@@ -722,10 +794,12 @@ def exact_jaccard_join(
     # dfreq, ranked, and both sides of the verification join) — without
     # the cache, lineage recomputation re-tokenizes and re-shingles the
     # whole corpus once per consumer. LRU-evicted when memory needs it.
+    # ``shingles_df`` (r14): a caller-provided shared relation (already
+    # cached by the caller) skips both the rebuild and the double-cache.
     sh = (
-        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
-        .select("doc_id", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"))
-    ).cache()
+        shingle_relation(docs, id_col, text_col, n).cache()
+        if shingles_df is None else shingles_df
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
@@ -773,6 +847,7 @@ def exact_containment_join(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT shingle-CONTAINMENT self-join via prefix filtering — the
     asymmetric sibling of ``exact_jaccard_join`` for quote / near-subset
@@ -797,9 +872,9 @@ def exact_containment_join(
     candidate equi-join, verification join; raw text never shuffles."""
     t = float(threshold)
     sh = (
-        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
-        .select("doc_id", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"))
-    ).cache()
+        shingle_relation(docs, id_col, text_col, n).cache()
+        if shingles_df is None else shingles_df
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())

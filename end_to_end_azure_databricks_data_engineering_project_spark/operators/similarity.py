@@ -161,8 +161,18 @@ def _proj(vec: Column, plane: Column) -> Column:
 def _bucket_from(vec: Column, table: Column, n_planes: int) -> Column:
     """Sign-bit bucket from a plane-array column: fold planes in index
     order, adding 2^i when the projection is non-negative — the same
-    integer accumulation ``srp_bucket`` unrolls over literals."""
-    pow2 = F.lit([1 << i for i in range(n_planes)]).cast("array<int>")
+    integer accumulation ``srp_bucket`` unrolls over literals,
+    INCLUDING its type promotion: ≤31 planes accumulate in int (every
+    2^i fits), 32–62 in bigint (the literal chain auto-promoted
+    ``F.lit(1 << i)`` to long there; casting 2^31+ into array<int>
+    would ANSI-overflow instead). >62 planes cannot fit a signed
+    bigint bucket — fail loudly at build time (r13 advisor)."""
+    if n_planes > 62:
+        raise ValueError(
+            f"SRP bucket needs n_planes <= 62 (signed bigint), got {n_planes}"
+        )
+    elem_t = "int" if n_planes <= 31 else "bigint"
+    pow2 = F.lit([1 << i for i in range(n_planes)]).cast(f"array<{elem_t}>")
     indexed = F.zip_with(
         table,
         F.sequence(F.lit(0), F.lit(n_planes - 1)),
@@ -170,11 +180,11 @@ def _bucket_from(vec: Column, table: Column, n_planes: int) -> Column:
     )
     return F.aggregate(
         indexed,
-        F.lit(0),
+        F.lit(0).cast(elem_t),
         lambda acc, s: acc
         + F.when(
             _proj(vec, s["p"]) >= 0, F.element_at(pow2, s["i"] + 1)
-        ).otherwise(F.lit(0)),
+        ).otherwise(F.lit(0).cast(elem_t)),
     )
 
 
@@ -195,6 +205,15 @@ def _srp_banded(
     ride a one-row broadcast relation (``_with_tables``), not literal
     expression nodes — bit-identical buckets, constant-size plan."""
     n_planes = len(tables[0])
+    # uniform plane count is a precondition: zip_with null-pads a
+    # shorter table, silently reading missing planes' sign bits as 0
+    # (the literal form used each table's own length) — guard, don't
+    # mis-bucket (r13 advisor; current generators are always uniform)
+    if any(len(t) != n_planes for t in tables):
+        raise ValueError(
+            "SRP tables must all have the same plane count; got "
+            f"{sorted({len(t) for t in tables})}"
+        )
     vec = F.col(vc)
     buckets = F.transform(
         F.col(_TABLES),
@@ -312,6 +331,14 @@ def arrow_cosine_scores(
                 )
             d = len(va[0])
             fa, fb = va.flatten(), vb.flatten()
+            # top-level null_count misses NULL ELEMENTS inside an
+            # embedding array, which would silently become NaN scores
+            # — the docstring promises violations raise (r13 advisor)
+            if fa.null_count or fb.null_count:
+                raise ValueError(
+                    "arrow_cosine_scores: NULL element inside an "
+                    "embedding array — dense vectors are a precondition"
+                )
             if len(fa) != n * d or len(fb) != n * d:
                 raise ValueError(
                     "arrow_cosine_scores: ragged embedding lengths — "

@@ -169,29 +169,43 @@ def table_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     numeric ordering is preserved). The data-quality primer run before
     ingesting an unknown feed.
 
-    One aggregation job; the multiple count-distincts share a single
-    Expand (×|cols| row multiplier map-side — at 100 TB swap
-    countDistinct for approx_count_distinct to drop the Expand
-    entirely). The 1×(4·|cols|) result row is unpivoted driver-free
-    with stack()."""
-    aggs = []
+    Physical shape (r14, guide §2.3 — the approx_analytics split
+    pattern): one two-phase aggregation PER COLUMN, unioned. The old
+    single agg let Catalyst plan |cols| count-distincts as ONE Expand —
+    a ×(|cols|+1) row multiplication of the scan through the first
+    hash aggregate, which at 100 TB multiplies the whole table through
+    the exchange. Per column instead: group by the column's values
+    (map-side partial agg → the shuffle carries only distinct values of
+    THAT column), then a 1-row rollup derives nulls/distinct/min/max.
+    Each branch's scan is pruned to its single column, so total bytes
+    read stay one table pass; no Expand anywhere. Results are
+    bit-identical (counts and min/max are order-independent)."""
+    parts = []
     for c in cols:
-        aggs += [
-            F.coalesce(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0))
-            .cast("bigint")
-            .alias(f"{c}__nulls"),
-            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
-        ]
-    row = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
-        for c in cols
-    )
-    return row.select(
-        F.expr(
-            f"stack({len(cols)}, {stack_args}) AS "
-            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        per_val = (
+            df.select(F.col(c).alias("_v"))
+            .groupBy("_v")
+            .agg(F.count(F.lit(1)).alias("_n"))
         )
-    )
+        parts.append(
+            per_val.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("_v").isNull(), F.col("_n")).otherwise(0)),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_nulls"),
+                F.count(F.when(F.col("_v").isNotNull(), F.lit(1))).alias(
+                    "n_distinct"
+                ),
+                F.min("_v").cast("string").alias("min_value"),
+                F.max("_v").cast("string").alias("max_value"),
+            ).select(
+                F.lit(c).alias("column_name"),
+                "n_nulls", "n_distinct", "min_value", "max_value",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

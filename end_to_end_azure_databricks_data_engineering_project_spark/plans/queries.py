@@ -7158,13 +7158,20 @@ def q_lsh_recall_audit(spark, sf):
     from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
         exact_jaccard_join,
         minhash_near_dup_pairs,
+        shingle_relation,
     )
 
     docs = _t(spark, sf, "documents")
-    truth = exact_jaccard_join(docs, threshold=0.5, n=3).select(
+    # r14 (guide §6 scan reuse): ONE tokenize+shingle pass feeds both the
+    # exact-truth side and the MinHash-candidate side (previously each
+    # side re-read and re-shingled the corpus); intra-query cache only.
+    sh = shingle_relation(docs, n=3).cache()
+    truth = exact_jaccard_join(docs, threshold=0.5, n=3, shingles_df=sh).select(
         "id_a", "id_b", F.lit(1).alias("_t")
     )
-    cand = minhash_near_dup_pairs(docs, num_hashes=8, bands=4).select(
+    cand = minhash_near_dup_pairs(
+        docs, num_hashes=8, bands=4, shingles_df=sh
+    ).select(
         "id_a", "id_b", F.lit(1).alias("_c")
     )
     both = truth.join(cand, ["id_a", "id_b"], "full")

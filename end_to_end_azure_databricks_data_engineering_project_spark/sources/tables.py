@@ -52,7 +52,7 @@ import re
 import shutil
 import threading
 import time
-from collections.abc import Callable, Sequence
+from collections.abc import Callable, Mapping, Sequence
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -3373,6 +3373,7 @@ class ManagedTable:
         res: tuple[list[str], dict] | None,
         batch: DataFrame,
         keys: Sequence[str],
+        key_bounds: Mapping[str, tuple] | None = None,
     ) -> tuple[list[str] | None, dict]:
         """Stats-pruned candidate set for ``merge_keyed``'s touched-file
         discovery: store-relative names whose per-file min/max stats
@@ -3398,18 +3399,29 @@ class ManagedTable:
         on a key column are always kept)."""
         if res is None:
             return None, {}
-        aggs = [
-            a
-            for i, k in enumerate(keys)
-            for a in (
-                F.min(F.col(k)).alias(f"__lo{i}"),
-                F.max(F.col(k)).alias(f"__hi{i}"),
-            )
-        ]
-        bounds = batch.agg(*aggs).first()
+        if key_bounds is None:
+            aggs = [
+                a
+                for i, k in enumerate(keys)
+                for a in (
+                    F.min(F.col(k)).alias(f"__lo{i}"),
+                    F.max(F.col(k)).alias(f"__hi{i}"),
+                )
+            ]
+            bounds = batch.agg(*aggs).first()
+            raw = {
+                k: (bounds[f"__lo{i}"], bounds[f"__hi{i}"])
+                for i, k in enumerate(keys)
+            }
+        else:
+            # r14 (guide §2.4 — remove a pass): a caller that already
+            # aggregated the batch (e.g. gold_flow's gated-count) hands
+            # the raw per-key min/max down, so the bounds ride THAT job
+            # instead of a second full batch pass per apply.
+            raw = {k: key_bounds.get(k, (None, None)) for k in keys}
         norm = {}
-        for i, k in enumerate(keys):
-            lo, hi = _stat_value(bounds[f"__lo{i}"]), _stat_value(bounds[f"__hi{i}"])
+        for k in keys:
+            lo, hi = _stat_value(raw[k][0]), _stat_value(raw[k][1])
             if lo is not None or hi is not None:
                 norm[k] = (lo, hi)
         names, stats = res
@@ -3429,8 +3441,14 @@ class ManagedTable:
         epoch_key=None,
         evolve: bool = False,
         full_scope: bool = False,
+        key_bounds: Mapping[str, tuple] | None = None,
     ) -> int | None:
         """File-pruned keyed merge (Delta-MERGE-style on plain parquet).
+
+        ``key_bounds`` (r14, optional): raw ``{key: (min, max)}`` the
+        caller already aggregated over the batch — skips the merge's
+        own bounds pass (one job per apply saved; the values MUST come
+        from a plain min/max over exactly the rows of ``batch``).
 
         ``full_scope=True`` skips key discovery entirely and hands
         ``merge_fn`` the WHOLE table (a full rewrite, nothing carried
@@ -3508,7 +3526,9 @@ class ManagedTable:
             read_bounds = None
             touched: list = [None] * (cap + 1)  # > cap ⇒ full-rewrite path
         else:
-            cand, read_bounds = self._merge_candidate_files(res, batch, keys)
+            cand, read_bounds = self._merge_candidate_files(
+                res, batch, keys, key_bounds
+            )
             if cand is not None and not cand:
                 # bounds exclude every file: provably nothing touched —
                 # no discovery job at all

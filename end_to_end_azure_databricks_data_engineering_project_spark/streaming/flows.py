@@ -358,15 +358,28 @@ def gold_flow(
         # cache: the gated batch feeds count, key discovery and the
         # merge write — one silver scan + expectation filter, not three
         try:
-            n = gated.count()
+            # r14 (guide §2.4): the gate count and the merge's file-prune
+            # key bounds ride ONE aggregation job (previously count here
+            # + a second bounds pass inside merge_keyed per apply).
+            keys = list(cfg.keys)
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            for i, k in enumerate(keys):
+                aggs.append(F.min(F.col(k)).alias(f"__lo{i}"))
+                aggs.append(F.max(F.col(k)).alias(f"__hi{i}"))
+            stat = gated.agg(*aggs).first()
+            n = stat["__n"]
             if n > 0:
                 apply_changes(
                     gold, gated,
-                    keys=list(cfg.keys), sequence_by=cfg.cdc_col,
+                    keys=keys, sequence_by=cfg.cdc_col,
                     scd_type=cfg.scd_type,
                     delete_expr=DEL_FLAG if with_deletes else None,
                     except_columns=(DEL_FLAG,) if with_deletes else (),
                     delete_mode="erase" if cfg.on_delete == "erase" else "close",
+                    key_bounds={
+                        k: (stat[f"__lo{i}"], stat[f"__hi{i}"])
+                        for i, k in enumerate(keys)
+                    },
                 )
         finally:
             gated.unpersist()

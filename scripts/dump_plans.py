@@ -21,7 +21,7 @@ def main() -> None:
     names = sys.argv[2]
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
     wanted = None if names == "ALL" else set(names.split(","))
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("PLANS_TAG_DIR", "r14"))
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark("dump_plans")
     for q in CATALOG.values():
