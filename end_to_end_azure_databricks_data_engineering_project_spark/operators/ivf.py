@@ -172,36 +172,60 @@ def kmeans_fit(
             c.unpersist()
 
 
+_POS_BASE = 1 << 20  # (cluster, pos) packed key base; any sane dim fits
+
+
 def _kmeans_iterate(data, caches, vec_col, id_col, k, n_iter):
-    # seed relation: the k smallest ids, cluster = rank order (matches
-    # the previous collected-seed numbering and the oracle's replay)
-    w_seed = Window.orderBy(F.col(id_col).asc())
-    cents = (
+    # r14 fit-chain restructure (guide §2.4 — remove exchanges): the
+    # per-iteration state is ONE ROW carrying the ordered centroid
+    # array, not a k-row (cluster, cent) relation. Per iteration the
+    # old shape paid 5 exchanges (centroid-array agg, its broadcast,
+    # the (cluster,pos) means shuffle, the (cluster) array-reassembly
+    # shuffle, and the empty-cluster fallback join's broadcast); the
+    # 1-row form pays 4 — the means fold straight into a packed
+    # (cluster·B+pos)→mean MAP in one global agg (no reassembly
+    # shuffle), and the fallback is a per-position map probe on the
+    # state row (no join). Values are bit-identical: the same ordered
+    # fold produces each mean, and positions are read back in index
+    # order (uniform-dimension vectors, which the distance fold already
+    # assumes). Measured (scripts/ann_bench.py): ann_topk_ivf fit chain
+    # 21 -> 15 jobs; see OPTIMIZATION_r14.md.
+    #
+    # seed state: the k smallest ids' vectors in id order (same
+    # numbering as the previous row_number seeds and the oracle replay)
+    state = (
         data.orderBy(F.col(id_col).asc())
         .limit(k)
-        .select(
-            (F.row_number().over(w_seed) - 1).alias("cluster"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-                "cent"
-            ),
-        )
-    )
-    for _ in range(n_iter):
-        cents = cents.cache()
-        caches.append(cents)
-        crow = cents.agg(
+        .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("cluster", "cent"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(id_col).alias("_mid"),
+                            F.transform(
+                                F.col(vec_col), lambda x: x.cast("double")
+                            ).alias("cent"),
+                        )
+                    )
+                ),
                 lambda s: s["cent"],
             ).alias(_CENTS)
         )
+    )
+    for _ in range(n_iter):
+        # each iteration's state row is referenced twice (next
+        # assignment's broadcast + the fold's cross join) — uncached,
+        # the full previous-iteration subtree would re-evaluate per
+        # reference, doubling work per chained level
+        state = state.cache()
+        caches.append(state)
         # Two selects, deliberately: a generator in the SAME select as
         # the argmin would re-evaluate the O(k·dim) distance expression
         # once per exploded row (dim× per vector — the dominant cost at
         # k=64: ~45 s/iter for 2 000 rows). Projecting cluster below the
         # Generate evaluates it once per vector; Catalyst keeps the
         # projection under Generate (Generate only appends columns).
-        pre = data.crossJoin(F.broadcast(crow)).select(
+        pre = data.crossJoin(F.broadcast(state)).select(
             F.col(id_col).alias("_mid"),
             _argmin_cluster(
                 _sq_dists_col(F.col(vec_col), F.col(_CENTS))
@@ -221,28 +245,45 @@ def _kmeans_iterate(data, caches, vec_col, id_col, k, n_iter):
             F.lit(0.0),
             lambda acc, s: acc + s["x"].cast("double"),
         )
-        means = (
+        mrow = (
             assigned.groupBy("cluster", "pos")
             .agg((ordered_sum / F.count(F.lit(1))).alias("m"))
-            .groupBy("cluster")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("new_cent")
+                F.map_from_entries(
+                    F.collect_list(
+                        F.struct(
+                            (
+                                F.col("cluster").cast("bigint") * _POS_BASE
+                                + F.col("pos")
+                            ).alias("k"),
+                            F.col("m").alias("v"),
+                        )
+                    )
+                ).alias("_mp")
             )
         )
-        # empty clusters keep the previous centroid
-        cents = cents.join(means, "cluster", "left").select(
-            "cluster", F.coalesce("new_cent", "cent").alias("cent")
+        # fold: clusters the batch assigned get their new mean per
+        # position; untouched (empty) clusters keep the previous
+        # centroid. map_contains_key (not coalesce) so a NULL mean —
+        # only possible from NULL vector elements — still overwrites,
+        # exactly like the old whole-array replacement.
+        key = lambda c, p: c.cast("bigint") * _POS_BASE + p  # noqa: E731
+        state = state.crossJoin(F.broadcast(mrow)).select(
+            F.transform(
+                F.col(_CENTS),
+                lambda cent, c: F.transform(
+                    cent,
+                    lambda x, p: F.when(
+                        F.map_contains_key(F.col("_mp"), key(c, p)),
+                        F.try_element_at(F.col("_mp"), key(c, p)),
+                    ).otherwise(x),
+                ),
+            ).alias(_CENTS)
         )
-    rows = cents.collect()
-    out: list[list[float] | None] = [None] * k
-    for r in rows:
-        out[r.cluster] = [float(x) for x in r.cent]
+    row = state.collect()[0]
     # fewer input rows than k: contiguous leading clusters only (the
     # previous collected-seeds behavior)
-    return [c for c in out if c is not None]
+    return [[float(x) for x in c] for c in row[_CENTS]]
 
 
 def ivf_assign(

@@ -44,6 +44,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from end_to_end_azure_databricks_data_engineering_project_spark.operators.ivf import (
+    _POS_BASE,
     _argmin_cluster,
     _probe_pairs,
     _sq_dists_col,
@@ -88,9 +89,16 @@ def pq_fit(
     n_iter: int = 2,
     dim: int = 64,
     fit_fraction: float | None = None,
+    _input_materialized: bool = False,
 ) -> list[list[list[float]]]:
     """Deterministic per-subspace Lloyd k-means; returns m codebooks of
     k_sub centroids each (python lists — the only driver-side state).
+
+    ``_input_materialized`` (internal, r14): the caller guarantees
+    ``df`` is already an eagerly materialized relation (e.g. the
+    ``ivfpq_encode`` residual localCheckpoint) — re-caching it would
+    only copy checkpoint blocks into storage memory for zero replay
+    saving, so the fit-set cache is skipped.
 
     All m subspaces train in the SAME scans: the input explodes once to
     (id, s, subvector) and every Lloyd iteration is one pass with a
@@ -119,8 +127,10 @@ def pq_fit(
     # iteration); in the IVF-PQ composite its lineage is the coarse-
     # assign + residual HOF tree over the corpus, which would otherwise
     # re-evaluate per job. Bounded by the fit set; released at return.
-    data = data.cache()
-    caches = [data]
+    caches = []
+    if not _input_materialized:
+        data = data.cache()
+        caches.append(data)
     try:
         return _pq_fit_chained(
             data, caches, id_col, vec_col, m, sd, k_sub, n_iter, fit_fraction
@@ -157,19 +167,32 @@ def _short_seed_error(k_sub: int, fit_fraction) -> str:
 
 
 def _pq_fit_chained(data, caches, id_col, vec_col, m, sd, k_sub, n_iter, fit_fraction):
+    # r14 fit-chain restructure (guide §2.4; the ivf._kmeans_iterate
+    # shape): per-iteration state is ONE ROW carrying the full m-deep
+    # codebook array, not an m-row (s, _cents) relation. The old shape
+    # paid 6 exchanges per iteration (codebook broadcast join, the
+    # (s,cluster,pos) means shuffle, the (s,cluster) reassembly
+    # shuffle, the per-s map shuffle, the fallback join's broadcast);
+    # the 1-row form pays 4 — means fold straight into one packed
+    # ((s·B+cluster)·B+pos)→mean map in a single global agg, and the
+    # fallback is a per-position map probe on the state row. Values
+    # bit-identical (same ordered folds, positions read in index
+    # order; uniform subvector width sd, which _subvector guarantees
+    # for well-formed dim-length vectors). Measured
+    # (scripts/ann_bench.py): ann_topk_pq fit chain 18 -> 12 jobs.
     sub = _explode_subs(data, id_col, vec_col, m, sd)
-    # seed relation: per subspace, the k_sub smallest ids' subvectors in
+    # seed state: per subspace, the k_sub smallest ids' subvectors in
     # id order (cluster = rank order — matches the previous collected-
     # seed numbering and the oracle's replay). The short-seed guard is
     # IN-PLAN (raise_error on a short centroid array) so a misuse fails
-    # after ONE scan of the fit set — when the seed relation first
+    # after ONE scan of the fit set — when the seed state first
     # evaluates, before any Lloyd-iteration work — while the success
     # path keeps the single-job shape (no separate validation collect).
     cents_raw = F.transform(
         F.array_sort(F.collect_list(F.struct(F.col("_mid"), F.col("sv")))),
         lambda st: F.transform(st["sv"], lambda x: x.cast("double")),
     )
-    cb = (
+    state = (
         _explode_subs(data.orderBy(F.col(id_col).asc()).limit(k_sub), id_col, vec_col, m, sd)
         .groupBy("s")
         .agg(cents_raw.alias("_cents_raw"))
@@ -187,21 +210,30 @@ def _pq_fit_chained(data, caches, id_col, vec_col, m, sd, k_sub, n_iter, fit_fra
             )
             .alias("_cents"),
         )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "_cents"))),
+                lambda st: st["_cents"],
+            ).alias(_CB)
+        )
     )
     for _ in range(n_iter):
-        # each iteration's cb (m rows) is referenced twice: the next
-        # assignment's broadcast side + the empty-cluster fallback join
-        cb = cb.cache()
-        caches.append(cb)
-        # assignment: broadcast-join the per-subspace centroid relation
-        # (m rows) and argmin — cluster projected BELOW the posexplode
-        # so the O(k_sub·sd) distance expr runs once per subvector (see
-        # ivf.kmeans_fit's generator-placement note).
-        pre = sub.join(F.broadcast(cb), "s").select(
+        # each iteration's state row is referenced twice: the next
+        # assignment's broadcast side + the fold's cross join
+        state = state.cache()
+        caches.append(state)
+        # assignment: the whole codebook rides the broadcast row; each
+        # subvector reads its subspace's centroids by index — cluster
+        # projected BELOW the posexplode so the O(k_sub·sd) distance
+        # expr runs once per subvector (see ivf.kmeans_fit's
+        # generator-placement note).
+        pre = sub.crossJoin(F.broadcast(state)).select(
             "_mid",
             "s",
             _argmin_cluster(
-                _sq_dists_col(F.col("sv"), F.col("_cents"))
+                _sq_dists_col(
+                    F.col("sv"), F.element_at(F.col(_CB), F.col("s") + 1)
+                )
             ).alias("cluster"),
             "sv",
         )
@@ -216,38 +248,51 @@ def _pq_fit_chained(data, caches, id_col, vec_col, m, sd, k_sub, n_iter, fit_fra
             F.lit(0.0),
             lambda acc, st: acc + st["x"].cast("double"),
         )
-        means = (
+        mrow = (
             assigned.groupBy("s", "cluster", "pos")
             .agg((ordered_sum / F.count(F.lit(1))).alias("mu"))
-            .groupBy("s", "cluster")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
-                    lambda p: p["mu"],
-                ).alias("new_cent")
+                F.map_from_entries(
+                    F.collect_list(
+                        F.struct(
+                            (
+                                (
+                                    F.col("s").cast("bigint") * _POS_BASE
+                                    + F.col("cluster")
+                                )
+                                * _POS_BASE
+                                + F.col("pos")
+                            ).alias("k"),
+                            F.col("mu").alias("v"),
+                        )
+                    )
+                ).alias("_mp")
             )
         )
-        # fold the iteration's means back into the m-row codebook
-        # relation: clusters the batch assigned get their new centroid,
-        # empty clusters keep the previous one (try_element_at — ANSI
-        # mode throws on a plain element_at at a missing map key)
-        per_s = means.groupBy("s").agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("cluster", "new_cent"))
-            ).alias("_mp")
-        )
-        cb = cb.join(per_s, "s", "left").select(
-            "s",
+        # fold: assigned clusters take their new per-position mean,
+        # empty clusters keep the previous centroid (map_contains_key,
+        # not coalesce, so a NULL mean still overwrites — the old
+        # whole-array replacement's behavior)
+        key = lambda s_, c, p: (  # noqa: E731
+            s_.cast("bigint") * _POS_BASE + c
+        ) * _POS_BASE + p
+        state = state.crossJoin(F.broadcast(mrow)).select(
             F.transform(
-                F.sequence(F.lit(0), F.size("_cents") - 1),
-                lambda c: F.coalesce(
-                    F.try_element_at("_mp", c),
-                    F.element_at("_cents", c + 1),
+                F.col(_CB),
+                lambda cb_s, s_: F.transform(
+                    cb_s,
+                    lambda cent, c: F.transform(
+                        cent,
+                        lambda x, p: F.when(
+                            F.map_contains_key(F.col("_mp"), key(s_, c, p)),
+                            F.try_element_at(F.col("_mp"), key(s_, c, p)),
+                        ).otherwise(x),
+                    ),
                 ),
-            ).alias("_cents"),
+            ).alias(_CB)
         )
     try:
-        rows = cb.collect()
+        row = state.collect()[0]
     except Exception as e:  # translate the in-plan guard to ValueError
         # a short codebook would freeze into an incremental ANN index
         # whose shape check then rejects every later drain with a
@@ -255,12 +300,10 @@ def _pq_fit_chained(data, caches, id_col, vec_col, m, sd, k_sub, n_iter, fit_fra
         if "pq_fit: need" in str(e):
             raise ValueError(_short_seed_error(k_sub, fit_fraction)) from None
         raise
-    if not rows:  # empty fit set: groupBy emits nothing, guard never ran
+    arr = row[_CB]
+    if not arr:  # empty fit set: groupBy emitted nothing, guard never ran
         raise ValueError(_short_seed_error(k_sub, fit_fraction) + " (got 0)")
-    codebooks: list[list[list[float]] | None] = [None] * m
-    for r in rows:
-        codebooks[r["s"]] = [[float(x) for x in c] for c in r["_cents"]]
-    return codebooks
+    return [[[float(x) for x in c] for c in cb_s] for cb_s in arr]
 
 
 def pq_codes(vec: Column, cb: Column, m: int, sd: int) -> Column:
@@ -353,7 +396,7 @@ def ivfpq_encode(
     )
     codebooks = pq_fit(
         res, vec_col="residual", id_col=id_col, m=m, k_sub=k_sub,
-        n_iter=n_iter, dim=dim,
+        n_iter=n_iter, dim=dim, _input_materialized=True,
     )
     return _encode_residuals(res, codebooks, dim), codebooks
 
