@@ -24,6 +24,7 @@ def _cat(spark, tmp_path):
     return Catalog(spark, tmp_path / "wh")
 
 
+@pytest.mark.slow
 def test_drain_split_equals_union_encode(spark, tmp_path, emb):
     """Model fits on the FIRST batch and freezes; draining the rest in
     a second epoch must leave exactly the rows ivfpq_encode_with
@@ -69,6 +70,7 @@ def test_drain_model_shape_mismatch_fails_loudly(spark, tmp_path, emb):
         )
 
 
+@pytest.mark.slow
 def test_query_drained_index_matches_direct_encode(spark, tmp_path, emb):
     from end_to_end_azure_databricks_data_engineering_project_spark.operators.pq import (
         ivfpq_encode_with,

@@ -29,6 +29,7 @@ def _rows(df):
     return sorted(map(tuple, df.collect()))
 
 
+@pytest.mark.slow
 def test_auc_drain_split_equals_union(spark, tmp_path, scored):
     a = scored.where(F.col("id") % 2 == 0)
     b = scored.where(F.col("id") % 2 == 1)

@@ -159,6 +159,7 @@ def test_encode_zero_rules_is_character_tokenizer(spark):
     assert toks == [(1, 1, "a", 1), (1, 2, "b", 2), (2, 1, "b", 2), (2, 2, "a", 1)]
 
 
+@pytest.mark.slow
 def test_encode_chunked_projection_matches_single_chain(spark, monkeypatch):
     # force the stacked-select path (chunk=2) and compare against the
     # default chain — identical output proves the split is semantics-free
@@ -200,6 +201,7 @@ def test_encode_lazy_vocab_ranking_matches_distributed(spark):
     assert a == b and a
 
 
+@pytest.mark.slow
 def test_encode_pandas_path_matches_native(spark, monkeypatch):
     """The large-rule-set Arrow path (mapInPandas replay past
     _NATIVE_APPLY_MAX — the native chain StackOverflows near 1k rules

@@ -9,6 +9,7 @@ exactly ONE survivor, which greedy pair-suppression cannot guarantee.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
@@ -94,6 +95,7 @@ def test_planted_chain_keeps_exactly_one_survivor(spark):
     assert kept == [1] + [100 + i for i in range(5)]
 
 
+@pytest.mark.slow
 def test_cc_partitioning_independence(spark):
     pairs = [(i, i + 1) for i in range(0, 40)] + [(60, 50), (55, 50)]
     one = spark.createDataFrame(pairs, ["id_a", "id_b"]).repartition(1)
@@ -275,6 +277,7 @@ def test_neardup_drain_is_single_action_per_append(spark, tmp_path):
     assert delta == 2, f"expected 2 actions (one per append), got {delta}"
 
 
+@pytest.mark.slow
 def test_bucketed_drain_matches_rebuild_and_index_side_is_shuffle_free(spark, tmp_path):
     """run_neardup_drain_bucketed: (a) three drains reproduce the full
     rebuild's pair set exactly; (b) the stored index joins the probe

@@ -58,6 +58,7 @@ def test_cdf_merge_emits_protocol_cdc_actions(spark, tmp_path):
     assert "delete" not in by_type
 
 
+@pytest.mark.slow
 def test_changes_since_cdc_fast_path_matches_diff_path(spark, tmp_path):
     cat = Catalog(spark, tmp_path / "wh")
     a, b = cat.table("with_cdf"), cat.table("without_cdf")

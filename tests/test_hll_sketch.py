@@ -3,6 +3,7 @@ bounded register count, estimate accuracy, empty input."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -75,6 +76,7 @@ def test_hll_empty_input(spark):
     keys=st.lists(st.integers(min_value=0, max_value=10_000), max_size=60),
     pivot=st.integers(min_value=0, max_value=10_000),
 )
+@pytest.mark.slow
 def test_hll_merge_equals_union_property(spark, keys, pivot):
     df = spark.createDataFrame([(k,) for k in keys] or [(0,)], ["k"])
     if not keys:

@@ -203,6 +203,7 @@ class _SimCrash(RuntimeError):
 
 
 @pytest.mark.parametrize("_", [0])  # keep pytest param naming stable
+@pytest.mark.slow
 def test_crash_replay_alert_ledger_agreement_property(spark, tmp_path, _):
     """r11 (verdict r10 #6), hypothesis over crash points: the run
     ledger (pipeline_runs) and the alert sink (alerts) must never end

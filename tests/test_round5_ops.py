@@ -4,6 +4,7 @@ oriented triangle counting, MAD outlier stats, co-occurrence lift."""
 from __future__ import annotations
 
 
+import pytest
 from end_to_end_azure_databricks_data_engineering_project_spark.operators.dedup import (
     minhash_dedup_keep_best,
 )
@@ -233,6 +234,7 @@ edges_st = st.lists(
 @settings(max_examples=20, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(edges=edges_st)
+@pytest.mark.slow
 def test_triangle_count_matches_bruteforce(spark, edges):
     es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
     expected = 0
@@ -256,6 +258,7 @@ points_st = st.lists(
 @settings(max_examples=20, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(points=points_st)
+@pytest.mark.slow
 def test_pareto_frontier_matches_dominance_definition(spark, points):
     from end_to_end_azure_databricks_data_engineering_project_spark.operators.transforms import (
         pareto_frontier_2d,
