@@ -52,7 +52,15 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32") or 32)
     spark = get_spark("scaling_evidence")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # FULL-scan warmup (noop sink), not count(): parquet count() reads
+    # only row-group metadata, so the first timed query would otherwise
+    # pay the cold page-cache read of the whole table and the
+    # core-count comparison would measure disk, not compute
+    for t in ("lineitem", "orders", "customer", "events", "documents",
+              "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.mode(
+            "overwrite"
+        ).format("noop").save()
     before = _load_marker()
     timings: dict[str, float] = {}
     for name in HEADLINE:
