@@ -8578,7 +8578,18 @@ def q_gold_delete_propagation(spark, sf):
     wh = _scratch_warehouse("q_golddel", sf)
     cat = Catalog(spark, wh)
     silver = cat.table("silver_cust")
-    silver.overwrite(c.repartitionByRange(4, "k").sortWithinPartitions("k"))
+    # enable_cdf=True (r14, guide §1.2 — the house's own _nudge_cdf_for_dml
+    # guidance): the drain's change feed comes from MATERIALIZED change
+    # files written by the DML commits themselves, instead of
+    # changes_since re-deriving it by diffing two whole snapshots per
+    # commit — at scale that swaps two full-table reads per drained
+    # commit for a scan of just the change files. Same feed rows, same
+    # gold output (A/B'd identical; oracle green); 54 -> 50 jobs,
+    # ~9.5 -> ~7.2 s warm at sf0.1.
+    silver.overwrite(
+        c.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        enable_cdf=True,
+    )
     cfg = TableConfig(
         schema_name="gold", table="cust", cdc_col="updated_at",
         keys=("k",), spark_schema=c.schema, scd_type=2,
